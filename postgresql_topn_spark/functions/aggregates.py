@@ -1,0 +1,189 @@
+"""Aggregate surface — ``topn_add_agg`` / ``topn_union_agg`` and the
+window-frame merge, Tier-1 composition path.
+
+Everything here is built from native groupBy / window / higher-order-map
+expressions, so Catalyst supplies partial aggregation (the reference's
+serialize/combine parallel-agg plumbing, topn.c:509-625, is free), spill,
+AQE and codegen. Results are exact whenever distinct items per group stay
+within the counter budget — exactly the regime where the reference is
+also exact (SURVEY.md §1.2). For strictly-bounded-memory semantics under
+huge per-group cardinality use operators/sketch_state.py (Tier 2).
+
+Scale notes (100 TB design):
+- `topn_add_agg` shuffles once on (keys, item) for the exact per-item
+  count (map-side partial combine collapses duplicate items before the
+  exchange — for skewed heavy-hitter data this is a massive reduction),
+  then once on (keys) for the window rank; the final groupBy(keys)
+  reuses the window's hash partitioning, so no third exchange.
+- Sketch size is bounded (<= counters entries, default 1000) before any
+  `collect_list`, so per-group state in the final aggregation is small
+  and bounded regardless of input cardinality.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.conf import INT64_MAX, resolve_counters
+from postgresql_topn_spark.functions.sketch import (
+    _col,
+    _entry_cmp,
+    empty_sketch,
+    merge_sketches,
+    normalize_item,
+    prune_sketch,
+)
+
+_ITEM, _FREQ, _RN = "__topn_item", "__topn_freq", "__topn_rn"
+
+
+def _pack_entries_agg() -> Column:
+    """Final per-group packing: collect the (bounded) surviving entries
+    into a map, dropping the group-preserving NULL marker rows. Entries
+    are pre-sorted (frequency DESC, item ASC) so the map's entry order —
+    and therefore its JSON rendering — is deterministic. Empty groups
+    (all-NULL items / all-NULL sketches) become ``{}`` like the
+    reference's finalizer on a never-initialized state (topn.c:655-661,
+    expected/null_tests.out:35-40)."""
+    entry = F.when(
+        F.col(_FREQ) > 0,
+        F.struct(F.col(_ITEM).alias("item"), F.col(_FREQ).alias("frequency")),
+    )
+    return F.map_from_entries(
+        F.coalesce(
+            F.array_sort(F.collect_list(entry), _entry_cmp),
+            F.expr("array()").cast("array<struct<item:string,frequency:bigint>>"),
+        )
+    )
+
+
+def _rank_and_pack(
+    counted: DataFrame,
+    group_cols: Sequence[str],
+    counters: int,
+    out_col: str,
+) -> DataFrame:
+    """Shared tail of both aggregates: window-rank the per-(group,item)
+    counts, keep the top *counters* per group, re-group into a map."""
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc(_FREQ), F.asc_nulls_last(_ITEM)
+    )
+    ranked = counted.withColumn(_RN, F.row_number().over(w))
+    # Rows with freq 0 are the NULL-item markers that keep otherwise-empty
+    # groups alive (reference: all-NULL group still yields a {} sketch).
+    kept = ranked.where((F.col(_RN) <= counters) | (F.col(_FREQ) <= 0))
+    return kept.groupBy(*group_cols).agg(_pack_entries_agg().alias(out_col))
+
+
+def topn_add_agg(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    item: Column | str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+) -> DataFrame:
+    """``SELECT keys, topn_add_agg(item) FROM df GROUP BY keys``
+    (reference aggregate: update/topn--2.3.0--2.3.1.sql:34-42,
+    transition topn.c:393-449).
+
+    Returns a DataFrame of ``group_cols + [out_col sketch]``. NULL items
+    are skipped (topn.c:424-427) but all-NULL groups still produce ``{}``.
+    Items are cast to string and byte-capped on entry (TEXT-only intake).
+    Exact counts (no eviction) — Tier-1 contract.
+    """
+    counters = resolve_counters(counters, df.sparkSession)
+    gcols = [_col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)]
+    gnames = [f"__g{i}" for i in range(len(group_cols))]
+    counted = (
+        df.select(*gcols, normalize_item(item).alias(_ITEM))
+        .groupBy(*gnames, _ITEM)
+        # count(col) skips NULLs: a NULL-item group row survives with 0.
+        .agg(F.count(F.col(_ITEM)).alias(_FREQ))
+    )
+    out = _rank_and_pack(counted, gnames, counters, out_col)
+    # restore caller-friendly names for the group columns
+    for i, c in enumerate(group_cols):
+        name = c if isinstance(c, str) else df.select(_col(c)).columns[0]
+        out = out.withColumnRenamed(f"__g{i}", name)
+    return out
+
+
+def topn_union_agg(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    sketch: Column | str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+) -> DataFrame:
+    """``SELECT keys, topn_union_agg(sketch) FROM df GROUP BY keys``
+    (update/topn--2.3.0--2.3.1.sql:43-51, transition topn.c:457-503).
+
+    Merges a column of sketches per group: explode -> saturating sum per
+    item -> rank-prune to *counters* -> repack. NULL sketches are skipped
+    (topn.c:489) but groups of only-NULL sketches still yield ``{}``.
+    The explode->re-aggregate shape is the idiomatic, shuffle-parallel
+    Spark "merge maps at scale" (no per-group state larger than the
+    counter budget).
+    """
+    counters = resolve_counters(counters, df.sparkSession)
+    gcols = [_col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)]
+    gnames = [f"__g{i}" for i in range(len(group_cols))]
+    exploded = df.select(*gcols, _col(sketch).alias("__sk")).select(
+        *gnames, F.explode_outer("__sk").alias(_ITEM, "__v")
+    )
+    counted = exploded.groupBy(*gnames, _ITEM).agg(
+        # saturating int64 sum: accumulate in decimal(38,0), clamp, narrow.
+        F.least(
+            F.sum(F.col("__v").cast("decimal(38,0)")),
+            F.lit(INT64_MAX).cast("decimal(38,0)"),
+        )
+        .cast("long")
+        .alias(_FREQ)
+    )
+    out = _rank_and_pack(counted, gnames, counters, out_col)
+    for i, c in enumerate(group_cols):
+        name = c if isinstance(c, str) else df.select(_col(c)).columns[0]
+        out = out.withColumnRenamed(f"__g{i}", name)
+    return out
+
+
+def topn_union_agg_global(
+    df: DataFrame,
+    sketch: Column | str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+) -> DataFrame:
+    """Grand-total union (no GROUP BY), e.g. the reference's
+    ``overall_result`` step (sql/customer_reviews_query.sql:25-34)."""
+    counters = resolve_counters(counters, df.sparkSession)
+    with_g = df.select(F.lit(1).alias("__g0"), _col(sketch).alias("__sk"))
+    out = topn_union_agg(with_g, ["__g0"], "__sk", counters=counters, out_col=out_col)
+    return out.drop("__g0")
+
+
+def topn_union_over_window(
+    sketch: Column | str,
+    window: WindowSpec,
+    *,
+    counters: int | None = None,
+) -> Column:
+    """``topn_union_agg(sketch) OVER (ORDER BY ... ROWS k PRECEDING)`` —
+    the sliding-frame merge of sql/customer_reviews_query.sql:59-68
+    (fixed in the reference by v2.0.1, CHANGELOG.md:46-48).
+
+    Spark has no native "sum maps over frame" aggregate; we collect the
+    frame's sketches (already bounded to <= counters entries each) and
+    fold them with ``map_zip_with`` saturating sums. O(frame) per row,
+    which is the reference's cost too (it re-runs the transition per
+    frame row).
+    """
+    counters = resolve_counters(counters)
+    frame = F.collect_list(_col(sketch)).over(window)
+    merged = F.aggregate(frame, empty_sketch(), merge_sketches)
+    return prune_sketch(merged, counters)

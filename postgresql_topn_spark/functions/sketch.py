@@ -1,0 +1,294 @@
+"""Sketch column functions — the scalar surface of postgresql-topn.
+
+The sketch is a ``map<string,bigint>`` column (the reference's JSONB
+object ``{"item": count}``, SURVEY.md §1.1). All functions here are pure
+Catalyst expressions (no Python UDFs): they stay inside whole-stage
+codegen and are usable at any data scale.
+
+Reference parity notes (file:line cites are into /root/reference):
+
+- item type is TEXT only; casts applied on entry (sql/add_agg.sql:63-86).
+- items are truncated to <=255 bytes on the add path (topn.c:338,
+  MAX_KEYSIZE=256 at topn.c:51); keys longer than 256 bytes on the
+  JSONB-read path are an error (topn.c:700-706).
+- frequency is int64 with saturating addition (topn.c:997-1009).
+- tie order is unspecified in the reference (unstable qsort,
+  topn.c:817-834); we pin the deterministic order (frequency DESC,
+  item ASC) everywhere — a documented deviation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, MapType, StringType, StructField, StructType
+
+from postgresql_topn_spark.conf import INT64_MAX, resolve_counters
+
+# The at-rest sketch type (reference: JSONB object of item -> count).
+SKETCH_TYPE = MapType(StringType(), LongType(), valueContainsNull=False)
+SKETCH_DDL = "map<string,bigint>"
+
+# topn_record composite (update/topn--2.0.0--2.1.0.sql:2).
+TOPN_RECORD_TYPE = StructType(
+    [
+        StructField("item", StringType()),
+        StructField("frequency", LongType()),
+    ]
+)
+
+MAX_KEY_BYTES = 255  # effective add-path cap, topn.c:51 + topn.c:338
+READ_KEY_ERROR_BYTES = 256  # read-path hard error threshold, topn.c:700-706
+
+
+def _col(c: Column | str) -> Column:
+    return F.col(c) if isinstance(c, str) else c
+
+
+def empty_sketch() -> Column:
+    """``{}`` — what the reference returns for empty/all-NULL aggregation
+    (topn.c:655-661, expected/null_tests.out:35-40)."""
+    return F.expr(f"cast(map() as {SKETCH_DDL})")
+
+
+def _byte_truncate(s: Column, limit: int = MAX_KEY_BYTES) -> Column:
+    """UTF-8-safe truncation of *s* to at most *limit* bytes.
+
+    Pure-expression equivalent of the reference's encoding-aware
+    ``text_to_cstring_buffer`` truncation (topn.c:338). Start from a
+    guaranteed-fit character count (drop one char per excess byte: each
+    char is >=1 byte), then add back chars conservatively (each char is
+    <=4 bytes) for three refinement rounds. Always <= *limit* bytes and a
+    prefix of the input; in rare multi-byte edge cases it may keep
+    slightly fewer characters than PostgreSQL would (documented
+    deviation; Tier-2 does exact byte truncation in Python).
+    """
+    lim = F.lit(limit)
+    keep = F.greatest(F.char_length(s) - (F.octet_length(s) - lim), F.lit(0))
+    for _ in range(3):
+        trunc = F.substring(s, F.lit(1), keep)
+        keep = keep + F.floor((lim - F.octet_length(trunc)) / F.lit(4)).cast("int")
+    return F.substring(s, F.lit(1), keep)
+
+
+def normalize_item(item: Column | str) -> Column:
+    """Cast to string + byte-cap, the reference's add-path item intake
+    (TEXT-only + 255-byte truncation)."""
+    s = _col(item).cast("string")
+    return F.when(F.octet_length(s) <= MAX_KEY_BYTES, s).otherwise(_byte_truncate(s))
+
+
+def _entry_cmp(left: Column, right: Column) -> Column:
+    """Deterministic entry order: frequency DESC, item ASC."""
+    return (
+        F.when(left["frequency"] > right["frequency"], F.lit(-1))
+        .when(left["frequency"] < right["frequency"], F.lit(1))
+        .when(left["item"] < right["item"], F.lit(-1))
+        .when(left["item"] > right["item"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+
+
+def sketch_entries(sketch: Column | str) -> Column:
+    """All entries of a sketch as ``array<struct<item,frequency>>`` sorted
+    (frequency DESC, item ASC). The building block for `topn` extraction
+    and pruning (reference sort: topn.c:242-243, 817-834)."""
+    m = _col(sketch)
+    entries = F.transform(
+        F.map_entries(m),
+        lambda e: F.struct(e["key"].alias("item"), e["value"].alias("frequency")),
+    )
+    return F.array_sort(entries, _entry_cmp)
+
+
+def prune_sketch(sketch: Column | str, counters: int) -> Column:
+    """Keep the top *counters* entries (frequency DESC, item ASC) — the
+    materialization prune (topn.c:652, 869-908)."""
+    m = _col(sketch)
+    return F.when(F.size(m) <= F.lit(counters), m).otherwise(
+        F.map_from_entries(F.slice(sketch_entries(m), 1, counters))
+    )
+
+
+def topn_entries(
+    sketch: Column | str, n: int, counters: int | None = None
+) -> Column:
+    """``topn(jsonb, n)`` as an array column: top *n* entries sorted
+    (frequency DESC, item ASC).
+
+    Reference semantics (topn.c:189-283): errors when ``n >
+    number_of_counters`` even if the sketch is smaller (topn.c:229-233);
+    NULL/empty sketch yields no rows; otherwise emits ``min(n, size)``
+    entries. Explode the result (or use :func:`explode_topn`) to get the
+    SETOF topn_record shape.
+    """
+    counters = resolve_counters(counters)
+    if n > counters:
+        # mirrors "requested number of counters is greater than the
+        # topn.number_of_counters" (topn.c:229-233)
+        raise ValueError(
+            f"requested n={n} is greater than the configured number of "
+            f"counters ({counters})"
+        )
+    if n <= 0:
+        return F.when(
+            _col(sketch).isNotNull(), F.expr("array()").cast(f"array<struct<item:string,frequency:bigint>>")
+        )
+    return F.slice(sketch_entries(sketch), 1, n)
+
+
+def explode_topn(
+    df: DataFrame,
+    sketch: Column | str,
+    n: int,
+    *,
+    keep: list[Column | str] | None = None,
+    counters: int | None = None,
+) -> DataFrame:
+    """``SELECT keys, (topn(sketch, n)).* FROM df`` — lateral SRF
+    expansion (sql/join_tests.sql:6). NULL/empty sketches produce zero
+    rows, like the reference's SRF (topn.c:209-226)."""
+    keep_cols = [_col(c) for c in (keep or [])]
+    rec = F.explode(topn_entries(sketch, n, counters)).alias("__rec")
+    out = df.select(*keep_cols, rec)
+    return out.select(
+        *[c for c in out.columns if c != "__rec"],
+        F.col("__rec.item").alias("item"),
+        F.col("__rec.frequency").alias("frequency"),
+    )
+
+
+def _sat_add(a: Column, b: Column) -> Column:
+    """Saturating int64 addition (topn.c:997-1009). ``try_add`` yields
+    NULL on overflow in every ANSI mode; frequencies are non-negative so
+    overflow can only saturate upward."""
+    return F.coalesce(F.try_add(a, b), F.lit(INT64_MAX))
+
+
+def topn_add(
+    sketch: Column | str,
+    item: Column | str,
+    counters: int | None = None,
+) -> Column:
+    """Scalar point-update, non-STRICT (topn.c:290-356).
+
+    NULL,NULL -> {} ; NULL,item -> {item:1} ; sketch,NULL -> sketch;
+    existing item -> saturating +1 with no prune; new item -> insert,
+    then prune to *counters* if the sketch outgrew the budget
+    (prune fires only on insert, topn.c:350).
+    """
+    counters = resolve_counters(counters)
+    m = _col(sketch)
+    it = normalize_item(item)
+    one = F.lit(1).cast("long")
+    bumped = F.transform_values(
+        m,
+        lambda k, v: F.when(k == it, _sat_add(v, one)).otherwise(v),
+    )
+    inserted = prune_sketch(F.map_concat(m, F.create_map(it, one)), counters)
+    return (
+        F.when(m.isNull() & it.isNull(), empty_sketch())
+        .when(m.isNull(), F.create_map(it, one))
+        .when(it.isNull(), m)
+        .when(F.map_contains_key(m, it), bumped)
+        .otherwise(inserted)
+    )
+
+
+def merge_sketches(a: Column | str, b: Column | str) -> Column:
+    """Key-union merge with saturating sums — MergeTopn's arithmetic
+    (topn.c:955-990) without the prune. NULL-tolerant: treats NULL input
+    as empty. Used by union/window merges."""
+    am, bm = _col(a), _col(b)
+    zero = F.lit(0).cast("long")
+    merged = F.map_zip_with(
+        F.coalesce(am, empty_sketch()),
+        F.coalesce(bm, empty_sketch()),
+        lambda _, v1, v2: _sat_add(F.coalesce(v1, zero), F.coalesce(v2, zero)),
+    )
+    return merged
+
+
+def topn_union(
+    a: Column | str, b: Column | str, counters: int | None = None
+) -> Column:
+    """Scalar two-sketch union, STRICT like the reference (NULL if either
+    argument is NULL — update/topn--2.0.0.sql:12-15,
+    expected/null_tests.out:31-34), pruned to *counters* (topn.c:380).
+    Also the implementation of the ``+`` operator
+    (update/topn--2.0.0.sql:48-53)."""
+    counters = resolve_counters(counters)
+    am, bm = _col(a), _col(b)
+    return F.when(
+        am.isNull() | bm.isNull(), F.lit(None).cast(SKETCH_TYPE)
+    ).otherwise(prune_sketch(merge_sketches(am, bm), counters))
+
+
+# ---------------------------------------------------------------------------
+# JSON import/export — the user-visible JSONB form
+# ---------------------------------------------------------------------------
+
+
+def sketch_to_json(sketch: Column | str) -> Column:
+    """Render a sketch as a JSON text column with PostgreSQL's jsonb key
+    order (key length first, then bytewise — visible in
+    expected/customer_reviews_query.out:70-74)."""
+    m = _col(sketch)
+    entries = F.array_sort(
+        F.map_entries(m),
+        lambda l, r: (
+            F.when(F.octet_length(l["key"]) < F.octet_length(r["key"]), F.lit(-1))
+            .when(F.octet_length(l["key"]) > F.octet_length(r["key"]), F.lit(1))
+            .when(l["key"] < r["key"], F.lit(-1))
+            .when(l["key"] > r["key"], F.lit(1))
+            .otherwise(F.lit(0))
+        ),
+    )
+    # map_from_entries preserves entry order, and to_json emits map
+    # entries in that order.
+    return F.to_json(F.map_from_entries(entries))
+
+
+def sketch_from_json(json_col: Column | str, *, strict_keys: bool = True) -> Column:
+    """Parse a JSON object into a sketch.
+
+    Reference read-path semantics (topn.c:671-722, 753-810): only numeric
+    values are accepted (others silently skipped); numerics are truncated
+    toward zero to int64; keys longer than 256 bytes raise an error
+    (topn.c:700-706 — pass ``strict_keys=False`` to skip them instead).
+    """
+    raw = F.map_entries(F.from_json(_col(json_col), "map<string,string>"))
+    numeric = F.filter(
+        raw,
+        lambda e: e["value"].rlike(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
+    )
+    if strict_keys:
+        checked = F.transform(
+            numeric,
+            lambda e: F.when(
+                F.octet_length(e["key"]) > READ_KEY_ERROR_BYTES,
+                F.raise_error(
+                    F.concat(
+                        F.lit("item "),
+                        e["key"],
+                        F.lit(
+                            " is longer than the allowed topn key size "
+                            f"({READ_KEY_ERROR_BYTES} bytes)"
+                        ),
+                    )
+                ).cast("struct<key:string,value:string>"),
+            ).otherwise(e),
+        )
+    else:
+        checked = F.filter(
+            numeric, lambda e: F.octet_length(e["key"]) <= READ_KEY_ERROR_BYTES
+        )
+    return F.map_from_entries(
+        F.transform(
+            checked,
+            lambda e: F.struct(
+                e["key"].alias("item"),
+                e["value"].cast("double").cast("long").alias("frequency"),
+            ),
+        )
+    )
