@@ -49,7 +49,7 @@ def _pack_entries_agg() -> Column:
     reference's finalizer on a never-initialized state (topn.c:655-661,
     expected/null_tests.out:35-40)."""
     entry = F.when(
-        F.col(_FREQ) > 0,
+        (F.col(_FREQ) > 0) & F.col(_ITEM).isNotNull(),
         F.struct(F.col(_ITEM).alias("item"), F.col(_FREQ).alias("frequency")),
     )
     return F.map_from_entries(
@@ -138,9 +138,14 @@ def topn_union_agg(
     )
     counted = exploded.groupBy(*gnames, _ITEM).agg(
         # saturating int64 sum: accumulate in decimal(38,0), clamp, narrow.
-        F.least(
-            F.sum(F.col("__v").cast("decimal(38,0)")),
-            F.lit(INT64_MAX).cast("decimal(38,0)"),
+        # NULL-item marker rows (from explode_outer of NULL sketches) get
+        # frequency 0 so they survive as group-preserving placeholders.
+        F.when(F.col(_ITEM).isNull(), F.lit(0))
+        .otherwise(
+            F.least(
+                F.sum(F.col("__v").cast("decimal(38,0)")),
+                F.lit(INT64_MAX).cast("decimal(38,0)"),
+            )
         )
         .cast("long")
         .alias(_FREQ)

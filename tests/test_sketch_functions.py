@@ -1,0 +1,166 @@
+"""Scalar-surface semantics — ports of the reference's null_tests,
+add_union_tests and char_tests pg_regress suites (SURVEY.md §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import postgresql_topn_spark as T
+
+MAX = 9223372036854775807
+SKETCH = "map<string,bigint>"
+
+
+def one(spark, expr):
+    return spark.range(1).select(expr.alias("v")).collect()[0]["v"]
+
+
+def lit_sketch(d):
+    items = ", ".join(f"'{k}', {v}L" for k, v in d.items())
+    return F.expr(f"map({items})").cast(SKETCH) if d else F.expr(f"cast(map() as {SKETCH})")
+
+
+def NULL_SKETCH():
+    return F.lit(None).cast(SKETCH)
+
+
+def NULL_ITEM():
+    return F.lit(None).cast("string")
+
+
+class TestTopnAddNullMatrix:
+    """topn_add is non-STRICT (topn.c:305-322, sql/null_tests.sql)."""
+
+    def test_null_null_gives_empty(self, spark):
+        assert one(spark, T.topn_add(NULL_SKETCH(), NULL_ITEM(), counters=10)) == {}
+
+    def test_null_sketch_item_gives_singleton(self, spark):
+        assert one(spark, T.topn_add(NULL_SKETCH(), F.lit("SA"), counters=10)) == {"SA": 1}
+
+    def test_sketch_null_item_unchanged(self, spark):
+        assert one(spark, T.topn_add(lit_sketch({"a": 2}), NULL_ITEM(), counters=10)) == {"a": 2}
+
+    def test_existing_item_increments(self, spark):
+        assert one(spark, T.topn_add(lit_sketch({"a": 2}), F.lit("a"), counters=10)) == {"a": 3}
+
+    def test_new_item_inserted(self, spark):
+        assert one(spark, T.topn_add(lit_sketch({"a": 2}), F.lit("b"), counters=10)) == {"a": 2, "b": 1}
+
+    def test_item_cast_to_text(self, spark):
+        # TEXT-only intake: ints arrive as their string form (sql/add_agg.sql:63-70)
+        assert one(spark, T.topn_add(NULL_SKETCH(), F.lit(42), counters=10)) == {"42": 1}
+
+
+class TestTopnAddPrune:
+    """Prune fires only on insert of a new item, keeps `counters`
+    (topn.c:350)."""
+
+    def test_insert_beyond_budget_evicts_minimum(self, spark):
+        sk = lit_sketch({"a": 5, "b": 4, "c": 3})
+        out = one(spark, T.topn_add(sk, F.lit("d"), counters=3))
+        # d enters with 1 and is immediately the smallest -> evicted
+        assert out == {"a": 5, "b": 4, "c": 3}
+
+    def test_increment_never_prunes(self, spark):
+        sk = lit_sketch({"a": 5, "b": 4, "c": 3, "d": 2})  # already over budget
+        out = one(spark, T.topn_add(sk, F.lit("d"), counters=3))
+        # existing-item bump does not prune (reference parity)
+        assert out == {"a": 5, "b": 4, "c": 3, "d": 3}
+
+    def test_tie_break_item_asc_keeps_smaller(self, spark):
+        sk = lit_sketch({"b": 1, "c": 2})
+        out = one(spark, T.topn_add(sk, F.lit("a"), counters=2))
+        # a and b tie at 1; deterministic tie-break keeps 'a'
+        assert out == {"c": 2, "a": 1}
+
+
+class TestTopnUnion:
+    """topn_union is STRICT and prunes to counters (topn.c:363-385)."""
+
+    def test_strict_null_left(self, spark):
+        assert one(spark, T.topn_union(NULL_SKETCH(), lit_sketch({"a": 1}), counters=10)) is None
+
+    def test_strict_null_right(self, spark):
+        assert one(spark, T.topn_union(lit_sketch({"a": 1}), NULL_SKETCH(), counters=10)) is None
+
+    def test_sums_shared_keys(self, spark):
+        out = one(spark, T.topn_union(lit_sketch({"a": 2, "b": 1}), lit_sketch({"a": 3, "c": 7}), counters=10))
+        assert out == {"a": 5, "b": 1, "c": 7}
+
+    def test_prunes_to_counters(self, spark):
+        out = one(spark, T.topn_union(lit_sketch({"a": 5, "b": 1}), lit_sketch({"c": 4, "d": 3}), counters=2))
+        assert out == {"a": 5, "c": 4}
+
+    def test_iterated_self_union_doubles(self, spark):
+        # add_union_tests: repeated self-union doubles all counts
+        # (expected/add_union_tests.out:83-88)
+        sk = lit_sketch({"x": 3, "y": 1})
+        expr = T.topn_union(sk, sk, counters=10)
+        expr = T.topn_union(expr, expr, counters=10)
+        assert one(spark, expr) == {"x": 12, "y": 4}
+
+    def test_saturates_at_int64_max(self, spark):
+        out = one(spark, T.topn_union(lit_sketch({"a": MAX}), lit_sketch({"a": MAX}), counters=10))
+        assert out == {"a": MAX}
+
+
+class TestExtraction:
+    def test_orders_freq_desc_item_asc(self, spark):
+        sk = lit_sketch({"b": 2, "a": 2, "c": 9})
+        out = one(spark, T.topn_entries(sk, 3, counters=10))
+        assert [(r["item"], r["frequency"]) for r in out] == [("c", 9), ("a", 2), ("b", 2)]
+
+    def test_n_larger_than_size_emits_all(self, spark):
+        sk = lit_sketch({"a": 1})
+        assert len(one(spark, T.topn_entries(sk, 5, counters=10))) == 1
+
+    def test_n_greater_than_counters_raises(self, spark):
+        with pytest.raises(ValueError):
+            T.topn_entries(lit_sketch({"a": 1}), 11, counters=10)
+
+    def test_null_sketch_zero_rows(self, spark):
+        df = spark.range(1).select(NULL_SKETCH().alias("m"))
+        assert T.explode_topn(df, "m", 3, counters=10).count() == 0
+
+    def test_empty_sketch_zero_rows(self, spark):
+        df = spark.range(1).select(lit_sketch({}).alias("m"))
+        assert T.explode_topn(df, "m", 3, counters=10).count() == 0
+
+
+class TestJson:
+    def test_key_order_length_then_bytes(self, spark):
+        j = one(spark, T.sketch_to_json(lit_sketch({"bb": 1, "a": 2, "c": 3, "aa": 4})))
+        assert j == '{"a":2,"c":3,"aa":4,"bb":1}'
+
+    def test_from_json_skips_non_numeric(self, spark):
+        # reference: only jbvNumeric values accepted (topn.c:709)
+        out = one(spark, T.sketch_from_json(F.lit('{"a": 2, "b": "x", "c": true}')))
+        assert out == {"a": 2}
+
+    def test_from_json_truncates_toward_zero(self, spark):
+        # numeric_normalize + atol semantics (topn.c:711-712)
+        out = one(spark, T.sketch_from_json(F.lit('{"a": 2.9, "b": 1e2}')))
+        assert out == {"a": 2, "b": 100}
+
+    def test_oversized_key_errors(self, spark):
+        big = "k" * 300
+        with pytest.raises(Exception, match="longer than the allowed"):
+            spark.range(1).select(T.sketch_from_json(F.lit('{"%s": 1}' % big))).collect()
+
+    def test_oversized_key_skipped_when_lenient(self, spark):
+        big = "k" * 300
+        out = one(spark, T.sketch_from_json(F.lit('{"%s": 1, "a": 2}' % big), strict_keys=False))
+        assert out == {"a": 2}
+
+
+class TestNormalization:
+    def test_byte_cap_ascii(self, spark):
+        out = one(spark, T.normalize_item(F.lit("x" * 300)))
+        assert out == "x" * 255
+
+    def test_byte_cap_multibyte_no_split(self, spark):
+        out = one(spark, T.normalize_item(F.lit("я" * 200)))  # 2 bytes each
+        assert len(out.encode()) <= 255
+        assert set(out) == {"я"}
+
+    def test_short_strings_untouched(self, spark):
+        assert one(spark, T.normalize_item(F.lit("héllo"))) == "héllo"
