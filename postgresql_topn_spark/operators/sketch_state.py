@@ -1,0 +1,204 @@
+"""Tier-2 "faithful sketch" mode: bounded-memory per-group top-n state
+with the reference's exact prune policies, for groups whose item
+cardinality is too large to count exactly.
+
+The reference's algorithm (SURVEY.md §1.2, topn.c):
+
+1. plain hash upsert per item, saturating int64 add (topn.c:997-1009);
+2. when the table exceeds an itemLimit, sort all entries by frequency
+   DESC and delete everything beyond a keep-count (topn.c:869-908);
+3. the (limit, keep) pair differs by call site:
+   - aggregate add/merge paths: limit = 3 x counters ("UnionFactor",
+     topn.c:50), keep = current_size / 2   (topn.c:440-446, 984-988)
+   - scalar add/union + finalizer: limit = counters, keep = counters
+     (topn.c:350, 380, 652)
+
+Evicted items lose their whole count (re-inserted items restart), so
+reported frequencies are lower bounds — unlike textbook Space-Saving,
+which overestimates. Counts are exact while no eviction fires.
+
+Spark execution model: a two-phase distributed aggregation that mirrors
+the reference's parallel aggregation (worker partial states + leader
+combine via serialize/deserialize/union_internal, topn.c:509-625):
+
+- phase 1 (`mapInPandas`): one bounded state per group per input
+  partition — the map-side partial combine, before any shuffle; emits
+  each partial state's entries as plain rows.
+- phase 2 (shuffle on group keys + `applyInPandas`): MergeTopn-style
+  merge of partial entries, final prune to `counters`.
+
+Only the entries of bounded sketches cross the wire (<= 3 x counters
+rows per group per input partition), never raw items — at 100 TB this
+is the difference between shuffling billions of raw rows and shuffling
+O(groups x counters) pre-reduced pairs. Merge order is made
+deterministic (frequency DESC, item ASC) so eviction decisions do not
+depend on shuffle arrival order — the reference is order-dependent and
+nondeterministic here; we pin determinism as a documented deviation.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.conf import INT64_MAX, resolve_counters
+from postgresql_topn_spark.functions.sketch import _col
+
+UNION_FACTOR = 3  # topn.c:50
+
+
+def truncate_key_bytes(s: str, limit: int = 255) -> str:
+    """Exact encoding-aware byte truncation (topn.c:338 semantics)."""
+    b = s.encode("utf-8")
+    if len(b) <= limit:
+        return s
+    return b[:limit].decode("utf-8", errors="ignore")
+
+
+class TopnState:
+    """The reference's TopnAggState (topn.c:100-117): a dict standing in
+    for the PG HTAB of FrequentTopnItem entries."""
+
+    __slots__ = ("counts", "counters")
+
+    def __init__(self, counters: int):
+        self.counts: dict[str, int] = {}
+        self.counters = counters
+
+    def _prune(self, keep: int) -> None:
+        if keep >= len(self.counts):
+            return
+        top = sorted(self.counts.items(), key=lambda kv: (-kv[1], kv[0]))[:keep]
+        self.counts = dict(top)
+
+    def add(self, item: str, amount: int = 1, *, aggregate_path: bool = True) -> None:
+        """Upsert + conditional prune. aggregate_path=True is the
+        transition/merge policy (limit 3c, keep size/2, topn.c:440-446,
+        984-988); False is the scalar policy (limit c, keep c,
+        topn.c:350)."""
+        cur = self.counts.get(item)
+        if cur is None:
+            self.counts[item] = min(amount, INT64_MAX)
+            if aggregate_path:
+                if len(self.counts) > self.counters * UNION_FACTOR:
+                    self._prune(len(self.counts) // 2)
+            elif len(self.counts) > self.counters:
+                self._prune(self.counters)
+        else:
+            self.counts[item] = min(cur + amount, INT64_MAX)
+
+    def finalize(self) -> dict[str, int]:
+        """topn_pack: prune to counters (topn.c:652)."""
+        self._prune(self.counters)
+        return self.counts
+
+
+def _group_ddl(df: DataFrame, gnames: Sequence[str]) -> str:
+    fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
+    return ", ".join(f"{g} {fields[g]}" for g in gnames)
+
+
+def _merge_fn(gnames: Sequence[str], counters: int, out_json: str):
+    """Phase-2 reducer: MergeTopn over partial entries, final prune,
+    JSON materialization (the reference also materializes through a JSON
+    string, topn.c:914-939)."""
+
+    def merge_keyed(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        st = TopnState(counters)
+        live = pdf[pdf["__item"].notna()]
+        live = live.sort_values(["__freq", "__item"], ascending=[False, True])
+        for it, freq in zip(live["__item"], live["__freq"]):
+            st.add(it, int(freq), aggregate_path=True)
+        row = dict(zip(gnames, key))
+        row[out_json] = json.dumps(st.finalize())
+        return pd.DataFrame([row])
+
+    return merge_keyed
+
+
+def _pack(merged: DataFrame, df: DataFrame, group_cols, gnames, out_col: str) -> DataFrame:
+    def name_of(c):
+        return c if isinstance(c, str) else df.select(_col(c)).columns[0]
+
+    return merged.select(
+        *[F.col(g).alias(name_of(c)) for g, c in zip(gnames, group_cols)],
+        F.from_json(F.col(f"__{out_col}_json"), "map<string,bigint>").alias(out_col),
+    )
+
+
+def topn_add_agg_sketch(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    item: Column | str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+) -> DataFrame:
+    """Bounded-memory ``topn_add_agg``: per-group sketch state never
+    exceeds 3 x counters entries, whatever the item cardinality.
+
+    Returns group_cols + a ``map<string,bigint>`` sketch column. NULL
+    items are skipped (topn.c:424-427); groups with only NULL items
+    still emit ``{}``.
+    """
+    counters = resolve_counters(counters, df.sparkSession)
+    gnames = [f"__g{i}" for i in range(len(group_cols))]
+    src = df.select(
+        *[_col(c).alias(g) for c, g in zip(group_cols, gnames)],
+        _col(item).cast("string").alias("__item"),
+    )
+    mid_schema = _group_ddl(src, gnames) + ", __item string, __freq bigint"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, TopnState] = {}
+        for pdf in batches:
+            keys = list(zip(*[pdf[g] for g in gnames]))
+            for key, it in zip(keys, pdf["__item"]):
+                st = states.get(key)
+                if st is None:
+                    st = states[key] = TopnState(counters)
+                if it is None or (isinstance(it, float) and pd.isna(it)):
+                    continue  # NULL items skipped, group still preserved
+                st.add(truncate_key_bytes(it), 1, aggregate_path=True)
+        rows = []
+        for key, st in states.items():
+            if not st.counts:
+                rows.append((*key, None, 0))  # group-preserving marker
+            rows.extend((*key, it, fr) for it, fr in st.counts.items())
+        yield pd.DataFrame(rows, columns=gnames + ["__item", "__freq"])
+
+    partial_df = src.mapInPandas(partial, schema=mid_schema)
+    final_schema = _group_ddl(src, gnames) + f", __{out_col}_json string"
+    merged = partial_df.groupBy(*gnames).applyInPandas(
+        _merge_fn(gnames, counters, f"__{out_col}_json"), schema=final_schema
+    )
+    return _pack(merged, df, group_cols, gnames, out_col)
+
+
+def topn_union_agg_sketch(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    sketch: Column | str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+) -> DataFrame:
+    """Bounded-memory ``topn_union_agg``: merge a column of sketches per
+    group under the MergeTopn prune policy (topn.c:955-990). NULL
+    sketches are skipped (topn.c:489); all-NULL groups yield {}."""
+    counters = resolve_counters(counters, df.sparkSession)
+    gnames = [f"__g{i}" for i in range(len(group_cols))]
+    exploded = df.select(
+        *[_col(c).alias(g) for c, g in zip(group_cols, gnames)],
+        F.explode_outer(_col(sketch)).alias("__item", "__freq"),
+    )
+    final_schema = _group_ddl(exploded, gnames) + f", __{out_col}_json string"
+    merged = exploded.groupBy(*gnames).applyInPandas(
+        _merge_fn(gnames, counters, f"__{out_col}_json"), schema=final_schema
+    )
+    return _pack(merged, df, group_cols, gnames, out_col)

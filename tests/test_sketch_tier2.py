@@ -1,0 +1,106 @@
+"""Tier-2 bounded-memory sketch invariants (SURVEY.md §5: prune-policy
+behavior is tested via invariants, not golden values)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+import postgresql_topn_spark as T
+from postgresql_topn_spark.operators.sketch_state import (
+    TopnState,
+    topn_add_agg_sketch,
+    topn_union_agg_sketch,
+    truncate_key_bytes,
+)
+
+
+class TestStateUnit:
+    def test_exact_until_limit(self):
+        st = TopnState(counters=4)
+        for it in ["a", "b", "a", "c", "a", "b"]:
+            st.add(it)
+        assert st.finalize() == {"a": 3, "b": 2, "c": 1}
+
+    def test_agg_path_prunes_at_3x(self):
+        st = TopnState(counters=2)
+        for i in range(7):  # 7th distinct insert exceeds 3*2
+            st.add(f"i{i}")
+        assert len(st.counts) == 3  # pruned to 7 // 2
+
+    def test_scalar_path_prunes_at_counters(self):
+        st = TopnState(counters=3)
+        for i in range(5):
+            st.add(f"i{i}", aggregate_path=False)
+        assert len(st.counts) == 3
+
+    def test_evicted_item_restarts(self):
+        st = TopnState(counters=1)
+        st.add("hot", 100)
+        for i in range(6):
+            st.add(f"cold{i}")  # force prune
+        st.add("late", 1)
+        assert st.counts["hot"] == 100  # heavy hitter survives pruning
+
+    def test_saturation(self):
+        st = TopnState(counters=2)
+        st.add("a", T.conf.INT64_MAX if hasattr(T, "conf") else 9223372036854775807)
+        st.add("a", 5)
+        assert st.counts["a"] == 9223372036854775807
+
+    def test_truncate_key_bytes(self):
+        assert truncate_key_bytes("x" * 300) == "x" * 255
+        t = truncate_key_bytes("я" * 200)
+        assert len(t.encode()) <= 255 and set(t) == {"я"}
+
+
+class TestDistributedSketch:
+    def test_matches_tier1_when_no_eviction(self, spark):
+        df = spark.createDataFrame(
+            [(g % 3, f"item{(g * 7) % 11}") for g in range(300)], "g int, item string"
+        )
+        exact = {
+            r["g"]: r["topn"]
+            for r in T.topn_add_agg(df, ["g"], "item", counters=1000).collect()
+        }
+        sk = {
+            r["g"]: r["topn"]
+            for r in topn_add_agg_sketch(df, ["g"], "item", counters=1000).collect()
+        }
+        assert sk == exact
+
+    def test_invariants_under_eviction(self, spark):
+        # skewed: one heavy hitter + long tail of uniques per group
+        rows = [(1, "hot")] * 500 + [(1, f"tail{i}") for i in range(200)]
+        df = spark.createDataFrame(rows, "g int, item string")
+        out = topn_add_agg_sketch(df, ["g"], "item", counters=8).collect()[0]["topn"]
+        truth = {"hot": 500, **{f"tail{i}": 1 for i in range(200)}}
+        assert len(out) <= 8  # materialized bound (topn.c:652)
+        assert all(v <= truth[k] for k, v in out.items())  # lower bounds
+        assert out["hot"] == 500  # heavy hitter exact
+
+    def test_all_null_group(self, spark):
+        df = spark.createDataFrame([(1, None), (2, "a")], "g int, item string")
+        out = {r["g"]: r["topn"] for r in topn_add_agg_sketch(df, ["g"], "item", counters=4).collect()}
+        assert out == {1: {}, 2: {"a": 1}}
+
+    def test_union_agg_sketch(self, spark):
+        df = spark.createDataFrame(
+            [(1, {"a": 2, "b": 1}), (1, {"a": 3, "c": 4}), (1, None), (2, None)],
+            "g int, m map<string,bigint>",
+        )
+        out = {r["g"]: r["topn"] for r in topn_union_agg_sketch(df, ["g"], "m", counters=10).collect()}
+        assert out == {1: {"a": 5, "b": 1, "c": 4}, 2: {}}
+
+
+@pytest.mark.parametrize("counters", [1, 4, 16])
+def test_property_subset_of_truth(spark, counters):
+    import random
+
+    rng = random.Random(42)
+    rows = [(1, f"i{rng.randint(0, 40)}") for _ in range(600)]
+    df = spark.createDataFrame(rows, "g int, item string")
+    out = topn_add_agg_sketch(df, ["g"], "item", counters=counters).collect()[0]["topn"]
+    truth: dict[str, int] = {}
+    for _, it in rows:
+        truth[it] = truth.get(it, 0) + 1
+    assert len(out) <= counters
+    assert all(k in truth and v <= truth[k] for k, v in out.items())
