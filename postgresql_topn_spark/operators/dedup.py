@@ -1,0 +1,278 @@
+"""Deduplication operators for training-data pipelines: exact,
+shingle-Jaccard, MinHash+LSH, SimHash, and embedding-cosine near-dup.
+
+Scale design (100 TB):
+- exact dedup is a single hash aggregation on the content key — the
+  cheapest possible shape; use `fingerprint_md5` for bag-of-words
+  identity or raw text for byte identity.
+- pairwise Jaccard never materializes the full O(n^2) pair space: pairs
+  are generated only for documents sharing a shingle (inverted-index
+  join), and ultra-frequent shingles can be capped (`max_shingle_df`)
+  to bound join fan-out — the standard candidate-pair trick.
+- MinHash+LSH replaces the shared-shingle join with a banded-signature
+  join: O(n x bands) rows shuffle instead of O(n x shingles); candidate
+  pairs are then verified with exact Jaccard so the output precision is
+  1.0 and recall is the LSH probability (1-(1-s^r)^b).
+- SimHash pairs join on 16-bit chunks (pigeonhole: hamming<=3 over 64
+  bits guarantees one of 4 chunks equal), then filter on bit_count(xor).
+
+Everything below is pure DataFrame/Catalyst composition — no Python in
+the row path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.functions.sketch import _col
+from postgresql_topn_spark.operators.text import token_shingles
+
+MERSENNE_61 = (1 << 61) - 1
+
+
+def exact_dedup(
+    df: DataFrame, key: Column | str, id_col: Column | str
+) -> DataFrame:
+    """Group identical content keys; emit one keeper (min id) per group
+    plus the duplicate count. A single shuffle on the content key."""
+    return df.groupBy(_col(key).alias("content_key")).agg(
+        F.min(_col(id_col)).alias("keeper_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+def _shingle_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(id, shingle) inverted index over distinct k-token shingles."""
+    posts = df.select(
+        _col(id_col).alias("__id"),
+        F.explode(F.array_distinct(token_shingles(text_col, k))).alias("__sh"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            posts.groupBy("__sh")
+            .count()
+            .where(F.col("count") > max_shingle_df)
+            .select("__sh")
+        )
+        posts = posts.join(F.broadcast(hot), "__sh", "left_anti")
+    return posts
+
+
+def _exact_jaccard(posts: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
+    """Exact Jaccard for all pairs sharing a shingle (or only the given
+    candidate pairs). Returns (doc_a, doc_b, intersection, union_size,
+    jaccard)."""
+    sizes = posts.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    a, b = posts.alias("a"), posts.alias("b")
+    inter = (
+        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("intersection"))
+    )
+    if pairs is not None:
+        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+    sa = sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("__n", "__na")
+    sb = sizes.withColumnRenamed("__id", "doc_b").withColumnRenamed("__n", "__nb")
+    out = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("union_size", F.col("__na") + F.col("__nb") - F.col("intersection"))
+        .withColumn(
+            "jaccard",
+            F.col("intersection").cast("double") / F.col("union_size").cast("double"),
+        )
+    )
+    return out.select("doc_a", "doc_b", "intersection", "union_size", "jaccard")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All document pairs with k-shingle Jaccard >= threshold, via the
+    inverted-index join (no O(n^2) pair space)."""
+    posts = _shingle_postings(df, id_col, text_col, k, max_shingle_df)
+    return _exact_jaccard(posts).where(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash signatures over k-token shingles: sig_i = min over
+    shingles of (a_i * xxhash64(shingle) + b_i) mod (2^61 - 1). Hash
+    params are derived from a fixed seed so signatures are deterministic
+    across runs/partitions."""
+    rng = random.Random(seed)
+    # a < 2^31 and h reduced to 32 bits keep a*h + b inside int64 —
+    # Spark 4 runs ANSI mode, where signed overflow is an error, so the
+    # permutation arithmetic must be overflow-free by construction.
+    params = [
+        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        for _ in range(num_hashes)
+    ]
+    shingles = F.array_distinct(token_shingles(text_col, k))
+    hashed = F.transform(
+        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
+    )
+    sigs = F.array(
+        *[
+            F.array_min(
+                F.transform(hashed, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_61)))
+            )
+            for (a, b) in params
+        ]
+    )
+    return df.select(_col(id_col).alias("__id"), sigs.alias("__sig")).where(
+        F.size(F.col("__sig")) > 0
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    num_hashes: int = 32,
+    bands: int = 16,
+    k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard rerank.
+
+    LSH generates candidates (any pair agreeing on a full band);
+    candidates are verified with exact shingle Jaccard, so output
+    precision is exact and only recall depends on (bands, rows). With
+    r=2, b=16 the candidate probability at s=0.9 is 1-(1-0.81)^16 >
+    0.999999.
+    """
+    assert num_hashes % bands == 0
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(
+        df, id_col, text_col, num_hashes=num_hashes, k=k, seed=seed
+    )
+    band_arr = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(j),
+                *[
+                    F.element_at(F.col("__sig"), j * rows_per_band + r + 1)
+                    for r in range(rows_per_band)
+                ],
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sigs.select("__id", F.explode(band_arr).alias("__band"))
+    a, b = banded.alias("a"), banded.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        .distinct()
+    )
+    posts = _shingle_postings(df, id_col, text_col, k)
+    verified = _exact_jaccard(posts, pairs=candidates)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def simhash_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(id, simhash) — 64-bit SimHash over k-token shingle hashes:
+    bit_j set iff the majority of shingle hashes have bit_j set.
+
+    Shape: explode shingle hashes, then ONE hash aggregation computing
+    64 conditional sums (bit-set counts) + a total, reassembling the
+    hash from the counts. Flat per-row expressions keep whole-stage
+    codegen happy (a nested fold-per-bit formulation compiles to a
+    pathological expression tree), and the aggregation gets map-side
+    partial combine like any sum."""
+    hashes = df.select(
+        _col(id_col).alias("__id"),
+        F.explode(
+            F.transform(
+                F.array_distinct(token_shingles(text_col, k)),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("__h"),
+    )
+    bit_sums = [
+        F.sum(F.shiftright(F.col("__h"), j).bitwiseAND(F.lit(1))).alias(f"__b{j}")
+        for j in range(64)
+    ]
+    agg = hashes.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"), *bit_sums)
+    out = F.lit(0).cast("long")
+    for j in range(64):
+        # majority vote: sum(+1/-1) > 0  <=>  2 * bitcount > total
+        out = out.bitwiseOR(
+            F.when(
+                F.col(f"__b{j}") * 2 > F.col("__n"),
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+    return agg.select(F.col("__id"), out.alias("__sh"))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Pairs with SimHash hamming distance <= max_hamming, joined via the
+    pigeonhole trick: split the 64-bit hash into (max_hamming+1) chunks;
+    any pair within distance max_hamming agrees on at least one chunk,
+    so candidates join on (chunk_idx, chunk_value) — never O(n^2)."""
+    n_chunks = max_hamming + 1
+    chunk_bits = 64 // n_chunks
+    sh = simhash_table(df, id_col, text_col, k)
+    chunks = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(c),
+                F.shiftright(F.col("__sh"), c * chunk_bits)
+                .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                .cast("string"),
+            )
+            for c in range(n_chunks)
+        ]
+    )
+    chunked = sh.select("__id", "__sh", F.explode(chunks).alias("__chunk"))
+    a, b = chunked.alias("a"), chunked.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.__chunk") == F.col("b.__chunk")) & (F.col("a.__id") < F.col("b.__id")))
+        .select(
+            F.col("a.__id").alias("doc_a"),
+            F.col("b.__id").alias("doc_b"),
+            F.col("a.__sh").alias("__sha"),
+            F.col("b.__sh").alias("__shb"),
+        )
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("__sha").bitwiseXOR(F.col("__shb"))))
+        .where(F.col("hamming") <= max_hamming)
+    )
+    return pairs.select("doc_a", "doc_b", "hamming")

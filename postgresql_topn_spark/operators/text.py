@@ -1,0 +1,140 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization, token counting, language-ID, quality scoring, document
+fingerprinting.
+
+All hot-path logic is pure Catalyst expressions (regexp / split /
+higher-order array functions) — JVM-side, codegen-friendly, no Python in
+the row path — so these run at full scan speed on a 1000-executor
+cluster. Each operator has an ANSI-SQL twin in suite.py for the DuckDB
+correctness oracle (patterns restricted to RE2-compatible constructs so
+both engines match).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.functions.sketch import _col
+
+# BPE-ish pre-tokenizer: letter runs, digit runs, single other-symbols.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny per-language marker lexicons for the n-gram/stopword heuristic.
+# Deliberately small + deterministic: the point is the distributed
+# shape (pure expressions, argmax over per-language scores), not SOTA
+# accuracy; swap lexicons for real ones in production.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "is", "to"],
+    "de": ["der", "die", "und", "nicht", "das"],
+    "es": ["el", "la", "que", "los", "una"],
+    "fr": ["le", "les", "des", "est", "une"],
+}
+
+STOPWORDS = ["the", "a", "and", "of", "to", "is", "in", "it", "on", "for"]
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokens (array<string>)."""
+    return F.split(F.trim(_col(text)), r"\s+")
+
+
+def distinct_tokens(text: Column | str) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def token_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-token shingles joined by single spaces; empty when the document
+    has fewer than k tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, i + j) for j in range(k)]
+            ),
+        ),
+    ).otherwise(F.expr("array()").cast("array<string>"))
+
+
+def ws_token_count(text: Column | str) -> Column:
+    """Whitespace token count (int)."""
+    return F.size(tokens(text))
+
+
+def bpe_token_count(text: Column | str) -> Column:
+    """BPE-ish pre-tokenization count: letter runs + digit runs + one
+    count per other symbol (int)."""
+    return F.size(F.regexp_extract_all(_col(text), F.lit(BPE_PATTERN), 0))
+
+
+def _marker_count(text: Column, words: list[str]) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), 0))
+
+
+def lang_scores(text: Column | str) -> dict[str, Column]:
+    """Per-language marker-word hit counts."""
+    t = _col(text)
+    return {lang: _marker_count(t, words) for lang, words in LANG_MARKERS.items()}
+
+
+def lang_id(text: Column | str) -> Column:
+    """Argmax language over marker scores; ties break in LANG_MARKERS
+    key order (deterministic). 'und' when no marker hits at all."""
+    scores = lang_scores(text)
+    best = F.greatest(*scores.values())
+    expr = F.lit("und")
+    # build the case chain in reverse so earlier languages win ties
+    for lang in reversed(list(scores)):
+        expr = F.when(scores[lang] == best, F.lit(lang)).otherwise(expr)
+    return F.when(best <= 0, F.lit("und")).otherwise(expr)
+
+
+def punct_count(text: Column | str) -> Column:
+    return F.size(F.regexp_extract_all(_col(text), F.lit(r"[^A-Za-z0-9\s]"), 0))
+
+
+def stopword_count(text: Column | str) -> Column:
+    return _marker_count(_col(text), STOPWORDS)
+
+
+def quality_score(text: Column | str) -> Column:
+    """Deterministic [0,1] quality heuristic from length, stopword ratio
+    and punctuation ratio — the standard cheap pre-filter shape for
+    LLM-corpus cleaning. Arithmetic is ordered so the same formula in
+    ANSI SQL produces bit-identical doubles."""
+    t = _col(text)
+    n_tok = ws_token_count(t).cast("double")
+    stop_ratio = stopword_count(t).cast("double") / n_tok
+    punct_ratio = punct_count(t).cast("double") / F.char_length(t).cast("double")
+    length_component = F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
+    stop_component = F.least(stop_ratio * F.lit(3.0), F.lit(1.0)) * F.lit(0.3)
+    punct_component = (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    return F.round(length_component + stop_component + punct_component, 6)
+
+
+def fingerprint_md5(text: Column | str) -> Column:
+    """Content fingerprint: md5 of the sorted distinct token set —
+    order-insensitive exact-dedup key (bag-of-words identity)."""
+    return F.md5(F.array_join(F.array_sort(distinct_tokens(text)), " "))
+
+
+def fingerprint_winnow(text: Column | str, k: int = 3, window: int = 4) -> Column:
+    """Winnowing-style rolling fingerprint: xxhash64 each k-shingle, take
+    the min hash per sliding window of `window` shingles, return the
+    distinct fingerprint set (array<bigint>). Spark-only (xxhash64 has
+    no DuckDB twin) — covered by pytest invariants instead of the SQL
+    oracle."""
+    hashes = F.transform(token_shingles(text, k), lambda s: F.xxhash64(s))
+    n = F.size(hashes)
+    mins = F.when(
+        n >= window,
+        F.transform(
+            F.sequence(F.lit(1), n - (window - 1)),
+            lambda i: F.array_min(F.slice(hashes, i, window)),
+        ),
+    ).otherwise(F.when(n > 0, F.array(F.array_min(hashes))).otherwise(F.expr("array()").cast("array<bigint>")))
+    return F.array_sort(F.array_distinct(mins))

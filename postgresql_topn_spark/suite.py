@@ -298,6 +298,276 @@ def topn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_topn(sk, "topn", 5, keep=["event_type"], counters=C)
 
 
+# ---------------------------------------------------------------------------
+# Training-data-pipeline operators (beyond the reference surface)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS content_key, MIN(doc_id) AS keeper_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash aggregation on the content key."""
+    from postgresql_topn_spark.operators.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, F.md5("text"), "doc_id")
+
+
+_JACCARD_ORACLE = """
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+    ),
+    tok AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS intersection
+      FROM tok a JOIN tok b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, intersection,
+           sa.n + sb.n - intersection AS union_size,
+           CAST(intersection AS DOUBLE) / CAST(sa.n + sb.n - intersection AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(intersection AS DOUBLE) / CAST(sa.n + sb.n - intersection AS DOUBLE) >= 0.5
+"""
+
+
+@_register("dedup_jaccard_pairs", _JACCARD_ORACLE)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-token-shingle Jaccard near-dup pairs >= 0.5 via inverted-index
+    join (no O(n^2) pair space)."""
+    from postgresql_topn_spark.operators.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs(docs, "doc_id", "text", threshold=0.5, k=3)
+
+
+@_register("dedup_minhash_lsh", _JACCARD_ORACLE)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32) + LSH banding (16 bands x 2 rows) candidates, exact
+    Jaccard rerank >= 0.5. Same oracle as the exact pair query: LSH at
+    these parameters has ~certain recall at s >= 0.5 on planted
+    near-dups, and the rerank makes precision exact."""
+    from postgresql_topn_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+
+
+@_register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 near-dup pairs (hamming <= 3) via the 4-chunk
+    pigeonhole join. Validated by pytest invariants (superset of exact
+    duplicates, symmetry) instead of a SQL oracle."""
+    from postgresql_topn_spark.operators.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@_register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id % 100 = 0),
+    scored AS (
+      SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+             list_reduce(list_transform(range(1, 65),
+                         i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)),
+                         (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), (a, b) -> a + b)))
+             AS sim
+      FROM q, embeddings c WHERE c.vec_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, "rank", round(sim, 6) AS sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+      FROM scored
+    ) t WHERE "rank" <= 5
+    """,
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 neighbors for the query subset
+    (vec_id % 100 == 0): broadcast queries x corpus scan, windowed rank.
+    Dot products are sequential left folds so the doubles are
+    bit-identical to the DuckDB list_reduce oracle."""
+    from postgresql_topn_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return cosine_topk(emb, queries, k=5)
+
+
+@_register("ann_lsh_topk")  # rows-only: approximate by construction
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH bucketed top-k (the scale path): recall < 1 by
+    construction, so correctness is a pytest recall floor vs the exact
+    brute force, not a SQL oracle."""
+    from postgresql_topn_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return lsh_topk(emb, queries, k=5)
+
+
+@_register(
+    "text_token_counts",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_topn_spark.operators.text import bpe_token_count, ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+    )
+
+
+@_register(
+    "text_lang_id",
+    """
+    WITH s AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b')) AS INT) AS en,
+        CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|nicht|das)\\b')) AS INT) AS de,
+        CAST(len(regexp_extract_all(lower(text), '\\b(el|la|que|los|una)\\b')) AS INT) AS es,
+        CAST(len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une)\\b')) AS INT) AS fr
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
+           WHEN en = greatest(en, de, es, fr) THEN 'en'
+           WHEN de = greatest(en, de, es, fr) THEN 'de'
+           WHEN es = greatest(en, de, es, fr) THEN 'es'
+           ELSE 'fr' END AS lang,
+      greatest(en, de, es, fr) AS score
+    FROM s
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_topn_spark.operators.text import lang_id, lang_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    scores = lang_scores(F.col("text"))
+    return docs.select(
+        "doc_id",
+        lang_id("text").alias("lang"),
+        F.greatest(*scores.values()).alias("score"),
+    )
+
+
+@_register(
+    "text_quality",
+    """
+    WITH m AS (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+        CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|it|on|for)\\b')) AS DOUBLE) AS stop_cnt,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct_cnt,
+        CAST(length(text) AS DOUBLE) AS n_chars
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tok AS INT) AS n_tokens,
+      round(least(n_tok / 100.0, 1.0) * 0.5
+            + least(stop_cnt / n_tok * 3.0, 1.0) * 0.3
+            + (1.0 - least(punct_cnt / n_chars * 10.0, 1.0)) * 0.2, 6) AS score
+    FROM m
+    """,
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_topn_spark.operators.text import quality_score, ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        ws_token_count("text").alias("n_tokens"),
+        quality_score("text").alias("score"),
+    )
+
+
+@_register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))),
+                              'string_agg', ' ')) AS fp
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from postgresql_topn_spark.operators.text import fingerprint_md5
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint_md5("text").alias("fp"))
+
+
+@_register(
+    "multimodal_image_meta",
+    """
+    WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents)
+    SELECT doc_id, n_bytes,
+           CAST(16 + n_bytes % 64 AS INT) AS width,
+           CAST(16 + (n_bytes * 7) % 48 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           'fake' AS format
+    FROM b
+    """,
+)
+def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: blob table -> mapInPandas metadata
+    extraction (decode stubbed deterministically; see
+    operators/multimodal.py)."""
+    from postgresql_topn_spark.operators.multimodal import (
+        decode_image_meta,
+        make_blob_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_image_meta(make_blob_table(docs))
+
+
+@_register(
+    "multimodal_frame_sample",
+    """
+    WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents),
+    f AS (SELECT doc_id, unnest(range(0, least(n_bytes // 1024 + 1, 8))) AS frame_idx FROM b)
+    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+           CAST(frame_idx * 1024 AS INT) AS byte_offset
+    FROM f
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling fan-out over binary payloads (offset arithmetic +
+    posexplode; per-offset decode is the stubbed step)."""
+    from postgresql_topn_spark.operators.multimodal import (
+        make_blob_table,
+        sample_frames,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_frames(make_blob_table(docs))
+
+
 def entry_flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: the flagship pipeline at sf0.001."""
     return topn_overall_products(spark, "/root/testdata/sf0.001")

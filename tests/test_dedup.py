@@ -1,0 +1,99 @@
+"""Dedup operator invariants (exact, Jaccard, MinHash-LSH, SimHash)."""
+
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_table,
+)
+
+
+def docs_df(spark):
+    base = "spark makes big data simple and fast for everyone today right now"
+    near = base.replace("fast", "quick")  # one token differs
+    other = "completely different content about databases and storage engines here"
+    rows = [
+        (1, base),
+        (2, base),  # exact dup of 1
+        (3, near),  # near dup of 1
+        (4, other),
+        (5, "tiny"),  # < k tokens -> no shingles
+    ]
+    return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+
+class TestExactDedup:
+    def test_groups_and_keepers(self, spark):
+        out = {
+            r["content_key"]: (r["keeper_id"], r["dup_count"])
+            for r in exact_dedup(docs_df(spark), F.md5("text"), "doc_id").collect()
+        }
+        assert len(out) == 4  # 5 docs, one exact pair
+        assert (1, 2) in out.values()  # keeper=1, count=2
+
+
+class TestJaccard:
+    def test_exact_dup_scores_one(self, spark):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["jaccard"]
+            for r in jaccard_pairs(docs_df(spark), "doc_id", "text", threshold=0.3).collect()
+        }
+        assert pairs[(1, 2)] == 1.0
+        assert 0.3 <= pairs[(1, 3)] < 1.0  # near dup
+        assert (1, 4) not in pairs
+
+    def test_threshold_filters(self, spark):
+        high = jaccard_pairs(docs_df(spark), "doc_id", "text", threshold=0.99).collect()
+        assert {(r["doc_a"], r["doc_b"]) for r in high} == {(1, 2)}
+
+    def test_shingle_df_cap(self, spark):
+        # capping ultra-frequent shingles must not add pairs
+        base = jaccard_pairs(docs_df(spark), "doc_id", "text", threshold=0.3)
+        capped = jaccard_pairs(
+            docs_df(spark), "doc_id", "text", threshold=0.3, max_shingle_df=2
+        )
+        assert capped.count() <= base.count()
+
+
+class TestMinhashLSH:
+    def test_recall_on_planted_dups(self, spark, sf_dir):
+        """LSH candidates + exact rerank must recover every pair the
+        exact join finds at the same threshold (driver-planted near-dups
+        have jaccard >= 0.9 where r=2,b=16 recall is ~1)."""
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        exact = {
+            (r["doc_a"], r["doc_b"])
+            for r in jaccard_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        lsh = {
+            (r["doc_a"], r["doc_b"])
+            for r in minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5).collect()
+        }
+        assert lsh == exact
+
+    def test_precision_is_exact(self, spark):
+        out = minhash_lsh_pairs(docs_df(spark), "doc_id", "text", threshold=0.3).collect()
+        for r in out:
+            assert r["jaccard"] >= 0.3
+
+
+class TestSimhash:
+    def test_identical_docs_same_hash(self, spark):
+        sh = {r["__id"]: r["__sh"] for r in simhash_table(docs_df(spark), "doc_id", "text").collect()}
+        assert sh[1] == sh[2]
+
+    def test_exact_dups_found_at_distance_zero(self, spark):
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_pairs(docs_df(spark), "doc_id", "text", max_hamming=3).collect()
+        }
+        assert pairs.get((1, 2)) == 0
+
+    def test_hamming_bound_respected(self, spark):
+        for r in simhash_pairs(docs_df(spark), "doc_id", "text", max_hamming=3).collect():
+            assert r["hamming"] <= 3

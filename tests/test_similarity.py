@@ -1,0 +1,81 @@
+"""Similarity-search invariants: brute-force correctness, LSH recall."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.operators.similarity import (
+    cosine,
+    cosine_topk,
+    embedding_near_dup_pairs,
+    lsh_topk,
+)
+from postgresql_topn_spark.sources.tables import load_table
+
+
+def test_cosine_known_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0]), ([1.0, 0.0], [-1.0, 0.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r["c"] for r in df.select(cosine("a", "b").alias("c")).collect()]
+    assert abs(vals[0]) < 1e-12
+    assert abs(vals[1] - 1.0) < 1e-12
+    assert abs(vals[2] + 1.0) < 1e-12
+
+
+def test_brute_force_matches_python(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.where(F.col("vec_id") < 50).collect()
+    vecs = {r["vec_id"]: r["embedding"] for r in rows}
+    sub = spark.createDataFrame(rows)
+    out = cosine_topk(sub, sub.where(F.col("vec_id") == 0), k=3)
+    got = [(r["neighbor_id"], r["rank"]) for r in out.orderBy("rank").collect()]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b)))
+
+    expected = sorted(
+        ((cos(vecs[0], v), -i) for i, v in vecs.items() if i != 0), reverse=True
+    )[:3]
+    assert [(-i, r + 1) for r, (_, i) in enumerate(expected)] == got
+
+
+def test_self_excluded_and_k_respected(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    out = cosine_topk(emb, q, k=5).collect()
+    per_q = {}
+    for r in out:
+        assert r["neighbor_id"] != r["query_id"]
+        per_q.setdefault(r["query_id"], []).append(r["rank"])
+    assert all(sorted(v) == list(range(1, 6)) for v in per_q.values())
+
+
+def test_lsh_recall_floor(spark, sf_dir):
+    """LSH@8 planes must keep a sane recall vs brute force on the test
+    vectors — it is the documented approximate path, not exact."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"]) for r in lsh_topk(emb, q, k=5).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2, f"recall {recall} suspiciously low"
+
+
+def test_near_dup_pairs_finds_planted(spark):
+    base = [0.1 * ((i * 7) % 13 - 6) for i in range(64)]
+    near = list(base)
+    near[0] += 1e-4
+    far = [0.1 * ((i * 5) % 11 - 5) for i in range(64)]
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "vec_id bigint, embedding array<float>"
+    )
+    out = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
+    assert (1, 2) in out
+    assert (1, 3) not in out

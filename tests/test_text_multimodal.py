@@ -1,0 +1,105 @@
+"""Text-analysis and multimodal plumbing tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.operators import text as X
+from postgresql_topn_spark.operators.multimodal import (
+    decode_image_meta,
+    decode_image_pixels,
+    fake_decode_dims,
+    make_blob_table,
+    sample_frames,
+)
+
+
+def one(spark, text, expr):
+    df = spark.createDataFrame([(text,)], "text string")
+    return df.select(expr.alias("v")).collect()[0]["v"]
+
+
+class TestTokens:
+    def test_ws_tokens(self, spark):
+        assert one(spark, "  a b   c ", X.ws_token_count("text")) == 3
+
+    def test_bpe_tokens(self, spark):
+        # letter runs + digit runs + one per symbol
+        assert one(spark, "abc123 def!", X.bpe_token_count("text")) == 4
+
+    def test_shingles(self, spark):
+        out = one(spark, "a b c d", X.token_shingles("text", 3))
+        assert out == ["a b c", "b c d"]
+
+    def test_shingles_short_doc_empty(self, spark):
+        assert one(spark, "a b", X.token_shingles("text", 3)) == []
+
+
+class TestLangId:
+    def test_english_markers(self, spark):
+        assert one(spark, "the cat and the dog of the house", X.lang_id("text")) == "en"
+
+    def test_german_markers(self, spark):
+        assert one(spark, "der hund und die katze und das haus", X.lang_id("text")) == "de"
+
+    def test_no_markers_und(self, spark):
+        assert one(spark, "xyzzy plugh", X.lang_id("text")) == "und"
+
+
+class TestQuality:
+    def test_score_in_unit_interval(self, spark, sf_dir):
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        rows = docs.select(X.quality_score("text").alias("s")).collect()
+        assert all(0.0 <= r["s"] <= 1.0 for r in rows)
+
+    def test_stopword_rich_text_scores_higher(self, spark):
+        rich = "the cat is on the mat and it is a good day for the walk"
+        poor = "%%% ### @@@ !!! ^^^ &&& *** ((( )))"
+        assert one(spark, rich, X.quality_score("text")) > one(spark, poor, X.quality_score("text"))
+
+
+class TestFingerprints:
+    def test_md5_order_insensitive(self, spark):
+        a = one(spark, "alpha beta gamma", X.fingerprint_md5("text"))
+        b = one(spark, "gamma alpha beta alpha", X.fingerprint_md5("text"))
+        assert a == b  # same distinct token set
+
+    def test_winnow_stable_and_subset(self, spark):
+        base = "one two three four five six seven eight nine ten"
+        a = one(spark, base, X.fingerprint_winnow("text"))
+        b = one(spark, base, X.fingerprint_winnow("text"))
+        assert a == b and len(a) > 0
+
+    def test_winnow_near_dup_overlap(self, spark):
+        base = "one two three four five six seven eight nine ten"
+        near = base.replace("ten", "eleven")
+        fa = set(one(spark, base, X.fingerprint_winnow("text")))
+        fb = set(one(spark, near, X.fingerprint_winnow("text")))
+        assert fa & fb  # shared fingerprints for near-dups
+
+
+class TestMultimodal:
+    def test_blob_schema_and_meta(self, spark, sf_dir):
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").limit(20)
+        blobs = make_blob_table(docs)
+        assert dict(blobs.dtypes)["blob"] == "binary"
+        meta = decode_image_meta(blobs).collect()
+        assert len(meta) == 20
+        for r in meta:
+            w, h, c = fake_decode_dims(r["n_bytes"])
+            assert (r["width"], r["height"], r["channels"]) == (w, h, c)
+
+    def test_frame_sample_counts(self, spark):
+        df = spark.createDataFrame([(1, b"x" * 3000)], "doc_id bigint, blob binary")
+        blobs = df.select("doc_id", "blob", F.octet_length("blob").alias("n_bytes"))
+        frames = sample_frames(blobs, every_n_bytes=1024, max_frames=8).collect()
+        assert [(r["frame_idx"], r["byte_offset"]) for r in frames] == [
+            (0, 0), (1, 1024), (2, 2048), (3, 3072),
+        ]
+
+    def test_pixel_decode_is_stubbed(self, spark):
+        with pytest.raises(NotImplementedError, match="image library"):
+            decode_image_pixels(None)
