@@ -1,0 +1,68 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs every suite query at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a full collect-to-count so the measured time
+includes the complete plan (scan -> shuffle -> result), not just plan
+construction. A warmup query amortizes JVM/codegen startup out of the
+per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("topn-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "8g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from postgresql_topn_spark.suite import QUERIES
+
+    # Warmup: JVM classloading + codegen for the common operator shapes.
+    QUERIES["topn_monthly_event_types"](spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "suite_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -68,18 +68,28 @@ def _shingle_postings(
 
 
 def _exact_jaccard(posts: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
-    """Exact Jaccard for all pairs sharing a shingle (or only the given
-    candidate pairs). Returns (doc_a, doc_b, intersection, union_size,
-    jaccard)."""
+    """Exact Jaccard for all pairs sharing a shingle, or — when a
+    candidate-pair DataFrame is given — only for those pairs (the
+    intersection join is *driven from* the candidates, so the work is
+    O(candidates x doc_size), never the full shared-shingle pair space).
+    Returns (doc_a, doc_b, intersection, union_size, jaccard)."""
     sizes = posts.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
-    a, b = posts.alias("a"), posts.alias("b")
-    inter = (
-        a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
-        .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("intersection"))
-    )
     if pairs is not None:
-        inter = inter.join(pairs, ["doc_a", "doc_b"], "left_semi")
+        pa = posts.select(F.col("__id").alias("doc_a"), F.col("__sh"))
+        pb = posts.select(F.col("__id").alias("doc_b"), F.col("__sh"))
+        inter = (
+            pairs.join(pa, "doc_a")
+            .join(pb, ["doc_b", "__sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("intersection"))
+        )
+    else:
+        a, b = posts.alias("a"), posts.alias("b")
+        inter = (
+            a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
+            .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+            .agg(F.count(F.lit(1)).alias("intersection"))
+        )
     sa = sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("__n", "__na")
     sb = sizes.withColumnRenamed("__id", "doc_b").withColumnRenamed("__n", "__nb")
     out = (
@@ -121,7 +131,15 @@ def minhash_signatures(
     """MinHash signatures over k-token shingles: sig_i = min over
     shingles of (a_i * xxhash64(shingle) + b_i) mod (2^61 - 1). Hash
     params are derived from a fixed seed so signatures are deterministic
-    across runs/partitions."""
+    across runs/partitions.
+
+    Shape: explode the hashed shingles, then ONE hash aggregation with
+    `num_hashes` min() aggregates. Computing the mins as nested
+    array_min(transform(...)) expressions instead re-evaluates the whole
+    tokenize->shingle->hash chain once per permutation and overflows
+    whole-stage codegen into interpreted mode (~50x slower measured);
+    the explode+agg form hashes each shingle once and gets map-side
+    partial combine."""
     rng = random.Random(seed)
     # a < 2^31 and h reduced to 32 bits keep a*h + b inside int64 —
     # Spark 4 runs ANSI mode, where signed overflow is an error, so the
@@ -130,20 +148,25 @@ def minhash_signatures(
         (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
         for _ in range(num_hashes)
     ]
-    shingles = F.array_distinct(token_shingles(text_col, k))
-    hashed = F.transform(
-        shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32))
-    )
-    sigs = F.array(
-        *[
-            F.array_min(
-                F.transform(hashed, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE_61)))
+    hashed = df.select(
+        _col(id_col).alias("__id"),
+        F.explode(
+            F.transform(
+                F.array_distinct(token_shingles(text_col, k)),
+                lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)),
             )
-            for (a, b) in params
-        ]
+        ).alias("__h"),
     )
-    return df.select(_col(id_col).alias("__id"), sigs.alias("__sig")).where(
-        F.size(F.col("__sig")) > 0
+    mins = [
+        F.min(
+            F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_61))
+        ).alias(f"__m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    agg = hashed.groupBy("__id").agg(*mins)
+    return agg.select(
+        "__id",
+        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
     )
 
 
