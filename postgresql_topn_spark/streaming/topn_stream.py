@@ -1,0 +1,162 @@
+"""Structured Streaming surface: continuous top-n over unbounded input.
+
+The reference is batch-only (PostgreSQL has no streaming executor); its
+incremental story is the *rollup table* pattern — append per-period
+sketch rows, ``topn_union_agg`` them at query time (README.md:73-116).
+Streams are the natural Spark extension of exactly that pattern, so we
+provide both shapes:
+
+1. :func:`topn_streaming_state` — a custom stateful operator
+   (``applyInPandasWithState``): one bounded ``TopnState`` per group
+   key, updated each micro-batch, emitting the refreshed sketch in
+   update mode. State per key is <= 3 x counters entries regardless of
+   stream cardinality — the reference's bounded-memory contract carried
+   over to unbounded data.
+
+2. :func:`stream_topn_rollup` — the rollup-table pattern itself:
+   ``foreachBatch`` computes batch-local sketches with the (exact,
+   Catalyst-native) Tier-1 aggregate and *appends* them to a parquet
+   rollup; :func:`read_topn_rollup` re-merges at read time with
+   ``topn_union_agg``. Append-only writes scale (no read-modify-write
+   races, partition-pruned reads by event date), and merging sketch
+   deltas is associative so late batches just add rows.
+
+Event-time windowing/watermarks compose in front of either shape: group
+on ``F.window(ts, '1 day')`` (plus ``withWatermark``) and the window
+struct is just another group column.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator, Sequence
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from postgresql_topn_spark.conf import resolve_counters
+from postgresql_topn_spark.functions.sketch import _col
+from postgresql_topn_spark.operators.sketch_state import (
+    TopnState,
+    _group_ddl,
+    truncate_key_bytes,
+)
+
+
+def topn_streaming_state(
+    stream_df: DataFrame,
+    group_cols: Sequence[Column | str],
+    item: Column | str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+) -> DataFrame:
+    """Continuously-maintained per-group sketches over a stream.
+
+    Returns a streaming DataFrame of ``group_cols + [out_col json]``
+    (sketch as a JSON text column — arbitrary map-typed state cannot be
+    stored in the state store, and the reference's at-rest form is JSON
+    anyway, topn.c:914-939). Each trigger emits the refreshed sketch for
+    every group that saw input. Use output mode ``update``.
+    """
+    counters = resolve_counters(counters, stream_df.sparkSession)
+    gnames = [f"__g{i}" for i in range(len(group_cols))]
+    src = stream_df.select(
+        *[_col(c).alias(g) for c, g in zip(group_cols, gnames)],
+        _col(item).cast("string").alias("__item"),
+    )
+    out_schema = _group_ddl(src, gnames) + f", {out_col} string"
+    # State = the sketch's entries as parallel arrays (state store rows
+    # must be a fixed struct; two arrays are the cheapest encoding).
+    state_schema = "items array<string>, freqs array<bigint>"
+
+    def update(
+        key: tuple,
+        batches: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        st = TopnState(counters)
+        if state.exists:
+            items, freqs = state.get
+            st.counts = dict(zip(items, freqs))
+        for pdf in batches:
+            for it in pdf["__item"]:
+                if it is None or (isinstance(it, float) and pd.isna(it)):
+                    continue
+                st.add(truncate_key_bytes(it), 1, aggregate_path=True)
+        state.update((list(st.counts.keys()), [int(v) for v in st.counts.values()]))
+        import json as _json
+
+        snapshot = dict(
+            sorted(st.counts.items(), key=lambda kv: (-kv[1], kv[0]))[: st.counters]
+        )
+        row = dict(zip(gnames, key))
+        row[out_col] = _json.dumps(snapshot)
+        yield pd.DataFrame([row])
+
+    return src.groupBy(*gnames).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_topn_rollup(
+    stream_df: DataFrame,
+    group_cols: Sequence[Column | str],
+    item: Column | str,
+    *,
+    rollup_path: str,
+    checkpoint_path: str,
+    counters: int | None = None,
+    out_col: str = "topn",
+    trigger_available_now: bool = False,
+):
+    """The incremental-rollup pattern (README.md:73-116) on a stream:
+    every micro-batch computes exact batch-local sketches (Tier-1
+    ``topn_add_agg``) and APPENDS them to the parquet rollup at
+    *rollup_path*. Merging happens at read time; appended sketch deltas
+    are associative, so restarts/late batches are safe.
+
+    Returns the started StreamingQuery.
+    """
+    from postgresql_topn_spark.functions.aggregates import topn_add_agg
+
+    counters = resolve_counters(counters, stream_df.sparkSession)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        sk = topn_add_agg(batch_df, group_cols, item, counters=counters, out_col=out_col)
+        # sketches at rest as JSON text: parquet-friendly, engine-portable
+        sk.withColumn(out_col, F.to_json(F.col(out_col))).write.mode("append").parquet(
+            rollup_path
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_topn_rollup(
+    spark,
+    rollup_path: str,
+    group_names: Sequence[str],
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+) -> DataFrame:
+    """Query-time merge of an appended rollup: parse the JSON sketches
+    and ``topn_union_agg`` per group (the read side of
+    :func:`stream_topn_rollup`)."""
+    from postgresql_topn_spark.functions.aggregates import topn_union_agg
+
+    raw = spark.read.parquet(rollup_path).withColumn(
+        out_col, F.from_json(F.col(out_col), "map<string,bigint>")
+    )
+    return topn_union_agg(raw, list(group_names), out_col, counters=counters, out_col=out_col)
