@@ -93,7 +93,9 @@ def read_customer_reviews_csv(spark: SparkSession, path: str) -> DataFrame:
         for f in CUSTOMER_REVIEWS_SCHEMA.fields
     ]
     df = spark.read.csv(path, schema=StructType(raw_fields), header=False)
+    cleaned = F.regexp_replace("similar_product_ids", r"[{}]", "")
     return df.withColumn(
         "similar_product_ids",
-        F.split(F.regexp_replace("similar_product_ids", r"[{}]", ""), ","),
+        F.when(F.length(cleaned) == 0, F.expr("array()").cast("array<string>"))
+        .otherwise(F.split(cleaned, ",")),
     )

@@ -298,6 +298,70 @@ def topn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_topn(sk, "topn", 5, keep=["event_type"], counters=C)
 
 
+@_register(
+    "topn_cross_join_cte",
+    """
+    WITH cat AS (
+      SELECT l_returnflag, item, frequency FROM (
+        SELECT l_returnflag, l_linestatus AS item, COUNT(l_linestatus) AS frequency,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY COUNT(l_linestatus) DESC, l_linestatus ASC) AS rn
+        FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 1, 2
+      ) t WHERE rn <= 2
+    ),
+    overall AS (
+      SELECT item AS g_item, frequency AS g_freq FROM (
+        SELECT l_linestatus AS item, COUNT(l_linestatus) AS frequency,
+               ROW_NUMBER() OVER (ORDER BY COUNT(l_linestatus) DESC, l_linestatus ASC) AS rn
+        FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 1
+      ) t WHERE rn <= 2
+    )
+    SELECT l_returnflag, item, frequency, g_item, g_freq FROM cat CROSS JOIN overall
+    """,
+)
+def topn_cross_join_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTE + cross join over two topn derivations
+    (sql/join_tests.sql:27-50): per-category top-2 x global top-2."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_flag = topn_add_agg(li, ["l_returnflag"], "l_linestatus", counters=C)
+    cat = explode_topn(per_flag, "topn", 2, keep=["l_returnflag"], counters=C)
+    overall = topn_union_agg_global(per_flag, "topn", counters=C)
+    glob = (
+        explode_topn(overall, "topn", 2, counters=C)
+        .withColumnRenamed("item", "g_item")
+        .withColumnRenamed("frequency", "g_freq")
+    )
+    return cat.crossJoin(glob)
+
+
+@_register(
+    "topn_sketch_tier2",
+    """
+    SELECT yr, item, frequency FROM (
+      SELECT CAST(year(ts) AS INT) AS yr, event_type AS item,
+             COUNT(event_type) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY year(ts)
+                                ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY year(ts), event_type
+    ) t WHERE rn <= 5
+    """,
+)
+def topn_sketch_tier2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-2 bounded-memory sketch aggregation (operators/sketch_state:
+    mapInPandas partials + applyInPandas merge, the reference's parallel
+    aggregation shape topn.c:509-625). Exact here because the counter
+    budget exceeds the distinct-item count — the same regime where the
+    reference is exact — so it shares the plain COUNT/ROW_NUMBER oracle."""
+    from postgresql_topn_spark.operators.sketch_state import topn_add_agg_sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = topn_add_agg_sketch(
+        ev, [F.year("ts").alias("yr")], "event_type", counters=100_000
+    )
+    return explode_topn(sk, "topn", 5, keep=["yr"], counters=100_000)
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline operators (beyond the reference surface)
 # ---------------------------------------------------------------------------
@@ -421,6 +485,32 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return lsh_topk(emb, queries, k=5)
+
+
+@_register("dedup_embedding_near")  # rows-only: LSH recall < 1 by construction
+def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded-LSH candidates +
+    exact rerank. The synthetic embeddings have no planted near-dups
+    (max pairwise cosine ~0.51), so the threshold is set at 0.45 with a
+    wide band config (16 tables x 4 planes => ~97% candidate recall at
+    cos 0.5) to exercise the full pipeline. Validated by pytest
+    invariants (subset of brute-force pairs, exact cosine values)."""
+    from postgresql_topn_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.45, n_tables=16, n_planes=4)
+
+
+@_register("text_winnow")  # rows-only: xxhash64 has no DuckDB twin
+def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash document fingerprints (plagiarism-style
+    local fingerprinting; min-hash per sliding shingle window)."""
+    from postgresql_topn_spark.operators.text import fingerprint_winnow
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.size(fingerprint_winnow("text")).alias("n_fingerprints")
+    )
 
 
 @_register(

@@ -96,8 +96,10 @@ class TestMultimodal:
         df = spark.createDataFrame([(1, b"x" * 3000)], "doc_id bigint, blob binary")
         blobs = df.select("doc_id", "blob", F.octet_length("blob").alias("n_bytes"))
         frames = sample_frames(blobs, every_n_bytes=1024, max_frames=8).collect()
+        # 3000-byte blob => floor(3000/1024)+1 = 3 started blocks; every
+        # offset stays inside the blob (matches the suite's SQL oracle)
         assert [(r["frame_idx"], r["byte_offset"]) for r in frames] == [
-            (0, 0), (1, 1024), (2, 2048), (3, 3072),
+            (0, 0), (1, 1024), (2, 2048),
         ]
 
     def test_pixel_decode_is_stubbed(self, spark):
