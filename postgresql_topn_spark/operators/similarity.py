@@ -179,6 +179,83 @@ def lsh_topk(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    seed: int = 7,
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: KMeans-partition the
+    corpus into `n_lists` cells, search only the `n_probe` cells whose
+    centroids are nearest each query.
+
+    Scale shape: training samples the corpus (KMeans on a bounded
+    sample), cell assignment is one map-side pass, and the probe join is
+    corpus-cell x query-probe equi-join — candidates ~ n_probe/n_lists
+    of the corpus instead of all of it. Recall < 1 by construction
+    (pytest recall floor, no SQL oracle).
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("__feat"),
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__feat", predictionCol="__cell")
+    model = km.fit(c.select("__feat"))
+    assigned = model.transform(c).select("neighbor_id", "__cv", "__cell")
+
+    centroids = [list(map(float, ctr)) for ctr in model.clusterCenters()]
+
+    def _probe_cells(vec: Column) -> Column:
+        # distance to each centroid, take the n_probe nearest cell ids
+        dists = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.array(*[F.lit(x) for x in ctr]),
+                            lambda a, b: (a.cast("double") - b)
+                            * (a.cast("double") - b),
+                        ),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(i).alias("cell"),
+                )
+                for i, ctr in enumerate(centroids)
+            ]
+        )
+        return F.slice(F.array_sort(dists), 1, n_probe)["cell"]
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_probe_cells(F.col(vec_col))).alias("__cell"),
+    )
+    joined = assigned.join(F.broadcast(q), "__cell")
+    if not include_self:
+        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("__sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("sim"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

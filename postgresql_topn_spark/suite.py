@@ -513,6 +513,18 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register("ann_ivf_topk")  # rows-only: approximate by construction
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k (KMeans cells, probe the 4 nearest of 16): the other
+    standard ANN scale path next to LSH. pytest enforces a recall floor
+    vs brute force."""
+    from postgresql_topn_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+
+
 @_register(
     "text_token_counts",
     """

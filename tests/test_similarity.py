@@ -79,3 +79,21 @@ def test_near_dup_pairs_finds_planted(spark):
     out = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(df, threshold=0.99).collect()}
     assert (1, 2) in out
     assert (1, 3) not in out
+
+
+def test_ivf_recall_floor(spark, sf_dir):
+    """IVF with n_probe/n_lists = 1/4 of the corpus searched must still
+    recover a solid fraction of the true top-5."""
+    from postgresql_topn_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(emb, q, k=5, n_lists=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"IVF recall {recall} suspiciously low"
