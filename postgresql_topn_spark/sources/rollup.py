@@ -1,0 +1,74 @@
+"""Materialized rollup tables — the reference's core usage pattern
+(README.md:73-116: ``popular_products(review_date date UNIQUE, agg_data
+jsonb)``): pre-aggregate sketches per time bucket, persist them, answer
+dashboard top-n by merging only the requested interval's rows.
+
+Spark-first materialization: a parquet table **partitioned by the time
+bucket**, sketch stored as JSON text (engine-portable, like the
+reference's at-rest JSONB). Interval queries prune to the matching
+partitions before any row is read — at 100 TB of history the read cost
+is proportional to the interval, not the history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.functions.aggregates import topn_add_agg, topn_union_agg
+from postgresql_topn_spark.functions.sketch import sketch_to_json
+
+
+def write_topn_rollup(
+    df: DataFrame,
+    path: str,
+    bucket: Column | str,
+    item: Column | str,
+    *,
+    bucket_name: str = "bucket",
+    extra_group_cols: Sequence[Column | str] = (),
+    counters: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Build per-bucket sketches and persist them partitioned by bucket.
+
+    ``mode="append"`` adds new buckets incrementally (sketch deltas are
+    associative — merging at read time makes appended same-bucket rows
+    equivalent to one big aggregation, the reference's incremental
+    rollup contract)."""
+    b = bucket if isinstance(bucket, Column) else F.col(bucket)
+    sk = topn_add_agg(
+        df,
+        [b.alias(bucket_name), *extra_group_cols],
+        item,
+        counters=counters,
+    )
+    sk.withColumn("topn", sketch_to_json(F.col("topn"))).write.mode(
+        mode
+    ).partitionBy(bucket_name).parquet(path)
+
+
+def read_topn_rollup(
+    spark: SparkSession,
+    path: str,
+    *,
+    bucket_name: str = "bucket",
+) -> DataFrame:
+    """Load a rollup table with the sketch column re-typed. Filters on
+    the bucket column prune partitions (verify with .explain:
+    PartitionFilters)."""
+    df = spark.read.parquet(path)
+    return df.withColumn("topn", F.from_json("topn", "map<string,bigint>"))
+
+
+def query_topn_rollup(
+    rollup: DataFrame,
+    group_cols: Sequence[Column | str],
+    *,
+    counters: int | None = None,
+) -> DataFrame:
+    """Merge rollup rows per *group_cols* (e.g. month from daily buckets,
+    or a constant for a grand total) — the read-side topn_union_agg."""
+    return topn_union_agg(rollup, list(group_cols), "topn", counters=counters)

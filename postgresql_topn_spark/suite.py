@@ -299,6 +299,71 @@ def topn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topn_daterange_union",
+    """
+    SELECT item, frequency FROM (
+      SELECT event_type AS item, COUNT(event_type) AS frequency,
+             ROW_NUMBER() OVER (ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
+      FROM events
+      WHERE event_type IS NOT NULL
+        AND CAST(ts AS DATE) BETWEEN DATE '2024-01-08' AND DATE '2024-01-14'
+      GROUP BY event_type
+    ) t WHERE rn <= 5
+    """,
+)
+def topn_daterange_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dashboard pattern (README.md:100-116): pre-materialized daily
+    rollup, filtered to a date interval, union-merged, extracted. The
+    date filter lands on the rollup read, so at scale a partitioned
+    rollup table prunes to 7 partitions regardless of history length."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = topn_add_agg(
+        ev,
+        [F.to_date("ts").alias("day")],
+        "event_type",
+        counters=C,
+    )
+    week = daily.where(
+        F.col("day").between(F.lit("2024-01-08"), F.lit("2024-01-14"))
+    )
+    merged = topn_union_agg_global(week, "topn", counters=C)
+    return explode_topn(merged, "topn", 5, counters=C)
+
+
+@_register(
+    "topn_sketch_stats",
+    """
+    SELECT yr, mon, n_entries, total_count FROM (
+      SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mon,
+             CAST(COUNT(DISTINCT event_type) AS INT) AS n_entries,
+             COUNT(event_type) AS total_count
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY year(ts), month(ts)
+    ) t
+    """,
+)
+def topn_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jsonb_each-style sketch introspection (sql/union_agg.sql:42,57):
+    entry counts and total frequency mass per sketch via size() and an
+    explode-sum — the counter-cap observability check."""
+    ev = load_table(spark, sf_dir, "events")
+    sk = topn_add_agg(
+        ev,
+        [F.year("ts").alias("yr"), F.month("ts").alias("mon")],
+        "event_type",
+        counters=C,
+    )
+    return sk.select(
+        "yr",
+        "mon",
+        F.size("topn").alias("n_entries"),
+        F.aggregate(
+            F.map_values("topn"), F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("total_count"),
+    )
+
+
+@_register(
     "topn_cross_join_cte",
     """
     WITH cat AS (

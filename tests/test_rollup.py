@@ -1,0 +1,70 @@
+"""Rollup-table pattern: partitioned persistence, partition pruning on
+interval reads, append-incremental equivalence."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.functions.aggregates import topn_add_agg
+from postgresql_topn_spark.sources.rollup import (
+    query_topn_rollup,
+    read_topn_rollup,
+    write_topn_rollup,
+)
+from postgresql_topn_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+C = 1_000_000
+
+
+def _expected_week(spark, lo, hi):
+    ev = load_table(spark, SF_DIR, "events").where(
+        F.to_date("ts").between(F.lit(lo), F.lit(hi))
+    )
+    sk = topn_add_agg(ev, [F.lit(1).alias("g")], "event_type", counters=C)
+    return {k: v for r in sk.collect() for k, v in r["topn"].items()}
+
+
+def test_rollup_roundtrip_and_interval_query(spark, tmp_path):
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "rollup")
+    write_topn_rollup(
+        ev, path, F.to_date("ts"), "event_type", bucket_name="day", counters=C
+    )
+    rollup = read_topn_rollup(spark, path, bucket_name="day")
+    lo, hi = "2024-01-08", "2024-01-14"
+    week = rollup.where(F.col("day").between(F.lit(lo), F.lit(hi)))
+    merged = query_topn_rollup(
+        week.withColumn("g", F.lit(1)), ["g"], counters=C
+    )
+    got = {k: v for r in merged.collect() for k, v in r["topn"].items()}
+    assert got == _expected_week(spark, lo, hi)
+    # the day filter must prune partitions, not scan + filter
+    plan = week._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "day#" in plan.split("PartitionFilters")[1][:200]
+
+
+def test_rollup_append_equivalence(spark, tmp_path):
+    """Appending per-half sketch rows then merging == aggregating all at
+    once (associativity of sketch deltas, no eviction)."""
+    ev = load_table(spark, SF_DIR, "events")
+    path = str(tmp_path / "rollup_inc")
+    first = ev.where(F.dayofmonth("ts") <= 15)
+    second = ev.where(F.dayofmonth("ts") > 15)
+    write_topn_rollup(
+        first, path, F.to_date("ts"), "event_type", bucket_name="day", counters=C
+    )
+    write_topn_rollup(
+        second, path, F.to_date("ts"), "event_type", bucket_name="day",
+        counters=C, mode="append",
+    )
+    rollup = read_topn_rollup(spark, path, bucket_name="day")
+    merged = query_topn_rollup(
+        rollup.withColumn("g", F.lit(1)), ["g"], counters=C
+    )
+    got = {k: v for r in merged.collect() for k, v in r["topn"].items()}
+    full = topn_add_agg(ev, [F.lit(1).alias("g")], "event_type", counters=C)
+    want = {k: v for r in full.collect() for k, v in r["topn"].items()}
+    assert got == want
