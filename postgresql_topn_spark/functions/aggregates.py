@@ -65,9 +65,30 @@ def _rank_and_pack(
     group_cols: Sequence[str],
     counters: int,
     out_col: str,
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Shared tail of both aggregates: window-rank the per-(group,item)
-    counts, keep the top *counters* per group, re-group into a map."""
+    counts, keep the top *counters* per group, re-group into a map.
+
+    *salt_buckets* enables a lossless two-level rank for skewed groups:
+    first keep the top *counters* within (group, hash(item) % salt)
+    sub-buckets, then run the global per-group rank over the survivors.
+    Any item in a group's true top-N is also in its sub-bucket's top-N
+    (the sub-bucket holds a subset of its competitors), so the
+    pre-filter drops no winners — but the final per-group sort handles
+    at most salt_buckets x counters rows instead of every distinct item
+    of a hot group on a single reducer. Use when groups can have
+    millions of distinct items (100 TB regime); leave None for the
+    default two-exchange plan."""
+    if salt_buckets and salt_buckets > 1:
+        ws = Window.partitionBy(
+            *group_cols, F.pmod(F.xxhash64(F.coalesce(F.col(_ITEM), F.lit(""))), F.lit(salt_buckets))
+        ).orderBy(F.desc(_FREQ), F.asc_nulls_last(_ITEM))
+        counted = (
+            counted.withColumn(_RN, F.row_number().over(ws))
+            .where((F.col(_RN) <= counters) | (F.col(_FREQ) <= 0))
+            .drop(_RN)
+        )
     w = Window.partitionBy(*group_cols).orderBy(
         F.desc(_FREQ), F.asc_nulls_last(_ITEM)
     )
@@ -85,6 +106,7 @@ def topn_add_agg(
     *,
     counters: int | None = None,
     out_col: str = "topn",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """``SELECT keys, topn_add_agg(item) FROM df GROUP BY keys``
     (reference aggregate: update/topn--2.3.0--2.3.1.sql:34-42,
@@ -104,7 +126,7 @@ def topn_add_agg(
         # count(col) skips NULLs: a NULL-item group row survives with 0.
         .agg(F.count(F.col(_ITEM)).alias(_FREQ))
     )
-    out = _rank_and_pack(counted, gnames, counters, out_col)
+    out = _rank_and_pack(counted, gnames, counters, out_col, salt_buckets)
     # restore caller-friendly names for the group columns
     for i, c in enumerate(group_cols):
         name = c if isinstance(c, str) else df.select(_col(c)).columns[0]
@@ -119,6 +141,7 @@ def topn_union_agg(
     *,
     counters: int | None = None,
     out_col: str = "topn",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """``SELECT keys, topn_union_agg(sketch) FROM df GROUP BY keys``
     (update/topn--2.3.0--2.3.1.sql:43-51, transition topn.c:457-503).
@@ -150,7 +173,7 @@ def topn_union_agg(
         .cast("long")
         .alias(_FREQ)
     )
-    out = _rank_and_pack(counted, gnames, counters, out_col)
+    out = _rank_and_pack(counted, gnames, counters, out_col, salt_buckets)
     for i, c in enumerate(group_cols):
         name = c if isinstance(c, str) else df.select(_col(c)).columns[0]
         out = out.withColumnRenamed(f"__g{i}", name)

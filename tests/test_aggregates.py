@@ -126,3 +126,21 @@ class TestCastIntake:
         skf = T.topn_add_agg(df, ["g"], "f", counters=10).collect()[0]["topn"]
         assert ski == {"10": 2}
         assert skf == {"1.5": 2}
+
+
+def test_salted_rank_equals_unsalted(spark, sf_dir):
+    """The two-level salted rank is lossless: identical sketches to the
+    plain plan, including prune behavior at a small counter budget."""
+    from postgresql_topn_spark.functions.aggregates import topn_add_agg
+    from postgresql_topn_spark.sources.tables import load_table
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, sf_dir, "lineitem")
+    for counters in (3, 1_000_000):
+        plain = topn_add_agg(li, ["l_returnflag"], "l_partkey", counters=counters)
+        salted = topn_add_agg(
+            li, ["l_returnflag"], "l_partkey", counters=counters, salt_buckets=8
+        )
+        p = {r["l_returnflag"]: dict(r["topn"]) for r in plain.collect()}
+        s = {r["l_returnflag"]: dict(r["topn"]) for r in salted.collect()}
+        assert p == s, f"salted != plain at counters={counters}"
