@@ -89,6 +89,61 @@ def decode_image_pixels(blobs: DataFrame):  # pragma: no cover - stub
     )
 
 
+def resize_images(
+    blobs: DataFrame, *, width: int = 32, height: int = 32
+) -> DataFrame:
+    """Resize plumbing: (doc_id, width, height, pixels binary) with the
+    output buffer sized exactly width*height*3. The resample itself is
+    the stubbed decode step (deterministic bytes derived from the
+    payload by tiling); a real pipeline swaps in
+    ``PIL.Image.open(...).resize((w, h)).tobytes()`` — batch shape,
+    output schema and buffer sizing are identical."""
+    out_len = width * height * 3
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pixels = [
+                bytes((buf * (out_len // max(len(buf), 1) + 1))[:out_len])
+                for buf in pdf["blob"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": pixels,
+                }
+            )
+
+    return blobs.select("doc_id", "blob").mapInPandas(
+        resize, schema="doc_id bigint, width int, height int, pixels binary"
+    )
+
+
+def extract_features(blobs: DataFrame, *, dim: int = 64) -> DataFrame:
+    """Feature-extraction plumbing: (doc_id, embedding array<float>) via
+    mapInPandas. The featurizer is a deterministic stand-in (byte
+    histogram folded to `dim` buckets, L2-normalized) — swap in a real
+    vision/audio encoder with the same signature. Output composes
+    directly with operators/similarity.py (cosine_topk / lsh_topk /
+    ivf_topk / embedding_near_dup_pairs)."""
+    import numpy as np
+
+    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for buf in pdf["blob"]:
+                arr = np.frombuffer(bytes(buf), dtype=np.uint8)
+                hist = np.bincount(arr % dim, minlength=dim).astype("float64")
+                norm = float(np.sqrt((hist * hist).sum())) or 1.0
+                out.append((hist / norm).astype("float32").tolist())
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": out})
+
+    return blobs.select("doc_id", "blob").mapInPandas(
+        featurize, schema="doc_id bigint, embedding array<float>"
+    )
+
+
 def sample_frames(
     blobs: DataFrame, *, every_n_bytes: int = 1024, max_frames: int = 8
 ) -> DataFrame:

@@ -735,6 +735,24 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(make_blob_table(docs))
 
 
+@_register("multimodal_feature_ann")  # rows-only: stubbed featurizer + ANN
+def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end multimodal pipeline: blob table -> mapInPandas feature
+    extraction (stub featurizer, real Arrow plumbing) -> brute-force
+    cosine top-3 over the extracted embeddings. The full
+    decode->embed->search composition a training-data pipeline runs."""
+    from postgresql_topn_spark.operators.multimodal import (
+        extract_features,
+        make_blob_table,
+    )
+    from postgresql_topn_spark.operators.similarity import cosine_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = extract_features(make_blob_table(docs))
+    queries = emb.where(F.col("doc_id") % 200 == 0)
+    return cosine_topk(emb, queries, id_col="doc_id", vec_col="embedding", k=3)
+
+
 def entry_flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: the flagship pipeline at sf0.001."""
     return topn_overall_products(spark, "/root/testdata/sf0.001")

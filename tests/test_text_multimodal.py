@@ -105,3 +105,52 @@ class TestMultimodal:
     def test_pixel_decode_is_stubbed(self, spark):
         with pytest.raises(NotImplementedError, match="image library"):
             decode_image_pixels(None)
+
+
+class TestMultimodalResizeFeatures:
+    def test_resize_buffer_sizing(self, spark):
+        from postgresql_topn_spark.operators.multimodal import resize_images
+
+        df = spark.createDataFrame(
+            [(1, b"abc"), (2, b"x" * 10_000)], "doc_id bigint, blob binary"
+        )
+        rows = {r["doc_id"]: r for r in resize_images(df, width=8, height=4).collect()}
+        assert all(len(r["pixels"]) == 8 * 4 * 3 for r in rows.values())
+        assert rows[1]["width"] == 8 and rows[1]["height"] == 4
+        # deterministic: same payload -> same pixels
+        again = {r["doc_id"]: r for r in resize_images(df, width=8, height=4).collect()}
+        assert rows[1]["pixels"] == again[1]["pixels"]
+
+    def test_extract_features_normalized_and_deterministic(self, spark):
+        from postgresql_topn_spark.operators.multimodal import extract_features
+
+        df = spark.createDataFrame(
+            [(1, b"hello world"), (2, b"hello world"), (3, b"different")],
+            "doc_id bigint, blob binary",
+        )
+        rows = {r["doc_id"]: r["embedding"] for r in extract_features(df, dim=16).collect()}
+        assert len(rows[1]) == 16
+        assert rows[1] == rows[2]  # same bytes, same embedding
+        norm = sum(x * x for x in rows[1]) ** 0.5
+        assert abs(norm - 1.0) < 1e-5
+
+    def test_feature_ann_composition(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            extract_features,
+            make_blob_table,
+        )
+        from postgresql_topn_spark.operators.similarity import cosine_topk
+        from postgresql_topn_spark.sources.tables import load_table
+        import os
+
+        docs = load_table(
+            spark, os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"),
+            "documents",
+        )
+        emb = extract_features(make_blob_table(docs))
+        q = emb.limit(2)
+        out = cosine_topk(emb, q, id_col="doc_id", vec_col="embedding", k=3)
+        per_q = {}
+        for r in out.collect():
+            per_q.setdefault(r["query_id"], []).append(r["rank"])
+        assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
