@@ -273,9 +273,15 @@ def embedding_near_dup_pairs(
     (1-(1-(1-theta/pi)^r)^L ~ 0.99 at cos=0.95 with r=8, L=8); at 100 TB
     the per-table bucket equi-join is the only pair generator (never
     O(n^2))."""
+    # compute each vector's norm ONCE and carry it through the join as a
+    # plain column: the per-pair rerank is then a single dot-product fold
+    # + one divide, instead of dot + two 64-element norm folds per pair.
+    # (A transform(v, x -> x / norm(v)) pre-normalization is a trap: the
+    # lambda re-evaluates norm(v) per array element.)
     b = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
+        norm(vec_col).alias("__n"),
         F.explode(lsh_tables(vec_col, dim, n_tables, n_planes, seed)).alias("__t"),
     )
     a, c = b.alias("a"), b.alias("b")
@@ -289,9 +295,10 @@ def embedding_near_dup_pairs(
             F.col("b.__id").alias("id_b"),
             F.col("a.__v").alias("__va"),
             F.col("b.__v").alias("__vb"),
+            (F.col("a.__n") * F.col("b.__n")).alias("__nn"),
         )
         .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", cosine("__va", "__vb").alias("__sim"))
+        .select("id_a", "id_b", (dot("__va", "__vb") / F.col("__nn")).alias("__sim"))
     )
     return pairs.where(F.col("__sim") >= threshold).select(
         "id_a", "id_b", F.round("__sim", 6).alias("sim")

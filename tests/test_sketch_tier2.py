@@ -104,3 +104,53 @@ def test_property_subset_of_truth(spark, counters):
         truth[it] = truth.get(it, 0) + 1
     assert len(out) <= counters
     assert all(k in truth and v <= truth[k] for k, v in out.items())
+
+
+# ---------------------------------------------------------------------------
+# Property-based invariants on the raw state machine (no Spark: fast,
+# wide input coverage via hypothesis)
+# ---------------------------------------------------------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    items=st.lists(st.text(alphabet="abcdefgh", min_size=1, max_size=2), max_size=300),
+    counters=st.integers(min_value=1, max_value=8),
+)
+def test_state_invariants_hypothesis(items, counters):
+    truth: dict[str, int] = {}
+    st_ = TopnState(counters)
+    for it in items:
+        st_.add(it, 1, aggregate_path=True)
+        truth[it] = truth.get(it, 0) + 1
+        # transient bound: never beyond 3 x counters (topn.c:440-446)
+        assert len(st_.counts) <= counters * 3
+        # reported counts are lower bounds of the truth
+        assert all(k in truth and v <= truth[k] for k, v in st_.counts.items())
+    final = st_.finalize()
+    assert len(final) <= counters
+    # exactness when the stream never outgrew the transient bound
+    if len(truth) <= counters * 3 and len(truth) <= counters:
+        assert final == truth
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    left=st.dictionaries(st.text(alphabet="xyz", min_size=1, max_size=2),
+                         st.integers(min_value=1, max_value=100), max_size=9),
+    right=st.dictionaries(st.text(alphabet="xyz", min_size=1, max_size=2),
+                          st.integers(min_value=1, max_value=100), max_size=9),
+)
+def test_merge_commutes_when_no_eviction(left, right):
+    """MergeTopn order-independence in the no-eviction regime (our
+    pinned determinism guarantee)."""
+    def merged(a, b):
+        s = TopnState(100)
+        for src in (a, b):
+            for k, v in sorted(src.items(), key=lambda kv: (-kv[1], kv[0])):
+                s.add(k, v, aggregate_path=True)
+        return s.finalize()
+
+    assert merged(left, right) == merged(right, left)
