@@ -92,3 +92,42 @@ def test_stream_rollup_matches_batch(spark, events_stream_dir, tmp_path):
     merged = read_topn_rollup(spark, rollup, ["event_type"], counters=1_000_000)
     got = {r["event_type"]: dict(r["topn"]) for r in merged.collect()}
     assert got == _batch_expected(spark, events_stream_dir)
+
+
+def test_streaming_state_event_time_window(spark, events_stream_dir, tmp_path):
+    """Event-time windowing composes in front of the stateful operator:
+    group on window(ts, 1 day) + event_type."""
+    ev = spark.read.parquet(events_stream_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(events_stream_dir)
+    )
+    out = topn_streaming_state(
+        stream.withWatermark("ts", "1 day"),
+        [F.window("ts", "1 day").getField("start").alias("day"), "event_type"],
+        "user_id",
+        counters=1_000_000,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topn_state_window_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from topn_state_window_test").collect()
+    latest = {}
+    for r in rows:
+        latest[(r["__g0"], r["__g1"])] = json.loads(r["topn"])
+    # batch truth: per (day, event_type) user sketches
+    sk = topn_add_agg(
+        ev,
+        [F.window("ts", "1 day").getField("start").alias("day"), "event_type"],
+        "user_id",
+        counters=1_000_000,
+    )
+    want = {(r["day"], r["event_type"]): dict(r["topn"]) for r in sk.collect()}
+    assert latest == want
