@@ -186,12 +186,24 @@ def topn_union_agg_global(
     *,
     counters: int | None = None,
     out_col: str = "topn",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """Grand-total union (no GROUP BY), e.g. the reference's
-    ``overall_result`` step (sql/customer_reviews_query.sql:25-34)."""
+    ``overall_result`` step (sql/customer_reviews_query.sql:25-34).
+
+    This is the single-group shape where the final rank would otherwise
+    sort EVERY distinct item on one reducer — at high cardinality pass
+    ``salt_buckets`` (lossless pre-filter, see ``_rank_and_pack``)."""
     counters = resolve_counters(counters, df.sparkSession)
     with_g = df.select(F.lit(1).alias("__g0"), _col(sketch).alias("__sk"))
-    out = topn_union_agg(with_g, ["__g0"], "__sk", counters=counters, out_col=out_col)
+    out = topn_union_agg(
+        with_g,
+        ["__g0"],
+        "__sk",
+        counters=counters,
+        out_col=out_col,
+        salt_buckets=salt_buckets,
+    )
     return out.drop("__g0")
 
 

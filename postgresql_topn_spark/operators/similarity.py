@@ -155,21 +155,30 @@ def lsh_topk(
     per-table bucket equi-join replaces the full cross product; corpus
     rows are exploded L× but each join is shuffle-free (queries
     broadcast) and candidates dedupe before the expensive rerank."""
+    # candidate generation moves only (id, band) rows; vectors join back
+    # once per unique (query, neighbor) pair after the dedup
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
         F.explode(lsh_tables(vec_col, dim, n_tables, n_planes, seed)).alias("__t"),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
         F.explode(lsh_tables(vec_col, dim, n_tables, n_planes, seed)).alias("__t"),
     )
     joined = c.join(F.broadcast(q), "__t")
     if not include_self:
         joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.dropDuplicates(["query_id", "neighbor_id"]).select(
-        "query_id", "neighbor_id", cosine("__qv", "__cv").alias("__sim")
+    cand = joined.select("query_id", "neighbor_id").distinct()
+    cvecs = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
+    )
+    qvecs = queries.select(
+        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        cand.join(cvecs, cand["neighbor_id"] == cvecs["__cid"])
+        .join(F.broadcast(qvecs), F.col("query_id") == qvecs["__qid"])
+        .select("query_id", "neighbor_id", cosine("__qv", "__cv").alias("__sim"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
     return (
@@ -273,32 +282,42 @@ def embedding_near_dup_pairs(
     (1-(1-(1-theta/pi)^r)^L ~ 0.99 at cos=0.95 with r=8, L=8); at 100 TB
     the per-table bucket equi-join is the only pair generator (never
     O(n^2))."""
-    # compute each vector's norm ONCE and carry it through the join as a
-    # plain column: the per-pair rerank is then a single dot-product fold
-    # + one divide, instead of dot + two 64-element norm folds per pair.
-    # (A transform(v, x -> x / norm(v)) pre-normalization is a trap: the
-    # lambda re-evaluates norm(v) per array element.)
-    b = df.select(
+    # Three scale rules shape this plan:
+    # 1. the banded candidate join carries ONLY (id, band) — never the
+    #    vectors — so the biggest shuffle (explode x L tables ->
+    #    self-join -> distinct) moves narrow rows;
+    # 2. vectors join back once per UNIQUE pair, after the dedup;
+    # 3. norms are computed once per vector and carried as a column, so
+    #    the per-pair rerank is one dot-product fold + a divide. (A
+    #    transform(v, x -> x / norm(v)) pre-normalization is a trap: the
+    #    lambda re-evaluates norm(v) per array element.)
+    banded = df.select(
         F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        norm(vec_col).alias("__n"),
         F.explode(lsh_tables(vec_col, dim, n_tables, n_planes, seed)).alias("__t"),
     )
-    a, c = b.alias("a"), b.alias("b")
-    pairs = (
+    a, c = banded.alias("a"), banded.alias("b")
+    cand = (
         a.join(
             c,
             (F.col("a.__t") == F.col("b.__t")) & (F.col("a.__id") < F.col("b.__id")),
         )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+    vecs = df.select(
+        F.col(id_col).alias("__vid"),
+        F.col(vec_col).alias("__v"),
+        norm(vec_col).alias("__n"),
+    )
+    pairs = (
+        cand.join(vecs, cand["id_a"] == vecs["__vid"])
+        .select("id_a", "id_b", F.col("__v").alias("__va"), F.col("__n").alias("__na"))
+        .join(vecs, F.col("id_b") == vecs["__vid"])
         .select(
-            F.col("a.__id").alias("id_a"),
-            F.col("b.__id").alias("id_b"),
-            F.col("a.__v").alias("__va"),
-            F.col("b.__v").alias("__vb"),
-            (F.col("a.__n") * F.col("b.__n")).alias("__nn"),
+            "id_a",
+            "id_b",
+            (dot("__va", "__v") / (F.col("__na") * F.col("__n"))).alias("__sim"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .select("id_a", "id_b", (dot("__va", "__vb") / F.col("__nn")).alias("__sim"))
     )
     return pairs.where(F.col("__sim") >= threshold).select(
         "id_a", "id_b", F.round("__sim", 6).alias("sim")
