@@ -164,3 +164,30 @@ class TestNormalization:
 
     def test_short_strings_untouched(self, spark):
         assert one(spark, T.normalize_item(F.lit("héllo"))) == "héllo"
+
+
+class TestEdgeCases:
+    def test_topn_n_zero_emits_no_rows(self, spark):
+        """n=0 extraction emits zero rows but doesn't error (reference:
+        sql/add_agg.sql exercises topn(..., 0))."""
+        df = spark.createDataFrame([({"a": 1},)], "m map<string,bigint>")
+        assert T.explode_topn(df, "m", 0, counters=10).count() == 0
+
+    def test_union_of_empty_sketches(self, spark):
+        df = spark.createDataFrame(
+            [({}, {})], "a map<string,bigint>, b map<string,bigint>"
+        )
+        out = df.select(T.topn_union("a", "b", counters=10).alias("u")).collect()[0]["u"]
+        assert out == {}
+
+    def test_union_empty_with_nonempty(self, spark):
+        df = spark.createDataFrame(
+            [({}, {"x": 3})], "a map<string,bigint>, b map<string,bigint>"
+        )
+        out = df.select(T.topn_union("a", "b", counters=10).alias("u")).collect()[0]["u"]
+        assert out == {"x": 3}
+
+    def test_explode_empty_sketch_zero_rows(self, spark):
+        df = spark.createDataFrame([(1, {}), (2, {"a": 1})], "id int, m map<string,bigint>")
+        rows = T.explode_topn(df, "m", 5, keep=["id"], counters=10).collect()
+        assert [(r["id"], r["item"]) for r in rows] == [(2, "a")]
