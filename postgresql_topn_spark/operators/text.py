@@ -43,20 +43,31 @@ def distinct_tokens(text: Column | str) -> Column:
     return F.array_distinct(tokens(text))
 
 
-def token_shingles(text: Column | str, k: int = 3) -> Column:
-    """k-token shingles joined by single spaces; empty when the document
-    has fewer than k tokens."""
-    toks = tokens(text)
-    n = F.size(toks)
+def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """k-token shingles from an ALREADY-MATERIALIZED token array column.
+
+    Hot paths must tokenize into a real column first (one select) and
+    shingle from that: if the token array is an inline expression, the
+    transform lambda re-evaluates it at every ``element_at`` call — k
+    full text splits per shingle (measured ~10x slowdown on the
+    postings scan)."""
+    t = _col(toks)
+    n = F.size(t)
     return F.when(
         n >= k,
         F.transform(
             F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(toks, i + j) for j in range(k)]
-            ),
+            lambda i: F.concat_ws(" ", *[F.element_at(t, i + j) for j in range(k)]),
         ),
     ).otherwise(F.expr("array()").cast("array<string>"))
+
+
+def token_shingles(text: Column | str, k: int = 3) -> Column:
+    """k-token shingles joined by single spaces; empty when the document
+    has fewer than k tokens. Convenience form for one-shot expressions —
+    inside explodes/aggregations prefer a two-step select with
+    :func:`shingles_from_tokens` (see its docstring)."""
+    return shingles_from_tokens(tokens(text), k)
 
 
 def ws_token_count(text: Column | str) -> Column:
