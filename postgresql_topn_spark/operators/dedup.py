@@ -9,12 +9,16 @@ Scale design (100 TB):
   are generated only for documents sharing a shingle (inverted-index
   join), and ultra-frequent shingles can be capped (`max_shingle_df`)
   to bound join fan-out — the standard candidate-pair trick.
-- MinHash+LSH replaces the shared-shingle join with a banded-signature
-  join: O(n x bands) rows shuffle instead of O(n x shingles); candidate
-  pairs are then verified with exact Jaccard so the output precision is
-  1.0 and recall is the LSH probability (1-(1-s^r)^b).
-- SimHash pairs join on 16-bit chunks (pigeonhole: hamming<=3 over 64
+- MinHash+LSH replaces the shared-shingle join with banded-signature
+  buckets: O(n x bands) slim (band, id) rows shuffle instead of
+  O(n x shingles); candidate pairs are then verified with exact Jaccard
+  so the output precision is 1.0 and recall is the LSH probability
+  (1-(1-s^r)^b).
+- SimHash pairs bucket on 16-bit chunks (pigeonhole: hamming<=3 over 64
   bits guarantees one of 4 chunks equal), then filter on bit_count(xor).
+- candidate pairs come from bucket-collect + combination explode, not a
+  key-equality self-join: the self-join form evaluates the signature /
+  sketch subtree twice (see _bucket_pairs).
 
 Everything below is DataFrame/Catalyst composition; the only Python in
 a row path is SimHash's Arrow-batched numpy majority vote, which runs
@@ -35,6 +39,41 @@ from postgresql_topn_spark.functions.sketch import _col
 from postgresql_topn_spark.operators.text import shingles_from_tokens, tokens
 
 MERSENNE_61 = (1 << 61) - 1
+
+
+def _bucket_pairs(keyed: DataFrame, key_cols: list[str], payload: str) -> DataFrame:
+    """(__a, __b) — all unordered within-bucket candidate pairs from an
+    LSH-style (key, payload) bucket table, one row per pair per bucket.
+
+    Bucket-collect + combination explode instead of a key-equality
+    self-join, for one reason that dominates at scale: a self-join
+    evaluates the upstream plan on BOTH sides (Spark does not reuse
+    exchanges across the two sides when the subtree contains a Python
+    stage — observed on the SimHash plan), so signatures/sketches were
+    computed twice. This shape computes the upstream ONCE and shuffles
+    only slim (key, payload) rows into buckets.
+
+    Pair fan-out is quadratic in bucket size either way (a hash
+    self-join also colocates each key in one task), so this loses no
+    skew behavior; `F.slice` keeps each pair generated exactly once
+    (j > i positions only)."""
+    buckets = (
+        keyed.groupBy(*key_cols)
+        .agg(F.collect_list(payload).alias("__m"))
+        .where(F.size("__m") >= 2)
+    )
+    return buckets.select(
+        "__m", F.posexplode("__m").alias("__i", "__a")
+    ).select(
+        "__a",
+        F.explode(
+            F.slice(
+                "__m",
+                F.col("__i") + 2,
+                F.greatest(F.lit(0), F.size("__m") - F.col("__i") - 1),
+            )
+        ).alias("__b"),
+    )
 
 
 def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -208,10 +247,13 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, k=k, seed=seed
     )
+    # one xxhash64 long per band (band index folded in so bands don't
+    # collide with each other) — cheaper to shuffle and group than a
+    # formatted string key; a 64-bit collision only ever ADDS a false
+    # candidate, which the exact-Jaccard rerank filters out.
     band_arr = F.array(
         *[
-            F.concat_ws(
-                ":",
+            F.xxhash64(
                 F.lit(j),
                 *[
                     F.element_at(F.col("__sig"), j * rows_per_band + r + 1)
@@ -221,11 +263,13 @@ def minhash_lsh_pairs(
             for j in range(bands)
         ]
     )
-    banded = sigs.select("__id", F.explode(band_arr).alias("__band"))
-    a, b = banded.alias("a"), banded.alias("b")
+    banded = sigs.select(F.col("__id").alias("__p"), F.explode(band_arr).alias("__band"))
+    cand = _bucket_pairs(banded, ["__band"], "__p")
     candidates = (
-        a.join(b, (F.col("a.__band") == F.col("b.__band")) & (F.col("a.__id") < F.col("b.__id")))
-        .select(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
+        cand.select(
+            F.least("__a", "__b").alias("doc_a"),
+            F.greatest("__a", "__b").alias("doc_b"),
+        )
         .distinct()
     )
     posts = _shingle_postings(df, id_col, text_col, k)
@@ -350,24 +394,18 @@ def simhash_pairs(
         ]
     )
     chunked = sh.select(
-        "__id", "__sh", F.posexplode(chunks).alias("__c", "__v")
+        F.struct("__id", "__sh").alias("__p"),
+        F.posexplode(chunks).alias("__c", "__v"),
     )
-    a, b = chunked.alias("a"), chunked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.__c") == F.col("b.__c"))
-            & (F.col("a.__v") == F.col("b.__v"))
-            & (F.col("a.__id") < F.col("b.__id")),
+    cand = _bucket_pairs(chunked, ["__c", "__v"], "__p")
+    return (
+        cand.select(
+            F.least("__a.__id", "__b.__id").alias("doc_a"),
+            F.greatest("__a.__id", "__b.__id").alias("doc_b"),
+            F.bit_count(
+                F.col("__a.__sh").bitwiseXOR(F.col("__b.__sh"))
+            ).alias("hamming"),
         )
-        .select(
-            F.col("a.__id").alias("doc_a"),
-            F.col("b.__id").alias("doc_b"),
-            F.col("a.__sh").alias("__sha"),
-            F.col("b.__sh").alias("__shb"),
-        )
-        .distinct()
-        .withColumn("hamming", F.bit_count(F.col("__sha").bitwiseXOR(F.col("__shb"))))
         .where(F.col("hamming") <= max_hamming)
+        .distinct()
     )
-    return pairs.select("doc_a", "doc_b", "hamming")
