@@ -104,10 +104,41 @@ def _shingle_postings(
     k: int,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """(id, shingle) inverted index over distinct k-token shingles."""
-    posts = _tokenized(df, id_col, text_col).select(
-        "__id",
-        F.explode(F.array_distinct(shingles_from_tokens("__toks", k))).alias("__sh"),
+    """(__id, __n, __sh) inverted index over distinct k-token shingles.
+
+    Each posting row carries its document's distinct-shingle count __n,
+    so Jaccard denominators need no separate sizes aggregation (which
+    would re-evaluate the tokenize->shingle chain and re-scan the
+    table). The shingle array expression appears twice in the select
+    (size + explode) — both read the materialized __toks column, so the
+    extra cost is one map-side shingle transform, not a second scan.
+
+    With max_shingle_df, hot shingles are dropped from the index but __n
+    keeps the TRUE distinct count: capping affects candidate generation
+    and intersections only, never a document's size, so reported jaccard
+    under capping is a lower bound of the uncapped value."""
+    # The shingle array MUST appear exactly once: naming it twice in the
+    # select (size + explode) lets project collapsing substitute the
+    # token split back into each element_at — re-splitting the text per
+    # shingle element (measured 3.6x on the whole suite query). Binding
+    # it as a one-element-array lambda variable makes every inner
+    # reference (including size) a variable lookup, then one inline()
+    # generates (__sh, __n) rows from the single evaluation.
+    shingles = F.array_distinct(shingles_from_tokens("__toks", k))
+    sh_n = F.element_at(
+        F.transform(
+            F.array(shingles),
+            lambda a: F.transform(
+                a,
+                lambda s: F.struct(
+                    s.alias("__sh"), F.size(a).cast("long").alias("__n")
+                ),
+            ),
+        ),
+        1,
+    )
+    posts = _tokenized(df, id_col, text_col).select("__id", F.inline(sh_n)).select(
+        "__id", "__sh", "__n"
     )
     if max_shingle_df is not None:
         hot = (
@@ -125,30 +156,53 @@ def _exact_jaccard(posts: DataFrame, pairs: DataFrame | None = None) -> DataFram
     candidate-pair DataFrame is given — only for those pairs (the
     intersection join is *driven from* the candidates, so the work is
     O(candidates x doc_size), never the full shared-shingle pair space).
-    Returns (doc_a, doc_b, intersection, union_size, jaccard)."""
-    sizes = posts.groupBy("__id").agg(F.count(F.lit(1)).alias("__n"))
+    Returns (doc_a, doc_b, intersection, union_size, jaccard).
+
+    Sizes ride the posting rows (__n from _shingle_postings), so the
+    all-pairs path is exactly two shuffles — postings into shingle
+    buckets, co-bucket pair rows into per-pair counts — with the
+    tokenize->shingle chain evaluated once and no size joins. (The
+    previous sizes-agg + self-join + two size-joins shape scanned the
+    table 4x.)"""
     if pairs is not None:
-        pa = posts.select(F.col("__id").alias("doc_a"), F.col("__sh"))
-        pb = posts.select(F.col("__id").alias("doc_b"), F.col("__sh"))
+        pa = posts.select(
+            F.col("__id").alias("doc_a"), F.col("__n").alias("__na"), "__sh"
+        )
+        pb = posts.select(
+            F.col("__id").alias("doc_b"), F.col("__n").alias("__nb"), "__sh"
+        )
         inter = (
             pairs.join(pa, "doc_a")
             .join(pb, ["doc_b", "__sh"])
             .groupBy("doc_a", "doc_b")
-            .agg(F.count(F.lit(1)).alias("intersection"))
+            .agg(
+                F.count(F.lit(1)).alias("intersection"),
+                F.first("__na").alias("__na"),
+                F.first("__nb").alias("__nb"),
+            )
         )
     else:
-        a, b = posts.alias("a"), posts.alias("b")
+        keyed = posts.select(F.struct("__id", "__n").alias("__p"), "__sh")
+        cand = _bucket_pairs(keyed, ["__sh"], "__p")
+        swap = F.col("__a.__id") > F.col("__b.__id")
         inter = (
-            a.join(b, (F.col("a.__sh") == F.col("b.__sh")) & (F.col("a.__id") < F.col("b.__id")))
-            .groupBy(F.col("a.__id").alias("doc_a"), F.col("b.__id").alias("doc_b"))
-            .agg(F.count(F.lit(1)).alias("intersection"))
+            cand.select(
+                F.when(swap, F.col("__b.__id")).otherwise(F.col("__a.__id")).alias("doc_a"),
+                F.when(swap, F.col("__a.__id")).otherwise(F.col("__b.__id")).alias("doc_b"),
+                F.when(swap, F.col("__b.__n")).otherwise(F.col("__a.__n")).alias("__na"),
+                F.when(swap, F.col("__a.__n")).otherwise(F.col("__b.__n")).alias("__nb"),
+            )
+            .groupBy("doc_a", "doc_b")
+            .agg(
+                F.count(F.lit(1)).alias("intersection"),
+                F.first("__na").alias("__na"),
+                F.first("__nb").alias("__nb"),
+            )
         )
-    sa = sizes.withColumnRenamed("__id", "doc_a").withColumnRenamed("__n", "__na")
-    sb = sizes.withColumnRenamed("__id", "doc_b").withColumnRenamed("__n", "__nb")
     out = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("union_size", F.col("__na") + F.col("__nb") - F.col("intersection"))
+        inter.withColumn(
+            "union_size", F.col("__na") + F.col("__nb") - F.col("intersection")
+        )
         .withColumn(
             "jaccard",
             F.col("intersection").cast("double") / F.col("union_size").cast("double"),
