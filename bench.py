@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -45,6 +47,21 @@ def main() -> None:
     QUERIES["topn_monthly_event_types"](spark, sf_dir).count()
     for t in ("documents", "embeddings", "lineitem"):
         spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")).count()
+    # ... and the Arrow lane: spin up Python workers / codegen for the
+    # mapInPandas + applyInPandas + scalar-pandas_udf stage shapes the
+    # dedup/ANN operators use, so the first such query isn't charged
+    # one-time daemon startup.
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _incr(s: pd.Series) -> pd.Series:
+        return s + 1
+
+    warm = spark.range(256).mapInPandas(lambda it: it, "id long")
+    warm.groupBy("id").applyInPandas(lambda p: p, "id long").select(
+        _incr(F.col("id"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):

@@ -1,7 +1,8 @@
 """Similarity search over embedding columns (array<float>).
 
-- `cosine_topk`: exact brute-force top-k — broadcast the (small) query
-  set against the corpus scan; one shuffle for the per-query rank. The
+- `cosine_topk`: exact brute-force top-k — the (small) query set rides
+  the task closure against a single corpus scan that emits per-batch
+  partial top-k; the only shuffle is the tiny final per-query rank. The
   correctness baseline.
 - `lsh_topk`: random-hyperplane LSH bucketing — the scale path: corpus
   and queries are bucketed by sign-pattern; candidates come from the
@@ -50,6 +51,87 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
+def _seq_sqnorm(X: "np.ndarray") -> "np.ndarray":
+    """Row-wise squared norms accumulated dimension-sequentially, so each
+    float64 sum performs the identical IEEE additions, in the identical
+    order, as the `F.aggregate` left fold / DuckDB `list_reduce`."""
+    acc = np.zeros(len(X))
+    for j in range(X.shape[1]):
+        acc += X[:, j] * X[:, j]
+    return acc
+
+
+def _seq_dots(Q: "np.ndarray", X: "np.ndarray") -> "np.ndarray":
+    """(n_queries, n_rows) dot products with dimension-sequential
+    accumulation (bit-identical to the sequential left fold; a BLAS
+    matmul would differ by ~1 ulp from its pairwise/blocked summation)."""
+    acc = np.zeros((len(Q), len(X)))
+    for j in range(Q.shape[1]):
+        acc += np.outer(Q[:, j], X[:, j])
+    return acc
+
+
+def _partial_topk_rows(qid_arr, ids, S, k: int):
+    """Per-query top-k rows of a (n_queries, n_batch) score matrix.
+    Comparator matches the final window rank exactly: sim DESC,
+    neighbor id ASC. Excluded candidates carry -inf and are dropped."""
+    out_q, out_n, out_s = [], [], []
+    for i in range(len(qid_arr)):
+        s = S[i]
+        idx = np.nonzero(s > -np.inf)[0]
+        if len(idx) == 0:
+            continue
+        sel = idx[np.lexsort((ids[idx], -s[idx]))][:k]
+        out_q.append(np.full(len(sel), qid_arr[i]))
+        out_n.append(ids[sel])
+        out_s.append(s[sel])
+    if not out_q:
+        return None
+    return (
+        np.concatenate(out_q),
+        np.concatenate(out_n),
+        np.concatenate(out_s),
+    )
+
+
+def _merge_partial_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Final merge of per-batch partial top-k rows: one window rank over
+    ~(batches x k) rows per query. sim is rounded to 6 decimals for
+    cross-engine hash stability; the rank is computed on the unrounded
+    value, ties broken by neighbor id."""
+    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("sim"))
+    )
+
+
+def _collect_queries(queries: DataFrame, id_col: str, vec_col: str):
+    """Materialize the query side to the driver — the same smallness
+    contract as a broadcast join side, made explicit. Returns (ids, Q)."""
+    rows = queries.select(_col(id_col), _col(vec_col)).collect()
+    qids = np.asarray([r[0] for r in rows])
+    Q = (
+        np.asarray([r[1] for r in rows], dtype=np.float64)
+        if rows
+        else np.zeros((0, 0))
+    )
+    return qids, Q
+
+
+def _scored_schema(corpus: DataFrame, queries: DataFrame, id_col: str):
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("query_id", queries.schema[id_col].dataType),
+            StructField("neighbor_id", corpus.schema[id_col].dataType),
+            StructField("__sim", DoubleType()),
+        ]
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,33 +143,44 @@ def cosine_topk(
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query vector.
 
-    `queries` is broadcast (it must be the small side); the corpus scan
-    streams once with no shuffle until the per-query rank. Returns
-    (query_id, neighbor_id, rank, sim) with sim rounded to 6 decimals
-    for cross-engine hash stability (rank is computed on the unrounded
-    value, ties broken by neighbor id)."""
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
-    )
-    joined = c.crossJoin(F.broadcast(q))
-    if not include_self:
-        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id",
-        "neighbor_id",
-        cosine("__qv", "__cv").alias("__sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.desc("__sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("sim"))
-    )
+    Scale shape: the (small) query set rides the task closure like a
+    broadcast; the corpus streams through ONE mapInPandas pass that
+    scores a whole Arrow batch per numpy call and emits only its
+    per-batch top-k — a map-side combiner, so at most k rows per query
+    per batch reach the single (tiny) window-rank shuffle. The corpus
+    itself never shuffles; cost is one scan regardless of corpus size.
+
+    Exactness: sums are accumulated dimension-sequentially
+    (`_seq_dots`/`_seq_sqnorm`), bit-identical to the fold-based
+    `cosine` expression and DuckDB `list_reduce` — oracled queries
+    hash-match. Returns (query_id, neighbor_id, rank, sim) with sim
+    rounded to 6 decimals."""
+    qid_arr, Q = _collect_queries(queries, id_col, vec_col)
+    schema = _scored_schema(corpus, queries, id_col)
+    if len(qid_arr) == 0:
+        return _merge_partial_topk(
+            corpus.sparkSession.createDataFrame([], schema), k
+        )
+    qn = np.sqrt(_seq_sqnorm(Q))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            X = np.asarray(pdf.iloc[:, 1].tolist(), dtype=np.float64)
+            # dot / (norm_q * norm_c): same operand order as cosine()
+            S = _seq_dots(Q, X) / (qn[:, None] * np.sqrt(_seq_sqnorm(X))[None, :])
+            if not include_self:
+                S[qid_arr[:, None] == ids[None, :]] = -np.inf
+            top = _partial_topk_rows(qid_arr, ids, S, k)
+            if top is not None:
+                yield pd.DataFrame(
+                    {"query_id": top[0], "neighbor_id": top[1], "__sim": top[2]}
+                )
+
+    scored = corpus.select(_col(id_col), _col(vec_col)).mapInPandas(score, schema)
+    return _merge_partial_topk(scored, k)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -311,28 +404,6 @@ def _train_ivf_centroids(
     return C
 
 
-def _probe_cells_udf(C, n_probe: int):
-    """pandas UDF: vector -> n_probe nearest centroid ids (array<int>)."""
-    from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.types import ArrayType, IntegerType
-
-    c_sq = np.einsum("ij,ij->i", C, C)
-
-    @pandas_udf(ArrayType(IntegerType()))
-    def _probe(vs: pd.Series) -> pd.Series:
-        # ||x||^2 is constant per row, so -2 x.C + ||c||^2 orders cells
-        # identically to true squared distance; stable sort = cell-id
-        # tie-break
-        if len(vs) == 0:
-            return pd.Series([], dtype=object)
-        X = np.asarray(vs.tolist(), dtype=np.float64)
-        d2 = -2.0 * (X @ C.T) + c_sq
-        order = np.argsort(d2, axis=1, kind="stable")[:, :n_probe].astype(np.int32)
-        return pd.Series(list(order))
-
-    return _probe
-
-
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -350,38 +421,49 @@ def ivf_topk(
     centroids are nearest each query.
 
     Scale shape: training samples the corpus (KMeans on a bounded
-    sample), cell assignment is one map-side pass, and the probe join is
-    corpus-cell x query-probe equi-join — candidates ~ n_probe/n_lists
-    of the corpus instead of all of it. Recall < 1 by construction
-    (pytest recall floor, no SQL oracle).
+    sample); queries + centroids ride the task closure like a broadcast;
+    the corpus streams through ONE mapInPandas pass that assigns each
+    batch to cells, masks candidates to the probed cells (~n_probe /
+    n_lists of the corpus), scores them with a single matmul, and emits
+    per-batch partial top-k — at most k rows per query per batch reach
+    the final window-rank shuffle. The corpus never shuffles. Recall < 1
+    by construction (pytest recall floor, no SQL oracle).
     """
     C = _train_ivf_centroids(corpus, vec_col, n_lists, seed)
-    _probe_cells = _probe_cells_udf(C, n_probe)
-    _assign_cell = _probe_cells_udf(C, 1)
+    c_sq = np.einsum("ij,ij->i", C, C)
+    qid_arr, Q = _collect_queries(queries, id_col, vec_col)
+    schema = _scored_schema(corpus, queries, id_col)
+    if len(qid_arr) == 0:
+        return _merge_partial_topk(
+            corpus.sparkSession.createDataFrame([], schema), k
+        )
+    # per-query probe set as a (n_queries, n_lists) boolean membership
+    # matrix; ||q||^2 is constant per row so -2 q.C + ||c||^2 orders
+    # cells like true squared distance (stable sort = cell-id tie-break)
+    probe = np.argsort(-2.0 * (Q @ C.T) + c_sq, axis=1, kind="stable")[:, :n_probe]
+    probe_mask = np.zeros((len(Q), len(C)), dtype=bool)
+    np.put_along_axis(probe_mask, probe, True, axis=1)
+    qn = np.linalg.norm(Q, axis=1)
 
-    assigned = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        F.element_at(_assign_cell(F.col(vec_col)), 1).alias("__cell"),
-    )
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            X = np.asarray(pdf.iloc[:, 1].tolist(), dtype=np.float64)
+            cells = np.argmin(-2.0 * (X @ C.T) + c_sq, axis=1)
+            S = (Q @ X.T) / (qn[:, None] * np.linalg.norm(X, axis=1)[None, :])
+            S[~probe_mask[:, cells]] = -np.inf
+            if not include_self:
+                S[qid_arr[:, None] == ids[None, :]] = -np.inf
+            top = _partial_topk_rows(qid_arr, ids, S, k)
+            if top is not None:
+                yield pd.DataFrame(
+                    {"query_id": top[0], "neighbor_id": top[1], "__sim": top[2]}
+                )
 
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        F.explode(_probe_cells(F.col(vec_col))).alias("__cell"),
-    )
-    joined = assigned.join(F.broadcast(q), "__cell")
-    if not include_self:
-        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
-    scored = joined.select(
-        "query_id", "neighbor_id", np_cosine("__qv", "__cv").alias("__sim")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("sim"))
-    )
+    scored = corpus.select(_col(id_col), _col(vec_col)).mapInPandas(score, schema)
+    return _merge_partial_topk(scored, k)
 
 
 def embedding_near_dup_pairs(
