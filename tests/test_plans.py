@@ -1,0 +1,118 @@
+"""Physical-plan audits: pin the plan shape each operator was designed
+for, so a regression that would only hurt at cluster scale (an extra
+shuffle, a lost pushdown, a Python stage in a hot path) fails fast at
+test scale. See postgresql_topn_spark/plans/audit.py."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from postgresql_topn_spark.functions.aggregates import topn_add_agg
+from postgresql_topn_spark.plans.audit import (
+    broadcast_exchanges,
+    has_partial_aggregate,
+    hash_shuffles,
+    pushed_filters,
+    python_stages,
+    read_schema,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    from postgresql_topn_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from postgresql_topn_spark.sources.tables import load_table
+
+    return load_table(spark, SF, "embeddings")
+
+
+def test_add_agg_two_shuffles_with_partial_combine(spark):
+    """topn_add_agg = exactly 2 key shuffles: one for the (group, item)
+    count, one for the per-group rank; the final pack groupBy must reuse
+    the window's hash partitioning (a 3rd exchange = regression). The
+    count must partial-aggregate map-side (heavy-hitter inputs collapse
+    before the wire — the reference's parallel-agg combine)."""
+    from postgresql_topn_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    sk = topn_add_agg(li, ["l_returnflag"], "l_linestatus", counters=100)
+    assert hash_shuffles(sk) == 2
+    assert has_partial_aggregate(sk)
+    assert python_stages(sk) == 0
+
+
+def test_cosine_topk_corpus_never_shuffles(emb):
+    """Brute-force ANN: corpus streams through one Python stage; the
+    only key shuffle is the final per-query rank over ~k rows/query."""
+    from postgresql_topn_spark.operators.similarity import cosine_topk
+
+    out = cosine_topk(emb, emb.where(F.col("vec_id") % 100 == 0), k=5)
+    assert hash_shuffles(out) == 1
+    assert python_stages(out) == 1
+
+
+def test_ivf_topk_corpus_never_shuffles(emb):
+    from postgresql_topn_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(emb, emb.where(F.col("vec_id") % 100 == 0), k=5, n_lists=4, n_probe=2)
+    assert hash_shuffles(out) == 1
+    assert python_stages(out) == 1
+
+
+def test_simhash_is_map_side(docs):
+    """SimHash table: one scan, one Python stage, zero key shuffles
+    (the only exchange allowed is the round-robin spread of single-file
+    local scans, which disappears on a real cluster)."""
+    from postgresql_topn_spark.operators.dedup import simhash_table
+
+    sh = simhash_table(docs, "doc_id", "text")
+    assert hash_shuffles(sh) == 0
+    assert python_stages(sh) == 1
+
+
+def test_filter_and_pruning_reach_parquet_scan(spark):
+    """Predicate pushdown + column pruning must reach the scan: a
+    2-column projection that reads all 16 lineitem columns is wrong at
+    any scale."""
+    from postgresql_topn_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    q = li.where(F.col("l_shipdate") >= "1995-01-01").select("l_partkey", "l_shipdate")
+    assert "l_shipdate" in pushed_filters(q)
+    rs = read_schema(q)
+    assert "l_partkey" in rs and "l_extendedprice" not in rs
+
+
+def test_small_dim_join_broadcasts(spark):
+    """A fact-dim equi-join under the broadcast threshold must plan as a
+    broadcast join, not a shuffle of the fact side."""
+    from postgresql_topn_spark.sources.tables import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    part = load_table(spark, SF, "part")
+    j = li.join(part, li["l_partkey"] == part["p_partkey"]).select("l_partkey", "p_name")
+    assert broadcast_exchanges(j) >= 1
+
+
+def test_union_agg_partial_combines(spark):
+    """topn_union_agg's explode->sum must also partial-aggregate before
+    its exchange (merging many sketches map-side)."""
+    from postgresql_topn_spark.functions.aggregates import topn_union_agg
+    from postgresql_topn_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    daily = topn_add_agg(
+        ev, [F.to_date("ts").alias("day")], "event_type", counters=100
+    )
+    merged = topn_union_agg(
+        daily.select(F.lit(1).alias("g"), "topn"), ["g"], "topn", counters=100
+    )
+    assert has_partial_aggregate(merged)
+    assert python_stages(merged) == 0
