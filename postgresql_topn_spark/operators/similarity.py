@@ -297,25 +297,6 @@ def np_cosine(a: Column | str, b: Column | str) -> Column:
     return _cos(_col(a), _col(b))
 
 
-def _banded(
-    df: DataFrame,
-    id_col: str,
-    vec_col: str,
-    out_id: str,
-    dim: int,
-    n_tables: int,
-    n_planes: int,
-    seed: int,
-) -> DataFrame:
-    """(out_id, __tbl, __bkt) — one row per (vector, LSH table)."""
-    return df.select(
-        F.col(id_col).alias(out_id),
-        F.posexplode(np_lsh_buckets(vec_col, dim, n_tables, n_planes, seed)).alias(
-            "__tbl", "__bkt"
-        ),
-    )
-
-
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -330,35 +311,61 @@ def lsh_topk(
     include_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: band corpus + queries into L sign-bucket
-    tables, union candidates across tables, rerank exactly. At scale the
-    per-table bucket equi-join replaces the full cross product; corpus
-    rows are exploded L× but each join is shuffle-free (queries
-    broadcast) and candidates dedupe before the expensive rerank."""
-    # candidate generation moves only (id, band) rows; vectors join back
-    # once per unique (query, neighbor) pair after the dedup
-    c = _banded(corpus, id_col, vec_col, "neighbor_id", dim, n_tables, n_planes, seed)
-    q = _banded(queries, id_col, vec_col, "query_id", dim, n_tables, n_planes, seed)
-    joined = c.join(F.broadcast(q), ["__tbl", "__bkt"])
-    if not include_self:
-        joined = joined.where(F.col("neighbor_id") != F.col("query_id"))
-    cand = joined.select("query_id", "neighbor_id").distinct()
-    cvecs = corpus.select(
-        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__cv")
-    )
-    qvecs = queries.select(
-        F.col(id_col).alias("__qid"), F.col(vec_col).alias("__qv")
-    )
-    scored = (
-        cand.join(cvecs, cand["neighbor_id"] == cvecs["__cid"])
-        .join(F.broadcast(qvecs), F.col("query_id") == qvecs["__qid"])
-        .select("query_id", "neighbor_id", np_cosine("__qv", "__cv").alias("__sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("__sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank", F.round("__sim", 6).alias("sim"))
-    )
+    tables; a pair is a candidate iff it collides in at least one table;
+    candidates are reranked with exact cosine.
+
+    Scale shape: the (small) query side's buckets are computed on the
+    driver and ride the task closure; the corpus streams through ONE
+    mapInPandas pass that buckets each Arrow batch with the same plane
+    matrix (one matmul), masks batch columns to those colliding with
+    any query in some table, scores only the collisions, and emits
+    per-batch partial top-k. The corpus never shuffles and is never
+    exploded L times; candidate semantics (and therefore recall) are
+    identical to the banded equi-join formulation because both sides
+    use the same `_planes_matrix` buckets."""
+    P = _planes_matrix(dim, n_tables, n_planes, seed)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    def buckets_of(X: "np.ndarray") -> "np.ndarray":
+        signs = (X @ P.T) > 0
+        return signs.reshape(len(X), n_tables, n_planes) @ weights  # (n, L)
+
+    qid_arr, Q = _collect_queries(queries, id_col, vec_col)
+    schema = _scored_schema(corpus, queries, id_col)
+    if len(qid_arr) == 0:
+        return _merge_partial_topk(
+            corpus.sparkSession.createDataFrame([], schema), k
+        )
+    QB = buckets_of(Q)  # (nq, L)
+    qn = np.linalg.norm(Q, axis=1)
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            X = np.asarray(pdf.iloc[:, 1].tolist(), dtype=np.float64)
+            XB = buckets_of(X)  # (nb, L)
+            # collision in >= 1 of the L tables -> candidate
+            mask = (QB[:, None, :] == XB[None, :, :]).any(axis=2)  # (nq, nb)
+            if not include_self:
+                mask &= qid_arr[:, None] != ids[None, :]
+            cols = np.nonzero(mask.any(axis=0))[0]
+            if len(cols) == 0:
+                continue
+            Xc = X[cols]
+            S = np.full((len(qid_arr), len(cols)), -np.inf)
+            sub = mask[:, cols]
+            sims = (Q @ Xc.T) / (qn[:, None] * np.linalg.norm(Xc, axis=1)[None, :])
+            S[sub] = sims[sub]
+            top = _partial_topk_rows(qid_arr, ids[cols], S, k)
+            if top is not None:
+                yield pd.DataFrame(
+                    {"query_id": top[0], "neighbor_id": top[1], "__sim": top[2]}
+                )
+
+    scored = corpus.select(_col(id_col), _col(vec_col)).mapInPandas(score, schema)
+    return _merge_partial_topk(scored, k)
 
 
 def _train_ivf_centroids(
