@@ -36,7 +36,10 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from postgresql_topn_spark.functions.sketch import _col
-from postgresql_topn_spark.operators.text import shingles_from_tokens, tokens
+from postgresql_topn_spark.operators.text import (
+    hashed_shingles_from_tokens,
+    tokens,
+)
 
 MERSENNE_61 = (1 << 61) - 1
 
@@ -104,7 +107,10 @@ def _shingle_postings(
     k: int,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """(__id, __n, __sh) inverted index over distinct k-token shingles.
+    """(__id, __n, __sh) inverted index over distinct k-token shingles,
+    keyed by the 64-bit shingle hash: postings shuffle/group/join on
+    longs instead of shingle strings (identical counts up to a
+    ~n^2/2^65 hash collision; see hashed_shingles_from_tokens).
 
     Each posting row carries its document's distinct-shingle count __n,
     so Jaccard denominators need no separate sizes aggregation (which
@@ -124,7 +130,7 @@ def _shingle_postings(
     # it as a one-element-array lambda variable makes every inner
     # reference (including size) a variable lookup, then one inline()
     # generates (__sh, __n) rows from the single evaluation.
-    shingles = F.array_distinct(shingles_from_tokens("__toks", k))
+    shingles = F.array_distinct(hashed_shingles_from_tokens("__toks", k))
     sh_n = F.element_at(
         F.transform(
             F.array(shingles),
@@ -236,9 +242,9 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signatures over k-token shingles: sig_i = min over
-    shingles of (a_i * xxhash64(shingle) + b_i) mod (2^61 - 1). Hash
-    params are derived from a fixed seed so signatures are deterministic
-    across runs/partitions.
+    shingles of (a_i * h(shingle) + b_i) mod (2^61 - 1), where h is the
+    64-bit shingle hash reduced to 32 bits. Hash params are derived from
+    a fixed seed so signatures are deterministic across runs/partitions.
 
     Shape: explode the hashed shingles, then ONE hash aggregation with
     `num_hashes` min() aggregates. Computing the mins as nested
@@ -259,8 +265,8 @@ def minhash_signatures(
         "__id",
         F.explode(
             F.transform(
-                F.array_distinct(shingles_from_tokens("__toks", k)),
-                lambda s: F.pmod(F.xxhash64(s), F.lit(1 << 32)),
+                F.array_distinct(hashed_shingles_from_tokens("__toks", k)),
+                lambda h: F.pmod(h, F.lit(1 << 32)),
             )
         ).alias("__h"),
     )

@@ -62,6 +62,28 @@ def shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
     ).otherwise(F.expr("array()").cast("array<string>"))
 
 
+def hashed_shingles_from_tokens(toks: Column | str, k: int = 3) -> Column:
+    """64-bit shingle identities (array<long>): xxhash64 over each
+    k-token window, from an ALREADY-MATERIALIZED token array column
+    (same caveat as shingles_from_tokens).
+
+    For set-semantics consumers (inverted indexes, distinct counts,
+    Jaccard intersections) the hash IS the shingle: no ' '-joined string
+    is ever built, distinct/joins/shuffles run on longs, and the
+    identity is exact up to a ~n^2/2^65 xxhash64 collision. Tokens
+    contain no whitespace (they come from a \\s+ split), so the
+    multi-arg hash identity equals the joined-string identity."""
+    t = _col(toks)
+    n = F.size(t)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.xxhash64(*[F.element_at(t, i + j) for j in range(k)]),
+        ),
+    ).otherwise(F.expr("array()").cast("array<long>"))
+
+
 def token_shingles(text: Column | str, k: int = 3) -> Column:
     """k-token shingles joined by single spaces; empty when the document
     has fewer than k tokens. Convenience form for one-shot expressions —
