@@ -120,12 +120,41 @@ def topn_add_agg(
     counters = resolve_counters(counters, df.sparkSession)
     gcols = [_col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)]
     gnames = [f"__g{i}" for i in range(len(group_cols))]
-    counted = (
-        df.select(*gcols, normalize_item(item).alias(_ITEM))
-        .groupBy(*gnames, _ITEM)
-        # count(col) skips NULLs: a NULL-item group row survives with 0.
-        .agg(F.count(F.col(_ITEM)).alias(_FREQ))
+    # TEXT-only intake, but WHERE the cast happens is a plan choice:
+    # for types whose string cast is injective (integrals, date, bool)
+    # group on the RAW value and cast per distinct group afterwards —
+    # the count shuffle then carries fixed-width keys instead of
+    # strings and the cast runs once per group, not once per row. The
+    # rank still orders by the post-cast STRING (tie order must match
+    # the string item ordering). Strings themselves must normalize
+    # before grouping (255-byte truncation can merge items).
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
     )
+
+    raw = _col(item)
+    dtype = df.select(raw).schema[0].dataType
+    if isinstance(
+        dtype, (ByteType, ShortType, IntegerType, LongType, DateType, BooleanType)
+    ):
+        counted = (
+            df.select(*gcols, raw.alias(_ITEM))
+            .groupBy(*gnames, _ITEM)
+            # count(col) skips NULLs: a NULL-item group row survives with 0.
+            .agg(F.count(F.col(_ITEM)).alias(_FREQ))
+            .withColumn(_ITEM, F.col(_ITEM).cast("string"))
+        )
+    else:
+        counted = (
+            df.select(*gcols, normalize_item(item).alias(_ITEM))
+            .groupBy(*gnames, _ITEM)
+            .agg(F.count(F.col(_ITEM)).alias(_FREQ))
+        )
     out = _rank_and_pack(counted, gnames, counters, out_col, salt_buckets)
     # restore caller-friendly names for the group columns
     for i, c in enumerate(group_cols):
