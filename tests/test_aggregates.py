@@ -90,6 +90,16 @@ class TestUnionAgg:
         out = topn_union_agg_global(df, "m", counters=10).collect()[0]["topn"]
         assert out == {"a": 3, "b": 3}
 
+    def test_sum_saturates_at_int64_max(self, spark):
+        # aggregate-path saturation (reference: IncreaseItemFrequency,
+        # topn.c:997-1009): merging sketches must clamp, not error/wrap
+        big = (1 << 63) - 1
+        df = spark.createDataFrame(
+            [(1, {"a": big, "b": 1}), (1, {"a": big, "b": 2})], f"g int, m {SKETCH}"
+        )
+        out = T.topn_union_agg(df, ["g"], "m", counters=10).collect()[0]["topn"]
+        assert out == {"a": big, "b": 3}
+
 
 class TestWindowFrame:
     def test_rows_6_preceding_matches_bruteforce(self, spark):
