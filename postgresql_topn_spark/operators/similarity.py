@@ -183,6 +183,64 @@ def cosine_topk(
     return _merge_partial_topk(scored, k)
 
 
+def cosine_pairs_exact(
+    df: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """EXACT all-pairs cosine >= threshold — the correctness baseline the
+    approximate pair generators (LSH banding in
+    `embedding_near_dup_pairs`) are measured against. All-pairs is
+    inherently O(n^2) score work; the shape keeps everything else
+    linear: one side is materialized driver-side and rides the task
+    closure (the explicit-broadcast contract of `cosine_topk`), the
+    corpus streams through ONE mapInPandas pass, sub-threshold pairs die
+    inside numpy, and only surviving (id_a, id_b, sim) rows become Spark
+    rows — no shuffle at all. For corpora past broadcast size, tile the
+    collected side into blocks and union the per-block passes (same
+    plan, B scans); past that, use the LSH operator — that's what it's
+    for. Scores accumulate dimension-sequentially (`_seq_dots`) so the
+    doubles hash-match a DuckDB `list_reduce` oracle; `sim` is rounded
+    to 6 decimals for cross-engine hash stability, with the threshold
+    applied to the unrounded value on both sides."""
+    qid_arr, Q = _collect_queries(df, id_col, vec_col)
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    id_type = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
+            StructField("__sim", DoubleType()),
+        ]
+    )
+    if len(qid_arr) == 0:
+        return df.sparkSession.createDataFrame([], schema).select(
+            "id_a", "id_b", F.round("__sim", 6).alias("sim")
+        )
+    qn = np.sqrt(_seq_sqnorm(Q))
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            X = np.asarray(pdf.iloc[:, 1].tolist(), dtype=np.float64)
+            S = _seq_dots(Q, X) / (qn[:, None] * np.sqrt(_seq_sqnorm(X))[None, :])
+            # each unordered pair is emitted once, from its id_a side
+            keep = (qid_arr[:, None] < ids[None, :]) & (S >= threshold)
+            iq, ix = np.nonzero(keep)
+            if len(iq):
+                yield pd.DataFrame(
+                    {"id_a": qid_arr[iq], "id_b": ids[ix], "__sim": S[iq, ix]}
+                )
+
+    scored = df.select(_col(id_col), _col(vec_col)).mapInPandas(score, schema)
+    return scored.select("id_a", "id_b", F.round("__sim", 6).alias("sim"))
+
+
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
     rng = random.Random(seed)
     planes = []

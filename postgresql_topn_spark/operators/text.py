@@ -155,19 +155,73 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(F.array_join(F.array_sort(distinct_tokens(text)), " "))
 
 
+def _bind(value: Column, body) -> Column:
+    """Evaluate `value` ONCE and pass it to `body` as a lambda variable.
+
+    Naming a big array expression multiple times in one select is a
+    trap: project collapsing substitutes the producing expression into
+    every reference, so e.g. `array_min(slice(hashes, i, w))` inside a
+    per-window transform re-evaluates the whole tokenize->shingle->hash
+    chain per window (measured: the winnow fingerprint at sf0.1 went
+    0.25s -> 434s when its hash array was referenced per-window).
+    `transform(array(x), lam)[1]` makes every inner reference a variable
+    lookup against the single evaluation."""
+    return F.element_at(F.transform(F.array(value), body), 1)
+
+
+def _winnow_mins(hashes: Column, window: int, empty_type: str) -> Column:
+    """Distinct sorted set of per-window minima over a hash array: the
+    winnowing selection rule. Ties inside a window don't matter because
+    the output is the distinct set of minimum VALUES (the rightmost-tie
+    convention in the winnowing paper only affects positions, which we
+    don't emit). Documents with 0 < n < window yield one whole-array
+    window; empty hash arrays yield an empty set."""
+
+    def mins_of(h: Column) -> Column:
+        n = F.size(h)
+        return (
+            F.when(
+                n >= window,
+                F.transform(
+                    F.sequence(F.lit(1), n - (window - 1)),
+                    lambda i: F.array_min(F.slice(h, i, window)),
+                ),
+            )
+            .when(n > 0, F.array(F.array_min(h)))
+            .otherwise(F.expr("array()").cast(f"array<{empty_type}>"))
+        )
+
+    return F.array_sort(F.array_distinct(_bind(hashes, mins_of)))
+
+
 def fingerprint_winnow(text: Column | str, k: int = 3, window: int = 4) -> Column:
-    """Winnowing-style rolling fingerprint: xxhash64 each k-shingle, take
-    the min hash per sliding window of `window` shingles, return the
-    distinct fingerprint set (array<bigint>). Spark-only (xxhash64 has
-    no DuckDB twin) — covered by pytest invariants instead of the SQL
-    oracle."""
-    hashes = F.transform(token_shingles(text, k), lambda s: F.xxhash64(s))
-    n = F.size(hashes)
-    mins = F.when(
-        n >= window,
-        F.transform(
-            F.sequence(F.lit(1), n - (window - 1)),
-            lambda i: F.array_min(F.slice(hashes, i, window)),
+    """Winnowing rolling fingerprint, scale form: xxhash64 each
+    k-shingle, take the min hash per sliding window of `window`
+    shingles, return the distinct fingerprint set (array<bigint>).
+    8-byte longs shuffle/compare cheaper than hex digests, so this is
+    the form to index at 100 TB; xxhash64 has no DuckDB twin, so the
+    SQL-oracled suite query uses :func:`fingerprint_winnow_md5` and this
+    one is covered by pytest invariants."""
+    hashes = _bind(
+        tokens(text),
+        lambda t: F.transform(
+            shingles_from_tokens(t, k), lambda s: F.xxhash64(s)
         ),
-    ).otherwise(F.when(n > 0, F.array(F.array_min(hashes))).otherwise(F.expr("array()").cast("array<bigint>")))
-    return F.array_sort(F.array_distinct(mins))
+    )
+    return _winnow_mins(hashes, window, "bigint")
+
+
+def fingerprint_winnow_md5(text: Column | str, k: int = 3, window: int = 4) -> Column:
+    """Winnowing fingerprints with md5 hex digests as the hash values
+    (array<string>). Same selection rule as fingerprint_winnow, but the
+    per-window minimum is the lexicographic min over lowercase-hex
+    digests — a total order both Spark and ANSI SQL engines share, so
+    the fingerprint SET is reproducible cross-engine and the suite query
+    carries a value-level DuckDB oracle."""
+    hashes = _bind(
+        tokens(text),
+        lambda t: F.transform(
+            shingles_from_tokens(t, k), lambda s: F.md5(s.cast("binary"))
+        ),
+    )
+    return _winnow_mins(hashes, window, "string")

@@ -552,6 +552,36 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, k=5)
 
 
+@_register(
+    "dedup_embedding_exact",
+    """
+    SELECT id_a, id_b, round(sim, 6) AS sim FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_reduce(list_transform(range(1, 65),
+                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
+                         (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ) t WHERE sim >= 0.4
+    """,
+)
+def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT embedding-cosine near-dup pairs (>= 0.4) — the oracled
+    correctness baseline for the LSH pair generator below. One side
+    rides the task closure, the corpus streams through one scoring
+    pass; sub-threshold pairs never become rows. The threshold sits
+    below this fixture's max pairwise cosine (~0.51) so the query
+    returns real pairs."""
+    from postgresql_topn_spark.operators.similarity import cosine_pairs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_pairs_exact(emb, threshold=0.4)
+
+
 @_register("dedup_embedding_near")  # rows-only: LSH recall < 1 by construction
 def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded-LSH candidates +
@@ -566,15 +596,35 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(emb, threshold=0.45, n_tables=16, n_planes=4)
 
 
-@_register("text_winnow")  # rows-only: xxhash64 has no DuckDB twin
+@_register(
+    "text_winnow",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+            list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS hs
+           FROM t),
+    w AS (SELECT doc_id,
+            CASE WHEN len(hs) >= 4
+                 THEN list_transform(range(1, len(hs) - 3 + 1), i -> list_min(hs[i:i+3]))
+                 WHEN len(hs) > 0 THEN [list_min(hs)]
+                 ELSE [] END AS mins
+          FROM sh)
+    SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM w
+    """,
+)
 def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing rolling-hash document fingerprints (plagiarism-style
-    local fingerprinting; min-hash per sliding shingle window)."""
-    from postgresql_topn_spark.operators.text import fingerprint_winnow
+    """Winnowing document fingerprints (plagiarism-style local
+    fingerprinting: min hash per sliding window of 4 3-token shingles),
+    exploded to (doc_id, fp) rows. The md5-digest variant so the
+    fingerprint VALUES are oracle-checked cross-engine; the xxhash64
+    long variant (fingerprint_winnow) is the cheaper form to index at
+    scale and is pytest-covered."""
+    from postgresql_topn_spark.operators.text import fingerprint_winnow_md5
 
     docs = load_table(spark, sf_dir, "documents")
     return docs.select(
-        "doc_id", F.size(fingerprint_winnow("text")).alias("n_fingerprints")
+        "doc_id", F.explode(fingerprint_winnow_md5("text")).alias("fp")
     )
 
 
@@ -735,12 +785,57 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(make_blob_table(docs))
 
 
-@_register("multimodal_feature_ann")  # rows-only: stubbed featurizer + ANN
+@_register(
+    "multimodal_feature_ann",
+    """
+    WITH cps AS (
+      SELECT doc_id,
+             list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS cp
+      FROM documents
+    ),
+    hist AS (
+      SELECT doc_id,
+             list_transform(range(0, 64),
+                            j -> CAST(len(list_filter(cp, c -> c % 64 = j)) AS DOUBLE)) AS h
+      FROM cps
+    ),
+    feat AS (
+      SELECT doc_id,
+             list_transform(h, x -> CAST(x / sqrt(list_reduce(list_transform(h, y -> y * y),
+                                                              (a, b) -> a + b)) AS REAL)) AS emb
+      FROM hist
+    ),
+    q AS (SELECT doc_id AS qid, emb AS qv FROM feat WHERE doc_id % 200 = 0),
+    scored AS (
+      SELECT q.qid AS query_id, c.doc_id AS neighbor_id,
+             list_reduce(list_transform(range(1, 65),
+                         i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE)),
+                         (a, b) -> a + b)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                      i -> CAST(c.emb[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE)), (a, b) -> a + b)))
+             AS sim
+      FROM q, feat c WHERE c.doc_id <> q.qid
+    )
+    SELECT query_id, neighbor_id, "rank", round(sim, 6) AS sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+      FROM scored
+    ) t WHERE "rank" <= 3
+    """,
+)
 def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end multimodal pipeline: blob table -> mapInPandas feature
     extraction (stub featurizer, real Arrow plumbing) -> brute-force
     cosine top-3 over the extracted embeddings. The full
-    decode->embed->search composition a training-data pipeline runs."""
+    decode->embed->search composition a training-data pipeline runs.
+    Oracled end-to-end: the stub featurizer (byte histogram mod 64,
+    L2-normalized, quantized to float32) is a pure function of the
+    payload that ANSI SQL reproduces bit-for-bit — histogram sums are
+    exact integers in float64, so norm/divide/float32-cast round
+    identically — and the cosine stage reuses the sequential-fold
+    contract of ann_cosine_topk."""
     from postgresql_topn_spark.operators.multimodal import (
         extract_features,
         make_blob_table,

@@ -58,6 +58,17 @@ def test_cosine_topk_corpus_never_shuffles(emb):
     assert python_stages(out) == 1
 
 
+def test_exact_pairs_zero_shuffles(emb):
+    """Exact all-pairs cosine: one streaming Python stage, NO shuffle at
+    all — sub-threshold pairs die inside numpy, survivors go straight to
+    the result."""
+    from postgresql_topn_spark.operators.similarity import cosine_pairs_exact
+
+    out = cosine_pairs_exact(emb, threshold=0.4)
+    assert hash_shuffles(out) == 0
+    assert python_stages(out) == 1
+
+
 def test_ivf_topk_corpus_never_shuffles(emb):
     from postgresql_topn_spark.operators.similarity import ivf_topk
 

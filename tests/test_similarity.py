@@ -81,6 +81,52 @@ def test_near_dup_pairs_finds_planted(spark):
     assert (1, 3) not in out
 
 
+def test_exact_pairs_match_python(spark, sf_dir):
+    from postgresql_topn_spark.operators.similarity import cosine_pairs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sub = emb.where(F.col("vec_id") < 80)
+    vecs = {r["vec_id"]: r["embedding"] for r in sub.collect()}
+
+    def cos(a, b):
+        d = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = math.sqrt(sum(float(x) ** 2 for x in a))
+        nb = math.sqrt(sum(float(y) ** 2 for y in b))
+        return d / (na * nb)
+
+    thr = 0.35
+    expected = {
+        (i, j)
+        for i in vecs
+        for j in vecs
+        if i < j and cos(vecs[i], vecs[j]) >= thr
+    }
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_exact(sub, threshold=thr).collect()
+    }
+    assert got == expected and len(expected) > 0
+
+
+def test_lsh_near_dup_subset_of_exact(spark, sf_dir):
+    """The LSH pair generator must be a SUBSET of the exact generator at
+    the same threshold (precision 1.0; recall is the approximate part)."""
+    from postgresql_topn_spark.operators.similarity import cosine_pairs_exact
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in cosine_pairs_exact(emb, threshold=0.45).collect()
+    }
+    approx = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.45, n_tables=16, n_planes=4
+        ).collect()
+    }
+    assert approx <= exact
+
+
 def test_ivf_recall_floor(spark, sf_dir):
     """IVF with n_probe/n_lists = 1/4 of the corpus searched must still
     recover a solid fraction of the true top-5."""

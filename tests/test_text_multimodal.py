@@ -78,6 +78,25 @@ class TestFingerprints:
         fb = set(one(spark, near, X.fingerprint_winnow("text")))
         assert fa & fb  # shared fingerprints for near-dups
 
+    def test_winnow_md5_matches_python_bruteforce(self, spark):
+        import hashlib
+
+        text = "one two three four five six seven eight nine ten"
+        toks = text.split()
+        k, window = 3, 4
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        hashes = [hashlib.md5(s.encode()).hexdigest() for s in shingles]
+        expected = sorted(
+            {min(hashes[i : i + window]) for i in range(len(hashes) - window + 1)}
+        )
+        got = one(spark, text, X.fingerprint_winnow_md5("text"))
+        assert got == expected
+
+    def test_winnow_md5_short_docs(self, spark):
+        # 0 < n_shingles < window -> one whole-array window; < k tokens -> empty
+        assert len(one(spark, "a b c d", X.fingerprint_winnow_md5("text"))) == 1
+        assert one(spark, "a b", X.fingerprint_winnow_md5("text")) == []
+
 
 class TestMultimodal:
     def test_blob_schema_and_meta(self, spark, sf_dir):
