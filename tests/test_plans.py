@@ -112,6 +112,25 @@ def test_small_dim_join_broadcasts(spark):
     assert broadcast_exchanges(j) >= 1
 
 
+def test_no_suite_query_uses_row_at_a_time_python(spark):
+    """Sweep EVERY declared suite query: none may plan a BatchEvalPython
+    node (row-at-a-time Python UDF — the 10-100x-slower lane). Python is
+    allowed only as Arrow-batched stages (MapInPandas / ArrowEvalPython /
+    grouped-map), and only a bounded number of them (the dedup/ANN
+    operators budget 1-2 per query)."""
+    from postgresql_topn_spark.plans.audit import plan_str
+    from postgresql_topn_spark.suite import QUERIES
+
+    for name, fn in QUERIES.items():
+        p = plan_str(fn(spark, SF), "simple")
+        assert "BatchEvalPython" not in p, f"{name} plans a row-at-a-time UDF"
+        n_arrow = sum(
+            p.count(n)
+            for n in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
+        )
+        assert n_arrow <= 3, f"{name} plans {n_arrow} Python stages"
+
+
 def test_union_agg_partial_combines(spark):
     """topn_union_agg's explode->sum must also partial-aggregate before
     its exchange (merging many sketches map-side)."""
