@@ -30,7 +30,6 @@ from pyspark.sql import functions as F
 from postgresql_topn_spark.conf import INT64_MAX, resolve_counters
 from postgresql_topn_spark.functions.sketch import (
     _col,
-    _entry_cmp,
     empty_sketch,
     merge_sketches,
     normalize_item,
@@ -40,6 +39,20 @@ from postgresql_topn_spark.functions.sketch import (
 _ITEM, _FREQ, _RN = "__topn_item", "__topn_freq", "__topn_rn"
 
 
+def _restore_group_names(
+    out: DataFrame, df: DataFrame, group_cols: Sequence[Column | str]
+) -> DataFrame:
+    """Rename the internal __gN group columns back to caller-facing
+    names. String cols need no lookup; Column expressions are resolved
+    in ONE batched select (one analysis round-trip, not one per col)."""
+    col_objs = [_col(c) for c in group_cols if not isinstance(c, str)]
+    resolved = iter(df.select(*col_objs).columns if col_objs else ())
+    for i, c in enumerate(group_cols):
+        name = c if isinstance(c, str) else next(resolved)
+        out = out.withColumnRenamed(f"__g{i}", name)
+    return out
+
+
 def _pack_entries_agg() -> Column:
     """Final per-group packing: collect the (bounded) surviving entries
     into a map, dropping the group-preserving NULL marker rows. Entries
@@ -47,16 +60,16 @@ def _pack_entries_agg() -> Column:
     and therefore its JSON rendering — is deterministic. Empty groups
     (all-NULL items / all-NULL sketches) become ``{}`` like the
     reference's finalizer on a never-initialized state (topn.c:655-661,
-    expected/null_tests.out:35-40)."""
-    entry = F.when(
-        (F.col(_FREQ) > 0) & F.col(_ITEM).isNotNull(),
-        F.struct(F.col(_ITEM).alias("item"), F.col(_FREQ).alias("frequency")),
-    )
-    return F.map_from_entries(
-        F.coalesce(
-            F.array_sort(F.collect_list(entry), _entry_cmp),
-            F.expr("array()").cast("array<struct<item:string,frequency:bigint>>"),
-        )
+    expected/null_tests.out:35-40). One expr-string parse: the Column-API
+    form of this tree cost ~60ms of py4j round-trips per query build."""
+    from postgresql_topn_spark.functions.sketch import ENTRY_CMP_SQL
+
+    return F.expr(
+        "map_from_entries(coalesce(array_sort(collect_list("
+        f"CASE WHEN {_FREQ} > 0 AND {_ITEM} IS NOT NULL "
+        f"THEN named_struct('item', {_ITEM}, 'frequency', {_FREQ}) END), "
+        f"{ENTRY_CMP_SQL}), "
+        "cast(array() as array<struct<item:string,frequency:bigint>>)))"
     )
 
 
@@ -80,19 +93,30 @@ def _rank_and_pack(
     of a hot group on a single reducer. Use when groups can have
     millions of distinct items (100 TB regime); leave None for the
     default two-exchange plan."""
+    # rank expressions as single-parse expr strings (same plan as the
+    # Window-API form; a fraction of the construction round-trips)
+    order_sql = f"ORDER BY {_FREQ} DESC, {_ITEM} ASC NULLS LAST"
     if salt_buckets and salt_buckets > 1:
-        ws = Window.partitionBy(
-            *group_cols, F.pmod(F.xxhash64(F.coalesce(F.col(_ITEM), F.lit(""))), F.lit(salt_buckets))
-        ).orderBy(F.desc(_FREQ), F.asc_nulls_last(_ITEM))
+        salt_part = ", ".join(
+            list(group_cols)
+            + [f"pmod(xxhash64(coalesce({_ITEM}, '')), {salt_buckets})"]
+        )
         counted = (
-            counted.withColumn(_RN, F.row_number().over(ws))
+            counted.withColumn(
+                _RN,
+                F.expr(
+                    f"row_number() OVER (PARTITION BY {salt_part} {order_sql})"
+                ),
+            )
             .where((F.col(_RN) <= counters) | (F.col(_FREQ) <= 0))
             .drop(_RN)
         )
-    w = Window.partitionBy(*group_cols).orderBy(
-        F.desc(_FREQ), F.asc_nulls_last(_ITEM)
+    part_sql = (
+        f"PARTITION BY {', '.join(group_cols)} " if group_cols else ""
     )
-    ranked = counted.withColumn(_RN, F.row_number().over(w))
+    ranked = counted.withColumn(
+        _RN, F.expr(f"row_number() OVER ({part_sql}{order_sql})")
+    )
     # Rows with freq 0 are the NULL-item markers that keep otherwise-empty
     # groups alive (reference: all-NULL group still yields a {} sketch).
     kept = ranked.where((F.col(_RN) <= counters) | (F.col(_FREQ) <= 0))
@@ -138,7 +162,10 @@ def topn_add_agg(
     )
 
     raw = _col(item)
-    dtype = df.select(raw).schema[0].dataType
+    if isinstance(item, str) and item in df.columns:
+        dtype = df.schema[item].dataType  # no extra analysis round-trip
+    else:
+        dtype = df.select(raw).schema[0].dataType
     if isinstance(
         dtype, (ByteType, ShortType, IntegerType, LongType, DateType, BooleanType)
     ):
@@ -156,11 +183,7 @@ def topn_add_agg(
             .agg(F.count(F.col(_ITEM)).alias(_FREQ))
         )
     out = _rank_and_pack(counted, gnames, counters, out_col, salt_buckets)
-    # restore caller-friendly names for the group columns
-    for i, c in enumerate(group_cols):
-        name = c if isinstance(c, str) else df.select(_col(c)).columns[0]
-        out = out.withColumnRenamed(f"__g{i}", name)
-    return out
+    return _restore_group_names(out, df, group_cols)
 
 
 def topn_union_agg(
@@ -203,10 +226,7 @@ def topn_union_agg(
         .alias(_FREQ)
     )
     out = _rank_and_pack(counted, gnames, counters, out_col, salt_buckets)
-    for i, c in enumerate(group_cols):
-        name = c if isinstance(c, str) else df.select(_col(c)).columns[0]
-        out = out.withColumnRenamed(f"__g{i}", name)
-    return out
+    return _restore_group_names(out, df, group_cols)
 
 
 def topn_union_agg_global(

@@ -89,13 +89,36 @@ def _entry_cmp(left: Column, right: Column) -> Column:
     )
 
 
+# SQL-text twin of _entry_cmp, for the expr-string construction paths
+# (one parser round-trip instead of ~30 py4j Column calls; the parsed
+# plan is identical).
+ENTRY_CMP_SQL = (
+    "(l, r) -> CASE WHEN l.frequency > r.frequency THEN -1 "
+    "WHEN l.frequency < r.frequency THEN 1 "
+    "WHEN l.item < r.item THEN -1 "
+    "WHEN l.item > r.item THEN 1 ELSE 0 END"
+)
+
+
+def entries_sorted_sql(map_sql: str) -> str:
+    """SQL text for :func:`sketch_entries` over the map-typed SQL
+    expression *map_sql* — used by the string fast paths to build the
+    whole extraction in one parser call."""
+    return (
+        f"array_sort(transform(map_entries({map_sql}), "
+        "e -> named_struct('item', e.key, 'frequency', e.value)), "
+        f"{ENTRY_CMP_SQL})"
+    )
+
+
 def sketch_entries(sketch: Column | str) -> Column:
     """All entries of a sketch as ``array<struct<item,frequency>>`` sorted
     (frequency DESC, item ASC). The building block for `topn` extraction
     and pruning (reference sort: topn.c:242-243, 817-834)."""
-    m = _col(sketch)
+    if isinstance(sketch, str):
+        return F.expr(entries_sorted_sql(f"`{sketch}`"))
     entries = F.transform(
-        F.map_entries(m),
+        F.map_entries(sketch),
         lambda e: F.struct(e["key"].alias("item"), e["value"].alias("frequency")),
     )
     return F.array_sort(entries, _entry_cmp)
@@ -151,8 +174,12 @@ def explode_topn(
     keep_cols = [_col(c) for c in (keep or [])]
     rec = F.explode(topn_entries(sketch, n, counters)).alias("__rec")
     out = df.select(*keep_cols, rec)
+    if all(isinstance(c, str) for c in (keep or [])):
+        kept_names = list(keep or [])  # known without analyzing the plan
+    else:
+        kept_names = [c for c in out.columns if c != "__rec"]
     return out.select(
-        *[c for c in out.columns if c != "__rec"],
+        *kept_names,
         F.col("__rec.item").alias("item"),
         F.col("__rec.frequency").alias("frequency"),
     )

@@ -36,8 +36,32 @@ TABLE_NAMES = [
 
 DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 
+# Per-session DataFrame cache. The fixture tables are immutable, so the
+# only staleness risk is a stopped SparkSession — hence the cache is
+# keyed by the live session object (weakly, so a replaced session's
+# entries vanish with it rather than aliasing a new one). A cached
+# DataFrame is just a reusable logical plan; this saves the ~0.1s
+# file-listing/schema round-trip every suite query was paying per
+# load_table call.
+import weakref
+
+_CACHE: "weakref.WeakKeyDictionary[SparkSession, dict[tuple[str, str], DataFrame]]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    per_session = _CACHE.setdefault(spark, {})
+    key = (sf_dir, name)
+    cached = per_session.get(key)
+    if cached is not None:
+        return cached
+    df = _load_table_uncached(spark, sf_dir, name)
+    per_session[key] = df
+    return df
+
+
+def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses to
         # read natively; read it as int64 nanos and rebuild a
