@@ -434,6 +434,47 @@ def simhash_table(
     return hashed.mapInPandas(_simhash_batches, out_schema)
 
 
+def _hamming_chunk_pairs(
+    sh: DataFrame, n_bits: int, max_hamming: int
+) -> DataFrame:
+    """(doc_a, doc_b, hamming) pairs with hamming <= max_hamming from a
+    (__id, __sh) SimHash table, via the pigeonhole trick: partition the
+    n_bits into (max_hamming+1) chunks; any pair within distance
+    max_hamming agrees on at least one chunk, so candidates join on
+    (chunk_idx, chunk_value) — never O(n^2). When n_bits doesn't divide
+    evenly the leading chunks take one extra bit, so the chunks still
+    cover every bit (required for the pigeonhole guarantee)."""
+    n_chunks = max_hamming + 1
+    base, extra = divmod(n_bits, n_chunks)
+    # numeric (chunk_idx, chunk_value) join keys — a long pair shuffles
+    # and compares cheaper than a formatted string key
+    chunk_cols, off = [], 0
+    for c in range(n_chunks):
+        width = base + (1 if c < extra else 0)
+        chunk_cols.append(
+            F.shiftright(F.col("__sh"), off)
+            .bitwiseAND(F.lit((1 << width) - 1))
+            .cast("long")
+        )
+        off += width
+    chunked = sh.select(
+        F.struct("__id", "__sh").alias("__p"),
+        F.posexplode(F.array(*chunk_cols)).alias("__c", "__v"),
+    )
+    cand = _bucket_pairs(chunked, ["__c", "__v"], "__p")
+    return (
+        cand.select(
+            F.least("__a.__id", "__b.__id").alias("doc_a"),
+            F.greatest("__a.__id", "__b.__id").alias("doc_b"),
+            F.bit_count(F.col("__a.__sh").bitwiseXOR(F.col("__b.__sh")))
+            .cast("int")
+            .alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_pairs(
     df: DataFrame,
     id_col: str,
@@ -442,36 +483,66 @@ def simhash_pairs(
     max_hamming: int = 3,
     k: int = 3,
 ) -> DataFrame:
-    """Pairs with SimHash hamming distance <= max_hamming, joined via the
-    pigeonhole trick: split the 64-bit hash into (max_hamming+1) chunks;
-    any pair within distance max_hamming agrees on at least one chunk,
-    so candidates join on (chunk_idx, chunk_value) — never O(n^2)."""
-    n_chunks = max_hamming + 1
-    chunk_bits = 64 // n_chunks
+    """Pairs with 64-bit SimHash hamming distance <= max_hamming (the
+    xxhash64 + numpy scale form; see simhash_table)."""
     sh = simhash_table(df, id_col, text_col, k)
-    # numeric (chunk_idx, chunk_value) join keys — a long pair shuffles
-    # and compares cheaper than a formatted string key
-    chunks = F.array(
-        *[
-            F.shiftright(F.col("__sh"), c * chunk_bits)
-            .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-            .cast("long")
-            for c in range(n_chunks)
-        ]
-    )
-    chunked = sh.select(
-        F.struct("__id", "__sh").alias("__p"),
-        F.posexplode(chunks).alias("__c", "__v"),
-    )
-    cand = _bucket_pairs(chunked, ["__c", "__v"], "__p")
+    return _hamming_chunk_pairs(sh, 64, max_hamming)
+
+
+def simhash_md5_table(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """(__id, __sh) — 60-bit SimHash over md5-hashed k-token shingles:
+    the cross-engine-reproducible twin of simhash_table.
+
+    The shingle hash is the first 15 hex chars of md5(shingle) read as a
+    60-bit long — Spark `conv(substr(md5(s),1,15),16,10)` and DuckDB
+    `CAST('0x' || substr(md5(s),1,15) AS BIGINT)` produce the identical
+    integer, so the whole pipeline (hash -> per-bit majority vote ->
+    hamming) is reproducible in ANSI SQL and the suite query carries a
+    value-level oracle. 60 bits (not 64) keeps the value positive in a
+    signed BIGINT on both engines.
+
+    Shape: pure JVM expressions, map-side, no shuffle, no Python stage —
+    one aggregate pass accumulates the 60 per-bit counts, then the
+    majority vote folds them into the hash (measured faster than a
+    filter-per-bit form: 0.42s vs 0.68s warm at sf0.1). Documents with
+    fewer than k tokens have no shingles and are omitted, like
+    simhash_table. For throughput at scale prefer simhash_table; this
+    form exists so SimHash semantics are oracle-checkable."""
+    parts = ", ".join(f"element_at(__toks, i + {j})" for j in range(k))
+    vote = f"""
+    transform(
+      array(array_distinct(transform(
+        sequence(1, size(__toks) - {k - 1}),
+        i -> cast(conv(substr(md5(concat_ws(' ', {parts})), 1, 15), 16, 10) as bigint)))),
+      a -> aggregate(
+        aggregate(a, transform(sequence(0, 59), j -> 0),
+                  (acc, h) -> zip_with(acc, transform(sequence(0, 59),
+                                                      j -> cast(shiftright(h, j) & 1 as int)),
+                                       (x, y) -> x + y),
+                  acc -> zip_with(acc, sequence(0, 59),
+                                  (c, j) -> if(2 * c > size(a),
+                                               shiftleft(cast(1 as bigint), j),
+                                               cast(0 as bigint)))),
+        cast(0 as bigint), (s, b) -> s + b))[0]
+    """
     return (
-        cand.select(
-            F.least("__a.__id", "__b.__id").alias("doc_a"),
-            F.greatest("__a.__id", "__b.__id").alias("doc_b"),
-            F.bit_count(
-                F.col("__a.__sh").bitwiseXOR(F.col("__b.__sh"))
-            ).alias("hamming"),
-        )
-        .where(F.col("hamming") <= max_hamming)
-        .distinct()
+        _tokenized(df, id_col, text_col)
+        .where(F.size("__toks") >= k)
+        .select("__id", F.expr(vote).alias("__sh"))
     )
+
+
+def simhash_md5_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    k: int = 3,
+) -> DataFrame:
+    """Pairs with 60-bit md5-SimHash hamming distance <= max_hamming —
+    the oracle-checkable twin of simhash_pairs (same pigeonhole join)."""
+    sh = simhash_md5_table(df, id_col, text_col, k)
+    return _hamming_chunk_pairs(sh, 60, max_hamming)

@@ -497,12 +497,47 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming <= 3) via the 4-chunk
-    pigeonhole join. Validated by pytest invariants (superset of exact
-    duplicates, symmetry) instead of a SQL oracle."""
+    pigeonhole join — the xxhash64 + numpy scale form. Validated by
+    pytest invariants (superset of exact duplicates, symmetry) plus the
+    value-oracled md5 twin below (dedup_simhash_md5), which pins the
+    SimHash semantics cross-engine."""
     from postgresql_topn_spark.operators.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@_register(
+    "dedup_simhash_md5",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+            list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+              i -> CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT))) AS hs
+           FROM t WHERE len(toks) >= 3),
+    s AS (SELECT doc_id,
+            list_reduce(list_transform(range(0, 60),
+              j -> CASE WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1)) > len(hs)
+                        THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END),
+              (a, b) -> a + b) AS sh
+          FROM sh)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs in the cross-engine-reproducible 60-bit
+    md5 form: the shingle hash (first 15 hex chars of md5 as a long) and
+    the per-bit majority vote are bit-identical in Spark and ANSI SQL,
+    so the full hash -> pigeonhole join -> hamming filter pipeline is
+    value-oracled (the oracle brute-forces all pairs; the Spark side
+    joins on pigeonhole chunks and never materializes O(n^2))."""
+    from postgresql_topn_spark.operators.dedup import simhash_md5_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_md5_pairs(docs, "doc_id", "text", max_hamming=3)
 
 
 @_register(

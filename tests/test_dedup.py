@@ -97,3 +97,24 @@ class TestSimhash:
     def test_hamming_bound_respected(self, spark):
         for r in simhash_pairs(docs_df(spark), "doc_id", "text", max_hamming=3).collect():
             assert r["hamming"] <= 3
+
+    def test_md5_form_same_invariants(self, spark):
+        from postgresql_topn_spark.operators.dedup import (
+            simhash_md5_pairs,
+            simhash_md5_table,
+        )
+
+        sh = {
+            r["__id"]: r["__sh"]
+            for r in simhash_md5_table(docs_df(spark), "doc_id", "text").collect()
+        }
+        assert sh[1] == sh[2]
+        assert all(0 <= v < (1 << 60) for v in sh.values())
+        pairs = {
+            (r["doc_a"], r["doc_b"]): r["hamming"]
+            for r in simhash_md5_pairs(
+                docs_df(spark), "doc_id", "text", max_hamming=3
+            ).collect()
+        }
+        assert pairs.get((1, 2)) == 0
+        assert all(h <= 3 for h in pairs.values())
