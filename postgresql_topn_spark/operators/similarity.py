@@ -18,9 +18,6 @@ same order (`list_reduce`) so value hashes match exactly.
 
 from __future__ import annotations
 
-import math
-import random
-
 import numpy as np
 import pandas as pd
 
@@ -241,13 +238,32 @@ def cosine_pairs_exact(
     return scored.select("id_a", "id_b", F.round("__sim", 6).alias("sim"))
 
 
-def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
-    rng = random.Random(seed)
+def _hyperplanes(
+    dim: int, n_planes: int, seed: int, table: int = 0
+) -> list[list[float]]:
+    """Deterministic md5-derived hyperplanes: component (t, p, d) is
+    md5_60bit('{seed}:{t}:{p}:{d}') / 2^60 - 0.5 — uniform in
+    [-0.5, 0.5), bit-identically recomputable in ANSI SQL
+    (CAST('0x'||substr(md5(...),1,15) AS BIGINT) / 2^60 - 0.5: the
+    int->double conversion and the power-of-two divide round the same
+    way in Python and SQL), which is what lets the LSH suite queries
+    carry value-level DuckDB oracles. Uniform (not Gaussian) components
+    still give a valid sign-hash family — collision probability is
+    monotone in angle — and no normalization is applied: scaling a
+    plane never changes the sign in exact math but DOES change float
+    rounding, so the raw components are used on both engines."""
+    import hashlib
+
     planes = []
-    for _ in range(n_planes):
-        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
-        s = math.sqrt(sum(x * x for x in v)) or 1.0
-        planes.append([x / s for x in v])
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}:{table}:{p}:{d}".encode()).hexdigest()[:15],
+                16,
+            )
+            row.append(h / 2**60 - 0.5)
+        planes.append(row)
     return planes
 
 
@@ -282,7 +298,7 @@ def lsh_tables(
     """
     entries = []
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 7919 * t)
+        planes = _hyperplanes(dim, n_planes, seed, t)
         entries.append(
             F.struct(
                 F.lit(t).alias("table"), lsh_bucket(vec, planes).alias("bucket")
@@ -298,7 +314,7 @@ def _planes_matrix(dim: int, n_tables: int, n_planes: int, seed: int):
 
     rows: list[list[float]] = []
     for t in range(n_tables):
-        rows.extend(_hyperplanes(dim, n_planes, seed + 7919 * t))
+        rows.extend(_hyperplanes(dim, n_planes, seed, t))
     return np.asarray(rows, dtype=np.float64)
 
 
@@ -312,10 +328,10 @@ def np_lsh_buckets(
     `aggregate(zip_with(...))` folds; Spark evaluates higher-order
     lambdas interpreted (outside whole-stage codegen), so that is
     ~L*r*dim interpreted evals per row — measured 5s for 2000 rows at
-    L=16,r=4,dim=64. The matmul is the same math at memory bandwidth,
-    and at cluster scale it's a map-side pass with no shuffle. Bucket
-    values match lsh_tables bit-for-bit except when a projection is
-    within float rounding of 0."""
+    L=16,r=4,dim=64. The numpy form is the same math at memory
+    bandwidth, and at cluster scale it's a map-side pass with no
+    shuffle. Projections accumulate dimension-sequentially, so bucket
+    values match lsh_tables (and the DuckDB oracle fold) bit-for-bit."""
     from pyspark.sql.functions import pandas_udf
     from pyspark.sql.types import ArrayType, LongType
 
@@ -327,7 +343,10 @@ def np_lsh_buckets(
         if len(vs) == 0:
             return pd.Series([], dtype=object)
         X = np.asarray(vs.tolist(), dtype=np.float64)
-        signs = (X @ P.T) > 0  # (B, L*r)
+        # dimension-sequential projections: signs (and therefore bucket
+        # ids) are bit-identical to the SQL list_reduce fold, so the
+        # LSH suite queries can be value-oracled end-to-end
+        signs = _seq_dots(X, P) > 0  # (B, L*r)
         buckets = signs.reshape(len(X), n_tables, n_planes) @ weights
         return pd.Series(list(buckets))
 
@@ -385,7 +404,8 @@ def lsh_topk(
     weights = 1 << np.arange(n_planes, dtype=np.int64)
 
     def buckets_of(X: "np.ndarray") -> "np.ndarray":
-        signs = (X @ P.T) > 0
+        # sequential projections — bit-identical to the SQL oracle fold
+        signs = _seq_dots(X, P) > 0
         return signs.reshape(len(X), n_tables, n_planes) @ weights  # (n, L)
 
     qid_arr, Q = _collect_queries(queries, id_col, vec_col)
@@ -395,7 +415,7 @@ def lsh_topk(
             corpus.sparkSession.createDataFrame([], schema), k
         )
     QB = buckets_of(Q)  # (nq, L)
-    qn = np.linalg.norm(Q, axis=1)
+    qn = np.sqrt(_seq_sqnorm(Q))
 
     def score(batches):
         for pdf in batches:
@@ -414,7 +434,11 @@ def lsh_topk(
             Xc = X[cols]
             S = np.full((len(qid_arr), len(cols)), -np.inf)
             sub = mask[:, cols]
-            sims = (Q @ Xc.T) / (qn[:, None] * np.linalg.norm(Xc, axis=1)[None, :])
+            # same sequential-fold contract as cosine_topk: sims
+            # hash-match the DuckDB list_reduce rerank
+            sims = _seq_dots(Q, Xc) / (
+                qn[:, None] * np.sqrt(_seq_sqnorm(Xc))[None, :]
+            )
             S[sub] = sims[sub]
             top = _partial_topk_rows(qid_arr, ids[cols], S, k)
             if top is not None:
@@ -594,8 +618,13 @@ def embedding_near_dup_pairs(
         order = np.argsort(ids, kind="stable")
         ids = ids[order]
         X = np.asarray(pdf["__v"].to_numpy()[order].tolist(), dtype=np.float64)
-        X /= np.linalg.norm(X, axis=1, keepdims=True)
-        S = X @ X.T
+        # dot / (norm_a * norm_b) with sequential accumulation — the
+        # sims are bit-identical across tables AND to the DuckDB
+        # list_reduce oracle (see cosine_topk), so the cross-table
+        # dedupe below is over identical values and the suite query
+        # carries a value-level oracle
+        nrm = np.sqrt(_seq_sqnorm(X))
+        S = _seq_dots(X, X) / (nrm[:, None] * nrm[None, :])
         iu, ju = np.triu_indices(m, k=1)
         keep = S[iu, ju] >= threshold
         return pd.DataFrame(

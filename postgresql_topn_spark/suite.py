@@ -575,11 +575,70 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(emb, queries, k=5)
 
 
-@_register("ann_lsh_topk")  # rows-only: approximate by construction
+def _lsh_planes_bk_sql(n_tables: int, n_planes: int, seed: int) -> str:
+    """DuckDB CTE fragment computing every vector's per-table LSH sign
+    bucket with the same md5-derived planes and the same sequential
+    float fold as operators/similarity.py (_hyperplanes / _seq_dots) —
+    bit-identical buckets, so the approximate queries below are
+    value-oracled end-to-end (the oracle replays the same algorithm,
+    not an exact stand-in)."""
+    return f"""
+    planes AS (
+      SELECT t, p, list_transform(range(0, 64),
+        d -> (CAST(concat('0x', substr(md5('{seed}:' || CAST(t AS VARCHAR) || ':' ||
+                   CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              / 1152921504606846976.0) - 0.5) AS pl
+      FROM range(0, {n_tables}) r1(t), range(0, {n_planes}) r2(p)
+    ),
+    bk AS (
+      SELECT e.vec_id, p.t,
+             SUM(CASE WHEN list_reduce(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * p.pl[i]), (a, b) -> a + b) > 0
+                 THEN (1 << p.p) ELSE 0 END) AS bucket
+      FROM embeddings e, planes p
+      GROUP BY 1, 2
+    )"""
+
+
+_COS_AB = """
+         list_reduce(list_transform(range(1, 65),
+             i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)
+         / (sqrt(list_reduce(list_transform(range(1, 65),
+              i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+            * sqrt(list_reduce(list_transform(range(1, 65),
+              i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
+"""
+
+
+@_register(
+    "ann_lsh_topk",
+    f"""
+    WITH {_lsh_planes_bk_sql(12, 4, 7)},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_COS_AB} AS sim
+      FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+                JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, "rank", round(sim, 6) AS sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+      FROM scored
+    ) t WHERE "rank" <= 5
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed top-k (the scale path): recall < 1 by
-    construction, so correctness is a pytest recall floor vs the exact
-    brute force, not a SQL oracle."""
+    """Hyperplane-LSH bucketed top-k (the scale path). Recall < 1 vs
+    brute force by construction (pytest enforces a floor), but the
+    OUTPUT is deterministic: planes are md5-derived and projections /
+    sims fold dimension-sequentially, so the DuckDB oracle replays the
+    identical bucket -> candidate -> rerank pipeline and the result is
+    value-hash-checked like any exact query."""
     from postgresql_topn_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -617,14 +676,33 @@ def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_pairs_exact(emb, threshold=0.4)
 
 
-@_register("dedup_embedding_near")  # rows-only: LSH recall < 1 by construction
+@_register(
+    "dedup_embedding_near",
+    f"""
+    WITH {_lsh_planes_bk_sql(16, 4, 7)},
+    cand AS (
+      SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
+      FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
+      WHERE x.vec_id < y.vec_id
+    ),
+    scored AS (
+      SELECT cand.id_a, cand.id_b, {_COS_AB} AS sim
+      FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
+                JOIN embeddings b ON b.vec_id = cand.id_b
+    )
+    SELECT id_a, id_b, round(sim, 6) AS sim FROM scored WHERE sim >= 0.45
+    """,
+)
 def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded-LSH candidates +
     exact rerank. The synthetic embeddings have no planted near-dups
     (max pairwise cosine ~0.51), so the threshold is set at 0.45 with a
-    wide band config (16 tables x 4 planes => ~97% candidate recall at
-    cos 0.5) to exercise the full pipeline. Validated by pytest
-    invariants (subset of brute-force pairs, exact cosine values)."""
+    wide band config (16 tables x 4 planes) to exercise the full
+    pipeline. Recall vs the exact baseline is < 1 by construction, but
+    the output itself is deterministic (md5-derived planes, sequential
+    folds), so the DuckDB oracle replays the same bucket -> candidate ->
+    rerank algorithm and value-hash-checks the result; pytest adds the
+    subset-of-exact invariant."""
     from postgresql_topn_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
