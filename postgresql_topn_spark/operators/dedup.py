@@ -444,23 +444,39 @@ def _hamming_chunk_pairs(
     (chunk_idx, chunk_value) — never O(n^2). When n_bits doesn't divide
     evenly the leading chunks take one extra bit, so the chunks still
     cover every bit (required for the pigeonhole guarantee)."""
+    from postgresql_topn_spark.operators.text import _bind
+
     n_chunks = max_hamming + 1
     base, extra = divmod(n_bits, n_chunks)
     # numeric (chunk_idx, chunk_value) join keys — a long pair shuffles
-    # and compares cheaper than a formatted string key
-    chunk_cols, off = [], 0
-    for c in range(n_chunks):
-        width = base + (1 if c < extra else 0)
-        chunk_cols.append(
-            F.shiftright(F.col("__sh"), off)
-            .bitwiseAND(F.lit((1 << width) - 1))
-            .cast("long")
-        )
-        off += width
-    chunked = sh.select(
-        F.struct("__id", "__sh").alias("__p"),
-        F.posexplode(F.array(*chunk_cols)).alias("__c", "__v"),
-    )
+    # and compares cheaper than a formatted string key. The whole
+    # per-row output is built inside ONE _bind lambda: the naive form
+    # (struct + n_chunks shift expressions each naming __sh) lets
+    # project collapsing substitute the hash-producing tree into every
+    # reference — for the expression-computed md5 SimHash that meant
+    # ~5x re-evaluation of the md5+vote pipeline (measured 14.4s vs
+    # ~3s at sf0.1; the numpy form was shielded by its mapInPandas
+    # barrier).
+    def chunk_rows(s: Column) -> Column:
+        rows, off = [], 0
+        for c in range(n_chunks):
+            width = base + (1 if c < extra else 0)
+            rows.append(
+                F.struct(
+                    F.struct(F.col("__id").alias("__id"), s.alias("__sh")).alias(
+                        "__p"
+                    ),
+                    F.lit(c).alias("__c"),
+                    F.shiftright(s, off)
+                    .bitwiseAND(F.lit((1 << width) - 1))
+                    .cast("long")
+                    .alias("__v"),
+                )
+            )
+            off += width
+        return F.array(*rows)
+
+    chunked = sh.select(F.inline(_bind(F.col("__sh"), chunk_rows)))
     cand = _bucket_pairs(chunked, ["__c", "__v"], "__p")
     return (
         cand.select(
@@ -527,11 +543,14 @@ def simhash_md5_table(
                                                cast(0 as bigint)))),
         cast(0 as bigint), (s, b) -> s + b))[0]
     """
-    return (
-        _tokenized(df, id_col, text_col)
-        .where(F.size("__toks") >= k)
-        .select("__id", F.expr(vote).alias("__sh"))
-    )
+    toks = _tokenized(df, id_col, text_col).where(F.size("__toks") >= k)
+    # parallelize single-row-group local files before the (per-row
+    # expensive) md5+vote projection; at cluster scale the scan already
+    # has >= defaultParallelism splits and no shuffle is added
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if toks.rdd.getNumPartitions() < target:
+        toks = toks.repartition(target)
+    return toks.select("__id", F.expr(vote).alias("__sh"))
 
 
 def simhash_md5_pairs(
