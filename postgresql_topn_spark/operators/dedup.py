@@ -100,40 +100,34 @@ def exact_dedup(
     )
 
 
-def _shingle_postings(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    k: int,
+def _postings(
+    base: DataFrame,
+    grams: Column,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """(__id, __n, __sh) inverted index over distinct k-token shingles,
-    keyed by the 64-bit shingle hash: postings shuffle/group/join on
-    longs instead of shingle strings (identical counts up to a
-    ~n^2/2^65 hash collision; see hashed_shingles_from_tokens).
+    """(__id, __n, __sh) inverted index over a distinct 64-bit gram-hash
+    array expression evaluated against `base` (which must carry __id):
+    postings shuffle/group/join on longs instead of gram strings
+    (identical counts up to a ~n^2/2^65 hash collision).
 
-    Each posting row carries its document's distinct-shingle count __n,
-    so Jaccard denominators need no separate sizes aggregation (which
-    would re-evaluate the tokenize->shingle chain and re-scan the
-    table). The shingle array expression appears twice in the select
-    (size + explode) — both read the materialized __toks column, so the
-    extra cost is one map-side shingle transform, not a second scan.
+    Each posting row carries its document's distinct-gram count __n, so
+    Jaccard denominators need no separate sizes aggregation (which would
+    re-evaluate the gram chain and re-scan the table).
 
-    With max_shingle_df, hot shingles are dropped from the index but __n
+    With max_shingle_df, hot grams are dropped from the index but __n
     keeps the TRUE distinct count: capping affects candidate generation
     and intersections only, never a document's size, so reported jaccard
     under capping is a lower bound of the uncapped value."""
-    # The shingle array MUST appear exactly once: naming it twice in the
+    # The gram array MUST appear exactly once: naming it twice in the
     # select (size + explode) lets project collapsing substitute the
-    # token split back into each element_at — re-splitting the text per
-    # shingle element (measured 3.6x on the whole suite query). Binding
-    # it as a one-element-array lambda variable makes every inner
-    # reference (including size) a variable lookup, then one inline()
-    # generates (__sh, __n) rows from the single evaluation.
-    shingles = F.array_distinct(hashed_shingles_from_tokens("__toks", k))
+    # producing chain into each reference (measured 3.6x on the whole
+    # suite query for token shingles). Binding it as a one-element-array
+    # lambda variable makes every inner reference (including size) a
+    # variable lookup, then one inline() generates (__sh, __n) rows
+    # from the single evaluation.
     sh_n = F.element_at(
         F.transform(
-            F.array(shingles),
+            F.array(grams),
             lambda a: F.transform(
                 a,
                 lambda s: F.struct(
@@ -143,9 +137,7 @@ def _shingle_postings(
         ),
         1,
     )
-    posts = _tokenized(df, id_col, text_col).select("__id", F.inline(sh_n)).select(
-        "__id", "__sh", "__n"
-    )
+    posts = base.select("__id", F.inline(sh_n)).select("__id", "__sh", "__n")
     if max_shingle_df is not None:
         hot = (
             posts.groupBy("__sh")
@@ -155,6 +147,115 @@ def _shingle_postings(
         )
         posts = posts.join(F.broadcast(hot), "__sh", "left_anti")
     return posts
+
+
+def _shingle_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Token-shingle postings: _postings over the 64-bit xxhash64
+    k-token-window hashes (see hashed_shingles_from_tokens)."""
+    return _postings(
+        _tokenized(df, id_col, text_col),
+        F.array_distinct(hashed_shingles_from_tokens("__toks", k)),
+        max_shingle_df,
+    )
+
+
+def _char_ngram_postings(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    max_gram_df: int | None = None,
+) -> DataFrame:
+    """Character n-gram postings: _postings over xxhash64 of each
+    n-char substring (character-based positions, so Unicode texts gram
+    identically in Spark and ANSI SQL substr)."""
+    base = df.select(_col(id_col).alias("__id"), _col(text_col).alias("__txt"))
+    # parallelize single-row-group local files before the per-row
+    # expensive gram+hash projection (which downstream consumers
+    # evaluate several times); no-op at cluster scale where the scan
+    # already has >= defaultParallelism splits
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < target:
+        base = base.repartition(target)
+    grams = F.array_distinct(
+        F.when(
+            F.char_length("__txt") >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.char_length("__txt") - (n - 1)),
+                lambda i: F.xxhash64(F.substring(F.col("__txt"), i, F.lit(n))),
+            ),
+        ).otherwise(F.expr("array()").cast("array<long>"))
+    )
+    return _postings(base, grams, max_gram_df)
+
+
+def _prefix_candidates(posts: DataFrame, threshold: float) -> DataFrame:
+    """EXACT prefix-filter candidate pairs (doc_a < doc_b) for Jaccard
+    >= threshold over a postings index — the AllPairs/PPJoin principle:
+    with every document's gram set sorted by one global (document
+    frequency, gram) order, any pair with Jaccard >= t must share a
+    gram inside BOTH sides' (|d| - ceil(t*|d|) + 1)-prefixes (their
+    rarest grams). Only prefixes are indexed, so ubiquitous grams — a
+    5-char gram like ' the ' occurs in every document and makes a full
+    inverted index quadratic in the corpus — fall outside the prefixes
+    and never generate a bucket. This keeps the threshold join exact
+    (unlike capping hot grams, which silently lowers reported jaccard)
+    while collapsing the candidate space; the standard exact
+    set-similarity-join shape for corpora where gram frequencies are
+    Zipfian.
+
+    Cost: one gram-frequency aggregation, one join to rank grams, one
+    per-doc sort — all shuffle-parallel on slim (id, hash) rows. The
+    ceil is computed on t*n - 1e-9: float rounding may only LENGTHEN a
+    prefix (extra candidates), never shorten it (missed pairs)."""
+    dfreq = posts.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = posts.join(dfreq, "__sh")
+    plen = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    prefix = (
+        ranked.groupBy("__id", "__n")
+        .agg(F.array_sort(F.collect_list(F.struct("__df", "__sh"))).alias("__g"))
+        .select(
+            F.col("__id").alias("__p"),
+            F.explode(F.slice("__g", F.lit(1), plen)).alias("__e"),
+        )
+        .select("__p", F.col("__e.__sh").alias("__sh"))
+    )
+    cand = _bucket_pairs(prefix, ["__sh"], "__p")
+    return cand.select(
+        F.least("__a", "__b").alias("doc_a"),
+        F.greatest("__a", "__b").alias("doc_b"),
+    ).distinct()
+
+
+def char_ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.7,
+    n: int = 5,
+) -> DataFrame:
+    """All document pairs with character-n-gram Jaccard >= threshold —
+    exact, via prefix-filter candidate generation (_prefix_candidates)
+    + full-intersection verification. Character grams catch near-dups
+    that token shingles miss when tokenization differs (whitespace
+    runs, punctuation edits), but are far hotter than token shingles,
+    so the full-index join of jaccard_pairs would be quadratic here;
+    the prefix filter is what makes char-gram similarity joinable at
+    corpus scale."""
+    posts = _char_ngram_postings(df, id_col, text_col, n)
+    cand = _prefix_candidates(posts, threshold)
+    return _exact_jaccard(posts, pairs=cand).where(F.col("jaccard") >= threshold)
 
 
 def _exact_jaccard(posts: DataFrame, pairs: DataFrame | None = None) -> DataFrame:

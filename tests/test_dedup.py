@@ -98,6 +98,39 @@ class TestSimhash:
         for r in simhash_pairs(docs_df(spark), "doc_id", "text", max_hamming=3).collect():
             assert r["hamming"] <= 3
 
+    def test_char_ngram_prefix_filter_exact(self, spark):
+        """Prefix-filter candidates must lose NO qualifying pair: the
+        char-ngram join equals a brute-force all-pairs gram Jaccard."""
+        from itertools import combinations
+
+        from postgresql_topn_spark.operators.dedup import (
+            char_ngram_jaccard_pairs,
+        )
+
+        rows = docs_df(spark).collect()
+        n, t = 8, 0.5
+
+        def grams(s):
+            return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+        expected = set()
+        for (ia, ta), (ib, tb) in combinations(
+            [(r["doc_id"], r["text"]) for r in rows], 2
+        ):
+            ga, gb = grams(ta), grams(tb)
+            if not ga or not gb:
+                continue
+            j = len(ga & gb) / len(ga | gb)
+            if j >= t:
+                expected.add((min(ia, ib), max(ia, ib)))
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in char_ngram_jaccard_pairs(
+                docs_df(spark), "doc_id", "text", threshold=t, n=n
+            ).collect()
+        }
+        assert got == expected
+
     def test_md5_form_same_invariants(self, spark):
         from postgresql_topn_spark.operators.dedup import (
             simhash_md5_pairs,
