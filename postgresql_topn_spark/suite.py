@@ -427,6 +427,33 @@ def topn_sketch_tier2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_topn(sk, "topn", 5, keep=["yr"], counters=100_000)
 
 
+@_register(
+    "topn_salted_skew",
+    """
+    SELECT l_returnflag, item, frequency FROM (
+      SELECT l_returnflag, CAST(l_orderkey AS VARCHAR) AS item, COUNT(*) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY COUNT(*) DESC, CAST(l_orderkey AS VARCHAR) ASC) AS rn
+      FROM lineitem GROUP BY 1, 2
+    ) t WHERE rn <= 5
+    """,
+)
+def topn_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topn_add_agg through the lossless salted two-level rank
+    (salt_buckets=8): with few groups and many distinct items per group
+    (here: order keys per returnflag), a single per-group window rank
+    concentrates all of a group's items in one task; salting first
+    ranks within (group, hash(item) % 8) and keeps top-counters per
+    salt, then re-ranks the survivors — per-task work drops ~8x with
+    identical results (any true top-counters item is also top-counters
+    within its salt bucket), so the exact oracle is unchanged."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = topn_add_agg(
+        li, ["l_returnflag"], "l_orderkey", counters=C, salt_buckets=8
+    )
+    return explode_topn(sk, "topn", 5, keep=["l_returnflag"], counters=C)
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline operators (beyond the reference surface)
 # ---------------------------------------------------------------------------
