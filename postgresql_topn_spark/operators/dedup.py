@@ -165,34 +165,85 @@ def _shingle_postings(
     )
 
 
-def _char_ngram_postings(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    n: int,
-    max_gram_df: int | None = None,
+def _char_gram_arrays(
+    df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:
-    """Character n-gram postings: _postings over xxhash64 of each
-    n-char substring (character-based positions, so Unicode texts gram
-    identically in Spark and ANSI SQL substr)."""
-    base = df.select(_col(id_col).alias("__id"), _col(text_col).alias("__txt"))
-    # parallelize single-row-group local files before the per-row
-    # expensive gram+hash projection (which downstream consumers
-    # evaluate several times); no-op at cluster scale where the scan
-    # already has >= defaultParallelism splits
+    """(__id, __g, __n) — per document with >= n characters, the array
+    of DISTINCT 64-bit character-n-gram hashes and its length.
+
+    The gram hash is a degree-n rolling polynomial over code points —
+    an injective-in-practice stand-in for the substrings themselves
+    (Jaccard over the hashes equals Jaccard over the grams up to a
+    ~pairs/2^64 collision; the DuckDB oracle computes the identical
+    Jaccard over raw substrings, so any collision would surface as a
+    hash mismatch). Computed in ONE Arrow-batched numpy stage, O(len)
+    per document: the expression-tree form (transform(sequence(...),
+    i -> xxhash64(substring(txt, i, n)))) is O(len * n) with O(position)
+    UTF8String char-position scans inside — measured 2.3s vs ~0.4s for
+    this kernel on the sf0.1 documents table. Same map-side, no-shuffle
+    shape as the SimHash kernel (simhash_table)."""
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    base = df.select(
+        _col(id_col).alias("__id"), _col(text_col).alias("__txt")
+    ).where(F.char_length(text_col) >= n)
+    # parallelize single-row-group local files; no-op at cluster scale
+    # where the scan already has >= defaultParallelism splits
     target = df.sparkSession.sparkContext.defaultParallelism
     if base.rdd.getNumPartitions() < target:
         base = base.repartition(target)
-    grams = F.array_distinct(
-        F.when(
-            F.char_length("__txt") >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.char_length("__txt") - (n - 1)),
-                lambda i: F.xxhash64(F.substring(F.col("__txt"), i, F.lit(n))),
-            ),
-        ).otherwise(F.expr("array()").cast("array<long>"))
+    out_schema = StructType(
+        [
+            base.schema["__id"],
+            StructField("__g", ArrayType(LongType())),
+            StructField("__n", LongType()),
+        ]
     )
-    return _postings(base, grams, max_gram_df)
+    # odd multiplier => bijective step mod 2^64 (Rabin-Karp style)
+    mult = np.uint64(0x9E3779B97F4A7C15)
+
+    def _gram_batches(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            arrs = [
+                np.frombuffer(t.encode("utf-32-le"), dtype="<u4").astype(
+                    np.uint64
+                )
+                for t in pdf["__txt"]
+            ]
+            ndocs = len(arrs)
+            lens = np.fromiter((a.size for a in arrs), np.int64, ndocs)
+            flat = np.concatenate(arrs)
+            nw = flat.size - (n - 1)  # >= 1: every doc has >= n chars
+            doc_of = np.repeat(np.arange(ndocs), lens)
+            with np.errstate(over="ignore"):
+                sh = np.zeros(nw, dtype=np.uint64)
+                for j in range(n):
+                    sh = sh * mult + flat[j : nw + j]
+            valid = doc_of[:nw] == doc_of[n - 1 :]  # window within one doc
+            sh, seg = sh[valid], doc_of[:nw][valid]
+            order = np.lexsort((sh, seg))
+            sh, seg = sh[order], seg[order]
+            keep = np.ones(sh.size, dtype=bool)  # distinct per doc
+            keep[1:] = (seg[1:] != seg[:-1]) | (sh[1:] != sh[:-1])
+            sh, seg = sh[keep], seg[keep]
+            counts = np.bincount(seg, minlength=ndocs)
+            splits = np.split(sh.view(np.int64), np.cumsum(counts)[:-1])
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"].to_numpy(),
+                    "__g": splits,
+                    "__n": counts.astype(np.int64),
+                }
+            )
+
+    return base.mapInPandas(_gram_batches, out_schema)
 
 
 def _prefix_candidates(posts: DataFrame, threshold: float) -> DataFrame:
@@ -210,12 +261,17 @@ def _prefix_candidates(posts: DataFrame, threshold: float) -> DataFrame:
     set-similarity-join shape for corpora where gram frequencies are
     Zipfian.
 
-    Cost: one gram-frequency aggregation, one join to rank grams, one
-    per-doc sort — all shuffle-parallel on slim (id, hash) rows. The
-    ceil is computed on t*n - 1e-9: float rounding may only LENGTHEN a
-    prefix (extra candidates), never shorten it (missed pairs)."""
-    dfreq = posts.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
-    ranked = posts.join(dfreq, "__sh")
+    Cost: one shuffle on the gram hash (document frequency via window
+    count — no separate aggregation + join, which would evaluate the
+    postings subtree twice), one per-doc sort — all shuffle-parallel on
+    slim (id, hash) rows. The ceil is computed on t*n - 1e-9: float
+    rounding may only LENGTHEN a prefix (extra candidates), never
+    shorten it (missed pairs)."""
+    from pyspark.sql.window import Window
+
+    ranked = posts.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+    )
     plen = (
         F.col("__n")
         - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
@@ -252,10 +308,67 @@ def char_ngram_jaccard_pairs(
     runs, punctuation edits), but are far hotter than token shingles,
     so the full-index join of jaccard_pairs would be quadratic here;
     the prefix filter is what makes char-gram similarity joinable at
-    corpus scale."""
-    posts = _char_ngram_postings(df, id_col, text_col, n)
+    corpus scale.
+
+    Verification joins the candidate pairs back to the PER-DOC gram
+    arrays and intersects them JVM-side (array_intersect inside
+    whole-stage codegen): each candidate pair is one slim row carrying
+    two arrays, instead of the posting-level join whose intermediate is
+    O(candidates x grams-per-doc) rows (measured 8M intermediate rows
+    for 29k candidates at sf0.1). The pair set is unpivoted to
+    (pair, role, doc) and joined to the gram table ONCE, then re-paired
+    with first(when(role)) — two separate a-side/b-side joins would
+    evaluate the gram kernel twice; the union's two branches share the
+    candidate distinct-exchange (reused, since they differ only in
+    projections above it), keeping the whole query at two kernel
+    evaluations: the prefix-index chain and this one."""
+    garr = _char_gram_arrays(df, id_col, text_col, n)
+    posts = garr.select("__id", F.explode("__g").alias("__sh"), "__n")
     cand = _prefix_candidates(posts, threshold)
-    return _exact_jaccard(posts, pairs=cand).where(F.col("jaccard") >= threshold)
+    tagged = cand.select(
+        "doc_a", "doc_b", F.col("doc_a").alias("__d"), F.lit(0).alias("__r")
+    ).unionByName(
+        cand.select(
+            "doc_a", "doc_b", F.col("doc_b").alias("__d"), F.lit(1).alias("__r")
+        )
+    )
+    sides = tagged.join(garr, tagged["__d"] == garr["__id"])
+    return (
+        sides.groupBy("doc_a", "doc_b")
+        .agg(
+            F.first(
+                F.when(F.col("__r") == 0, F.col("__g")), ignorenulls=True
+            ).alias("__ga"),
+            F.first(
+                F.when(F.col("__r") == 0, F.col("__n")), ignorenulls=True
+            ).alias("__na"),
+            F.first(
+                F.when(F.col("__r") == 1, F.col("__g")), ignorenulls=True
+            ).alias("__gb"),
+            F.first(
+                F.when(F.col("__r") == 1, F.col("__n")), ignorenulls=True
+            ).alias("__nb"),
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.size(F.array_intersect("__ga", "__gb"))
+            .cast("long")
+            .alias("intersection"),
+            "__na",
+            "__nb",
+        )
+        .withColumn(
+            "union_size", F.col("__na") + F.col("__nb") - F.col("intersection")
+        )
+        .withColumn(
+            "jaccard",
+            F.col("intersection").cast("double")
+            / F.col("union_size").cast("double"),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "intersection", "union_size", "jaccard")
+    )
 
 
 def _exact_jaccard(posts: DataFrame, pairs: DataFrame | None = None) -> DataFrame:
