@@ -79,6 +79,71 @@ def _bucket_pairs(keyed: DataFrame, key_cols: list[str], payload: str) -> DataFr
     )
 
 
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(node, component) for every node appearing in `edges` (undirected),
+    where component = the minimum node id reachable from it — the
+    canonical-keeper labeling a dedup pipeline needs on top of any
+    pair generator (jaccard_pairs, minhash_lsh_pairs, simhash_pairs,
+    embedding near-dup): duplicate PAIRS are not duplicate GROUPS until
+    transitively closed, and keep-one-per-group requires a stable
+    cluster representative.
+
+    Algorithm: min-label propagation to a fixpoint. Each round every
+    node adopts the smallest label among itself and its neighbors —
+    one join (edge.dst -> label) + one min-aggregation per round, both
+    shuffle-parallel on slim (long, long) rows; rounds = graph diameter.
+    Near-dup graphs are dense star-ish clusters with tiny diameters
+    (a transitive chain of near-dups longer than a few hops is rare),
+    so this converges in 2-4 rounds in practice; `max_iter` bounds
+    pathological chains. Labels only ever decrease, so the fixpoint is
+    the unique exact component labeling regardless of round count.
+
+    Each round materializes via localCheckpoint: iterative DataFrame
+    loops otherwise double the lineage (and thus planning time) per
+    round, and re-execution of round k would recompute rounds 1..k-1.
+    At cluster scale, substituting reliable checkpoints (setCheckpointDir)
+    adds driver-failure tolerance; the loop structure is unchanged.
+    Driver-side is only the O(1)-row convergence check per round — node
+    and edge data never leave the executors."""
+    und = edges.select(_col(src).alias("__s"), _col(dst).alias("__d"))
+    und = und.unionByName(
+        und.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+    )
+    labels = (
+        und.groupBy("__s")
+        .agg(F.min("__d").alias("__m"))
+        .select("__s", F.least("__s", "__m").alias("__c"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = und.join(
+            labels.select(F.col("__s").alias("__d"), "__c"), "__d"
+        ).select("__s", "__c")
+        new = (
+            labels.select("__s", "__c")
+            .unionByName(nbr)
+            .groupBy("__s")
+            .agg(F.min("__c").alias("__c"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(labels.withColumnRenamed("__c", "__old"), "__s")
+            .where(F.col("__c") != F.col("__old"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("__s").alias("node"), F.col("__c").alias("component")
+    )
+
+
 def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(__id, __toks) — tokens materialized as a real column so shingle
     transforms read the array instead of re-splitting the text per

@@ -552,6 +552,47 @@ def dedup_char_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return char_ngram_jaccard_pairs(docs, "doc_id", "text", threshold=0.7, n=16)
 
 
+@_register(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE pairs AS ({_JACCARD_ORACLE}),
+    e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT reach.n, e.d FROM reach JOIN e ON reach.r = e.s
+    ),
+    comp AS (SELECT n AS doc_id, MIN(r) AS component FROM reach GROUP BY n)
+    SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive near-dup clustering: 3-shingle Jaccard >= 0.5 pairs
+    -> connected components (min-label propagation to fixpoint) -> every
+    document labeled with its cluster's canonical (minimum) doc_id;
+    non-duplicated documents are their own singleton component. This is
+    the keep-one-per-group labeling a dedup pipeline actually applies —
+    pairs alone under-remove whenever duplicates chain (a~b, b~c but not
+    a~c). The oracle transitively closes the same pair set with a
+    recursive CTE; the iterative Spark fixpoint and the recursive SQL
+    closure must agree exactly on every label."""
+    from postgresql_topn_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = jaccard_pairs(docs, "doc_id", "text", threshold=0.5, k=3)
+    comp = connected_components(edges, "doc_a", "doc_b")
+    return docs.select("doc_id").join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+
+
 @_register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash-64 near-dup pairs (hamming <= 3) via the 4-chunk
@@ -862,6 +903,53 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         lang_id("text").alias("lang"),
         F.greatest(*scores.values()).alias("score"),
     )
+
+
+@_register(
+    "topn_tokens_by_lang",
+    """
+    WITH s AS (
+      SELECT text,
+        CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b')) AS INT) AS en,
+        CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|nicht|das)\\b')) AS INT) AS de,
+        CAST(len(regexp_extract_all(lower(text), '\\b(el|la|que|los|una)\\b')) AS INT) AS es,
+        CAST(len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une)\\b')) AS INT) AS fr
+      FROM documents
+    ),
+    lt AS (
+      SELECT CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
+                  WHEN en = greatest(en, de, es, fr) THEN 'en'
+                  WHEN de = greatest(en, de, es, fr) THEN 'de'
+                  WHEN es = greatest(en, de, es, fr) THEN 'es'
+                  ELSE 'fr' END AS lang,
+             unnest(string_split_regex(trim(text), '\\s+')) AS item
+      FROM s
+    )
+    SELECT lang, item, frequency FROM (
+      SELECT lang, item, COUNT(item) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY COUNT(item) DESC, item ASC) AS rn
+      FROM lt GROUP BY lang, item
+    ) t WHERE rn <= 10
+    """,
+)
+def topn_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch composed with the text operators — the shape a
+    training-data pipeline actually runs: language-ID each document
+    (operators/text.lang_id), explode whitespace tokens, and build one
+    top-10 token sketch PER LANGUAGE with topn_add_agg. Vocabulary
+    statistics per language over a whole corpus is exactly the
+    heavy-hitter problem the reference extension exists for; at scale
+    the token explode stays map-side and the sketch aggregation
+    shuffles only partial (lang, token) counts."""
+    from postgresql_topn_spark.operators.text import lang_id, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        lang_id("text").alias("lang"), F.explode(tokens("text")).alias("tok")
+    )
+    sk = topn_add_agg(toks, ["lang"], "tok", counters=C)
+    return explode_topn(sk, "topn", 10, keep=["lang"], counters=C)
 
 
 @_register(

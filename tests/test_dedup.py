@@ -151,3 +151,49 @@ class TestSimhash:
         }
         assert pairs.get((1, 2)) == 0
         assert all(h <= 3 for h in pairs.values())
+
+
+class TestConnectedComponents:
+    def test_transitive_chain_and_separate_clusters(self, spark):
+        """a~b, b~c must land in ONE component even though (a,c) is not
+        an edge; an unrelated pair forms its own; min id labels."""
+        from postgresql_topn_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+        )
+        out = {
+            r["node"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_long_chain_converges(self, spark):
+        """A path graph is the worst case for label propagation (diameter
+        = n-1); the fixpoint must still be exact."""
+        from postgresql_topn_spark.operators.dedup import connected_components
+
+        n = 12
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(n)], "doc_a bigint, doc_b bigint"
+        )
+        out = {
+            r["node"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert out == {i: 0 for i in range(n + 1)}
+
+    def test_cluster_labels_on_documents(self, spark):
+        """End-to-end: jaccard edges over the toy corpus -> 1,2,3 share a
+        component labeled 1; 4 and 5 are not in any edge."""
+        from postgresql_topn_spark.operators.dedup import (
+            connected_components,
+            jaccard_pairs,
+        )
+
+        edges = jaccard_pairs(docs_df(spark), "doc_id", "text", threshold=0.3)
+        out = {
+            r["node"]: r["component"]
+            for r in connected_components(edges).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1}
