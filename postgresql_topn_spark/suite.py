@@ -475,12 +475,16 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(docs, F.md5("text"), "doc_id")
 
 
-_JACCARD_ORACLE = """
+def _jaccard_oracle_sql(src: str = "documents", threshold: float = 0.5) -> str:
+    """DuckDB twin of jaccard_pairs over any documents-shaped relation
+    (doc_id, text) — parameterized so pipeline oracles can close pairs
+    over a filtered subset."""
+    return f"""
     WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents)
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {src})
     ),
     tok AS (SELECT doc_id, unnest(shs) AS s FROM sh),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
@@ -495,8 +499,11 @@ _JACCARD_ORACLE = """
     FROM inter
     JOIN sz sa ON sa.doc_id = doc_a
     JOIN sz sb ON sb.doc_id = doc_b
-    WHERE CAST(intersection AS DOUBLE) / CAST(sa.n + sb.n - intersection AS DOUBLE) >= 0.5
+    WHERE CAST(intersection AS DOUBLE) / CAST(sa.n + sb.n - intersection AS DOUBLE) >= {threshold}
 """
+
+
+_JACCARD_ORACLE = _jaccard_oracle_sql()
 
 
 @_register("dedup_jaccard_pairs", _JACCARD_ORACLE)
@@ -941,15 +948,103 @@ def topn_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics per language over a whole corpus is exactly the
     heavy-hitter problem the reference extension exists for; at scale
     the token explode stays map-side and the sketch aggregation
-    shuffles only partial (lang, token) counts."""
+    shuffles only partial (lang, token) counts.
+
+    lang_id and the token array are materialized in their OWN select
+    before the explode: inlining lang_id next to the explode lets
+    project collapsing hoist the 4-regex scoring chain above the
+    Generate, re-evaluating it once per TOKEN row instead of once per
+    document (measured 27.4s vs 1.9s at sf0.1)."""
     from postgresql_topn_spark.operators.text import lang_id, tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        lang_id("text").alias("lang"), F.explode(tokens("text")).alias("tok")
+    base = docs.select(
+        lang_id("text").alias("lang"), tokens("text").alias("__toks")
     )
+    toks = base.select("lang", F.explode("__toks").alias("tok"))
     sk = topn_add_agg(toks, ["lang"], "tok", counters=C)
     return explode_topn(sk, "topn", 10, keep=["lang"], counters=C)
+
+
+@_register(
+    "pipeline_curation",
+    f"""
+    WITH RECURSIVE s0 AS (
+      SELECT doc_id, text,
+        CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+        CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|it|on|for)\\b')) AS DOUBLE) AS stop_cnt,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct_cnt,
+        CAST(length(text) AS DOUBLE) AS n_chars,
+        CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b')) AS INT) AS en,
+        CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|nicht|das)\\b')) AS INT) AS de,
+        CAST(len(regexp_extract_all(lower(text), '\\b(el|la|que|los|una)\\b')) AS INT) AS es,
+        CAST(len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une)\\b')) AS INT) AS fr
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id, text, CAST(n_tok AS INT) AS n_tokens,
+        round(least(n_tok / 100.0, 1.0) * 0.5
+              + least(stop_cnt / n_tok * 3.0, 1.0) * 0.3
+              + (1.0 - least(punct_cnt / n_chars * 10.0, 1.0)) * 0.2, 6) AS score,
+        CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
+             WHEN en = greatest(en, de, es, fr) THEN 'en'
+             WHEN de = greatest(en, de, es, fr) THEN 'de'
+             WHEN es = greatest(en, de, es, fr) THEN 'es'
+             ELSE 'fr' END AS lang
+      FROM s0
+    ),
+    filt AS (SELECT doc_id, text, n_tokens, score FROM m
+             WHERE lang = 'en' AND score >= 0.45),
+    pairs AS ({_jaccard_oracle_sql("filt", 0.5)}),
+    e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT reach.n, e.d FROM reach JOIN e ON reach.r = e.s
+    ),
+    comp AS (SELECT n AS doc_id, MIN(r) AS component FROM reach GROUP BY n)
+    SELECT f.doc_id, f.n_tokens, f.score
+    FROM filt f LEFT JOIN comp c USING (doc_id)
+    WHERE COALESCE(c.component, f.doc_id) = f.doc_id
+    """,
+)
+def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end corpus-curation pipeline every stage above exists
+    for, as ONE dataflow: score quality + language per document (pure
+    JVM regex expressions in the scan stage), keep English docs above a
+    quality floor, near-dup the survivors (3-shingle Jaccard >= 0.5
+    inverted-index join), transitively close the pairs into clusters,
+    and keep each cluster's canonical (min-id) document. Output is the
+    curated (doc_id, n_tokens, score) set. The oracle replays the whole
+    pipeline — filter, pair join, recursive closure, keeper rule — so
+    the composition itself is value-checked, not just the stages."""
+    from postgresql_topn_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from postgresql_topn_spark.operators.text import (
+        lang_id,
+        quality_score,
+        ws_token_count,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        ws_token_count("text").alias("n_tokens"),
+        quality_score("text").alias("score"),
+        lang_id("text").alias("lang"),
+    )
+    filt = scored.where((F.col("lang") == "en") & (F.col("score") >= 0.45))
+    edges = jaccard_pairs(filt, "doc_id", "text", threshold=0.5, k=3)
+    comp = connected_components(edges, "doc_a", "doc_b")
+    return (
+        filt.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .where(F.coalesce("component", "doc_id") == F.col("doc_id"))
+        .select("doc_id", "n_tokens", "score")
+    )
 
 
 @_register(
