@@ -143,6 +143,36 @@ def stream_topn_rollup(
     return writer.start()
 
 
+def stream_exact_dedup(
+    stream_df: DataFrame,
+    key: Column | str,
+    *,
+    watermark: tuple[str, str] | None = None,
+    key_col: str = "content_key",
+) -> DataFrame:
+    """Streaming exact deduplication: emit only the first row seen per
+    content key (e.g. ``F.md5('text')`` or ``fingerprint_md5`` — the
+    streaming twin of :func:`operators.dedup.exact_dedup`).
+
+    Without a watermark, ``dropDuplicates`` keeps one state row per
+    distinct key forever — exact, but state grows with corpus
+    cardinality. With ``watermark=(ts_col, delay)`` it uses
+    ``dropDuplicatesWithinWatermark``: keys older than the watermark
+    delay are evicted from the state store, so state is bounded by the
+    key arrival rate x delay window — the only shape that survives an
+    unbounded 100 TB/day stream. (Duplicates arriving later than the
+    delay window re-emit; pick the delay from the dedup-relevance
+    horizon, not from memory limits — RocksDB state backing scales past
+    executor memory.)"""
+    keyed = stream_df.withColumn(key_col, _col(key))
+    if watermark is not None:
+        ts_col, delay = watermark
+        return keyed.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(
+            [key_col]
+        )
+    return keyed.dropDuplicates([key_col])
+
+
 def read_topn_rollup(
     spark,
     rollup_path: str,

@@ -131,3 +131,35 @@ def test_streaming_state_event_time_window(spark, events_stream_dir, tmp_path):
     )
     want = {(r["day"], r["event_type"]): dict(r["topn"]) for r in sk.collect()}
     assert latest == want
+
+
+def test_stream_exact_dedup_matches_batch_keyset(spark, events_stream_dir, tmp_path):
+    """Streaming dedup must emit exactly one row per distinct key, and
+    the key set must equal batch DISTINCT — in both the unbounded-state
+    and watermarked forms (no key here arrives later than the delay, so
+    the watermarked form is also exact on this replay)."""
+    from postgresql_topn_spark.streaming.topn_stream import stream_exact_dedup
+
+    ev = spark.read.parquet(events_stream_dir)
+    expected = {r["event_type"] for r in ev.select("event_type").distinct().collect()}
+
+    for i, wm in enumerate([None, ("ts", "365 days")]):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_stream_dir)
+        )
+        out = stream_exact_dedup(stream, F.col("event_type"), watermark=wm)
+        q = (
+            out.writeStream.format("memory")
+            .queryName(f"dedup_sink_{i}")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"ck{i}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows = spark.sql(f"SELECT content_key FROM dedup_sink_{i}").collect()
+        keys = [r["content_key"] for r in rows]
+        assert len(keys) == len(set(keys)), "duplicate key emitted"
+        assert set(keys) == expected
