@@ -46,6 +46,7 @@ from postgresql_topn_spark.functions.aggregates import (
     topn_add_agg,
     topn_union_agg,
     topn_union_over_window,
+    topn_weighted_agg,
 )
 
 __all__ = [
@@ -67,6 +68,7 @@ __all__ = [
     "topn_add_agg",
     "topn_union_agg",
     "topn_union_over_window",
+    "topn_weighted_agg",
 ]
 
 __version__ = "0.1.0"

@@ -186,6 +186,76 @@ def topn_add_agg(
     return _restore_group_names(out, df, group_cols)
 
 
+def topn_weighted_agg(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    item: Column | str,
+    weight: Column | str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+    salt_buckets: int | None = None,
+) -> DataFrame:
+    """Beyond-reference: top-N items by an ADDITIVE MEASURE instead of
+    row count — ``frequency = saturating int64 sum of weight`` per item
+    (top products by revenue, top hosts by bytes, top tokens by
+    tf-weight). The reference can only count occurrences (topn_add adds
+    1, topn.c:340-351); weighting is the first thing real rollups need
+    beyond that, and it reuses the identical sketch type, extraction,
+    union and window machinery — a weighted sketch merges with counted
+    sketches transparently.
+
+    Semantics: NULL items are skipped (group still yields ``{}``), NULL
+    weights contribute 0, items whose total weight is <= 0 are dropped
+    from the sketch (a zero-weight item is not a heavy hitter; weights
+    are expected non-negative — the saturation clamp assumes it).
+    Same two-exchange plan + optional lossless salted rank as
+    topn_add_agg."""
+    counters = resolve_counters(counters, df.sparkSession)
+    gcols = [_col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)]
+    gnames = [f"__g{i}" for i in range(len(group_cols))]
+    w = F.coalesce(_col(weight).cast("long"), F.lit(0)).alias("__w")
+    # inputs to try_sum are never NULL (coalesce above), so a NULL sum
+    # can only mean int64 overflow -> saturate at INT64_MAX
+    freq = (
+        F.when(F.col(_ITEM).isNull(), F.lit(0))
+        .otherwise(F.coalesce(F.try_sum("__w"), F.lit(INT64_MAX)))
+        .cast("long")
+        .alias(_FREQ)
+    )
+    from pyspark.sql.types import (
+        BooleanType,
+        ByteType,
+        DateType,
+        IntegerType,
+        LongType,
+        ShortType,
+    )
+
+    raw = _col(item)
+    if isinstance(item, str) and item in df.columns:
+        dtype = df.schema[item].dataType
+    else:
+        dtype = df.select(raw).schema[0].dataType
+    if isinstance(
+        dtype, (ByteType, ShortType, IntegerType, LongType, DateType, BooleanType)
+    ):
+        counted = (
+            df.select(*gcols, raw.alias(_ITEM), w)
+            .groupBy(*gnames, _ITEM)
+            .agg(freq)
+            .withColumn(_ITEM, F.col(_ITEM).cast("string"))
+        )
+    else:
+        counted = (
+            df.select(*gcols, normalize_item(item).alias(_ITEM), w)
+            .groupBy(*gnames, _ITEM)
+            .agg(freq)
+        )
+    out = _rank_and_pack(counted, gnames, counters, out_col, salt_buckets)
+    return _restore_group_names(out, df, group_cols)
+
+
 def topn_union_agg(
     df: DataFrame,
     group_cols: Sequence[Column | str],

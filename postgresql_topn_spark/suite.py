@@ -454,6 +454,39 @@ def topn_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_topn(sk, "topn", 5, keep=["l_returnflag"], counters=C)
 
 
+@_register(
+    "topn_revenue_products",
+    """
+    SELECT yr, item, frequency FROM (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(l_partkey AS VARCHAR) AS item,
+             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY year(l_shipdate)
+                                ORDER BY SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) DESC,
+                                         CAST(l_partkey AS VARCHAR) ASC) AS rn
+      FROM lineitem GROUP BY year(l_shipdate), CAST(l_partkey AS VARCHAR)
+    ) t WHERE rn <= 5
+    """,
+)
+def topn_revenue_products(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topn_weighted_agg — top-5 parts per ship year by REVENUE
+    (discounted extended price in cents as the int64 weight) rather
+    than by order count: the additive-measure generalization of the
+    sketch the reference cannot express (topn_add always adds 1,
+    topn.c:340-351). Same sketch type, extraction and two-exchange
+    plan; decimal arithmetic stays exact so the oracle sum matches
+    bit-for-bit."""
+    from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100, 0
+    )
+    sk = topn_weighted_agg(
+        li, [F.year("l_shipdate").alias("yr")], "l_partkey", w, counters=C
+    )
+    return explode_topn(sk, "topn", 5, keep=["yr"], counters=C)
+
+
 # ---------------------------------------------------------------------------
 # Training-data-pipeline operators (beyond the reference surface)
 # ---------------------------------------------------------------------------

@@ -154,3 +154,56 @@ def test_salted_rank_equals_unsalted(spark, sf_dir):
         p = {r["l_returnflag"]: dict(r["topn"]) for r in plain.collect()}
         s = {r["l_returnflag"]: dict(r["topn"]) for r in salted.collect()}
         assert p == s, f"salted != plain at counters={counters}"
+
+
+class TestWeightedAgg:
+    def test_weighted_frequencies_and_ranking(self, spark):
+        from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+
+        df = spark.createDataFrame(
+            [("g", "a", 5), ("g", "a", 7), ("g", "b", 100), ("g", "c", None)],
+            "grp string, item string, w bigint",
+        )
+        out = topn_weighted_agg(df, ["grp"], "item", "w", counters=10).collect()
+        sk = dict(out[0]["topn"])
+        # b outweighs a despite fewer rows; NULL weight contributes 0,
+        # so c's total is 0 and it is dropped from the sketch
+        assert sk == {"b": 100, "a": 12}
+
+    def test_null_item_skipped_empty_group(self, spark):
+        from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+
+        df = spark.createDataFrame(
+            [("g", None, 5)], "grp string, item string, w bigint"
+        )
+        out = topn_weighted_agg(df, ["grp"], "item", "w", counters=10).collect()
+        assert dict(out[0]["topn"]) == {}
+
+    def test_saturating_sum(self, spark):
+        from postgresql_topn_spark.conf import INT64_MAX
+        from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+
+        df = spark.createDataFrame(
+            [("g", "a", INT64_MAX), ("g", "a", INT64_MAX)],
+            "grp string, item string, w bigint",
+        )
+        out = topn_weighted_agg(df, ["grp"], "item", "w", counters=10).collect()
+        assert dict(out[0]["topn"]) == {"a": INT64_MAX}
+
+    def test_merges_with_counted_sketch(self, spark):
+        """A weighted sketch is the same type as a counted one: union_agg
+        over their union must sum item totals across both."""
+        from postgresql_topn_spark.functions.aggregates import (
+            topn_add_agg,
+            topn_union_agg_global,
+            topn_weighted_agg,
+        )
+
+        rows = spark.createDataFrame(
+            [("a", 10), ("b", 1)], "item string, w bigint"
+        )
+        weighted = topn_weighted_agg(rows, [], "item", "w", counters=10)
+        counted = topn_add_agg(rows, [], "item", counters=10)
+        both = weighted.unionByName(counted)
+        merged = topn_union_agg_global(both, "topn", counters=10).collect()
+        assert dict(merged[0]["topn"]) == {"a": 11, "b": 2}
