@@ -1081,6 +1081,51 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_sample_mix",
+    """
+    WITH s0 AS (
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|is|to)\\b')) AS INT) AS en,
+        CAST(len(regexp_extract_all(lower(text), '\\b(der|die|und|nicht|das)\\b')) AS INT) AS de,
+        CAST(len(regexp_extract_all(lower(text), '\\b(el|la|que|los|una)\\b')) AS INT) AS es,
+        CAST(len(regexp_extract_all(lower(text), '\\b(le|les|des|est|une)\\b')) AS INT) AS fr
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+        CASE WHEN greatest(en, de, es, fr) <= 0 THEN 'und'
+             WHEN en = greatest(en, de, es, fr) THEN 'en'
+             WHEN de = greatest(en, de, es, fr) THEN 'de'
+             WHEN es = greatest(en, de, es, fr) THEN 'es'
+             ELSE 'fr' END AS lang
+      FROM s0
+    )
+    SELECT doc_id, lang FROM m
+    WHERE CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0
+          < CASE lang WHEN 'en' THEN 0.5 WHEN 'und' THEN 0.2 ELSE 0.0 END
+    """,
+)
+def pipeline_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified data mixing: down-sample each language
+    stratum at its own rate (en 0.5, und 0.2) keyed by doc_id — the
+    per-source mixing step of a training-data pipeline, reproducible
+    across engines/partitionings/retries because the keep decision is a
+    pure function of (doc_id, seed, rate). The DuckDB oracle replays the
+    identical md5-uniform and rate CASE, so the sampled OUTPUT itself is
+    value-checked. The sample is a scan-stage filter: at 100 TB it costs
+    one md5 per row and prunes everything downstream."""
+    from postgresql_topn_spark.operators.sampling import stratified_sample
+    from postgresql_topn_spark.operators.text import lang_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select("doc_id", lang_id("text").alias("lang"))
+    return stratified_sample(
+        labeled, "lang", {"en": 0.5, "und": 0.2}, "doc_id", seed=7
+    )
+
+
+@_register(
     "text_quality",
     """
     WITH m AS (
