@@ -36,6 +36,8 @@ from postgresql_topn_spark.functions.sketch import (
     explode_topn,
     topn_add,
     topn_union,
+    topn_plus,
+    SketchColumn,
     merge_sketches,
     prune_sketch,
     empty_sketch,
@@ -60,6 +62,8 @@ __all__ = [
     "explode_topn",
     "topn_add",
     "topn_union",
+    "topn_plus",
+    "SketchColumn",
     "merge_sketches",
     "prune_sketch",
     "empty_sketch",

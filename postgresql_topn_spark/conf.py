@@ -38,7 +38,17 @@ def number_of_counters(spark: SparkSession | None = None) -> int:
 
 
 def set_number_of_counters(spark: SparkSession, value: int) -> None:
+    """Set the counter budget — ``SET topn.number_of_counters`` parity.
+
+    Like PostgreSQL's GUC assign hook, the setter also refreshes any
+    SQL-function registration that follows the conf
+    (functions/sql_api.py), so the next ``spark.sql()`` call sees the
+    new budget — the reference reads its GUC per call (topn.c:229-233).
+    """
     spark.conf.set(CONF_KEY, str(_validate(value)))
+    from postgresql_topn_spark.functions.sql_api import refresh_sql_registration
+
+    refresh_sql_registration(spark)
 
 
 def resolve_counters(counters: int | None, spark: SparkSession | None = None) -> int:

@@ -251,6 +251,38 @@ def topn_union(
     ).otherwise(prune_sketch(merge_sketches(am, bm), counters))
 
 
+def topn_plus(
+    a: Column | str, b: Column | str, counters: int | None = None
+) -> Column:
+    """The ``+`` operator on two sketches (update/topn--2.0.0.sql:48-53)
+    — an alias of :func:`topn_union`, which implements the operator's
+    function in the reference. For infix syntax wrap either side in
+    :class:`SketchColumn`: ``SketchColumn(a) + b``."""
+    return topn_union(a, b, counters)
+
+
+class SketchColumn:
+    """Column wrapper giving sketches the reference's infix ``+``
+    (update/topn--2.0.0.sql:48-53: ``jsonb + jsonb -> jsonb`` via
+    topn_union). ``SketchColumn(df.sk) + other`` returns a plain
+    Column (the pruned union), so it drops straight into ``select``.
+    """
+
+    def __init__(self, col: Column | str, counters: int | None = None):
+        self._col = _col(col)
+        self._counters = counters
+
+    def __add__(self, other: "SketchColumn | Column | str") -> Column:
+        o = other._col if isinstance(other, SketchColumn) else _col(other)
+        return topn_union(self._col, o, self._counters)
+
+    __radd__ = __add__
+
+    @property
+    def col(self) -> Column:
+        return self._col
+
+
 # ---------------------------------------------------------------------------
 # JSON import/export — the user-visible JSONB form
 # ---------------------------------------------------------------------------

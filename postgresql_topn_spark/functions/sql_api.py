@@ -1,9 +1,11 @@
 """SQL-callable registration — the PG-like API for ``spark.sql()`` users.
 
 The reference's users call ``topn(jsonb, n)``, ``topn_add``,
-``topn_union`` directly in SQL (update/topn--2.0.0.sql:2-15). Spark's
-equivalent registration surface for session-scoped functions is Python
-UDF/UDTF registration, so that is what this module provides:
+``topn_union`` directly in SQL (update/topn--2.0.0.sql:2-15) and — the
+flagship pattern — ``SELECT keys, topn_add_agg(item) … GROUP BY keys``
+(update/topn--2.3.0--2.3.1.sql:34-51, README.md:84-96). Spark's
+registration surface for session-scoped functions is Python UDF/UDTF/
+pandas-UDAF registration, so that is what this module provides:
 
 - ``topn(sketch, n)`` — a Python UDTF (SETOF topn_record, like the
   reference SRF topn.c:189-283), usable with LATERAL.
@@ -11,22 +13,48 @@ UDF/UDTF registration, so that is what this module provides:
   the reference's NULL matrix and prune policies.
 - ``topn_entries(sketch, n)`` — array<struct> form of topn for callers
   that prefer explode().
+- ``topn_add_agg(item)`` / ``topn_union_agg(sketch)`` /
+  ``topn_weighted_agg(item, weight)`` — GROUPED_AGG pandas UDAFs so the
+  reference's primary aggregate API works verbatim in ``GROUP BY``
+  queries (Arrow-batched; the whole group's items stream through one
+  Python worker).
 
 NOTE the performance contract: these registered forms cross the
-Python/Arrow boundary per row and exist for SQL-surface parity and
-scalar/ad-hoc use. The hot aggregation path for ``spark.sql()`` users is
-still Column-API composition (suite.py shows every pattern), which stays
-entirely JVM-side; registering does not slow anything else down.
+Python/Arrow boundary and exist for SQL-surface parity and scalar/ad-hoc
+use. Unlike the Column-API aggregates (functions/aggregates.py), a
+GROUPED_AGG pandas UDAF gets no Catalyst partial aggregation: every raw
+row shuffles to its group's reducer before Python sees it. The hot
+aggregation path for ``spark.sql()`` users is still Column-API
+composition (suite.py shows every pattern), which stays entirely
+JVM-side; registering does not slow anything else down.
+
+GUC parity: the reference reads ``topn.number_of_counters`` at every
+call (topn.c:229-233). Worker-side Python cannot read the session conf
+(no SparkSession exists in UDF/UDTF workers or the UDTF analyze
+process), so per-call semantics are provided one level up:
+:func:`postgresql_topn_spark.conf.set_number_of_counters` re-registers
+the SQL functions of every session that registered without an explicit
+``counters=`` — the Spark analogue of PostgreSQL's GUC assign hook. A
+session that sets the raw conf key directly must call
+:func:`register_sql_functions` again (documented deviation).
 """
 
 from __future__ import annotations
 
+import weakref
+
+import pandas as pd
 from pyspark.sql import SparkSession
-from pyspark.sql.functions import udf, udtf
+from pyspark.sql.functions import PandasUDFType, pandas_udf, udf, udtf
 
 from postgresql_topn_spark.conf import INT64_MAX, resolve_counters
 from postgresql_topn_spark.functions.sketch import SKETCH_TYPE
 from postgresql_topn_spark.operators.sketch_state import truncate_key_bytes
+
+# Sessions that registered with counters=None (follow-the-conf). A conf
+# change through set_number_of_counters() re-registers these so the next
+# spark.sql() call sees the new budget — PG's GUC assign-hook analogue.
+_FOLLOW_CONF_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def _sorted_items(sketch: dict) -> list[tuple[str, int]]:
@@ -39,10 +67,21 @@ def _prune(sketch: dict, counters: int) -> dict:
     return dict(_sorted_items(sketch)[:counters])
 
 
+def refresh_sql_registration(spark: SparkSession) -> None:
+    """Re-register the SQL surface if *spark* follows the session conf.
+    Called by conf.set_number_of_counters (the GUC assign hook)."""
+    if spark in _FOLLOW_CONF_SESSIONS:
+        register_sql_functions(spark)
+
+
 def register_sql_functions(spark: SparkSession, *, counters: int | None = None) -> None:
-    """Register the topn surface for ``spark.sql()`` sessions. The
-    counter budget is resolved once at registration (the reference reads
-    its GUC per call; re-register after changing the conf)."""
+    """Register the topn surface for ``spark.sql()`` sessions.
+
+    With ``counters=None`` the budget follows the session conf: it is
+    re-resolved whenever :func:`~postgresql_topn_spark.conf.
+    set_number_of_counters` changes it (per-call GUC semantics,
+    topn.c:229-233). An explicit ``counters=`` pins the budget until the
+    next explicit registration."""
     c = resolve_counters(counters, spark)
 
     @udtf(returnType="item string, frequency bigint")
@@ -100,7 +139,59 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
             return None
         return _sorted_items(sketch)[:n]
 
+    # --- GROUPED_AGG aggregates: the reference's primary API surface ---
+    # (update/topn--2.3.0--2.3.1.sql:34-51). Arrow ships each group's
+    # column batch; Python counts/merges and returns one bounded map.
+    # Semantics mirror functions/aggregates.py: NULL items/sketches are
+    # skipped but an all-NULL group still yields {} (topn.c:655-661),
+    # keys are byte-capped on entry, sums saturate at INT64_MAX, and the
+    # result is pruned to the top `c` by (frequency DESC, item ASC).
+
+    @pandas_udf(SKETCH_TYPE, PandasUDFType.GROUPED_AGG)
+    def topn_add_agg_udaf(items: pd.Series) -> dict:
+        counts: dict[str, int] = {}
+        for it in items:
+            if it is None:
+                continue
+            k = truncate_key_bytes(str(it))
+            counts[k] = counts.get(k, 0) + 1
+        return _prune(
+            {k: min(v, INT64_MAX) for k, v in counts.items()}, c
+        )
+
+    @pandas_udf(SKETCH_TYPE, PandasUDFType.GROUPED_AGG)
+    def topn_union_agg_udaf(sketches: pd.Series) -> dict:
+        out: dict[str, int] = {}
+        for sk in sketches:
+            if sk is None:
+                continue
+            for k, v in sk.items():
+                out[k] = min(out.get(k, 0) + v, INT64_MAX)
+        return _prune(out, c)
+
+    @pandas_udf(SKETCH_TYPE, PandasUDFType.GROUPED_AGG)
+    def topn_weighted_agg_udaf(items: pd.Series, weights: pd.Series) -> dict:
+        # beyond-reference additive-measure form (aggregates.py:189-213):
+        # NULL weights contribute 0; items with total weight <= 0 drop.
+        totals: dict[str, int] = {}
+        for it, w in zip(items, weights):
+            if it is None:
+                continue
+            k = truncate_key_bytes(str(it))
+            # NULL weights arrive as NaN in pandas' float-promoted column
+            wv = 0 if (w is None or pd.isna(w)) else int(w)
+            totals[k] = min(totals.get(k, 0) + wv, INT64_MAX)
+        return _prune({k: v for k, v in totals.items() if v > 0}, c)
+
     spark.udtf.register("topn", TopnUdtf)
     spark.udf.register("topn_add", topn_add_udf)
     spark.udf.register("topn_union", topn_union_udf)
     spark.udf.register("topn_entries", topn_entries_udf)
+    spark.udf.register("topn_add_agg", topn_add_agg_udaf)
+    spark.udf.register("topn_union_agg", topn_union_agg_udaf)
+    spark.udf.register("topn_weighted_agg", topn_weighted_agg_udaf)
+
+    if counters is None:
+        _FOLLOW_CONF_SESSIONS.add(spark)
+    else:
+        _FOLLOW_CONF_SESSIONS.discard(spark)

@@ -459,7 +459,7 @@ def topn_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT yr, item, frequency FROM (
       SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(l_partkey AS VARCHAR) AS item,
-             SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS frequency,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS frequency,
              ROW_NUMBER() OVER (PARTITION BY year(l_shipdate)
                                 ORDER BY SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) DESC,
                                          CAST(l_partkey AS VARCHAR) ASC) AS rn
@@ -485,6 +485,86 @@ def topn_revenue_products(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, [F.year("l_shipdate").alias("yr")], "l_partkey", w, counters=C
     )
     return explode_topn(sk, "topn", 5, keep=["yr"], counters=C)
+
+
+@_register(
+    "topn_sql_agg",
+    """
+    SELECT item, frequency FROM (
+      SELECT event_type AS item, COUNT(event_type) AS frequency,
+             ROW_NUMBER() OVER (ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
+      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+    ) t WHERE rn <= 5
+    """,
+)
+def topn_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's flagship SQL pattern run ENTIRELY through
+    ``spark.sql()``: ``SELECT …, topn_add_agg(item) … GROUP BY`` per
+    month, ``topn_union_agg`` to the grand total, lateral ``topn()``
+    extraction (update/topn--2.3.0--2.3.1.sql:34-51, README.md:84-96;
+    sql/customer_reviews_query.sql:12-40). Exercises the registered
+    GROUPED_AGG pandas UDAFs + UDTF rather than the Column API — the
+    SQL-parity compatibility path (functions/sql_api.py)."""
+    from postgresql_topn_spark.functions.sql_api import register_sql_functions
+
+    register_sql_functions(spark, counters=C)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__topn_sql_events"
+    )
+    return spark.sql(
+        """
+        WITH monthly AS (
+          SELECT year(ts) AS yr, month(ts) AS mon,
+                 topn_add_agg(event_type) AS sk
+          FROM __topn_sql_events
+          GROUP BY year(ts), month(ts)
+        ),
+        overall AS (SELECT topn_union_agg(sk) AS sk FROM monthly)
+        SELECT t.item, t.frequency
+        FROM overall, LATERAL topn(overall.sk, 5) t
+        """
+    )
+
+
+@_register(
+    "topn_sql_weighted",
+    """
+    SELECT yr, item, frequency FROM (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(l_partkey AS VARCHAR) AS item,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY year(l_shipdate)
+                                ORDER BY SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) DESC,
+                                         CAST(l_partkey AS VARCHAR) ASC) AS rn
+      FROM lineitem GROUP BY year(l_shipdate), CAST(l_partkey AS VARCHAR)
+    ) t WHERE rn <= 5
+    """,
+)
+def topn_sql_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topn_revenue_products expressed through the registered SQL
+    aggregate surface: ``topn_weighted_agg(item, weight)`` in a GROUP
+    BY plus lateral ``topn()`` — same results as the Column-API twin
+    (suite.topn_revenue_products), proving the two surfaces agree."""
+    from postgresql_topn_spark.functions.sql_api import register_sql_functions
+
+    register_sql_functions(spark, counters=C)
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "__topn_sql_lineitem"
+    )
+    return spark.sql(
+        """
+        WITH yearly AS (
+          SELECT CAST(year(l_shipdate) AS INT) AS yr,
+                 topn_weighted_agg(
+                   l_partkey,
+                   CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
+                 ) AS sk
+          FROM __topn_sql_lineitem
+          GROUP BY year(l_shipdate)
+        )
+        SELECT yr, t.item, t.frequency
+        FROM yearly, LATERAL topn(yearly.sk, 5) t
+        """
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,105 @@ def test_topn_add_union_sql(sql_session):
     assert r.merged == {"a": 10, "b": 2}
 
 
+def test_topn_add_agg_sql_group_by(sql_session):
+    df = sql_session.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g1", "b"), ("g2", None), ("g2", None)],
+        "g string, item string",
+    )
+    df.createOrReplaceTempView("agg_in")
+    rows = {
+        r.g: r.sk
+        for r in sql_session.sql(
+            "SELECT g, topn_add_agg(item) AS sk FROM agg_in GROUP BY g"
+        ).collect()
+    }
+    assert rows["g1"] == {"a": 2, "b": 1}
+    # all-NULL group still yields {} (topn.c:655-661)
+    assert rows["g2"] == {}
+
+
+def test_topn_union_agg_sql_group_by(sql_session):
+    df = sql_session.createDataFrame(
+        [("g1", {"a": 5, "b": 1}), ("g1", {"a": 2, "c": 7}), ("g1", None)],
+        "g string, sk map<string,bigint>",
+    )
+    df.createOrReplaceTempView("union_in")
+    rows = sql_session.sql(
+        "SELECT g, topn_union_agg(sk) AS sk FROM union_in GROUP BY g"
+    ).collect()
+    assert rows[0].sk == {"a": 7, "b": 1, "c": 7}
+
+
+def test_topn_weighted_agg_sql(sql_session):
+    df = sql_session.createDataFrame(
+        [("g1", "a", 10), ("g1", "a", 5), ("g1", "b", None), ("g1", None, 99)],
+        "g string, item string, w bigint",
+    )
+    df.createOrReplaceTempView("weighted_in")
+    rows = sql_session.sql(
+        "SELECT g, topn_weighted_agg(item, w) AS sk FROM weighted_in GROUP BY g"
+    ).collect()
+    # NULL weight -> 0 total -> dropped; NULL item skipped
+    assert rows[0].sk == {"a": 15}
+
+
+def test_topn_agg_sql_prunes_to_counters(spark):
+    register_sql_functions(spark, counters=2)
+    try:
+        df = spark.createDataFrame(
+            [("x",)] * 5 + [("y",)] * 3 + [("z",)] * 1 + [("w",)] * 1,
+            "item string",
+        )
+        df.createOrReplaceTempView("prune_in")
+        r = spark.sql("SELECT topn_add_agg(item) AS sk FROM prune_in").collect()[0]
+        assert r.sk == {"x": 5, "y": 3}
+    finally:
+        register_sql_functions(spark, counters=1000)
+
+
+def test_per_call_guc_via_setter(spark):
+    """set_number_of_counters between two spark.sql calls is observed by
+    the registered functions — the reference's per-call GUC read
+    (topn.c:229-233) via the assign-hook re-registration."""
+    from postgresql_topn_spark.conf import set_number_of_counters
+
+    register_sql_functions(spark)  # follow-the-conf mode
+    try:
+        set_number_of_counters(spark, 2)
+        r = spark.sql(
+            "SELECT topn_union(map('a', 5L, 'b', 3L, 'c', 1L), map()) AS sk"
+        ).collect()[0]
+        assert r.sk == {"a": 5, "b": 3}
+        set_number_of_counters(spark, 3)
+        r = spark.sql(
+            "SELECT topn_union(map('a', 5L, 'b', 3L, 'c', 1L), map()) AS sk"
+        ).collect()[0]
+        assert r.sk == {"a": 5, "b": 3, "c": 1}
+        # n > counters error also tracks the live conf
+        set_number_of_counters(spark, 2)
+        with pytest.raises(Exception, match="number of counters"):
+            spark.sql("SELECT * FROM topn(map('a', 1L), 3)").collect()
+    finally:
+        set_number_of_counters(spark, 1000)
+        register_sql_functions(spark, counters=1000)
+
+
+def test_sketch_column_plus(spark):
+    """The + operator parity (update/topn--2.0.0.sql:48-53)."""
+    from postgresql_topn_spark.functions.sketch import SketchColumn, topn_plus
+
+    df = spark.createDataFrame(
+        [({"a": 1, "b": 2}, {"a": 9})],
+        "x map<string,bigint>, y map<string,bigint>",
+    )
+    r = df.select(
+        (SketchColumn("x") + F.col("y")).alias("s1"),
+        topn_plus("x", "y").alias("s2"),
+    ).collect()[0]
+    assert r.s1 == {"a": 10, "b": 2}
+    assert r.s2 == {"a": 10, "b": 2}
+
+
 def test_csv_reviews_roundtrip(spark, tmp_path):
     p = str(tmp_path / "reviews.csv")
     with open(p, "w") as f:
