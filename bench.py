@@ -63,18 +63,23 @@ def main() -> None:
         _incr(F.col("id"))
     ).count()
 
-    # best-of-2 per query: single-run numbers on this host swing up to
-    # 10x from transient VM CPU steal (measured 1.4s vs 23.7s for the
-    # same query minutes apart); the min of two runs reports the
-    # steady-state plan cost the query actually has
+    # Adaptive best-of-N per query (N <= 3): single-run numbers on this
+    # host swing up to 10x from transient VM CPU steal (measured 1.4s vs
+    # 23.7s for the same query minutes apart), and round-1 showed
+    # best-of-2 still over-reporting three queries 6-14x when steal hit
+    # both runs. Two runs suffice when they agree (second-fastest within
+    # 25% of fastest); a disagreement triggers one more run. The min is
+    # reported — it is the steady-state plan cost the query actually has.
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
-        best = float("inf")
-        for _ in range(2):
+        runs: list[float] = []
+        for _ in range(3):
             t0 = time.perf_counter()
             QUERIES[name](spark, sf_dir).count()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            runs.append(time.perf_counter() - t0)
+            if len(runs) >= 2 and sorted(runs)[1] <= 1.25 * min(runs):
+                break
+        timings[name] = round(min(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(

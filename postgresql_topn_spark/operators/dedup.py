@@ -84,6 +84,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 50,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges` (undirected),
     where component = the minimum node id reachable from it — the
@@ -103,26 +104,38 @@ def connected_components(
     pathological chains. Labels only ever decrease, so the fixpoint is
     the unique exact component labeling regardless of round count.
 
-    Each round materializes via localCheckpoint: iterative DataFrame
-    loops otherwise double the lineage (and thus planning time) per
-    round, and re-execution of round k would recompute rounds 1..k-1.
-    At cluster scale, substituting reliable checkpoints (setCheckpointDir)
-    adds driver-failure tolerance; the loop structure is unchanged.
-    Driver-side is only the O(1)-row convergence check per round — node
-    and edge data never leave the executors."""
+    Each round materializes via checkpoint: iterative DataFrame loops
+    otherwise double the lineage (and thus planning time) per round,
+    and re-execution of round k would recompute rounds 1..k-1. The
+    default is executor-memory localCheckpoint (fastest, lost on
+    executor/driver failure); pass `checkpoint_dir` (an HDFS/S3 path at
+    cluster scale) for RELIABLE checkpoints — rounds then persist to
+    storage and a failed executor recomputes nothing upstream. Same
+    loop, same labels, one extra write per round. Driver-side is only
+    the O(1)-row convergence check per round — node and edge data never
+    leave the executors."""
+    if checkpoint_dir is not None:
+        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+
+    def _persist_round(df: DataFrame) -> DataFrame:
+        if checkpoint_dir is not None:
+            return df.checkpoint(eager=True)
+        return df.localCheckpoint(eager=True)
+
     und = edges.select(_col(src).alias("__s"), _col(dst).alias("__d"))
     # checkpoint the edge list FIRST: the loop scans it every round, and
     # without materialization each round would re-execute the entire
     # upstream pair-generation pipeline (the dominant cost for near-dup
     # edges — measured 1.7s/round of re-run jaccard at sf0.1)
-    und = und.unionByName(
-        und.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
-    ).localCheckpoint(eager=True)
-    labels = (
+    und = _persist_round(
+        und.unionByName(
+            und.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
+        )
+    )
+    labels = _persist_round(
         und.groupBy("__s")
         .agg(F.min("__d").alias("__m"))
         .select("__s", F.least("__s", "__m").alias("__c"))
-        .localCheckpoint(eager=True)
     )
 
     def _label_sum(lbl: DataFrame):
@@ -137,12 +150,11 @@ def connected_components(
         nbr = und.join(
             labels.select(F.col("__s").alias("__d"), "__c"), "__d"
         ).select("__s", "__c")
-        labels = (
+        labels = _persist_round(
             labels.select("__s", "__c")
             .unionByName(nbr)
             .groupBy("__s")
             .agg(F.min("__c").alias("__c"))
-            .localCheckpoint(eager=True)
         )
         cur_sum = _label_sum(labels)
         if cur_sum == prev_sum:
@@ -355,16 +367,33 @@ def _prefix_candidates(posts: DataFrame, threshold: float) -> DataFrame:
         ranked.groupBy("__id", "__n")
         .agg(F.array_sort(F.collect_list(F.struct("__df", "__sh"))).alias("__g"))
         .select(
-            F.col("__id").alias("__p"),
+            # payload carries the doc's set size so the PPJoin length
+            # filter below runs on the pair row, before the (expensive)
+            # distinct + verification join
+            F.struct(F.col("__id").alias("id"), F.col("__n").alias("n")).alias(
+                "__p"
+            ),
             F.explode(F.slice("__g", F.lit(1), plen)).alias("__e"),
         )
         .select("__p", F.col("__e.__sh").alias("__sh"))
     )
     cand = _bucket_pairs(prefix, ["__sh"], "__p")
-    return cand.select(
-        F.least("__a", "__b").alias("doc_a"),
-        F.greatest("__a", "__b").alias("doc_b"),
-    ).distinct()
+    # PPJoin length filter: |A∩B| <= min(n), |A∪B| >= max(n), so
+    # Jaccard >= t forces min(n) >= ceil(t * max(n)) — pairs of very
+    # different sizes can never verify and are dropped here, before
+    # the distinct exchange and the gram-array verification join.
+    # The 1e-9 slack only weakens the bound (extra candidates survive
+    # to exact verification), never drops a qualifying pair.
+    lo = F.least(F.col("__a.n"), F.col("__b.n"))
+    hi = F.greatest(F.col("__a.n"), F.col("__b.n"))
+    return (
+        cand.where(lo >= F.ceil(F.lit(threshold) * hi - F.lit(1e-9)))
+        .select(
+            F.least("__a.id", "__b.id").alias("doc_a"),
+            F.greatest("__a.id", "__b.id").alias("doc_b"),
+        )
+        .distinct()
+    )
 
 
 def char_ngram_jaccard_pairs(

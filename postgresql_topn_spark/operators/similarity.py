@@ -493,6 +493,35 @@ def _train_ivf_centroids(
     return C
 
 
+def _seeded_ivf_centroids(
+    corpus: DataFrame, id_col: str, vec_col: str, n_lists: int
+):
+    """(n_lists, dim) float64 centroids picked DETERMINISTICALLY from
+    the corpus itself: the n_lists vectors whose md5(id) sorts first
+    (an md5-shuffled sample — k-means seeding without the Lloyd's
+    iterations). Two properties the trained path can't give:
+
+    - replayable in ANSI SQL (``ORDER BY md5(CAST(id AS VARCHAR)), id
+      LIMIT n``), so IVF suite queries carry value-level DuckDB oracles
+      like the LSH ones;
+    - ONE tiny Spark job (a global sort-limit of n_lists rows riding a
+      TakeOrderedAndProject — no count + no 100k-row collect), so the
+      index "build" cost is a scan, not three jobs.
+
+    Centroids drawn from the data manifold keep cells balanced enough
+    for the recall/pruning trade (classic k-means|| intuition); pytest
+    floors the recall of both modes."""
+    rows = (
+        corpus.select(
+            _col(id_col).alias("__id"), _col(vec_col).alias("__v")
+        )
+        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(n_lists)
+        .collect()
+    )
+    return np.asarray([r["__v"] for r in rows], dtype=np.float64)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -504,35 +533,55 @@ def ivf_topk(
     n_probe: int = 4,
     seed: int = 7,
     include_self: bool = False,
+    centroid_mode: str = "train",
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: KMeans-partition the
-    corpus into `n_lists` cells, search only the `n_probe` cells whose
-    centroids are nearest each query.
+    """IVF (inverted-file) approximate top-k: partition the corpus into
+    `n_lists` cells, search only the `n_probe` cells whose centroids are
+    nearest each query.
 
-    Scale shape: training samples the corpus (KMeans on a bounded
-    sample); queries + centroids ride the task closure like a broadcast;
-    the corpus streams through ONE mapInPandas pass that assigns each
-    batch to cells, masks candidates to the probed cells (~n_probe /
-    n_lists of the corpus), scores them with a single matmul, and emits
-    per-batch partial top-k — at most k rows per query per batch reach
-    the final window-rank shuffle. The corpus never shuffles. Recall < 1
-    by construction (pytest recall floor, no SQL oracle).
+    ``centroid_mode='train'`` (default) runs Lloyd's k-means on a
+    bounded sample; ``'seeded'`` takes the md5-shuffled first n_lists
+    corpus vectors as centroids — deterministic and SQL-replayable, so
+    the suite query is value-oracled end-to-end (the oracle recomputes
+    the same centroids, assignments, probes and rerank in DuckDB). In
+    seeded mode every float fold (assignment distance, probe distance,
+    cosine) accumulates dimension-sequentially (`_seq_dots`) to stay
+    bit-identical to the SQL `list_reduce`; trained mode keeps BLAS
+    matmuls (nothing to replay).
+
+    Scale shape: queries + centroids ride the task closure like a
+    broadcast; the corpus streams through ONE mapInPandas pass that
+    assigns each batch to cells, masks candidates to the probed cells
+    (~n_probe / n_lists of the corpus), scores them, and emits per-batch
+    partial top-k — at most k rows per query per batch reach the final
+    window-rank shuffle. The corpus never shuffles.
     """
-    C = _train_ivf_centroids(corpus, vec_col, n_lists, seed)
-    c_sq = np.einsum("ij,ij->i", C, C)
+    if centroid_mode == "seeded":
+        C = _seeded_ivf_centroids(corpus, id_col, vec_col, n_lists)
+        exact_fold = True
+    elif centroid_mode == "train":
+        C = _train_ivf_centroids(corpus, vec_col, n_lists, seed)
+        exact_fold = False
+    else:
+        raise ValueError(f"centroid_mode must be 'train' or 'seeded': {centroid_mode}")
+    # -2 x.c + ||c||^2 orders cells like true squared distance (||x||^2
+    # is constant per row); stable argsort/argmin = cell-id tie-break
+    c_sq = _seq_sqnorm(C) if exact_fold else np.einsum("ij,ij->i", C, C)
+
+    def cell_dists(X: "np.ndarray") -> "np.ndarray":
+        d = _seq_dots(X, C) if exact_fold else X @ C.T
+        return -2.0 * d + c_sq
+
     qid_arr, Q = _collect_queries(queries, id_col, vec_col)
     schema = _scored_schema(corpus, queries, id_col)
     if len(qid_arr) == 0:
         return _merge_partial_topk(
             corpus.sparkSession.createDataFrame([], schema), k
         )
-    # per-query probe set as a (n_queries, n_lists) boolean membership
-    # matrix; ||q||^2 is constant per row so -2 q.C + ||c||^2 orders
-    # cells like true squared distance (stable sort = cell-id tie-break)
-    probe = np.argsort(-2.0 * (Q @ C.T) + c_sq, axis=1, kind="stable")[:, :n_probe]
+    probe = np.argsort(cell_dists(Q), axis=1, kind="stable")[:, :n_probe]
     probe_mask = np.zeros((len(Q), len(C)), dtype=bool)
     np.put_along_axis(probe_mask, probe, True, axis=1)
-    qn = np.linalg.norm(Q, axis=1)
+    qn = np.sqrt(_seq_sqnorm(Q)) if exact_fold else np.linalg.norm(Q, axis=1)
 
     def score(batches):
         for pdf in batches:
@@ -540,8 +589,14 @@ def ivf_topk(
                 continue
             ids = pdf.iloc[:, 0].to_numpy()
             X = np.asarray(pdf.iloc[:, 1].tolist(), dtype=np.float64)
-            cells = np.argmin(-2.0 * (X @ C.T) + c_sq, axis=1)
-            S = (Q @ X.T) / (qn[:, None] * np.linalg.norm(X, axis=1)[None, :])
+            cells = np.argmin(cell_dists(X), axis=1)
+            if exact_fold:
+                # sims hash-match the DuckDB list_reduce rerank
+                S = _seq_dots(Q, X) / (
+                    qn[:, None] * np.sqrt(_seq_sqnorm(X))[None, :]
+                )
+            else:
+                S = (Q @ X.T) / (qn[:, None] * np.linalg.norm(X, axis=1)[None, :])
             S[~probe_mask[:, cells]] = -np.inf
             if not include_self:
                 S[qid_arr[:, None] == ids[None, :]] = -np.inf
@@ -565,9 +620,10 @@ def embedding_near_dup_pairs(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 7,
+    tile: int = 2048,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: banded-LSH buckets scored
-    in-bucket with one numpy matmul each, exact cosine >= threshold.
+    in-bucket with tiled numpy block products, exact cosine >= threshold.
     Near-identical vectors share an r-plane sign bucket in at least one
     of the L tables w.h.p. (1-(1-(1-theta/pi)^r)^L ~ 0.99 at cos=0.95
     with r=8, L=8); at 100 TB the per-bucket grouping is the only pair
@@ -577,15 +633,16 @@ def embedding_near_dup_pairs(
     # low thresholds force wide bands, where most in-bucket pairs are
     # candidates — materializing them as Spark rows is ~quadratic row
     # machinery (measured: 2M candidate rows, 2.7s of distinct, for 2000
-    # vectors). Instead each (table, bucket) group is scored with a
-    # single normalized X @ X.T in applyInPandas; sub-threshold pairs
+    # vectors). Instead each (table, bucket) group is scored with
+    # normalized block products in applyInPandas; sub-threshold pairs
     # die inside numpy and only survivors become rows, so the post-
     # threshold dedup across tables is over the (small) result set.
     # Shuffle cost: L x corpus (vectors ride the explode) — linear, one
-    # shuffle. Hot-bucket skew is bounded by n_planes (bucket count
-    # 2^r per table); a pathological bucket can be tiled into block
-    # pairs, which keeps per-task memory O(tile^2) — not needed at
-    # current scales.
+    # shuffle. Hot-bucket skew: the score matrix is TILED into
+    # (tile x tile) block pairs, so an adversarial bucket of m vectors
+    # costs O(m * dim + tile^2) task memory instead of O(m^2) — the
+    # quadratic term is bounded by `tile` no matter how skewed the
+    # bucket (score WORK stays O(m^2); only memory is bounded).
     from pyspark.sql.types import (
         DoubleType,
         LongType,
@@ -622,14 +679,35 @@ def embedding_near_dup_pairs(
         # sims are bit-identical across tables AND to the DuckDB
         # list_reduce oracle (see cosine_topk), so the cross-table
         # dedupe below is over identical values and the suite query
-        # carries a value-level oracle
+        # carries a value-level oracle. Block tiling changes neither:
+        # each pair's fold runs the same additions in the same order.
         nrm = np.sqrt(_seq_sqnorm(X))
-        S = _seq_dots(X, X) / (nrm[:, None] * nrm[None, :])
-        iu, ju = np.triu_indices(m, k=1)
-        keep = S[iu, ju] >= threshold
-        return pd.DataFrame(
-            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "__sim": S[iu, ju][keep]}
-        )
+        frames = []
+        for i0 in range(0, m, tile):
+            i1 = min(i0 + tile, m)
+            for j0 in range(i0, m, tile):
+                j1 = min(j0 + tile, m)
+                S = _seq_dots(X[i0:i1], X[j0:j1]) / (
+                    nrm[i0:i1, None] * nrm[None, j0:j1]
+                )
+                if i0 == j0:  # diagonal block: upper triangle only
+                    bi, bj = np.triu_indices(i1 - i0, k=1, m=j1 - j0)
+                else:  # off-diagonal: every (row, col) has row-id < col-id
+                    bi, bj = np.nonzero(np.ones(S.shape, dtype=bool))
+                keep = S[bi, bj] >= threshold
+                if keep.any():
+                    frames.append(
+                        pd.DataFrame(
+                            {
+                                "id_a": ids[i0 + bi[keep]],
+                                "id_b": ids[j0 + bj[keep]],
+                                "__sim": S[bi, bj][keep],
+                            }
+                        )
+                    )
+        if not frames:
+            return pd.DataFrame(columns=["id_a", "id_b", "__sim"])
+        return pd.concat(frames, ignore_index=True)
 
     pairs = banded.groupBy("__tbl", "__bkt").applyInPandas(_bucket_pairs, out_schema)
     # same pair can surface from several tables; the float sims may

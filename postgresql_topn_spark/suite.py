@@ -713,17 +713,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("dedup_simhash")  # rows-only: xxhash64 has no DuckDB twin
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 near-dup pairs (hamming <= 3) via the 4-chunk
-    pigeonhole join — the xxhash64 + numpy scale form. Validated by
-    pytest invariants (superset of exact duplicates, symmetry) plus the
-    value-oracled md5 twin below (dedup_simhash_md5), which pins the
-    SimHash semantics cross-engine."""
-    from postgresql_topn_spark.operators.dedup import simhash_pairs
-
-    docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+# NOTE: the xxhash64 + numpy SimHash scale form (dedup.simhash_pairs)
+# is intentionally NOT a declared suite query: xxhash64 has no DuckDB
+# twin, so it cannot carry a value oracle. Its SimHash semantics are
+# pinned by the value-oracled md5 twin below (identical vote/pigeonhole
+# pipeline, different hash) and by pytest invariants
+# (tests/test_dedup.py: superset-of-exact-duplicates, symmetry,
+# zero-shuffle plan assertion).
 
 
 @_register(
@@ -960,16 +956,72 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register("ann_ivf_topk")  # rows-only: approximate by construction
+_IVF_D2 = """
+         -2 * list_reduce(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+         + list_reduce(list_transform(range(1, 65),
+              i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+"""
+
+
+@_register(
+    "ann_ivf_topk",
+    f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             embedding AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, c.cell, {_IVF_D2} AS d2
+      FROM embeddings e, cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM d) t WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM d WHERE vec_id % 100 = 0) t WHERE rn <= 4
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_COS_AB} AS sim
+      FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+                JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, "rank", round(sim, 6) AS sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+      FROM scored
+    ) t WHERE "rank" <= 5
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k (KMeans cells, probe the 4 nearest of 16): the other
-    standard ANN scale path next to LSH. pytest enforces a recall floor
-    vs brute force."""
+    """IVF top-k (probe the 4 nearest of 16 cells): the other standard
+    ANN scale path next to LSH. Runs the deterministic seeded-centroid
+    mode (md5-shuffled corpus sample; similarity._seeded_ivf_centroids)
+    so the DuckDB oracle replays the identical centroid pick, cell
+    assignment, probe selection and cosine rerank — value-hash-checked
+    end-to-end like ann_lsh_topk. The trained-KMeans mode keeps its
+    pytest recall floor."""
     from postgresql_topn_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return ivf_topk(emb, queries, k=5, n_lists=16, n_probe=4)
+    return ivf_topk(
+        emb, queries, k=5, n_lists=16, n_probe=4, centroid_mode="seeded"
+    )
 
 
 @_register(

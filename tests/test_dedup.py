@@ -183,6 +183,28 @@ class TestConnectedComponents:
         }
         assert out == {i: 0 for i in range(n + 1)}
 
+    def test_reliable_checkpoint_mode(self, spark, tmp_path):
+        """checkpoint_dir switches rounds to reliable checkpoints:
+        identical labels, and the checkpoint dir actually receives
+        RDD checkpoint data."""
+        import os
+
+        from postgresql_topn_spark.operators.dedup import connected_components
+
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+        )
+        ckpt = str(tmp_path / "cc_ckpt")
+        out = {
+            r["node"]: r["component"]
+            for r in connected_components(edges, checkpoint_dir=ckpt).collect()
+        }
+        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+        written = [
+            os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
+        ]
+        assert written, "no reliable checkpoint data written"
+
     def test_cluster_labels_on_documents(self, spark):
         """End-to-end: jaccard edges over the toy corpus -> 1,2,3 share a
         component labeled 1; 4 and 5 are not in any edge."""

@@ -117,13 +117,21 @@ def test_no_suite_query_uses_row_at_a_time_python(spark):
     node (row-at-a-time Python UDF — the 10-100x-slower lane). Python is
     allowed only as Arrow-batched stages (MapInPandas / ArrowEvalPython /
     grouped-map), and only a bounded number of them (the dedup/ANN
-    operators budget 1-2 per query)."""
+    operators budget 1-2 per query). Exception: the SQL-parity queries
+    (topn_sql_*) exercise the registered UDTF, which plans as
+    BatchEvalPythonUDTF — allowed there ONLY above the aggregate, where
+    it touches a handful of sketch rows, never the raw fact rows."""
     from postgresql_topn_spark.plans.audit import plan_str
     from postgresql_topn_spark.suite import QUERIES
 
     for name, fn in QUERIES.items():
         p = plan_str(fn(spark, SF), "simple")
-        assert "BatchEvalPython" not in p, f"{name} plans a row-at-a-time UDF"
+        scalar_evals = p.count("BatchEvalPython") - p.count("BatchEvalPythonUDTF")
+        assert scalar_evals == 0, f"{name} plans a row-at-a-time UDF"
+        if not name.startswith("topn_sql_"):
+            assert "BatchEvalPythonUDTF" not in p, (
+                f"{name} plans a Python UDTF outside the SQL-parity surface"
+            )
         n_arrow = sum(
             p.count(n)
             for n in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")

@@ -127,6 +127,36 @@ def test_lsh_near_dup_subset_of_exact(spark, sf_dir):
     assert approx <= exact
 
 
+def test_near_dup_hot_bucket_tiling(spark):
+    """Adversarial skew: every vector is near-identical, so ALL of them
+    land in one (table, bucket) group in every table. A tiny tile must
+    produce exactly the same pairs/sims as the untiled score (tile >=
+    bucket size) — tiling bounds memory, never changes results."""
+    from postgresql_topn_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    n, dim = 11, 8
+    base = [float((d * 7 + 3) % 5 - 2) for d in range(dim)]
+    rows = [
+        (i, [base[d] + 1e-4 * ((i * 31 + d) % 3) for d in range(dim)])
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    kw = dict(threshold=0.9, n_tables=4, n_planes=4, dim=dim)
+    tiled = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_near_dup_pairs(df, tile=3, **kw).collect()
+    }
+    untiled = {
+        (r.id_a, r.id_b): r.sim
+        for r in embedding_near_dup_pairs(df, tile=1 << 20, **kw).collect()
+    }
+    assert tiled == untiled
+    # a hot bucket of near-identical vectors must pair everything
+    assert len(tiled) == n * (n - 1) // 2
+
+
 def test_ivf_recall_floor(spark, sf_dir):
     """IVF with n_probe/n_lists = 1/4 of the corpus searched must still
     recover a solid fraction of the true top-5."""
@@ -143,3 +173,13 @@ def test_ivf_recall_floor(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.3, f"IVF recall {recall} suspiciously low"
+    # the deterministic seeded-centroid mode (the oracled suite path)
+    # must hold the same floor
+    seeded = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(
+            emb, q, k=5, n_lists=16, n_probe=4, centroid_mode="seeded"
+        ).collect()
+    }
+    s_recall = len(exact & seeded) / len(exact)
+    assert s_recall >= 0.3, f"seeded IVF recall {s_recall} suspiciously low"
