@@ -251,6 +251,49 @@ def _shingle_postings(
     )
 
 
+def decontaminate(
+    train: DataFrame,
+    test: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 13,
+    min_overlap: int = 1,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """(test_id, train_id, shared_shingles): evaluation/test documents
+    sharing >= min_overlap DISTINCT k-token shingles with a training
+    document — the standard pre-training decontamination sweep (13-gram
+    overlap against eval sets). Anti-join the test set on test_id to
+    get the clean remainder, or inspect train_id to locate the leak.
+
+    Scale shape: a bipartite inverted-index join on 64-bit shingle
+    hashes — jaccard_pairs' candidate machinery across two relations.
+    Each side shuffles once on slim (id, hash) rows, matches stream
+    through the hash join, and the (test, train) pair count is the only
+    other exchange; never O(|train| x |test|). For web-scale train
+    corpora, `max_shingle_df` drops boilerplate shingles hotter than
+    the cap from the index (a Zipf guard: reported overlap becomes a
+    lower bound, sizes unaffected)."""
+    t_posts = _shingle_postings(train, id_col, text_col, k, max_shingle_df)
+    q_posts = _shingle_postings(test, id_col, text_col, k)
+    joined = q_posts.select(F.col("__id").alias("__test"), "__sh").join(
+        t_posts.select(F.col("__id").alias("__train"), "__sh"), "__sh"
+    )
+    # postings are distinct per document, so the pair count IS the
+    # number of distinct shared shingles
+    return (
+        joined.groupBy("__test", "__train")
+        .agg(F.count(F.lit(1)).alias("shared_shingles"))
+        .where(F.col("shared_shingles") >= min_overlap)
+        .select(
+            F.col("__test").alias("test_id"),
+            F.col("__train").alias("train_id"),
+            "shared_shingles",
+        )
+    )
+
+
 def _char_gram_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:

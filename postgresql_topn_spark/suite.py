@@ -713,6 +713,36 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "dedup_decontaminate",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    trs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS s
+            FROM toks WHERE doc_id % 2 = 0),
+    tes AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS s
+            FROM toks WHERE doc_id % 2 = 1)
+    SELECT te.doc_id AS test_id, tr.doc_id AS train_id, COUNT(*) AS shared_shingles
+    FROM tes te JOIN trs tr ON te.s = tr.s
+    GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination: test documents sharing >= 2 distinct
+    5-token shingles with any train document (the pre-training hygiene
+    sweep; at real scale k=13 with a document-frequency cap). Even
+    doc_ids play train, odd play test. The oracle joins raw shingle
+    strings; Spark joins 64-bit hashes — identical pair counts (tokens
+    carry no whitespace, hashes injective-in-practice)."""
+    from postgresql_topn_spark.operators.dedup import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.where(F.col("doc_id") % 2 == 0)
+    test = docs.where(F.col("doc_id") % 2 == 1)
+    return decontaminate(train, test, k=5, min_overlap=2)
+
+
 # NOTE: the xxhash64 + numpy SimHash scale form (dedup.simhash_pairs)
 # is intentionally NOT a declared suite query: xxhash64 has no DuckDB
 # twin, so it cannot carry a value oracle. Its SimHash semantics are

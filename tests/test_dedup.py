@@ -183,6 +183,50 @@ class TestConnectedComponents:
         }
         assert out == {i: 0 for i in range(n + 1)}
 
+    def test_decontaminate(self, spark):
+        """A test doc leaking a k-shingle from train is flagged with the
+        exact distinct-shingle overlap; clean docs are absent; the
+        max_shingle_df cap drops boilerplate-only matches."""
+        from postgresql_topn_spark.operators.dedup import decontaminate
+
+        train = spark.createDataFrame(
+            [
+                (1, "the quick brown fox jumps over the lazy dog"),
+                # boilerplate shingles shared by BOTH train docs 2 and 3
+                (2, "common header common header common header"),
+                (3, "common header common header footer"),
+            ],
+            "doc_id bigint, text string",
+        )
+        test = spark.createDataFrame(
+            [
+                # shares 'quick brown fox' and 'brown fox jumps' with 1
+                (10, "a quick brown fox jumps away"),
+                (11, "completely unrelated content here"),
+                (12, "common header common header trailer"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            (r.test_id, r.train_id): r.shared_shingles
+            for r in decontaminate(train, test, k=3).collect()
+        }
+        assert out[(10, 1)] == 2
+        assert (11, 1) not in out and (11, 2) not in out
+        assert (12, 2) in out and (12, 3) in out
+        # train-side document-frequency cap: the boilerplate shingles
+        # occur in 2 train docs, so max_shingle_df=1 drops them from the
+        # index — doc 12's matches vanish while doc 10's rare-shingle
+        # match survives
+        capped = {
+            (r.test_id, r.train_id)
+            for r in decontaminate(
+                train, test, k=3, max_shingle_df=1
+            ).collect()
+        }
+        assert (10, 1) in capped
+        assert (12, 2) not in capped and (12, 3) not in capped
+
     def test_reliable_checkpoint_mode(self, spark, tmp_path):
         """checkpoint_dir switches rounds to reliable checkpoints:
         identical labels, and the checkpoint dir actually receives
