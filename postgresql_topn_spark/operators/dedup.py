@@ -118,9 +118,13 @@ def connected_components(
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
     def _persist_round(df: DataFrame) -> DataFrame:
+        # LAZY checkpoint: the per-round convergence-sum action below is
+        # what materializes it, so each round runs ONE job (materialize +
+        # sum) instead of two (eager checkpoint, then sum). Lineage is
+        # truncated identically either way.
         if checkpoint_dir is not None:
-            return df.checkpoint(eager=True)
-        return df.localCheckpoint(eager=True)
+            return df.checkpoint(eager=False)
+        return df.localCheckpoint(eager=False)
 
     und = edges.select(_col(src).alias("__s"), _col(dst).alias("__d"))
     # checkpoint the edge list FIRST: the loop scans it every round, and

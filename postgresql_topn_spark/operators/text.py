@@ -155,6 +155,60 @@ def fingerprint_md5(text: Column | str) -> Column:
     return F.md5(F.array_join(F.array_sort(distinct_tokens(text)), " "))
 
 
+def top_token_count(text: Column | str) -> Column:
+    """Occurrences of the document's most frequent token, computed as a
+    pure expression (no per-doc explode/shuffle): sort the token array,
+    then one aggregate fold counts the longest run of equal adjacent
+    tokens. O(L log L) per doc, JVM-side."""
+    sorted_toks = F.array_sort(tokens(text))
+    acc0 = F.expr(
+        "named_struct('prev', cast(null as string), "
+        "'run', cast(0 as bigint), 'best', cast(0 as bigint))"
+    )
+
+    def step(acc, x):
+        run = F.when(
+            acc["prev"].isNotNull() & (x == acc["prev"]), acc["run"] + 1
+        ).otherwise(F.lit(1).cast("bigint"))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    return F.aggregate(sorted_toks, acc0, step, lambda acc: acc["best"])
+
+
+def repetition_signals(text: Column | str) -> Column:
+    """Gopher-style within-document repetition metrics as one struct —
+    the standard "repetitious document" pre-filter for LLM corpora
+    (duplicate lines / dominated-by-one-token documents score high):
+
+    - n_tokens — whitespace token count;
+    - dup_token_frac — 1 - distinct/total tokens;
+    - top_token_frac — share of the most frequent token;
+    - dup_line_frac — 1 - distinct/total '\\n'-lines.
+
+    All pure Catalyst expressions (one projection, no shuffle), with
+    division order fixed so ANSI-SQL twins hash-match the doubles."""
+    t = _col(text)
+    toks = tokens(t)
+    n = F.size(toks).cast("double")
+    lines = F.split(t, "\n")
+    n_lines = F.size(lines).cast("double")
+    return F.struct(
+        F.size(toks).cast("long").alias("n_tokens"),
+        (
+            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+        ).alias("dup_token_frac"),
+        (top_token_count(t).cast("double") / n).alias("top_token_frac"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double") / n_lines
+        ).alias("dup_line_frac"),
+    )
+
+
 def _bind(value: Column, body) -> Column:
     """Evaluate `value` ONCE and pass it to `body` as a lambda variable.
 

@@ -1055,6 +1055,42 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_repetition",
+    r"""
+    WITH t AS (SELECT doc_id,
+                      string_split_regex(trim(text), '\s+') AS toks,
+                      string_split(text, chr(10)) AS lines
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(1.0 - len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE), 6) AS dup_token_frac,
+           round(list_max(list_transform(list_distinct(toks),
+                   tk -> len(list_filter(toks, x -> x = tk)))) / CAST(len(toks) AS DOUBLE), 6) AS top_token_frac,
+           round(1.0 - len(list_distinct(lines)) / CAST(len(lines) AS DOUBLE), 6) AS dup_line_frac
+    FROM t
+    """,
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition pre-filter signals
+    (duplicate-token fraction, most-frequent-token share, duplicate-line
+    fraction) — one pure-expression projection, no shuffle. The Spark
+    side finds the top token with an O(L log L) sorted-run fold; the
+    oracle brute-forces per-token counts — identical integers, identical
+    divisions."""
+    from postgresql_topn_spark.operators.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    s = repetition_signals("text").alias("__s")
+    return docs.select("doc_id", s).select(
+        "doc_id",
+        F.col("__s.n_tokens").alias("n_tokens"),
+        F.round("__s.dup_token_frac", 6).alias("dup_token_frac"),
+        F.round("__s.top_token_frac", 6).alias("top_token_frac"),
+        F.round("__s.dup_line_frac", 6).alias("dup_line_frac"),
+    )
+
+
+@_register(
     "text_token_counts",
     """
     SELECT doc_id,

@@ -59,6 +59,38 @@ class TestQuality:
         assert one(spark, rich, X.quality_score("text")) > one(spark, poor, X.quality_score("text"))
 
 
+class TestRepetition:
+    def test_repetition_signals_values(self, spark):
+        """Known-answer doc: 6 tokens ('a a a b c\\nb c'), top token 'a'
+        x3, 7 tokens total? -> build explicitly and check each field."""
+        df = spark.createDataFrame(
+            [
+                (1, "a a a b\nc d\nc d"),  # 8 toks, 4 distinct; 3 lines, 2 distinct
+                (2, "x y z"),  # no repetition at all
+            ],
+            "doc_id bigint, text string",
+        )
+        rows = {
+            r.doc_id: r
+            for r in df.select(
+                "doc_id", X.repetition_signals("text").alias("s")
+            ).select("doc_id", "s.*").collect()
+        }
+        r1 = rows[1]
+        assert r1.n_tokens == 8
+        assert abs(r1.dup_token_frac - (1 - 4 / 8)) < 1e-12
+        assert abs(r1.top_token_frac - 3 / 8) < 1e-12
+        assert abs(r1.dup_line_frac - (1 - 2 / 3)) < 1e-12
+        r2 = rows[2]
+        assert r2.dup_token_frac == 0.0
+        assert abs(r2.top_token_frac - 1 / 3) < 1e-12
+        assert r2.dup_line_frac == 0.0
+
+    def test_top_token_count_fold(self, spark):
+        assert one(spark, "b a b a b", X.top_token_count("text")) == 3
+        assert one(spark, "solo", X.top_token_count("text")) == 1
+
+
 class TestFingerprints:
     def test_md5_order_insensitive(self, spark):
         a = one(spark, "alpha beta gamma", X.fingerprint_md5("text"))
