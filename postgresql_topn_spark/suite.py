@@ -233,6 +233,65 @@ def topn_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topn_sql_window",
+    """
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, event_type AS item,
+             COUNT(event_type) AS c
+      FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2
+    ),
+    days AS (
+      SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rk
+      FROM (SELECT DISTINCT day FROM daily)
+    ),
+    win AS (
+      SELECT d2.day, daily.item, SUM(daily.c) AS frequency
+      FROM days d2
+      JOIN days d1 ON d1.rk BETWEEN d2.rk - 6 AND d2.rk
+      JOIN daily ON daily.day = d1.day
+      GROUP BY 1, 2
+    )
+    SELECT day, item, CAST(frequency AS BIGINT) AS frequency FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY day
+                                   ORDER BY frequency DESC, item ASC) AS rn
+      FROM win
+    ) t WHERE rn <= 2
+    """,
+)
+def topn_sql_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topn_window_7d run ENTIRELY through spark.sql(): the registered
+    GROUPED_AGG UDAFs work as window functions too, so the reference's
+    sliding-frame query (sql/customer_reviews_query.sql:59-68,
+    ``topn_union_agg(sk) OVER (ORDER BY day ROWS 6 PRECEDING)``) runs
+    verbatim — aggregate, frame-merge and lateral extraction all in
+    SQL."""
+    from postgresql_topn_spark.functions.sql_api import register_sql_functions
+
+    register_sql_functions(spark, counters=C)
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__topn_sql_events"
+    )
+    return spark.sql(
+        """
+        WITH daily AS (
+          SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                 topn_add_agg(event_type) AS sk
+          FROM __topn_sql_events GROUP BY 1
+        ),
+        win AS (
+          SELECT day,
+                 topn_union_agg(sk) OVER (
+                   ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW
+                 ) AS sk
+          FROM daily
+        )
+        SELECT win.day, t.item, t.frequency
+        FROM win, LATERAL topn(win.sk, 2) t
+        """
+    )
+
+
+@_register(
     "topn_join",
     """
     WITH sup AS (

@@ -136,6 +136,57 @@ def test_per_call_guc_via_setter(spark):
         register_sql_functions(spark, counters=1000)
 
 
+def test_sql_udaf_equals_column_api(spark):
+    """The two aggregate surfaces must agree exactly — same counts,
+    same prune, same tie order — on randomized grouped data with NULLs
+    and a tight counter budget."""
+    import random
+
+    from postgresql_topn_spark.functions.aggregates import (
+        topn_add_agg,
+        topn_union_agg,
+    )
+
+    rng = random.Random(42)
+    rows = [
+        (rng.randrange(5), rng.choice("abcdefgh")) for _ in range(500)
+    ] + [(g, None) for g in range(5)]
+    df = spark.createDataFrame(rows, "g int, item string")
+    df.createOrReplaceTempView("equiv_in")
+    register_sql_functions(spark, counters=3)
+    try:
+        sql_add = {
+            r.g: r.sk
+            for r in spark.sql(
+                "SELECT g, topn_add_agg(item) AS sk FROM equiv_in GROUP BY g"
+            ).collect()
+        }
+        col_add = {
+            r.g: r.topn
+            for r in topn_add_agg(df, ["g"], "item", counters=3).collect()
+        }
+        assert sql_add == col_add
+        # union the per-group sketches both ways
+        sk_df = topn_add_agg(df, ["g"], "item", counters=3)
+        sk_df.createOrReplaceTempView("equiv_sk")
+        sql_union = spark.sql(
+            "SELECT topn_union_agg(topn) AS sk FROM equiv_sk"
+        ).collect()[0].sk
+        col_union = (
+            topn_union_agg(
+                sk_df.select(F.lit(1).alias("one"), "topn"),
+                ["one"],
+                "topn",
+                counters=3,
+            )
+            .collect()[0]
+            .topn
+        )
+        assert sql_union == col_union
+    finally:
+        register_sql_functions(spark, counters=1000)
+
+
 def test_sketch_column_plus(spark):
     """The + operator parity (update/topn--2.0.0.sql:48-53)."""
     from postgresql_topn_spark.functions.sketch import SketchColumn, topn_plus
