@@ -386,10 +386,19 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 7,
     include_self: bool = False,
+    probe_hamming: int = 0,
 ) -> DataFrame:
     """Approximate top-k: band corpus + queries into L sign-bucket
     tables; a pair is a candidate iff it collides in at least one table;
     candidates are reranked with exact cosine.
+
+    ``probe_hamming=1`` enables MULTI-PROBE: a table also matches when
+    the two sign-buckets differ in at most one plane bit (the classic
+    recall lever — a near neighbor that lands one sign flip away is
+    still probed). Same tables, same one-pass plan; candidate volume
+    grows by ~r neighbor buckets per table instead of doubling L. Only
+    0 (exact bucket) and 1 are supported — beyond one flip the probe
+    set loses its locality value faster than it gains recall.
 
     Scale shape: the (small) query side's buckets are computed on the
     driver and ride the task closure; the corpus streams through ONE
@@ -400,6 +409,8 @@ def lsh_topk(
     exploded L times; candidate semantics (and therefore recall) are
     identical to the banded equi-join formulation because both sides
     use the same `_planes_matrix` buckets."""
+    if probe_hamming not in (0, 1):
+        raise ValueError(f"probe_hamming must be 0 or 1: {probe_hamming}")
     P = _planes_matrix(dim, n_tables, n_planes, seed)
     weights = 1 << np.arange(n_planes, dtype=np.int64)
 
@@ -424,8 +435,14 @@ def lsh_topk(
             ids = pdf.iloc[:, 0].to_numpy()
             X = np.asarray(pdf.iloc[:, 1].tolist(), dtype=np.float64)
             XB = buckets_of(X)  # (nb, L)
-            # collision in >= 1 of the L tables -> candidate
-            mask = (QB[:, None, :] == XB[None, :, :]).any(axis=2)  # (nq, nb)
+            if probe_hamming:
+                # hamming(buckets) <= 1 in >= 1 table: xor is 0 or a
+                # power of two iff (xor & (xor-1)) == 0
+                xor = QB[:, None, :] ^ XB[None, :, :]
+                mask = ((xor & (xor - 1)) == 0).any(axis=2)  # (nq, nb)
+            else:
+                # collision in >= 1 of the L tables -> candidate
+                mask = (QB[:, None, :] == XB[None, :, :]).any(axis=2)
             if not include_self:
                 mask &= qid_arr[:, None] != ids[None, :]
             cols = np.nonzero(mask.any(axis=0))[0]

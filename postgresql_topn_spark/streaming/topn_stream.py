@@ -52,6 +52,7 @@ def topn_streaming_state(
     *,
     counters: int | None = None,
     out_col: str = "topn",
+    weight: Column | str | None = None,
 ) -> DataFrame:
     """Continuously-maintained per-group sketches over a stream.
 
@@ -60,12 +61,22 @@ def topn_streaming_state(
     stored in the state store, and the reference's at-rest form is JSON
     anyway, topn.c:914-939). Each trigger emits the refreshed sketch for
     every group that saw input. Use output mode ``update``.
+
+    With ``weight`` the sketch accumulates the additive measure instead
+    of row counts — the streaming twin of ``topn_weighted_agg`` (NULL
+    weights contribute 0; NULL items are skipped).
     """
     counters = resolve_counters(counters, stream_df.sparkSession)
     gnames = [f"__g{i}" for i in range(len(group_cols))]
+    w_col = (
+        F.coalesce(_col(weight).cast("long"), F.lit(0))
+        if weight is not None
+        else F.lit(1).cast("long")
+    )
     src = stream_df.select(
         *[_col(c).alias(g) for c, g in zip(group_cols, gnames)],
         _col(item).cast("string").alias("__item"),
+        w_col.alias("__w"),
     )
     out_schema = _group_ddl(src, gnames) + f", {out_col} string"
     # State = the sketch's entries as parallel arrays (state store rows
@@ -82,15 +93,20 @@ def topn_streaming_state(
             items, freqs = state.get
             st.counts = dict(zip(items, freqs))
         for pdf in batches:
-            for it in pdf["__item"]:
+            for it, w in zip(pdf["__item"], pdf["__w"]):
                 if it is None or (isinstance(it, float) and pd.isna(it)):
                     continue
-                st.add(truncate_key_bytes(it), 1, aggregate_path=True)
+                st.add(truncate_key_bytes(it), int(w), aggregate_path=True)
         state.update((list(st.counts.keys()), [int(v) for v in st.counts.values()]))
         import json as _json
 
+        # non-positive totals are not heavy hitters (matches
+        # topn_weighted_agg's drop rule; counted items are always >= 1)
         snapshot = dict(
-            sorted(st.counts.items(), key=lambda kv: (-kv[1], kv[0]))[: st.counters]
+            sorted(
+                ((k, v) for k, v in st.counts.items() if v > 0),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[: st.counters]
         )
         row = dict(zip(gnames, key))
         row[out_col] = _json.dumps(snapshot)

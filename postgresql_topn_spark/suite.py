@@ -951,6 +951,43 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_lsh_multiprobe",
+    f"""
+    WITH {_lsh_planes_bk_sql(12, 4, 7)},
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bk q JOIN bk c
+        ON q.t = c.t AND bit_count(xor(q.bucket, c.bucket)) <= 1
+      WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id, {_COS_AB} AS sim
+      FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
+                JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    )
+    SELECT query_id, neighbor_id, "rank", round(sim, 6) AS sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+      FROM scored
+    ) t WHERE "rank" <= 5
+    """,
+)
+def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH top-k: same 12x4 tables as ann_lsh_topk but a
+    table also matches at bucket Hamming distance 1 (one sign flip) —
+    the classic recall lever without more tables. The oracle replays
+    the relaxed collision predicate (bit_count(xor(buckets)) <= 1) over
+    the same md5-derived buckets; pytest asserts recall dominance over
+    the exact-bucket probe."""
+    from postgresql_topn_spark.operators.similarity import lsh_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return lsh_topk(emb, queries, k=5, probe_hamming=1)
+
+
+@_register(
     "dedup_embedding_exact",
     """
     SELECT id_a, id_b, round(sim, 6) AS sim FROM (

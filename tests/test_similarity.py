@@ -66,6 +66,14 @@ def test_lsh_recall_floor(spark, sf_dir):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.2, f"recall {recall} suspiciously low"
+    # multi-probe (hamming <= 1) probes a superset of buckets, so its
+    # recall must dominate the exact-bucket probe
+    multi = {
+        (r["query_id"], r["neighbor_id"])
+        for r in lsh_topk(emb, q, k=5, probe_hamming=1).collect()
+    }
+    m_recall = len(exact & multi) / len(exact)
+    assert m_recall >= recall, f"multi-probe recall {m_recall} < {recall}"
 
 
 def test_near_dup_pairs_finds_planted(spark):

@@ -71,6 +71,43 @@ def test_streaming_state_matches_batch(spark, events_stream_dir, tmp_path):
     assert latest == _batch_expected(spark, events_stream_dir)
 
 
+def test_streaming_weighted_state_matches_batch(spark, events_stream_dir, tmp_path):
+    """The weighted streaming form must converge to topn_weighted_agg's
+    batch result (additive measure: user_id weighted by a deterministic
+    per-row value)."""
+    from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+
+    ev = spark.read.parquet(events_stream_dir)
+    w = (F.xxhash64("user_id") % 7 + 7) % 7  # deterministic 0..6 weight
+    expected = {
+        r["event_type"]: dict(r["topn"])
+        for r in topn_weighted_agg(
+            ev, ["event_type"], "user_id", w, counters=1_000_000
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    out = topn_streaming_state(
+        stream, ["event_type"], "user_id", counters=1_000_000, weight=w
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topn_weighted_state_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_w"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest: dict[str, dict] = {}
+    for r in spark.sql("select * from topn_weighted_state_test").collect():
+        latest[r["__g0"]] = json.loads(r["topn"])
+    assert latest == expected
+
+
 def test_stream_rollup_matches_batch(spark, events_stream_dir, tmp_path):
     ev = spark.read.parquet(events_stream_dir)
     stream = (
