@@ -264,23 +264,33 @@ def topn_plus(
 class SketchColumn:
     """Column wrapper giving sketches the reference's infix ``+``
     (update/topn--2.0.0.sql:48-53: ``jsonb + jsonb -> jsonb`` via
-    topn_union). ``SketchColumn(df.sk) + other`` returns a plain
-    Column (the pruned union), so it drops straight into ``select``.
+    topn_union). ``+`` returns another SketchColumn so unions chain
+    (``SketchColumn(a) + b + c``); every other attribute (``alias``,
+    ``cast``, …) delegates to the wrapped Column, so
+    ``(SketchColumn(a) + b).alias("sk")`` drops straight into
+    ``select``. Use ``.col`` for the bare Column itself.
     """
 
     def __init__(self, col: Column | str, counters: int | None = None):
         self._col = _col(col)
         self._counters = counters
 
-    def __add__(self, other: "SketchColumn | Column | str") -> Column:
+    def __add__(self, other: "SketchColumn | Column | str") -> "SketchColumn":
         o = other._col if isinstance(other, SketchColumn) else _col(other)
-        return topn_union(self._col, o, self._counters)
+        return SketchColumn(
+            topn_union(self._col, o, self._counters), self._counters
+        )
 
     __radd__ = __add__
 
     @property
     def col(self) -> Column:
         return self._col
+
+    def __getattr__(self, name: str):
+        # delegate alias/cast/etc. to the wrapped Column (returns plain
+        # Column results, e.g. .alias("sk") for select)
+        return getattr(self._col, name)
 
 
 # ---------------------------------------------------------------------------

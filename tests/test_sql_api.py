@@ -192,15 +192,18 @@ def test_sketch_column_plus(spark):
     from postgresql_topn_spark.functions.sketch import SketchColumn, topn_plus
 
     df = spark.createDataFrame(
-        [({"a": 1, "b": 2}, {"a": 9})],
-        "x map<string,bigint>, y map<string,bigint>",
+        [({"a": 1, "b": 2}, {"a": 9}, {"c": 4})],
+        "x map<string,bigint>, y map<string,bigint>, z map<string,bigint>",
     )
     r = df.select(
         (SketchColumn("x") + F.col("y")).alias("s1"),
         topn_plus("x", "y").alias("s2"),
+        # unions chain: (x + y) + z stays a SketchColumn until aliased
+        (SketchColumn("x") + "y" + F.col("z")).alias("s3"),
     ).collect()[0]
     assert r.s1 == {"a": 10, "b": 2}
     assert r.s2 == {"a": 10, "b": 2}
+    assert r.s3 == {"a": 10, "b": 2, "c": 4}
 
 
 def test_csv_reviews_roundtrip(spark, tmp_path):
