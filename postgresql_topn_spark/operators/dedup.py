@@ -298,6 +298,65 @@ def decontaminate(
     )
 
 
+def winnow_fingerprint_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    k: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_fp_df: int | None = None,
+    md5_form: bool = True,
+) -> DataFrame:
+    """(doc_a, doc_b, shared_fingerprints): document pairs sharing >=
+    min_shared DISTINCT winnowing fingerprints — MOSS-style local
+    similarity detection on top of the fingerprint operator
+    (text.fingerprint_winnow*): winnowing guarantees any shared run of
+    ~window+k-1 tokens contributes a shared fingerprint, so pairs with
+    substantial verbatim overlap surface even when global Jaccard is
+    low (the complement of the whole-document measures).
+
+    Scale shape: fingerprints are ~1/window of the shingles, so this is
+    a SPARSER inverted index than jaccard_pairs, same two-shuffle plan:
+    explode distinct fingerprints, bucket-join on the fingerprint, one
+    group-count per surviving pair. `max_fp_df` drops fingerprints
+    hotter than the cap (boilerplate guard — broadcast anti-join, no
+    extra scan of df). md5_form=True uses the md5 digests (SQL-
+    replayable, the oracled path); False uses the xxhash64 longs
+    (cheaper keys for production indexes, pytest-covered)."""
+    from postgresql_topn_spark.operators.text import (
+        fingerprint_winnow,
+        fingerprint_winnow_md5,
+    )
+
+    fp_fn = fingerprint_winnow_md5 if md5_form else fingerprint_winnow
+    fps = df.select(
+        _col(id_col).alias("__id"),
+        F.explode(F.array_distinct(fp_fn(text_col, k, window))).alias("__fp"),
+    )
+    if max_fp_df is not None:
+        hot = (
+            fps.groupBy("__fp")
+            .count()
+            .where(F.col("count") > max_fp_df)
+            .select("__fp")
+        )
+        fps = fps.join(F.broadcast(hot), "__fp", "left_anti")
+    cand = _bucket_pairs(fps, ["__fp"], "__id")
+    # fingerprints are distinct per doc, so the pair count IS the
+    # number of distinct shared fingerprints
+    return (
+        cand.select(
+            F.least("__a", "__b").alias("doc_a"),
+            F.greatest("__a", "__b").alias("doc_b"),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("shared_fingerprints"))
+        .where(F.col("shared_fingerprints") >= min_shared)
+    )
+
+
 def _char_gram_arrays(
     df: DataFrame, id_col: str, text_col: str, n: int
 ) -> DataFrame:

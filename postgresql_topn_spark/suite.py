@@ -773,6 +773,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_winnow_pairs",
+    r"""
+    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    sh AS (SELECT doc_id,
+            list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                           i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS hs
+           FROM t),
+    w AS (SELECT doc_id,
+            CASE WHEN len(hs) >= 4
+                 THEN list_transform(range(1, len(hs) - 3 + 1), i -> list_min(hs[i:i+3]))
+                 WHEN len(hs) > 0 THEN [list_min(hs)]
+                 ELSE [] END AS mins
+          FROM sh),
+    fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fp FROM w)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_fingerprints
+    FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
+)
+def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MOSS-style near-dup candidates: pairs sharing >= 3 distinct
+    winnowing fingerprints (window-local min-hashes, so substantial
+    verbatim runs always collide). The oracle replays the identical
+    winnow (same md5 shingle digests, same window minima) and
+    brute-force joins; Spark's inverted index is ~1/window the size of
+    the full shingle index."""
+    from postgresql_topn_spark.operators.dedup import winnow_fingerprint_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprint_pairs(docs, "doc_id", "text", min_shared=3)
+
+
+@_register(
     "dedup_decontaminate",
     r"""
     WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -183,6 +183,40 @@ class TestConnectedComponents:
         }
         assert out == {i: 0 for i in range(n + 1)}
 
+    def test_winnow_pairs(self, spark):
+        """Docs sharing a verbatim token run must pair (winnowing
+        guarantees a shared fingerprint per shared window); unrelated
+        docs must not. Both hash forms agree on the pair set."""
+        from postgresql_topn_spark.operators.dedup import (
+            winnow_fingerprint_pairs,
+        )
+
+        shared_run = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [
+                (1, shared_run + " one two three"),
+                (2, "x y z " + shared_run),
+                (3, "totally different words only here now friend"),
+            ],
+            "doc_id bigint, text string",
+        )
+        md5_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in winnow_fingerprint_pairs(df, min_shared=2).collect()
+        }
+        assert (1, 2) in md5_pairs
+        assert all(3 not in p for p in md5_pairs)
+        xx_pairs = {
+            (r.doc_a, r.doc_b)
+            for r in winnow_fingerprint_pairs(
+                df, min_shared=2, md5_form=False
+            ).collect()
+        }
+        assert xx_pairs == md5_pairs
+        # a df cap of 1 drops every fingerprint shared by 2 docs -> no pairs
+        capped = winnow_fingerprint_pairs(df, min_shared=1, max_fp_df=1).count()
+        assert capped == 0
+
     def test_decontaminate(self, spark):
         """A test doc leaking a k-shingle from train is flagged with the
         exact distinct-shingle overlap; clean docs are absent; the
