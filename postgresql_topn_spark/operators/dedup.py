@@ -36,8 +36,11 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from postgresql_topn_spark.functions.sketch import _col
+from collections.abc import Sequence
+
 from postgresql_topn_spark.operators.text import (
     hashed_shingles_from_tokens,
+    shingles_from_tokens,
     tokens,
 )
 
@@ -764,6 +767,85 @@ def minhash_lsh_pairs(
     posts = _shingle_postings(df, id_col, text_col, k)
     verified = _exact_jaccard(posts, pairs=candidates)
     return verified.where(F.col("jaccard") >= threshold)
+
+
+def minhash_signatures_md5(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """(__id, __sig) — MinHash signatures in the SQL-replayable md5
+    form: sig_i = min over DISTINCT k-token shingle strings s of
+    md5_60bit('i:' || s) (the repo's standard cross-engine hash idiom,
+    similarity._hyperplanes). Same explode + min-aggregate shape as the
+    xxhash production form (minhash_signatures): each shingle is
+    hashed once per permutation inside ONE hash aggregation with
+    map-side partial combine. Use the xxhash form for production
+    indexes; this form whenever the result must be value-oracled."""
+    shs = _tokenized(df, id_col, text_col).select(
+        "__id",
+        F.explode(
+            F.array_distinct(shingles_from_tokens("__toks", k))
+        ).alias("__s"),
+    )
+    mins = [
+        F.expr(
+            f"min(CAST(conv(substring(md5(concat('{i}:', __s)), 1, 15), 16, 10) "
+            f"AS BIGINT)) AS __m{i}"
+        )
+        for i in range(num_hashes)
+    ]
+    agg = shs.groupBy("__id").agg(*mins)
+    sig = (
+        "array(" + ", ".join(f"__m{i}" for i in range(num_hashes)) + ") AS __sig"
+    )
+    return agg.select("__id", F.expr(sig))
+
+
+def minhash_union_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    sig: str,
+    *,
+    out_col: str = "sig",
+) -> DataFrame:
+    """Merge MinHash signatures per group by element-wise minimum — the
+    signature algebra that makes MinHash a ROLLUP sketch like topn:
+    min-merge of doc signatures equals the signature of the union of
+    their shingle sets, so per-day/per-source signatures can be stored
+    small and merged across any grouping or time range later (exactly
+    the topn_union_agg pattern, for set similarity instead of heavy
+    hitters).
+
+    Shape: posexplode -> min per (group, position) -> repack ordered
+    array. The (group, pos) min aggregation gets Catalyst's map-side
+    partial combine, so per-group state is O(num_hashes) regardless of
+    group size — never a collect_list of all member signatures."""
+    ex = df.select(*group_cols, F.posexplode(F.col(sig)).alias("__pos", "__v"))
+    m = ex.groupBy(*group_cols, "__pos").agg(F.min("__v").alias("__mn"))
+    return (
+        m.groupBy(*group_cols)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__pos", "__mn"))).alias("__e")
+        )
+        .select(
+            *group_cols,
+            F.transform("__e", lambda e: e["__mn"]).alias(out_col),
+        )
+    )
+
+
+def minhash_est_jaccard(a, b) -> Column:
+    """Estimated Jaccard from two equal-length signatures: the fraction
+    of agreeing components (an unbiased estimator with std error
+    ~1/sqrt(num_hashes))."""
+    eq = F.zip_with(_col(a), _col(b), lambda x, y: x == y)
+    return F.size(F.filter(eq, lambda v: v)).cast("double") / F.size(
+        _col(a)
+    ).cast("double")
 
 
 def simhash_table(

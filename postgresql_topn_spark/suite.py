@@ -773,6 +773,54 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "minhash_source_jaccard",
+    r"""
+    WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    sh AS (SELECT DISTINCT source,
+                  unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
+                         i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+           FROM t),
+    m AS (SELECT source, i,
+                 MIN(CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS mn
+          FROM sh, range(0, 16) r(i) GROUP BY 1, 2),
+    sig AS (SELECT source, list(mn ORDER BY i) AS sig FROM m GROUP BY 1)
+    SELECT a.source AS src_a, b.source AS src_b,
+           round(len(list_filter(range(1, 17), j -> a.sig[j] = b.sig[j])) / 16.0, 6) AS est_jaccard
+    FROM sig a JOIN sig b ON a.source < b.source
+    """,
+)
+def minhash_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash as a MERGEABLE rollup sketch (the topn pattern for set
+    similarity): per-doc md5-form signatures are min-merged per source
+    (minhash_union_agg — element-wise min of doc signatures equals the
+    signature of the union of their shingle sets), then every source
+    pair gets an estimated shingle-set Jaccard from signature
+    agreement. The oracle computes each source's signature DIRECTLY
+    from its distinct-shingle union — algebraic identity with the
+    Spark-side merge, so the value hash pins the merge law itself."""
+    from postgresql_topn_spark.operators.dedup import (
+        minhash_est_jaccard,
+        minhash_signatures_md5,
+        minhash_union_agg,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures_md5(docs, "doc_id", "text", num_hashes=16, k=3)
+    with_src = sigs.join(
+        docs.select(F.col("doc_id").alias("__id"), "source"), "__id"
+    )
+    per_src = minhash_union_agg(with_src, ["source"], "__sig", out_col="sig")
+    a, b = per_src.alias("a"), per_src.alias("b")
+    return a.join(b, F.col("a.source") < F.col("b.source")).select(
+        F.col("a.source").alias("src_a"),
+        F.col("b.source").alias("src_b"),
+        F.round(
+            minhash_est_jaccard(F.col("a.sig"), F.col("b.sig")), 6
+        ).alias("est_jaccard"),
+    )
+
+
+@_register(
     "dedup_winnow_pairs",
     r"""
     WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),

@@ -183,6 +183,57 @@ class TestConnectedComponents:
         }
         assert out == {i: 0 for i in range(n + 1)}
 
+    def test_minhash_merge_law(self, spark):
+        """Element-wise min-merge of per-doc signatures must equal the
+        signature computed directly over the pooled text — the algebra
+        that makes MinHash a mergeable rollup sketch. Identical sets
+        estimate Jaccard 1.0; disjoint sets estimate ~0."""
+        from postgresql_topn_spark.operators.dedup import (
+            minhash_est_jaccard,
+            minhash_signatures_md5,
+            minhash_union_agg,
+        )
+
+        part1 = "alpha beta gamma delta epsilon zeta"
+        part2 = "one two three four five six seven"
+        df = spark.createDataFrame(
+            [(1, "g", part1), (2, "g", part2)],
+            "doc_id bigint, grp string, text string",
+        )
+        sigs = minhash_signatures_md5(df, "doc_id", "text")
+        with_grp = sigs.join(
+            df.select(F.col("doc_id").alias("__id"), "grp"), "__id"
+        )
+        merged = minhash_union_agg(with_grp, ["grp"], "__sig").collect()[0].sig
+        # compare against the true shingle-set union: the two texts
+        # re-labeled under one id (concatenating the strings instead
+        # would add spurious boundary shingles)
+        both = spark.createDataFrame(
+            [(1, part1), (1, part2)], "doc_id bigint, text string"
+        )
+        direct = (
+            minhash_signatures_md5(both, "doc_id", "text").collect()[0]["__sig"]
+        )
+        assert merged == direct
+        # estimator sanity: identical sets -> 1.0, disjoint sets -> ~0
+        trio = spark.createDataFrame(
+            [(1, part1), (2, part1), (3, part2)],
+            "doc_id bigint, text string",
+        )
+        by_id = {
+            r["__id"]: r["__sig"]
+            for r in minhash_signatures_md5(trio, "doc_id", "text").collect()
+        }
+        est = spark.createDataFrame(
+            [(by_id[1], by_id[2], by_id[3])],
+            "a array<bigint>, b array<bigint>, c array<bigint>",
+        ).select(
+            minhash_est_jaccard("a", "b").alias("same"),
+            minhash_est_jaccard("a", "c").alias("diff"),
+        ).collect()[0]
+        assert est.same == 1.0
+        assert est.diff <= 0.25  # 16 hashes; disjoint sets rarely agree
+
     def test_winnow_pairs(self, spark):
         """Docs sharing a verbatim token run must pair (winnowing
         guarantees a shared fingerprint per shared window); unrelated
