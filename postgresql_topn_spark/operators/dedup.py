@@ -769,6 +769,18 @@ def minhash_lsh_pairs(
     return verified.where(F.col("jaccard") >= threshold)
 
 
+def _minhash_md5_params(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) permutation params, themselves derived
+    from md5 so the oracle can inline the same literals: a_i in
+    [1, 2^31), b_i in [0, 2^31)."""
+    import hashlib
+
+    def h31(tag: str) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) % (1 << 31)
+
+    return [(h31(f"a:{i}") | 1, h31(f"b:{i}")) for i in range(num_hashes)]
+
+
 def minhash_signatures_md5(
     df: DataFrame,
     id_col: str,
@@ -778,25 +790,36 @@ def minhash_signatures_md5(
     k: int = 3,
 ) -> DataFrame:
     """(__id, __sig) — MinHash signatures in the SQL-replayable md5
-    form: sig_i = min over DISTINCT k-token shingle strings s of
-    md5_60bit('i:' || s) (the repo's standard cross-engine hash idiom,
-    similarity._hyperplanes). Same explode + min-aggregate shape as the
-    xxhash production form (minhash_signatures): each shingle is
-    hashed once per permutation inside ONE hash aggregation with
-    map-side partial combine. Use the xxhash form for production
-    indexes; this form whenever the result must be value-oracled."""
-    shs = _tokenized(df, id_col, text_col).select(
-        "__id",
-        F.explode(
-            F.array_distinct(shingles_from_tokens("__toks", k))
-        ).alias("__s"),
+    form: ONE md5 per distinct k-token shingle reduced to 32 bits, then
+    ``sig_i = min((a_i * h + b_i) mod (2^61 - 1))`` with fixed md5-
+    derived params — the xxhash production form's permutation algebra
+    (minhash_signatures) with the repo's cross-engine hash swapped in.
+    All arithmetic stays inside int64 on both engines (a < 2^31,
+    h < 2^32 ⇒ a*h + b < 2^63), so a DuckDB oracle replays signatures
+    bit-for-bit. Same explode + min-aggregate shape: each shingle is
+    hashed once inside ONE hash aggregation with map-side partial
+    combine. Use the xxhash form for production indexes; this form
+    whenever the result must be value-oracled."""
+    # explode distinct shingles -> 32-bit md5 hash, one md5 per shingle
+    shs = (
+        _tokenized(df, id_col, text_col)
+        .select(
+            "__id",
+            F.explode(
+                F.array_distinct(shingles_from_tokens("__toks", k))
+            ).alias("__s"),
+        )
+        .select(
+            "__id",
+            F.expr(
+                "pmod(CAST(conv(substring(md5(__s), 1, 15), 16, 10) AS BIGINT),"
+                " 4294967296L)"
+            ).alias("__h"),
+        )
     )
     mins = [
-        F.expr(
-            f"min(CAST(conv(substring(md5(concat('{i}:', __s)), 1, 15), 16, 10) "
-            f"AS BIGINT)) AS __m{i}"
-        )
-        for i in range(num_hashes)
+        F.expr(f"min(pmod(__h * {a}L + {b}L, {MERSENNE_61}L)) AS __m{i}")
+        for i, (a, b) in enumerate(_minhash_md5_params(num_hashes))
     ]
     agg = shs.groupBy("__id").agg(*mins)
     sig = (

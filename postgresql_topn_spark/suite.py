@@ -772,23 +772,40 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "minhash_source_jaccard",
-    r"""
+def _minhash_oracle_sql(num_hashes: int = 16) -> str:
+    """Replays minhash_signatures_md5 + the per-source min-merge in
+    DuckDB: one md5 per distinct shingle reduced to 32 bits, the same
+    md5-derived (a, b) permutation literals, all int64 arithmetic."""
+    from postgresql_topn_spark.operators.dedup import (
+        MERSENNE_61,
+        _minhash_md5_params,
+    )
+
+    values = ", ".join(
+        f"({i}, {a}, {b})"
+        for i, (a, b) in enumerate(_minhash_md5_params(num_hashes))
+    )
+    return rf"""
     WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
     sh AS (SELECT DISTINCT source,
                   unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
            FROM t),
-    m AS (SELECT source, i,
-                 MIN(CAST(concat('0x', substr(md5(CAST(i AS VARCHAR) || ':' || s), 1, 15)) AS BIGINT)) AS mn
-          FROM sh, range(0, 16) r(i) GROUP BY 1, 2),
+    h AS (SELECT source,
+                 CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 4294967296 AS hv
+          FROM sh),
+    p AS (SELECT * FROM (VALUES {values}) AS v(i, a, b)),
+    m AS (SELECT h.source, p.i,
+                 MIN((h.hv * p.a + p.b) % {MERSENNE_61}) AS mn
+          FROM h, p GROUP BY 1, 2),
     sig AS (SELECT source, list(mn ORDER BY i) AS sig FROM m GROUP BY 1)
     SELECT a.source AS src_a, b.source AS src_b,
-           round(len(list_filter(range(1, 17), j -> a.sig[j] = b.sig[j])) / 16.0, 6) AS est_jaccard
+           round(len(list_filter(range(1, {num_hashes + 1}), j -> a.sig[j] = b.sig[j])) / {num_hashes}.0, 6) AS est_jaccard
     FROM sig a JOIN sig b ON a.source < b.source
-    """,
-)
+    """
+
+
+@_register("minhash_source_jaccard", _minhash_oracle_sql(16))
 def minhash_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash as a MERGEABLE rollup sketch (the topn pattern for set
     similarity): per-doc md5-form signatures are min-merged per source
