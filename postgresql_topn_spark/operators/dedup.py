@@ -484,6 +484,12 @@ def _prefix_candidates(posts: DataFrame, threshold: float) -> DataFrame:
             ),
             F.explode(F.slice("__g", F.lit(1), plen)).alias("__e"),
         )
+        # a prefix gram unique to one document (df = 1) can never open a
+        # bucket of size >= 2 — drop it BEFORE the pair-generation
+        # shuffle. In Zipfian gram distributions most prefix grams (the
+        # rarest ones by construction) are df-1, so this is the bulk of
+        # the exploded rows.
+        .where(F.col("__e.__df") >= 2)
         .select("__p", F.col("__e.__sh").alias("__sh"))
     )
     cand = _bucket_pairs(prefix, ["__sh"], "__p")
