@@ -348,3 +348,38 @@ class TestConnectedComponents:
             for r in connected_components(edges).collect()
         }
         assert out == {1: 1, 2: 1, 3: 1}
+
+
+class TestEmptyInputs:
+    def test_operators_tolerate_empty_relations(self, spark):
+        """Every core operator must return an empty (not failing)
+        result on empty input — the behavior a pipeline hits whenever a
+        filter stage strips a partition's rows."""
+        from postgresql_topn_spark.functions.aggregates import (
+            topn_add_agg,
+            topn_union_agg_global,
+        )
+        from postgresql_topn_spark.functions.sketch import explode_topn
+        from postgresql_topn_spark.operators.dedup import (
+            connected_components,
+            jaccard_pairs,
+            minhash_signatures_md5,
+            winnow_fingerprint_pairs,
+        )
+        from postgresql_topn_spark.operators.similarity import cosine_topk
+
+        empty_docs = spark.createDataFrame([], "doc_id bigint, text string")
+        empty_ev = spark.createDataFrame([], "g string, item string")
+        empty_edges = spark.createDataFrame([], "doc_a bigint, doc_b bigint")
+        empty_vec = spark.createDataFrame(
+            [], "vec_id bigint, embedding array<float>"
+        )
+        sk = topn_add_agg(empty_ev, ["g"], "item", counters=10)
+        assert sk.count() == 0
+        assert explode_topn(sk, "topn", 3, keep=["g"], counters=10).count() == 0
+        assert topn_union_agg_global(sk, "topn", counters=10).count() == 0
+        assert jaccard_pairs(empty_docs, "doc_id", "text", threshold=0.5).count() == 0
+        assert connected_components(empty_edges).count() == 0
+        assert winnow_fingerprint_pairs(empty_docs).count() == 0
+        assert minhash_signatures_md5(empty_docs, "doc_id", "text").count() == 0
+        assert cosine_topk(empty_vec, empty_vec).count() == 0
