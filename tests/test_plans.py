@@ -139,6 +139,41 @@ def test_no_suite_query_uses_row_at_a_time_python(spark):
         assert n_arrow <= 3, f"{name} plans {n_arrow} Python stages"
 
 
+def test_minhash_merge_partial_combines(spark):
+    """minhash_union_agg's (group, pos) min must partial-aggregate
+    map-side (per-group state O(num_hashes) at any group size) and run
+    zero Python stages."""
+    from postgresql_topn_spark.operators.dedup import (
+        minhash_signatures_md5,
+        minhash_union_agg,
+    )
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    sigs = minhash_signatures_md5(docs, "doc_id", "text").join(
+        docs.select(F.col("doc_id").alias("__id"), "source"), "__id"
+    )
+    merged = minhash_union_agg(sigs, ["source"], "__sig")
+    assert has_partial_aggregate(merged)
+    assert python_stages(merged) == 0
+
+
+def test_decontaminate_partial_combines(spark):
+    """decontaminate's pair count must partial-aggregate before the
+    exchange, and the whole bipartite index join stays JVM-side."""
+    from postgresql_topn_spark.operators.dedup import decontaminate
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = decontaminate(
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+        k=5,
+    )
+    assert has_partial_aggregate(out)
+    assert python_stages(out) == 0
+
+
 def test_union_agg_partial_combines(spark):
     """topn_union_agg's explode->sum must also partial-aggregate before
     its exchange (merging many sketches map-side)."""
