@@ -1249,6 +1249,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_sessionize",
+    """
+    WITH s AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+    ),
+    x AS (SELECT user_id, ts,
+                 CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY ts) AS BIGINT) AS session_idx
+          FROM s)
+    SELECT user_id, session_idx, COUNT(*) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end,
+           date_diff('microsecond', MIN(ts), MAX(ts)) AS duration_us
+    FROM x GROUP BY 1, 2
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) with per-session
+    stats — the behavioral windowing every event pipeline needs before
+    per-session rollups. One user-key exchange serves the lag window,
+    the running session counter AND the summary aggregate; interval
+    arithmetic is microsecond-exact on both engines."""
+    from postgresql_topn_spark.operators.sessions import session_stats
+
+    ev = load_table(spark, sf_dir, "events")
+    return session_stats(ev, "user_id", "ts", gap_minutes=30)
+
+
+@_register(
     "text_repetition",
     r"""
     WITH t AS (SELECT doc_id,

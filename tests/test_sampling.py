@@ -58,3 +58,52 @@ class TestStratifiedSample:
         assert counts["a"] == 1000
         assert 150 < counts["b"] < 350
         assert "c" not in counts
+
+
+class TestSessionize:
+    def test_known_sessions(self, spark):
+        """Gaps > 30 min split sessions; ties share a session."""
+        from postgresql_topn_spark.operators.sessions import (
+            session_stats,
+            sessionize,
+        )
+
+        rows = [
+            (1, "2024-01-01 10:00:00"),
+            (1, "2024-01-01 10:10:00"),  # same session (10 min)
+            (1, "2024-01-01 11:00:00"),  # new session (50 min gap)
+            (2, "2024-01-01 09:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "user_id bigint, ts string").select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts")
+        )
+        got = {
+            (r.user_id, str(r.ts)): r.session_idx
+            for r in sessionize(df).collect()
+        }
+        assert got[(1, "2024-01-01 10:00:00")] == 1
+        assert got[(1, "2024-01-01 10:10:00")] == 1
+        assert got[(1, "2024-01-01 11:00:00")] == 2
+        assert got[(2, "2024-01-01 09:00:00")] == 1
+        stats = {
+            (r.user_id, r.session_idx): (r.n_events, r.duration_us)
+            for r in session_stats(df).collect()
+        }
+        assert stats[(1, 1)] == (2, 600_000_000)
+        assert stats[(1, 2)] == (1, 0)
+        assert stats[(2, 1)] == (1, 0)
+
+    def test_single_exchange_plan(self, spark):
+        """The lag window, the running counter and the summary
+        aggregate must share ONE user-key exchange."""
+        from postgresql_topn_spark.operators.sessions import session_stats
+        from postgresql_topn_spark.plans.audit import (
+            hash_shuffles,
+            python_stages,
+        )
+        from postgresql_topn_spark.sources.tables import load_table
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        out = session_stats(ev)
+        assert hash_shuffles(out) == 1
+        assert python_stages(out) == 0
