@@ -38,6 +38,7 @@ from postgresql_topn_spark.functions.sketch import (
     topn_union,
     topn_plus,
     SketchColumn,
+    sketch_diff,
     merge_sketches,
     prune_sketch,
     empty_sketch,
@@ -64,6 +65,7 @@ __all__ = [
     "topn_union",
     "topn_plus",
     "SketchColumn",
+    "sketch_diff",
     "merge_sketches",
     "prune_sketch",
     "empty_sketch",

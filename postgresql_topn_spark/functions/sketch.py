@@ -251,6 +251,36 @@ def topn_union(
     ).otherwise(prune_sketch(merge_sketches(am, bm), counters))
 
 
+def sketch_diff(a: Column | str, b: Column | str) -> Column:
+    """Compare two sketches for drift monitoring between rollup
+    intervals: ``array<struct<item, freq_a, freq_b, delta>>`` over the
+    UNION of both key sets (freq 0 where an item is absent), sorted
+    item ASC for deterministic output. Beyond-reference: the reference
+    can union sketches but cannot ask "what changed between yesterday's
+    and today's rollup" — the first question a monitoring user has.
+    NULL-tolerant (NULL sketch = empty). Pure Catalyst expressions."""
+    am = F.coalesce(_col(a), empty_sketch())
+    bm = F.coalesce(_col(b), empty_sketch())
+    zero = F.lit(0).cast("long")
+    merged = F.map_zip_with(
+        am,
+        bm,
+        lambda _, va, vb: F.struct(
+            F.coalesce(va, zero).alias("fa"), F.coalesce(vb, zero).alias("fb")
+        ),
+    )
+    entries = F.transform(
+        F.map_entries(merged),
+        lambda e: F.struct(
+            e["key"].alias("item"),
+            e["value"]["fa"].alias("freq_a"),
+            e["value"]["fb"].alias("freq_b"),
+            (e["value"]["fb"] - e["value"]["fa"]).alias("delta"),
+        ),
+    )
+    return F.array_sort(entries)  # struct sort: first field (item) ASC
+
+
 def topn_plus(
     a: Column | str, b: Column | str, counters: int | None = None
 ) -> Column:

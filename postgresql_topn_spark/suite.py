@@ -547,6 +547,51 @@ def topn_revenue_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topn_month_delta",
+    """
+    WITH m1 AS (
+      SELECT event_type AS item, COUNT(event_type) AS f FROM events
+      WHERE day(ts) <= 15 AND event_type IS NOT NULL GROUP BY 1
+    ),
+    m2 AS (
+      SELECT event_type AS item, COUNT(event_type) AS f FROM events
+      WHERE day(ts) > 15 AND event_type IS NOT NULL GROUP BY 1
+    )
+    SELECT COALESCE(m1.item, m2.item) AS item,
+           COALESCE(m1.f, 0) AS freq_a, COALESCE(m2.f, 0) AS freq_b,
+           COALESCE(m2.f, 0) - COALESCE(m1.f, 0) AS delta
+    FROM m1 FULL OUTER JOIN m2 ON m1.item = m2.item
+    """,
+)
+def topn_month_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rollup drift: build event-type sketches for the first and second
+    half of each month (day <= 15 vs day > 15), diff them with
+    sketch_diff (union of keys, per-item frequency delta) — the
+    between-intervals comparison a monitoring user runs on stored
+    rollups; the oracle is the equivalent full outer join of the two
+    periods' counts."""
+    from postgresql_topn_spark.functions.sketch import sketch_diff
+
+    ev = load_table(spark, sf_dir, "events")
+    halves = topn_add_agg(
+        ev,
+        [(F.dayofmonth("ts") <= 15).alias("first_half")],
+        "event_type",
+        counters=C,
+    )
+    a = halves.where(F.col("first_half")).select(
+        F.lit(1).alias("k"), F.col("topn").alias("a")
+    )
+    b = halves.where(~F.col("first_half")).select(
+        F.lit(1).alias("k"), F.col("topn").alias("b")
+    )
+    joined = a.join(b, "k")
+    return joined.select(
+        F.explode(sketch_diff("a", "b")).alias("__d")
+    ).select("__d.item", "__d.freq_a", "__d.freq_b", "__d.delta")
+
+
+@_register(
     "topn_sql_agg",
     """
     SELECT item, frequency FROM (

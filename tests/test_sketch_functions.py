@@ -191,3 +191,18 @@ class TestEdgeCases:
         df = spark.createDataFrame([(1, {}), (2, {"a": 1})], "id int, m map<string,bigint>")
         rows = T.explode_topn(df, "m", 5, keep=["id"], counters=10).collect()
         assert [(r["id"], r["item"]) for r in rows] == [(2, "a")]
+
+
+class TestSketchDiff:
+    def test_union_keys_and_null_tolerance(self, spark):
+        from postgresql_topn_spark.functions.sketch import sketch_diff
+
+        df = spark.createDataFrame(
+            [({"a": 5, "b": 1}, {"a": 2, "c": 7}), (None, {"x": 1})],
+            "x map<string,bigint>, y map<string,bigint>",
+        )
+        rows = df.select(sketch_diff("x", "y").alias("d")).collect()
+        d0 = [(e.item, e.freq_a, e.freq_b, e.delta) for e in rows[0].d]
+        assert d0 == [("a", 5, 2, -3), ("b", 1, 0, -1), ("c", 0, 7, 7)]
+        d1 = [(e.item, e.freq_a, e.freq_b, e.delta) for e in rows[1].d]
+        assert d1 == [("x", 0, 1, 1)]
