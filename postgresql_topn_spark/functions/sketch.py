@@ -382,12 +382,31 @@ def sketch_from_json(json_col: Column | str, *, strict_keys: bool = True) -> Col
         checked = F.filter(
             numeric, lambda e: F.octet_length(e["key"]) <= READ_KEY_ERROR_BYTES
         )
+    # Integer-shaped strings parse straight to long so frequencies above
+    # 2^53 keep exact int64 precision, matching the reference's
+    # numeric_normalize + atol path (topn.c:711-712). Decimal/exponent
+    # forms (and out-of-range integers, where try_cast yields NULL) fall
+    # back to the double path, which truncates toward zero and saturates
+    # at +/-INT64_MAX like the reference.
+    def _freq(v: Column) -> Column:
+        as_long = F.when(
+            v.rlike(r"^-?[0-9]+$"), v.try_cast("long")
+        )
+        d = v.cast("double")
+        via_double = F.coalesce(
+            d.try_cast("long"),  # NULL on overflow under ANSI — saturate:
+            F.when(d > 0, F.lit(9223372036854775807)).otherwise(
+                F.lit(-9223372036854775808)
+            ),
+        )
+        return F.coalesce(as_long, via_double)
+
     return F.map_from_entries(
         F.transform(
             checked,
             lambda e: F.struct(
                 e["key"].alias("item"),
-                e["value"].cast("double").cast("long").alias("frequency"),
+                _freq(e["value"]).alias("frequency"),
             ),
         )
     )

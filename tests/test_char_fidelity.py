@@ -58,3 +58,36 @@ def test_reingest_extracted_items(spark):
     again = topn_add_agg(extracted, [F.lit(1).alias("g")], "item", counters=C)
     got = dict(again.collect()[0]["topn"])
     assert got == {v: 1 for v in HOSTILE}
+
+
+def test_int64_precision_round_trip(spark):
+    """Frequencies above 2^53 must survive the JSON round trip exactly —
+    the reference parses exact int64 (numeric_normalize + atol,
+    topn.c:711-712), not via double. 9007199254740993 == 2^53 + 1 is the
+    first integer a double cannot represent."""
+    big = {
+        "near_max": 9223372036854775806,   # INT64_MAX - 1
+        "two53p1": 9007199254740993,       # 2^53 + 1
+        "neg_big": -9007199254740995,
+        "small": 7,
+    }
+    import json
+
+    df = spark.createDataFrame([(json.dumps(big),)], "j string")
+    got = dict(
+        df.select(sketch_from_json("j").alias("m")).collect()[0]["m"]
+    )
+    assert got == big
+
+
+def test_int64_overflow_saturates(spark):
+    """Integer strings beyond int64 range fall back to the double path
+    and saturate rather than erroring (reference saturates at INT64_MAX)."""
+    df = spark.createDataFrame(
+        [('{"huge": 99999999999999999999999, "dec": 12.9, "exp": 2e3}',)],
+        "j string",
+    )
+    got = dict(df.select(sketch_from_json("j").alias("m")).collect()[0]["m"])
+    assert got["huge"] == 9223372036854775807
+    assert got["dec"] == 12
+    assert got["exp"] == 2000
