@@ -46,9 +46,15 @@ def set_number_of_counters(spark: SparkSession, value: int) -> None:
     new budget — the reference reads its GUC per call (topn.c:229-233).
     """
     spark.conf.set(CONF_KEY, str(_validate(value)))
-    from postgresql_topn_spark.functions.sql_api import refresh_sql_registration
+    # Only reach into the SQL registration module if it was ever
+    # imported: a Column-API-only deployment (no pandas installed) must
+    # be able to call this setter, and no session can be in the
+    # follow-the-conf set unless sql_api was imported to register it.
+    import sys
 
-    refresh_sql_registration(spark)
+    sql_api = sys.modules.get("postgresql_topn_spark.functions.sql_api")
+    if sql_api is not None:
+        sql_api.refresh_sql_registration(spark)
 
 
 def resolve_counters(counters: int | None, spark: SparkSession | None = None) -> int:

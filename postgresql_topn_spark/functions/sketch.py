@@ -311,7 +311,10 @@ class SketchColumn:
             topn_union(self._col, o, self._counters), self._counters
         )
 
-    __radd__ = __add__
+    # No __radd__: pyspark's Column.__add__ never returns NotImplemented
+    # for unknown operands (it raises inside py4j), so Python would
+    # never dispatch here. The SketchColumn must be the LEFT operand:
+    # SketchColumn("x") + F.col("y"), not F.col("y") + SketchColumn("x").
 
     @property
     def col(self) -> Column:

@@ -31,12 +31,20 @@ JVM-side; registering does not slow anything else down.
 GUC parity: the reference reads ``topn.number_of_counters`` at every
 call (topn.c:229-233). Worker-side Python cannot read the session conf
 (no SparkSession exists in UDF/UDTF workers or the UDTF analyze
-process), so per-call semantics are provided one level up:
-:func:`postgresql_topn_spark.conf.set_number_of_counters` re-registers
-the SQL functions of every session that registered without an explicit
-``counters=`` — the Spark analogue of PostgreSQL's GUC assign hook. A
-session that sets the raw conf key directly must call
-:func:`register_sql_functions` again (documented deviation).
+process), so per-call semantics are provided one level up, two ways:
+
+- :func:`postgresql_topn_spark.conf.set_number_of_counters`
+  re-registers the SQL functions of every session that registered
+  without an explicit ``counters=`` — the Spark analogue of
+  PostgreSQL's GUC assign hook.
+- a raw ``spark.conf.set("spark.topn.numberOfCounters", …)`` is ALSO
+  honored: registering with ``counters=None`` installs a per-call conf
+  check on that session's ``sql()`` entry point (one ``conf.get`` py4j
+  round-trip per call, ~0.1 ms) that lazily re-registers when the raw
+  key changed — so, like the reference, the budget in effect is the one
+  at call time, however it was set. Invalid values surface at the next
+  ``sql()`` call rather than at SET time (Spark confs have no assign
+  hook to validate in).
 """
 
 from __future__ import annotations
@@ -47,7 +55,12 @@ import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import PandasUDFType, pandas_udf, udf, udtf
 
-from postgresql_topn_spark.conf import INT64_MAX, resolve_counters
+from postgresql_topn_spark.conf import (
+    CONF_KEY,
+    DEFAULT_COUNTERS,
+    INT64_MAX,
+    resolve_counters,
+)
 from postgresql_topn_spark.functions.sketch import SKETCH_TYPE
 from postgresql_topn_spark.operators.sketch_state import truncate_key_bytes
 
@@ -72,6 +85,36 @@ def refresh_sql_registration(spark: SparkSession) -> None:
     Called by conf.set_number_of_counters (the GUC assign hook)."""
     if spark in _FOLLOW_CONF_SESSIONS:
         register_sql_functions(spark)
+
+
+def _raw_conf(spark: SparkSession) -> str:
+    return str(spark.conf.get(CONF_KEY, str(DEFAULT_COUNTERS)))
+
+
+def _install_conf_watch(spark: SparkSession) -> None:
+    """Honor raw ``spark.conf.set(CONF_KEY, …)`` per ``sql()`` call.
+
+    Wraps this session object's ``sql`` bound method with a cheap
+    conf-version check: when the raw key differs from the value the
+    current registration was built with, re-register first. Scoped to
+    sessions that opted into the SQL surface via
+    ``register_sql_functions(counters=None)``; explicit-counters
+    registrations leave the wrapper installed but inert (the follow-set
+    membership gates it). Idempotent."""
+    if getattr(spark, "_topn_sql_conf_watch", False):
+        return
+    orig_sql = spark.sql
+
+    def sql_with_guc_check(*args, **kwargs):
+        if (
+            spark in _FOLLOW_CONF_SESSIONS
+            and _raw_conf(spark) != getattr(spark, "_topn_registered_conf", None)
+        ):
+            register_sql_functions(spark)
+        return orig_sql(*args, **kwargs)
+
+    spark.sql = sql_with_guc_check
+    spark._topn_sql_conf_watch = True
 
 
 def register_sql_functions(spark: SparkSession, *, counters: int | None = None) -> None:
@@ -193,5 +236,7 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
 
     if counters is None:
         _FOLLOW_CONF_SESSIONS.add(spark)
+        spark._topn_registered_conf = _raw_conf(spark)
+        _install_conf_watch(spark)
     else:
         _FOLLOW_CONF_SESSIONS.discard(spark)

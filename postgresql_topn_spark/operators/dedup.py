@@ -47,7 +47,62 @@ from postgresql_topn_spark.operators.text import (
 MERSENNE_61 = (1 << 61) - 1
 
 
-def _bucket_pairs(keyed: DataFrame, key_cols: list[str], payload: str) -> DataFrame:
+def _size_bytes(v: str) -> int:
+    """Parse a Spark size conf value ('134217728', '128m', '1g')."""
+    s = str(v).strip().lower().removesuffix("b")
+    mult = {"k": 1 << 10, "m": 1 << 20, "g": 1 << 30, "t": 1 << 40}
+    if s and s[-1] in mult:
+        return int(float(s[:-1]) * mult[s[-1]])
+    return int(s)
+
+
+def _spread_small_scan(src: DataFrame, slim: DataFrame) -> DataFrame:
+    """Repartition `slim` up to defaultParallelism when `src`'s file
+    scan cannot produce that many splits — i.e. parallelize
+    single-row-group LOCAL files ahead of an expensive per-row kernel.
+
+    The split estimate is conf-side (file count + total bytes vs
+    spark.sql.files.maxPartitionBytes) from driver metadata only: no
+    `.rdd` conversion (which builds a Python-serialized RDD plan per
+    query construction). Remote storage paths, in-memory relations and
+    stat failures all leave the plan untouched — at cluster scale the
+    scan already has >= defaultParallelism splits and no shuffle is
+    added."""
+    import os
+    from urllib.parse import urlparse
+
+    spark = src.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = src.inputFiles()
+    except Exception:
+        return slim
+    if not files or len(files) >= target:
+        return slim
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("file", ""):
+            return slim
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return slim
+    max_bytes = _size_bytes(
+        spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+    est = max(len(files), -(-total // max_bytes))
+    if est < target:
+        return slim.repartition(target)
+    return slim
+
+
+def _bucket_pairs(
+    keyed: DataFrame,
+    key_cols: list[str],
+    payload: str,
+    chunk: int = 4096,
+) -> DataFrame:
     """(__a, __b) — all unordered within-bucket candidate pairs from an
     LSH-style (key, payload) bucket table, one row per pair per bucket.
 
@@ -61,23 +116,56 @@ def _bucket_pairs(keyed: DataFrame, key_cols: list[str], payload: str) -> DataFr
 
     Pair fan-out is quadratic in bucket size either way (a hash
     self-join also colocates each key in one task), so this loses no
-    skew behavior; `F.slice` keeps each pair generated exactly once
-    (j > i positions only)."""
+    skew behavior.
+
+    Hot-bucket byte bound: the naive posexplode form emits m rows each
+    carrying the full m-element bucket array — O(m^2) bytes through the
+    projection for ONE adversarial bucket (a boilerplate LSH band, a hot
+    winnow fingerprint) before any pair is even produced. Instead the
+    bucket is sliced into `chunk`-width pieces and pairs are generated
+    chunk-against-chunk: the diagonal chunk uses the j>i triangle slice,
+    every later chunk a full cross product, so each pair still appears
+    exactly once. A generate row then carries two chunk-width slices
+    (O(chunk) elements) instead of the whole bucket, and the bytes
+    through the worst projection drop from O(m^2) to O(m^2/chunk) —
+    the same order as the (inherently quadratic) pair output itself.
+    This is the explode-side analogue of the embedding path's in-bucket
+    tiling (similarity.py embedding_near_dup_pairs)."""
     buckets = (
         keyed.groupBy(*key_cols)
         .agg(F.collect_list(payload).alias("__m"))
         .where(F.size("__m") >= 2)
     )
-    return buckets.select(
-        "__m", F.posexplode("__m").alias("__i", "__a")
+    nch = F.ceil(F.size("__m") / F.lit(chunk)).cast("int")
+    chunks = buckets.select(
+        F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.slice("__m", i * chunk + 1, chunk),
+        ).alias("__ch")
+    )
+    # one row per (chunk i, chunk j>=i): __dj == 0 marks the diagonal
+    ch_i = chunks.select("__ch", F.posexplode("__ch").alias("__ci", "__mi"))
+    step = ch_i.select(
+        "__mi",
+        F.posexplode(
+            F.slice(
+                "__ch", F.col("__ci") + 1, F.size("__ch") - F.col("__ci")
+            )
+        ).alias("__dj", "__mj"),
+    )
+    return step.select(
+        "__dj", "__mj", F.posexplode("__mi").alias("__k", "__a")
     ).select(
         "__a",
         F.explode(
-            F.slice(
-                "__m",
-                F.col("__i") + 2,
-                F.greatest(F.lit(0), F.size("__m") - F.col("__i") - 1),
-            )
+            F.when(
+                F.col("__dj") == 0,
+                F.slice(
+                    "__mj",
+                    F.col("__k") + 2,
+                    F.greatest(F.lit(0), F.size("__mj") - F.col("__k") - 1),
+                ),
+            ).otherwise(F.col("__mj"))
         ).alias("__b"),
     )
 
@@ -118,16 +206,36 @@ def connected_components(
     the O(1)-row convergence check per round — node and edge data never
     leave the executors."""
     if checkpoint_dir is not None:
+        # NOTE: setCheckpointDir mutates SparkContext-global state — any
+        # other reliable-checkpoint user on the session sees this dir.
         edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
 
+    pinned: list[DataFrame] = []
+
     def _persist_round(df: DataFrame) -> DataFrame:
-        # LAZY checkpoint: the per-round convergence-sum action below is
-        # what materializes it, so each round runs ONE job (materialize +
-        # sum) instead of two (eager checkpoint, then sum). Lineage is
-        # truncated identically either way.
+        # localCheckpoint mode is LAZY: the per-round convergence-sum
+        # action below is what materializes it, so each round runs ONE
+        # job (materialize + sum) instead of two.
+        #
+        # Reliable mode additionally persists first: Spark writes
+        # reliable checkpoint files in a SEPARATE job after the
+        # materializing action, and without a persisted copy that writer
+        # job would recompute the whole round. persist + lazy checkpoint
+        # = one compute (cached by the sum action) + one cache-read
+        # write job; the cache is dropped once the next round lands.
         if checkpoint_dir is not None:
+            df = df.persist()
+            pinned.append(df)
             return df.checkpoint(eager=False)
         return df.localCheckpoint(eager=False)
+
+    def _drop_stale_pins() -> None:
+        # called after a round's sum action: the checkpoint files now
+        # back everything older than the in-flight round, so earlier
+        # cached copies (kept while the writer job might read them) can
+        # be released without risking recompute.
+        while len(pinned) > 2:
+            pinned.pop(0).unpersist()
 
     und = edges.select(_col(src).alias("__s"), _col(dst).alias("__d"))
     # checkpoint the edge list FIRST: the loop scans it every round, and
@@ -164,9 +272,16 @@ def connected_components(
             .agg(F.min("__c").alias("__c"))
         )
         cur_sum = _label_sum(labels)
+        _drop_stale_pins()
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
+    # every checkpoint's writer job has run by now (doCheckpoint fires
+    # after the materializing sum job), so all caches are file-backed
+    # and can be released.
+    for df in pinned:
+        df.unpersist()
+    pinned.clear()
     return labels.select(
         F.col("__s").alias("node"), F.col("__c").alias("component")
     )
@@ -387,11 +502,7 @@ def _char_gram_arrays(
     base = df.select(
         _col(id_col).alias("__id"), _col(text_col).alias("__txt")
     ).where(F.char_length(text_col) >= n)
-    # parallelize single-row-group local files; no-op at cluster scale
-    # where the scan already has >= defaultParallelism splits
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if base.rdd.getNumPartitions() < target:
-        base = base.repartition(target)
+    base = _spread_small_scan(df, base)
     out_schema = StructType(
         [
             base.schema["__id"],
@@ -915,9 +1026,7 @@ def simhash_table(
     hashed = hashed.select(
         "__id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th")
     )
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if hashed.rdd.getNumPartitions() < target:
-        hashed = hashed.repartition(target)
+    hashed = _spread_small_scan(df, hashed)
     out_schema = StructType(
         [hashed.schema["__id"], StructField("__sh", LongType())]
     )
@@ -1079,11 +1188,8 @@ def simhash_md5_table(
     """
     toks = _tokenized(df, id_col, text_col).where(F.size("__toks") >= k)
     # parallelize single-row-group local files before the (per-row
-    # expensive) md5+vote projection; at cluster scale the scan already
-    # has >= defaultParallelism splits and no shuffle is added
-    target = df.sparkSession.sparkContext.defaultParallelism
-    if toks.rdd.getNumPartitions() < target:
-        toks = toks.repartition(target)
+    # expensive) md5+vote projection (see _spread_small_scan)
+    toks = _spread_small_scan(df, toks)
     return toks.select("__id", F.expr(vote).alias("__sh"))
 
 

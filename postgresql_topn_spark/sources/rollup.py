@@ -58,8 +58,18 @@ def read_topn_rollup(
 ) -> DataFrame:
     """Load a rollup table with the sketch column re-typed. Filters on
     the bucket column prune partitions (verify with .explain:
-    PartitionFilters)."""
+    PartitionFilters).
+
+    ``bucket_name`` must match the name the rollup was written with —
+    it is validated against the on-disk partition column so a mismatch
+    fails here, at load, instead of as a missing-column error in the
+    first downstream interval filter."""
     df = spark.read.parquet(path)
+    if bucket_name not in df.columns:
+        raise ValueError(
+            f"rollup at {path} has no bucket column {bucket_name!r}; "
+            f"found columns {df.columns}"
+        )
     return df.withColumn("topn", F.from_json("topn", "map<string,bigint>"))
 
 

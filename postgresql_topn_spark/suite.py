@@ -585,7 +585,10 @@ def topn_month_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = halves.where(~F.col("first_half")).select(
         F.lit(1).alias("k"), F.col("topn").alias("b")
     )
-    joined = a.join(b, "k")
+    # FULL OUTER like the oracle: if either half has zero rows the other
+    # half still surfaces (sketch_diff itself coalesces a NULL side to
+    # the empty sketch), so equivalence is not fixture-dependent.
+    joined = a.join(b, "k", "full_outer")
     return joined.select(
         F.explode(sketch_diff("a", "b")).alias("__d")
     ).select("__d.item", "__d.freq_a", "__d.freq_b", "__d.delta")

@@ -383,3 +383,46 @@ class TestEmptyInputs:
         assert winnow_fingerprint_pairs(empty_docs).count() == 0
         assert minhash_signatures_md5(empty_docs, "doc_id", "text").count() == 0
         assert cosine_topk(empty_vec, empty_vec).count() == 0
+
+
+class TestBucketPairs:
+    """Invariants of the chunked within-bucket pair generator: every
+    unordered pair appears exactly once regardless of chunk width, and a
+    hot bucket completes without the O(m^2)-bytes projection shape."""
+
+    def test_pair_set_matches_brute_force(self, spark):
+        from itertools import combinations
+
+        from postgresql_topn_spark.operators.dedup import _bucket_pairs
+
+        # bucket sizes straddling the chunk width: 1 (dropped), 2, 5
+        # (multi-chunk at chunk=3), 11 (several chunks + remainder)
+        rows = (
+            [("a", 100)]
+            + [("b", 200 + i) for i in range(2)]
+            + [("c", 300 + i) for i in range(5)]
+            + [("d", 400 + i) for i in range(11)]
+        )
+        df = spark.createDataFrame(rows, "k string, p bigint")
+        for chunk in (1, 3, 4096):
+            got = {
+                tuple(sorted((r["__a"], r["__b"])))
+                for r in _bucket_pairs(df, ["k"], "p", chunk=chunk).collect()
+            }
+            want = set()
+            for key in ("b", "c", "d"):
+                members = [p for kk, p in rows if kk == key]
+                want |= {tuple(sorted(c)) for c in combinations(members, 2)}
+            assert got == want, f"chunk={chunk}"
+        # no duplicates either: count equals pair count
+        n = _bucket_pairs(df, ["k"], "p", chunk=3).count()
+        assert n == len(want)
+
+    def test_hot_bucket_completes(self, spark):
+        from postgresql_topn_spark.operators.dedup import _bucket_pairs
+
+        m = 6000  # one hot bucket: 18M pairs; naive shape would push
+        # m^2 = 36M array elements through the first projection
+        df = spark.range(m).select(F.lit("hot").alias("k"), F.col("id").alias("p"))
+        n = _bucket_pairs(df, ["k"], "p", chunk=512).count()
+        assert n == m * (m - 1) // 2

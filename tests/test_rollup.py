@@ -68,3 +68,30 @@ def test_rollup_append_equivalence(spark, tmp_path):
     full = topn_add_agg(ev, [F.lit(1).alias("g")], "event_type", counters=C)
     want = {k: v for r in full.collect() for k, v in r["topn"].items()}
     assert got == want
+
+
+def test_rollup_custom_bucket_name(spark, tmp_path):
+    """bucket_name round-trips: write with a non-default name, read it
+    back by the same name; a wrong name fails at load with a clear
+    error."""
+    import pytest
+
+    from postgresql_topn_spark.sources.rollup import (
+        read_topn_rollup,
+        write_topn_rollup,
+    )
+
+    df = spark.createDataFrame(
+        [("2024-01-01", "a"), ("2024-01-01", "b"), ("2024-01-02", "a")],
+        "d string, item string",
+    )
+    path = str(tmp_path / "ru")
+    write_topn_rollup(df, path, "d", "item", bucket_name="review_date")
+    back = read_topn_rollup(spark, path, bucket_name="review_date")
+    assert "review_date" in back.columns
+    # partition-column inference types the bucket (date here) — key by str
+    got = {str(r["review_date"]): r["topn"] for r in back.collect()}
+    assert got["2024-01-01"] == {"a": 1, "b": 1}
+    assert got["2024-01-02"] == {"a": 1}
+    with pytest.raises(ValueError, match="no bucket column"):
+        read_topn_rollup(spark, path, bucket_name="bucket")

@@ -224,3 +224,28 @@ def test_csv_reviews_roundtrip(spark, tmp_path):
 
     sk = topn_add_agg(df, ["product_group"], "product_id", counters=100)
     assert sk.count() == 1
+
+
+def test_per_call_guc_via_raw_conf(spark):
+    """A RAW spark.conf.set of the GUC key between two spark.sql calls
+    is honored without calling set_number_of_counters — the conf-watch
+    installed by follow-the-conf registration re-registers lazily at
+    sql() time, matching the reference's read-at-call GUC
+    (topn.c:229-233)."""
+    from postgresql_topn_spark.conf import CONF_KEY
+
+    register_sql_functions(spark)  # follow-the-conf mode
+    try:
+        spark.conf.set(CONF_KEY, "2")
+        r = spark.sql(
+            "SELECT topn_union(map('a', 5L, 'b', 3L, 'c', 1L), map()) AS sk"
+        ).collect()[0]
+        assert r.sk == {"a": 5, "b": 3}
+        spark.conf.set(CONF_KEY, "3")
+        r = spark.sql(
+            "SELECT topn_union(map('a', 5L, 'b', 3L, 'c', 1L), map()) AS sk"
+        ).collect()[0]
+        assert r.sk == {"a": 5, "b": 3, "c": 1}
+    finally:
+        spark.conf.set(CONF_KEY, "1000")
+        register_sql_functions(spark, counters=1000)
