@@ -240,3 +240,176 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
         _install_conf_watch(spark)
     else:
         _FOLLOW_CONF_SESSIONS.discard(spark)
+
+
+# ---------------------------------------------------------------------------
+# Two-phase SQL surface — partial-combining aggregation for spark.sql users
+# ---------------------------------------------------------------------------
+#
+# The registered GROUPED_AGG UDAFs above ship every raw row to one Python
+# reducer per group — fine for parity/ad-hoc use, a wall for a hot group
+# at scale. The reference's own aggregate is parallel-combining
+# (topn.c:509-625, update/topn--2.3.0--2.3.1.sql:34-51). SQL users get
+# that in two ways:
+#
+# 1. PURE-BUILT-IN SQL, generated by topn_add_agg_sql / topn_union_agg_sql
+#    below: the Tier-1 composition (count -> window rank -> pack) compiled
+#    to one SQL string. Zero Python stages; Catalyst supplies MAP-SIDE
+#    partial aggregation on the (group, item) count, spill, and AQE —
+#    identical plan to the Column API (functions/aggregates.py).
+#
+# 2. A one-line SALTED REWRITE of the UDAF form, when the UDAF API is
+#    wanted verbatim. Replace
+#        SELECT g, topn_add_agg(item) FROM t GROUP BY g
+#    with
+#        SELECT g, topn_union_agg(sk) AS sk FROM (
+#          SELECT g, topn_add_agg(item) AS sk
+#          FROM t GROUP BY g, pmod(xxhash64(coalesce(item, '')), 64)
+#        ) GROUP BY g
+#    Each item lands in exactly one salt bucket, so per-bucket counts are
+#    exact and any global top-N item survives its bucket's top-N prune —
+#    the merged result is IDENTICAL to the unsalted form (the same
+#    lossless argument as aggregates.py's salt_buckets path), but a hot
+#    group's rows spread over 64 reducers instead of one. (Caveat: salt
+#    on the same byte-truncated form the aggregate keys on if items can
+#    exceed 255 bytes.) Pinned by test_sql_api.py.
+
+
+def _sql_ident_pairs(
+    group_by: "Sequence[str | tuple[str, str]]",
+) -> list[tuple[str, str]]:
+    return [(g, g) if isinstance(g, str) else (g[0], g[1]) for g in group_by]
+
+
+def _truncate_sql(s: str, limit: int = 255) -> str:
+    """SQL-text twin of sketch._byte_truncate (same 3-round refinement)."""
+    k = f"greatest(char_length({s}) - (octet_length({s}) - {limit}), 0)"
+    for _ in range(3):
+        t = f"substring({s}, 1, {k})"
+        k = f"({k} + cast(floor(({limit} - octet_length({t})) / 4) as int))"
+    return f"substring({s}, 1, {k})"
+
+
+def _normalize_sql(item: str) -> str:
+    """SQL-text twin of sketch.normalize_item (TEXT intake + byte cap).
+    *item* should be a cheap expression (it is repeated in the text)."""
+    s = f"cast(({item}) as string)"
+    return (
+        f"CASE WHEN octet_length({s}) <= 255 THEN {s} "
+        f"ELSE {_truncate_sql(s)} END"
+    )
+
+
+_PACK_SQL = (
+    "map_from_entries(coalesce(array_sort(collect_list("
+    "CASE WHEN __f > 0 AND __i IS NOT NULL "
+    "THEN named_struct('item', __i, 'frequency', __f) END), "
+    "{cmp}), "
+    "cast(array() as array<struct<item:string,frequency:bigint>>)))"
+)
+
+_RANK_ORDER = "ORDER BY __f DESC, __i ASC NULLS LAST"
+
+
+def topn_add_agg_sql(
+    source: str,
+    group_by: "Sequence[str | tuple[str, str]]",
+    item: str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+    salt_buckets: int | None = None,
+    spark: SparkSession | None = None,
+) -> str:
+    """SQL text for ``SELECT keys, topn_add_agg(item) … GROUP BY keys``
+    as a pure-built-in two-phase plan (no Python stages, map-side
+    partial combine on the count — the reference's parallel aggregate,
+    topn.c:509-625, expressed in Catalyst).
+
+    *group_by* entries are either column names or ``(alias, sql_expr)``
+    pairs; *item* is any SQL expression (kept cheap — it is repeated).
+    Semantics match the Column API / registered UDAF exactly: NULL items
+    skipped but all-NULL groups yield ``{}``, TEXT intake with 255-byte
+    cap, prune to *counters* by (frequency DESC, item ASC).
+    ``salt_buckets`` adds the lossless two-level rank for groups with
+    millions of distinct items (see aggregates._rank_and_pack)."""
+    from postgresql_topn_spark.conf import resolve_counters as _rc
+    from postgresql_topn_spark.functions.sketch import ENTRY_CMP_SQL
+
+    c = _rc(counters, spark)
+    pairs = _sql_ident_pairs(group_by)
+    names = ", ".join(a for a, _ in pairs)
+    sel_exprs = ", ".join(f"{e} AS {a}" for a, e in pairs)
+    prefix_names = f"{names}, " if pairs else ""
+    part = f"PARTITION BY {names} " if pairs else ""
+    norm = _normalize_sql(item)
+    counted = (
+        f"SELECT {sel_exprs + ', ' if pairs else ''}{norm} AS __i, "
+        f"count({norm}) AS __f FROM {source} "
+        f"GROUP BY {', '.join(str(i + 1) for i in range(len(pairs) + 1))}"
+    )
+    if salt_buckets and salt_buckets > 1:
+        salt_part = (
+            f"PARTITION BY {prefix_names}"
+            f"pmod(xxhash64(coalesce(__i, '')), {salt_buckets}) "
+        )
+        counted = (
+            f"SELECT {prefix_names}__i, __f FROM ("
+            f"SELECT {prefix_names}__i, __f, "
+            f"row_number() OVER ({salt_part}{_RANK_ORDER}) AS __srn "
+            f"FROM ({counted})) WHERE __srn <= {c} OR __f <= 0"
+        )
+    pack = _PACK_SQL.format(cmp=ENTRY_CMP_SQL)
+    return (
+        f"SELECT {prefix_names}{pack} AS {out_col} FROM ("
+        f"SELECT {prefix_names}__i, __f, "
+        f"row_number() OVER ({part}{_RANK_ORDER}) AS __rn "
+        f"FROM ({counted})) WHERE __rn <= {c} OR __f = 0 "
+        + (f"GROUP BY {names}" if pairs else "")
+    )
+
+
+def topn_union_agg_sql(
+    source: str,
+    group_by: "Sequence[str | tuple[str, str]]",
+    sketch_col: str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+    spark: SparkSession | None = None,
+) -> str:
+    """SQL text for ``SELECT keys, topn_union_agg(sketch) … GROUP BY``
+    as a pure-built-in two-phase plan: explode the (bounded, <= counters
+    entries) stored sketches, sum per item with map-side partial
+    combine, rank, re-pack. Frequencies sum in decimal(38,0) and
+    saturate at INT64_MAX like the reference (topn.c:997-1009) instead
+    of erroring under ANSI mode. NULL / empty sketches keep their group
+    alive with ``{}`` (LATERAL VIEW OUTER)."""
+    from postgresql_topn_spark.conf import resolve_counters as _rc
+    from postgresql_topn_spark.functions.sketch import ENTRY_CMP_SQL
+
+    c = _rc(counters, spark)
+    pairs = _sql_ident_pairs(group_by)
+    names = ", ".join(a for a, _ in pairs)
+    sel_exprs = ", ".join(f"{e} AS {a}" for a, e in pairs)
+    prefix_names = f"{names}, " if pairs else ""
+    part = f"PARTITION BY {names} " if pairs else ""
+    summed = (
+        f"SELECT {sel_exprs + ', ' if pairs else ''}__t.__i AS __i, "
+        # coalesce INSIDE least: Spark's least skips NULLs, so an
+        # all-NULL (empty-sketch marker) group must become 0 before the
+        # saturation clamp, not fall through to INT64_MAX
+        f"cast(least(coalesce(sum(cast(__t.__fr as decimal(38,0))), 0), "
+        f"{INT64_MAX}) as bigint) AS __f "
+        f"FROM {source} "
+        f"LATERAL VIEW OUTER explode({sketch_col}) __t AS __i, __fr "
+        f"GROUP BY {', '.join(str(i + 1) for i in range(len(pairs) + 1))}"
+    )
+    pack = _PACK_SQL.format(cmp=ENTRY_CMP_SQL)
+    return (
+        f"SELECT {prefix_names}{pack} AS {out_col} FROM ("
+        f"SELECT {prefix_names}__i, coalesce(__f, 0) AS __f, "
+        f"row_number() OVER ({part}{_RANK_ORDER}) AS __rn "
+        f"FROM ({summed})) WHERE __rn <= {c} OR __f = 0 "
+        + (f"GROUP BY {names}" if pairs else "")
+    )

@@ -634,6 +634,58 @@ def topn_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topn_sql_twophase",
+    """
+    SELECT yr, item, frequency FROM (
+      SELECT CAST(year(ts) AS INT) AS yr, event_type AS item,
+             COUNT(event_type) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY year(ts)
+                                ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY year(ts), event_type
+    ) t WHERE rn <= 3
+    """,
+)
+def topn_sql_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship aggregate for ``spark.sql()`` users WITHOUT the
+    Python UDAF wall: monthly sketches built by the generated
+    pure-built-in two-phase SQL (topn_add_agg_sql, salted variant),
+    merged per year by topn_union_agg_sql, extracted with a plain map
+    explode + rank — zero Python stages end-to-end, map-side partial
+    combine on the count (the reference's parallel aggregate,
+    topn.c:509-625, compiled to Catalyst). Plan-pinned in
+    tests/test_plans.py."""
+    from postgresql_topn_spark.functions.sql_api import (
+        topn_add_agg_sql,
+        topn_union_agg_sql,
+    )
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__tp_events"
+    )
+    monthly = topn_add_agg_sql(
+        "__tp_events",
+        [("yr", "cast(year(ts) as int)"), ("mon", "month(ts)")],
+        "event_type",
+        counters=C,
+        salt_buckets=4,
+    )
+    yearly = topn_union_agg_sql("monthly", ["yr"], "topn", counters=C)
+    return spark.sql(
+        f"""
+        WITH monthly AS ({monthly}),
+             yearly AS ({yearly})
+        SELECT yr, item, frequency FROM (
+          SELECT yr, t.item, t.frequency,
+                 row_number() OVER (PARTITION BY yr
+                                    ORDER BY t.frequency DESC, t.item ASC) AS rn
+          FROM yearly LATERAL VIEW explode(topn) t AS item, frequency
+        ) WHERE rn <= 3
+        """
+    )
+
+
+@_register(
     "topn_sql_weighted",
     """
     SELECT yr, item, frequency FROM (
@@ -1294,6 +1346,71 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb, queries, k=5, n_lists=16, n_probe=4, centroid_mode="seeded"
     )
+
+
+@_register(
+    "stream_topn_rollup_monthly",
+    """
+    SELECT yr, mon, item, frequency FROM (
+      SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mon,
+             event_type AS item, COUNT(event_type) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY year(ts), month(ts)
+                                ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY year(ts), month(ts), event_type
+    ) t WHERE rn <= 5
+    """,
+)
+def stream_topn_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING-EXECUTED rollup: the events fixture replayed through a
+    Structured Streaming file source with Trigger.AvailableNow; every
+    micro-batch appends exact batch-local sketches to a parquet rollup
+    (foreachBatch + checkpoint — streaming/topn_stream.py), then the
+    batch read side merges the appended deltas with topn_union_agg and
+    extracts the monthly top-5. Sketch-delta merge is associative, so
+    the result is identical however availableNow splits the input into
+    batches — which is exactly the incremental-rollup contract
+    (README.md:73-116) this pattern carries to unbounded streams."""
+    import os
+    import tempfile
+
+    from postgresql_topn_spark.streaming.topn_stream import (
+        read_topn_rollup as stream_read_rollup,
+        stream_topn_rollup,
+    )
+
+    load_table(spark, sf_dir, "events")  # sets the nanos-as-long conf
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    base = tempfile.mkdtemp(prefix="topn_stream_rollup_")
+    # the file stream source wants a DIRECTORY to watch; stage the
+    # fixture file into one (symlink — no copy)
+    src_dir = os.path.join(base, "in")
+    os.makedirs(src_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(src_dir, "events.parquet"),
+    )
+    src = spark.readStream.schema(raw.schema).parquet(src_dir)
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    q = stream_topn_rollup(
+        src,
+        [F.year("ts").alias("yr"), F.month("ts").alias("mon")],
+        "event_type",
+        rollup_path=os.path.join(base, "rollup"),
+        checkpoint_path=os.path.join(base, "ckpt"),
+        counters=C,
+        trigger_available_now=True,
+    )
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("streaming rollup did not drain in 600s")
+    merged = stream_read_rollup(
+        spark, os.path.join(base, "rollup"), ["yr", "mon"], counters=C
+    )
+    return explode_topn(merged, "topn", 5, keep=["yr", "mon"], counters=C)
 
 
 @_register(

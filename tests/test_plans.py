@@ -189,3 +189,16 @@ def test_union_agg_partial_combines(spark):
     )
     assert has_partial_aggregate(merged)
     assert python_stages(merged) == 0
+
+
+def test_sql_twophase_no_python_with_partial_combine(spark):
+    """The pure-SQL two-phase aggregate surface (topn_sql_twophase):
+    build + union + extraction entirely JVM-side — zero Python stages —
+    with map-side partial combine on the (group, item) count, matching
+    the Column API plan (the reference's parallel aggregate,
+    topn.c:509-625)."""
+    from postgresql_topn_spark.suite import QUERIES
+
+    df = QUERIES["topn_sql_twophase"](spark, SF)
+    assert python_stages(df) == 0
+    assert has_partial_aggregate(df)

@@ -249,3 +249,128 @@ def test_per_call_guc_via_raw_conf(spark):
     finally:
         spark.conf.set(CONF_KEY, "1000")
         register_sql_functions(spark, counters=1000)
+
+
+class TestTwoPhaseSql:
+    """The pure-built-in SQL twins of the aggregates: identical results
+    to the Column API, zero Python stages, map-side partial combine."""
+
+    def _data(self, spark):
+        import random
+
+        rng = random.Random(7)
+        rows = [
+            (rng.randrange(4), rng.choice("abcdefgh") if rng.random() > 0.1 else None)
+            for _ in range(2000)
+        ] + [(9, None)]  # an all-NULL group must yield {}
+        df = spark.createDataFrame(rows, "g int, item string")
+        df.createOrReplaceTempView("tp_in")
+        return df
+
+    def test_add_agg_sql_equals_column_api(self, spark):
+        from postgresql_topn_spark.functions.aggregates import topn_add_agg
+        from postgresql_topn_spark.functions.sql_api import topn_add_agg_sql
+
+        df = self._data(spark)
+        col = {r.g: r.topn for r in topn_add_agg(df, ["g"], "item", counters=3).collect()}
+        sq = {
+            r.g: r.topn
+            for r in spark.sql(topn_add_agg_sql("tp_in", ["g"], "item", counters=3)).collect()
+        }
+        assert col == sq
+        assert sq[9] == {}
+        # the lossless salted form is identical too
+        salted = {
+            r.g: r.topn
+            for r in spark.sql(
+                topn_add_agg_sql("tp_in", ["g"], "item", counters=3, salt_buckets=8)
+            ).collect()
+        }
+        assert col == salted
+
+    def test_union_agg_sql_equals_column_api(self, spark):
+        from postgresql_topn_spark.functions.aggregates import topn_union_agg
+        from postgresql_topn_spark.functions.sql_api import (
+            topn_add_agg_sql,
+            topn_union_agg_sql,
+        )
+
+        self._data(spark)
+        spark.sql(
+            "SELECT g % 2 AS h, topn FROM ("
+            + topn_add_agg_sql("tp_in", ["g"], "item", counters=3)
+            + ")"
+        ).createOrReplaceTempView("tp_sks")
+        sq = {
+            r.h: r.topn
+            for r in spark.sql(topn_union_agg_sql("tp_sks", ["h"], "topn", counters=4)).collect()
+        }
+        col = {
+            r.h: r.topn
+            for r in topn_union_agg(spark.table("tp_sks"), ["h"], "topn", counters=4).collect()
+        }
+        assert sq == col
+
+    def test_union_agg_sql_null_sketch_keeps_group(self, spark):
+        from postgresql_topn_spark.functions.sql_api import topn_union_agg_sql
+
+        spark.createDataFrame(
+            [("g1", None), ("g2", {"a": 2})],
+            "g string, topn map<string,bigint>",
+        ).createOrReplaceTempView("tp_null_sks")
+        got = {
+            r.g: r.topn
+            for r in spark.sql(topn_union_agg_sql("tp_null_sks", ["g"], "topn")).collect()
+        }
+        assert got == {"g1": {}, "g2": {"a": 2}}
+
+    def test_union_agg_sql_saturates(self, spark):
+        from postgresql_topn_spark.functions.sql_api import topn_union_agg_sql
+
+        big = 9223372036854775807
+        spark.createDataFrame(
+            [(1, {"a": big}), (1, {"a": big})],
+            "g int, topn map<string,bigint>",
+        ).createOrReplaceTempView("tp_sat_sks")
+        got = spark.sql(topn_union_agg_sql("tp_sat_sks", ["g"], "topn")).collect()[0].topn
+        assert got == {"a": big}  # saturating, not ANSI overflow error
+
+    def test_plan_no_python_with_partial_combine(self, spark):
+        from postgresql_topn_spark.functions.sql_api import topn_add_agg_sql
+        from postgresql_topn_spark.plans.audit import (
+            has_partial_aggregate,
+            python_stages,
+        )
+
+        self._data(spark)
+        dfp = spark.sql(topn_add_agg_sql("tp_in", ["g"], "item", counters=3))
+        assert python_stages(dfp) == 0
+        assert has_partial_aggregate(dfp)
+
+    def test_salted_udaf_rewrite_is_lossless(self, spark):
+        """The documented one-line rewrite of the UDAF form (see
+        sql_api.py module notes): per-salt-bucket topn_add_agg merged by
+        topn_union_agg equals the unsalted aggregate exactly."""
+        self._data(spark)
+        register_sql_functions(spark, counters=3)
+        try:
+            plain = {
+                r.g: r.sk
+                for r in spark.sql(
+                    "SELECT g, topn_add_agg(item) AS sk FROM tp_in GROUP BY g"
+                ).collect()
+            }
+            salted = {
+                r.g: r.sk
+                for r in spark.sql(
+                    """
+                    SELECT g, topn_union_agg(sk) AS sk FROM (
+                      SELECT g, topn_add_agg(item) AS sk
+                      FROM tp_in GROUP BY g, pmod(xxhash64(coalesce(item, '')), 8)
+                    ) GROUP BY g
+                    """
+                ).collect()
+            }
+            assert plain == salted
+        finally:
+            register_sql_functions(spark, counters=1000)
