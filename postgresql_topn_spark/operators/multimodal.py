@@ -1,13 +1,15 @@
 """Multimodal column plumbing: image/audio/video as opaque binary
 columns with typed metadata, processed by Arrow-batched pandas UDFs.
 
-The decode step itself is STUBBED (this container has no image/audio
-libraries): `decode_image_meta` uses a deterministic fake derived from
-the byte payload, and `decode_image_pixels` raises NotImplementedError
-with the integration point documented. Everything around the stub — the
-binary schema, the mapInPandas batch shape, partition sizing, the
-metadata struct — is real and tested; swapping the fake for
-PIL/libvips/ffmpeg is a one-function change.
+Metadata decode is REAL: `decode_image_meta` parses PNG/GIF/BMP/JPEG
+headers with pure stdlib `struct` (`parse_image_header`) — no image
+library needed for dimensions/channels/format. Only PIXEL decode
+(`decode_image_pixels`, `resize_images`' resample, `extract_features`'
+encoder) is stubbed, because this container has no PIL/libvips/ffmpeg;
+those keep deterministic stand-ins with the integration point
+documented, and everything around them — the binary schema, the
+mapInPandas batch shape, partition sizing, the metadata struct — is
+real and tested, so swapping in a real codec is a one-function change.
 
 Scale notes: binary payloads ride in the same parquet row groups as
 their metadata; `mapInPandas` processes Arrow batches so the Python
@@ -52,25 +54,98 @@ def fake_decode_dims(n_bytes: int) -> tuple[int, int, int]:
     return width, height, 3
 
 
-def decode_image_meta(blobs: DataFrame) -> DataFrame:
+# PNG color type -> sample channels (PNG spec, 11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# JPEG SOF markers carry frame dimensions; C4/C8/CC are DHT/JPG/DAC,
+# which share the 0xC0-0xCF range but are not frame headers.
+_JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
+
+
+def parse_image_header(buf: bytes) -> tuple[str, int, int, int] | None:
+    """(format, width, height, channels) from the leading bytes of a
+    PNG / GIF / BMP / JPEG payload, pure stdlib — the REAL header parse
+    for `decode_image_meta` (no image library needed for metadata; only
+    pixel decode requires one). Returns None for anything else.
+
+    This is header arithmetic, not validation: a payload that lies in
+    its header parses to the lie, like `identify`/PIL's lazy open."""
+    import struct
+
+    n = len(buf)
+    if n >= 26 and buf[:8] == b"\x89PNG\r\n\x1a\n" and buf[12:16] == b"IHDR":
+        w, h = struct.unpack(">II", buf[16:24])
+        color_type = buf[25]
+        return ("png", w, h, _PNG_CHANNELS.get(color_type, 3))
+    if n >= 10 and buf[:6] in (b"GIF87a", b"GIF89a"):
+        w, h = struct.unpack("<HH", buf[6:10])
+        return ("gif", w, h, 3)
+    if n >= 30 and buf[:2] == b"BM":
+        hdr_size = struct.unpack("<I", buf[14:18])[0]
+        if hdr_size >= 40:  # BITMAPINFOHEADER and successors
+            w, h = struct.unpack("<ii", buf[18:26])
+            bits = struct.unpack("<H", buf[28:30])[0]
+        elif hdr_size == 12 and n >= 24:  # ancient BITMAPCOREHEADER
+            w, h = struct.unpack("<hh", buf[18:22])
+            bits = struct.unpack("<H", buf[22:24])[0]
+        else:
+            return None
+        return ("bmp", abs(w), abs(h), max(1, min(4, bits // 8)))
+    if n >= 4 and buf[:2] == b"\xff\xd8":
+        # scan marker segments for a start-of-frame (SOF0..SOF15)
+        i = 2
+        while i + 4 <= n:
+            if buf[i] != 0xFF:
+                return None  # desynced; corrupt stream
+            marker = buf[i + 1]
+            if marker == 0xFF:  # fill byte
+                i += 1
+                continue
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2  # standalone markers carry no length
+                continue
+            seg_len = struct.unpack(">H", buf[i + 2 : i + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NON_SOF:
+                if i + 9 > n:
+                    return None
+                h, w = struct.unpack(">HH", buf[i + 5 : i + 9])
+                return ("jpeg", w, h, buf[i + 9] if i + 9 < n else 3)
+            i += 2 + seg_len
+        return None
+    return None
+
+
+def decode_image_meta(blobs: DataFrame, *, decoder: str = "header") -> DataFrame:
     """Extract image metadata from binary payloads via mapInPandas.
 
-    Real pipelines replace the `fake_decode_dims` call with
-    `PIL.Image.open(io.BytesIO(buf))` — the Arrow batch shape, schema
-    and partitioning are identical."""
+    ``decoder="header"`` (default) runs the real pure-stdlib header
+    parse (:func:`parse_image_header`) — unrecognized payloads get
+    format ``"unknown"`` and NULL dimensions. ``decoder="fake"`` keeps
+    the size-derived deterministic stub so the suite query stays
+    replicable by an ANSI-SQL oracle. Pixel decode
+    (`decode_image_pixels`) still needs a real image library; the Arrow
+    batch shape, schema and partitioning here are shared by both."""
+    if decoder not in ("header", "fake"):
+        raise ValueError(f"decoder must be 'header' or 'fake', got {decoder!r}")
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             sizes = pdf["blob"].map(len)
-            dims = sizes.map(fake_decode_dims)
+            if decoder == "fake":
+                dims = sizes.map(fake_decode_dims)
+                parsed = [("fake", d[0], d[1], d[2]) for d in dims]
+            else:
+                parsed = [
+                    parse_image_header(bytes(buf)) or ("unknown", None, None, None)
+                    for buf in pdf["blob"]
+                ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "n_bytes": sizes.astype("int32"),
-                    "width": dims.map(lambda d: d[0]).astype("int32"),
-                    "height": dims.map(lambda d: d[1]).astype("int32"),
-                    "channels": dims.map(lambda d: d[2]).astype("int32"),
-                    "format": "fake",
+                    "width": pd.array([p[1] for p in parsed], dtype="Int32"),
+                    "height": pd.array([p[2] for p in parsed], dtype="Int32"),
+                    "channels": pd.array([p[3] for p in parsed], dtype="Int32"),
+                    "format": [p[0] for p in parsed],
                 }
             )
 

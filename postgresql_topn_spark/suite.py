@@ -1780,7 +1780,10 @@ def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return decode_image_meta(make_blob_table(docs))
+    # decoder="fake": the oracled fixture mode (text bytes are not real
+    # images); the default header decoder is pytest-pinned on real
+    # PNG/GIF/BMP/JPEG byte literals (test_text_multimodal.py)
+    return decode_image_meta(make_blob_table(docs), decoder="fake")
 
 
 @_register(

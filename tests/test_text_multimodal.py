@@ -137,7 +137,7 @@ class TestMultimodal:
         docs = load_table(spark, sf_dir, "documents").limit(20)
         blobs = make_blob_table(docs)
         assert dict(blobs.dtypes)["blob"] == "binary"
-        meta = decode_image_meta(blobs).collect()
+        meta = decode_image_meta(blobs, decoder="fake").collect()
         assert len(meta) == 20
         for r in meta:
             w, h, c = fake_decode_dims(r["n_bytes"])
@@ -205,3 +205,88 @@ class TestMultimodalResizeFeatures:
         for r in out.collect():
             per_q.setdefault(r["query_id"], []).append(r["rank"])
         assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+
+
+class TestImageHeaderParse:
+    """parse_image_header on REAL format byte layouts (constructed with
+    stdlib struct/zlib — no image library in this container, but these
+    are spec-valid headers any decoder would accept)."""
+
+    @staticmethod
+    def _png(w, h, color_type=6):
+        import struct
+        import zlib
+
+        ihdr = struct.pack(">II", w, h) + bytes([8, color_type, 0, 0, 0])
+        chunk = b"IHDR" + ihdr
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + struct.pack(">I", len(ihdr))
+            + chunk
+            + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+        )
+
+    @staticmethod
+    def _gif(w, h):
+        import struct
+
+        return b"GIF89a" + struct.pack("<HH", w, h) + b"\xf7\x00\x00"
+
+    @staticmethod
+    def _bmp(w, h, bits=24):
+        import struct
+
+        info = struct.pack("<IiiHH", 40, w, -h, 1, bits) + b"\x00" * 24
+        return b"BM" + struct.pack("<IHHI", 54 + 16, 0, 0, 54) + info
+
+    @staticmethod
+    def _jpeg(w, h, ncomp=3):
+        import struct
+
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+        sof0 = (
+            b"\xff\xc0"
+            + struct.pack(">H", 8 + 3 * ncomp)
+            + bytes([8])
+            + struct.pack(">HH", h, w)
+            + bytes([ncomp])
+            + b"\x01\x11\x00\x02\x11\x01\x03\x11\x01"[: 3 * ncomp]
+        )
+        return b"\xff\xd8" + app0 + sof0
+
+    def test_png_gif_bmp_jpeg(self):
+        from postgresql_topn_spark.operators.multimodal import parse_image_header
+
+        assert parse_image_header(self._png(640, 480)) == ("png", 640, 480, 4)
+        assert parse_image_header(self._png(3, 2, color_type=0)) == ("png", 3, 2, 1)
+        assert parse_image_header(self._gif(7, 5)) == ("gif", 7, 5, 3)
+        assert parse_image_header(self._bmp(1920, 1080)) == ("bmp", 1920, 1080, 3)
+        assert parse_image_header(self._jpeg(20, 10)) == ("jpeg", 20, 10, 3)
+        assert parse_image_header(self._jpeg(65535, 1, ncomp=1)) == ("jpeg", 65535, 1, 1)
+
+    def test_non_images_are_none(self):
+        from postgresql_topn_spark.operators.multimodal import parse_image_header
+
+        assert parse_image_header(b"") is None
+        assert parse_image_header(b"hello world this is text") is None
+        assert parse_image_header(b"\x89PNG\r\n\x1a") is None  # truncated sig
+        assert parse_image_header(b"\xff\xd8\x00\x00") is None  # desynced jpeg
+
+    def test_decode_image_meta_header_mode(self, spark):
+        from postgresql_topn_spark.operators.multimodal import decode_image_meta
+
+        rows = [
+            (1, bytearray(self._png(8, 4))),
+            (2, bytearray(self._jpeg(12, 34))),
+            (3, bytearray(b"not an image at all, just bytes")),
+            (4, bytearray(self._gif(2, 2))),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, blob binary")
+        got = {
+            r.doc_id: (r.format, r.width, r.height, r.channels)
+            for r in decode_image_meta(df).collect()
+        }
+        assert got[1] == ("png", 8, 4, 4)
+        assert got[2] == ("jpeg", 12, 34, 3)
+        assert got[3] == ("unknown", None, None, None)
+        assert got[4] == ("gif", 2, 2, 3)
