@@ -279,3 +279,39 @@ def fingerprint_winnow_md5(text: Column | str, k: int = 3, window: int = 4) -> C
         ),
     )
     return _winnow_mins(hashes, window, "string")
+
+
+# --- PII detection / scrubbing --------------------------------------------
+# Training-data pipelines must strip contact information before a corpus
+# ships. Patterns are restricted to constructs Java regex and RE2 agree
+# on (character classes, bounded repeats, \b, \d) so the DuckDB oracle
+# replays them exactly; extend the dict for production taxonomies.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def pii_counts(text: Column | str) -> Column:
+    """Per-category PII hit counts as a struct(email, phone, ipv4) of
+    ints — one projection, no shuffle; feed it to a filter or an audit
+    aggregate. Order of fields is the PII_PATTERNS key order."""
+    t = _col(text)
+    return F.struct(
+        *[
+            F.size(F.regexp_extract_all(t, F.lit(pat), 0)).alias(name)
+            for name, pat in PII_PATTERNS.items()
+        ]
+    )
+
+
+def scrub_pii(text: Column | str, replacement: str = "[PII]") -> Column:
+    """Replace every PII match with `replacement`. Email first so a
+    phone-like digit run inside an address is handled by the email rule;
+    Spark's regexp_replace replaces ALL occurrences (the SQL twin needs
+    the 'g' flag on engines where single-replace is the default)."""
+    out = _col(text)
+    for pat in PII_PATTERNS.values():
+        out = F.regexp_replace(out, pat, replacement)
+    return out

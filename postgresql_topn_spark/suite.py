@@ -1874,3 +1874,142 @@ def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 def entry_flagship(spark: SparkSession) -> DataFrame:
     """Driver smoke entry: the flagship pipeline at sf0.001."""
     return topn_overall_products(spark, "/root/testdata/sf0.001")
+
+
+# ---------------------------------------------------------------------------
+# Keyword search / term weighting (beyond-reference: corpus auditing)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "search_bm25",
+    """
+    WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    d AS (SELECT doc_id, t, len(t) AS dl FROM base),
+    stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
+    q AS (SELECT unnest(['spark', 'vector', 'window']) AS term),
+    hits AS (
+      SELECT term, doc_id, dl, len(list_filter(t, x -> x = term)) AS tf
+      FROM d CROSS JOIN q
+      WHERE len(list_filter(t, x -> x = term)) > 0
+    ),
+    dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM hits GROUP BY term),
+    scored AS (
+      SELECT term, doc_id,
+             round(ln((n - df + 0.5) / (df + 0.5) + 1.0) *
+                   (tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))),
+                   6) AS score
+      FROM hits JOIN dft USING (term) CROSS JOIN stats
+    )
+    SELECT term, doc_id, score, CAST(rn AS INT) AS "rank" FROM (
+      SELECT term, doc_id, score,
+             row_number() OVER (PARTITION BY term
+                                ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 10
+    """,
+)
+def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 docs per probe term — keyword retrieval for
+    corpus auditing. Zero-shuffle scoring (literal query terms become
+    array expressions in the scan stage); both corpus-stat joins are
+    broadcast; rank runs over the ROUNDED score so the DuckDB twin
+    agrees bit-for-bit."""
+    from postgresql_topn_spark.operators.search import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_topk(
+        docs, "doc_id", "text", ["spark", "vector", "window"], k=10
+    )
+
+
+@_register(
+    "search_tfidf",
+    """
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+           FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+    dft AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+    nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM dl),
+    scored AS (
+      SELECT doc_id, term,
+             round((tf / dl) * (ln((n + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+      FROM tf JOIN dl USING (doc_id) JOIN dft USING (term) CROSS JOIN nn
+    )
+    SELECT doc_id, term, score, CAST(rn AS INT) AS "rank" FROM (
+      SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 3
+    """,
+)
+def search_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 salient terms by smoothed TF-IDF. One
+    combine-heavy (doc, term) shuffle; dl and df both derive from that
+    aggregate (exchange reuse); per-doc rank has no hot partition by
+    construction."""
+    from postgresql_topn_spark.operators.search import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    return tfidf_top_terms(docs, "doc_id", "text", top=3)
+
+
+@_register(
+    "text_pii",
+    """
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+             '@example.com ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+             '.7 call 555-867-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS emails,
+           CAST(len(regexp_extract_all(t, '\\b\\d{3}-\\d{3}-\\d{4}\\b')) AS INT) AS phones,
+           CAST(len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS ipv4s,
+           md5(regexp_replace(
+                 regexp_replace(
+                   regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[PII]', 'g'),
+                   '\\b\\d{3}-\\d{3}-\\d{4}\\b', '[PII]', 'g'),
+                 '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '[PII]', 'g')) AS scrubbed_md5
+    FROM aug
+    """,
+)
+def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + scrubbing over the documents table. The synthetic
+    corpus carries no organic PII, so the query injects a deterministic
+    contact line per document (email, IPv4, US phone) and then proves
+    the detector counts and the scrubber removes exactly those — the
+    honest fixture mode for the oracle; production calls pii_counts /
+    scrub_pii on raw text. Pure regexp projections: no shuffle, no
+    Python, full scan speed."""
+    from postgresql_topn_spark.operators.text import pii_counts, scrub_pii
+
+    docs = load_table(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call 555-867-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("t"),
+    )
+    c = pii_counts("t")
+    return aug.select(
+        "doc_id",
+        c["email"].alias("emails"),
+        c["phone"].alias("phones"),
+        c["ipv4"].alias("ipv4s"),
+        F.md5(scrub_pii("t")).alias("scrubbed_md5"),
+    )

@@ -1,0 +1,219 @@
+#!/usr/bin/env python
+"""Empirical scaling check: run the dedup/ANN/pipeline suite subset at
+sf0.1 and at a derived 10x dataset ("sf1-equivalent") and report the
+per-query time ratio.  A query whose plan is scale-safe should grow
+~linearly (ratio ~10 for a 10x input with linearly-scaled output);
+anything super-linear is a scale bug to chase.
+
+The 10x dataset is DERIVED from /root/testdata/sf0.1 (the brief says use
+the driver's data, and there is no sf1 drop), with replicas DECORRELATED
+so the duplicate/similarity structure scales linearly instead of
+quadratically:
+
+- documents: every token in replica i>0 is prefixed ``r<i>`` (regexp,
+  JVM-side), so shingles / char-grams / minhash / simhash signatures
+  differ across replicas while each replica keeps the original
+  within-replica near-dup structure.  10x docs => 10x duplicate pairs.
+- embeddings: replica i's vectors are circularly rolled by ``13*i``
+  positions.  A common roll preserves every intra-replica dot product
+  exactly (near-dup structure intact) while cross-replica cosines
+  decorrelate.  The fixed query set then searches a 10x corpus.
+- events: user_id/event_id offset per replica, timestamps kept — 10x
+  users with identical per-user session structure.
+
+Other tables are symlinked unscaled; only queries over the three scaled
+tables are measured.
+
+Usage: python scale_bench.py [--mult 10] [--out STATUS-fragment]
+Prints one JSON line {"base_sec": .., "scaled_sec": .., "mult": 10,
+"queries": {name: {"base": s, "scaled": s, "ratio": r}}}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
+
+# documents-, embeddings- and events-backed queries only (the scaled
+# tables); lineitem/orders queries are covered by bench.py at sf0.1.
+SUBSET = [
+    "dedup_exact",
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_char_ngram",
+    "dedup_winnow_pairs",
+    "dedup_simhash_md5",
+    "dedup_decontaminate",
+    "dedup_clusters",
+    "pipeline_curation",
+    "pipeline_sample_mix",
+    "text_token_counts",
+    "text_quality",
+    "text_winnow",
+    "topn_tokens_by_lang",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "ann_ivf_topk",
+    "dedup_embedding_exact",
+    "dedup_embedding_near",
+    "events_sessionize",
+    "topn_monthly_event_types",
+]
+
+ALL_TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_scaled(spark, mult: int) -> str:
+    out = os.path.join(SCALE_ROOT, f"x{mult}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+
+    from pyspark.sql import functions as F
+
+    OFF = 100_000_000  # id offset per replica — far above any base id
+
+    docs = spark.read.parquet(os.path.join(BASE, "documents.parquet"))
+    emb = spark.read.parquet(os.path.join(BASE, "embeddings.parquet"))
+    ev = spark.read.parquet(os.path.join(BASE, "events.parquet"))
+    dim = len(emb.select("embedding").first()[0])
+
+    # replica axis as a column (explode), not a Python loop of unions:
+    # one scan of the base table, mult output rows per input row.
+    rep = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__r")
+
+    d = docs.select("*", rep)
+    d = d.select(
+        (F.col("doc_id") + F.col("__r") * OFF).alias("doc_id"),
+        F.when(F.col("__r") == 0, F.col("text"))
+        .otherwise(
+            F.regexp_replace(
+                "text",
+                r"([A-Za-z0-9_]+)",
+                # $1 backref; concat of the replica tag is per-row
+                F.concat(F.lit("r"), F.col("__r").cast("string"), F.lit("$1")),
+            )
+        )
+        .alias("text"),
+        "lang",
+        "source",
+    ).withColumn("n_chars", F.length("text"))
+    d.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "documents.parquet")
+    )
+
+    e = emb.select("*", rep)
+    shift = (F.col("__r") * 13) % dim
+    e = e.select(
+        (F.col("vec_id") + F.col("__r") * OFF).alias("vec_id"),
+        F.concat(
+            F.slice("embedding", shift + 1, F.lit(dim) - shift),
+            F.slice("embedding", F.lit(1), shift),
+        ).alias("embedding"),
+        "label",
+    )
+    e.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "embeddings.parquet")
+    )
+
+    v = ev.select("*", rep)
+    v = v.select(
+        (F.col("event_id") + F.col("__r") * OFF).alias("event_id"),
+        "ts",
+        (F.col("user_id") + F.col("__r") * OFF).alias("user_id"),
+        "event_type",
+        "value",
+        "props",
+    )
+    v.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "events.parquet")
+    )
+
+    for t in ALL_TABLES:
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(BASE, f"{t}.parquet"), dst)
+    open(marker, "w").close()
+    return out
+
+
+def _run(queries, spark, sf_dir: str, names) -> dict[str, float]:
+    timings: dict[str, float] = {}
+    for name in names:
+        runs: list[float] = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            queries[name](spark, sf_dir).count()
+            runs.append(time.perf_counter() - t0)
+            if len(runs) >= 2 and sorted(runs)[1] <= 1.25 * min(runs):
+                break
+        timings[name] = round(min(runs), 3)
+    return timings
+
+
+def main() -> None:
+    mult = 10
+    if "--mult" in sys.argv:
+        mult = int(sys.argv[sys.argv.index("--mult") + 1])
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("topn-scale-bench")
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", "16g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    scaled_dir = build_scaled(spark, mult)
+
+    from postgresql_topn_spark.suite import QUERIES
+
+    names = [n for n in SUBSET if n in QUERIES]
+    # warmup both datasets' scans + the Arrow lane
+    for d in (BASE, scaled_dir):
+        for t in ("documents", "embeddings", "events"):
+            spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
+    QUERIES["dedup_exact"](spark, BASE).count()
+
+    base_t = _run(QUERIES, spark, BASE, names)
+    scaled_t = _run(QUERIES, spark, scaled_dir, names)
+
+    out = {
+        "mult": mult,
+        "base_sec": round(sum(base_t.values()), 3),
+        "scaled_sec": round(sum(scaled_t.values()), 3),
+        "queries": {
+            n: {
+                "base": base_t[n],
+                "scaled": scaled_t[n],
+                "ratio": round(scaled_t[n] / max(base_t[n], 1e-9), 2),
+            }
+            for n in names
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -11,6 +11,7 @@ from postgresql_topn_spark.plans.audit import (
     broadcast_exchanges,
     has_partial_aggregate,
     hash_shuffles,
+    plan_str,
     pushed_filters,
     python_stages,
     read_schema,
@@ -202,3 +203,37 @@ def test_sql_twophase_no_python_with_partial_combine(spark):
     df = QUERIES["topn_sql_twophase"](spark, SF)
     assert python_stages(df) == 0
     assert has_partial_aggregate(df)
+
+
+def test_bm25_zero_python_three_shuffles(spark):
+    """bm25_topk: literal query terms score as array expressions in the
+    scan stage — no token explode, no Python, only three key exchanges
+    (corpus stats singleton, per-term df agg, final per-term rank) and
+    both stat joins broadcast. Spark additionally inserts a Partial
+    WindowGroupLimit before the rank exchange, so each map task forwards
+    at most k rows per term — the reducer never sees a hot term's full
+    posting list."""
+    from postgresql_topn_spark.operators.search import bm25_topk
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = bm25_topk(docs, "doc_id", "text", ["spark", "vector"], k=5)
+    assert python_stages(out) == 0
+    assert hash_shuffles(out) == 3
+    assert broadcast_exchanges(out) >= 2
+    p = plan_str(out, "simple")
+    assert "WindowGroupLimit" in p and "Partial" in p
+
+
+def test_tfidf_zero_python_partial_group_limit(spark):
+    """tfidf_top_terms: all-JVM (no Python stage) and the per-doc top-k
+    must carry the Partial WindowGroupLimit (map-side k-row cap per doc
+    ahead of the rank exchange)."""
+    from postgresql_topn_spark.operators.search import tfidf_top_terms
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = tfidf_top_terms(docs, "doc_id", "text", top=3)
+    assert python_stages(out) == 0
+    p = plan_str(out, "simple")
+    assert "WindowGroupLimit" in p

@@ -1,0 +1,119 @@
+"""BM25 / TF-IDF search operators: hand-computed values on a tiny
+corpus, salted-rank losslessness, input validation."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.operators.search import bm25_topk, tfidf_top_terms
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    rows = [
+        (1, "spark runs fast spark"),
+        (2, "window functions in spark"),
+        (3, "vector search with vector index vector"),
+        (4, "plain text nothing else"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _bm25(tf, df, dl, n, avgdl, k1=1.2, b=0.75):
+    idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    return round(idf * (tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))), 6)
+
+
+def test_bm25_values_match_hand_computation(corpus):
+    out = bm25_topk(corpus, "doc_id", "text", ["spark", "vector"], k=10)
+    got = {(r.term, r.doc_id): (r.score, r.rank) for r in out.collect()}
+    # corpus: n=4 docs, dl = [4, 4, 6, 4], avgdl = 4.5
+    n, avgdl = 4.0, 4.5
+    exp = {
+        ("spark", 1): _bm25(2, 2, 4, n, avgdl),
+        ("spark", 2): _bm25(1, 2, 4, n, avgdl),
+        ("vector", 3): _bm25(3, 1, 6, n, avgdl),
+    }
+    assert set(got) == set(exp)
+    for key, score in exp.items():
+        assert got[key][0] == pytest.approx(score, abs=1e-6)
+    # tf=2 beats tf=1 at equal dl/df
+    assert got[("spark", 1)][1] == 1 and got[("spark", 2)][1] == 2
+
+
+def test_bm25_salted_rank_is_lossless(corpus):
+    plain = bm25_topk(corpus, "doc_id", "text", ["spark", "vector"], k=2)
+    salted = bm25_topk(
+        corpus, "doc_id", "text", ["spark", "vector"], k=2, salt_buckets=8
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, salted.collect())
+    )
+
+
+def test_bm25_rejects_empty_queries(corpus):
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, "doc_id", "text", [])
+
+
+def test_bm25_no_hits_term_absent(corpus):
+    out = bm25_topk(corpus, "doc_id", "text", ["nonexistent"], k=5)
+    assert out.count() == 0
+
+
+def test_tfidf_values_match_hand_computation(corpus):
+    out = tfidf_top_terms(corpus, "doc_id", "text", top=2)
+    got = {(r.doc_id, r.rank): (r.term, r.score) for r in out.collect()}
+    n = 4.0
+
+    def tfidf(tf, dl, df):
+        return round((tf / dl) * (math.log((n + 1.0) / (df + 1.0)) + 1.0), 6)
+
+    # doc 3: 'vector' tf=3/6 df=1 dominates; then 'index'/'search'/'with'
+    # all tf=1/6 df=1 tie -> 'index' wins alphabetically
+    assert got[(3, 1)] == ("vector", pytest.approx(tfidf(3, 6, 1), abs=1e-6))
+    assert got[(3, 2)][0] == "index"
+    # doc 1: 'spark' tf=2/4 but df=2; 'fast'/'runs' tf=1/4 df=1
+    spark_s = tfidf(2, 4, 2)
+    fast_s = tfidf(1, 4, 1)
+    top_term, top_score = got[(1, 1)]
+    if spark_s > fast_s:
+        assert top_term == "spark" and top_score == pytest.approx(spark_s, abs=1e-6)
+    else:
+        assert top_term == "fast" and top_score == pytest.approx(fast_s, abs=1e-6)
+
+
+def test_tfidf_rank_bounded_per_doc(corpus):
+    out = tfidf_top_terms(corpus, "doc_id", "text", top=3)
+    per_doc = out.groupBy("doc_id").agg(F.count("*").alias("c")).collect()
+    assert all(r.c <= 3 for r in per_doc)
+    assert out.where(F.col("rank") > 3).count() == 0
+
+
+# --- PII detection / scrubbing --------------------------------------------
+
+
+def test_pii_counts_and_scrub(spark):
+    from postgresql_topn_spark.operators.text import pii_counts, scrub_pii
+
+    rows = [
+        (1, "reach me at a.b+tag@corp.io or bob@x.co, cell 415-555-1234"),
+        (2, "server 192.168.0.1 and 10.0.0.255 serve traffic"),
+        (3, "no contact info here at all"),
+        (4, "mixed: eve@ex.org from 8.8.8.8 dialed 800-555-0199 twice"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = df.select(
+        "id", pii_counts("t").alias("c"), scrub_pii("t").alias("s")
+    ).collect()
+    got = {r.id: (r.c.email, r.c.phone, r.c.ipv4, r.s) for r in out}
+    assert got[1][:3] == (2, 1, 0)
+    assert got[2][:3] == (0, 0, 2)
+    assert got[3][:3] == (0, 0, 0)
+    assert got[4][:3] == (1, 1, 1)
+    # scrubbed text keeps no match for any pattern
+    assert "@" not in got[1][3] and "415" not in got[1][3]
+    assert "192.168" not in got[2][3]
+    assert got[3][3] == rows[2][1]  # clean text untouched
+    assert got[4][3].count("[PII]") == 3
