@@ -2013,3 +2013,54 @@ def text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         c["ipv4"].alias("ipv4s"),
         F.md5(scrub_pii("t")).alias("scrubbed_md5"),
     )
+
+
+@_register(
+    "distinct_rollup_hll",
+    """
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS est_ok
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable distinct-count rollup: per-(event_type, month) HLL
+    sketches built once, merged per event_type WITHOUT rescanning raw
+    rows, then the merged estimate is checked against the exact
+    distinct count. The oracle pins the exact counts and asserts the
+    5% accuracy envelope holds (est_ok TRUE for every group — ~3x the
+    lg_k=12 relative standard error, so a failure means the sketch
+    algebra broke, not bad luck). The estimate itself is
+    engine-specific (DataSketches HLL has no DuckDB twin), which is
+    why the driver-checked columns are the exact count and the
+    envelope verdict rather than the raw estimate."""
+    from postgresql_topn_spark.functions.distinct import (
+        hll_add_agg,
+        hll_estimate_col,
+        hll_union_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    monthly = hll_add_agg(
+        ev,
+        ["event_type", F.date_trunc("month", "ts").alias("mon")],
+        "user_id",
+    )
+    merged = hll_union_rollup(monthly, ["event_type"], "hll")
+    est = merged.select(
+        "event_type", hll_estimate_col("hll").alias("est_users")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    return exact.join(est, "event_type").select(
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("est_users") - F.col("exact_users"))
+            <= F.lit(0.05) * F.col("exact_users")
+        ).alias("est_ok"),
+    )

@@ -237,3 +237,24 @@ def test_tfidf_zero_python_partial_group_limit(spark):
     assert python_stages(out) == 0
     p = plan_str(out, "simple")
     assert "WindowGroupLimit" in p
+
+
+def test_hll_rollup_partial_combines(spark):
+    """hll_add_agg: one key exchange with a map-side partial
+    hll_sketch_agg (raw rows collapse to fixed-size sketch state before
+    the wire); the rollup merge likewise partial-combines binary
+    sketches. Zero Python stages — DataSketches runs in the JVM."""
+    from postgresql_topn_spark.functions.distinct import (
+        hll_add_agg,
+        hll_union_rollup,
+    )
+    from postgresql_topn_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    fine = hll_add_agg(ev, ["event_type"], "user_id")
+    assert hash_shuffles(fine) == 1
+    assert has_partial_aggregate(fine)
+    assert python_stages(fine) == 0
+    merged = hll_union_rollup(fine, [], "hll")
+    assert has_partial_aggregate(merged)
+    assert python_stages(merged) == 0
