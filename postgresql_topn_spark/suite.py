@@ -2064,3 +2064,45 @@ def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.05) * F.col("exact_users")
         ).alias("est_ok"),
     )
+
+
+@_register(
+    "pipeline_pack_contexts",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS BIGINT) AS start_offset
+      FROM d
+    )
+    SELECT doc_id, n_tokens, start_offset,
+           CAST(floor(start_offset / 2048.0) AS BIGINT) AS first_bin,
+           CAST(floor((start_offset + greatest(n_tokens - 1, 0)) / 2048.0) AS BIGINT) AS last_bin
+    FROM c
+    """,
+)
+def pipeline_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk context packing: every document's offset in the
+    concatenated token stream and the 2048-token training contexts it
+    straddles. The oracle is the naive single-window cumsum; the Spark
+    side runs the scale-safe two-level prefix sum (bucket-local cumsums
+    in parallel + a #buckets-row bucket prefix broadcast back) — same
+    numbers by associativity, no corpus-wide single-reducer window
+    (plan-asserted in tests/test_plans.py)."""
+    from postgresql_topn_spark.operators.packing import pack_token_stream
+    from postgresql_topn_spark.operators.text import ws_token_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    return pack_token_stream(
+        docs,
+        "doc_id",
+        ws_token_count("text"),
+        context_len=2048,
+        bucket_width=512,
+    )

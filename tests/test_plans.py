@@ -258,3 +258,24 @@ def test_hll_rollup_partial_combines(spark):
     merged = hll_union_rollup(fine, [], "hll")
     assert has_partial_aggregate(merged)
     assert python_stages(merged) == 0
+
+
+def test_pack_contexts_no_corpus_wide_single_partition(spark):
+    """pack_token_stream: the corpus-sized window must be partitioned
+    by the order-preserving bucket key (parallel local cumsums); the
+    only SinglePartition exchange feeds from the per-bucket AGGREGATE
+    (#buckets rows), never from the raw document stream."""
+    from postgresql_topn_spark.operators.packing import pack_token_stream
+    from postgresql_topn_spark.operators.text import ws_token_count
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = pack_token_stream(docs, "doc_id", ws_token_count("text"))
+    p = plan_str(out, "simple")
+    assert "hashpartitioning(__bkt" in p
+    assert p.count("Exchange SinglePartition") == 1
+    # the single-partition branch exists only above the bucket aggregate
+    import re
+
+    assert re.search(r"HashAggregate\(keys=\[__bkt", p)
+    assert python_stages(out) == 0

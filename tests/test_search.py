@@ -117,3 +117,58 @@ def test_pii_counts_and_scrub(spark):
     assert "192.168" not in got[2][3]
     assert got[3][3] == rows[2][1]  # clean text untouched
     assert got[4][3].count("[PII]") == 3
+
+
+# --- token-stream packing --------------------------------------------------
+
+
+def test_pack_token_stream_matches_naive(spark):
+    from postgresql_topn_spark.operators.packing import pack_token_stream
+
+    rows = [(i, (i * 37) % 900 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "nt"])
+    out = pack_token_stream(
+        df, "doc_id", F.col("nt"), context_len=100, bucket_width=16
+    ).collect()
+    got = {r.doc_id: (r.start_offset, r.first_bin, r.last_bin) for r in out}
+    run = 0
+    for i, nt in rows:
+        assert got[i][0] == run
+        assert got[i][1] == run // 100
+        assert got[i][2] == (run + nt - 1) // 100
+        run += nt
+
+
+def test_pack_token_stream_zero_tokens_and_bucket_width_invariance(spark):
+    from postgresql_topn_spark.operators.packing import pack_token_stream
+
+    rows = [(1, 5), (2, 0), (3, 7)]
+    df = spark.createDataFrame(rows, ["doc_id", "nt"])
+    out = {
+        r.doc_id: (r.start_offset, r.first_bin, r.last_bin)
+        for r in pack_token_stream(
+            df, "doc_id", F.col("nt"), context_len=4, bucket_width=1
+        ).collect()
+    }
+    assert out[1] == (0, 0, 1)
+    assert out[2] == (5, 1, 1)  # zero-width doc sits at its offset's bin
+    assert out[3] == (5, 1, 2)
+    # bucket_width must not change results
+    for bw in (2, 100):
+        alt = {
+            r.doc_id: (r.start_offset, r.first_bin, r.last_bin)
+            for r in pack_token_stream(
+                df, "doc_id", F.col("nt"), context_len=4, bucket_width=bw
+            ).collect()
+        }
+        assert alt == out
+
+
+def test_pack_token_stream_validates_args(spark):
+    from postgresql_topn_spark.operators.packing import pack_token_stream
+
+    df = spark.createDataFrame([(1, 1)], ["doc_id", "nt"])
+    with pytest.raises(ValueError):
+        pack_token_stream(df, "doc_id", F.col("nt"), context_len=0)
+    with pytest.raises(ValueError):
+        pack_token_stream(df, "doc_id", F.col("nt"), bucket_width=0)
