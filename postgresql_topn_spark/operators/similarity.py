@@ -627,14 +627,53 @@ def ivf_topk(
     return _merge_partial_topk(scored, k)
 
 
+def auto_lsh_params(
+    n_rows: int,
+    threshold: float,
+    *,
+    target_bucket: int = 32,
+    recall: float = 0.95,
+    max_planes: int = 24,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """(n_tables, n_planes) sized for the corpus: the scale knob LSH
+    needs but fixed defaults can't give.
+
+    With FIXED planes, bucket count is constant, so occupancy grows
+    linearly with the corpus and in-bucket candidate work grows
+    QUADRATICALLY — measured 27.7x wall on a 10x corpus with the suite's
+    wide config (scale_bench.py). Sizing planes from the corpus keeps
+    expected occupancy at `target_bucket`, making candidate work
+    ~linear: r = log2(n / target_bucket); tables then restore the
+    recall the extra planes cost, from the hyperplane collision model
+    p = (1 - acos(threshold)/pi)^r, L = ln(1-recall)/ln(1-p).
+
+    L is capped at `max_tables`: below threshold ~0.8 the collision
+    probability decays so fast that no reasonable L meets the recall
+    target — hyperplane LSH is the wrong tool there (use
+    cosine_pairs_exact or IVF), and the cap makes that failure mode a
+    bounded cost instead of an explosion."""
+    import math
+
+    if n_rows < 2:
+        return 1, 1
+    t = min(max(threshold, -1.0), 1.0)
+    r = max(1, min(max_planes, math.ceil(math.log2(max(n_rows / target_bucket, 2.0)))))
+    p = (1.0 - math.acos(t) / math.pi) ** r
+    if p >= 1.0:
+        return 1, r
+    L = math.ceil(math.log(1.0 - recall) / math.log(1.0 - p))
+    return max(1, min(max_tables, L)), r
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_tables: int = 8,
-    n_planes: int = 8,
+    n_tables: int | str = 8,
+    n_planes: int | str = 8,
     dim: int = 64,
     seed: int = 7,
     tile: int = 2048,
@@ -644,7 +683,19 @@ def embedding_near_dup_pairs(
     Near-identical vectors share an r-plane sign bucket in at least one
     of the L tables w.h.p. (1-(1-(1-theta/pi)^r)^L ~ 0.99 at cos=0.95
     with r=8, L=8); at 100 TB the per-bucket grouping is the only pair
-    generator (never a global O(n^2) join)."""
+    generator (never a global O(n^2) join).
+
+    Pass ``n_tables="auto"`` / ``n_planes="auto"`` to size the band
+    config from the corpus via :func:`auto_lsh_params` (one
+    metadata-cheap count job) — fixed plane counts make in-bucket work
+    grow quadratically as the corpus outgrows the bucket space; auto
+    keeps expected occupancy constant so candidate work stays ~linear.
+    The fixed-int form stays fully deterministic for oracle replay."""
+    if n_tables == "auto" or n_planes == "auto":
+        auto_L, auto_r = auto_lsh_params(df.count(), threshold)
+        n_tables = auto_L if n_tables == "auto" else int(n_tables)
+        n_planes = auto_r if n_planes == "auto" else int(n_planes)
+    n_tables, n_planes = int(n_tables), int(n_planes)
     # Plan shape, chosen over the pair-materializing alternative
     # (candidate self-join -> distinct -> join vectors back twice):
     # low thresholds force wide bands, where most in-bucket pairs are

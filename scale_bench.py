@@ -10,10 +10,17 @@ the driver's data, and there is no sf1 drop), with replicas DECORRELATED
 so the duplicate/similarity structure scales linearly instead of
 quadratically:
 
-- documents: every token in replica i>0 is prefixed ``r<i>`` (regexp,
-  JVM-side), so shingles / char-grams / minhash / simhash signatures
-  differ across replicas while each replica keeps the original
-  within-replica near-dup structure.  10x docs => 10x duplicate pairs.
+- documents: replica i>0 applies a Caesar shift of i to every letter
+  (``translate`` with a rotated alphabet — JVM-side, bijective on
+  chars). A bijective char map preserves EVERY equality statistic —
+  doc lengths, gram counts, token/shingle/char-gram/minhash/simhash
+  similarity structure — exactly within the replica, while replicas
+  share essentially no grams with each other.  10x docs => 10x
+  duplicate pairs, same per-replica similarity distribution.  (The
+  first cut of this harness prefixed a replica tag onto every token
+  instead; that pads identical filler into every 16-char window, makes
+  same-replica docs far MORE similar, and blew candidate counts up
+  2254x — a dataset artifact masquerading as a scale bug.)
 - embeddings: replica i's vectors are circularly rolled by ``13*i``
   positions.  A common roll preserves every intra-replica dot product
   exactly (near-dup structure intact) while cross-replica cosines
@@ -69,6 +76,22 @@ SUBSET = [
     "topn_monthly_event_types",
 ]
 
+def _near_auto(spark, sf_dir):
+    """embedding near-dup with corpus-sized LSH params (the scale path;
+    contrast with the suite's fixed wide-band oracle form) at a
+    realistic near-dup threshold."""
+    from postgresql_topn_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return embedding_near_dup_pairs(
+        emb, threshold=0.9, n_tables="auto", n_planes="auto"
+    )
+
+
+EXTRA = {"dedup_embedding_near_auto": _near_auto}
+
 ALL_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -76,7 +99,7 @@ ALL_TABLES = [
 
 
 def build_scaled(spark, mult: int) -> str:
-    out = os.path.join(SCALE_ROOT, f"x{mult}")
+    out = os.path.join(SCALE_ROOT, f"x{mult}v2")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
@@ -96,19 +119,21 @@ def build_scaled(spark, mult: int) -> str:
     # one scan of the base table, mult output rows per input row.
     rep = F.explode(F.sequence(F.lit(0), F.lit(mult - 1))).alias("__r")
 
+    lower = "abcdefghijklmnopqrstuvwxyz"
+    upper = lower.upper()
+    shifted = F.col("text")
+    for i in range(1, mult):
+        rl = lower[i:] + lower[:i]
+        ru = upper[i:] + upper[:i]
+        shifted = F.when(
+            F.col("__r") == i,
+            F.translate(F.translate("text", lower, rl), upper, ru),
+        ).otherwise(shifted)
+
     d = docs.select("*", rep)
     d = d.select(
         (F.col("doc_id") + F.col("__r") * OFF).alias("doc_id"),
-        F.when(F.col("__r") == 0, F.col("text"))
-        .otherwise(
-            F.regexp_replace(
-                "text",
-                r"([A-Za-z0-9_]+)",
-                # $1 backref; concat of the replica tag is per-row
-                F.concat(F.lit("r"), F.col("__r").cast("string"), F.lit("$1")),
-            )
-        )
-        .alias("text"),
+        shifted.alias("text"),
         "lang",
         "source",
     ).withColumn("n_chars", F.length("text"))
@@ -189,15 +214,17 @@ def main() -> None:
 
     from postgresql_topn_spark.suite import QUERIES
 
-    names = [n for n in SUBSET if n in QUERIES]
+    fns = {n: QUERIES[n] for n in SUBSET if n in QUERIES}
+    fns.update(EXTRA)
+    names = list(fns)
     # warmup both datasets' scans + the Arrow lane
     for d in (BASE, scaled_dir):
         for t in ("documents", "embeddings", "events"):
             spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
     QUERIES["dedup_exact"](spark, BASE).count()
 
-    base_t = _run(QUERIES, spark, BASE, names)
-    scaled_t = _run(QUERIES, spark, scaled_dir, names)
+    base_t = _run(fns, spark, BASE, names)
+    scaled_t = _run(fns, spark, scaled_dir, names)
 
     out = {
         "mult": mult,

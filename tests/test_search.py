@@ -172,3 +172,43 @@ def test_pack_token_stream_validates_args(spark):
         pack_token_stream(df, "doc_id", F.col("nt"), context_len=0)
     with pytest.raises(ValueError):
         pack_token_stream(df, "doc_id", F.col("nt"), bucket_width=0)
+
+
+# --- auto LSH parameterization --------------------------------------------
+
+
+def test_auto_lsh_params_scaling_behavior():
+    from postgresql_topn_spark.operators.similarity import auto_lsh_params
+
+    L1, r1 = auto_lsh_params(2_000, 0.95)
+    L2, r2 = auto_lsh_params(20_000, 0.95)
+    L3, r3 = auto_lsh_params(2_000_000, 0.95)
+    # planes grow ~log2 with the corpus (constant expected occupancy)
+    assert r1 < r2 < r3
+    assert r2 - r1 == pytest.approx(3.32, abs=1.0)  # log2(10)
+    # tables compensate recall, monotonically
+    assert L1 <= L2 <= L3
+    # degenerate corpora stay minimal; low thresholds hit the cap
+    assert auto_lsh_params(1, 0.95) == (1, 1)
+    Llow, _ = auto_lsh_params(1_000_000, 0.45)
+    assert Llow == 64  # capped: hyperplane LSH is the wrong tool here
+
+
+def test_embedding_near_auto_matches_explicit(spark, sf_dir):
+    from postgresql_topn_spark.operators.similarity import (
+        auto_lsh_params,
+        embedding_near_dup_pairs,
+    )
+    from postgresql_topn_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    L, r = auto_lsh_params(emb.count(), 0.45)
+    auto = embedding_near_dup_pairs(
+        emb, threshold=0.45, n_tables="auto", n_planes="auto"
+    )
+    explicit = embedding_near_dup_pairs(
+        emb, threshold=0.45, n_tables=L, n_planes=r
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
