@@ -346,3 +346,67 @@ def topn_union_over_window(
     frame = F.collect_list(_col(sketch)).over(window)
     merged = F.aggregate(frame, empty_sketch(), merge_sketches)
     return prune_sketch(merged, counters)
+
+
+def topn_add_agg_grouping_sets(
+    df: DataFrame,
+    grouping_sets: Sequence[Sequence[str]],
+    item: Column | str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+    gid_col: str = "gid",
+) -> DataFrame:
+    """``topn_add_agg(item)`` under ``GROUP BY GROUPING SETS (...)`` —
+    one sketch per (grouping set, key combination) from ONE scan.
+
+    The reference never composes its aggregate with grouping sets (no
+    pg_regress test touches them; SURVEY.md §2.2 "not present"), but a
+    rollup-table builder wants exactly this: day/month/all-time sketch
+    grains in a single pass instead of one scan per grain. Spark's
+    native ``DataFrame.groupingSets`` drives the count stage, so the
+    multi-grain expansion happens inside one hash aggregate with
+    map-side partial combine — the same two-exchange shape as
+    ``topn_add_agg``, with the grain id riding the group key.
+
+    ``grouping_sets`` are lists of column NAMES drawn from one ordered
+    universe (their union, in first-appearance order). The output gets
+    ``gid_col``: an explicit engine-agnostic bitmap — for universe
+    columns c1..ck (left to right), bit 2^(k-1-i) is set iff ci is
+    ROLLED UP in the row's set — computed from ``F.grouping`` so ANSI
+    engines replay it as ``GROUPING(c1)*2^(k-1) + ...``. Rolled-up key
+    columns are NULL in their rows (distinguish real-NULL keys by
+    ``gid``, the standard grouping-sets discipline)."""
+    universe: list[str] = []
+    for s in grouping_sets:
+        for c in s:
+            if c not in universe:
+                universe.append(c)
+    for s in grouping_sets:
+        if len(set(s)) != len(s):
+            raise ValueError(f"duplicate column in grouping set {s!r}")
+    counters = resolve_counters(counters, df.sparkSession)
+
+    base = df.select(
+        *[_col(c).alias(f"__g{i}") for i, c in enumerate(universe)],
+        normalize_item(item).alias(_ITEM),
+    )
+    gnames = [f"__g{i}" for i in range(len(universe))]
+    name_of = {c: f"__g{i}" for i, c in enumerate(universe)}
+    sets_internal = [
+        [name_of[c] for c in s] + [_ITEM] for s in grouping_sets
+    ]
+    k = len(universe)
+    gid = sum(
+        (F.grouping(g).cast("long") * F.lit(1 << (k - 1 - i)))
+        for i, g in enumerate(gnames)
+    ) if k else F.lit(0).cast("long")
+    counted = (
+        base.groupingSets(sets_internal, *gnames, F.col(_ITEM))
+        .agg(F.count(F.col(_ITEM)).alias(_FREQ), gid.alias("__gid"))
+    )
+    out = _rank_and_pack(counted, ["__gid"] + gnames, counters, out_col)
+    out = out.withColumnRenamed("__gid", gid_col)
+    for i, c in enumerate(universe):
+        out = out.withColumnRenamed(f"__g{i}", c)
+    return out

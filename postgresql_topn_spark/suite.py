@@ -2106,3 +2106,48 @@ def pipeline_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         context_len=2048,
         bucket_width=512,
     )
+
+
+@_register(
+    "topn_grouping_sets",
+    """
+    WITH e AS (
+      SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mon,
+             event_type AS item
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    c AS (
+      SELECT CAST(GROUPING(yr) * 2 + GROUPING(mon) AS BIGINT) AS gid,
+             yr, mon, item, COUNT(item) AS frequency
+      FROM e GROUP BY GROUPING SETS ((yr, mon, item), (yr, item), (item))
+    )
+    SELECT gid, yr, mon, item, frequency FROM (
+      SELECT gid, yr, mon, item, frequency,
+             row_number() OVER (PARTITION BY gid, yr, mon
+                                ORDER BY frequency DESC, item ASC) AS rn
+      FROM c
+    ) t WHERE rn <= 3
+    """,
+)
+def topn_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-grain sketch build in ONE scan: top-3 event types per
+    (year, month), per year, and all-time via topn_add_agg under
+    GROUPING SETS — the rollup-table builder's one-pass grain
+    expansion (a composition the reference's host engine offers but
+    its tests never exercise; SURVEY.md §2.2)."""
+    from postgresql_topn_spark.functions.aggregates import (
+        topn_add_agg_grouping_sets,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    e = ev.select(
+        F.year("ts").cast("int").alias("yr"),
+        F.month("ts").cast("int").alias("mon"),
+        F.col("event_type").alias("item"),
+    )
+    sk = topn_add_agg_grouping_sets(
+        e, [["yr", "mon"], ["yr"], []], "item", counters=C
+    )
+    return explode_topn(sk, "topn", 3, keep=["gid", "yr", "mon"], counters=C)

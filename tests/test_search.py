@@ -212,3 +212,51 @@ def test_embedding_near_auto_matches_explicit(spark, sf_dir):
     assert sorted(map(tuple, auto.collect())) == sorted(
         map(tuple, explicit.collect())
     )
+
+
+# --- grouping-sets sketch aggregate ---------------------------------------
+
+
+def test_grouping_sets_matches_per_set_aggregates(spark):
+    from postgresql_topn_spark.functions.aggregates import (
+        topn_add_agg,
+        topn_add_agg_grouping_sets,
+    )
+
+    rows = [
+        ("a", 1, "x"), ("a", 1, "x"), ("a", 1, "y"),
+        ("a", 2, "y"), ("b", 1, "x"), ("b", 2, "z"), ("b", 2, "z"),
+    ]
+    df = spark.createDataFrame(rows, ["g1", "g2", "it"])
+    gs = topn_add_agg_grouping_sets(
+        df, [["g1", "g2"], ["g1"], []], "it", counters=10
+    )
+    got = {
+        (r.gid, r.g1, r.g2): r.topn for r in gs.collect()
+    }
+    # gid 0 = (g1,g2) grain, 1 = (g1) grain (g2 rolled), 3 = grand total
+    fine = {
+        (r.g1, r.g2): r.topn
+        for r in topn_add_agg(df, ["g1", "g2"], "it", counters=10).collect()
+    }
+    per_g1 = {
+        r.g1: r.topn
+        for r in topn_add_agg(df, ["g1"], "it", counters=10).collect()
+    }
+    total = topn_add_agg(df, [], "it", counters=10).collect()[0].topn
+    for (g1, g2), m in fine.items():
+        assert got[(0, g1, g2)] == m
+    for g1, m in per_g1.items():
+        assert got[(1, g1, None)] == m
+    assert got[(3, None, None)] == total
+    assert len(got) == len(fine) + len(per_g1) + 1
+
+
+def test_grouping_sets_rejects_duplicate_columns(spark):
+    from postgresql_topn_spark.functions.aggregates import (
+        topn_add_agg_grouping_sets,
+    )
+
+    df = spark.createDataFrame([("a", "x")], ["g", "it"])
+    with pytest.raises(ValueError):
+        topn_add_agg_grouping_sets(df, [["g", "g"]], "it", counters=5)
