@@ -67,3 +67,68 @@ def stratified_sample(
     for value, frac in fractions.items():
         rate = F.when(_col(strata) == value, F.lit(float(frac))).otherwise(rate)
     return df.where(hash_uniform(key, seed) < rate)
+
+
+def temperature_mix(
+    df: DataFrame,
+    strata: Column | str,
+    key: Column | str,
+    *,
+    temperature: float = 2.0,
+    target_rows: int = 100_000,
+    seed: int = 0,
+    rate_round: int = 9,
+) -> DataFrame:
+    """Temperature-flattened source mixing (the multilingual-corpus
+    rebalancing rule): sample stratum s with probability proportional
+    to ``n_s^(1/T)``, so T=1 preserves natural proportions and larger T
+    flattens toward uniform — small sources get upsampled relative to
+    their share, dominant sources get capped. Expected output size is
+    ``target_rows`` (exactly: sum over strata of
+    ``n_s * min(1, target * n_s^(a-1) / Z)``; the min-cap binds when a
+    small stratum's ideal allocation exceeds its size — sampling is
+    without replacement, so a stratum can contribute at most itself).
+
+    Fully deterministic and engine-replayable: per-row decisions use
+    the portable md5 key-uniform, and the normalizer
+    ``Z = sum_s n_s^a`` is computed as a SEQUENTIAL fold over the
+    strata sorted by name (collect_list -> array_sort -> aggregate), so
+    its floating-point addition order — and therefore every rate, after
+    rounding to ``rate_round`` decimals — is identical in any ANSI
+    engine with an ordered list_reduce. Strata counts are one tiny
+    aggregate; rates broadcast-join back; the sample itself is a
+    scan-stage filter."""
+    if temperature <= 0:
+        raise ValueError(f"temperature must be positive, got {temperature}")
+    alpha = 1.0 / float(temperature)
+
+    counts = df.groupBy(_col(strata).alias("__s")).agg(
+        F.count("*").alias("__n")
+    )
+    z = counts.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("__s", "__n"))),
+            F.lit(0.0),
+            lambda acc, e: acc + F.pow(e["__n"].cast("double"), F.lit(alpha)),
+        ).alias("__z")
+    )
+    rates = (
+        counts.crossJoin(F.broadcast(z))
+        .select(
+            "__s",
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(target_rows))
+                    * F.pow(F.col("__n").cast("double"), F.lit(alpha))
+                    / F.col("__z")
+                    / F.col("__n").cast("double"),
+                ),
+                rate_round,
+            ).alias("__rate"),
+        )
+    )
+    out = df.join(
+        F.broadcast(rates), _col(strata) == F.col("__s"), "left"
+    ).where(hash_uniform(key, seed) < F.coalesce(F.col("__rate"), F.lit(0.0)))
+    return out.drop("__s", "__rate")

@@ -2151,3 +2151,42 @@ def topn_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, [["yr", "mon"], ["yr"], []], "item", counters=C
     )
     return explode_topn(sk, "topn", 3, keep=["gid", "yr", "mon"], counters=C)
+
+
+@_register(
+    "pipeline_temperature_mix",
+    """
+    WITH c AS (SELECT source AS s, count(*) AS n FROM documents GROUP BY source),
+    z AS (
+      SELECT list_reduce(list(pow(CAST(n AS DOUBLE), 0.5) ORDER BY s),
+                         (a, b) -> a + b) AS z
+      FROM c
+    ),
+    r AS (
+      SELECT s, round(least(1.0,
+               200.0 * pow(CAST(n AS DOUBLE), 0.5) / z / CAST(n AS DOUBLE)),
+               9) AS rate
+      FROM c CROSS JOIN z
+    )
+    SELECT d.doc_id, d.source FROM documents d JOIN r ON d.source = r.s
+    WHERE CAST(concat('0x', substr(md5('11:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0 < rate
+    """,
+)
+def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing (T=2, target 200 rows):
+    per-source rates ~ n^(1/T), normalizer folded in sorted-source
+    order so the DuckDB twin reproduces every rate bit-for-bit; per-row
+    keep decisions ride the portable md5 key-uniform. The mixing rule
+    every multilingual/ multi-source LLM corpus assembly uses."""
+    from postgresql_topn_spark.operators.sampling import temperature_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    return temperature_mix(
+        docs.select("doc_id", "source"),
+        "source",
+        "doc_id",
+        temperature=2.0,
+        target_rows=200,
+        seed=11,
+    ).select("doc_id", "source")

@@ -260,3 +260,54 @@ def test_grouping_sets_rejects_duplicate_columns(spark):
     df = spark.createDataFrame([("a", "x")], ["g", "it"])
     with pytest.raises(ValueError):
         topn_add_agg_grouping_sets(df, [["g", "g"]], "it", counters=5)
+
+
+# --- temperature mixing ----------------------------------------------------
+
+
+def test_temperature_mix_flattens_toward_uniform(spark):
+    from postgresql_topn_spark.operators.sampling import temperature_mix
+
+    # skewed corpus: source a=8000 rows, b=800, c=80
+    rows = (
+        [(i, "a") for i in range(8000)]
+        + [(10_000 + i, "b") for i in range(800)]
+        + [(20_000 + i, "c") for i in range(80)]
+    )
+    df = spark.createDataFrame(rows, ["k", "src"])
+    t1 = temperature_mix(df, "src", "k", temperature=1.0, target_rows=2000)
+    t5 = temperature_mix(df, "src", "k", temperature=5.0, target_rows=2000)
+
+    def shares(out):
+        c = {r.src: r.n for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+        tot = sum(c.values())
+        return {s: c.get(s, 0) / tot for s in ("a", "b", "c")}
+
+    s1, s5 = shares(t1), shares(t5)
+    # T=1 preserves natural proportions (~90/9/1)
+    assert s1["a"] > 0.85
+    # higher temperature shifts mass toward small sources
+    assert s5["a"] < s1["a"]
+    assert s5["c"] > s1["c"]
+    # expected total ~ target (Bernoulli, generous tolerance)
+    assert 1600 <= t5.count() <= 2400
+
+
+def test_temperature_mix_cap_and_determinism(spark):
+    from postgresql_topn_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "a") for i in range(1000)] + [(5000 + i, "b") for i in range(10)]
+    df = spark.createDataFrame(rows, ["k", "src"])
+    # huge target: every rate caps at 1.0 -> whole corpus survives
+    full = temperature_mix(df, "src", "k", temperature=2.0, target_rows=10**6)
+    assert full.count() == 1010
+    # same seed -> identical rows across repartitionings
+    a = temperature_mix(df, "src", "k", temperature=3.0, target_rows=300)
+    b = temperature_mix(
+        df.repartition(7), "src", "k", temperature=3.0, target_rows=300
+    )
+    assert sorted(r.k for r in a.collect()) == sorted(r.k for r in b.collect())
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        temperature_mix(df, "src", "k", temperature=0.0)
