@@ -2190,3 +2190,127 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         target_rows=200,
         seed=11,
     ).select("doc_id", "source")
+
+
+@_register(
+    "topn_native_approx",
+    """
+    SELECT yr, item, frequency FROM (
+      SELECT CAST(year(ts) AS INT) AS yr, event_type AS item,
+             COUNT(event_type) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY year(ts)
+                                ORDER BY COUNT(event_type) DESC,
+                                         event_type ASC) AS rn
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY year(ts), event_type
+    ) t WHERE rn <= 3
+    """,
+)
+def topn_native_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE DataSketches frequent-items family run in the
+    repo's rollup shape: accumulate per (year, month), combine to
+    per-year states (rollup merge, raw rows untouched), estimate with
+    k >= tracked items, then deterministic rank over the exploded
+    entries. max_items_tracked far exceeds the distinct event types,
+    so the sketch never evicts and every count is exact — the same
+    no-eviction regime the reference's own tests run in, which is what
+    lets this engine-approximate path carry a plain COUNT oracle."""
+    from postgresql_topn_spark.functions.native_topk import (
+        accumulate,
+        combine,
+        estimate_entries,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    monthly = ev.groupBy(
+        F.year("ts").cast("int").alias("yr"), F.month("ts").alias("mon")
+    ).agg(accumulate("event_type", 10_000).alias("st"))
+    yearly = monthly.groupBy("yr").agg(
+        combine("st", 10_000).alias("cst")
+    )
+    entries = yearly.select(
+        "yr", F.explode(estimate_entries("cst", 10_000)).alias("e")
+    ).select(
+        "yr",
+        F.col("e.item").alias("item"),
+        F.col("e.count").alias("frequency"),
+    )
+    w = Window.partitionBy("yr").orderBy(
+        F.col("frequency").desc(), F.col("item").asc()
+    )
+    return (
+        entries.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 3)
+        .select("yr", "item", "frequency")
+    )
+
+
+@_register(
+    "quantile_rollup_kll",
+    """
+    SELECT event_type,
+           CAST(count(value) AS BIGINT) AS n_values,
+           TRUE AS median_ok, TRUE AS p90_ok
+    FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def quantile_rollup_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile rollup: per-(event_type, month) KLL sketches
+    of `value`, folded per event_type WITHOUT rescanning raw rows,
+    then the merged median/p90 estimates are checked against the true
+    ranks of those estimates in the raw data. Driver-checked columns:
+    the exact value count (KLL tracks n losslessly — a merge bug shows
+    here immediately) and the rank-error envelope (|rank(est_q) - q|
+    <= 0.05 = ~3x the k=200 error bound), the same honest contract as
+    distinct_rollup_hll: the raw estimate is engine-internal (KLL
+    compaction is randomized), the property it must satisfy is not."""
+    from postgresql_topn_spark.functions.quantiles import (
+        kll_add_agg,
+        kll_n,
+        kll_quantile,
+        kll_union_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
+    monthly = kll_add_agg(
+        ev,
+        ["event_type", F.date_trunc("month", "ts").alias("mon")],
+        "value",
+    )
+    merged = kll_union_rollup(monthly, ["event_type"], "kll")
+    est = merged.select(
+        "event_type",
+        kll_n("kll").cast("long").alias("n_est"),
+        kll_quantile("kll", 0.5).alias("med"),
+        kll_quantile("kll", 0.9).alias("p90"),
+    )
+    checked = (
+        ev.join(F.broadcast(est), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("value").alias("n_values"),
+            F.first("n_est").alias("n_est"),
+            (
+                F.sum((F.col("value") <= F.col("med")).cast("long"))
+                / F.count("value")
+            ).alias("med_rank"),
+            (
+                F.sum((F.col("value") <= F.col("p90")).cast("long"))
+                / F.count("value")
+            ).alias("p90_rank"),
+        )
+    )
+    return checked.select(
+        "event_type",
+        "n_values",
+        (
+            (F.col("n_est") == F.col("n_values"))
+            & (F.abs(F.col("med_rank") - 0.5) <= 0.05)
+        ).alias("median_ok"),
+        (F.abs(F.col("p90_rank") - 0.9) <= 0.05).alias("p90_ok"),
+    )

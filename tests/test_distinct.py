@@ -87,3 +87,103 @@ def test_mixed_lg_k_merges(spark):
     )
     est = both.first()[0]
     assert abs(est - 750) <= 0.05 * 750
+
+
+# --- KLL quantile rollups --------------------------------------------------
+
+
+def test_kll_rollup_preserves_n_and_rank_envelope(spark):
+    from postgresql_topn_spark.functions.quantiles import (
+        kll_add_agg,
+        kll_n,
+        kll_quantile,
+        kll_union_rollup,
+    )
+
+    df = spark.range(50_000).select(
+        (F.col("id") % 10).alias("bucket"),
+        (F.xxhash64("id") % 100_000).cast("double").alias("v"),
+    )
+    fine = kll_add_agg(df, ["bucket"], "v")
+    merged = kll_union_rollup(fine, [], "kll")
+    row = merged.select(
+        kll_n("kll").alias("n"),
+        kll_quantile("kll", 0.5).alias("med"),
+        kll_quantile("kll", 0.99).alias("p99"),
+    ).first()
+    assert row.n == 50_000  # n is lossless through build AND merge
+    exact_med_rank = df.where(F.col("v") <= row.med).count() / 50_000
+    exact_p99_rank = df.where(F.col("v") <= row.p99).count() / 50_000
+    assert abs(exact_med_rank - 0.5) <= 0.05
+    assert abs(exact_p99_rank - 0.99) <= 0.02
+    # quantiles are monotone
+    assert row.med <= row.p99
+
+
+def test_kll_scalar_merge_matches_rollup_n(spark):
+    from postgresql_topn_spark.functions.quantiles import (
+        kll_add_agg,
+        kll_merge,
+        kll_n,
+    )
+
+    df = spark.range(1000).select(
+        (F.col("id") < 500).alias("half"), F.col("id").cast("double").alias("v")
+    )
+    halves = kll_add_agg(df, ["half"], "v")
+    row = halves.agg(
+        F.min_by("kll", "half").alias("a"), F.max_by("kll", "half").alias("b")
+    ).select(kll_n(kll_merge("a", "b")).alias("n")).first()
+    assert row.n == 1000
+
+
+def test_kll_single_bucket_rollup_identity(spark):
+    from postgresql_topn_spark.functions.quantiles import (
+        kll_add_agg,
+        kll_n,
+        kll_union_rollup,
+    )
+
+    df = spark.range(100).select(F.lit(1).alias("g"), F.col("id").cast("double").alias("v"))
+    fine = kll_add_agg(df, ["g"], "v")
+    # single sub-sketch: the fold's init IS the result (empty slice)
+    merged = kll_union_rollup(fine, [], "kll")
+    assert merged.select(kll_n("kll")).first()[0] == 100
+
+
+# --- native approx_top_k bridge -------------------------------------------
+
+
+def test_native_topk_exact_regime_and_sketch_bridge(spark):
+    from postgresql_topn_spark.functions.native_topk import (
+        accumulate,
+        combine,
+        estimate_entries,
+        sketch_from_native,
+    )
+    from postgresql_topn_spark.functions.sketch import topn_entries
+
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"),
+        F.concat(F.lit("item"), (F.col("id") % 7)).alias("it"),
+    )
+    states = df.groupBy("g", (F.col("g") * 0).alias("sub")).agg(
+        accumulate("it", 1000).alias("st")
+    )
+    merged = states.groupBy("g").agg(combine("st", 1000).alias("cst"))
+    est = merged.select("g", estimate_entries("cst", 1000).alias("e"))
+    # exact regime: counts equal groupBy().count()
+    got = {
+        (r.g, x["item"]): x["count"] for r in est.collect() for x in r.e
+    }
+    exact = {
+        (r.g, r.it): r.cnt
+        for r in df.groupBy("g", "it").agg(F.count("*").alias("cnt")).collect()
+    }
+    assert got == exact
+    # bridge into the repo sketch algebra: map form ranks identically
+    sk = est.select("g", sketch_from_native("e").alias("topn"))
+    ent = sk.select("g", topn_entries("topn", 2).alias("t")).collect()
+    for r in ent:
+        freqs = [e["frequency"] for e in r.t]
+        assert freqs == sorted(freqs, reverse=True) and len(r.t) == 2
