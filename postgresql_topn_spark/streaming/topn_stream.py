@@ -206,3 +206,83 @@ def read_topn_rollup(
         out_col, F.from_json(F.col(out_col), "map<string,bigint>")
     )
     return topn_union_agg(raw, list(group_names), out_col, counters=counters, out_col=out_col)
+
+
+def stream_session_stats(
+    events,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+):
+    """Streaming gap-based sessionization with Spark's NATIVE
+    ``session_window`` (dynamic-gap windows merged by the engine's
+    streaming state store): per-(user, session) event counts and exact
+    start/end bounds, emitted once the watermark passes the session's
+    close. This is the streaming twin of operators/sessions.sessionize
+    (same 30-minute-gap semantics); batch==stream equivalence on a
+    finite input is pinned in tests/test_streaming.py.
+
+    At scale: state is per-open-session (bounded by the watermark
+    horizon), keys partition by user — no global state, no reducer
+    hot spot beyond organic user skew."""
+    w = F.session_window(F.col(ts_col), gap)
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), w)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min(ts_col).alias("first_event"),
+            F.max(ts_col).alias("last_event"),
+        )
+        .select(
+            user_col,
+            F.col("session_window.start").alias("win_start"),
+            F.col("session_window.end").alias("win_end"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+
+
+def stream_distinct_rollup(
+    events,
+    path: str,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    lg_k: int = 12,
+    checkpoint: str | None = None,
+):
+    """Streaming mergeable distinct-count rollup: each micro-batch
+    appends per-(day, event_type) HLL sketches to a partitioned parquet
+    rollup (foreachBatch — exactly the incremental-sink shape of
+    stream_topn_rollup). Readers merge day sketches with
+    functions/distinct.hll_union_rollup for any interval's distinct
+    users without touching raw events; batch-level sketches union
+    LOSSLESSLY, so appending per-batch sketches is semantically the
+    same rollup a batch job would write."""
+    from postgresql_topn_spark.functions.distinct import hll_add_agg
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        day = F.to_date(F.col(ts_col)).alias("day")
+        sk = hll_add_agg(
+            batch_df.where(F.col(type_col).isNotNull()),
+            [day, F.col(type_col)],
+            user_col,
+            lg_k=lg_k,
+        )
+        (
+            sk.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .partitionBy("day")
+            .parquet(path)
+        )
+
+    writer = events.writeStream.foreachBatch(write_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

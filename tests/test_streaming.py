@@ -200,3 +200,95 @@ def test_stream_exact_dedup_matches_batch_keyset(spark, events_stream_dir, tmp_p
         keys = [r["content_key"] for r in rows]
         assert len(keys) == len(set(keys)), "duplicate key emitted"
         assert set(keys) == expected
+
+
+def test_stream_session_stats_matches_batch(spark, events_stream_dir, tmp_path):
+    """Native session_window streaming sessionization == the same
+    session_window aggregation run in batch on the full input (the
+    engine merges windows identically; availableNow drains everything,
+    and a final watermark pass closes all sessions)."""
+    from postgresql_topn_spark.streaming.topn_stream import stream_session_stats
+
+    ev = spark.read.parquet(events_stream_dir)
+    # one batch: a 0s watermark drops cross-batch late arrivals, and the
+    # file source replays files in no particular time order — single-batch
+    # ingestion makes "late" impossible while still exercising the
+    # streaming operator, state store and watermark flush path.
+    stream = spark.readStream.schema(ev.schema).parquet(events_stream_dir)
+    out = stream_session_stats(stream, gap="30 minutes", watermark="0 seconds")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "sckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from sess_stream")
+
+    batch = (
+        ev.groupBy("user_id", F.session_window(F.col("ts"), "30 minutes"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("first_event"),
+            F.max("ts").alias("last_event"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("win_start"),
+            F.col("session_window.end").alias("win_end"),
+            "n_events",
+            "first_event",
+            "last_event",
+        )
+    )
+    g = {tuple(r) for r in got.collect()}
+    # append mode emits exactly the sessions the final watermark closed:
+    # watermark tops out at max(ts), so sessions whose window end (last
+    # event + gap) is still beyond it remain open state at termination —
+    # the correct streaming semantic, so the batch reference is filtered
+    # to the flushable subset.
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    b = {tuple(r) for r in batch.collect() if r.win_end <= max_ts}
+    assert g == b
+    assert len(b) > 0
+    # sanity: the holdback is the tail, not the bulk
+    assert len(b) >= 0.5 * batch.count()
+
+
+def test_stream_distinct_rollup_matches_batch(spark, events_stream_dir, tmp_path):
+    """Per-batch HLL sketches appended by the streaming sink merge to
+    the same estimates as one batch-built rollup (HLL union is
+    lossless), and interval reads prune partitions."""
+    from postgresql_topn_spark.functions.distinct import (
+        hll_add_agg,
+        hll_estimate_col,
+        hll_union_rollup,
+    )
+    from postgresql_topn_spark.streaming.topn_stream import (
+        stream_distinct_rollup,
+    )
+
+    ev = spark.read.parquet(events_stream_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    path = str(tmp_path / "hll_rollup")
+    writer = stream_distinct_rollup(
+        stream, path, type_col="event_type", checkpoint=str(tmp_path / "hckpt")
+    )
+    q = writer.trigger(availableNow=True).start()
+    q.awaitTermination(120)
+
+    rolled = hll_union_rollup(
+        spark.read.parquet(path), ["event_type"], "hll"
+    ).select("event_type", hll_estimate_col("hll").alias("est"))
+    direct = hll_add_agg(
+        ev.where(F.col("event_type").isNotNull()), ["event_type"], "user_id"
+    ).select("event_type", hll_estimate_col("hll").alias("est"))
+    got = {r.event_type: r.est for r in rolled.collect()}
+    want = {r.event_type: r.est for r in direct.collect()}
+    assert got == want  # lossless union: EQUAL estimates, not close
