@@ -2067,6 +2067,109 @@ def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "distinct_kmv_sets",
+    """
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ),
+    kmv AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM h) t WHERE rn <= 64
+    ),
+    pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM kmv) a,
+           (SELECT DISTINCT event_type FROM kmv) b
+      WHERE a.event_type < b.event_type
+    ),
+    ux AS (
+      SELECT DISTINCT p.type_a, p.type_b, k.hv
+      FROM pr p JOIN kmv k
+        ON k.event_type = p.type_a OR k.event_type = p.type_b
+    ),
+    x AS (
+      SELECT type_a, type_b, hv FROM (
+        SELECT type_a, type_b, hv,
+               ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+        FROM ux) t WHERE rn <= 64
+    ),
+    marked AS (
+      SELECT x.type_a, x.type_b, x.hv,
+             (ka.hv IS NOT NULL) AS ina, (kb.hv IS NOT NULL) AS inb
+      FROM x
+      LEFT JOIN kmv ka ON ka.event_type = x.type_a AND ka.hv = x.hv
+      LEFT JOIN kmv kb ON kb.event_type = x.type_b AND kb.hv = x.hv
+    ),
+    stats AS (
+      SELECT type_a, type_b, count(*) AS kx, max(hv) AS hk,
+             count(*) FILTER (WHERE ina AND inb) AS in_both
+      FROM marked GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b,
+           round(CASE WHEN kx < 64 THEN CAST(kx AS DOUBLE)
+                      ELSE (63.0 * 1152921504606846976) / CAST(hk AS DOUBLE) END,
+                 6) AS union_est,
+           round(CASE WHEN kx = 0 THEN 0.0
+                      ELSE (CAST(in_both AS DOUBLE) / CAST(kx AS DOUBLE)) *
+                           (CASE WHEN kx < 64 THEN CAST(kx AS DOUBLE)
+                                 ELSE (63.0 * 1152921504606846976) / CAST(hk AS DOUBLE) END)
+                 END, 6) AS intersect_est
+    FROM stats
+    """,
+)
+def distinct_kmv_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct sketches with SET ALGEBRA: per-(event_type, month)
+    k-minimum-values sketches of the distinct user population, merged
+    per event_type WITHOUT rescanning raw rows (the merge law makes the
+    rollup EXACTLY equal the direct sketch), then every pair of event
+    types gets a distinct-union AND distinct-INTERSECTION estimate —
+    the question HLL union alone cannot answer ("how many users did A
+    and B share?"). The md5-60bit hash is portable, so the oracle
+    replays the whole sketch — bottom-64 per type, per-pair merge,
+    (k-1)*M/h_(k) estimator, inclusion fraction — value-for-value."""
+    from postgresql_topn_spark.functions.kmv import (
+        kmv_add_agg,
+        kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
+        kmv_union_rollup,
+    )
+
+    K = 64
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
+    )
+    monthly = kmv_add_agg(
+        ev,
+        ["event_type", F.date_trunc("month", "ts").alias("mon")],
+        F.col("user_id").cast("string"),
+        k=K,
+    )
+    per_type = kmv_union_rollup(monthly, ["event_type"], "kmv", k=K)
+    a = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("kmv").alias("kmv_b")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.round(
+            kmv_estimate(kmv_merge("kmv_a", "kmv_b", k=K), k=K), 6
+        ).alias("union_est"),
+        F.round(kmv_intersect_estimate("kmv_a", "kmv_b", k=K), 6).alias(
+            "intersect_est"
+        ),
+    )
+
+
+@_register(
     "pipeline_pack_contexts",
     """
     WITH d AS (

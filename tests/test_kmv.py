@@ -1,0 +1,110 @@
+"""KMV distinct-sketch algebra: lossless merge law, exactness below
+saturation, estimator accuracy, intersection estimates, skew-path
+equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.functions.kmv import (
+    kmv_add_agg,
+    kmv_estimate,
+    kmv_hash,
+    kmv_intersect_estimate,
+    kmv_merge,
+    kmv_union_rollup,
+)
+
+K = 32
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 10k rows, 997 distinct users spread over 12 buckets x 4 groups
+    return spark.range(10_000).select(
+        (F.col("id") % 12).alias("bucket"),
+        (F.col("id") % 4).alias("grp"),
+        ((F.col("id") * 7919) % 997).cast("string").alias("user"),
+    )
+
+
+def test_merge_law_rollup_equals_direct(keyed):
+    """Bottom-k is losslessly mergeable: the global k minima are each
+    among their bucket's k minima, so the per-bucket rollup equals the
+    sketch built directly over the raw union — value-for-value, the
+    property the suite oracle leans on."""
+    per_bucket = kmv_add_agg(keyed, ["grp", "bucket"], "user", k=K)
+    rolled = kmv_union_rollup(per_bucket, ["grp"], "kmv", k=K)
+    direct = kmv_add_agg(keyed, ["grp"], "user", k=K)
+    r = {row["grp"]: row["kmv"] for row in rolled.collect()}
+    d = {row["grp"]: row["kmv"] for row in direct.collect()}
+    assert r == d
+
+
+def test_exact_below_saturation(spark):
+    df = spark.range(20).select(
+        F.lit(1).alias("g"), F.col("id").cast("string").alias("u")
+    )
+    sk = kmv_add_agg(df, ["g"], "u", k=K)
+    est = sk.select(kmv_estimate("kmv", k=K).alias("e")).collect()[0]["e"]
+    assert est == 20.0  # |S| < k => exact
+
+
+def test_estimator_accuracy_at_saturation(keyed):
+    """997 true distincts at k=32: the (k-1)M/h_(k) estimator's RSE is
+    ~1/sqrt(k-2) ~= 18%; pin a generous 3-sigma envelope."""
+    sk = kmv_add_agg(keyed.select(F.lit(1).alias("g"), "user"), ["g"], "user", k=K)
+    est = sk.select(kmv_estimate("kmv", k=K).alias("e")).collect()[0]["e"]
+    assert 997 * 0.45 <= est <= 997 * 1.55
+
+
+def test_intersection_exact_when_unsaturated(spark):
+    # A = {0..19}, B = {10..29}: true intersection 10, union 30 < k
+    a = spark.range(20).select(F.lit("a").alias("g"), F.col("id").cast("string").alias("u"))
+    b = spark.range(10, 30).select(F.lit("b").alias("g"), F.col("id").cast("string").alias("u"))
+    sk = kmv_add_agg(a.union(b), ["g"], "u", k=K)
+    row = (
+        sk.groupBy()
+        .pivot("g", ["a", "b"])
+        .agg(F.first("kmv"))
+        .select(
+            kmv_estimate(kmv_merge("a", "b", k=K), k=K).alias("u_est"),
+            kmv_intersect_estimate("a", "b", k=K).alias("i_est"),
+        )
+        .collect()[0]
+    )
+    assert row["u_est"] == 30.0
+    assert row["i_est"] == 10.0
+
+
+def test_merge_null_tolerant(spark):
+    df = spark.range(5).select(F.col("id").cast("string").alias("u"))
+    sk = kmv_add_agg(df.select(F.lit(1).alias("g"), "u"), ["g"], "u", k=K)
+    out = sk.select(
+        kmv_estimate(kmv_merge("kmv", F.lit(None).cast("array<bigint>"), k=K), k=K).alias("e")
+    ).collect()[0]["e"]
+    assert out == 5.0
+
+
+def test_hash_matches_duckdb_form(spark):
+    """The portable md5-60bit hash must equal DuckDB's
+    CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT) — the oracle
+    replay contract."""
+    import duckdb
+
+    vals = ["42", "hello", "émoji✓"]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v string")
+        .select("v", kmv_hash("v").alias("h"))
+        .collect()
+    }
+    for v in vals:
+        want = duckdb.sql(
+            "SELECT CAST(concat('0x', substr(md5(?), 1, 15)) AS BIGINT)", params=[v]
+        ).fetchone()[0]
+        assert got[v] == want, v
+
+
+def test_rejects_tiny_k(keyed):
+    with pytest.raises(ValueError):
+        kmv_add_agg(keyed, ["grp"], "user", k=1)
