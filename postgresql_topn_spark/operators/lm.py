@@ -1,0 +1,111 @@
+"""Unigram language-model scoring — the CCNet-style corpus-fluency
+quality signal (Wenzek et al. 2020 use a KenLM 5-gram; the unigram form
+is the same pipeline shape with a model Spark can build in one
+aggregate).
+
+A training-data pipeline scores every document by how "corpus-typical"
+its tokens are: build a token->probability model over a reference
+corpus, then score each document by its mean token log-probability.
+Low scorers are gibberish/boilerplate/wrong-language; the score feeds
+the same filter stage as operators/text.py's quality_score.
+
+Determinism contract (what makes the DuckDB oracle hash-match): the
+per-token log-probability is FIXED-POINTED to integer micro-nats
+(round(lp * 1e6) as bigint) BEFORE the per-document sum, so the
+aggregation is exact integer arithmetic — immune to float summation
+order across partitions, which a naive avg(ln(p)) is not. The only
+float ops are ln(count) and ln(total) on exact integers, computed
+identically per-row by both engines.
+
+100 TB shape: one exchange to build the model (token hash-agg with
+map-side combine), the corpus total as a 1-row broadcast, one
+token-keyed shuffle join of the exploded stream against the model
+(AQE broadcasts it outright when the vocabulary is small), one
+doc-keyed agg. Token explosion never materializes per-doc arrays
+wider than the split itself; everything is JVM-side expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.functions.sketch import _col
+from postgresql_topn_spark.operators.text import tokens
+
+# Fixed-point scale for log-probabilities: 1e6 = micro-nat resolution,
+# leaving ~2^43 headroom before a per-doc bigint sum could overflow
+# (a doc would need ~10^12 tokens).
+_MICRO = 1_000_000.0
+
+
+def _token_stream(docs: DataFrame, id_col: str, text_col: Column | str) -> DataFrame:
+    return docs.select(
+        id_col, F.explode(tokens(_col(text_col))).alias("tok")
+    ).where(F.col("tok") != "")
+
+
+def unigram_model(
+    docs: DataFrame, text_col: Column | str, *, id_col: str = "doc_id"
+) -> DataFrame:
+    """(tok, cnt, lp_micro) unigram model over the corpus: lp_micro is
+    round((ln(cnt) - ln(total)) * 1e6) — the fixed-point log-prob every
+    scorer row will carry. One hash-agg exchange; the corpus-total join
+    is a 1-row broadcast."""
+    tok = _token_stream(docs, id_col, text_col)
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("__t"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        "tok",
+        "cnt",
+        F.round(
+            (F.log(F.col("cnt").cast("double")) - F.log(F.col("__t").cast("double")))
+            * F.lit(_MICRO),
+            0,
+        )
+        .cast("long")
+        .alias("lp_micro"),
+    )
+
+
+def unigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: Column | str = "text",
+    *,
+    model: DataFrame | None = None,
+    oov_lp_micro: int | None = None,
+) -> DataFrame:
+    """Per-document (id, n_tokens, avg_logprob): mean token log-prob
+    under `model` (default: a model built from `docs` itself — the
+    self-scoring form, where no token is OOV).
+
+    With an external reference model, out-of-vocabulary tokens get
+    `oov_lp_micro` (default: one ulp below the rarest possible event,
+    ln(1) - ln(total) - 1e6 micro-nats ~= a count-of-e^-1 pseudo-count)
+    so a doc full of unseen junk scores strictly worse than any
+    in-vocabulary doc.
+    """
+    own_model = model is None
+    if own_model:
+        model = unigram_model(docs, text_col, id_col=id_col)
+    tok = _token_stream(docs, id_col, text_col)
+    joined = tok.join(model.select("tok", "lp_micro"), "tok", "left")
+    if own_model:
+        lp = F.col("lp_micro")  # self-scoring: never OOV
+    elif oov_lp_micro is not None:
+        lp = F.coalesce(F.col("lp_micro"), F.lit(int(oov_lp_micro)))
+    else:
+        # Default OOV floor: 1e6 micro-nats below the model's rarest
+        # token — a 1-row aggregate broadcast, never a global window.
+        floor = model.agg(
+            (F.min("lp_micro") - F.lit(int(_MICRO))).alias("__floor")
+        )
+        joined = joined.crossJoin(F.broadcast(floor))
+        lp = F.coalesce(F.col("lp_micro"), F.col("__floor"))
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(lp).cast("double") / (F.count(F.lit(1)) * F.lit(_MICRO)), 6
+        ).alias("avg_logprob"),
+    )

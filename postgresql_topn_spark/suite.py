@@ -2067,6 +2067,43 @@ def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_unigram_logprob",
+    """
+    WITH tok AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    model AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
+    total AS (SELECT sum(cnt) AS t FROM model),
+    scored AS (
+      SELECT doc_id,
+             CAST(round((ln(CAST(cnt AS DOUBLE)) - ln(CAST(t AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS lpm
+      FROM tok JOIN model USING (tok) CROSS JOIN total
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(lpm) AS DOUBLE) / (count(*) * 1000000.0), 6)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style corpus-fluency scoring: a unigram LM built over the
+    corpus in one hash-agg exchange, then every document scored by its
+    mean token log-probability (low = gibberish/boilerplate — the
+    filter signal CCNet gets from KenLM perplexity). Per-token
+    log-probs are fixed-pointed to integer micro-nats before the
+    per-doc sum, so the aggregation is exact integer arithmetic and the
+    oracle hash-matches regardless of float summation order."""
+    from postgresql_topn_spark.operators.lm import unigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_logprob_scores(docs, "doc_id", "text")
+
+
+@_register(
     "distinct_kmv_sets",
     """
     WITH h AS (
