@@ -2067,6 +2067,72 @@ def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cms_rollup_events",
+    """
+    WITH ev AS (
+      SELECT event_type FROM events WHERE event_type IS NOT NULL
+    ),
+    rows_ AS (SELECT unnest(range(4)) AS i),
+    cells AS (
+      SELECT i, s, count(*) AS c FROM (
+        SELECT r.i,
+               CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', event_type)), 1, 15)) AS BIGINT) % 128 AS s
+        FROM ev CROSS JOIN rows_ r) t
+      GROUP BY i, s
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    slot AS (
+      SELECT t.event_type, r.i,
+             CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', t.event_type)), 1, 15)) AS BIGINT) % 128 AS s
+      FROM types t CROSS JOIN rows_ r
+    ),
+    est AS (
+      SELECT sl.event_type AS item,
+             CAST(min(coalesce(c.c, 0)) AS BIGINT) AS est_freq
+      FROM slot sl LEFT JOIN cells c ON c.i = sl.i AND c.s = sl.s
+      GROUP BY sl.event_type
+    ),
+    exact AS (
+      SELECT event_type AS item, CAST(count(*) AS BIGINT) AS exact_freq
+      FROM ev GROUP BY event_type
+    )
+    SELECT item, est_freq, exact_freq FROM est JOIN exact USING (item)
+    """,
+)
+def cms_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min rollup: per-month 4x128 CMS of the event stream,
+    merged to one global sketch WITHOUT rescanning raw rows (CMS merge
+    is element-wise addition, so the rollup equals the direct sketch
+    exactly), then a point-frequency estimate for every event type
+    checked against the exact count. The md5 row-hashes are portable,
+    so the oracle rebuilds every cell and every min-of-d estimate
+    value-for-value. CMS answers what topn cannot: a frequency
+    estimate for ANY item, not just the retained heavy hitters."""
+    from postgresql_topn_spark.functions.cms import (
+        cms_add_agg,
+        cms_estimate,
+        cms_union_rollup,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    monthly = cms_add_agg(
+        ev, [F.date_trunc("month", "ts").alias("mon")], "event_type"
+    )
+    glob = cms_union_rollup(monthly, [], "cms")
+    types = ev.select("event_type").distinct()
+    est = types.crossJoin(F.broadcast(glob)).select(
+        F.col("event_type").alias("item"),
+        cms_estimate("cms", "event_type").alias("est_freq"),
+    )
+    exact = ev.groupBy(F.col("event_type").alias("item")).agg(
+        F.count(F.lit(1)).alias("exact_freq")
+    )
+    return est.join(exact, "item")
+
+
+@_register(
     "text_unigram_logprob",
     """
     WITH tok AS (

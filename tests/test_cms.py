@@ -1,0 +1,104 @@
+"""Count-Min sketch algebra: exact merge law, one-sided error
+guarantee, forced-collision overcount, NULL discipline."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.functions.cms import (
+    cms_add_agg,
+    cms_estimate,
+    cms_merge,
+    cms_union_rollup,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 5000 rows over 50 items with a skewed head, 10 buckets
+    return spark.range(5_000).select(
+        (F.col("id") % 10).alias("bucket"),
+        F.concat(F.lit("item"), (F.col("id") % 50) % ((F.col("id") % 7) + 3))
+        .alias("item"),
+    )
+
+
+def test_merge_law_rollup_equals_direct(keyed):
+    per_bucket = cms_add_agg(keyed, ["bucket"], "item", depth=4, width=64)
+    rolled = cms_union_rollup(per_bucket, [], "cms").collect()[0]["cms"]
+    direct = cms_add_agg(
+        keyed.select(F.lit(1).alias("g"), "item"), ["g"], "item",
+        depth=4, width=64,
+    ).collect()[0]["cms"]
+    assert rolled == direct  # addition is associative: exact, not approx
+
+
+def test_estimate_never_undercounts(spark, keyed):
+    sk = cms_add_agg(
+        keyed.select(F.lit(1).alias("g"), "item"), ["g"], "item",
+        depth=4, width=64,
+    )
+    exact = {
+        r["item"]: r["c"]
+        for r in keyed.groupBy("item").agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    items = spark.createDataFrame([(i,) for i in exact], "item string")
+    ests = {
+        r["item"]: r["e"]
+        for r in items.crossJoin(F.broadcast(sk))
+        .select("item", cms_estimate("cms", "item", depth=4, width=64).alias("e"))
+        .collect()
+    }
+    total = sum(exact.values())
+    for it, ex in exact.items():
+        assert ests[it] >= ex, it
+        # e/width envelope with huge slack (3x)
+        assert ests[it] <= ex + 3 * (2.72 / 64) * total, it
+
+
+def test_forced_collisions_overcount(spark):
+    # width=2: 20 distinct items over 2 slots per row MUST collide
+    df = spark.range(200).select(
+        F.lit(1).alias("g"),
+        F.concat(F.lit("x"), (F.col("id") % 20)).alias("item"),
+    )
+    sk = cms_add_agg(df, ["g"], "item", depth=2, width=2)
+    est = sk.select(
+        cms_estimate("cms", F.lit("x0"), depth=2, width=2).alias("e")
+    ).collect()[0]["e"]
+    assert est > 10  # true count is 10; collisions inflate it
+
+
+def test_null_items_skipped(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, None), (1, "a")], "g int, item string"
+    )
+    sk = cms_add_agg(df, ["g"], "item", depth=4, width=8)
+    row = sk.select(
+        cms_estimate("cms", F.lit("a"), depth=4, width=8).alias("e"),
+        F.aggregate("cms", F.lit(0).cast("bigint"), lambda a, x: a + x).alias(
+            "mass"
+        ),
+    ).collect()[0]
+    assert row["e"] == 2
+    assert row["mass"] == 2 * 4  # only the two non-NULL adds, once per row hash
+
+
+def test_scalar_merge_null_tolerant(spark):
+    df = spark.createDataFrame([(1, "a")], "g int, item string")
+    sk = cms_add_agg(df, ["g"], "item", depth=2, width=4)
+    out = sk.select(
+        cms_estimate(
+            cms_merge("cms", F.lit(None).cast("array<bigint>")),
+            F.lit("a"),
+            depth=2,
+            width=4,
+        ).alias("e")
+    ).collect()[0]["e"]
+    assert out == 1
+
+
+def test_rejects_bad_shape(keyed):
+    with pytest.raises(ValueError):
+        cms_add_agg(keyed, ["bucket"], "item", depth=0)
+    with pytest.raises(ValueError):
+        cms_add_agg(keyed, ["bucket"], "item", width=1)
