@@ -21,14 +21,15 @@ costs nothing beyond the md5.
 
 from __future__ import annotations
 
-from collections.abc import Mapping
+from collections.abc import Mapping, Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from postgresql_topn_spark.functions.sketch import _col
 
 _TWO_POW_60 = float(1 << 60)
+_SALTS = 16
 
 
 def hash_uniform(key: Column | str, seed: int = 0) -> Column:
@@ -132,3 +133,66 @@ def temperature_mix(
         F.broadcast(rates), _col(strata) == F.col("__s"), "left"
     ).where(hash_uniform(key, seed) < F.coalesce(F.col("__rate"), F.lit(0.0)))
     return out.drop("__s", "__rate")
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    key: Column | str,
+    weight: Column | str,
+    k: int,
+    *,
+    seed: int = 0,
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Deterministic weighted k-sample per group — Efraimidis–Spirakis
+    A-ES (IPL 2006): rank rows by ``u^(1/w)`` (computed as
+    ``ln(u)/w`` for stability) with u the portable md5 key-uniform,
+    keep the k largest. A row's selection probability is proportional
+    to its weight at every prefix, so "sample 20 docs per language,
+    longer/higher-quality docs proportionally more often" is one call —
+    and the same rows come back on any cluster, partitioning, or ANSI
+    engine (the DuckDB oracle replays scores exactly).
+
+    Rows with weight <= 0 or NULL are excluded (they have probability
+    zero in A-ES). Ties (astronomically unlikely with continuous
+    scores) break on the key for full determinism.
+
+    100 TB shape: the score is a scan-stage expression; the top-k is
+    the lossless two-level salted rank (the topn_salted_skew /
+    kmv_add_agg pattern) — no task sorts more than its (group, salt)
+    slice at level 1 or SALTS*k rows per group at level 2, so one
+    billion-row group costs a task no more than k*SALTS survivors."""
+    if k < 1:
+        raise ValueError(f"weighted_sample_k needs k >= 1, got {k}")
+    gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
+    kc, wc = _col(key), _col(weight)
+    scored = (
+        df.where(wc.isNotNull() & (wc > 0))
+        .select(
+            *gcols,
+            kc.alias("__k"),
+            (F.log(hash_uniform(kc, seed)) / wc.cast("double")).alias("__score"),
+        )
+    )
+    names = [f.name for f in scored.schema.fields[:-2]]
+    # salt derived from the key hash: deterministic, partition-invariant
+    salted = scored.withColumn(
+        "__salt", F.pmod(F.xxhash64("__k"), F.lit(_SALTS))
+    )
+    w1 = Window.partitionBy(*names, "__salt").orderBy(
+        F.desc("__score"), F.asc("__k")
+    )
+    lvl1 = (
+        salted.withColumn("__rn", F.row_number().over(w1))
+        .where(F.col("__rn") <= k)
+        .drop("__rn", "__salt")
+    )
+    w2 = Window.partitionBy(*names).orderBy(F.desc("__score"), F.asc("__k"))
+    key_out = key if isinstance(key, str) else "key"
+    return (
+        lvl1.withColumn(rank_col, F.row_number().over(w2))
+        .where(F.col(rank_col) <= k)
+        .drop("__score")
+        .withColumnRenamed("__k", key_out)
+    )

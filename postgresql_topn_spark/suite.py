@@ -2399,6 +2399,43 @@ def pipeline_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_weighted_sample",
+    """
+    WITH s AS (
+      SELECT lang, doc_id,
+             ln(CAST(concat('0x', substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                / 1152921504606846976.0) / CAST(n_chars AS DOUBLE) AS score
+      FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT lang, doc_id, CAST(rn AS INT) AS rank FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY score DESC, doc_id ASC) AS rn
+      FROM s) t WHERE rn <= 20
+    """,
+)
+def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (Efraimidis–Spirakis A-ES): 20
+    documents per language, selection probability proportional to
+    n_chars — the 'sample longer/higher-quality docs more often'
+    mixing primitive. Scores are ln(u)/w over the portable md5
+    key-uniform, so the same rows come back on any partitioning and
+    the oracle replays the ranking exactly; the top-k itself runs the
+    lossless two-level salted rank (no task sorts a whole group)."""
+    from postgresql_topn_spark.operators.sampling import weighted_sample_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample_k(
+        docs.select("lang", "doc_id", "n_chars"),
+        ["lang"],
+        "doc_id",
+        "n_chars",
+        20,
+        seed=7,
+    ).select("lang", "doc_id", "rank")
+
+
+@_register(
     "topn_native_approx",
     """
     SELECT yr, item, frequency FROM (

@@ -74,6 +74,10 @@ SUBSET = [
     "dedup_embedding_near",
     "events_sessionize",
     "topn_monthly_event_types",
+    "distinct_rollup_hll",
+    "distinct_kmv_sets",
+    "cms_rollup_events",
+    "text_unigram_logprob",
 ]
 
 def _near_auto(spark, sf_dir):
@@ -180,11 +184,17 @@ def _run(queries, spark, sf_dir: str, names) -> dict[str, float]:
     timings: dict[str, float] = {}
     for name in names:
         runs: list[float] = []
-        for _ in range(3):
+        # same convergence-aware stop rule as bench.py: agreement alone
+        # is fooled by warm-up plateaus; require the latest run to have
+        # stopped improving and >= 3 runs unless the answer is cheap.
+        while True:
             t0 = time.perf_counter()
             queries[name](spark, sf_dir).count()
             runs.append(time.perf_counter() - t0)
-            if len(runs) >= 2 and sorted(runs)[1] <= 1.25 * min(runs):
+            n = len(runs)
+            converged = n >= 2 and runs[-1] >= 0.8 * min(runs[:-1])
+            enough = n >= 3 or (n >= 2 and min(runs) < 2.0)
+            if (converged and enough) or n >= 5:
                 break
         timings[name] = round(min(runs), 3)
     return timings
