@@ -1,0 +1,149 @@
+"""Mergeable Bloom-filter membership rollups — "has this key EVER been
+seen in these buckets?" in a fixed number of bits per bucket.
+
+The incremental-ingest question every dedup pipeline asks before an
+expensive verify join: a new batch arrives and most keys are fresh, so
+a compact per-bucket membership sketch that answers "definitely new"
+(no false negatives) screens out the bulk of the batch for the cost of
+d hash probes. Bloom filters (CACM 1970) are the canonical answer, and
+they are mergeable by bitwise OR — per-day filters roll up to month /
+all-time exactly (OR is associative), the same algebra as every other
+rollup family here (topn, HLL, KMV, CMS, KLL).
+
+Representation: array<long> of 32-bit words (packed little-endian by
+slot index; 32 bits per word keeps every mask exactly representable
+through the pow(2,b)->long path, no 64-bit shift expressions needed).
+Hashing is the portable md5 row-hash (row i slots an item at
+conv(substr(md5(i ':' item),1,15),16,10) % m_bits), so an ANSI oracle
+replays membership decisions — INCLUDING false positives — exactly:
+"might contain x" <=> every row-i slot of x is in the bucket's
+inserted-slot set, which is pure set logic, no bit arithmetic needed
+on the oracle side.
+
+100 TB shape, all JVM expressions: build = one (group, word) hash-agg
+exchange (BIT_OR partial-combines map-side; key space <= m_bits/32 per
+group) + a per-group pack bounded at m_bits/32 entries; merge = a
+collect_list fold of fixed-size arrays; probes are d AND-mask lookups
+against a broadcast sketch — the read path never rescans raw history.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.functions.sketch import _col
+
+DEFAULT_M_BITS = 4096
+DEFAULT_DEPTH = 3
+_WORD = 32
+
+
+def bloom_slot(item: Column | str, row: int, m_bits: int) -> Column:
+    """Row-`row` bit index of `item` (0..m_bits-1), md5-portable."""
+    salted = F.concat(F.lit(f"{row}:"), _col(item))
+    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    return F.pmod(h, F.lit(m_bits)).cast("int")
+
+
+def _mask(bit: Column) -> Column:
+    # 2^bit for bit in 0..31 — exact through double, no shift-by-column
+    return F.pow(F.lit(2.0), bit.cast("double")).cast("long")
+
+
+def bloom_add_agg(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    item: Column | str,
+    *,
+    m_bits: int = DEFAULT_M_BITS,
+    depth: int = DEFAULT_DEPTH,
+    out_col: str = "bloom",
+) -> DataFrame:
+    """Per-group Bloom filter (array<long> of m_bits/32 words) over
+    `item`. NULL items are skipped."""
+    if m_bits % _WORD != 0 or m_bits < _WORD:
+        raise ValueError(f"m_bits must be a positive multiple of {_WORD}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
+    it = _col(item)
+    slots = df.where(it.isNotNull()).select(
+        *gcols,
+        F.explode(
+            F.array(*[bloom_slot(it, i, m_bits) for i in range(depth)])
+        ).alias("slot"),
+    )
+    names = [f.name for f in slots.schema.fields[:-1]]
+    sparse = slots.select(
+        *names,
+        (F.col("slot") / _WORD).cast("int").alias("word"),
+        _mask(F.pmod(F.col("slot"), F.lit(_WORD))).alias("bits"),
+    ).groupBy(*names, "word").agg(F.bit_or("bits").alias("bits"))
+    packed = sparse.groupBy(*names).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("word"), F.col("bits")))
+        ).alias("__m")
+    )
+    nwords = m_bits // _WORD
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(nwords - 1)),
+        lambda i: F.coalesce(F.element_at(F.col("__m"), i.cast("int")), F.lit(0)),
+    )
+    return packed.select(*names, dense.alias(out_col))
+
+
+def bloom_merge(a: Column | str, b: Column | str) -> Column:
+    """Scalar two-filter merge: element-wise bitwise OR (the `+` of the
+    membership algebra). NULL-tolerant: NULL acts as the empty filter."""
+    ca, cb = _col(a), _col(b)
+    return (
+        F.when(ca.isNull(), cb)
+        .when(cb.isNull(), ca)
+        .otherwise(F.zip_with(ca, cb, lambda x, y: x.bitwiseOR(y)))
+    )
+
+
+def bloom_union_rollup(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    sketch_col: str = "bloom",
+    *,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Merge pre-built filters to a coarser grain: a collect_list fold
+    of fixed-size word arrays (per-group state = #sub-buckets * words).
+    OR is associative, so the rollup equals the filter built over the
+    raw union exactly."""
+    gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
+    out = out_col or sketch_col
+    lst = F.collect_list(_col(sketch_col))
+    zero = F.transform(F.element_at(lst, 1), lambda v: F.lit(0).cast("bigint"))
+    merged = F.aggregate(
+        lst, zero, lambda acc, x: F.zip_with(acc, x, lambda p, q: p.bitwiseOR(q))
+    )
+    return df.groupBy(*gcols).agg(merged.alias(out))
+
+
+def bloom_might_contain(
+    sketch: Column | str,
+    item: Column | str,
+    *,
+    m_bits: int = DEFAULT_M_BITS,
+    depth: int = DEFAULT_DEPTH,
+) -> Column:
+    """Membership probe: TRUE iff all `depth` bits are set. No false
+    negatives ever; false-positive rate ~= (set-bit fraction)^depth."""
+    s = _col(sketch)
+    checks = []
+    for i in range(depth):
+        slot = bloom_slot(item, i, m_bits)
+        word = F.element_at(s, (slot / _WORD).cast("int") + F.lit(1))
+        mask = _mask(F.pmod(slot, F.lit(_WORD)))
+        checks.append(word.bitwiseAND(mask) != 0)
+    out = checks[0]
+    for c in checks[1:]:
+        out = out & c
+    return out

@@ -2067,6 +2067,61 @@ def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_bloom_incremental",
+    """
+    WITH corpus AS (
+      SELECT md5(text) AS ck FROM documents
+      WHERE regexp_matches(source, '^src[0-9]$')
+    ),
+    rows_ AS (SELECT unnest(range(3)) AS i),
+    ins AS (
+      -- one SHARED bit array: every hash row's slots land in the same
+      -- space, so membership ignores which hash set a bit
+      SELECT DISTINCT
+             CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', ck)), 1, 15)) AS BIGINT) % 4096 AS s
+      FROM corpus CROSS JOIN rows_ r
+    ),
+    probes AS (
+      SELECT doc_id, r.i,
+             CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', md5(text))), 1, 15)) AS BIGINT) % 4096 AS s
+      FROM documents CROSS JOIN rows_ r
+    )
+    SELECT p.doc_id,
+           CAST(min(CASE WHEN ins.s IS NOT NULL THEN 1 ELSE 0 END) = 1 AS BOOLEAN)
+             AS maybe_dup
+    FROM probes p LEFT JOIN ins ON ins.s = p.s
+    GROUP BY p.doc_id
+    """,
+)
+def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup prescreen: per-source Bloom filters
+    over the existing corpus's content keys (sources src0..src9),
+    OR-merged to one compact membership sketch WITHOUT rescanning raw
+    history, then EVERY document probed against it — corpus docs come
+    back maybe_dup=true (no false negatives), incoming batch docs come
+    back false unless a (replayable) hash collision fires. At ingest
+    scale this filter screens the bulk of a fresh batch away from the
+    expensive verify join for d=3 hash probes per row. The md5 slot
+    hashes are portable, so the oracle reproduces every membership
+    bit — including false positives — via pure set logic."""
+    from postgresql_topn_spark.functions.bloom import (
+        bloom_add_agg,
+        bloom_might_contain,
+        bloom_union_rollup,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("source").rlike("^src[0-9]$"))
+    per_source = bloom_add_agg(corpus, ["source"], F.md5("text"))
+    glob = bloom_union_rollup(per_source, [], "bloom")
+    probes = docs.select("doc_id", F.md5("text").alias("ck"))
+    return probes.crossJoin(F.broadcast(glob)).select(
+        "doc_id",
+        bloom_might_contain("bloom", "ck").alias("maybe_dup"),
+    )
+
+
+@_register(
     "cms_rollup_events",
     """
     WITH ev AS (
