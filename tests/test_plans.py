@@ -260,6 +260,76 @@ def test_hll_rollup_partial_combines(spark):
     assert python_stages(merged) == 0
 
 
+def test_kmv_build_bounded_rank_no_python(spark):
+    """kmv_add_agg: distinct-combine + the two-level salted bottom-k =
+    exactly 3 key exchanges, partial aggregation on the distinct, zero
+    Python. The rollup merge adds exactly one more exchange (sketch
+    rows only) and itself partial-combines."""
+    from postgresql_topn_spark.functions.kmv import kmv_add_agg, kmv_union_rollup
+    from postgresql_topn_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    sk = kmv_add_agg(ev, ["event_type"], F.col("user_id").cast("string"), k=32)
+    assert hash_shuffles(sk) == 3
+    assert has_partial_aggregate(sk)
+    assert python_stages(sk) == 0
+    rolled = kmv_union_rollup(sk, [], "kmv", k=32)
+    assert hash_shuffles(rolled) == 4
+    assert python_stages(rolled) == 0
+
+
+def test_cms_and_bloom_builds_two_shuffles_no_python(spark):
+    """cms_add_agg / bloom_add_agg: one (group, slot|word) exchange with
+    map-side partial combine (key space bounded by the sketch shape, so
+    hot groups collapse before the wire) + one per-group pack exchange.
+    Zero Python anywhere; rollup merges add exactly one sketch-row
+    exchange each."""
+    from postgresql_topn_spark.functions.bloom import bloom_add_agg, bloom_union_rollup
+    from postgresql_topn_spark.functions.cms import cms_add_agg, cms_union_rollup
+    from postgresql_topn_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF, "events")
+    docs = load_table(spark, SF, "documents")
+    c = cms_add_agg(ev, ["event_type"], "event_type")
+    assert hash_shuffles(c) == 2
+    assert has_partial_aggregate(c)
+    assert python_stages(c) == 0
+    assert hash_shuffles(cms_union_rollup(c, [], "cms")) == 3
+    b = bloom_add_agg(docs, ["source"], F.md5("text"))
+    assert hash_shuffles(b) == 2
+    assert has_partial_aggregate(b)
+    assert python_stages(b) == 0
+    assert hash_shuffles(bloom_union_rollup(b, [], "bloom")) == 3
+
+
+def test_unigram_lm_all_jvm_partial_combines(spark):
+    """unigram_logprob_scores: model build + scoring joins + per-doc agg
+    all JVM-side with map-side partial combine on the token counts; the
+    corpus total rides a 1-row broadcast, never a global window."""
+    from postgresql_topn_spark.operators.lm import unigram_logprob_scores
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = unigram_logprob_scores(docs, "doc_id", "text")
+    assert python_stages(out) == 0
+    assert has_partial_aggregate(out)
+    assert broadcast_exchanges(out) >= 1
+
+
+def test_weighted_sample_two_level_rank_no_python(spark):
+    """weighted_sample_k: scan-stage scoring + the lossless two-level
+    salted rank = exactly 2 key exchanges, zero Python, and the level-1
+    window must partition by the salt (no task sorts a whole group)."""
+    from postgresql_topn_spark.operators.sampling import weighted_sample_k
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = weighted_sample_k(docs, ["lang"], "doc_id", "n_chars", 10)
+    assert hash_shuffles(out) == 2
+    assert python_stages(out) == 0
+    assert "__salt" in plan_str(out, "simple")
+
+
 def test_pack_contexts_no_corpus_wide_single_partition(spark):
     """pack_token_stream: the corpus-sized window must be partitioned
     by the order-preserving bucket key (parallel local cumsums); the
