@@ -286,3 +286,42 @@ def stream_distinct_rollup(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_sketch_rollup(
+    stream_df,
+    path: str,
+    build_fn,
+    *,
+    partition_by: Sequence[str] = (),
+    checkpoint: str | None = None,
+):
+    """Streaming incremental maintenance for ANY mergeable-sketch
+    family: each micro-batch runs `build_fn(batch_df)` (a bound
+    kmv_add_agg / cms_add_agg / bloom_add_agg / hll_add_agg — anything
+    returning per-group sketch rows) and APPENDS the result to the
+    parquet rollup at `path`. Correctness rests on each family's merge
+    law, already pytest-pinned per family: distinct/membership sketches
+    (HLL, KMV, Bloom) merge by idempotent union, so the same user seen
+    in two batches collapses at read-time merge; counting sketches
+    (CMS, topn) merge additively, and every event is in exactly one
+    batch. Either way, appending per-batch sketches and merging at read
+    time equals the sketch a batch job would build over the whole
+    history — the reference's rollup-table pattern (README.md:73-116)
+    running continuously.
+
+    Readers use the family's `*_union_rollup` over the parquet rows
+    (partition-pruned when `partition_by` carries the time grain).
+    Returns the DataStreamWriter (caller picks trigger/start)."""
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        sk = build_fn(batch_df).withColumn("batch_id", F.lit(batch_id))
+        w = sk.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

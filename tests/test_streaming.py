@@ -292,3 +292,64 @@ def test_stream_distinct_rollup_matches_batch(spark, events_stream_dir, tmp_path
     got = {r.event_type: r.est for r in rolled.collect()}
     want = {r.event_type: r.est for r in direct.collect()}
     assert got == want  # lossless union: EQUAL estimates, not close
+
+
+def test_stream_sketch_rollup_kmv_cms_bloom_match_batch(
+    spark, events_stream_dir, tmp_path
+):
+    """The generic mergeable-sketch streaming sink: per-batch KMV, CMS
+    and Bloom sketches appended by foreachBatch merge to EXACTLY the
+    sketch a batch job builds over the whole input — idempotent union
+    for KMV/Bloom, additive merge for CMS, each family's merge law
+    doing the streaming correctness work."""
+    from postgresql_topn_spark.functions.bloom import (
+        bloom_add_agg,
+        bloom_union_rollup,
+    )
+    from postgresql_topn_spark.functions.cms import cms_add_agg, cms_union_rollup
+    from postgresql_topn_spark.functions.kmv import kmv_add_agg, kmv_union_rollup
+    from postgresql_topn_spark.streaming.topn_stream import stream_sketch_rollup
+
+    ev = spark.read.parquet(events_stream_dir)
+    uid = F.col("user_id").cast("string")
+
+    cases = {
+        "kmv": (
+            lambda b: kmv_add_agg(b, ["event_type"], uid, k=32),
+            lambda df: kmv_union_rollup(df, ["event_type"], "kmv", k=32),
+            lambda: kmv_add_agg(ev, ["event_type"], uid, k=32),
+            "kmv",
+        ),
+        "cms": (
+            lambda b: cms_add_agg(b, ["event_type"], uid),
+            lambda df: cms_union_rollup(df, ["event_type"], "cms"),
+            lambda: cms_add_agg(ev, ["event_type"], uid),
+            "cms",
+        ),
+        "bloom": (
+            lambda b: bloom_add_agg(b, ["event_type"], uid),
+            lambda df: bloom_union_rollup(df, ["event_type"], "bloom"),
+            lambda: bloom_add_agg(ev, ["event_type"], uid),
+            "bloom",
+        ),
+    }
+    for name, (build, merge, direct, col) in cases.items():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_stream_dir)
+        )
+        path = str(tmp_path / f"{name}_rollup")
+        writer = stream_sketch_rollup(
+            stream, path, build, checkpoint=str(tmp_path / f"{name}_ckpt")
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination(120)
+        appended = spark.read.parquet(path)
+        assert appended.count() > 5, name  # several micro-batches appended
+        rolled = {
+            r["event_type"]: list(r[col])
+            for r in merge(appended.drop("batch_id")).collect()
+        }
+        want = {r["event_type"]: list(r[col]) for r in direct().collect()}
+        assert rolled == want, name
