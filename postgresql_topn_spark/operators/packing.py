@@ -104,3 +104,62 @@ def pack_token_stream(
         .alias("first_bin"),
         F.floor(end_tok / context_len).cast("long").alias("last_bin"),
     )
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: Column | str = "text",
+    *,
+    chunk_len: int = 256,
+    overlap: int = 32,
+    chunk_text: bool = True,
+) -> DataFrame:
+    """Sliding-window document chunking — the RAG / long-document
+    pretraining splitter: each document becomes ceil(n/(L-O)) chunks of
+    up to `chunk_len` tokens, consecutive chunks sharing `overlap`
+    tokens so no boundary context is lost. Output rows:
+    (id, chunk_idx, start_tok, n_tok[, chunk]) with chunk text
+    re-joined on single spaces (whitespace runs are NOT preserved — the
+    split is the same \\s+ tokenizer as the rest of the text stack;
+    documented deviation, byte-exact slicing belongs to a tokenizer).
+
+    All Catalyst expressions (sequence -> explode -> slice ->
+    array_join): the explode multiplies rows, never materializes
+    per-doc chunk arrays wider than the token split itself, and there
+    is no shuffle at all — chunking stays in the scan stage, so a
+    downstream groupBy/embedding stage sees perfectly partitioned
+    input. Empty/whitespace-only documents yield zero chunks.
+    """
+    if chunk_len < 1:
+        raise ValueError(f"chunk_len must be >= 1, got {chunk_len}")
+    if not 0 <= overlap < chunk_len:
+        raise ValueError(
+            f"overlap must be in [0, chunk_len), got {overlap} vs {chunk_len}"
+        )
+    stride = chunk_len - overlap
+    toks = F.split(F.trim(_col(text_col)), r"\s+")
+    base = docs.select(
+        id_col,
+        toks.alias("__toks"),
+    ).withColumn("__n", F.size("__toks"))
+    nonempty = base.where(
+        (F.col("__n") > 1)
+        | ((F.col("__n") == 1) & (F.element_at("__toks", 1) != ""))
+    )
+    starts = F.explode(
+        F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+    ).alias("start_tok")
+    out = nonempty.select(id_col, "__toks", "__n", starts)
+    piece = F.slice(F.col("__toks"), F.col("start_tok") + 1, F.lit(chunk_len))
+    cols = [
+        F.col(id_col),
+        ((F.col("start_tok") / stride).cast("int")).alias("chunk_idx"),
+        F.col("start_tok"),
+        F.least(F.lit(chunk_len), F.col("__n") - F.col("start_tok")).alias(
+            "n_tok"
+        ),
+    ]
+    if chunk_text:
+        cols.append(F.array_join(piece, " ").alias("chunk"))
+    return out.select(*cols)

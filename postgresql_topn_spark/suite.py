@@ -2370,6 +2370,44 @@ def pipeline_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_chunk_docs",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    d2 AS (
+      SELECT doc_id, toks, len(toks) AS n FROM d
+      WHERE len(toks) > 1 OR (len(toks) = 1 AND toks[1] <> '')
+    ),
+    c AS (
+      SELECT doc_id, toks, n, unnest(range(0, n, 224)) AS start_tok
+      FROM d2
+    )
+    SELECT doc_id,
+           CAST(start_tok / 224 AS INT) AS chunk_idx,
+           start_tok,
+           CAST(least(256, n - start_tok) AS BIGINT) AS n_tok,
+           array_to_string(list_slice(toks, start_tok + 1, start_tok + 256), ' ')
+             AS chunk
+    FROM c
+    """,
+)
+def pipeline_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: every document split into 256-token
+    chunks with 32-token overlap (stride 224) — the RAG/long-doc
+    pretraining splitter. Pure scan-stage expressions, zero shuffles
+    (plan room for a downstream embed/groupBy stage); the oracle
+    replays the same tokenizer, stride arithmetic and slice bounds."""
+    from postgresql_topn_spark.operators.packing import chunk_documents
+
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(
+        docs, "doc_id", "text", chunk_len=256, overlap=32
+    )
+
+
+@_register(
     "topn_grouping_sets",
     """
     WITH e AS (

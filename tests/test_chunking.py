@@ -1,0 +1,67 @@
+"""Sliding-window chunking: coverage/overlap law, edge docs, plan
+shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.operators.packing import chunk_documents
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(25))),  # 25 tokens
+        (2, "only four small tokens"),
+        (3, ""),  # empty -> zero chunks
+        (4, "   "),  # whitespace-only -> zero chunks
+        (5, "single"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_chunk_bounds_and_overlap(docs):
+    out = chunk_documents(docs, "doc_id", "text", chunk_len=10, overlap=3)
+    rows = sorted(
+        [r for r in out.collect() if r["doc_id"] == 1],
+        key=lambda r: r["chunk_idx"],
+    )
+    # stride 7 over 25 tokens -> starts 0,7,14,21
+    assert [r["start_tok"] for r in rows] == [0, 7, 14, 21]
+    assert [r["n_tok"] for r in rows] == [10, 10, 10, 4]
+    # consecutive chunks share exactly `overlap` tokens
+    for a, b in zip(rows, rows[1:]):
+        ta, tb = a["chunk"].split(" "), b["chunk"].split(" ")
+        assert ta[-3:] == tb[:3]
+
+
+def test_every_token_covered_exactly_once_ignoring_overlap(docs):
+    out = chunk_documents(docs, "doc_id", "text", chunk_len=10, overlap=0)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).extend(r["chunk"].split(" "))
+    assert got[1] == [f"t{i}" for i in range(25)]
+    assert got[2] == ["only", "four", "small", "tokens"]
+    assert got[5] == ["single"]
+    assert 3 not in got and 4 not in got
+
+
+def test_short_doc_single_chunk(docs):
+    out = chunk_documents(docs, "doc_id", "text", chunk_len=256, overlap=32)
+    rows = [r for r in out.collect() if r["doc_id"] == 2]
+    assert len(rows) == 1
+    assert rows[0]["n_tok"] == 4 and rows[0]["chunk_idx"] == 0
+
+
+def test_no_shuffle(spark, docs):
+    from postgresql_topn_spark.plans.audit import hash_shuffles, python_stages
+
+    out = chunk_documents(docs, "doc_id", "text")
+    assert hash_shuffles(out) == 0
+    assert python_stages(out) == 0
+
+
+def test_rejects_bad_params(docs):
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_len=0)
+    with pytest.raises(ValueError):
+        chunk_documents(docs, chunk_len=10, overlap=10)
