@@ -627,6 +627,213 @@ def ivf_topk(
     return _merge_partial_topk(scored, k)
 
 
+def _seeded_pq_codebooks(
+    corpus: DataFrame, id_col: str, vec_col: str, n_codes: int, m: int
+):
+    """(m, n_codes, dim/m) product-quantization codebooks picked
+    DETERMINISTICALLY: subspace j's codes are the j-th subvectors of
+    the n_codes md5-shuffled-first corpus vectors — the same seeding
+    rule as _seeded_ivf_centroids, replayable in ANSI SQL, one tiny
+    TakeOrderedAndProject job."""
+    rows = (
+        corpus.select(_col(id_col).alias("__id"), _col(vec_col).alias("__v"))
+        .orderBy(F.md5(F.col("__id").cast("string")), F.col("__id"))
+        .limit(n_codes)
+        .collect()
+    )
+    S = np.asarray([r["__v"] for r in rows], dtype=np.float64)
+    dim = S.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    return S.reshape(len(S), m, sub).transpose(1, 0, 2)
+
+
+def _train_pq_codebooks(
+    corpus: DataFrame,
+    vec_col: str,
+    n_codes: int,
+    m: int,
+    seed: int,
+    max_train: int = 100_000,
+    iters: int = 15,
+):
+    """(m, n_codes, dim/m) codebooks: independent Lloyd's k-means per
+    subspace on one bounded driver-side sample (the FAISS PQ training
+    recipe; cost independent of corpus size)."""
+    vecs = corpus.select(vec_col)
+    n = vecs.count()
+    if n > max_train:
+        vecs = vecs.sample(False, min(1.0, 1.05 * max_train / n), seed).limit(
+            max_train
+        )
+    X = np.asarray([r[0] for r in vecs.collect()], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m={m} subspaces")
+    sub = dim // m
+    rng = np.random.RandomState(seed)
+    books = []
+    for j in range(m):
+        Xj = X[:, j * sub : (j + 1) * sub]
+        C = Xj[rng.choice(len(Xj), size=min(n_codes, len(Xj)), replace=False)]
+        for _ in range(iters):
+            d2 = -2.0 * (Xj @ C.T) + np.einsum("ij,ij->i", C, C)
+            assign = d2.argmin(axis=1)
+            for c in range(len(C)):
+                members = Xj[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+                else:
+                    C[c] = Xj[rng.randint(len(Xj))]
+        books.append(C)
+    return np.asarray(books)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    n_codes: int = 16,
+    seed: int = 7,
+    include_self: bool = False,
+    centroid_mode: str = "train",
+    rerank_depth: int = 0,
+) -> DataFrame:
+    """IVF-PQ approximate top-k — the billion-vector memory-compression
+    path (Jégou et al., TPAMI 2011): coarse IVF cells prune the search
+    to n_probe/n_lists of the corpus, and within probed cells vectors
+    are scored through their PRODUCT-QUANTIZED codes (m subspace code
+    ids, here m*log2(n_codes) = 32 bits instead of dim*4 bytes — the
+    representation an index SHIPS at 10^9 vectors) via an ADC lookup
+    table: approx_dot(q, x) = sum_j LUT[q, j, code_j(x)], normalized by
+    the reconstruction norm ||x^||. With ``rerank_depth=r > 0`` the ADC
+    shortlist of r candidates per query per batch is re-scored with
+    exact cosine (the standard two-stage recall recovery).
+
+    ``centroid_mode='seeded'`` makes BOTH quantizers deterministic
+    md5-shuffled corpus samples, every fold dimension-sequential, and
+    the ADC sum an ascending-j left fold — so a DuckDB oracle replays
+    encoding, LUT, ADC scores and ranking value-for-value (the same
+    contract as ann_ivf_topk / ann_lsh_topk). ``'train'`` runs Lloyd's
+    per subspace with BLAS scoring.
+
+    Scale shape: identical to ivf_topk — queries, centroids and
+    codebooks ride the closure; the corpus streams through ONE
+    mapInPandas pass (assign cell -> PQ-encode -> mask to probed cells
+    -> ADC score [-> exact rerank] -> per-batch partial top-k); at most
+    max(k, rerank_depth) rows per query per batch reach the final rank
+    exchange. The corpus never shuffles."""
+    if centroid_mode == "seeded":
+        C = _seeded_ivf_centroids(corpus, id_col, vec_col, n_lists)
+        CB = _seeded_pq_codebooks(corpus, id_col, vec_col, n_codes, m)
+        exact_fold = True
+    elif centroid_mode == "train":
+        C = _train_ivf_centroids(corpus, vec_col, n_lists, seed)
+        CB = _train_pq_codebooks(corpus, vec_col, n_codes, m, seed)
+        exact_fold = False
+    else:
+        raise ValueError(
+            f"centroid_mode must be 'train' or 'seeded': {centroid_mode}"
+        )
+    sub = CB.shape[2]
+    c_sq = _seq_sqnorm(C) if exact_fold else np.einsum("ij,ij->i", C, C)
+    # per-subspace code squared norms: ||x^||^2 = sum_j ||code_j||^2
+    # (subspaces are orthogonal coordinate blocks)
+    code_sq = np.stack(
+        [
+            _seq_sqnorm(CB[j]) if exact_fold else np.einsum("ij,ij->i", CB[j], CB[j])
+            for j in range(m)
+        ]
+    )  # (m, n_codes)
+
+    def cell_dists(X: "np.ndarray") -> "np.ndarray":
+        d = _seq_dots(X, C) if exact_fold else X @ C.T
+        return -2.0 * d + c_sq
+
+    def encode(X: "np.ndarray") -> "np.ndarray":
+        """(n, m) PQ code ids; ties go to the lowest code id (stable)."""
+        cols = []
+        for j in range(m):
+            Xj = X[:, j * sub : (j + 1) * sub]
+            dj = _seq_dots(Xj, CB[j]) if exact_fold else Xj @ CB[j].T
+            cols.append(np.argmin(-2.0 * dj + code_sq[j], axis=1))
+        return np.stack(cols, axis=1)
+
+    qid_arr, Q = _collect_queries(queries, id_col, vec_col)
+    schema = _scored_schema(corpus, queries, id_col)
+    if len(qid_arr) == 0:
+        return _merge_partial_topk(
+            corpus.sparkSession.createDataFrame([], schema), k
+        )
+    probe = np.argsort(cell_dists(Q), axis=1, kind="stable")[:, :n_probe]
+    probe_mask = np.zeros((len(Q), len(C)), dtype=bool)
+    np.put_along_axis(probe_mask, probe, True, axis=1)
+    qn = np.sqrt(_seq_sqnorm(Q)) if exact_fold else np.linalg.norm(Q, axis=1)
+    # LUT[j]: (n_queries, n_codes) subspace dot tables, built once
+    LUT = [
+        _seq_dots(Q[:, j * sub : (j + 1) * sub], CB[j])
+        if exact_fold
+        else Q[:, j * sub : (j + 1) * sub] @ CB[j].T
+        for j in range(m)
+    ]
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf.iloc[:, 0].to_numpy()
+            X = np.asarray(pdf.iloc[:, 1].tolist(), dtype=np.float64)
+            cells = np.argmin(cell_dists(X), axis=1)
+            codes = encode(X)
+            # ascending-j left folds (match the SQL ordered list_reduce)
+            adc = np.zeros((len(Q), len(X)))
+            xsq = np.zeros(len(X))
+            for j in range(m):
+                adc += LUT[j][:, codes[:, j]]
+                xsq += code_sq[j][codes[:, j]]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = adc / (qn[:, None] * np.sqrt(xsq)[None, :])
+            S[:, xsq == 0] = -np.inf
+            S[~probe_mask[:, cells]] = -np.inf
+            if not include_self:
+                S[qid_arr[:, None] == ids[None, :]] = -np.inf
+            if rerank_depth > 0:
+                # exact-cosine rerank of the ADC shortlist, per batch
+                E = (
+                    _seq_dots(Q, X) if exact_fold else Q @ X.T
+                ) / (
+                    qn[:, None]
+                    * (
+                        np.sqrt(_seq_sqnorm(X))
+                        if exact_fold
+                        else np.linalg.norm(X, axis=1)
+                    )[None, :]
+                )
+                keep = np.full_like(S, -np.inf)
+                for i in range(len(Q)):
+                    idx = np.nonzero(S[i] > -np.inf)[0]
+                    if not len(idx):
+                        continue
+                    short = idx[np.lexsort((ids[idx], -S[i][idx]))][:rerank_depth]
+                    keep[i, short] = E[i, short]
+                S = keep
+            top = _partial_topk_rows(qid_arr, ids, S, k)
+            if top is not None:
+                yield pd.DataFrame(
+                    {"query_id": top[0], "neighbor_id": top[1], "__sim": top[2]}
+                )
+
+    scored = corpus.select(_col(id_col), _col(vec_col)).mapInPandas(score, schema)
+    return _merge_partial_topk(scored, k)
+
+
 def auto_lsh_params(
     n_rows: int,
     threshold: float,

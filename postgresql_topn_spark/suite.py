@@ -1349,6 +1349,127 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "ann_ivfpq_topk",
+    f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             embedding AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    seeds AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code_id,
+             embedding AS sv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, c.cell, {_IVF_D2} AS d2
+      FROM embeddings e, cent c
+    ),
+    assign AS (
+      SELECT vec_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM d) t WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cell FROM (
+        SELECT vec_id, cell,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM d WHERE vec_id % 100 = 0) t WHERE rn <= 4
+    ),
+    sq AS (
+      SELECT js.j, s.code_id,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(s.sv[js.j*8 + i] AS DOUBLE) * CAST(s.sv[js.j*8 + i] AS DOUBLE)),
+               (x, y) -> x + y) AS s2
+      FROM (SELECT unnest(range(8)) AS j) js, seeds s
+    ),
+    jd AS (
+      SELECT e.vec_id, sq.j, sq.code_id,
+             -2 * list_reduce(list_transform(range(1, 9),
+               i -> CAST(e.embedding[sq.j*8 + i] AS DOUBLE) * CAST(s.sv[sq.j*8 + i] AS DOUBLE)),
+               (x, y) -> x + y) + sq.s2 AS d2
+      FROM embeddings e CROSS JOIN sq JOIN seeds s ON s.code_id = sq.code_id
+    ),
+    codes AS (
+      SELECT vec_id, j, code_id FROM (
+        SELECT vec_id, j, code_id,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, j ORDER BY d2 ASC, code_id ASC) AS rn
+        FROM jd) t WHERE rn = 1
+    ),
+    lut AS (
+      SELECT qv.vec_id AS query_id, sq.j, sq.code_id,
+             list_reduce(list_transform(range(1, 9),
+               i -> CAST(qv.embedding[sq.j*8 + i] AS DOUBLE) * CAST(s.sv[sq.j*8 + i] AS DOUBLE)),
+               (x, y) -> x + y) AS dp
+      FROM embeddings qv CROSS JOIN sq JOIN seeds s ON s.code_id = sq.code_id
+      WHERE qv.vec_id % 100 = 0
+    ),
+    qn AS (
+      SELECT vec_id AS query_id,
+             sqrt(list_reduce(list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+               (x, y) -> x + y)) AS qn
+      FROM embeddings WHERE vec_id % 100 = 0
+    ),
+    cand AS (
+      SELECT p.query_id, a.vec_id AS neighbor_id
+      FROM probes p JOIN assign a ON a.cell = p.cell
+      WHERE a.vec_id <> p.query_id
+    ),
+    adc AS (
+      SELECT c.query_id, c.neighbor_id,
+             list_reduce(list(l.dp ORDER BY co.j), (x, y) -> x + y) AS adot,
+             list_reduce(list(s.s2 ORDER BY co.j), (x, y) -> x + y) AS xsq
+      FROM cand c
+      JOIN codes co ON co.vec_id = c.neighbor_id
+      JOIN lut l ON l.query_id = c.query_id AND l.j = co.j AND l.code_id = co.code_id
+      JOIN sq s ON s.j = co.j AND s.code_id = co.code_id
+      GROUP BY c.query_id, c.neighbor_id
+    ),
+    scored AS (
+      SELECT a.query_id, a.neighbor_id, a.adot / (q.qn * sqrt(a.xsq)) AS sim
+      FROM adc a JOIN qn q ON q.query_id = a.query_id
+    )
+    SELECT query_id, neighbor_id, "rank", round(sim, 6) AS sim FROM (
+      SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS "rank"
+      FROM scored
+    ) t WHERE "rank" <= 5
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k — the billion-vector memory-compression ANN path
+    (Jégou et al. 2011): 16 coarse cells pruned to 4 probes, candidates
+    scored through 8x16 product-quantization codes via the ADC lookup
+    table (32-bit codes instead of 256-byte vectors — what an index
+    SHIPS at 10^9 vectors). Runs the deterministic seeded mode (both
+    quantizers are md5-shuffled corpus samples, every fold
+    dimension-sequential, ADC sums ascending-j left folds), so the
+    oracle replays encoding, LUT, ADC scores and ranking
+    value-for-value — the PQ approximation itself is hash-checked, not
+    just its recall. Trained mode (Lloyd's per subspace) keeps a pytest
+    recall floor."""
+    from postgresql_topn_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    return ivfpq_topk(
+        emb,
+        queries,
+        k=5,
+        n_lists=16,
+        n_probe=4,
+        m=8,
+        n_codes=16,
+        centroid_mode="seeded",
+    )
+
+
+@_register(
     "stream_topn_rollup_monthly",
     """
     SELECT yr, mon, item, frequency FROM (

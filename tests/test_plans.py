@@ -78,6 +78,24 @@ def test_ivf_topk_corpus_never_shuffles(emb):
     assert python_stages(out) == 1
 
 
+def test_ivfpq_topk_corpus_never_shuffles(emb):
+    """IVF-PQ: same shape contract as IVF — one streaming Python stage
+    (assign -> encode -> ADC -> partial top-k), the only key shuffle is
+    the final per-query rank over <= k rows/query/batch."""
+    from postgresql_topn_spark.operators.similarity import ivfpq_topk
+
+    out = ivfpq_topk(
+        emb,
+        emb.where(F.col("vec_id") % 100 == 0),
+        k=5,
+        n_lists=8,
+        n_probe=2,
+        centroid_mode="seeded",
+    )
+    assert hash_shuffles(out) == 1
+    assert python_stages(out) == 1
+
+
 def test_simhash_is_map_side(docs):
     """SimHash table: one scan, one Python stage, zero key shuffles
     (the only exchange allowed is the round-robin spread of single-file

@@ -2,6 +2,8 @@
 
 import math
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from postgresql_topn_spark.operators.similarity import (
@@ -191,3 +193,60 @@ def test_ivf_recall_floor(spark, sf_dir):
     }
     s_recall = len(exact & seeded) / len(exact)
     assert s_recall >= 0.3, f"seeded IVF recall {s_recall} suspiciously low"
+
+
+def test_ivfpq_recall_and_rerank(spark):
+    """IVF-PQ on CLUSTERED data (the regime PQ is built for — the
+    fixture's uniform-random vectors have no real neighbor structure
+    for a lossy code to preserve): members of the same cluster must be
+    recovered through the compressed ADC path in both centroid modes,
+    and exact reranking of the ADC shortlist must not lower recall."""
+    from postgresql_topn_spark.operators.similarity import ivfpq_topk
+
+    dim, n_clusters, per = 64, 8, 15
+    rows = []
+    for c in range(n_clusters):
+        center = [(((c * 37 + d * 11) % 19) - 9) / 9.0 for d in range(dim)]
+        for i in range(per):
+            vid = c * per + i
+            rows.append(
+                (
+                    vid,
+                    [
+                        center[d] + 0.03 * (((vid * 31 + d * 7) % 5) - 2)
+                        for d in range(dim)
+                    ],
+                )
+            )
+    emb = spark.createDataFrame(rows, "vec_id bigint, embedding array<float>")
+    q = emb.where(F.col("vec_id") % per == 0)  # one query per cluster
+    exact = {
+        (r["query_id"], r["neighbor_id"]) for r in cosine_topk(emb, q, k=5).collect()
+    }
+    kw = dict(k=5, n_lists=8, n_probe=2, m=8, n_codes=16)
+    recalls = {}
+    for mode in ("train", "seeded"):
+        approx = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivfpq_topk(emb, q, centroid_mode=mode, **kw).collect()
+        }
+        recalls[mode] = len(exact & approx) / len(exact)
+        assert recalls[mode] >= 0.5, f"IVF-PQ ({mode}) recall {recalls[mode]}"
+    rr = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivfpq_topk(
+            emb, q, centroid_mode="train", rerank_depth=30, **kw
+        ).collect()
+    }
+    assert len(exact & rr) / len(exact) >= recalls["train"]
+
+
+def test_ivfpq_rejects_bad_params(spark, sf_dir):
+    from postgresql_topn_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    with pytest.raises(ValueError):
+        ivfpq_topk(emb, q, m=7, centroid_mode="seeded").count()  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        ivfpq_topk(emb, q, centroid_mode="nope")
