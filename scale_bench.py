@@ -78,6 +78,12 @@ SUBSET = [
     "distinct_kmv_sets",
     "cms_rollup_events",
     "text_unigram_logprob",
+    "ann_ivfpq_topk",
+    "pipeline_chunk_docs",
+    "pipeline_weighted_sample",
+    "dedup_bloom_incremental",
+    "search_bm25",
+    "search_tfidf",
 ]
 
 def _near_auto(spark, sf_dir):

@@ -153,9 +153,14 @@ class TestMultimodal:
             (0, 0), (1, 1024), (2, 2048),
         ]
 
-    def test_pixel_decode_is_stubbed(self, spark):
-        with pytest.raises(NotImplementedError, match="image library"):
-            decode_image_pixels(None)
+    def test_pixel_decode_needs_decoder_for_codec_formats(self, spark):
+        """Codec formats (PNG here) have no stdlib decode path: without
+        a plugged `decoder=` they yield NULL pixels, never an error."""
+        blobs = spark.createDataFrame(
+            [(0, bytearray(b"\x89PNG\r\n\x1a\nrest"))],
+            "doc_id long, blob binary",
+        )
+        assert decode_image_pixels(blobs).collect()[0]["pixels"] is None
 
 
 class TestMultimodalResizeFeatures:
@@ -290,3 +295,111 @@ class TestImageHeaderParse:
         assert got[2] == ("jpeg", 12, 34, 3)
         assert got[3] == ("unknown", None, None, None)
         assert got[4] == ("gif", 2, 2, 3)
+
+
+class TestRealPixelDecode:
+    """NetPBM pixel decode is REAL (pure stdlib) — exact byte-level
+    fixtures, all four variants, plus the NN resize on decoded rows."""
+
+    def _blobs(self, spark, payloads):
+        return spark.createDataFrame(
+            [(i, bytearray(p)) for i, p in enumerate(payloads)],
+            "doc_id long, blob binary",
+        )
+
+    def test_p6_binary_rgb(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_image_pixels,
+        )
+
+        # 2x2 RGB: red, green / blue, white
+        px = bytes([255,0,0, 0,255,0, 0,0,255, 255,255,255])
+        ppm = b"P6\n# comment\n2 2\n255\n" + px
+        row = decode_image_pixels(self._blobs(spark, [ppm])).collect()[0]
+        assert (row["width"], row["height"], row["channels"]) == (2, 2, 3)
+        assert row["pixels"] == list(px)
+
+    def test_p5_binary_gray_and_16bit(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_image_pixels,
+        )
+
+        g8 = b"P5 3 1 255\n" + bytes([0, 128, 255])
+        # 16-bit big-endian, maxval 65535: values scale to 0,128,255
+        g16 = b"P5 3 1 65535\n" + bytes(
+            [0, 0, 0x80, 0x80, 0xFF, 0xFF]
+        )
+        rows = {
+            r["doc_id"]: r
+            for r in decode_image_pixels(self._blobs(spark, [g8, g16])).collect()
+        }
+        assert rows[0]["pixels"] == [0, 128, 255]
+        assert rows[1]["channels"] == 1
+        assert rows[1]["pixels"] == [0, 128, 255]
+
+    def test_p3_ascii_with_comments(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_image_pixels,
+        )
+
+        p3 = b"P3\n2 1\n# pixels follow\n255\n255 0 0  0 0 255\n"
+        row = decode_image_pixels(self._blobs(spark, [p3])).collect()[0]
+        assert row["pixels"] == [255, 0, 0, 0, 0, 255]
+
+    def test_truncated_and_unknown_yield_null(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_image_pixels,
+        )
+
+        rows = {
+            r["doc_id"]: r["pixels"]
+            for r in decode_image_pixels(
+                self._blobs(
+                    spark,
+                    [b"P6 4 4 255\n\x00\x01", b"\x89PNG\r\n\x1a\nrest"],
+                )
+            ).collect()
+        }
+        assert rows[0] is None and rows[1] is None
+
+    def test_pluggable_decoder_hook(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_image_pixels,
+        )
+
+        def fake_png_decoder(buf):
+            if buf.startswith(b"\x89PNG"):
+                return (1, 1, 3, [7, 8, 9])
+            return None
+
+        row = decode_image_pixels(
+            self._blobs(spark, [b"\x89PNGxxxx"]), decoder=fake_png_decoder
+        ).collect()[0]
+        assert row["pixels"] == [7, 8, 9]
+
+    def test_resize_nearest_neighbor(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_image_pixels,
+            resize_pixels,
+        )
+
+        # 4x1 grayscale ramp: NN downsample to 2x1 picks indices 1, 3
+        ppm = b"P5 4 1 255\n" + bytes([10, 20, 30, 40])
+        decoded = decode_image_pixels(self._blobs(spark, [ppm]))
+        out = resize_pixels(decoded, 2, 1).collect()[0]
+        assert out["pixels"] == [20, 40]
+        assert (out["width"], out["height"]) == (2, 1)
+
+    def test_resize_rejects_bad_size(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_image_pixels,
+            resize_pixels,
+        )
+
+        import pytest as _pytest
+
+        decoded = decode_image_pixels(
+            self._blobs(spark, [b"P5 1 1 255\n\x00"])
+        )
+        with _pytest.raises(ValueError):
+            resize_pixels(decoded, 0, 1)
