@@ -109,3 +109,93 @@ def unigram_logprob_scores(
             F.sum(lp).cast("double") / (F.count(F.lit(1)) * F.lit(_MICRO)), 6
         ).alias("avg_logprob"),
     )
+
+
+def bigram_model(
+    docs: DataFrame, text_col: Column | str = "text", *, id_col: str = "doc_id"
+):
+    """(bigrams, contexts) count models over the corpus: bigrams =
+    (prev, tok, cnt) for every in-document adjacent pair; contexts =
+    (prev, ctx_cnt) marginals (sum of bigram counts per context), so
+    P(tok | prev) = cnt / ctx_cnt. Positions come from one posexplode;
+    the prev column is a per-document lag window (partitioned by doc —
+    no global sort), then two hash-aggs with map-side combine."""
+    from pyspark.sql import Window
+
+    tok = docs.select(
+        id_col, F.posexplode(tokens(_col(text_col))).alias("pos", "tok")
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    pairs = tok.withColumn("prev", F.lag("tok").over(w)).where(
+        F.col("prev").isNotNull()
+    )
+    bigrams = pairs.groupBy("prev", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    contexts = bigrams.groupBy("prev").agg(F.sum("cnt").alias("ctx_cnt"))
+    return bigrams, contexts
+
+
+def bigram_logprob_scores(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: Column | str = "text",
+    *,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Per-document mean token log-prob under a Jelinek–Mercer
+    interpolated bigram LM built from the corpus itself:
+
+        P(t_i) = lam * P(t_i | t_{i-1}) + (1 - lam) * P_uni(t_i)
+
+    with each document's first token scored by the unigram alone (no
+    context exists). This is the KenLM-shaped sequence-aware upgrade of
+    `unigram_logprob_scores`: token-salad documents whose words are
+    individually common but never co-occur score sharply worse, which
+    is the signal CCNet's perplexity filter actually uses.
+
+    Same determinism contract as the unigram scorer: the interpolated
+    log-prob is fixed-pointed to integer micro-nats per token BEFORE
+    the per-doc sum (summation-order exact, oracle hash-matches), and
+    the float expression is evaluated in one fixed parenthesization
+    mirrored by the SQL twin.
+
+    100 TB shape: one posexplode + per-doc lag window (doc-partitioned,
+    no global sort), two model hash-aggs with partial combine, three
+    keyed joins (bigram/context/unigram — AQE broadcasts whichever
+    models are small), one doc-keyed agg. Zero Python stages."""
+    if not 0.0 < lam < 1.0:
+        raise ValueError(f"lam must be in (0, 1), got {lam}")
+    from pyspark.sql import Window
+
+    uni = unigram_model(docs, text_col, id_col=id_col)
+    uni_total = uni.agg(F.sum("cnt").alias("__t"))
+    bigrams, contexts = bigram_model(docs, text_col, id_col=id_col)
+
+    tok = docs.select(
+        id_col, F.posexplode(tokens(_col(text_col))).alias("pos", "tok")
+    ).where(F.col("tok") != "")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    stream = tok.withColumn("prev", F.lag("tok").over(w))
+    joined = (
+        stream.join(
+            bigrams.select("prev", "tok", F.col("cnt").alias("bg_cnt")),
+            ["prev", "tok"],
+            "left",
+        )
+        .join(contexts, "prev", "left")
+        .join(uni.select("tok", F.col("cnt").alias("u_cnt")), "tok")
+        .crossJoin(F.broadcast(uni_total))
+    )
+    p_uni = F.col("u_cnt").cast("double") / F.col("__t").cast("double")
+    p_bg = F.coalesce(F.col("bg_cnt"), F.lit(0)).cast("double") / F.col(
+        "ctx_cnt"
+    ).cast("double")
+    p = F.when(
+        F.col("prev").isNull(), p_uni
+    ).otherwise(F.lit(float(lam)) * p_bg + F.lit(1.0 - float(lam)) * p_uni)
+    lp = F.round(F.log(p) * F.lit(_MICRO), 0).cast("long")
+    return joined.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(
+            F.sum(lp).cast("double") / (F.count(F.lit(1)) * F.lit(_MICRO)), 6
+        ).alias("avg_logprob"),
+    )

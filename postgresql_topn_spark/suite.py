@@ -2346,6 +2346,67 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "text_bigram_logprob",
+    """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      FROM documents
+    ),
+    tok AS (
+      SELECT doc_id, u.i AS pos, toks[u.i + 1] AS tok
+      FROM d, LATERAL (SELECT unnest(range(len(d.toks))) AS i) u
+      WHERE toks[u.i + 1] <> ''
+    ),
+    stream AS (
+      SELECT doc_id, pos, tok,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM tok
+    ),
+    uni AS (SELECT tok, count(*) AS u_cnt FROM tok GROUP BY tok),
+    tot AS (SELECT sum(u_cnt) AS t FROM uni),
+    bg AS (
+      SELECT prev, tok, count(*) AS bg_cnt FROM stream
+      WHERE prev IS NOT NULL GROUP BY prev, tok
+    ),
+    ctx AS (SELECT prev, sum(bg_cnt) AS ctx_cnt FROM bg GROUP BY prev),
+    scored AS (
+      SELECT s.doc_id,
+             CAST(round(ln(
+               CASE WHEN s.prev IS NULL
+                    THEN CAST(u.u_cnt AS DOUBLE) / CAST(tot.t AS DOUBLE)
+                    ELSE (0.75 * (CAST(coalesce(b.bg_cnt, 0) AS DOUBLE)
+                                  / CAST(c.ctx_cnt AS DOUBLE)))
+                         + (0.25 * (CAST(u.u_cnt AS DOUBLE)
+                                    / CAST(tot.t AS DOUBLE)))
+               END) * 1000000.0, 0) AS BIGINT) AS lpm
+      FROM stream s
+      LEFT JOIN bg b ON b.prev = s.prev AND b.tok = s.tok
+      LEFT JOIN ctx c ON c.prev = s.prev
+      JOIN uni u ON u.tok = s.tok
+      CROSS JOIN tot
+    )
+    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           round(CAST(sum(lpm) AS DOUBLE) / (count(*) * 1000000.0), 6)
+             AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek–Mercer interpolated bigram LM scoring (lam=0.75 — both
+    interpolation literals are exact doubles, shared by both engines):
+    the sequence-aware upgrade of text_unigram_logprob, catching
+    token-salad documents whose words are individually common but
+    never co-occur — the signal CCNet's KenLM perplexity filter uses.
+    Per-doc lag windows (doc-partitioned), three model joins, and the
+    fixed-point micro-nat trick keep the whole thing summation-order
+    exact and hash-replayable."""
+    from postgresql_topn_spark.operators.lm import bigram_logprob_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bigram_logprob_scores(docs, "doc_id", "text", lam=0.75)
+
+
+@_register(
     "distinct_kmv_sets",
     """
     WITH h AS (

@@ -71,3 +71,54 @@ def test_blank_and_whitespace_tokens_dropped(spark):
         for r in unigram_logprob_scores(df, "doc_id", "text").collect()
     }
     assert got == {1: 2, 2: 1}
+
+
+def test_bigram_self_scoring_hand_computed(spark):
+    rows = [(1, "a b a b"), (2, "a a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["avg_logprob"])
+        for r in __import__(
+            "postgresql_topn_spark.operators.lm", fromlist=["bigram_logprob_scores"]
+        ).bigram_logprob_scores(docs, lam=0.75).collect()
+    }
+    # unigram: a=4/6, b=2/6; bigrams: (a,b)=2, (b,a)=1, (a,a)=1;
+    # contexts: a=3, b=1
+    lam = 0.75
+    import math as m
+
+    def lp(p):
+        return round(m.log(p) * 1e6)
+
+    d1 = [
+        lp(4 / 6),                                   # 'a' first token
+        lp(lam * (2 / 3) + (1 - lam) * (2 / 6)),     # a->b
+        lp(lam * (1 / 1) + (1 - lam) * (4 / 6)),     # b->a
+        lp(lam * (2 / 3) + (1 - lam) * (2 / 6)),     # a->b
+    ]
+    assert got[1] == (4, round(sum(d1) / (4 * 1e6), 6))
+    d2 = [lp(4 / 6), lp(lam * (1 / 3) + (1 - lam) * (4 / 6))]
+    assert got[2] == (2, round(sum(d2) / (2 * 1e6), 6))
+
+
+def test_bigram_penalizes_token_salad(spark):
+    """Words common in the corpus but in never-seen orders must score
+    worse under the bigram model than a corpus-typical sentence."""
+    from postgresql_topn_spark.operators.lm import bigram_logprob_scores
+
+    fluent = "the cat sat on the mat"
+    rows = [(i, fluent) for i in range(10)] + [(99, "mat the on sat the cat")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["avg_logprob"]
+        for r in bigram_logprob_scores(docs).collect()
+    }
+    assert got[99] < got[0] - 0.5
+
+
+def test_bigram_rejects_bad_lambda(spark):
+    from postgresql_topn_spark.operators.lm import bigram_logprob_scores
+
+    docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bigram_logprob_scores(docs, lam=1.0)
