@@ -108,3 +108,41 @@ def test_hash_matches_duckdb_form(spark):
 def test_rejects_tiny_k(keyed):
     with pytest.raises(ValueError):
         kmv_add_agg(keyed, ["grp"], "user", k=1)
+
+
+@pytest.mark.parametrize("seed", [11, 29, 47])
+def test_merge_law_randomized_all_families(spark, seed):
+    """Randomized merge-law sweep shared by the three declarative
+    sketch families: for an arbitrary dataset and an arbitrary
+    bucketing, per-bucket build + rollup merge must EQUAL the direct
+    build (KMV: lossless bottom-k union; CMS: associative addition;
+    Bloom: associative OR)."""
+    from postgresql_topn_spark.functions.bloom import (
+        bloom_add_agg,
+        bloom_union_rollup,
+    )
+    from postgresql_topn_spark.functions.cms import cms_add_agg, cms_union_rollup
+
+    df = spark.range(3_000).select(
+        F.pmod(F.xxhash64(F.col("id") + seed), F.lit(7)).alias("bucket"),
+        F.concat(
+            F.lit("u"),
+            F.pmod(F.xxhash64(F.col("id") * 31 + seed), F.lit(211)),
+        ).alias("item"),
+    )
+    one = df.select(F.lit(1).alias("g"), "item")
+
+    kb = kmv_add_agg(df, ["bucket"], "item", k=24)
+    k_roll = kmv_union_rollup(kb, [], "kmv", k=24).collect()[0]["kmv"]
+    k_direct = kmv_add_agg(one, ["g"], "item", k=24).collect()[0]["kmv"]
+    assert k_roll == k_direct
+
+    cb = cms_add_agg(df, ["bucket"], "item", depth=3, width=32)
+    c_roll = cms_union_rollup(cb, [], "cms").collect()[0]["cms"]
+    c_direct = cms_add_agg(one, ["g"], "item", depth=3, width=32).collect()[0]["cms"]
+    assert c_roll == c_direct
+
+    bb = bloom_add_agg(df, ["bucket"], "item", m_bits=256, depth=3)
+    b_roll = bloom_union_rollup(bb, [], "bloom").collect()[0]["bloom"]
+    b_direct = bloom_add_agg(one, ["g"], "item", m_bits=256, depth=3).collect()[0]["bloom"]
+    assert b_roll == b_direct
