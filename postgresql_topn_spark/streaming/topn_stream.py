@@ -325,3 +325,60 @@ def stream_sketch_rollup(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def kmv_streaming_state(
+    stream_df,
+    group_cols: Sequence,
+    item,
+    *,
+    k: int = 64,
+    out_col: str = "kmv",
+):
+    """Continuously-maintained per-group KMV distinct sketches over a
+    stream (applyInPandasWithState): state per key is the k smallest
+    md5-60bit item hashes — BOUNDED at k longs regardless of stream
+    cardinality, updated by set-union + truncate each micro-batch
+    (bottom-k union is idempotent AND lossless, so replays/duplicate
+    deliveries cannot corrupt the sketch). Each trigger emits the
+    refreshed sorted array; feed it to functions/kmv.kmv_estimate /
+    kmv_intersect_estimate at read time for continuous distinct counts
+    and cross-group overlap. Output mode: update.
+
+    The hash matches functions/kmv.kmv_hash exactly (same md5-60bit
+    form), so a streaming-built sketch equals the batch kmv_add_agg
+    sketch over the same rows — pinned in tests/test_streaming.py."""
+    import hashlib
+
+    gnames = [f"__g{i}" for i in range(len(group_cols))]
+    src = stream_df.select(
+        *[_col(c).alias(g) for c, g in zip(group_cols, gnames)],
+        _col(item).cast("string").alias("__item"),
+    )
+    out_schema = _group_ddl(src, gnames) + f", {out_col} array<bigint>"
+    state_schema = "mins array<bigint>"
+
+    def update(key, batches, state):
+        mins = set()
+        if state.exists:
+            (stored,) = state.get
+            mins.update(stored)
+        for pdf in batches:
+            for it in pdf["__item"]:
+                if it is None or (isinstance(it, float) and pd.isna(it)):
+                    continue
+                h = int(hashlib.md5(it.encode("utf-8")).hexdigest()[:15], 16)
+                mins.add(h)
+        kept = sorted(mins)[:k]
+        state.update((kept,))
+        row = dict(zip(gnames, key))
+        row[out_col] = kept
+        yield pd.DataFrame([row])
+
+    return src.groupBy(*gnames).applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -353,3 +353,42 @@ def test_stream_sketch_rollup_kmv_cms_bloom_match_batch(
         }
         want = {r["event_type"]: list(r[col]) for r in direct().collect()}
         assert rolled == want, name
+
+
+def test_kmv_streaming_state_matches_batch(spark, events_stream_dir, tmp_path):
+    """The stateful streaming KMV sketch must equal the batch
+    kmv_add_agg sketch over the same rows — same md5-60bit hash, same
+    bottom-k, and bottom-k union is idempotent so multi-batch replay
+    lands on the identical array."""
+    from postgresql_topn_spark.functions.kmv import kmv_add_agg
+    from postgresql_topn_spark.streaming.topn_stream import kmv_streaming_state
+
+    ev = spark.read.parquet(events_stream_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    q = (
+        kmv_streaming_state(
+            stream, ["event_type"], F.col("user_id").cast("string"), k=32
+        )
+        .writeStream.format("memory")
+        .queryName("kmv_state_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "kmv_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # update mode re-emits per trigger: keep the LAST emission per group
+    final = {}
+    for r in spark.sql("select * from kmv_state_test").collect():
+        final[r["__g0"]] = list(r["kmv"])
+    want = {
+        r["event_type"]: list(r["kmv"])
+        for r in kmv_add_agg(
+            ev, ["event_type"], F.col("user_id").cast("string"), k=32
+        ).collect()
+    }
+    assert final == want
