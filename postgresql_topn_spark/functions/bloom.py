@@ -25,6 +25,13 @@ exchange (BIT_OR partial-combines map-side; key space <= m_bits/32 per
 group) + a per-group pack bounded at m_bits/32 entries; merge = a
 collect_list fold of fixed-size arrays; probes are d AND-mask lookups
 against a broadcast sketch — the read path never rescans raw history.
+
+Sizing: keep set-bit load (n_keys * depth / m_bits) under ~0.3 or the
+filter saturates toward all-true. The dense pack's map lookups cost
+O(words * set_words) per group, comfortable to m_bits ~ 10^5-10^6; for
+bigger key universes use the standard partitioned-filter layout (split
+the key space across several buckets, each with its own filter row —
+which is exactly what per-(day, shard) rollup rows already are).
 """
 
 from __future__ import annotations

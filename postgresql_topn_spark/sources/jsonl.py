@@ -59,19 +59,31 @@ def write_jsonl_corpus(
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
     key = _col(shard_key).cast("string")
     sharded = df.withColumn("__shard", _shard_col(key, n_shards))
+    w = sharded.repartition(n_shards, "__shard").write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.partitionBy("__shard").json(path)
+    # Manifest stats come from READING BACK the written files (not from
+    # a second pass over the source): the checksums then attest the
+    # bytes that actually landed on disk, and the computation is the
+    # exact procedure verify_manifest repeats — same schema, same
+    # re-serialization. Total I/O is unchanged vs pre-write stats (one
+    # source scan for the write + one corpus scan either way).
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    back_schema = StructType(
+        list(df.schema.fields) + [StructField("__shard", IntegerType())]
+    )
+    back = df.sparkSession.read.schema(back_schema).json(path)
     line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     stats_rows = (
-        sharded.groupBy("__shard")
+        back.groupBy("__shard")
         .agg(
             F.count(F.lit(1)).alias("rows"),
             F.bit_xor(F.xxhash64(line)).alias("checksum"),
         )
         .collect()
     )
-    w = sharded.repartition(n_shards, "__shard").write.mode("overwrite")
-    if compression:
-        w = w.option("compression", compression)
-    w.partitionBy("__shard").json(path)
     manifest = {
         "n_shards": n_shards,
         "total_rows": int(sum(r["rows"] for r in stats_rows)),

@@ -2199,12 +2199,12 @@ def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- one SHARED bit array: every hash row's slots land in the same
       -- space, so membership ignores which hash set a bit
       SELECT DISTINCT
-             CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', ck)), 1, 15)) AS BIGINT) % 4096 AS s
+             CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', ck)), 1, 15)) AS BIGINT) % 65536 AS s
       FROM corpus CROSS JOIN rows_ r
     ),
     probes AS (
       SELECT doc_id, r.i,
-             CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', md5(text))), 1, 15)) AS BIGINT) % 4096 AS s
+             CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', md5(text))), 1, 15)) AS BIGINT) % 65536 AS s
       FROM documents CROSS JOIN rows_ r
     )
     SELECT p.doc_id,
@@ -2233,12 +2233,12 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.where(F.col("source").rlike("^src[0-9]$"))
-    per_source = bloom_add_agg(corpus, ["source"], F.md5("text"))
+    per_source = bloom_add_agg(corpus, ["source"], F.md5("text"), m_bits=65536)
     glob = bloom_union_rollup(per_source, [], "bloom")
     probes = docs.select("doc_id", F.md5("text").alias("ck"))
     return probes.crossJoin(F.broadcast(glob)).select(
         "doc_id",
-        bloom_might_contain("bloom", "ck").alias("maybe_dup"),
+        bloom_might_contain("bloom", "ck", m_bits=65536).alias("maybe_dup"),
     )
 
 
