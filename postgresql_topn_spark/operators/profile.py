@@ -1,0 +1,75 @@
+"""One-pass dataset profiling — the corpus QA report every pipeline
+runs before (and after) a training-data build: row counts, null rates,
+distinct cardinalities and value ranges per column, from ONE aggregate
+over the data.
+
+Shape: a single global groupBy().agg() computing every column's stats
+as parallel aggregate expressions — Catalyst partial-aggregates the
+whole thing map-side, so the profile costs one scan + one tiny
+exchange regardless of column count. The wide 1-row result is then
+unpivoted (stack) into the long (column, stat, ...) report format.
+
+``exact_distinct=False`` (the 100 TB default) uses HLL-backed
+approx_count_distinct (rsd ~2.3%) — per-column exact distincts would
+each keep unbounded agg state; ``True`` switches to exact
+count(DISTINCT ...), which is what the DuckDB-oracled suite query
+runs (the regime where the two engines must agree value-for-value).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: Sequence[str] | None = None,
+    *,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """Long-format profile: one row per column with
+    (col_name, n_rows, n_non_null, n_distinct, min_s, max_s) — min/max
+    rendered as strings so heterogeneous column types share one report
+    schema. NULLs are excluded from distinct/min/max (SQL aggregate
+    discipline)."""
+    names = list(cols) if cols is not None else list(df.columns)
+    if not names:
+        raise ValueError("profile_columns needs at least one column")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    for c in names:
+        col = F.col(c)
+        distinct = (
+            F.countDistinct(col)
+            if exact_distinct
+            else F.approx_count_distinct(col)
+        )
+        aggs += [
+            F.count(col).alias(f"__nn_{c}"),
+            distinct.alias(f"__nd_{c}"),
+            F.min(col).cast("string").alias(f"__mn_{c}"),
+            F.max(col).cast("string").alias(f"__mx_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    # unpivot via stack: (col_name, n_non_null, n_distinct, min_s, max_s)
+    stack_args = []
+    for c in names:
+        stack_args += [
+            F.lit(c),
+            F.col(f"__nn_{c}"),
+            F.col(f"__nd_{c}"),
+            F.col(f"__mn_{c}"),
+            F.col(f"__mx_{c}"),
+        ]
+    stacked = wide.select(
+        F.col("__n").alias("n_rows"),
+        F.stack(
+            F.lit(len(names)),
+            *stack_args,
+        ).alias("col_name", "n_non_null", "n_distinct", "min_s", "max_s"),
+    )
+    return stacked.select(
+        "col_name", "n_rows", "n_non_null", "n_distinct", "min_s", "max_s"
+    )

@@ -2510,6 +2510,48 @@ def distinct_kmv_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_profile_docs",
+    """
+    SELECT 'doc_id' AS col_name,
+           (SELECT count(*) FROM documents) AS n_rows,
+           count(doc_id) AS n_non_null,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_distinct,
+           CAST(min(doc_id) AS VARCHAR) AS min_s,
+           CAST(max(doc_id) AS VARCHAR) AS max_s
+    FROM documents
+    UNION ALL
+    SELECT 'lang', (SELECT count(*) FROM documents), count(lang),
+           CAST(count(DISTINCT lang) AS BIGINT),
+           CAST(min(lang) AS VARCHAR), CAST(max(lang) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'source', (SELECT count(*) FROM documents), count(source),
+           CAST(count(DISTINCT source) AS BIGINT),
+           CAST(min(source) AS VARCHAR), CAST(max(source) AS VARCHAR)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', (SELECT count(*) FROM documents), count(n_chars),
+           CAST(count(DISTINCT n_chars) AS BIGINT),
+           CAST(min(n_chars) AS VARCHAR), CAST(max(n_chars) AS VARCHAR)
+    FROM documents
+    """,
+)
+def pipeline_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset profile — the corpus QA gate: per-column row /
+    non-null / distinct counts and value ranges from a SINGLE aggregate
+    (every stat partial-combines map-side; one scan, one tiny exchange,
+    then a stack unpivot to the long report). The suite runs the
+    exact-distinct mode so DuckDB pins every value; the 100 TB default
+    is HLL approx_count_distinct (bounded agg state per column)."""
+    from postgresql_topn_spark.operators.profile import profile_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    return profile_columns(
+        docs, ["doc_id", "lang", "source", "n_chars"], exact_distinct=True
+    )
+
+
+@_register(
     "pipeline_pack_contexts",
     """
     WITH d AS (

@@ -1,0 +1,63 @@
+"""One-pass profiler: stat correctness incl. NULL discipline, approx
+mode sanity, single-scan plan shape."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.operators.profile import profile_columns
+
+
+@pytest.fixture(scope="module")
+def messy(spark):
+    rows = [
+        (1, "a", 10),
+        (2, None, 20),
+        (3, "b", None),
+        (4, "a", 20),
+    ]
+    return spark.createDataFrame(rows, "id long, s string, v int")
+
+
+def test_exact_stats_with_nulls(messy):
+    got = {
+        r["col_name"]: r
+        for r in profile_columns(messy, exact_distinct=True).collect()
+    }
+    assert all(r["n_rows"] == 4 for r in got.values())
+    assert (got["s"]["n_non_null"], got["s"]["n_distinct"]) == (3, 2)
+    assert (got["s"]["min_s"], got["s"]["max_s"]) == ("a", "b")
+    assert (got["v"]["n_non_null"], got["v"]["n_distinct"]) == (3, 2)
+    assert (got["v"]["min_s"], got["v"]["max_s"]) == ("10", "20")
+
+
+def test_approx_mode_close(spark):
+    df = spark.range(5_000).select(
+        F.col("id"), (F.col("id") % 997).alias("m")
+    )
+    got = {
+        r["col_name"]: r["n_distinct"] for r in profile_columns(df).collect()
+    }
+    assert abs(got["m"] - 997) <= 0.1 * 997
+    assert abs(got["id"] - 5_000) <= 0.1 * 5_000
+
+
+def test_single_aggregate_plan(messy):
+    from postgresql_topn_spark.plans.audit import hash_shuffles, python_stages
+
+    prof = profile_columns(messy)  # approx mode: one combined agg
+    assert python_stages(prof) == 0
+    # one SinglePartition exchange fed by map-side partial aggregates
+    # (one row per task) — the canonical global-agg shape, no key
+    # shuffle of raw rows anywhere
+    assert hash_shuffles(prof) == 1
+    from postgresql_topn_spark.plans.audit import plan_str
+
+    assert "Exchange SinglePartition" in plan_str(prof, "simple")
+    assert "partial" in plan_str(prof, "simple").lower()
+
+
+def test_column_subset_and_validation(messy):
+    out = profile_columns(messy, ["id"]).collect()
+    assert [r["col_name"] for r in out] == ["id"]
+    with pytest.raises(ValueError):
+        profile_columns(messy, [])
