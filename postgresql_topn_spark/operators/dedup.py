@@ -298,12 +298,34 @@ def _tokenized(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def exact_dedup(
-    df: DataFrame, key: Column | str, id_col: Column | str
+    df: DataFrame,
+    key: Column | str,
+    id_col: Column | str,
+    *,
+    quality: Column | str | None = None,
 ) -> DataFrame:
-    """Group identical content keys; emit one keeper (min id) per group
-    plus the duplicate count. A single shuffle on the content key."""
-    return df.groupBy(_col(key).alias("content_key")).agg(
-        F.min(_col(id_col)).alias("keeper_id"),
+    """Group identical content keys; emit one keeper per group plus the
+    duplicate count. A single shuffle on the content key, map-side
+    partial combine either way.
+
+    Default keeper = min id (deterministic, cheap). With `quality` the
+    keeper is the HIGHEST-quality duplicate (ties -> min id) — the
+    policy real curation pipelines want when duplicates differ in
+    extraction cleanliness: implemented as a max_by over a
+    (quality, -id)-ordered struct, still ONE aggregate — no window, no
+    second shuffle. NULL quality sorts below every non-NULL one."""
+    keyed = df.groupBy(_col(key).alias("content_key"))
+    if quality is None:
+        return keyed.agg(
+            F.min(_col(id_col)).alias("keeper_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+    # struct ordering is lexicographic: quality DESC then id ASC via
+    # (quality, -id) max; NULL quality coalesces to -inf
+    q = F.coalesce(_col(quality).cast("double"), F.lit(float("-inf")))
+    ranked = F.struct(q.alias("q"), (-_col(id_col)).alias("nid"))
+    return keyed.agg(
+        (-F.max(ranked)["nid"]).alias("keeper_id"),
         F.count(F.lit(1)).alias("dup_count"),
     )
 

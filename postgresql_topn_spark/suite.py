@@ -2188,6 +2188,49 @@ def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_exact_best",
+    """
+    WITH d AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 3), ' ')) AS content_key
+      FROM documents
+    ),
+    r AS (
+      SELECT content_key, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY content_key
+                                ORDER BY CAST(n_chars AS DOUBLE) DESC,
+                                         doc_id ASC) AS rn
+      FROM d
+    )
+    SELECT r.content_key, r.doc_id AS keeper_id, c.dup_count
+    FROM r JOIN (
+      SELECT content_key, CAST(count(*) AS BIGINT) AS dup_count
+      FROM d GROUP BY content_key) c USING (content_key)
+    WHERE rn = 1
+    """,
+)
+def dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: duplicate groups keyed on the
+    3-token prefix fingerprint keep their HIGHEST-quality member
+    (n_chars here; ties -> min id) — the canonical-keeper policy real
+    curation uses when duplicates differ in extraction cleanliness.
+    One aggregate, one shuffle: the keeper is a max_by over a
+    (quality, -id) struct, no window over raw rows; the oracle replays
+    the policy with a rank."""
+    from postgresql_topn_spark.operators.dedup import exact_dedup
+    from postgresql_topn_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 3)))
+    return exact_dedup(
+        docs.select(key.alias("k"), "doc_id", "n_chars"),
+        "k",
+        "doc_id",
+        quality="n_chars",
+    )
+
+
+@_register(
     "dedup_bloom_incremental",
     """
     WITH corpus AS (

@@ -426,3 +426,55 @@ class TestBucketPairs:
         df = spark.range(m).select(F.lit("hot").alias("k"), F.col("id").alias("p"))
         n = _bucket_pairs(df, ["k"], "p", chunk=512).count()
         assert n == m * (m - 1) // 2
+
+
+class TestExactDedupQualityKeeper:
+    def test_best_quality_wins_ties_min_id(self, spark):
+        from postgresql_topn_spark.operators.dedup import exact_dedup
+
+        rows = [
+            # key A: id 3 has the best quality
+            (1, "A", 5.0), (2, "A", 9.0), (3, "A", 11.0),
+            # key B: tie on quality -> min id (4) wins
+            (4, "B", 7.0), (5, "B", 7.0),
+            # key C: NULL quality loses to any non-NULL
+            (6, "C", None), (7, "C", 1.0),
+            # key D: all NULL -> min id wins
+            (8, "D", None), (9, "D", None),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, k string, q double")
+        got = {
+            r["content_key"]: (r["keeper_id"], r["dup_count"])
+            for r in exact_dedup(df, "k", "doc_id", quality="q").collect()
+        }
+        assert got == {"A": (3, 3), "B": (4, 2), "C": (7, 2), "D": (8, 2)}
+
+    def test_default_policy_unchanged(self, spark):
+        from postgresql_topn_spark.operators.dedup import exact_dedup
+
+        df = spark.createDataFrame(
+            [(5, "A"), (2, "A"), (9, "B")], "doc_id long, k string"
+        )
+        got = {
+            r["content_key"]: r["keeper_id"]
+            for r in exact_dedup(df, "k", "doc_id").collect()
+        }
+        assert got == {"A": 2, "B": 9}
+
+    def test_single_shuffle_with_partial_combine(self, spark):
+        from postgresql_topn_spark.operators.dedup import exact_dedup
+        from postgresql_topn_spark.plans.audit import (
+            has_partial_aggregate,
+            hash_shuffles,
+            python_stages,
+        )
+
+        df = spark.range(100).select(
+            (F.col("id") % 7).cast("string").alias("k"),
+            F.col("id").alias("doc_id"),
+            (F.col("id") % 13).alias("q"),
+        )
+        out = exact_dedup(df, "k", "doc_id", quality="q")
+        assert hash_shuffles(out) == 1
+        assert has_partial_aggregate(out)
+        assert python_stages(out) == 0
