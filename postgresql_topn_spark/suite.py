@@ -2553,6 +2553,30 @@ def distinct_kmv_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_quality_deciles",
+    """
+    SELECT doc_id, lang,
+           CAST(ntile(10) OVER (PARTITION BY lang
+                                ORDER BY n_chars ASC, doc_id ASC) AS INT)
+             AS decile
+    FROM documents
+    """,
+)
+def pipeline_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: every document assigned its within-language
+    quality decile (n_chars as the quality proxy; deterministic
+    doc_id tie-break) — the bucketing step curriculum-ordered training
+    mixes use. ntile semantics are identical across engines; the cost
+    is one per-language sort (hash exchange + spill-safe in-partition
+    sort — no global order, no single reducer)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(F.asc("n_chars"), F.asc("doc_id"))
+    return docs.select(
+        "doc_id", "lang", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@_register(
     "pipeline_profile_docs",
     """
     SELECT 'doc_id' AS col_name,
