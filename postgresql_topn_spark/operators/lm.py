@@ -23,6 +23,15 @@ token-keyed shuffle join of the exploded stream against the model
 (AQE broadcasts it outright when the vocabulary is small), one
 doc-keyed agg. Token explosion never materializes per-doc arrays
 wider than the split itself; everything is JVM-side expressions.
+
+Scan count: SELF-scoring declares model and scorer over the same
+input, so the plan scans the text column once per subtree (twice for
+unigram, up to four times for the bigram scorer's model branches).
+That is the right trade for the oracled one-shot form; at corpus
+scale, production use is "build the model ONCE over the reference
+corpus, persist it (a small table), score every batch against it via
+`model=`" — then each scoring pass is a single scan, and the model
+build amortizes to zero.
 """
 
 from __future__ import annotations
