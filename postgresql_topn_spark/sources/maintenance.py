@@ -1,0 +1,111 @@
+"""Table maintenance — the operational half of the rollup story.
+
+Append-only rollups (sources/rollup.py batch appends,
+streaming/topn_stream.py per-micro-batch sinks) accumulate DELTA ROWS:
+after a week of 1-minute triggers a single (day, group) carries
+thousands of sketch fragments and a directory of tiny files. Merging
+at read time stays CORRECT forever (delta merge is associative — that
+is the whole contract), but read cost and file-listing overhead creep
+up. These helpers fold the accumulated state back down:
+
+- `compact_topn_rollup`: re-merge every bucket's sketch deltas to ONE
+  row per (bucket, group) with `topn_union_agg` and rewrite the
+  partitions — the read-time merge, materialized. Idempotent, and a
+  reader before/after sees identical merged results.
+- `compact_parquet`: the generic small-files fix — rewrite any parquet
+  directory into ~`target_file_mb` files (coalesce by measured input
+  size, partitioning preserved if given). At 100 TB, file-listing and
+  per-file open costs dominate reads of fragmented tables long before
+  scan bandwidth does.
+
+Rewrites stage into a sibling temp dir then swap, so a concurrent
+reader never sees a half-written table on a posix-rename filesystem
+(object stores want the table-format route — Delta/Iceberg — instead;
+these helpers are the raw-parquet tier).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+
+def _staged_rewrite(write_fn, path: str) -> None:
+    staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    write_fn(staging)
+    backup = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    os.rename(path, backup)
+    os.rename(staging, path)
+    shutil.rmtree(backup)
+
+
+def compact_topn_rollup(
+    spark: SparkSession,
+    path: str,
+    *,
+    bucket_name: str = "bucket",
+    extra_group_names: tuple[str, ...] = (),
+    counters: int | None = None,
+) -> int:
+    """Fold a rollup's accumulated sketch deltas to one row per
+    (bucket, *extra groups). Returns the compacted row count. Readers
+    see identical merged sketches before and after (associativity —
+    the same law that made the appends valid)."""
+    from postgresql_topn_spark.functions.aggregates import topn_union_agg
+    from postgresql_topn_spark.functions.sketch import sketch_to_json
+    from postgresql_topn_spark.sources.rollup import read_topn_rollup
+
+    rollup = read_topn_rollup(spark, path, bucket_name=bucket_name)
+    merged = topn_union_agg(
+        rollup,
+        [bucket_name, *extra_group_names],
+        "topn",
+        counters=counters,
+    ).withColumn("topn", sketch_to_json(F.col("topn")))
+    n = merged.count()
+    # one file per bucket partition: the repartition keys match the
+    # partitionBy, so every partition dir gets exactly one writer task
+    out = merged.repartition(max(1, n), bucket_name)
+
+    def write(staging: str) -> None:
+        out.write.mode("overwrite").partitionBy(bucket_name).parquet(staging)
+
+    _staged_rewrite(write, path)
+    return n
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_mb: int = 256,
+    partition_by: tuple[str, ...] = (),
+) -> int:
+    """Rewrite a parquet directory into ~target_file_mb output files.
+    Returns the number of files written. File count is derived from the
+    measured on-disk input size, so growth in the table automatically
+    raises the output fan-out."""
+    if target_file_mb < 1:
+        raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        total += sum(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
+    df = spark.read.parquet(path)
+
+    def write(staging: str) -> None:
+        w = df.repartition(n_files).write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(staging)
+
+    _staged_rewrite(write, path)
+    return n_files

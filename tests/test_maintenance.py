@@ -1,0 +1,82 @@
+"""Rollup compaction: merged results identical before/after, row and
+file counts fold down, staged swap leaves a valid table."""
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.sources.maintenance import (
+    compact_parquet,
+    compact_topn_rollup,
+)
+from postgresql_topn_spark.sources.rollup import (
+    read_topn_rollup,
+    write_topn_rollup,
+)
+from postgresql_topn_spark.sources.tables import load_table
+
+
+def _merged_state(spark, path):
+    from postgresql_topn_spark.functions.aggregates import topn_union_agg
+
+    r = read_topn_rollup(spark, path, bucket_name="bucket")
+    m = topn_union_agg(r, ["bucket"], "topn", counters=1_000_000)
+    return {
+        str(row["bucket"]): dict(row["topn"]) for row in m.collect()
+    }
+
+
+def test_compact_rollup_preserves_merged_results(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "rollup")
+    ev = load_table(spark, sf_dir, "events")
+    # three appends of the same data -> 3 delta rows per bucket
+    for i in range(3):
+        write_topn_rollup(
+            ev,
+            path,
+            F.to_date("ts"),
+            "event_type",
+            counters=1_000_000,
+            mode="append" if i else "overwrite",
+        )
+    before = _merged_state(spark, path)
+    raw_before = spark.read.parquet(path).count()
+    n = compact_topn_rollup(spark, path, counters=1_000_000)
+    after = _merged_state(spark, path)
+    raw_after = spark.read.parquet(path).count()
+    assert after == before
+    assert raw_after == n == raw_before // 3
+
+
+def test_compact_rollup_idempotent(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "rollup")
+    ev = load_table(spark, sf_dir, "events")
+    write_topn_rollup(ev, path, F.to_date("ts"), "event_type", counters=1_000_000)
+    n1 = compact_topn_rollup(spark, path, counters=1_000_000)
+    state1 = _merged_state(spark, path)
+    n2 = compact_topn_rollup(spark, path, counters=1_000_000)
+    assert n1 == n2
+    assert _merged_state(spark, path) == state1
+
+
+def test_compact_parquet_folds_files(spark, tmp_path):
+    path = str(tmp_path / "frag")
+    spark.range(50_000).select(
+        F.col("id"), F.md5(F.col("id").cast("string")).alias("h")
+    ).repartition(64).write.parquet(path)
+    files_before = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert files_before >= 32
+    rows_before = spark.read.parquet(path).count()
+    compact_parquet(spark, path, target_file_mb=64)
+    files_after = len(glob.glob(os.path.join(path, "*.parquet")))
+    assert files_after < files_before / 4
+    assert spark.read.parquet(path).count() == rows_before
+
+
+def test_compact_parquet_rejects_bad_target(spark, tmp_path):
+    path = str(tmp_path / "x")
+    spark.range(10).write.parquet(path)
+    with pytest.raises(ValueError):
+        compact_parquet(spark, path, target_file_mb=0)
