@@ -2699,6 +2699,39 @@ def pipeline_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topn_composite_key",
+    """
+    SELECT item, frequency FROM (
+      SELECT concat(o.o_orderpriority, '|', l.l_returnflag) AS item,
+             COUNT(*) AS frequency,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                concat(o.o_orderpriority, '|', l.l_returnflag) ASC) AS rn
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY concat(o.o_orderpriority, '|', l.l_returnflag)
+    ) t WHERE rn <= 10
+    """,
+)
+def topn_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite-item sketch over a fact-fact join: top
+    (orderpriority, returnflag) pairs — the multi-column-item composition
+    reference users build with concatenated casts (the extension's
+    items are text, so composite keys are always encode-into-one-string
+    on the host engine too). Exercises join -> expression item ->
+    global sketch -> extraction in one plan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    item = F.concat(F.col("o_orderpriority"), F.lit("|"), F.col("l_returnflag"))
+    sk = topn_add_agg(
+        j.select(item.alias("it"), F.lit(1).alias("g")),
+        ["g"],
+        "it",
+        counters=C,
+    )
+    return explode_topn(sk, "topn", 10, counters=C)
+
+
+@_register(
     "topn_grouping_sets",
     """
     WITH e AS (
