@@ -2699,6 +2699,30 @@ def pipeline_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topn_exact_heavy",
+    """
+    SELECT event_type AS item, COUNT(*) AS frequency
+    FROM events WHERE event_type IS NOT NULL
+    GROUP BY event_type
+    HAVING COUNT(*) * 8 > (SELECT COUNT(event_type) FROM events)
+    """,
+)
+def topn_exact_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass EXACT heavy hitters (Misra-Gries candidates + exact
+    recount): every event type with frequency > total/8, with its
+    exact count — the bounded-memory EXACT complement to the
+    approximate sketches (no false positives, no false negatives, k
+    counters per task in pass 1 regardless of cardinality or skew).
+    The oracle is the plain HAVING form the operator provably equals."""
+    from postgresql_topn_spark.operators.heavy_hitters import (
+        exact_heavy_hitters,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return exact_heavy_hitters(ev, "event_type", k=8)
+
+
+@_register(
     "topn_composite_key",
     """
     SELECT item, frequency FROM (
