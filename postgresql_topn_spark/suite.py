@@ -2699,6 +2699,69 @@ def pipeline_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "events_rate_anomaly",
+    """
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS hr,
+             CAST(count(*) AS BIGINT) AS n
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    base AS (
+      SELECT event_type, hr, n,
+             CAST(sum(n) OVER w AS BIGINT) AS base_sum,
+             CAST(count(*) OVER w AS BIGINT) AS base_cnt
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hr, n,
+           round(CAST(n AS DOUBLE)
+                 / (CAST(base_sum AS DOUBLE) / CAST(base_cnt AS DOUBLE)), 6)
+             AS rate_ratio,
+           (CAST(n AS DOUBLE)
+            > 2.0 * (CAST(base_sum AS DOUBLE) / CAST(base_cnt AS DOUBLE)))
+             AS is_spike
+    FROM base WHERE base_cnt >= 12
+    """,
+)
+def events_rate_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-rate anomaly detection — the monitoring pass a pipeline
+    runs over its ingest stream: hourly counts per event type, each
+    hour compared to its trailing-24h baseline mean (a ROWS frame —
+    integer sums, so the baseline is summation-order exact), spikes
+    flagged at 2x. Warm-up hours (fewer than 12 baseline points) are
+    suppressed. One (type) exchange serves the hourly agg AND the
+    frame; everything else is per-row arithmetic."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    base = hourly.select(
+        "event_type",
+        "hr",
+        "n",
+        F.sum("n").over(w).alias("base_sum"),
+        F.count(F.lit(1)).over(w).alias("base_cnt"),
+    ).where(F.col("base_cnt") >= 12)
+    mean = F.col("base_sum").cast("double") / F.col("base_cnt").cast("double")
+    return base.select(
+        "event_type",
+        "hr",
+        "n",
+        F.round(F.col("n").cast("double") / mean, 6).alias("rate_ratio"),
+        (F.col("n").cast("double") > F.lit(2.0) * mean).alias("is_spike"),
+    )
+
+
+@_register(
     "topn_exact_heavy",
     """
     SELECT event_type AS item, COUNT(*) AS frequency

@@ -84,6 +84,12 @@ SUBSET = [
     "dedup_bloom_incremental",
     "search_bm25",
     "search_tfidf",
+    "events_rate_anomaly",
+    "topn_exact_heavy",
+    "dedup_exact_best",
+    "text_bigram_logprob",
+    "pipeline_quality_deciles",
+    "pipeline_profile_docs",
 ]
 
 def _near_auto(spark, sf_dir):
