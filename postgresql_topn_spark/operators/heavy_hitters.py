@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from postgresql_topn_spark.functions.sketch import _col
@@ -82,15 +82,25 @@ def exact_heavy_hitters(
     candidates = (
         src.mapInPandas(_mg_partition(k), "__item string").distinct()
     )
-    counted = (
-        src.join(F.broadcast(candidates), "__item")
-        .groupBy("__item")
-        .agg(F.count(F.lit(1)).alias("__n"))
+    # Pass 2 counts candidates AND the grand total in ONE scan: rows
+    # whose item is not a candidate collapse into a single NULL-keyed
+    # group (its count partial-combines to one row per task, so the
+    # "everything else" group is never a reducer hot spot), and
+    # total = sum over all groups.
+    flagged = src.join(
+        F.broadcast(candidates.withColumn("__cand", F.lit(True))),
+        "__item",
+        "left",
     )
-    total = src.count()
+    grouped = flagged.groupBy(
+        F.when(F.col("__cand"), F.col("__item")).alias("__key")
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    total = F.sum("__n").over(Window.partitionBy())
     return (
-        counted.where(F.col("__n") * k > F.lit(total))
-        .select(
-            F.col("__item").alias(out_item), F.col("__n").alias(out_freq)
+        grouped.withColumn("__total", total)
+        .where(
+            F.col("__key").isNotNull()
+            & (F.col("__n") * k > F.col("__total"))
         )
+        .select(F.col("__key").alias(out_item), F.col("__n").alias(out_freq))
     )
