@@ -127,7 +127,10 @@ def bloom_union_rollup(
     gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
     out = out_col or sketch_col
     lst = F.collect_list(_col(sketch_col))
-    zero = F.transform(F.element_at(lst, 1), lambda v: F.lit(0).cast("bigint"))
+    # try_element_at: all-NULL groups collect empty -> NULL merge, no crash
+    zero = F.transform(
+        F.try_element_at(lst, F.lit(1)), lambda v: F.lit(0).cast("bigint")
+    )
     merged = F.aggregate(
         lst, zero, lambda acc, x: F.zip_with(acc, x, lambda p, q: p.bitwiseOR(q))
     )

@@ -113,7 +113,11 @@ def cms_union_rollup(
     gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
     out = out_col or sketch_col
     lst = F.collect_list(_col(sketch_col))
-    zero = F.transform(F.element_at(lst, 1), lambda v: F.lit(0).cast("bigint"))
+    # try_element_at: a group whose sketches are ALL NULL collects an
+    # empty list — its zero (and so its merge) is NULL, not a crash
+    zero = F.transform(
+        F.try_element_at(lst, F.lit(1)), lambda v: F.lit(0).cast("bigint")
+    )
     merged = F.aggregate(
         lst, zero, lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q)
     )

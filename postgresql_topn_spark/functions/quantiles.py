@@ -69,9 +69,10 @@ def kll_union_rollup(
     gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
     out = out_col or sketch_col
     lst = F.collect_list(_col(sketch_col))
+    # try_element_at: all-NULL groups collect empty -> NULL merge, no crash
     folded = F.aggregate(
         F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
-        F.element_at(lst, 1),
+        F.try_element_at(lst, F.lit(1)),
         lambda acc, x: _call("kll_sketch_merge_double", acc, x),
     )
     return df.groupBy(*gcols).agg(folded.alias(out))

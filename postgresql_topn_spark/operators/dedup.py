@@ -320,12 +320,14 @@ def exact_dedup(
             F.min(_col(id_col)).alias("keeper_id"),
             F.count(F.lit(1)).alias("dup_count"),
         )
-    # struct ordering is lexicographic: quality DESC then id ASC via
-    # (quality, -id) max; NULL quality coalesces to -inf
-    q = F.coalesce(_col(quality).cast("double"), F.lit(float("-inf")))
-    ranked = F.struct(q.alias("q"), (-_col(id_col)).alias("nid"))
+    # struct ordering is lexicographic: MIN of (-quality, id) gives
+    # quality DESC then id ASC without negating the id, so string ids
+    # work exactly like the default path; NULL quality negates to +inf
+    # and loses to every non-NULL one
+    nq = -F.coalesce(_col(quality).cast("double"), F.lit(float("-inf")))
+    ranked = F.struct(nq.alias("nq"), _col(id_col).alias("id"))
     return keyed.agg(
-        (-F.max(ranked)["nid"]).alias("keeper_id"),
+        F.min(ranked)["id"].alias("keeper_id"),
         F.count(F.lit(1)).alias("dup_count"),
     )
 

@@ -18,10 +18,8 @@ equality with the plain join is pytest-pinned.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from postgresql_topn_spark.functions.sketch import _col
 
 
 def salted_join(
@@ -31,20 +29,24 @@ def salted_join(
     *,
     n_salts: int = 16,
     how: str = "inner",
+    seed: int = 0,
 ) -> DataFrame:
     """Equi-join `skewed` with `other` on column `on`, spreading each
-    join key over `n_salts` sub-keys. The salt is derived from the
-    skewed side's whole row (xxhash64 of all columns) — deterministic
-    for a given row, uniform across identical hot-key rows, and
-    independent of partitioning (no monotonically_increasing_id
-    nondeterminism). Supported `how`: inner / left — shapes where the
-    skewed side drives the result."""
+    join key over `n_salts` sub-keys. The salt is `rand(seed)`-derived:
+    exact-duplicate hot-key rows still spread uniformly (a row-hash
+    salt would send identical rows — the common post-projection log
+    shape — to one salt and silently no-op the mitigation). rand is
+    per-partition-seeded, so task retries recompute identical salts
+    within a job; the JOIN RESULT is salt-independent anyway (every
+    salt joins the same replicated other-side row), only the spread
+    varies. Supported `how`: inner / left — shapes where the skewed
+    side drives the result."""
     if n_salts < 1:
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     s = skewed.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[_col(c) for c in skewed.columns]), F.lit(n_salts))
+        "__salt", (F.rand(seed) * n_salts).cast("int")
     )
     o = other.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))

@@ -282,14 +282,19 @@ def resize_pixels(
             for w, h, c, px in zip(
                 pdf["width"], pdf["height"], pdf["channels"], pdf[pixels_col]
             ):
-                if px is None or pd.isna(w):
+                # same contract as decode: an inconsistent row (user
+                # decoder returning len(px) != w*h*c, NULL dims with
+                # pixels, ...) becomes a NULL row, never a dead scan
+                try:
+                    if px is None or pd.isna(w) or pd.isna(h) or pd.isna(c):
+                        raise ValueError("incomplete row")
+                    w, h, c = int(w), int(h), int(c)
+                    a = np.asarray(list(px), dtype=np.uint8).reshape(h, w, c)
+                    ys = ((np.arange(out_h) + 0.5) * h / out_h).astype(int)
+                    xs = ((np.arange(out_w) + 0.5) * w / out_w).astype(int)
+                    res.append(a[ys][:, xs].reshape(-1).tolist())
+                except (ValueError, TypeError):
                     res.append(None)
-                    continue
-                w, h, c = int(w), int(h), int(c)
-                a = np.asarray(list(px), dtype=np.uint8).reshape(h, w, c)
-                ys = ((np.arange(out_h) + 0.5) * h / out_h).astype(int)
-                xs = ((np.arange(out_w) + 0.5) * w / out_w).astype(int)
-                res.append(a[ys][:, xs].reshape(-1).tolist())
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],

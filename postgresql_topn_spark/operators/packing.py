@@ -138,15 +138,17 @@ def chunk_documents(
             f"overlap must be in [0, chunk_len), got {overlap} vs {chunk_len}"
         )
     stride = chunk_len - overlap
-    toks = F.split(F.trim(_col(text_col)), r"\s+")
+    from postgresql_topn_spark.operators.text import tokens as _tokens
+
+    # filter the phantom empty token a leading tab/newline produces
+    # (F.trim strips spaces only), so offsets and n_tok count REAL
+    # tokens and whitespace-only docs of any kind yield zero chunks
+    toks = F.filter(_tokens(_col(text_col)), lambda t: t != "")
     base = docs.select(
         id_col,
         toks.alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
-    nonempty = base.where(
-        (F.col("__n") > 1)
-        | ((F.col("__n") == 1) & (F.element_at("__toks", 1) != ""))
-    )
+    nonempty = base.where(F.col("__n") > 0)
     starts = F.explode(
         F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
     ).alias("start_tok")

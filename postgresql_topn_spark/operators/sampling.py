@@ -103,6 +103,10 @@ def temperature_mix(
         raise ValueError(f"temperature must be positive, got {temperature}")
     alpha = 1.0 / float(temperature)
 
+    # NULL strata are excluded OUTRIGHT (they can never join a rate row,
+    # so letting them into the counts would silently deflate every other
+    # stratum's share of the target via an inflated normalizer)
+    df = df.where(_col(strata).isNotNull())
     counts = df.groupBy(_col(strata).alias("__s")).agg(
         F.count("*").alias("__n")
     )

@@ -869,7 +869,9 @@ def auto_lsh_params(
     p = (1.0 - math.acos(t) / math.pi) ** r
     if p >= 1.0:
         return 1, r
-    L = math.ceil(math.log(1.0 - recall) / math.log(1.0 - p))
+    # log1p: for tiny p, log(1.0 - p) rounds to log(1.0) == 0 and the
+    # division blows up; log1p(-p) keeps full precision down to p ~ 1e-300
+    L = math.ceil(math.log(1.0 - recall) / math.log1p(-p))
     return max(1, min(max_tables, L)), r
 
 

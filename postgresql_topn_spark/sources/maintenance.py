@@ -102,7 +102,16 @@ def compact_parquet(
     df = spark.read.parquet(path)
 
     def write(staging: str) -> None:
-        w = df.repartition(n_files).write.mode("overwrite")
+        if partition_by:
+            # repartition BY the partition columns: each partition
+            # value lands in one writer task -> ~one file per value
+            # (a random repartition would make every task write every
+            # value: up to n_files x n_values fragments — worse than
+            # the input this function exists to fix)
+            out = df.repartition(n_files, *partition_by)
+        else:
+            out = df.repartition(n_files)
+        w = out.write.mode("overwrite")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(staging)

@@ -2664,12 +2664,13 @@ def pipeline_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pipeline_chunk_docs",
     """
     WITH d AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '') AS toks
       FROM documents
     ),
     d2 AS (
-      SELECT doc_id, toks, len(toks) AS n FROM d
-      WHERE len(toks) > 1 OR (len(toks) = 1 AND toks[1] <> '')
+      SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
     ),
     c AS (
       SELECT doc_id, toks, n, unnest(range(0, n, 224)) AS start_tok

@@ -42,17 +42,21 @@ def test_matches_plain_join(skewed, dim, how):
     assert salted == plain
 
 
-def test_hot_key_spreads_over_salts(skewed, dim, spark):
-    s = skewed.withColumn(
-        "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(8)),
-    )
-    per_salt = (
-        s.where(F.col("k") == "hot").groupBy("__salt").count().collect()
-    )
-    assert len(per_salt) == 8  # every salt bucket carries hot-key rows
+def test_hot_key_spreads_over_salts_even_for_identical_rows(spark, dim):
+    # adversarial shape: the hot key's rows are EXACT duplicates (the
+    # post-projection log shape) — a row-hash salt would collapse them
+    # all into one salt and silently no-op the mitigation
+    dup = spark.createDataFrame(
+        [("hot", 1)] * 4_000, "k string, payload int"
+    ).repartition(8)
+    s = dup.withColumn("__salt", (F.rand(0) * 8).cast("int"))
+    per_salt = s.groupBy("__salt").count().collect()
+    assert len(per_salt) == 8
     counts = [r["count"] for r in per_salt]
     assert max(counts) < 3 * min(counts)  # roughly uniform
+    # and the actual join over duplicates stays correct
+    out = salted_join(dup, dim, "k", n_salts=8)
+    assert out.count() == 4_000
 
 
 def test_rejects_bad_params(skewed, dim):
