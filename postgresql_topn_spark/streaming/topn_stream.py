@@ -382,3 +382,100 @@ def kmv_streaming_state(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_bloom_dedup(
+    stream_df,
+    key,
+    *,
+    out_path: str,
+    bloom_path: str,
+    m_bits: int = 1 << 20,
+    depth: int = 3,
+    checkpoint: str | None = None,
+    key_col: str = "content_key",
+):
+    """Streaming dedup against ALL history in FIXED memory: a single
+    Bloom filter (m_bits/8 bytes, total) accumulates every key ever
+    admitted; each micro-batch (1) drops rows whose key probes present
+    (definitely-new rows never drop — no false negatives), (2) dedups
+    within the batch (first row per key), (3) appends survivors to
+    `out_path` and ORs their keys into the filter at `bloom_path`.
+
+    Contrast the engine alternatives: `dropDuplicates` state grows with
+    distinct-key cardinality forever; `dropDuplicatesWithinWatermark`
+    bounds state by FORGETTING old keys (late duplicates re-admit).
+    The Bloom trades the opposite way — it never forgets, never grows,
+    and the price is a known false-POSITIVE rate ((set-bit
+    fraction)^depth): a fresh row can be wrongly dropped. That trade is
+    the right one for corpus ingestion (a rare lost fresh doc is cheap;
+    a duplicate slipped into training data is not), and the rate is
+    sized by m_bits against expected corpus cardinality.
+
+    foreachBatch read-modify-writes the filter — safe because a
+    streaming query executes batches strictly sequentially. Returns
+    the DataStreamWriter (caller picks trigger/start)."""
+    import os
+
+    from postgresql_topn_spark.functions.bloom import (
+        bloom_add_agg,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    def write_batch(batch_df, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        keyed = batch_df.withColumn(key_col, _col(key))
+        have_filter = os.path.exists(bloom_path)
+        if have_filter:
+            seen = spark.read.parquet(bloom_path)
+            fresh = keyed.crossJoin(F.broadcast(seen)).where(
+                ~bloom_might_contain(
+                    "bloom", key_col, m_bits=m_bits, depth=depth
+                )
+            ).drop("bloom")
+        else:
+            fresh = keyed
+        fresh = fresh.dropDuplicates([key_col])
+        # admit survivors, then fold their keys into the filter
+        fresh.persist()
+        try:
+            if fresh.isEmpty():
+                # an all-duplicates batch must leave the accumulated
+                # filter UNTOUCHED (an empty delta aggregate would
+                # otherwise overwrite it with zero rows)
+                return
+            fresh.write.mode("append").parquet(out_path)
+            delta = bloom_add_agg(
+                fresh.select(key_col).withColumn("__g", F.lit(1)),
+                ["__g"],
+                key_col,
+                m_bits=m_bits,
+                depth=depth,
+            ).select("bloom")
+            if have_filter:
+                merged = (
+                    delta.crossJoin(
+                        F.broadcast(
+                            spark.read.parquet(bloom_path).select(
+                                F.col("bloom").alias("__old")
+                            )
+                        )
+                    )
+                    .select(bloom_merge("bloom", "__old").alias("bloom"))
+                )
+            else:
+                merged = delta
+            staging = bloom_path + ".next"
+            merged.coalesce(1).write.mode("overwrite").parquet(staging)
+            import shutil
+
+            shutil.rmtree(bloom_path, ignore_errors=True)
+            os.rename(staging, bloom_path)
+        finally:
+            fresh.unpersist()
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer

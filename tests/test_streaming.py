@@ -392,3 +392,54 @@ def test_kmv_streaming_state_matches_batch(spark, events_stream_dir, tmp_path):
         ).collect()
     }
     assert final == want
+
+
+def test_stream_bloom_dedup_drops_history_dups(spark, tmp_path):
+    """Bloom-state streaming dedup: duplicates of keys admitted in ANY
+    earlier batch are dropped (no false negatives), survivors match
+    the batch distinct-key set minus possible (here: zero, sized
+    filter) false positives, and the filter file advances per batch."""
+    from postgresql_topn_spark.streaming.topn_stream import stream_bloom_dedup
+
+    src_dir = str(tmp_path / "in")
+    # 3 files -> 3 micro-batches with heavy cross-batch overlap
+    rows = [(i, f"doc{i % 40}") for i in range(300)]
+    df = spark.createDataFrame(rows, "i long, content string")
+    df.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(df.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out_path = str(tmp_path / "out")
+    bloom_path = str(tmp_path / "bloom")
+    q = (
+        stream_bloom_dedup(
+            stream,
+            F.col("content"),
+            out_path=out_path,
+            bloom_path=bloom_path,
+            m_bits=1 << 14,
+            checkpoint=str(tmp_path / "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    admitted = spark.read.parquet(out_path)
+    keys = [r["content_key"] for r in admitted.select("content_key").collect()]
+    # every distinct key admitted exactly once, across ALL batches
+    assert sorted(keys) == sorted({f"doc{i}" for i in range(40)})
+    # the accumulated filter rejects every known key on a fresh probe
+    from postgresql_topn_spark.functions.bloom import bloom_might_contain
+
+    seen = spark.read.parquet(bloom_path)
+    probes = spark.createDataFrame(
+        [(f"doc{i}",) for i in range(40)], "content_key string"
+    )
+    n_hit = (
+        probes.crossJoin(F.broadcast(seen))
+        .where(bloom_might_contain("bloom", "content_key", m_bits=1 << 14))
+        .count()
+    )
+    assert n_hit == 40
