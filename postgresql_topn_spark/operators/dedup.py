@@ -311,9 +311,11 @@ def exact_dedup(
     Default keeper = min id (deterministic, cheap). With `quality` the
     keeper is the HIGHEST-quality duplicate (ties -> min id) — the
     policy real curation pipelines want when duplicates differ in
-    extraction cleanliness: implemented as a max_by over a
-    (quality, -id)-ordered struct, still ONE aggregate — no window, no
-    second shuffle. NULL quality sorts below every non-NULL one."""
+    extraction cleanliness: implemented as a MIN over a
+    (-quality, id)-ordered struct (quality DESC, id ASC — ids keep
+    their own type, strings included), still ONE aggregate — no
+    window, no second shuffle. NULL quality sorts below every
+    non-NULL one."""
     keyed = df.groupBy(_col(key).alias("content_key"))
     if quality is None:
         return keyed.agg(

@@ -293,7 +293,9 @@ def resize_pixels(
                     ys = ((np.arange(out_h) + 0.5) * h / out_h).astype(int)
                     xs = ((np.arange(out_w) + 0.5) * w / out_w).astype(int)
                     res.append(a[ys][:, xs].reshape(-1).tolist())
-                except (ValueError, TypeError):
+                except (ValueError, TypeError, IndexError):
+                    # IndexError: a zero-height/width image is
+                    # self-consistent (0 == w*h*c) but unsampleable
                     res.append(None)
             yield pd.DataFrame(
                 {

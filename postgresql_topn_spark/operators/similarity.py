@@ -869,6 +869,10 @@ def auto_lsh_params(
     p = (1.0 - math.acos(t) / math.pi) ** r
     if p >= 1.0:
         return 1, r
+    if p <= 0.0:
+        # pow underflow at threshold ~ -1: no table count can reach the
+        # recall target — return the cap instead of dividing by log(1)
+        return max_tables, r
     # log1p: for tiny p, log(1.0 - p) rounds to log(1.0) == 0 and the
     # division blows up; log1p(-p) keeps full precision down to p ~ 1e-300
     L = math.ceil(math.log(1.0 - recall) / math.log1p(-p))

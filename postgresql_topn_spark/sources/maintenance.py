@@ -86,7 +86,8 @@ def compact_parquet(
     partition_by: tuple[str, ...] = (),
 ) -> int:
     """Rewrite a parquet directory into ~target_file_mb output files.
-    Returns the number of files written. File count is derived from the
+    Returns the TARGET output file count (per-partition-dir counts can
+    differ when `partition_by` spreads it). The target derives from the
     measured on-disk input size, so growth in the table automatically
     raises the output fan-out."""
     if target_file_mb < 1:
@@ -103,12 +104,19 @@ def compact_parquet(
 
     def write(staging: str) -> None:
         if partition_by:
-            # repartition BY the partition columns: each partition
-            # value lands in one writer task -> ~one file per value
-            # (a random repartition would make every task write every
-            # value: up to n_files x n_values fragments — worse than
-            # the input this function exists to fix)
-            out = df.repartition(n_files, *partition_by)
+            # repartition by (partition cols, salt): a value's rows land
+            # in ~files-per-value tasks -> bounded files per value AND no
+            # single-task straggler for a giant value. (Hashing only the
+            # partition cols collapses each value to one writer; a random
+            # repartition makes every task write every value: n_files x
+            # n_values fragments — worse than the input.)
+            n_vals = df.select(*partition_by).distinct().count()
+            per_val = max(1, round(n_files / max(n_vals, 1)))
+            out = (
+                df.withColumn("__salt", (F.rand(0) * per_val).cast("int"))
+                .repartition(n_files, *partition_by, "__salt")
+                .drop("__salt")
+            )
         else:
             out = df.repartition(n_files)
         w = out.write.mode("overwrite")

@@ -394,13 +394,30 @@ def stream_bloom_dedup(
     depth: int = 3,
     checkpoint: str | None = None,
     key_col: str = "content_key",
+    keep_versions: int = 2,
 ):
     """Streaming dedup against ALL history in FIXED memory: a single
     Bloom filter (m_bits/8 bytes, total) accumulates every key ever
     admitted; each micro-batch (1) drops rows whose key probes present
     (definitely-new rows never drop — no false negatives), (2) dedups
-    within the batch (first row per key), (3) appends survivors to
-    `out_path` and ORs their keys into the filter at `bloom_path`.
+    within the batch (first row per key; NULL keys are dropped outright
+    — they cannot be deduplicated against a filter), (3) writes
+    survivors under ``out_path/batch_id=N`` and ORs their keys into a
+    NEW filter version at ``bloom_path/v=N``.
+
+    Crash/replay safety (foreachBatch is at-least-once, never assume
+    exactly-once):
+    - output is keyed by batch_id with dynamic partition OVERWRITE, so
+      a replayed batch rewrites its own partition instead of appending
+      duplicates;
+    - the filter is versioned, never swapped in place: a replay
+      overwrites the same ``v=N`` dir (OR-ing the same keys is
+      idempotent), a crash between output and filter writes replays
+      into the identical state, and there is no rename window that can
+      destroy accumulated history. Older versions are pruned
+      best-effort after a successful write (``keep_versions``).
+    - all filesystem ops go through the Hadoop FileSystem API, so any
+      Spark-supported scheme (file/hdfs/s3a/...) works.
 
     Contrast the engine alternatives: `dropDuplicates` state grows with
     distinct-key cardinality forever; `dropDuplicatesWithinWatermark`
@@ -412,23 +429,42 @@ def stream_bloom_dedup(
     a duplicate slipped into training data is not), and the rate is
     sized by m_bits against expected corpus cardinality.
 
-    foreachBatch read-modify-writes the filter — safe because a
-    streaming query executes batches strictly sequentially. Returns
-    the DataStreamWriter (caller picks trigger/start)."""
-    import os
-
+    Returns the DataStreamWriter (caller picks trigger/start)."""
     from postgresql_topn_spark.functions.bloom import (
         bloom_add_agg,
         bloom_merge,
         bloom_might_contain,
     )
 
+    def _fs(spark, path: str):
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+    def _versions(spark) -> list[int]:
+        fs, jpath = _fs(spark, bloom_path)
+        if not fs.exists(jpath):
+            return []
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if name.startswith("v="):
+                try:
+                    out.append(int(name[2:]))
+                except ValueError:
+                    pass
+        return sorted(out)
+
     def write_batch(batch_df, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        keyed = batch_df.withColumn(key_col, _col(key))
-        have_filter = os.path.exists(bloom_path)
+        keyed = batch_df.withColumn(key_col, _col(key)).where(
+            F.col(key_col).isNotNull()
+        )
+        versions = [v for v in _versions(spark) if v < batch_id]
+        have_filter = bool(versions)
         if have_filter:
-            seen = spark.read.parquet(bloom_path)
+            current = f"{bloom_path}/v={versions[-1]}"
+            seen = spark.read.parquet(current)
             fresh = keyed.crossJoin(F.broadcast(seen)).where(
                 ~bloom_might_contain(
                     "bloom", key_col, m_bits=m_bits, depth=depth
@@ -436,16 +472,21 @@ def stream_bloom_dedup(
             ).drop("bloom")
         else:
             fresh = keyed
-        fresh = fresh.dropDuplicates([key_col])
-        # admit survivors, then fold their keys into the filter
+        fresh = fresh.dropDuplicates([key_col]).withColumn(
+            "batch_id", F.lit(batch_id)
+        )
         fresh.persist()
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             if fresh.isEmpty():
-                # an all-duplicates batch must leave the accumulated
-                # filter UNTOUCHED (an empty delta aggregate would
-                # otherwise overwrite it with zero rows)
+                # an all-duplicates batch leaves the filter untouched
                 return
-            fresh.write.mode("append").parquet(out_path)
+            # replay-idempotent: a re-run of batch N overwrites ONLY
+            # its own batch_id partition
+            fresh.write.mode("overwrite").partitionBy("batch_id").parquet(
+                out_path
+            )
             delta = bloom_add_agg(
                 fresh.select(key_col).withColumn("__g", F.lit(1)),
                 ["__g"],
@@ -457,7 +498,7 @@ def stream_bloom_dedup(
                 merged = (
                     delta.crossJoin(
                         F.broadcast(
-                            spark.read.parquet(bloom_path).select(
+                            spark.read.parquet(current).select(
                                 F.col("bloom").alias("__old")
                             )
                         )
@@ -466,13 +507,17 @@ def stream_bloom_dedup(
                 )
             else:
                 merged = delta
-            staging = bloom_path + ".next"
-            merged.coalesce(1).write.mode("overwrite").parquet(staging)
-            import shutil
-
-            shutil.rmtree(bloom_path, ignore_errors=True)
-            os.rename(staging, bloom_path)
+            merged.coalesce(1).write.mode("overwrite").parquet(
+                f"{bloom_path}/v={batch_id}"
+            )
+            # best-effort prune of stale versions (crash here only
+            # leaves extra versions around)
+            fs, _ = _fs(spark, bloom_path)
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+            for v in versions[: max(0, len(versions) - (keep_versions - 1))]:
+                fs.delete(jvm_path(f"{bloom_path}/v={v}"), True)
         finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             fresh.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("update")

@@ -2214,8 +2214,8 @@ def dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-token prefix fingerprint keep their HIGHEST-quality member
     (n_chars here; ties -> min id) — the canonical-keeper policy real
     curation uses when duplicates differ in extraction cleanliness.
-    One aggregate, one shuffle: the keeper is a max_by over a
-    (quality, -id) struct, no window over raw rows; the oracle replays
+    One aggregate, one shuffle: the keeper is a min over a
+    (-quality, id) struct, no window over raw rows; the oracle replays
     the policy with a rank."""
     from postgresql_topn_spark.operators.dedup import exact_dedup
     from postgresql_topn_spark.operators.text import tokens

@@ -432,8 +432,14 @@ def test_stream_bloom_dedup_drops_history_dups(spark, tmp_path):
     assert sorted(keys) == sorted({f"doc{i}" for i in range(40)})
     # the accumulated filter rejects every known key on a fresh probe
     from postgresql_topn_spark.functions.bloom import bloom_might_contain
+    import glob as _glob
+    import os as _os
 
-    seen = spark.read.parquet(bloom_path)
+    latest = max(
+        _glob.glob(_os.path.join(bloom_path, "v=*")),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
+    )
+    seen = spark.read.parquet(latest)
     probes = spark.createDataFrame(
         [(f"doc{i}",) for i in range(40)], "content_key string"
     )
