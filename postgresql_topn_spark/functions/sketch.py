@@ -192,6 +192,29 @@ def _sat_add(a: Column, b: Column) -> Column:
     return F.coalesce(F.try_add(a, b), F.lit(INT64_MAX))
 
 
+def topn_others_count(
+    sketch: Column | str, n: int, counters: int | None = None
+) -> Column:
+    """Total frequency mass OUTSIDE the top *n* — the "everything
+    else" bucket a dashboard shows next to the top slices. For Tier-1
+    (un-evicted) sketches this is exact: sum of all frequencies minus
+    the top-n sum; both folds run over the already-sorted entry array
+    (pure expressions, no extra aggregation). Same n-vs-counters
+    validation as topn()."""
+    top = topn_entries(sketch, n, counters)
+    total = F.aggregate(
+        sketch_entries(sketch),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + e["frequency"],
+    )
+    head = F.aggregate(
+        top,
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + e["frequency"],
+    )
+    return total - head
+
+
 def topn_add(
     sketch: Column | str,
     item: Column | str,

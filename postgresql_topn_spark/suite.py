@@ -2700,6 +2700,49 @@ def pipeline_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topn_with_others",
+    """
+    WITH c AS (
+      SELECT CAST(year(ts) AS INT) AS yr, event_type AS item,
+             COUNT(event_type) AS frequency
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY year(ts), event_type
+    ),
+    r AS (
+      SELECT yr, item, frequency,
+             ROW_NUMBER() OVER (PARTITION BY yr
+                                ORDER BY frequency DESC, item ASC) AS rn
+      FROM c
+    )
+    SELECT yr, item, frequency FROM r WHERE rn <= 2
+    UNION ALL
+    SELECT yr, '(others)' AS item,
+           CAST(sum(frequency) AS BIGINT) AS frequency
+    FROM r WHERE rn > 2 GROUP BY yr
+    """,
+)
+def topn_with_others(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-n plus the '(others)' bucket — the dashboard presentation
+    the reference's users build around topn(): per year, the top-2
+    event types AND the exact total mass of everything else, both read
+    from ONE per-year sketch (total-minus-head folds over the sorted
+    entry array; no second aggregation over raw rows)."""
+    from postgresql_topn_spark.functions.sketch import topn_others_count
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = topn_add_agg(
+        ev, [F.year("ts").alias("yr")], "event_type", counters=C
+    )
+    top = explode_topn(sk, "topn", 2, keep=["yr"], counters=C)
+    others = sk.select(
+        "yr",
+        F.lit("(others)").alias("item"),
+        topn_others_count("topn", 2, counters=C).alias("frequency"),
+    ).where(F.col("frequency") > 0)
+    return top.unionByName(others)
+
+
+@_register(
     "events_rate_anomaly",
     """
     WITH hourly AS (

@@ -206,3 +206,37 @@ class TestSketchDiff:
         assert d0 == [("a", 5, 2, -3), ("b", 1, 0, -1), ("c", 0, 7, 7)]
         d1 = [(e.item, e.freq_a, e.freq_b, e.delta) for e in rows[1].d]
         assert d1 == [("x", 0, 1, 1)]
+
+
+class TestTopnOthersCount:
+    def test_total_minus_head(self, spark):
+        from postgresql_topn_spark.functions.sketch import topn_others_count
+
+        df = spark.createDataFrame(
+            [({"a": 10, "b": 5, "c": 2, "d": 1},)],
+            "sk map<string,bigint>",
+        )
+        got = df.select(
+            topn_others_count("sk", 2, counters=100).alias("o")
+        ).collect()[0]["o"]
+        assert got == 3  # c + d
+
+    def test_n_covers_all_and_null(self, spark):
+        from postgresql_topn_spark.functions.sketch import topn_others_count
+
+        df = spark.createDataFrame(
+            [({"a": 7},), (None,)], "sk map<string,bigint>"
+        )
+        rows = df.select(
+            topn_others_count("sk", 5, counters=100).alias("o")
+        ).collect()
+        assert rows[0]["o"] == 0
+        assert rows[1]["o"] is None
+
+    def test_validates_n_vs_counters(self, spark):
+        import pytest as _pytest
+
+        from postgresql_topn_spark.functions.sketch import topn_others_count
+
+        with _pytest.raises(ValueError, match="greater than"):
+            topn_others_count("sk", 11, counters=10)
