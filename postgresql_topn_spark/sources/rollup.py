@@ -82,3 +82,40 @@ def query_topn_rollup(
     """Merge rollup rows per *group_cols* (e.g. month from daily buckets,
     or a constant for a grand total) — the read-side topn_union_agg."""
     return topn_union_agg(rollup, list(group_cols), "topn", counters=counters)
+
+
+def write_sketch_rollup(
+    df: DataFrame,
+    path: str,
+    partition_names: Sequence[str],
+    *,
+    mode: str = "overwrite",
+) -> None:
+    """Persist ANY mergeable-family rollup (KMV/CMS/Bloom array<bigint>
+    rows, HLL/KLL binary rows, topn JSON rows) partitioned by its time/
+    shard grain — the same layout contract as write_topn_rollup:
+    appends add delta rows (each family's merge law makes them
+    equivalent to one big build), interval reads prune partitions, and
+    sources/maintenance-style compaction folds deltas back down."""
+    if not partition_names:
+        raise ValueError("partition_names must be non-empty")
+    df.write.mode(mode).partitionBy(*list(partition_names)).parquet(path)
+
+
+def read_sketch_rollup(
+    spark: SparkSession,
+    path: str,
+    partition_names: Sequence[str],
+) -> DataFrame:
+    """Load a sketch rollup; validates the partition grain so a
+    mismatch fails at load, not in the first downstream filter.
+    Filters on the partition columns prune to the interval's files
+    (PartitionFilters — asserted in tests/test_rollup.py)."""
+    df = spark.read.parquet(path)
+    missing = [c for c in partition_names if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"rollup at {path} lacks partition columns {missing}; "
+            f"found {df.columns}"
+        )
+    return df

@@ -95,3 +95,61 @@ def test_rollup_custom_bucket_name(spark, tmp_path):
     assert got["2024-01-02"] == {"a": 1}
     with pytest.raises(ValueError, match="no bucket column"):
         read_topn_rollup(spark, path, bucket_name="bucket")
+
+
+def test_generic_sketch_rollup_kmv_pruned_interval_reads(spark, sf_dir, tmp_path):
+    """KMV rollup rows written partitioned by month: an interval read
+    plans PartitionFilters (only the interval's files are touched) and
+    the interval merge equals a direct build over the interval's raw
+    rows (the KMV merge law)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_topn_spark.functions.kmv import kmv_add_agg, kmv_union_rollup
+    from postgresql_topn_spark.sources.rollup import (
+        read_sketch_rollup,
+        write_sketch_rollup,
+    )
+    from postgresql_topn_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type").isNotNull())
+    monthly = kmv_add_agg(
+        ev,
+        [F.date_format("ts", "yyyy-MM").alias("mon"), "event_type"],
+        F.col("user_id").cast("string"),
+        k=32,
+    )
+    path = str(tmp_path / "kmv_rollup")
+    write_sketch_rollup(monthly, path, ["mon"])
+
+    rollup = read_sketch_rollup(spark, path, ["mon"])
+    interval = rollup.where(F.col("mon") <= "2024-03")
+    plan = interval._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "mon" in plan.split("PartitionFilters", 1)[1][:120]
+
+    merged = kmv_union_rollup(interval, ["event_type"], "kmv", k=32)
+    direct = kmv_add_agg(
+        ev.where(F.date_format("ts", "yyyy-MM") <= "2024-03"),
+        ["event_type"],
+        F.col("user_id").cast("string"),
+        k=32,
+    )
+    got = {r["event_type"]: list(r["kmv"]) for r in merged.collect()}
+    want = {r["event_type"]: list(r["kmv"]) for r in direct.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_generic_sketch_rollup_validates_grain(spark, tmp_path):
+    import pytest as _pytest
+
+    from postgresql_topn_spark.sources.rollup import (
+        read_sketch_rollup,
+        write_sketch_rollup,
+    )
+
+    df = spark.createDataFrame([(1, "a", [1, 2])], "day int, g string, kmv array<bigint>")
+    path = str(tmp_path / "r")
+    write_sketch_rollup(df, path, ["day"])
+    with _pytest.raises(ValueError, match="lacks partition columns"):
+        read_sketch_rollup(spark, path, ["week"])
+    with _pytest.raises(ValueError):
+        write_sketch_rollup(df, path, [])
