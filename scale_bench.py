@@ -86,6 +86,7 @@ SUBSET = [
     "search_tfidf",
     "events_rate_anomaly",
     "topn_exact_heavy",
+    "topn_with_others",
     "dedup_exact_best",
     "text_bigram_logprob",
     "pipeline_quality_deciles",
