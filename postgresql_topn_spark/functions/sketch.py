@@ -202,15 +202,17 @@ def topn_others_count(
     (pure expressions, no extra aggregation). Same n-vs-counters
     validation as topn()."""
     top = topn_entries(sketch, n, counters)
+    # saturating folds: a sketch whose counters were themselves
+    # saturated must not overflow (ANSI crash / silent wrap) here
     total = F.aggregate(
         sketch_entries(sketch),
         F.lit(0).cast("bigint"),
-        lambda acc, e: acc + e["frequency"],
+        lambda acc, e: _sat_add(acc, e["frequency"]),
     )
     head = F.aggregate(
         top,
         F.lit(0).cast("bigint"),
-        lambda acc, e: acc + e["frequency"],
+        lambda acc, e: _sat_add(acc, e["frequency"]),
     )
     return total - head
 

@@ -93,12 +93,12 @@ def compact_parquet(
     if target_file_mb < 1:
         raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
     total = 0
+    leaf_dirs: set[str] = set()
     for root, _dirs, files in os.walk(path):
-        total += sum(
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
+        pq = [f for f in files if f.endswith(".parquet")]
+        if pq:
+            total += sum(os.path.getsize(os.path.join(root, f)) for f in pq)
+            leaf_dirs.add(root)
     n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
 
@@ -109,9 +109,11 @@ def compact_parquet(
             # single-task straggler for a giant value. (Hashing only the
             # partition cols collapses each value to one writer; a random
             # repartition makes every task write every value: n_files x
-            # n_values fragments — worse than the input.)
-            n_vals = df.select(*partition_by).distinct().count()
-            per_val = max(1, round(n_files / max(n_vals, 1)))
+            # n_values fragments — worse than the input.) The value
+            # count comes FREE from the directory walk above — no extra
+            # full-table distinct job.
+            n_vals = max(len(leaf_dirs), 1)
+            per_val = max(1, round(n_files / n_vals))
             out = (
                 df.withColumn("__salt", (F.rand(0) * per_val).cast("int"))
                 .repartition(n_files, *partition_by, "__salt")

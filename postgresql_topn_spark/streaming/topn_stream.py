@@ -410,12 +410,16 @@ def stream_bloom_dedup(
     - output is keyed by batch_id with dynamic partition OVERWRITE, so
       a replayed batch rewrites its own partition instead of appending
       duplicates;
-    - the filter is versioned, never swapped in place: a replay
-      overwrites the same ``v=N`` dir (OR-ing the same keys is
-      idempotent), a crash between output and filter writes replays
-      into the identical state, and there is no rename window that can
-      destroy accumulated history. Older versions are pruned
-      best-effort after a successful write (``keep_versions``).
+    - the filter is versioned (monotonic ``v=K`` dirs, committed only
+      when their ``_SUCCESS`` marker exists), never swapped in place: a
+      replayed batch reads the latest committed version and writes a
+      fresh one whose content is identical (OR-ing the same keys is
+      idempotent), a half-written version is invisible, version
+      numbering is independent of batch ids so history survives
+      checkpoint resets, and there is no rename window that can destroy
+      accumulated history. Older versions are pruned best-effort after
+      a successful write (``keep_versions``, minimum 2 so the version a
+      replay must re-read is never deleted).
     - all filesystem ops go through the Hadoop FileSystem API, so any
       Spark-supported scheme (file/hdfs/s3a/...) works.
 
@@ -430,6 +434,10 @@ def stream_bloom_dedup(
     sized by m_bits against expected corpus cardinality.
 
     Returns the DataStreamWriter (caller picks trigger/start)."""
+    if keep_versions < 2:
+        # pruning the version a replayed batch would need to re-read
+        # destroys history on the crash path this design exists for
+        raise ValueError(f"keep_versions must be >= 2, got {keep_versions}")
     from postgresql_topn_spark.functions.bloom import (
         bloom_add_agg,
         bloom_merge,
@@ -442,17 +450,24 @@ def stream_bloom_dedup(
         return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
 
     def _versions(spark) -> list[int]:
+        """Committed filter versions: only dirs whose _SUCCESS marker
+        exists count, so a version that crashed mid-write is invisible
+        (monotonic numbering is independent of batch ids, so history
+        survives checkpoint resets/changes)."""
         fs, jpath = _fs(spark, bloom_path)
         if not fs.exists(jpath):
             return []
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
         out = []
         for st in fs.listStatus(jpath):
             name = st.getPath().getName()
             if name.startswith("v="):
                 try:
-                    out.append(int(name[2:]))
+                    v = int(name[2:])
                 except ValueError:
-                    pass
+                    continue
+                if fs.exists(jvm_path(f"{bloom_path}/v={v}/_SUCCESS")):
+                    out.append(v)
         return sorted(out)
 
     def write_batch(batch_df, batch_id: int) -> None:
@@ -460,17 +475,21 @@ def stream_bloom_dedup(
         keyed = batch_df.withColumn(key_col, _col(key)).where(
             F.col(key_col).isNotNull()
         )
-        versions = [v for v in _versions(spark) if v < batch_id]
+        versions = _versions(spark)
         have_filter = bool(versions)
         if have_filter:
-            current = f"{bloom_path}/v={versions[-1]}"
-            seen = spark.read.parquet(current)
+            # the filter column gets a private name so an input stream
+            # that itself carries a 'bloom' column cannot collide
+            seen = spark.read.parquet(
+                f"{bloom_path}/v={versions[-1]}"
+            ).select(F.col("bloom").alias("__bloom_filter"))
             fresh = keyed.crossJoin(F.broadcast(seen)).where(
                 ~bloom_might_contain(
-                    "bloom", key_col, m_bits=m_bits, depth=depth
+                    "__bloom_filter", key_col, m_bits=m_bits, depth=depth
                 )
-            ).drop("bloom")
+            ).drop("__bloom_filter")
         else:
+            seen = None
             fresh = keyed
         fresh = fresh.dropDuplicates([key_col]).withColumn(
             "batch_id", F.lit(batch_id)
@@ -488,27 +507,19 @@ def stream_bloom_dedup(
                 out_path
             )
             delta = bloom_add_agg(
-                fresh.select(key_col).withColumn("__g", F.lit(1)),
-                ["__g"],
-                key_col,
-                m_bits=m_bits,
-                depth=depth,
+                fresh.select(key_col), [], key_col, m_bits=m_bits, depth=depth
             ).select("bloom")
             if have_filter:
-                merged = (
-                    delta.crossJoin(
-                        F.broadcast(
-                            spark.read.parquet(current).select(
-                                F.col("bloom").alias("__old")
-                            )
-                        )
-                    )
-                    .select(bloom_merge("bloom", "__old").alias("bloom"))
+                # reuse the already-read filter; a replayed batch merges
+                # the same keys again, which OR makes a no-op
+                merged = delta.crossJoin(F.broadcast(seen)).select(
+                    bloom_merge("bloom", "__bloom_filter").alias("bloom")
                 )
             else:
                 merged = delta
+            new_v = (versions[-1] + 1) if versions else 0
             merged.coalesce(1).write.mode("overwrite").parquet(
-                f"{bloom_path}/v={batch_id}"
+                f"{bloom_path}/v={new_v}"
             )
             # best-effort prune of stale versions (crash here only
             # leaves extra versions around)
