@@ -130,6 +130,21 @@ def kmv_union_rollup(
     return df.groupBy(*gcols).agg(merged.alias(out))
 
 
+def kmv_union_over_window(
+    sketch: Column | str, window, *, k: int = DEFAULT_K
+) -> Column:
+    """Merge KMV sketches across a window FRAME (e.g. ROWS 6 PRECEDING
+    for a trailing-week distinct count) — the reference's hardest host
+    composition (sliding-frame topn_union_agg,
+    sql/customer_reviews_query.sql:59-68) carried to the distinct
+    algebra. Per-row work is bounded by frame_size * k longs; the
+    merge law makes the frame merge EXACTLY the sketch over the
+    frame's raw union, so rolling distinct estimates need no raw-data
+    rescan."""
+    lst = F.collect_list(_col(sketch)).over(window)
+    return F.slice(F.array_sort(F.array_distinct(F.flatten(lst))), 1, k)
+
+
 def kmv_estimate(sketch: Column | str, *, k: int = DEFAULT_K) -> Column:
     """Distinct-count estimate (double). Exact below saturation
     (|S| < k); the standard unbiased (k-1)*M/h_(k) estimator at k."""

@@ -2286,6 +2286,73 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "distinct_kmv_window_7d",
+    """
+    WITH h AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    days AS (
+      SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rk
+      FROM (SELECT DISTINCT day FROM h)
+    ),
+    win AS (
+      SELECT d2.day, h.hv
+      FROM days d2
+      JOIN days d1 ON d1.rk BETWEEN d2.rk - 6 AND d2.rk
+      JOIN h ON h.day = d1.day
+      GROUP BY d2.day, h.hv
+    ),
+    r AS (
+      SELECT day, hv,
+             ROW_NUMBER() OVER (PARTITION BY day ORDER BY hv) AS rn
+      FROM win
+    ),
+    stats AS (
+      SELECT day, count(*) AS kx, max(hv) AS hk
+      FROM r WHERE rn <= 64 GROUP BY day
+    )
+    SELECT CAST(day AS DATE) AS day,
+           round(CASE WHEN kx < 64 THEN CAST(kx AS DOUBLE)
+                      ELSE (63.0 * 1152921504606846976) / CAST(hk AS DOUBLE) END,
+                 6) AS est_users
+    FROM stats
+    """,
+)
+def distinct_kmv_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling distinct users per trailing week from PRE-BUILT daily
+    KMV sketches (ROWS 6 PRECEDING frame merge — the reference's
+    sliding-frame composition carried to the distinct algebra): the
+    frame fold touches <= 7 sketches of <= 64 longs per day, never raw
+    events, and the lossless bottom-k merge law means the oracle's
+    direct per-window computation matches value-for-value."""
+    from postgresql_topn_spark.functions.kmv import (
+        kmv_add_agg,
+        kmv_estimate,
+        kmv_union_over_window,
+    )
+
+    K = 64
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("user_id").isNotNull()
+    )
+    daily = kmv_add_agg(
+        ev,
+        [F.date_trunc("day", F.col("ts")).cast("date").alias("day")],
+        F.col("user_id").cast("string"),
+        k=K,
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    return daily.select(
+        "day",
+        F.round(
+            kmv_estimate(kmv_union_over_window("kmv", w, k=K), k=K), 6
+        ).alias("est_users"),
+    )
+
+
+@_register(
     "cms_rollup_events",
     """
     WITH ev AS (
@@ -2697,6 +2764,81 @@ def pipeline_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         docs, "doc_id", "text", chunk_len=256, overlap=32
     )
+
+
+@_register(
+    "topn_session_pairs",
+    """
+    WITH s AS (
+      SELECT user_id, event_type,
+             CAST(sum(CASE WHEN prev_ts IS NULL
+                           OR ts - prev_ts > INTERVAL 30 MINUTE
+                      THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts)
+                  AS BIGINT) AS session_idx
+      FROM (
+        SELECT user_id, ts, event_type,
+               lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+        FROM events WHERE event_type IS NOT NULL
+      ) t
+    ),
+    st AS (
+      SELECT DISTINCT user_id, session_idx, event_type FROM s
+    ),
+    pr AS (
+      SELECT a.user_id, a.session_idx,
+             a.event_type AS ta, b.event_type AS tb
+      FROM st a JOIN st b
+        ON a.user_id = b.user_id AND a.session_idx = b.session_idx
+       AND a.event_type < b.event_type
+    )
+    SELECT item, frequency FROM (
+      SELECT concat(ta, '+', tb) AS item, COUNT(*) AS frequency,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                concat(ta, '+', tb) ASC) AS rn
+      FROM pr GROUP BY concat(ta, '+', tb)
+    ) t WHERE rn <= 5
+    """,
+)
+def topn_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent co-occurrence mining over sessions: which event types
+    happen TOGETHER within a user session (the market-basket question,
+    sessions as baskets) — gap-sessionize, collapse each session to
+    its distinct-type set, explode unordered pairs with an in-array
+    nested transform (no self-join: the session row is evaluated
+    once), count pairs into a sketch, extract the global top-5. The
+    composition stacks three of the repo's operators (sessionize ->
+    pair explode -> topn_add_agg) in one declarative plan."""
+    from postgresql_topn_spark.operators.sessions import sessionize
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    sess = sessionize(ev, "user_id", "ts", gap_minutes=30)
+    types = sess.groupBy("user_id", "session_idx").agg(
+        F.array_sort(F.collect_set("event_type")).alias("tt")
+    )
+    # unordered pairs from the sorted distinct-type array: for index i,
+    # pair with every later index j (nested transform + flatten)
+    pairs = types.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("tt"),
+                    lambda x, i: F.transform(
+                        F.slice(
+                            F.col("tt"), i + 2, F.greatest(F.size("tt") - i - 1, F.lit(0))
+                        ),
+                        lambda y: F.concat(x, F.lit("+"), y),
+                    ),
+                )
+            )
+        ).alias("it")
+    )
+    sk = topn_add_agg(
+        pairs.select(F.lit(1).alias("g"), "it"), ["g"], "it", counters=C
+    )
+    return explode_topn(sk, "topn", 5, counters=C)
 
 
 @_register(

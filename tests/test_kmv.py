@@ -146,3 +146,36 @@ def test_merge_law_randomized_all_families(spark, seed):
     b_roll = bloom_union_rollup(bb, [], "bloom").collect()[0]["bloom"]
     b_direct = bloom_add_agg(one, ["g"], "item", m_bits=256, depth=3).collect()[0]["bloom"]
     assert b_roll == b_direct
+
+
+def test_window_merge_equals_direct_over_frame(spark):
+    """The ROWS-frame fold of daily sketches equals the sketch built
+    directly over the frame's raw rows — the lossless merge law under
+    a sliding window."""
+    from pyspark.sql import Window
+
+    from postgresql_topn_spark.functions.kmv import kmv_union_over_window
+
+    df = spark.range(900).select(
+        (F.col("id") % 9).alias("day"),
+        ((F.col("id") * 13) % 157).cast("string").alias("u"),
+    )
+    daily = kmv_add_agg(df, ["day"], "u", k=16)
+    w = Window.orderBy("day").rowsBetween(-2, Window.currentRow)
+    rolled = {
+        r["day"]: list(r["m"])
+        for r in daily.select(
+            "day", kmv_union_over_window("kmv", w, k=16).alias("m")
+        ).collect()
+    }
+    for d in range(9):
+        frame_days = [x for x in range(max(0, d - 2), d + 1)]
+        direct = kmv_add_agg(
+            df.where(F.col("day").isin(frame_days)).select(
+                F.lit(1).alias("g"), "u"
+            ),
+            ["g"],
+            "u",
+            k=16,
+        ).collect()[0]["kmv"]
+        assert rolled[d] == list(direct), d
