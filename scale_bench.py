@@ -87,6 +87,8 @@ SUBSET = [
     "events_rate_anomaly",
     "topn_exact_heavy",
     "topn_with_others",
+    "topn_session_pairs",
+    "distinct_kmv_window_7d",
     "dedup_exact_best",
     "text_bigram_logprob",
     "pipeline_quality_deciles",
