@@ -99,6 +99,13 @@ def kmv_add_agg(
     )
 
 
+def _merge_collected(lst: Column, k: int) -> Column:
+    """k smallest distinct values across a collected list of sketches —
+    THE merge expression, shared by the grouped rollup and the window
+    fold so the lossless-merge law lives in exactly one place."""
+    return F.slice(F.array_sort(F.array_distinct(F.flatten(lst))), 1, k)
+
+
 def kmv_merge(a: Column | str, b: Column | str, *, k: int = DEFAULT_K) -> Column:
     """Scalar two-sketch union — k smallest of the combined value sets
     (the `+` of the KMV algebra, mirroring topn_union / hll_union).
@@ -122,11 +129,7 @@ def kmv_union_rollup(
     the sketch built over the raw union (merge law above)."""
     gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
     out = out_col or sketch_col
-    merged = F.slice(
-        F.array_sort(F.array_distinct(F.flatten(F.collect_list(_col(sketch_col))))),
-        1,
-        k,
-    )
+    merged = _merge_collected(F.collect_list(_col(sketch_col)), k)
     return df.groupBy(*gcols).agg(merged.alias(out))
 
 
@@ -141,8 +144,7 @@ def kmv_union_over_window(
     merge law makes the frame merge EXACTLY the sketch over the
     frame's raw union, so rolling distinct estimates need no raw-data
     rescan."""
-    lst = F.collect_list(_col(sketch)).over(window)
-    return F.slice(F.array_sort(F.array_distinct(F.flatten(lst))), 1, k)
+    return _merge_collected(F.collect_list(_col(sketch)).over(window), k)
 
 
 def kmv_estimate(sketch: Column | str, *, k: int = DEFAULT_K) -> Column:

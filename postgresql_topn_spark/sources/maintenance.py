@@ -109,11 +109,18 @@ def compact_parquet(
             # single-task straggler for a giant value. (Hashing only the
             # partition cols collapses each value to one writer; a random
             # repartition makes every task write every value: n_files x
-            # n_values fragments — worse than the input.) The value
-            # count comes FREE from the directory walk above — no extra
-            # full-table distinct job.
-            n_vals = max(len(leaf_dirs), 1)
-            per_val = max(1, round(n_files / n_vals))
+            # n_values fragments — worse than the input.) When the input
+            # is ALREADY hive-partitioned on the same leading column the
+            # value count comes free from the directory walk; a flat or
+            # differently-laid-out input (being partitioned for the first
+            # time) pays one distinct job instead — guessing n_vals=1
+            # there would explode output fragments by per_val x n_values.
+            marker = f"{partition_by[0]}="
+            if len(leaf_dirs) > 1 and all(marker in d for d in leaf_dirs):
+                n_vals = len(leaf_dirs)
+            else:
+                n_vals = df.select(*partition_by).distinct().count()
+            per_val = max(1, round(n_files / max(n_vals, 1)))
             out = (
                 df.withColumn("__salt", (F.rand(0) * per_val).cast("int"))
                 .repartition(n_files, *partition_by, "__salt")

@@ -438,11 +438,22 @@ def stream_bloom_dedup(
         # pruning the version a replayed batch would need to re-read
         # destroys history on the crash path this design exists for
         raise ValueError(f"keep_versions must be >= 2, got {keep_versions}")
+    import hashlib
+
     from postgresql_topn_spark.functions.bloom import (
         bloom_add_agg,
         bloom_merge,
         bloom_might_contain,
     )
+
+    # Output rows are namespaced by a RUN id derived from the checkpoint
+    # location: same checkpoint (normal restarts) -> same namespace, so a
+    # replayed batch overwrites its own partition; a NEW/changed
+    # checkpoint restarts batch ids at 0, and without this a fresh run's
+    # batch 0 would dynamic-overwrite the OLD run's batch-0 partition —
+    # silent loss of already-admitted rows. With it, the old run's
+    # output stays put and the shared filter still dedups across runs.
+    run_id = hashlib.md5((checkpoint or out_path).encode()).hexdigest()[:12]
 
     def _fs(spark, path: str):
         jvm = spark._jvm
@@ -466,7 +477,11 @@ def stream_bloom_dedup(
                     v = int(name[2:])
                 except ValueError:
                     continue
-                if fs.exists(jvm_path(f"{bloom_path}/v={v}/_SUCCESS")):
+                # our own marker, written through the FS API after the
+                # parquet job: committer-independent (s3a setups often
+                # run with marksuccessfuljobs=false, which would make a
+                # _SUCCESS-only check see no version as committed, ever)
+                if fs.exists(jvm_path(f"{bloom_path}/v={v}/_COMMITTED")):
                     out.append(v)
         return sorted(out)
 
@@ -491,8 +506,10 @@ def stream_bloom_dedup(
         else:
             seen = None
             fresh = keyed
-        fresh = fresh.dropDuplicates([key_col]).withColumn(
-            "batch_id", F.lit(batch_id)
+        fresh = (
+            fresh.dropDuplicates([key_col])
+            .withColumn("run_id", F.lit(run_id))
+            .withColumn("batch_id", F.lit(batch_id))
         )
         fresh.persist()
         prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
@@ -502,10 +519,10 @@ def stream_bloom_dedup(
                 # an all-duplicates batch leaves the filter untouched
                 return
             # replay-idempotent: a re-run of batch N overwrites ONLY
-            # its own batch_id partition
-            fresh.write.mode("overwrite").partitionBy("batch_id").parquet(
-                out_path
-            )
+            # its own (run_id, batch_id) partition
+            fresh.write.mode("overwrite").partitionBy(
+                "run_id", "batch_id"
+            ).parquet(out_path)
             delta = bloom_add_agg(
                 fresh.select(key_col), [], key_col, m_bits=m_bits, depth=depth
             ).select("bloom")
@@ -521,10 +538,14 @@ def stream_bloom_dedup(
             merged.coalesce(1).write.mode("overwrite").parquet(
                 f"{bloom_path}/v={new_v}"
             )
-            # best-effort prune of stale versions (crash here only
-            # leaves extra versions around)
             fs, _ = _fs(spark, bloom_path)
             jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+            # commit marker via the FS API (committer-independent)
+            fs.create(
+                jvm_path(f"{bloom_path}/v={new_v}/_COMMITTED"), True
+            ).close()
+            # best-effort prune of stale versions (crash here only
+            # leaves extra versions around)
             for v in versions[: max(0, len(versions) - (keep_versions - 1))]:
                 fs.delete(jvm_path(f"{bloom_path}/v={v}"), True)
         finally:

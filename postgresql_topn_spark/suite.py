@@ -2779,7 +2779,8 @@ def pipeline_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (
         SELECT user_id, ts, event_type,
                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
-        FROM events WHERE event_type IS NOT NULL
+        FROM events
+        WHERE event_type IS NOT NULL AND user_id IS NOT NULL
       ) t
     ),
     st AS (
@@ -2812,7 +2813,7 @@ def topn_session_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgresql_topn_spark.operators.sessions import sessionize
 
     ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type").isNotNull()
+        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
     )
     sess = sessionize(ev, "user_id", "ts", gap_minutes=30)
     types = sess.groupBy("user_id", "session_idx").agg(
