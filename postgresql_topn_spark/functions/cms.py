@@ -124,6 +124,25 @@ def cms_union_rollup(
     return df.groupBy(*gcols).agg(merged.alias(out))
 
 
+def cms_union_over_window(
+    sketch: Column | str, window
+) -> Column:
+    """Merge CMS sketches across a window FRAME (e.g. ROWS 6 PRECEDING
+    for trailing-week point-frequency estimates) — the sliding-frame
+    composition (the reference's hardest host composition) carried to
+    the counting algebra. Element-wise addition folds the collected
+    frame; per-row work is frame_size * d * w adds, and associativity
+    makes the frame merge EXACTLY the sketch over the frame's raw
+    rows."""
+    lst = F.collect_list(_col(sketch)).over(window)
+    zero = F.transform(
+        F.try_element_at(lst, F.lit(1)), lambda v: F.lit(0).cast("bigint")
+    )
+    return F.aggregate(
+        lst, zero, lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q)
+    )
+
+
 def cms_estimate(
     sketch: Column | str,
     item: Column | str,

@@ -2353,6 +2353,80 @@ def distinct_kmv_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "cms_window_7d",
+    """
+    WITH ev AS (
+      SELECT date_trunc('day', ts) AS day, event_type
+      FROM events WHERE event_type IS NOT NULL
+    ),
+    days AS (
+      SELECT day, ROW_NUMBER() OVER (ORDER BY day) AS rk
+      FROM (SELECT DISTINCT day FROM ev)
+    ),
+    rows_ AS (SELECT unnest(range(4)) AS i),
+    cells AS (
+      SELECT day, i, s, count(*) AS c FROM (
+        SELECT ev.day, r.i,
+               CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', event_type)), 1, 15)) AS BIGINT) % 128 AS s
+        FROM ev CROSS JOIN rows_ r) t
+      GROUP BY day, i, s
+    ),
+    wcells AS (
+      SELECT d2.day, c.i, c.s, sum(c.c) AS c
+      FROM days d2
+      JOIN days d1 ON d1.rk BETWEEN d2.rk - 6 AND d2.rk
+      JOIN cells c ON c.day = d1.day
+      GROUP BY d2.day, c.i, c.s
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    slot AS (
+      SELECT t.event_type, r.i,
+             CAST(concat('0x', substr(md5(concat(CAST(r.i AS VARCHAR), ':', t.event_type)), 1, 15)) AS BIGINT) % 128 AS s
+      FROM types t CROSS JOIN rows_ r
+    )
+    SELECT CAST(d.day AS DATE) AS day, sl.event_type AS item,
+           CAST(min(coalesce(w.c, 0)) AS BIGINT) AS est_freq
+    FROM (SELECT day FROM days) d
+    CROSS JOIN slot sl
+    LEFT JOIN wcells w ON w.day = d.day AND w.i = sl.i AND w.s = sl.s
+    GROUP BY d.day, sl.event_type
+    """,
+)
+def cms_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling point-frequency estimates from PRE-BUILT daily CMS
+    sketches: every event type's trailing-7-day count estimated via a
+    ROWS-frame element-wise-add fold (the reference's sliding-frame
+    composition carried to the counting algebra) — the frame touches
+    <= 7 fixed-size arrays per day, never raw events, and associativity
+    makes the oracle's direct per-window cell computation match
+    value-for-value."""
+    from postgresql_topn_spark.functions.cms import (
+        cms_add_agg,
+        cms_estimate,
+        cms_union_over_window,
+    )
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    daily = cms_add_agg(
+        ev,
+        [F.date_trunc("day", F.col("ts")).cast("date").alias("day")],
+        "event_type",
+    )
+    w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+    windowed = daily.select(
+        "day", cms_union_over_window("cms", w).alias("wcms")
+    )
+    types = ev.select("event_type").distinct()
+    return windowed.join(F.broadcast(types)).select(
+        "day",
+        F.col("event_type").alias("item"),
+        cms_estimate("wcms", "event_type").alias("est_freq"),
+    )
+
+
+@_register(
     "cms_rollup_events",
     """
     WITH ev AS (

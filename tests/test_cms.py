@@ -102,3 +102,37 @@ def test_rejects_bad_shape(keyed):
         cms_add_agg(keyed, ["bucket"], "item", depth=0)
     with pytest.raises(ValueError):
         cms_add_agg(keyed, ["bucket"], "item", width=1)
+
+
+def test_window_merge_equals_direct_over_frame(spark):
+    """The ROWS-frame element-wise-add fold of daily sketches equals
+    the sketch built directly over the frame's raw rows (addition is
+    associative) — the sliding-window form of the merge law."""
+    from pyspark.sql import Window
+
+    from postgresql_topn_spark.functions.cms import cms_union_over_window
+
+    df = spark.range(600).select(
+        (F.col("id") % 6).alias("day"),
+        F.concat(F.lit("x"), (F.col("id") % 23)).alias("item"),
+    )
+    daily = cms_add_agg(df, ["day"], "item", depth=3, width=16)
+    w = Window.orderBy("day").rowsBetween(-2, Window.currentRow)
+    rolled = {
+        r["day"]: list(r["m"])
+        for r in daily.select(
+            "day", cms_union_over_window("cms", w).alias("m")
+        ).collect()
+    }
+    for d in range(6):
+        frame_days = list(range(max(0, d - 2), d + 1))
+        direct = cms_add_agg(
+            df.where(F.col("day").isin(frame_days)).select(
+                F.lit(1).alias("g"), "item"
+            ),
+            ["g"],
+            "item",
+            depth=3,
+            width=16,
+        ).collect()[0]["cms"]
+        assert rolled[d] == list(direct), d
