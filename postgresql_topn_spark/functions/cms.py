@@ -100,6 +100,19 @@ def cms_merge(a: Column | str, b: Column | str) -> Column:
     )
 
 
+def _merge_collected(lst) -> "Column":
+    """Element-wise sum across a collected list of sketches — THE merge
+    fold, shared by the grouped rollup and the window fold so the merge
+    law (incl. the all-NULL/empty-frame zero handling) lives in exactly
+    one place."""
+    zero = F.transform(
+        F.try_element_at(lst, F.lit(1)), lambda v: F.lit(0).cast("bigint")
+    )
+    return F.aggregate(
+        lst, zero, lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q)
+    )
+
+
 def cms_union_rollup(
     df: DataFrame,
     group_cols: Sequence[Column | str],
@@ -112,15 +125,7 @@ def cms_union_rollup(
     longs, rows shuffled are sketches, never raw items."""
     gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
     out = out_col or sketch_col
-    lst = F.collect_list(_col(sketch_col))
-    # try_element_at: a group whose sketches are ALL NULL collects an
-    # empty list — its zero (and so its merge) is NULL, not a crash
-    zero = F.transform(
-        F.try_element_at(lst, F.lit(1)), lambda v: F.lit(0).cast("bigint")
-    )
-    merged = F.aggregate(
-        lst, zero, lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q)
-    )
+    merged = _merge_collected(F.collect_list(_col(sketch_col)))
     return df.groupBy(*gcols).agg(merged.alias(out))
 
 
@@ -134,13 +139,7 @@ def cms_union_over_window(
     frame; per-row work is frame_size * d * w adds, and associativity
     makes the frame merge EXACTLY the sketch over the frame's raw
     rows."""
-    lst = F.collect_list(_col(sketch)).over(window)
-    zero = F.transform(
-        F.try_element_at(lst, F.lit(1)), lambda v: F.lit(0).cast("bigint")
-    )
-    return F.aggregate(
-        lst, zero, lambda acc, x: F.zip_with(acc, x, lambda p, q: p + q)
-    )
+    return _merge_collected(F.collect_list(_col(sketch)).over(window))
 
 
 def cms_estimate(

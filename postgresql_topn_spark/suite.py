@@ -2419,7 +2419,7 @@ def cms_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", cms_union_over_window("cms", w).alias("wcms")
     )
     types = ev.select("event_type").distinct()
-    return windowed.join(F.broadcast(types)).select(
+    return windowed.crossJoin(F.broadcast(types)).select(
         "day",
         F.col("event_type").alias("item"),
         cms_estimate("wcms", "event_type").alias("est_freq"),

@@ -89,6 +89,7 @@ SUBSET = [
     "topn_with_others",
     "topn_session_pairs",
     "distinct_kmv_window_7d",
+    "cms_window_7d",
     "dedup_exact_best",
     "text_bigram_logprob",
     "pipeline_quality_deciles",
