@@ -19,11 +19,23 @@ This package re-expresses that surface Spark-first:
   the reference's prune policies (topn.c:440-446, 869-908) via
   applyInPandas, for huge-cardinality groups.
 
-Beyond the reference surface, `operators/` adds the large-scale
-training-data-pipeline operators: deduplication (exact, MinHash+LSH,
-SimHash, Jaccard), similarity search (brute-force + LSH ANN), text
-analysis (language-ID, quality, token counts, fingerprints) and
-multimodal binary-column plumbing.
+Beyond the reference surface, the package carries a full large-scale
+training-data-pipeline toolkit: deduplication (exact with quality-aware
+keepers, shingle/char-gram Jaccard, MinHash+LSH, SimHash, winnowing,
+embedding near-dup, transitive clustering, train/test decontamination,
+Bloom incremental prescreens), similarity search (brute force, banded
+LSH + multi-probe, IVF, IVF-PQ with ADC + exact rerank), six mergeable
+sketch families sharing one rollup algebra (topn, HLL, KMV with set
+intersections, Count-Min, Bloom, KLL — grouped rollups, sliding-window
+folds, streaming sinks), text analysis (language-ID, quality,
+repetition, PII scrub, unigram/bigram LM scoring, BM25/TF-IDF search,
+BPE training), exact two-pass heavy hitters, sampling/mixing
+(deterministic Bernoulli/stratified/temperature/weighted), chunking +
+context packing, sessionization + rate anomaly detection, dataset
+profiling, multimodal decode plumbing, and sources/sinks (sharded
+JSONL with manifests, bucketed tables, partitioned rollups,
+compaction). See PIPELINE.md for the end-to-end composition and
+STATUS.md for the operator-by-operator map.
 """
 
 from postgresql_topn_spark.conf import number_of_counters, set_number_of_counters
