@@ -53,7 +53,7 @@ def _restore_group_names(
     return out
 
 
-def _pack_entries_agg() -> Column:
+def _pack_entries_agg(drop_nonpositive: bool = True) -> Column:
     """Final per-group packing: collect the (bounded) surviving entries
     into a map, dropping the group-preserving NULL marker rows. Entries
     are pre-sorted (frequency DESC, item ASC) so the map's entry order —
@@ -61,12 +61,21 @@ def _pack_entries_agg() -> Column:
     (all-NULL items / all-NULL sketches) become ``{}`` like the
     reference's finalizer on a never-initialized state (topn.c:655-661,
     expected/null_tests.out:35-40). One expr-string parse: the Column-API
-    form of this tree cost ~60ms of py4j round-trips per query build."""
+    form of this tree cost ~60ms of py4j round-trips per query build.
+
+    ``drop_nonpositive`` applies the counting/weighted drop rule (a
+    non-positive total is not a heavy hitter). The UNION path passes
+    False: the reference's MergeTopn keeps whatever frequencies the
+    input sketches carry (zero/negative entries are producible via
+    sketch_from_json), matching the scalar topn_union."""
     from postgresql_topn_spark.functions.sketch import ENTRY_CMP_SQL
 
+    cond = f"{_ITEM} IS NOT NULL"
+    if drop_nonpositive:
+        cond = f"{_FREQ} > 0 AND " + cond
     return F.expr(
         "map_from_entries(coalesce(array_sort(collect_list("
-        f"CASE WHEN {_FREQ} > 0 AND {_ITEM} IS NOT NULL "
+        f"CASE WHEN {cond} "
         f"THEN named_struct('item', {_ITEM}, 'frequency', {_FREQ}) END), "
         f"{ENTRY_CMP_SQL}), "
         "cast(array() as array<struct<item:string,frequency:bigint>>)))"
@@ -79,6 +88,7 @@ def _rank_and_pack(
     counters: int,
     out_col: str,
     salt_buckets: int | None = None,
+    drop_nonpositive: bool = True,
 ) -> DataFrame:
     """Shared tail of both aggregates: window-rank the per-(group,item)
     counts, keep the top *counters* per group, re-group into a map.
@@ -108,7 +118,7 @@ def _rank_and_pack(
                     f"row_number() OVER (PARTITION BY {salt_part} {order_sql})"
                 ),
             )
-            .where((F.col(_RN) <= counters) | (F.col(_FREQ) <= 0))
+            .where((F.col(_RN) <= counters) | F.col(_ITEM).isNull())
             .drop(_RN)
         )
     part_sql = (
@@ -117,10 +127,13 @@ def _rank_and_pack(
     ranked = counted.withColumn(
         _RN, F.expr(f"row_number() OVER ({part_sql}{order_sql})")
     )
-    # Rows with freq 0 are the NULL-item markers that keep otherwise-empty
-    # groups alive (reference: all-NULL group still yields a {} sketch).
-    kept = ranked.where((F.col(_RN) <= counters) | (F.col(_FREQ) <= 0))
-    return kept.groupBy(*group_cols).agg(_pack_entries_agg().alias(out_col))
+    # NULL-item marker rows keep otherwise-empty groups alive
+    # (reference: all-NULL group still yields a {} sketch); real entries
+    # — whatever their sign — obey the rank prune.
+    kept = ranked.where((F.col(_RN) <= counters) | F.col(_ITEM).isNull())
+    return kept.groupBy(*group_cols).agg(
+        _pack_entries_agg(drop_nonpositive).alias(out_col)
+    )
 
 
 def topn_add_agg(
@@ -206,15 +219,32 @@ def topn_weighted_agg(
     sketches transparently.
 
     Semantics: NULL items are skipped (group still yields ``{}``), NULL
-    weights contribute 0, items whose total weight is <= 0 are dropped
-    from the sketch (a zero-weight item is not a heavy hitter; weights
-    are expected non-negative — the saturation clamp assumes it).
+    weights contribute 0; each row's weight is rounded half-up to int64
+    (saturating at the int64 bounds — no ANSI crash on out-of-range
+    weights) BEFORE the exact integer sum, which keeps the aggregate
+    summation-order independent and engine-portable — pre-scale
+    fractional weights (cents, milli-units) when sub-unit resolution
+    matters. Items whose total weight is <= 0 are dropped from the
+    sketch (a zero-weight item is not a heavy hitter).
     Same two-exchange plan + optional lossless salted rank as
     topn_add_agg."""
     counters = resolve_counters(counters, df.sparkSession)
     gcols = [_col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)]
     gnames = [f"__g{i}" for i in range(len(group_cols))]
-    w = F.coalesce(_col(weight).cast("long"), F.lit(0)).alias("__w")
+    wd = _col(weight).cast("double")
+    rounded = F.round(wd, 0)
+    w = (
+        F.when(wd.isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.coalesce(
+                rounded.try_cast("long"),  # NULL only when out of int64 range
+                F.when(rounded > 0, F.lit(INT64_MAX)).otherwise(
+                    F.lit(-INT64_MAX - 1)
+                ),
+            )
+        )
+        .alias("__w")
+    )
     # inputs to try_sum are never NULL (coalesce above), so a NULL sum
     # can only mean int64 overflow -> saturate at INT64_MAX
     freq = (
@@ -290,12 +320,24 @@ def topn_union_agg(
         # the identical result but aggregates several times slower.
         # NULL-item marker rows (from explode_outer of NULL sketches) get
         # frequency 0 so they survive as group-preserving placeholders.
+        # NULL map VALUES (a nullable-value sketch column, e.g. built
+        # with create_map) contribute 0 like the scalar merge_sketches
+        # coalesce — without it a NULL-only item would try_sum to NULL
+        # and be misread as saturation (INT64_MAX).
         F.when(F.col(_ITEM).isNull(), F.lit(0))
-        .otherwise(F.coalesce(F.try_sum("__v"), F.lit(INT64_MAX)))
+        .otherwise(
+            F.coalesce(
+                F.try_sum(F.coalesce(F.col("__v"), F.lit(0))),
+                F.lit(INT64_MAX),
+            )
+        )
         .cast("long")
         .alias(_FREQ)
     )
-    out = _rank_and_pack(counted, gnames, counters, out_col, salt_buckets)
+    out = _rank_and_pack(
+        counted, gnames, counters, out_col, salt_buckets,
+        drop_nonpositive=False,  # union keeps the sketches' frequencies as-is
+    )
     return _restore_group_names(out, df, group_cols)
 
 

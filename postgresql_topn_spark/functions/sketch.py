@@ -116,7 +116,11 @@ def sketch_entries(sketch: Column | str) -> Column:
     (frequency DESC, item ASC). The building block for `topn` extraction
     and pruning (reference sort: topn.c:242-243, 817-834)."""
     if isinstance(sketch, str):
-        return F.expr(entries_sorted_sql(f"`{sketch}`"))
+        # escape embedded backticks so the quoted name round-trips; a
+        # dotted name is quoted whole (a plain top-level column name,
+        # matching how the expr-string path treats identifiers)
+        quoted = sketch.replace("`", "``")
+        return F.expr(entries_sorted_sql(f"`{quoted}`"))
     entries = F.transform(
         F.map_entries(sketch),
         lambda e: F.struct(e["key"].alias("item"), e["value"].alias("frequency")),
@@ -203,11 +207,14 @@ def topn_others_count(
     validation as topn()."""
     top = topn_entries(sketch, n, counters)
     # saturating folds: a sketch whose counters were themselves
-    # saturated must not overflow (ANSI crash / silent wrap) here
+    # saturated must not overflow (ANSI crash / silent wrap) here.
+    # The total is order-independent, so it folds the raw map values —
+    # no entry transform, no sort (the head fold reuses the sorted
+    # entries topn_entries built anyway).
     total = F.aggregate(
-        sketch_entries(sketch),
+        F.map_values(_col(sketch)),
         F.lit(0).cast("bigint"),
-        lambda acc, e: _sat_add(acc, e["frequency"]),
+        lambda acc, v: _sat_add(acc, v),
     )
     head = F.aggregate(
         top,
@@ -385,13 +392,12 @@ def sketch_from_json(json_col: Column | str, *, strict_keys: bool = True) -> Col
     (topn.c:700-706 — pass ``strict_keys=False`` to skip them instead).
     """
     raw = F.map_entries(F.from_json(_col(json_col), "map<string,string>"))
-    numeric = F.filter(
-        raw,
-        lambda e: e["value"].rlike(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
-    )
     if strict_keys:
-        checked = F.transform(
-            numeric,
+        # the reference raises on an over-long key REGARDLESS of its
+        # value's type (topn.c:700-706 runs before numeric_normalize),
+        # so the check applies to the raw entries, not the numeric ones
+        raw = F.transform(
+            raw,
             lambda e: F.when(
                 F.octet_length(e["key"]) > READ_KEY_ERROR_BYTES,
                 F.raise_error(
@@ -407,9 +413,15 @@ def sketch_from_json(json_col: Column | str, *, strict_keys: bool = True) -> Col
             ).otherwise(e),
         )
     else:
-        checked = F.filter(
-            numeric, lambda e: F.octet_length(e["key"]) <= READ_KEY_ERROR_BYTES
+        raw = F.filter(
+            raw, lambda e: F.octet_length(e["key"]) <= READ_KEY_ERROR_BYTES
         )
+    # numeric-value filter runs AFTER the key-length handling (the
+    # reference's key check precedes numeric_normalize)
+    checked = F.filter(
+        raw,
+        lambda e: e["value"].rlike(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
+    )
     # Integer-shaped strings parse straight to long so frequencies above
     # 2^53 keep exact int64 precision, matching the reference's
     # numeric_normalize + atol path (topn.c:711-712). Decimal/exponent

@@ -121,3 +121,85 @@ def test_compact_parquet_partitioned_no_file_explosion(spark, tmp_path):
     after = len(glob.glob(os.path.join(path, "p=*", "*.parquet")))
     assert after <= 5  # ~one file per partition value
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_weighted_agg_ansi_safe_and_rounds_fractional(spark):
+    """Out-of-range weights saturate (no ANSI crash); fractional
+    weights round half-up per row instead of truncating to zero."""
+    from postgresql_topn_spark.conf import INT64_MAX
+    from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+
+    df = spark.createDataFrame(
+        [(1, "big", 1e19), (1, "frac", 0.6), (1, "frac", 0.6), (1, "neg", -2.0)],
+        "g int, item string, w double",
+    )
+    sk = topn_weighted_agg(df, ["g"], "item", "w", counters=100).collect()[0][
+        "topn"
+    ]
+    got = dict(sk)
+    assert got["big"] == INT64_MAX
+    assert got["frac"] == 2  # round(0.6)=1 per row, exact int sum
+    assert "neg" not in got  # non-positive totals dropped (documented)
+
+
+def test_union_agg_null_map_value_is_zero_not_saturation(spark):
+    from postgresql_topn_spark.functions.aggregates import topn_union_agg
+
+    df = spark.createDataFrame([(1,)], "g int").select(
+        "g",
+        F.create_map(
+            F.lit("a"), F.lit(None).cast("bigint"), F.lit("b"), F.lit(2).cast("bigint")
+        ).alias("sk"),
+    )
+    got = dict(
+        topn_union_agg(df, ["g"], "sk", counters=100).collect()[0]["topn"]
+    )
+    assert got == {"a": 0, "b": 2}  # NULL value = 0, like scalar merge
+
+
+def test_union_agg_keeps_zero_entries_like_scalar_union(spark):
+    from postgresql_topn_spark.functions.aggregates import topn_union_agg
+    from postgresql_topn_spark.functions.sketch import sketch_from_json
+
+    df = spark.createDataFrame(
+        [(1, '{"a": 0, "b": 2}')], "g int, j string"
+    ).select("g", sketch_from_json("j").alias("sk"))
+    got = dict(
+        topn_union_agg(df, ["g"], "sk", counters=100).collect()[0]["topn"]
+    )
+    assert got == {"a": 0, "b": 2}
+    # but the counter budget still prunes: zero entries rank below
+    # positives and beyond-budget entries die
+    df2 = spark.createDataFrame(
+        [(1, '{"a": 0, "b": 2, "c": 1}')], "g int, j string"
+    ).select("g", sketch_from_json("j").alias("sk"))
+    got2 = dict(
+        topn_union_agg(df2, ["g"], "sk", counters=2).collect()[0]["topn"]
+    )
+    assert got2 == {"b": 2, "c": 1}
+
+
+def test_sketch_from_json_strict_rejects_overlong_key_any_value(spark):
+    from postgresql_topn_spark.functions.sketch import sketch_from_json
+
+    long_key = "k" * 300
+    df = spark.createDataFrame(
+        [(f'{{"{long_key}": "abc"}}',)], "j string"
+    )
+    with pytest.raises(Exception, match="allowed topn key size"):
+        df.select(sketch_from_json("j").alias("sk")).collect()
+    # non-strict: skipped silently, numeric filter still applies
+    out = df.select(
+        sketch_from_json("j", strict_keys=False).alias("sk")
+    ).collect()[0]["sk"]
+    assert dict(out) == {}
+
+
+def test_sketch_entries_string_path_handles_odd_names(spark):
+    from postgresql_topn_spark.functions.sketch import topn_entries
+
+    df = spark.createDataFrame([({"a": 3},)], "`we``ird` map<string,bigint>")
+    got = df.select(
+        topn_entries("we`ird", 5, counters=100).alias("e")
+    ).collect()[0]["e"]
+    assert [(r["item"], r["frequency"]) for r in got] == [("a", 3)]
