@@ -52,23 +52,29 @@ def empty_sketch() -> Column:
 
 
 def _byte_truncate(s: Column, limit: int = MAX_KEY_BYTES) -> Column:
-    """UTF-8-safe truncation of *s* to at most *limit* bytes.
+    """UTF-8-safe truncation of *s* to the LONGEST prefix of at most
+    *limit* bytes — byte-for-byte what the reference's encoding-aware
+    ``text_to_cstring_buffer`` keeps (topn.c:338), and what Tier-2's
+    Python ``truncate_key_bytes`` computes, so every surface truncates
+    identically.
 
-    Pure-expression equivalent of the reference's encoding-aware
-    ``text_to_cstring_buffer`` truncation (topn.c:338). Start from a
-    guaranteed-fit character count (drop one char per excess byte: each
-    char is >=1 byte), then add back chars conservatively (each char is
-    <=4 bytes) for three refinement rounds. Always <= *limit* bytes and a
-    prefix of the input; in rare multi-byte edge cases it may keep
-    slightly fewer characters than PostgreSQL would (documented
-    deviation; Tier-2 does exact byte truncation in Python).
-    """
+    Exactness trick: octet_length(substring(s, 1, k)) is monotone in k,
+    so the max fitting k equals the COUNT of candidate lengths that
+    fit — one array filter over at most *limit* candidates (a char is
+    >= 1 byte). This path only runs for over-limit items (the callers'
+    fast path returns short strings untouched), so the O(limit^2)-byte
+    scan prices only the rare long keys."""
     lim = F.lit(limit)
-    keep = F.greatest(F.char_length(s) - (F.octet_length(s) - lim), F.lit(0))
-    for _ in range(3):
-        trunc = F.substring(s, F.lit(1), keep)
-        keep = keep + F.floor((lim - F.octet_length(trunc)) / F.lit(4)).cast("int")
-    return F.substring(s, F.lit(1), keep)
+    cand = F.sequence(F.lit(1), F.greatest(F.least(F.char_length(s), lim), F.lit(1)))
+    keep = F.size(
+        F.filter(
+            cand,
+            lambda k: F.octet_length(F.substring(s, F.lit(1), k)) <= lim,
+        )
+    )
+    return F.when(F.char_length(s) == 0, s).otherwise(
+        F.substring(s, F.lit(1), keep)
+    )
 
 
 def normalize_item(item: Column | str) -> Column:

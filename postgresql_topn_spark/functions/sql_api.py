@@ -150,10 +150,10 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
         if sketch is None and item is None:
             return {}
         if sketch is None:
-            return {truncate_key_bytes(item): 1}
+            return {truncate_key_bytes(str(item)): 1}
         if item is None:
             return sketch
-        item = truncate_key_bytes(item)
+        item = truncate_key_bytes(str(item))
         out = dict(sketch)
         if item in out:
             out[item] = min(out[item] + 1, INT64_MAX)
@@ -180,6 +180,8 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
             )
         if sketch is None or n is None:
             return None
+        if n <= 0:
+            return []
         return _sorted_items(sketch)[:n]
 
     # --- GROUPED_AGG aggregates: the reference's primary API surface ---
@@ -212,6 +214,10 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
                 out[k] = min(out.get(k, 0) + v, INT64_MAX)
         return _prune(out, c)
 
+    # Precision caveat (SQL surface only): a NULL weight in a group makes
+    # Arrow ship the column as float64, so integer weights above 2^53
+    # lose ulps before Python sees them. The Column API sums in Spark
+    # longs and is exact — use it when weights can exceed 2^53.
     @pandas_udf(SKETCH_TYPE, PandasUDFType.GROUPED_AGG)
     def topn_weighted_agg_udaf(items: pd.Series, weights: pd.Series) -> dict:
         # beyond-reference additive-measure form (aggregates.py:189-213):
@@ -282,11 +288,12 @@ def _sql_ident_pairs(
 
 
 def _truncate_sql(s: str, limit: int = 255) -> str:
-    """SQL-text twin of sketch._byte_truncate (same 3-round refinement)."""
-    k = f"greatest(char_length({s}) - (octet_length({s}) - {limit}), 0)"
-    for _ in range(3):
-        t = f"substring({s}, 1, {k})"
-        k = f"({k} + cast(floor(({limit} - octet_length({t})) / 4) as int))"
+    """SQL-text twin of sketch._byte_truncate (same exact
+    longest-fitting-prefix computation via the monotone filter count)."""
+    k = (
+        f"size(filter(sequence(1, greatest(least(char_length({s}), {limit}), 1)), "
+        f"k -> octet_length(substring({s}, 1, k)) <= {limit}))"
+    )
     return f"substring({s}, 1, {k})"
 
 
@@ -300,13 +307,19 @@ def _normalize_sql(item: str) -> str:
     )
 
 
+# {cond} is the entry-keep rule: the counting/weighted builders drop
+# non-positive totals (not heavy hitters); the UNION builder keeps any
+# frequency the input sketches carry (scalar topn_union / MergeTopn
+# parity — zero entries are producible via sketch_from_json).
 _PACK_SQL = (
     "map_from_entries(coalesce(array_sort(collect_list("
-    "CASE WHEN __f > 0 AND __i IS NOT NULL "
+    "CASE WHEN {cond} "
     "THEN named_struct('item', __i, 'frequency', __f) END), "
     "{cmp}), "
     "cast(array() as array<struct<item:string,frequency:bigint>>)))"
 )
+_DROP_NONPOS_COND = "__f > 0 AND __i IS NOT NULL"
+_KEEP_ALL_COND = "__i IS NOT NULL"
 
 _RANK_ORDER = "ORDER BY __f DESC, __i ASC NULLS LAST"
 
@@ -357,14 +370,14 @@ def topn_add_agg_sql(
             f"SELECT {prefix_names}__i, __f FROM ("
             f"SELECT {prefix_names}__i, __f, "
             f"row_number() OVER ({salt_part}{_RANK_ORDER}) AS __srn "
-            f"FROM ({counted})) WHERE __srn <= {c} OR __f <= 0"
+            f"FROM ({counted})) WHERE __srn <= {c} OR __i IS NULL"
         )
-    pack = _PACK_SQL.format(cmp=ENTRY_CMP_SQL)
+    pack = _PACK_SQL.format(cmp=ENTRY_CMP_SQL, cond=_DROP_NONPOS_COND)
     return (
         f"SELECT {prefix_names}{pack} AS {out_col} FROM ("
         f"SELECT {prefix_names}__i, __f, "
         f"row_number() OVER ({part}{_RANK_ORDER}) AS __rn "
-        f"FROM ({counted})) WHERE __rn <= {c} OR __f = 0 "
+        f"FROM ({counted})) WHERE __rn <= {c} OR __i IS NULL "
         + (f"GROUP BY {names}" if pairs else "")
     )
 
@@ -405,11 +418,11 @@ def topn_union_agg_sql(
         f"LATERAL VIEW OUTER explode({sketch_col}) __t AS __i, __fr "
         f"GROUP BY {', '.join(str(i + 1) for i in range(len(pairs) + 1))}"
     )
-    pack = _PACK_SQL.format(cmp=ENTRY_CMP_SQL)
+    pack = _PACK_SQL.format(cmp=ENTRY_CMP_SQL, cond=_KEEP_ALL_COND)
     return (
         f"SELECT {prefix_names}{pack} AS {out_col} FROM ("
         f"SELECT {prefix_names}__i, coalesce(__f, 0) AS __f, "
         f"row_number() OVER ({part}{_RANK_ORDER}) AS __rn "
-        f"FROM ({summed})) WHERE __rn <= {c} OR __f = 0 "
+        f"FROM ({summed})) WHERE __rn <= {c} OR __i IS NULL "
         + (f"GROUP BY {names}" if pairs else "")
     )

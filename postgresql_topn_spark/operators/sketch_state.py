@@ -100,7 +100,8 @@ class TopnState:
 
 def _group_ddl(df: DataFrame, gnames: Sequence[str]) -> str:
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
-    return ", ".join(f"{g} {fields[g]}" for g in gnames)
+    ddl = ", ".join(f"{g} {fields[g]}" for g in gnames)
+    return ddl + ", " if ddl else ""
 
 
 def _merge_fn(gnames: Sequence[str], counters: int, out_json: str):
@@ -148,16 +149,33 @@ def topn_add_agg_sketch(
     """
     counters = resolve_counters(counters, df.sparkSession)
     gnames = [f"__g{i}" for i in range(len(group_cols))]
+    gexprs = [_col(c).alias(g) for c, g in zip(group_cols, gnames)]
+    if not gnames:
+        # global aggregate: applyInPandas needs a grouping key, so ride
+        # an internal constant one (dropped again by _pack)
+        gnames, gexprs = ["__gall"], [F.lit(1).alias("__gall")]
     src = df.select(
-        *[_col(c).alias(g) for c, g in zip(group_cols, gnames)],
+        *gexprs,
         _col(item).cast("string").alias("__item"),
     )
-    mid_schema = _group_ddl(src, gnames) + ", __item string, __freq bigint"
+    mid_schema = _group_ddl(src, gnames) + "__item string, __freq bigint"
 
     def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         states: dict[tuple, TopnState] = {}
         for pdf in batches:
-            keys = list(zip(*[pdf[g] for g in gnames]))
+            if gnames:
+                # NaN != NaN would fragment NULL numeric group keys into
+                # one state PER ROW (unbounded memory); normalize NaN to
+                # the None singleton so NULL groups share one state
+                keys = [
+                    tuple(
+                        None if (isinstance(k, float) and k != k) else k
+                        for k in key
+                    )
+                    for key in zip(*[pdf[g] for g in gnames])
+                ]
+            else:
+                keys = [()] * len(pdf)
             for key, it in zip(keys, pdf["__item"]):
                 st = states.get(key)
                 if st is None:
@@ -173,7 +191,7 @@ def topn_add_agg_sketch(
         yield pd.DataFrame(rows, columns=gnames + ["__item", "__freq"])
 
     partial_df = src.mapInPandas(partial, schema=mid_schema)
-    final_schema = _group_ddl(src, gnames) + f", __{out_col}_json string"
+    final_schema = _group_ddl(src, gnames) + f"__{out_col}_json string"
     merged = partial_df.groupBy(*gnames).applyInPandas(
         _merge_fn(gnames, counters, f"__{out_col}_json"), schema=final_schema
     )
@@ -193,11 +211,14 @@ def topn_union_agg_sketch(
     sketches are skipped (topn.c:489); all-NULL groups yield {}."""
     counters = resolve_counters(counters, df.sparkSession)
     gnames = [f"__g{i}" for i in range(len(group_cols))]
+    gexprs = [_col(c).alias(g) for c, g in zip(group_cols, gnames)]
+    if not gnames:
+        gnames, gexprs = ["__gall"], [F.lit(1).alias("__gall")]
     exploded = df.select(
-        *[_col(c).alias(g) for c, g in zip(group_cols, gnames)],
+        *gexprs,
         F.explode_outer(_col(sketch)).alias("__item", "__freq"),
     )
-    final_schema = _group_ddl(exploded, gnames) + f", __{out_col}_json string"
+    final_schema = _group_ddl(exploded, gnames) + f"__{out_col}_json string"
     merged = exploded.groupBy(*gnames).applyInPandas(
         _merge_fn(gnames, counters, f"__{out_col}_json"), schema=final_schema
     )

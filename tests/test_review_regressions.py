@@ -203,3 +203,79 @@ def test_sketch_entries_string_path_handles_odd_names(spark):
         topn_entries("we`ird", 5, counters=100).alias("e")
     ).collect()[0]["e"]
     assert [(r["item"], r["frequency"]) for r in got] == [("a", 3)]
+
+
+def test_tier2_null_numeric_group_keys_share_one_state(spark):
+    """NULL bigint group keys reach pandas as NaN; they must aggregate
+    into ONE group (NaN != NaN previously fragmented them per-row)."""
+    from postgresql_topn_spark.operators.sketch_state import topn_add_agg_sketch
+
+    df = spark.createDataFrame(
+        [(None, "a")] * 50 + [(7, "b")] * 3,
+        "g bigint, item string",
+    )
+    rows = topn_add_agg_sketch(df, ["g"], "item", counters=10).collect()
+    got = {r["g"]: dict(r["topn"]) for r in rows}
+    assert len(rows) == 2
+    assert got[None] == {"a": 50}
+    assert got[7] == {"b": 3}
+
+
+def test_tier2_global_aggregate(spark):
+    from postgresql_topn_spark.operators.sketch_state import (
+        topn_add_agg_sketch,
+        topn_union_agg_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a",)] * 4 + [("b",)] * 2, "item string"
+    )
+    sk = topn_add_agg_sketch(df, [], "item", counters=10)
+    assert dict(sk.collect()[0]["topn"]) == {"a": 4, "b": 2}
+    merged = topn_union_agg_sketch(sk, [], "topn", counters=10)
+    assert dict(merged.collect()[0]["topn"]) == {"a": 4, "b": 2}
+
+
+def test_sql_udf_nonstring_item_and_negative_n(spark):
+    from postgresql_topn_spark.functions.sql_api import register_sql_functions
+
+    register_sql_functions(spark, counters=100)
+    row = spark.sql(
+        "SELECT topn_add(CAST(NULL AS MAP<STRING,BIGINT>), 42L) AS sk"
+    ).collect()[0]["sk"]
+    assert dict(row) == {"42": 1}
+    neg = spark.sql(
+        "SELECT topn_entries(map('a', 3L, 'b', 2L), -1) AS e"
+    ).collect()[0]["e"]
+    assert neg == []
+
+
+def test_truncation_exact_and_identical_across_surfaces(spark):
+    """Column-API truncation now keeps the LONGEST fitting prefix,
+    byte-identical to Tier-2's Python truncate_key_bytes."""
+    from postgresql_topn_spark.functions.sketch import normalize_item
+    from postgresql_topn_spark.operators.sketch_state import truncate_key_bytes
+
+    cases = ["é" * 300, "a" + "✓" * 200, "𐍈" * 100, "x" * 300]
+    df = spark.createDataFrame([(c,) for c in cases], "s string")
+    got = [
+        r["t"] for r in df.select(normalize_item("s").alias("t")).collect()
+    ]
+    for c, g in zip(cases, got):
+        want = truncate_key_bytes(c)
+        assert g == want, (c[:8], len(g), len(want))
+        assert len(g.encode()) <= 255
+        # longest fitting prefix: adding one more char must overflow
+        nxt = c[: len(g) + 1]
+        assert len(nxt.encode()) > 255 or nxt == c
+
+
+def test_sql_union_keeps_zero_entries(spark):
+    from postgresql_topn_spark.functions.sql_api import topn_union_agg_sql
+
+    spark.createDataFrame(
+        [(1, {"a": 0, "b": 2})], "g int, sk map<string,bigint>"
+    ).createOrReplaceTempView("zsk")
+    sql = topn_union_agg_sql("zsk", ["g"], "sk", counters=100, spark=spark)
+    got = dict(spark.sql(sql).collect()[0]["topn"])
+    assert got == {"a": 0, "b": 2}
