@@ -78,7 +78,7 @@ def topn_streaming_state(
         _col(item).cast("string").alias("__item"),
         w_col.alias("__w"),
     )
-    out_schema = _group_ddl(src, gnames) + f", {out_col} string"
+    out_schema = _group_ddl(src, gnames) + f"{out_col} string"
     # State = the sketch's entries as parallel arrays (state store rows
     # must be a fixed struct; two arrays are the cheapest encoding).
     state_schema = "items array<string>, freqs array<bigint>"
@@ -355,7 +355,7 @@ def kmv_streaming_state(
         *[_col(c).alias(g) for c, g in zip(group_cols, gnames)],
         _col(item).cast("string").alias("__item"),
     )
-    out_schema = _group_ddl(src, gnames) + f", {out_col} array<bigint>"
+    out_schema = _group_ddl(src, gnames) + f"{out_col} array<bigint>"
     state_schema = "mins array<bigint>"
 
     def update(key, batches, state):
