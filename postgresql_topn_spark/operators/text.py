@@ -35,8 +35,14 @@ STOPWORDS = ["the", "a", "and", "of", "to", "is", "in", "it", "on", "for"]
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokens (array<string>)."""
-    return F.split(F.trim(_col(text)), r"\s+")
+    """Whitespace tokens (array<string>). Empty tokens are filtered:
+    split(trim(x), '\\s+') emits one '' for empty text and a leading ''
+    when the text starts with a tab/newline (F.trim strips spaces only)
+    — phantom tokens that would corrupt counts, TF/IDF stats and
+    repetition fractions. Empty/whitespace-only text tokenizes to []."""
+    return F.filter(
+        F.split(F.trim(_col(text)), r"\s+"), lambda t: t != ""
+    )
 
 
 def distinct_tokens(text: Column | str) -> Column:
@@ -141,12 +147,23 @@ def quality_score(text: Column | str) -> Column:
     ANSI SQL produces bit-identical doubles."""
     t = _col(text)
     n_tok = ws_token_count(t).cast("double")
-    stop_ratio = stopword_count(t).cast("double") / n_tok
-    punct_ratio = punct_count(t).cast("double") / F.char_length(t).cast("double")
+    # try_divide: empty text has 0 tokens / 0 chars — yield NULL (the
+    # ANSI-SQL x/0 result the DuckDB twin produces) instead of crashing
+    # the scan under Spark's default ANSI mode
+    stop_ratio = F.try_divide(stopword_count(t).cast("double"), n_tok)
+    punct_ratio = F.try_divide(
+        punct_count(t).cast("double"), F.char_length(t).cast("double")
+    )
     length_component = F.least(n_tok / F.lit(100.0), F.lit(1.0)) * F.lit(0.5)
     stop_component = F.least(stop_ratio * F.lit(3.0), F.lit(1.0)) * F.lit(0.3)
     punct_component = (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
-    return F.round(length_component + stop_component + punct_component, 6)
+    score = F.round(length_component + stop_component + punct_component, 6)
+    # empty/whitespace-only text has no quality to score: NULL, not a
+    # DIVIDE_BY_ZERO crash (ANSI) and not the 0.3 artifact F.least's
+    # NULL-skipping would otherwise cook up from the NULL ratios
+    return F.when(
+        (F.char_length(t) == 0) | (n_tok == 0), F.lit(None).cast("double")
+    ).otherwise(score)
 
 
 def fingerprint_md5(text: Column | str) -> Column:
@@ -311,7 +328,10 @@ def scrub_pii(text: Column | str, replacement: str = "[PII]") -> Column:
     phone-like digit run inside an address is handled by the email rule;
     Spark's regexp_replace replaces ALL occurrences (the SQL twin needs
     the 'g' flag on engines where single-replace is the default)."""
+    # Java replacement semantics treat '$' and '\\' as group references/
+    # escapes — quote them so arbitrary replacement strings work
+    quoted = replacement.replace("\\", "\\\\").replace("$", "\\$")
     out = _col(text)
     for pat in PII_PATTERNS.values():
-        out = F.regexp_replace(out, pat, replacement)
+        out = F.regexp_replace(out, pat, quoted)
     return out

@@ -52,10 +52,15 @@ def python_stages(df: DataFrame) -> int:
     p = plan_str(df, "simple")
     return sum(
         p.count(n)
+        # "FlatMapGroupsInPandas" also matches the ...WithState node
+        # (substring), and "MapInArrow" matches PythonMapInArrow — the
+        # stateful/arrow Python lanes are counted, not double-counted
         for n in (
             "ArrowEvalPython",
             "MapInPandas",
             "FlatMapGroupsInPandas",
+            "FlatMapCoGroupsInPandas",
+            "MapInArrow",
             "BatchEvalPython",
         )
     )
@@ -63,7 +68,10 @@ def python_stages(df: DataFrame) -> int:
 
 def pushed_filters(df: DataFrame) -> str:
     """The PushedFilters section(s) of the formatted plan ('' if none)."""
-    return " | ".join(re.findall(r"PushedFilters: \[([^\]]*)\]", plan_str(df)))
+    # greedy to the line's last ']': an In(col, [v1,v2]) filter contains
+    # brackets that a lazy [^\]]* capture would truncate at, silently
+    # dropping every filter after it
+    return " | ".join(re.findall(r"PushedFilters: \[(.*)\]", plan_str(df)))
 
 def read_schema(df: DataFrame) -> str:
     """The ReadSchema section(s) — what the scan actually reads."""

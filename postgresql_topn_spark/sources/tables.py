@@ -65,14 +65,25 @@ def _load_table_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFra
     if name == "events":
         # events.ts is parquet TIMESTAMP(NANOS), which Spark refuses to
         # read natively; read it as int64 nanos and rebuild a
-        # microsecond timestamp column.
+        # microsecond timestamp column. NOTE: the legacy conf is
+        # SESSION-WIDE and must stay set while this (lazy) DataFrame can
+        # still execute — a later read of an unrelated nanos-timestamp
+        # parquet in the same session will also surface int64 nanos
+        # instead of erroring; re-type such columns explicitly.
         from pyspark.sql import functions as F
         from pyspark.sql.types import LongType
 
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            # floor division: `div` truncates toward zero, shifting
+            # pre-epoch (negative-nanos) events forward by 1us
+            df = df.withColumn(
+                "ts",
+                F.timestamp_micros(
+                    F.floor(F.col("ts") / F.lit(1000)).cast("long")
+                ),
+            )
         return df
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -756,7 +756,7 @@ def _jaccard_oracle_sql(src: str = "documents", threshold: float = 0.5) -> str:
       SELECT doc_id,
              list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shs
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM {src})
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks FROM {src})
     ),
     tok AS (SELECT doc_id, unnest(shs) AS s FROM sh),
     sz AS (SELECT doc_id, COUNT(*) AS n FROM tok GROUP BY 1),
@@ -886,7 +886,7 @@ def _minhash_oracle_sql(num_hashes: int = 16) -> str:
         for i, (a, b) in enumerate(_minhash_md5_params(num_hashes))
     )
     return rf"""
-    WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, source, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents),
     sh AS (SELECT DISTINCT source,
                   unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
@@ -940,7 +940,7 @@ def minhash_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_winnow_pairs",
     r"""
-    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents),
     sh AS (SELECT doc_id,
             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                            i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS hs
@@ -973,7 +973,7 @@ def dedup_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_decontaminate",
     r"""
-    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    WITH toks AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents),
     trs AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, greatest(len(toks) - 4, 0) + 1),
              i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]))) AS s
             FROM toks WHERE doc_id % 2 = 0),
@@ -1012,7 +1012,7 @@ def dedup_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_simhash_md5",
     r"""
-    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents),
     sh AS (SELECT doc_id,
             list_distinct(list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
               i -> CAST(concat('0x', substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)) AS BIGINT))) AS hs
@@ -1251,7 +1251,7 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "text_winnow",
     r"""
-    WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+    WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents),
     sh AS (SELECT doc_id,
             list_transform(range(1, greatest(len(toks) - 2, 0) + 1),
                            i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS hs
@@ -1515,7 +1515,10 @@ def stream_topn_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     if isinstance(raw.schema["ts"].dataType, LongType):
-        src = src.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        src = src.withColumn(
+            "ts",
+            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
+        )
     q = stream_topn_rollup(
         src,
         [F.year("ts").alias("yr"), F.month("ts").alias("mon")],
@@ -1569,7 +1572,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_repetition",
     r"""
     WITH t AS (SELECT doc_id,
-                      string_split_regex(trim(text), '\s+') AS toks,
+                      list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks,
                       string_split(text, chr(10)) AS lines
                FROM documents)
     SELECT doc_id,
@@ -1605,7 +1608,7 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_token_counts",
     """
     SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+           CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS INT) AS ws_tokens,
            CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens
     FROM documents
     """,
@@ -1671,7 +1674,7 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
                   WHEN de = greatest(en, de, es, fr) THEN 'de'
                   WHEN es = greatest(en, de, es, fr) THEN 'es'
                   ELSE 'fr' END AS lang,
-             unnest(string_split_regex(trim(text), '\\s+')) AS item
+             unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS item
       FROM s
     )
     SELECT lang, item, frequency FROM (
@@ -1713,7 +1716,7 @@ def topn_tokens_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     f"""
     WITH RECURSIVE s0 AS (
       SELECT doc_id, text,
-        CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS DOUBLE) AS n_tok,
         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|it|on|for)\\b')) AS DOUBLE) AS stop_cnt,
         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct_cnt,
         CAST(length(text) AS DOUBLE) AS n_chars,
@@ -1839,7 +1842,7 @@ def pipeline_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH m AS (
       SELECT doc_id,
-        CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS n_tok,
+        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS DOUBLE) AS n_tok,
         CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|it|on|for)\\b')) AS DOUBLE) AS stop_cnt,
         CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct_cnt,
         CAST(length(text) AS DOUBLE) AS n_chars
@@ -1867,7 +1870,7 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     """
     SELECT doc_id,
-           md5(list_aggregate(list_sort(list_distinct(string_split_regex(trim(text), '\\s+'))),
+           md5(list_aggregate(list_sort(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))),
                               'string_agg', ' ')) AS fp
     FROM documents
     """,
@@ -2005,7 +2008,7 @@ def entry_flagship(spark: SparkSession) -> DataFrame:
 @_register(
     "search_bm25",
     """
-    WITH base AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t FROM documents),
+    WITH base AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS t FROM documents),
     d AS (SELECT doc_id, t, len(t) AS dl FROM base),
     stats AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl FROM d),
     q AS (SELECT unnest(['spark', 'vector', 'window']) AS term),
@@ -2048,7 +2051,7 @@ def search_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     "search_tfidf",
     """
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS term
       FROM documents
     ),
     tf AS (SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
@@ -2192,7 +2195,7 @@ def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT doc_id, n_chars,
-             md5(array_to_string(list_slice(string_split_regex(trim(text), '\\s+'), 1, 3), ' ')) AS content_key
+             md5(array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''), 1, 3), ' ')) AS content_key
       FROM documents
     ),
     r AS (
@@ -2498,7 +2501,7 @@ def cms_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH tok AS (
       SELECT doc_id, t.tok
       FROM documents,
-           LATERAL (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS tok) t
+           LATERAL (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS tok) t
       WHERE t.tok <> ''
     ),
     model AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
@@ -2533,7 +2536,7 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_bigram_logprob",
     """
     WITH d AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
       FROM documents
     ),
     tok AS (
@@ -2764,7 +2767,7 @@ def pipeline_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT doc_id,
-             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
       FROM documents
     ),
     c AS (
