@@ -219,32 +219,56 @@ def topn_weighted_agg(
     sketches transparently.
 
     Semantics: NULL items are skipped (group still yields ``{}``), NULL
-    weights contribute 0; each row's weight is rounded half-up to int64
-    (saturating at the int64 bounds — no ANSI crash on out-of-range
-    weights) BEFORE the exact integer sum, which keeps the aggregate
-    summation-order independent and engine-portable — pre-scale
-    fractional weights (cents, milli-units) when sub-unit resolution
-    matters. Items whose total weight is <= 0 are dropped from the
-    sketch (a zero-weight item is not a heavy hitter).
-    Same two-exchange plan + optional lossless salted rank as
+    and NaN weights contribute 0; an INTEGRAL weight column (byte/short/
+    int/long/boolean) sums directly in int64 — exact for the full int64
+    range, no float round-trip. A fractional weight column is rounded
+    half-up to int64 per row (saturating at the int64 bounds — no ANSI
+    crash on out-of-range weights) BEFORE the exact integer sum, which
+    keeps the aggregate summation-order independent and engine-portable
+    — pre-scale fractional weights (cents, milli-units) when sub-unit
+    resolution matters; note a fractional (double) weight above 2^53 has
+    already lost ulps at the source. Items whose total weight is <= 0
+    are dropped from the sketch (a zero-weight item is not a heavy
+    hitter). Same two-exchange plan + optional lossless salted rank as
     topn_add_agg."""
+    from pyspark.sql.types import (
+        BooleanType as _B,
+        ByteType as _Y,
+        IntegerType as _I,
+        LongType as _L,
+        ShortType as _S,
+    )
+
     counters = resolve_counters(counters, df.sparkSession)
     gcols = [_col(c).alias(f"__g{i}") for i, c in enumerate(group_cols)]
     gnames = [f"__g{i}" for i in range(len(group_cols))]
-    wd = _col(weight).cast("double")
-    rounded = F.round(wd, 0)
-    w = (
-        F.when(wd.isNull(), F.lit(0).cast("long"))
-        .otherwise(
-            F.coalesce(
-                rounded.try_cast("long"),  # NULL only when out of int64 range
-                F.when(rounded > 0, F.lit(INT64_MAX)).otherwise(
-                    F.lit(-INT64_MAX - 1)
-                ),
+    wraw = _col(weight)
+    if isinstance(weight, str) and weight in df.columns:
+        wtype = df.schema[weight].dataType
+    else:
+        wtype = df.select(wraw).schema[0].dataType
+    if isinstance(wtype, (_Y, _S, _I, _L, _B)):
+        # Integral weights: exact int64 path, no double round-trip
+        # (a bigint weight of 2^53+1 must not collapse to 2^53).
+        w = F.coalesce(wraw.cast("long"), F.lit(0).cast("long")).alias("__w")
+    else:
+        wd = wraw.cast("double")
+        rounded = F.round(wd, 0)
+        w = (
+            # NaN would sail through try_cast to the saturation branch
+            # where NaN > 0 is TRUE (Spark NaN-is-largest) -> INT64_MAX;
+            # treat NaN like NULL: contributes 0.
+            F.when(wd.isNull() | F.isnan(wd), F.lit(0).cast("long"))
+            .otherwise(
+                F.coalesce(
+                    rounded.try_cast("long"),  # NULL only when out of range
+                    F.when(rounded > 0, F.lit(INT64_MAX)).otherwise(
+                        F.lit(-INT64_MAX - 1)
+                    ),
+                )
             )
+            .alias("__w")
         )
-        .alias("__w")
-    )
     # inputs to try_sum are never NULL (coalesce above), so a NULL sum
     # can only mean int64 overflow -> saturate at INT64_MAX
     freq = (

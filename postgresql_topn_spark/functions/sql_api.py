@@ -216,8 +216,11 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
 
     # Precision caveat (SQL surface only): a NULL weight in a group makes
     # Arrow ship the column as float64, so integer weights above 2^53
-    # lose ulps before Python sees them. The Column API sums in Spark
-    # longs and is exact — use it when weights can exceed 2^53.
+    # lose ulps before Python sees them. The Column API sums INTEGRAL
+    # weight columns directly in Spark longs (exact for the full int64
+    # range, aggregates.py topn_weighted_agg) — use it when weights can
+    # exceed 2^53; fractional weights round-trip through double on every
+    # surface (they already carry double precision at the source).
     @pandas_udf(SKETCH_TYPE, PandasUDFType.GROUPED_AGG)
     def topn_weighted_agg_udaf(items: pd.Series, weights: pd.Series) -> dict:
         # beyond-reference additive-measure form (aggregates.py:189-213):

@@ -14,9 +14,12 @@ Two properties a 100 TB corpus export needs that a bare
    round-robins by partition order: same data, different shards every
    run.)
 2. A MANIFEST with per-shard row counts and an order-independent
-   content checksum (BIT_XOR of xxhash64 over the serialized lines),
-   so corpus integrity is verifiable shard-by-shard without re-reading
-   the whole export, and two exports can be diffed by manifest alone.
+   content digest — BIT_XOR of xxhash64 over the serialized lines PLUS
+   a modular SUM of the same hashes (an even number of copies of one
+   line XORs to 0, so XOR alone is blind to duplicate-multiplicity
+   swaps; the sum component makes multiplicity count) — so corpus
+   integrity is verifiable shard-by-shard without re-reading the whole
+   export, and two exports can be diffed by manifest alone.
 
 Scale shape: one hash-partition exchange on the shard key (each shard
 written by exactly one task — no tiny-file explosion), manifest stats
@@ -40,6 +43,26 @@ MANIFEST_NAME = "_corpus_manifest.json"
 
 def _shard_col(key: Column, n_shards: int) -> Column:
     return F.pmod(F.xxhash64(key), F.lit(n_shards)).cast("int")
+
+
+# Mersenne prime 2^31-1: per-row terms are < 2^31, so the int64 SUM is
+# overflow-safe (no ANSI crash, no try_sum NULL) up to 2^32 rows/shard.
+_SUM_MOD = (1 << 31) - 1
+
+
+def _shard_stat_aggs(line: Column) -> list[Column]:
+    """The manifest's per-shard stats: rows, XOR digest, modular-sum
+    digest. XOR is order-independent but cancels on even multiplicity;
+    the pmod-sum is order-independent AND multiplicity-sensitive —
+    together a swap of duplicate pairs changes the digest."""
+    h = F.xxhash64(line)
+    return [
+        F.count(F.lit(1)).alias("rows"),
+        F.bit_xor(h).alias("checksum"),
+        F.pmod(F.sum(F.pmod(h, F.lit(_SUM_MOD))), F.lit(_SUM_MOD)).alias(
+            "checksum_sum"
+        ),
+    ]
 
 
 def write_jsonl_corpus(
@@ -77,12 +100,7 @@ def write_jsonl_corpus(
     back = df.sparkSession.read.schema(back_schema).json(path)
     line = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
     stats_rows = (
-        back.groupBy("__shard")
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.bit_xor(F.xxhash64(line)).alias("checksum"),
-        )
-        .collect()
+        back.groupBy("__shard").agg(*_shard_stat_aggs(line)).collect()
     )
     manifest = {
         "n_shards": n_shards,
@@ -92,6 +110,7 @@ def write_jsonl_corpus(
             int(r["__shard"]): {
                 "rows": int(r["rows"]),
                 "checksum": int(r["checksum"]),
+                "checksum_sum": int(r["checksum_sum"]),
             }
             for r in stats_rows
         },
@@ -124,16 +143,24 @@ def read_jsonl_corpus(
         cols = manifest["columns"]
         line = F.to_json(F.struct(*[F.col(c) for c in cols]))
         got = {
-            int(r["__shard"]): (int(r["rows"]), int(r["checksum"]))
-            for r in df.groupBy("__shard")
-            .agg(
-                F.count(F.lit(1)).alias("rows"),
-                F.bit_xor(F.xxhash64(line)).alias("checksum"),
+            int(r["__shard"]): (
+                int(r["rows"]),
+                int(r["checksum"]),
+                int(r["checksum_sum"]),
             )
+            for r in df.groupBy("__shard")
+            .agg(*_shard_stat_aggs(line))
             .collect()
         }
         want = {
-            int(k): (int(v["rows"]), int(v["checksum"]))
+            int(k): (
+                int(v["rows"]),
+                int(v["checksum"]),
+                # pre-sum manifests (r3 exports) verify XOR+rows only
+                int(v.get("checksum_sum", got[int(k)][2]))
+                if int(k) in got
+                else -1,
+            )
             for k, v in manifest["shards"].items()
         }
         if got != want:

@@ -3325,3 +3325,57 @@ def quantile_rollup_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("median_ok"),
         (F.abs(F.col("p90_rank") - 0.9) <= 0.05).alias("p90_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Registry ordering: driver-verification priority
+# ---------------------------------------------------------------------------
+# The round-3 driver correctness run stopped after the first 50 registry
+# entries (registration order), leaving the 25 newest queries without a
+# driver-level CORRECTNESS row (VERDICT.md r3, "What's missing" #1).  The
+# driver iterates `queries()` in dict order, so we rotate the registry:
+# queries that have never had a driver row run FIRST, followed by the
+# previously-green 50 in their original order.  Every query keeps its
+# oracle; only the iteration order changes.
+
+_PRIORITY = [
+    # r3-uncovered tail, original relative order preserved.
+    "search_tfidf",
+    "text_pii",
+    "distinct_rollup_hll",
+    "dedup_exact_best",
+    "dedup_bloom_incremental",
+    "distinct_kmv_window_7d",
+    "cms_window_7d",
+    "cms_rollup_events",
+    "text_unigram_logprob",
+    "text_bigram_logprob",
+    "distinct_kmv_sets",
+    "pipeline_quality_deciles",
+    "pipeline_profile_docs",
+    "pipeline_pack_contexts",
+    "pipeline_chunk_docs",
+    "topn_session_pairs",
+    "topn_with_others",
+    "events_rate_anomaly",
+    "topn_exact_heavy",
+    "topn_composite_key",
+    "topn_grouping_sets",
+    "pipeline_temperature_mix",
+    "pipeline_weighted_sample",
+    "topn_native_approx",
+    "quantile_rollup_kll",
+]
+
+
+def _reorder_registry() -> None:
+    front = [n for n in _PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(front)]
+    order = front + rest
+    for reg in (QUERIES, ORACLES):
+        snapshot = dict(reg)
+        reg.clear()
+        reg.update({n: snapshot[n] for n in order if n in snapshot})
+
+
+_reorder_registry()

@@ -207,3 +207,29 @@ class TestWeightedAgg:
         both = weighted.unionByName(counted)
         merged = topn_union_agg_global(both, "topn", counters=10).collect()
         assert dict(merged[0]["topn"]) == {"a": 11, "b": 2}
+
+    def test_nan_weight_contributes_zero(self, spark):
+        """ADVICE r3: NaN fell through round/try_cast to the saturation
+        branch where NaN > 0 is TRUE (Spark NaN-is-largest), setting the
+        item's frequency to INT64_MAX. NaN must behave like NULL."""
+        from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+
+        df = spark.createDataFrame(
+            [("g", "a", float("nan")), ("g", "a", 5.0)],
+            "grp string, item string, w double",
+        )
+        out = topn_weighted_agg(df, ["grp"], "item", "w", counters=10).collect()
+        assert dict(out[0]["topn"]) == {"a": 5}
+
+    def test_integral_weight_exact_beyond_2p53(self, spark):
+        """ADVICE r3: bigint weights must not round-trip through double
+        (2^53+1 would collapse to 2^53). Integral columns sum in longs."""
+        from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+
+        big = (1 << 53) + 1
+        df = spark.createDataFrame(
+            [("g", "a", big), ("g", "a", 0)],
+            "grp string, item string, w bigint",
+        )
+        out = topn_weighted_agg(df, ["grp"], "item", "w", counters=10).collect()
+        assert dict(out[0]["topn"]) == {"a": big}

@@ -82,3 +82,60 @@ def test_manifest_verification_catches_tampering(spark, corpus, tmp_path):
 def test_rejects_bad_shards(corpus, tmp_path):
     with pytest.raises(ValueError):
         write_jsonl_corpus(corpus, str(tmp_path / "x"), n_shards=0)
+
+
+def _detach_crc(victim):
+    crc = os.path.join(
+        os.path.dirname(victim), "." + os.path.basename(victim) + ".crc"
+    )
+    if os.path.exists(crc):
+        os.remove(crc)
+
+
+def test_manifest_catches_duplicate_multiplicity_swap(spark, corpus, tmp_path):
+    """ADVICE r3: BIT_XOR alone cancels on even multiplicity — swapping a
+    duplicate PAIR of lines for a duplicate pair of different lines kept
+    row count and XOR digest identical. The modular-sum component must
+    catch it."""
+    dup = spark.createDataFrame(
+        [(1, "aaaa", "en"), (1, "aaaa", "en"), (2, "bbbb", "en")],
+        "doc_id bigint, text string, lang string",
+    )
+    path = str(tmp_path / "dupcorpus")
+    write_jsonl_corpus(dup, path, n_shards=1)
+    victim = glob.glob(os.path.join(path, "__shard=*", "*.json"))[0]
+    _detach_crc(victim)
+    with open(victim) as f:
+        lines = f.readlines()
+    a_line = next(ln for ln in lines if '"aaaa"' in ln)
+    b_line = next(ln for ln in lines if '"bbbb"' in ln)
+    # the duplicate pair of a-lines becomes a duplicate pair of b-lines:
+    # same row count, same BIT_XOR (h(a)^h(a) = 0 = h(b)^h(b))
+    tampered = [b_line if ln == a_line else ln for ln in lines]
+    assert tampered != lines
+    with open(victim, "w") as f:
+        f.writelines(tampered)
+    with pytest.raises(ValueError, match="manifest verification"):
+        read_jsonl_corpus(
+            spark,
+            path,
+            "doc_id bigint, text string, lang string",
+            verify_manifest=True,
+        )
+
+
+def test_pre_sum_manifest_still_verifies(spark, corpus, tmp_path):
+    """An r3-era manifest (no checksum_sum keys) must still verify on the
+    rows+XOR components instead of failing on the missing field."""
+    import json as _json
+
+    path = str(tmp_path / "legacy")
+    write_jsonl_corpus(corpus, path, n_shards=4)
+    mpath = os.path.join(path, "_corpus_manifest.json")
+    with open(mpath) as f:
+        manifest = _json.load(f)
+    for shard in manifest["shards"].values():
+        shard.pop("checksum_sum")
+    with open(mpath, "w") as f:
+        _json.dump(manifest, f)
+    read_jsonl_corpus(spark, path, SCHEMA, verify_manifest=True)
