@@ -336,6 +336,7 @@ def topn_add_agg_sql(
     out_col: str = "topn",
     salt_buckets: int | None = None,
     spark: SparkSession | None = None,
+    where: str | None = None,
 ) -> str:
     """SQL text for ``SELECT keys, topn_add_agg(item) … GROUP BY keys``
     as a pure-built-in two-phase plan (no Python stages, map-side
@@ -348,7 +349,8 @@ def topn_add_agg_sql(
     skipped but all-NULL groups yield ``{}``, TEXT intake with 255-byte
     cap, prune to *counters* by (frequency DESC, item ASC).
     ``salt_buckets`` adds the lossless two-level rank for groups with
-    millions of distinct items (see aggregates._rank_and_pack)."""
+    millions of distinct items (see aggregates._rank_and_pack). *where*
+    filters raw rows before the count (the original query's WHERE)."""
     from postgresql_topn_spark.conf import resolve_counters as _rc
     from postgresql_topn_spark.functions.sketch import ENTRY_CMP_SQL
 
@@ -359,9 +361,10 @@ def topn_add_agg_sql(
     prefix_names = f"{names}, " if pairs else ""
     part = f"PARTITION BY {names} " if pairs else ""
     norm = _normalize_sql(item)
+    wtext = f"WHERE {where} " if where else ""
     counted = (
         f"SELECT {sel_exprs + ', ' if pairs else ''}{norm} AS __i, "
-        f"count({norm}) AS __f FROM {source} "
+        f"count({norm}) AS __f FROM {source} {wtext}"
         f"GROUP BY {', '.join(str(i + 1) for i in range(len(pairs) + 1))}"
     )
     if salt_buckets and salt_buckets > 1:
@@ -393,6 +396,7 @@ def topn_union_agg_sql(
     counters: int | None = None,
     out_col: str = "topn",
     spark: SparkSession | None = None,
+    where: str | None = None,
 ) -> str:
     """SQL text for ``SELECT keys, topn_union_agg(sketch) … GROUP BY``
     as a pure-built-in two-phase plan: explode the (bounded, <= counters
@@ -400,7 +404,8 @@ def topn_union_agg_sql(
     combine, rank, re-pack. Frequencies sum in decimal(38,0) and
     saturate at INT64_MAX like the reference (topn.c:997-1009) instead
     of erroring under ANSI mode. NULL / empty sketches keep their group
-    alive with ``{}`` (LATERAL VIEW OUTER)."""
+    alive with ``{}`` (LATERAL VIEW OUTER). *where* filters source rows
+    before the explode (predicates see the source's columns only)."""
     from postgresql_topn_spark.conf import resolve_counters as _rc
     from postgresql_topn_spark.functions.sketch import ENTRY_CMP_SQL
 
@@ -410,6 +415,7 @@ def topn_union_agg_sql(
     sel_exprs = ", ".join(f"{e} AS {a}" for a, e in pairs)
     prefix_names = f"{names}, " if pairs else ""
     part = f"PARTITION BY {names} " if pairs else ""
+    wtext = f"WHERE {where} " if where else ""
     summed = (
         f"SELECT {sel_exprs + ', ' if pairs else ''}__t.__i AS __i, "
         # coalesce INSIDE least: Spark's least skips NULLs, so an
@@ -419,6 +425,7 @@ def topn_union_agg_sql(
         f"{INT64_MAX}) as bigint) AS __f "
         f"FROM {source} "
         f"LATERAL VIEW OUTER explode({sketch_col}) __t AS __i, __fr "
+        f"{wtext}"
         f"GROUP BY {', '.join(str(i + 1) for i in range(len(pairs) + 1))}"
     )
     pack = _PACK_SQL.format(cmp=ENTRY_CMP_SQL, cond=_KEEP_ALL_COND)
@@ -429,3 +436,373 @@ def topn_union_agg_sql(
         f"FROM ({summed})) WHERE __rn <= {c} OR __i IS NULL "
         + (f"GROUP BY {names}" if pairs else "")
     )
+
+
+# ---------------------------------------------------------------------------
+# topn_sql: run the reference's flagship SQL verbatim WITHOUT the UDAF wall
+# ---------------------------------------------------------------------------
+#
+# The registered GROUPED_AGG UDAFs above are single-reducer-per-group: a
+# user who pastes the reference's flagship
+#     SELECT keys, topn_add_agg(item) FROM t GROUP BY keys
+# (update/topn--2.3.0--2.3.1.sql:34-51, README.md:84-96) into spark.sql()
+# verbatim gets the slow lane. topn_sql() is the front door that fixes
+# that: it pattern-matches topn_add_agg / topn_union_agg aggregate calls
+# in the statement (including inside WITH-CTE bodies) and rewrites each
+# matched SELECT onto the pure-built-in two-phase plan above — zero
+# Python stages, map-side partial combine, identical results (the
+# rewritten form is the same count->rank->pack composition the Column
+# API plans, equivalence pinned in tests). Shapes the rewriter cannot
+# prove safe fall back to the registered UDAF verbatim, with a runtime
+# warning naming the scale caveat.
+
+import re as _re
+import warnings as _warnings
+
+_TOPN_AGG_RE = _re.compile(r"^(topn_add_agg|topn_union_agg)\s*\(", _re.I)
+_IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
+_CLAUSE_RE = _re.compile(
+    r"\b(select|from|where|group\s+by|having|order\s+by|limit|union|"
+    r"intersect|except|window|qualify|distribute\s+by|sort\s+by|"
+    r"cluster\s+by|pivot|unpivot|tablesample)\b",
+    _re.I,
+)
+_ANY_TOPN_FN_RE = _re.compile(
+    r"\btopn(_add|_union|_entries|_add_agg|_union_agg|_weighted_agg)?\s*\(",
+    _re.I,
+)
+
+
+def _top_mask(s: str) -> list[bool]:
+    """True at positions that sit at paren-depth 0 outside string/ident
+    literals and comments — the only places clause keywords and list
+    commas are structural."""
+    mask = [False] * len(s)
+    depth = 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"', "`"):
+            q = ch
+            i += 1
+            while i < n:
+                if s[i] == "\\" and q != "`":
+                    i += 2
+                    continue
+                if s[i] == q:
+                    if i + 1 < n and s[i + 1] == q:  # doubled-quote escape
+                        i += 2
+                        continue
+                    break
+                i += 1
+            i += 1
+            continue
+        if ch == "-" and i + 1 < n and s[i + 1] == "-":
+            while i < n and s[i] != "\n":
+                i += 1
+            continue
+        if ch == "/" and i + 1 < n and s[i + 1] == "*":
+            j = s.find("*/", i + 2)
+            i = n if j < 0 else j + 2
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth = max(depth - 1, 0)
+        elif depth == 0:
+            mask[i] = True
+        i += 1
+    return mask
+
+
+def _split_top_commas(s: str) -> list[str]:
+    mask = _top_mask(s)
+    parts, start = [], 0
+    for i, ch in enumerate(s):
+        if ch == "," and mask[i]:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts]
+
+
+def _norm_expr(s: str) -> str:
+    return " ".join(s.split()).lower()
+
+
+def _clause_spans(s: str):
+    """Ordered top-level clause keyword matches, or None if the text
+    contains a clause the rewriter does not model."""
+    mask = _top_mask(s)
+    out = []
+    for m in _CLAUSE_RE.finditer(s):
+        if all(mask[i] for i in range(m.start(), m.end())):
+            out.append(m)
+    return out
+
+
+def _rewrite_select(
+    sql: str, *, counters: int | None, spark, salt_buckets: int | None
+) -> str | None:
+    """Rewrite ONE bare SELECT statement of the flagship shape
+    (SELECT keys..., topn_{add,union}_agg(x) AS a FROM src [WHERE p]
+    [GROUP BY keys]) onto the two-phase built-in SQL. Returns None when
+    the shape is not provably that pattern (caller falls back)."""
+    s = sql.strip().rstrip(";").strip()
+    spans = _clause_spans(s)
+    if not spans:
+        return None
+    kinds = [_norm_expr(m.group(1)) for m in spans]
+    if kinds[0] != "select" or spans[0].start() != 0:
+        return None
+    allowed = {"select", "from", "where", "group by"}
+    if any(k not in allowed for k in kinds) or kinds.count("select") != 1:
+        return None
+    if kinds != sorted(kinds, key=["select", "from", "where", "group by"].index):
+        return None  # clauses out of order (e.g. a second SELECT)
+    bounds = {k: None for k in allowed}
+    for idx, m in enumerate(spans):
+        k = _norm_expr(m.group(1))
+        end = spans[idx + 1].start() if idx + 1 < len(spans) else len(s)
+        bounds[k] = s[m.end() : end].strip()
+    select_text = bounds["select"]
+    from_text = bounds["from"]
+    if select_text is None or from_text is None or not from_text:
+        return None
+    if _re.match(r"^\s*(distinct|all)\b", select_text, _re.I):
+        return None
+    items = _split_top_commas(select_text)
+    agg = None  # (index, fn, arg, alias)
+    keys = []  # (alias, expr) in select order
+    for idx, it in enumerate(items):
+        m = _TOPN_AGG_RE.match(it)
+        if m:
+            # whole item must be the call plus an alias: find the
+            # matching close paren of the call's open paren
+            open_i = it.index("(", m.start(1))
+            depth, close_i = 0, -1
+            j = open_i
+            it_mask_src = it
+            while j < len(it_mask_src):
+                c = it_mask_src[j]
+                if c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close_i = j
+                        break
+                elif c in ("'", '"', "`"):
+                    q = c
+                    j += 1
+                    while j < len(it_mask_src) and it_mask_src[j] != q:
+                        j += 1
+                j += 1
+            if close_i < 0:
+                return None
+            rest = it[close_i + 1 :].strip()
+            am = _re.match(r"^as\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)$", rest, _re.I)
+            if am is None:
+                return None  # nested expression or missing alias
+            args = _split_top_commas(it[open_i + 1 : close_i])
+            if len(args) != 1 or not args[0]:
+                return None
+            if agg is not None:
+                return None  # two agg calls in one list: fall back
+            agg = (idx, m.group(1).lower(), args[0], am.group(1))
+            continue
+        if _ANY_TOPN_FN_RE.search(it):
+            return None  # some other topn call mixed in: fall back
+        tm = _re.match(
+            r"^(.*?)\s+as\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)$",
+            it,
+            _re.I | _re.S,
+        )
+        if tm and _top_mask(it)[len(tm.group(1)) + 1]:
+            keys.append((tm.group(2), tm.group(1).strip()))
+        elif _IDENT_RE.match(it):
+            keys.append((it, it))
+        else:
+            return None  # unaliased expression key
+    if agg is None:
+        return None
+    group_text = bounds["group by"]
+    if group_text is None:
+        if keys:
+            return None  # non-aggregated columns without GROUP BY
+    else:
+        gitems = [_norm_expr(g) for g in _split_top_commas(group_text)]
+        covered = set()
+        for g in gitems:
+            hit = None
+            for ki, (a, e) in enumerate(keys):
+                if g in (
+                    _norm_expr(a),
+                    _norm_expr(e),
+                    str(ki + 1 if agg[0] > ki else ki + 2),
+                ):
+                    hit = ki
+                    break
+            if hit is None:
+                return None  # grouping by something not in the select list
+            covered.add(hit)
+        if covered != set(range(len(keys))):
+            return None  # a select key is not grouped (invalid / unsafe)
+    where_text = bounds["where"]
+    fn, arg, out_alias = agg[1], agg[2], agg[3]
+    if fn == "topn_add_agg":
+        rewritten = topn_add_agg_sql(
+            from_text,
+            keys,
+            arg,
+            counters=counters,
+            out_col=out_alias,
+            salt_buckets=salt_buckets,
+            spark=spark,
+            where=where_text,
+        )
+    else:
+        rewritten = topn_union_agg_sql(
+            from_text,
+            keys,
+            arg,
+            counters=counters,
+            out_col=out_alias,
+            spark=spark,
+            where=where_text,
+        )
+    # The builders emit keys-then-sketch; restore the original column
+    # order when the agg was not the last select item.
+    order = [a for a, _ in keys]
+    order.insert(agg[0], out_alias)
+    if agg[0] != len(keys):
+        rewritten = f"SELECT {', '.join(order)} FROM ({rewritten})"
+    return rewritten
+
+
+def _split_ctes(sql: str):
+    """Parse an optional top-level WITH prefix. Returns
+    (ctes: list[(name, body)], main: str) or None on shapes the scanner
+    does not model (RECURSIVE, column lists)."""
+    s = sql.strip().rstrip(";").strip()
+    m = _re.match(r"^with\b", s, _re.I)
+    if not m:
+        return [], s
+    if _re.match(r"^with\s+recursive\b", s, _re.I):
+        return None
+    i = m.end()
+    ctes = []
+    n = len(s)
+    while True:
+        mm = _re.match(r"\s*([A-Za-z_][A-Za-z0-9_]*)\s+as\s*\(", s[i:], _re.I)
+        if not mm:
+            return None
+        name = mm.group(1)
+        body_start = i + mm.end()  # position just after '('
+        depth = 1
+        j = body_start
+        while j < n and depth:
+            c = s[j]
+            if c in ("'", '"', "`"):
+                q = c
+                j += 1
+                while j < n and s[j] != q:
+                    j += 1
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if not depth:
+                    break
+            j += 1
+        if depth:
+            return None
+        ctes.append((name, s[body_start:j]))
+        k = j + 1
+        while k < n and s[k].isspace():
+            k += 1
+        if k < n and s[k] == ",":
+            i = k + 1
+            continue
+        return ctes, s[k:]
+
+
+def rewrite_topn_sql(
+    sql: str,
+    *,
+    counters: int | None = None,
+    spark: SparkSession | None = None,
+    salt_buckets: int | None = None,
+) -> str | None:
+    """Rewrite every flagship ``topn_add_agg`` / ``topn_union_agg``
+    aggregate SELECT in *sql* (top level and WITH-CTE bodies) onto the
+    two-phase pure-built-in plan. Returns the rewritten statement, or
+    None when nothing could be rewritten."""
+    parsed = _split_ctes(sql)
+    if parsed is None:
+        return None
+    ctes, main = parsed
+    changed = False
+    new_ctes = []
+    for name, body in ctes:
+        nb = _rewrite_select(
+            body, counters=counters, spark=spark, salt_buckets=salt_buckets
+        )
+        if nb is not None:
+            changed = True
+            new_ctes.append((name, nb))
+        else:
+            new_ctes.append((name, body))
+    nm = _rewrite_select(
+        main, counters=counters, spark=spark, salt_buckets=salt_buckets
+    )
+    if nm is not None:
+        changed = True
+        main = nm
+    if not changed:
+        return None
+    if new_ctes:
+        cte_text = ",\n".join(f"{n} AS ({b})" for n, b in new_ctes)
+        return f"WITH {cte_text}\n{main}"
+    return main
+
+
+def topn_sql(
+    spark: SparkSession,
+    sql: str,
+    *,
+    counters: int | None = None,
+    salt_buckets: int | None = None,
+):
+    """Run a topn SQL statement with the scale-safe plan: the flagship
+    ``SELECT keys, topn_add_agg(item) … GROUP BY keys`` (and the
+    ``topn_union_agg`` merge form) is rewritten onto the two-phase
+    pure-built-in composition — zero Python stages, map-side partial
+    combine, the reference's parallel aggregate (topn.c:509-625) as
+    Catalyst plans it. Everything else in the statement (LATERAL
+    ``topn()`` extraction, scalar ``topn_add``/``topn_union``,
+    unrecognized aggregate shapes) runs through the registered SQL
+    functions unchanged.
+
+    This is the recommended ``spark.sql`` entry point for aggregate
+    queries; calling ``spark.sql`` directly on a UDAF aggregate still
+    works but ships every raw row to one Python reducer per group."""
+    rewritten = rewrite_topn_sql(
+        sql, counters=counters, spark=spark, salt_buckets=salt_buckets
+    )
+    text = rewritten if rewritten is not None else sql
+    if rewritten is None and _re.search(
+        r"\btopn_(add|union|weighted)_agg\s*\(", sql, _re.I
+    ):
+        _warnings.warn(
+            "topn_sql could not rewrite this aggregate onto the two-phase "
+            "plan; it will run as a GROUPED_AGG pandas UDAF (every raw row "
+            "shuffles to one Python reducer per group). For hot groups use "
+            "the flagship shape `SELECT keys, topn_add_agg(item) FROM t "
+            "GROUP BY keys`, the Column API, or the documented salted "
+            "rewrite.",
+            stacklevel=2,
+        )
+    if _ANY_TOPN_FN_RE.search(text):
+        register_sql_functions(spark, counters=counters)
+    return spark.sql(text)

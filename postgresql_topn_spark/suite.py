@@ -605,20 +605,24 @@ def topn_month_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topn_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's flagship SQL pattern run ENTIRELY through
-    ``spark.sql()``: ``SELECT …, topn_add_agg(item) … GROUP BY`` per
+    """The reference's flagship SQL pattern run ENTIRELY through the
+    SQL front door: ``SELECT …, topn_add_agg(item) … GROUP BY`` per
     month, ``topn_union_agg`` to the grand total, lateral ``topn()``
     extraction (update/topn--2.3.0--2.3.1.sql:34-51, README.md:84-96;
-    sql/customer_reviews_query.sql:12-40). Exercises the registered
-    GROUPED_AGG pandas UDAFs + UDTF rather than the Column API — the
-    SQL-parity compatibility path (functions/sql_api.py)."""
-    from postgresql_topn_spark.functions.sql_api import register_sql_functions
+    sql/customer_reviews_query.sql:12-40). Runs through ``topn_sql()``,
+    which rewrites both aggregate CTEs onto the two-phase pure-built-in
+    plan (map-side partial combine, zero Python below the extraction —
+    the reference's parallel aggregate as Catalyst plans it); only the
+    bounded-sketch ``topn()`` UDTF extraction stays Python. Plan-pinned
+    in tests/test_plans.py; UDAF-vs-rewrite equivalence pinned in
+    tests/test_sql_api.py."""
+    from postgresql_topn_spark.functions.sql_api import topn_sql
 
-    register_sql_functions(spark, counters=C)
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "__topn_sql_events"
     )
-    return spark.sql(
+    return topn_sql(
+        spark,
         """
         WITH monthly AS (
           SELECT year(ts) AS yr, month(ts) AS mon,
@@ -629,7 +633,8 @@ def topn_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         overall AS (SELECT topn_union_agg(sk) AS sk FROM monthly)
         SELECT t.item, t.frequency
         FROM overall, LATERAL topn(overall.sk, 5) t
-        """
+        """,
+        counters=C,
     )
 
 

@@ -374,3 +374,139 @@ class TestTwoPhaseSql:
             assert plain == salted
         finally:
             register_sql_functions(spark, counters=1000)
+
+
+class TestTopnSqlRewriter:
+    """topn_sql(): the flagship UDAF SQL rewritten onto the two-phase
+    built-in plan (VERDICT r3 item 2). Results must equal the UDAF lane
+    exactly; unsupported shapes must fall back with a warning."""
+
+    def _mk(self, spark):
+        df = spark.createDataFrame(
+            [
+                ("2024-01-03", "a"),
+                ("2024-01-04", "a"),
+                ("2024-01-05", "b"),
+                ("2024-02-01", "b"),
+                ("2024-02-02", None),
+                ("2024-02-02", "c"),
+            ],
+            "d string, item string",
+        )
+        df.createOrReplaceTempView("rw_in")
+
+    def test_flagship_rewrite_equals_udaf(self, spark):
+        from postgresql_topn_spark.functions.sql_api import (
+            register_sql_functions,
+            topn_sql,
+        )
+
+        self._mk(spark)
+        sql = """
+            SELECT month(to_date(d)) AS mon, topn_add_agg(item) AS sk
+            FROM rw_in WHERE d >= '2024-01-01' GROUP BY month(to_date(d))
+        """
+        register_sql_functions(spark, counters=100)
+        udaf = {r["mon"]: dict(r["sk"]) for r in spark.sql(sql).collect()}
+        rewritten = {
+            r["mon"]: dict(r["sk"])
+            for r in topn_sql(spark, sql, counters=100).collect()
+        }
+        assert rewritten == udaf == {1: {"a": 2, "b": 1}, 2: {"b": 1, "c": 1}}
+
+    def test_rewrite_runs_two_phase_plan(self, spark):
+        from postgresql_topn_spark.functions.sql_api import topn_sql
+        from postgresql_topn_spark.plans.audit import (
+            has_partial_aggregate,
+            hash_shuffles,
+            python_stages,
+        )
+
+        self._mk(spark)
+        df = topn_sql(
+            spark,
+            "SELECT d, topn_add_agg(item) AS sk FROM rw_in GROUP BY d",
+            counters=100,
+        )
+        assert python_stages(df) == 0
+        assert has_partial_aggregate(df)
+        assert hash_shuffles(df) == 2
+
+    def test_cte_and_global_union_rewrite(self, spark):
+        from postgresql_topn_spark.functions.sql_api import (
+            rewrite_topn_sql,
+            topn_sql,
+        )
+        from postgresql_topn_spark.plans.audit import python_stages
+
+        self._mk(spark)
+        sql = """
+            WITH daily AS (
+              SELECT d, topn_add_agg(item) AS sk FROM rw_in GROUP BY d
+            )
+            SELECT topn_union_agg(sk) AS sk FROM daily
+        """
+        assert rewrite_topn_sql(sql, counters=100) is not None
+        df = topn_sql(spark, sql, counters=100)
+        assert python_stages(df) == 0
+        assert dict(df.collect()[0]["sk"]) == {"a": 2, "b": 2, "c": 1}
+
+    def test_unsupported_shape_falls_back_with_warning(self, spark):
+        import warnings
+
+        from postgresql_topn_spark.functions.sql_api import topn_sql
+
+        self._mk(spark)
+        # ORDER BY is outside the rewriter's model -> UDAF lane + warning
+        sql = """
+            SELECT d, topn_add_agg(item) AS sk FROM rw_in
+            GROUP BY d ORDER BY d
+        """
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            out = {r["d"]: dict(r["sk"]) for r in topn_sql(spark, sql).collect()}
+        assert any("two-phase" in str(x.message) for x in w)
+        assert out == {
+            "2024-01-03": {"a": 1},
+            "2024-01-04": {"a": 1},
+            "2024-01-05": {"b": 1},
+            "2024-02-01": {"b": 1},
+            "2024-02-02": {"c": 1},
+        }
+
+    def test_agg_not_last_preserves_column_order(self, spark):
+        from postgresql_topn_spark.functions.sql_api import topn_sql
+
+        self._mk(spark)
+        df = topn_sql(
+            spark,
+            "SELECT topn_add_agg(item) AS sk, d FROM rw_in GROUP BY d",
+            counters=100,
+        )
+        assert df.columns == ["sk", "d"]
+
+    def test_nested_or_aliasless_shapes_fall_back(self, spark):
+        from postgresql_topn_spark.functions.sql_api import rewrite_topn_sql
+
+        # nested call, missing alias, DISTINCT, ORDER BY: all unsupported
+        for sql in [
+            "SELECT g, topn_entries(topn_add_agg(i), 5) AS e FROM t GROUP BY g",
+            "SELECT g, topn_add_agg(i) FROM t GROUP BY g",
+            "SELECT DISTINCT g, topn_add_agg(i) AS sk FROM t GROUP BY g",
+            "SELECT g, topn_add_agg(i) AS sk FROM t GROUP BY g ORDER BY g",
+        ]:
+            assert rewrite_topn_sql(sql) is None, sql
+
+    def test_group_by_ordinals_and_aliases(self, spark):
+        from postgresql_topn_spark.functions.sql_api import topn_sql
+
+        self._mk(spark)
+        for gb in ["1", "mon", "month(to_date(d))"]:
+            df = topn_sql(
+                spark,
+                f"SELECT month(to_date(d)) AS mon, topn_add_agg(item) AS sk "
+                f"FROM rw_in GROUP BY {gb}",
+                counters=100,
+            )
+            got = {r["mon"]: dict(r["sk"]) for r in df.collect()}
+            assert got == {1: {"a": 2, "b": 1}, 2: {"b": 1, "c": 1}}, gb
