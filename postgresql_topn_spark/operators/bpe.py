@@ -80,6 +80,65 @@ def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
     )
 
 
+def _select_batch(
+    rows: list[tuple[str, str, int]],
+    m: int,
+    truncated: bool,
+    prior_concats: set[str],
+) -> list[tuple[str, str]]:
+    """Pick the longest SAFE prefix of the sorted candidate pairs such
+    that applying the whole batch in order provably equals m sequential
+    argmax rounds (so ``batch_m > 1`` never changes the learned merges,
+    it only cuts scheduler round-trips).
+
+    Safety argument — after merging the accepted prefix p_1..p_k:
+    1. PREFIX + DISJOINT: accepted pairs are a *prefix* of the
+       (count DESC, a, b) order with pairwise-disjoint symbols, so each
+       p_j's count is untouched by earlier batch merges, and every pair
+       that overlaps some p_i sorts strictly below the prefix.
+    2. CUTOFF: each accepted p_j (j >= 2) must have count strictly
+       above the first non-accepted candidate's count. Overlapping
+       pairs only lose occurrences, and brand-new pairs created by
+       merging p_i inherit occurrences of pairs overlapping p_i — both
+       are bounded by that cutoff, so nothing can climb past p_j before
+       its turn.
+    3. FRESHNESS: p_i's merged string a+b must not equal any symbol
+       already alive (every multi-char symbol is the concat of a prior
+       merge, or the EOW marker — single chars can't collide with a
+       2+-char concat). A non-fresh concat would let an EXISTING pair's
+       count increase past the cutoff bound in (2).
+    p_1 is always safe: it is the true argmax of the current state."""
+    if not rows:
+        return []
+    used: set[str] = set()
+    concats = set(prior_concats) | {EOW}
+    batch: list[tuple[str, str]] = []
+    cutoff: int | None = None
+    for a, b, n in rows[:m]:
+        if batch and (a in used or b in used or (a + b) in concats):
+            cutoff = n
+            break
+        if (a + b) in concats:
+            # the ARGMAX itself re-creates an alive symbol: existing
+            # pairs around that symbol gain occurrences, so no later
+            # pick is provable — take p_1 alone.
+            return [rows[0][:2]]
+        batch.append((a, b))
+        used.update((a, b, a + b))
+        concats.add(a + b)
+    if cutoff is None and truncated and len(rows) > m:
+        cutoff = rows[m][2]
+    if cutoff is not None:
+        kept = [rows[0][:2]]  # the argmax is unconditionally correct
+        for (a, b), (_, _, n) in zip(batch[1:], rows[1:]):
+            if n > cutoff:
+                kept.append((a, b))
+            else:
+                break  # prefix property must survive the truncation
+        batch = kept
+    return batch
+
+
 def train_bpe(
     docs: DataFrame,
     text_col: Column | str = "text",
@@ -87,18 +146,29 @@ def train_bpe(
     n_merges: int = 40,
     min_pair_count: int = 2,
     persist_every: int = 8,
+    batch_m: int = 1,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merge rules from the corpus. Returns the
     ordered merge list (apply order = learn order). Stops early when no
-    pair reaches `min_pair_count`."""
+    pair reaches `min_pair_count`.
+
+    ``batch_m > 1`` selects up to that many merges per Spark job using
+    the provably-order-equivalent prefix rule (see _select_batch): the
+    result is IDENTICAL to batch_m=1 (pytest-pinned), but a 10k-merge
+    vocabulary runs ~batch-size× fewer scheduler round-trips. Each
+    round stays one job: one TakeOrdered collect of batch_m+1 rows."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
+    if batch_m < 1:
+        raise ValueError(f"batch_m must be >= 1, got {batch_m}")
     base = _word_table(docs, text_col).persist()
     base.count()  # materialize the single raw-text scan
     words = base
     merges: list[tuple[str, str]] = []
+    rounds_since_persist = 0
     try:
-        for i in range(n_merges):
+        while len(merges) < n_merges:
+            m = min(batch_m, n_merges - len(merges))
             pairs = words.select(
                 F.explode(
                     F.zip_with(
@@ -113,21 +183,34 @@ def train_bpe(
                 pairs.groupBy("p")
                 .agg(F.sum("cnt").alias("n"))
                 .orderBy(F.desc("n"), F.asc("p.a"), F.asc("p.b"))
-                .limit(1)
+                .limit(m + 1)
                 .collect()
             )
-            if not top or top[0]["n"] < min_pair_count:
+            rows = [
+                (r["p"]["a"], r["p"]["b"], r["n"])
+                for r in top
+                if r["n"] >= min_pair_count
+            ]
+            if not rows:
                 break
-            a, b = top[0]["p"]["a"], top[0]["p"]["b"]
-            merges.append((a, b))
-            words = words.select(
-                _merge_pair_expr(F.col("syms"), a, b).alias("syms"), "cnt"
+            batch = _select_batch(
+                rows,
+                m,
+                truncated=len(top) == m + 1,
+                prior_concats={a + b for a, b in merges},
             )
-            if (i + 1) % persist_every == 0:
+            merges.extend(batch)
+            syms = F.col("syms")
+            for a, b in batch:
+                syms = _merge_pair_expr(syms, a, b)
+            words = words.select(syms.alias("syms"), "cnt")
+            rounds_since_persist += 1
+            if rounds_since_persist >= persist_every:
                 # cut plan growth: localCheckpoint truncates lineage
                 # (swap for reliable checkpoints on a cluster, like
                 # connected_components' checkpoint_dir mode)
                 words = words.localCheckpoint(eager=True)
+                rounds_since_persist = 0
     finally:
         base.unpersist()
     return merges

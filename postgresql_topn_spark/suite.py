@@ -3333,6 +3333,90 @@ def quantile_rollup_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BPE tokenizer training (gate form)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_oracle_sql(k: int) -> str:
+    """DuckDB twin of train_bpe for k merge rounds. Words are encoded
+    as delimiter-bracketed symbol strings (chr(28) sym chr(29) …), so
+    applying a merge is a plain non-overlapping left-to-right
+    ``replace`` — exactly the left fold semantics of _merge_pair_expr
+    (aaa + merge(a,a) -> [aa, a] on both engines). Each round: extract
+    symbols, count adjacent pairs weighted by word frequency, take the
+    (count DESC, a, b) argmax with the >= 2 support floor, rewrite.
+    The delimiters cannot appear in tokens (\\s+ split keeps control
+    chars, but the synthetic corpus — and any sane corpus — carries
+    none; the Spark side never relies on the encoding)."""
+    fs, gs = "chr(28)", "chr(29)"
+    sym_re = f"{fs}||'([^'||{gs}||']*)'||{gs}"
+    parts = [
+        f"""
+    words AS (
+      SELECT w, count(*) AS cnt FROM (
+        SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'),
+                      t -> t <> '')) AS w
+        FROM documents) GROUP BY w
+    ),
+    w0 AS (
+      SELECT array_to_string(list_transform(
+               list_append(regexp_extract_all(w, '.'), '</w>'),
+               c -> {fs} || c || {gs}), '') AS s, cnt
+      FROM words
+    )"""
+    ]
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+    p{r} AS (
+      SELECT a, b FROM (
+        SELECT syms[i] AS a, syms[i+1] AS b, sum(cnt) AS n FROM (
+          SELECT syms, cnt, unnest(generate_series(1, len(syms)-1)) AS i
+          FROM (SELECT regexp_extract_all(s, {sym_re}, 1) AS syms, cnt
+                FROM w{r-1}))
+        GROUP BY 1, 2) WHERE n >= 2
+      ORDER BY n DESC, a ASC, b ASC LIMIT 1
+    ),
+    w{r} AS (
+      SELECT CASE WHEN p.a IS NULL THEN s
+             ELSE replace(s, {fs}||p.a||{gs}||{fs}||p.b||{gs},
+                          {fs}||p.a||p.b||{gs}) END AS s, cnt
+      FROM w{r-1} LEFT JOIN p{r} p ON TRUE
+    )"""
+        )
+    finals = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a, b, a||b AS merged FROM p{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + f" SELECT CAST(merge_rank AS INT) AS merge_rank, a, b, merged"
+        f" FROM ({finals})"
+    )
+
+
+@_register("bpe_train_merges", _bpe_oracle_sql(8))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training behind the gate: the first 8
+    merge rules learned from the documents corpus (operators/bpe.py;
+    VERDICT r3 item 3). Runs the batched selector (batch_m=4 — up to 4
+    merges per Spark job via the provably-order-equivalent prefix rule,
+    pinned equal to sequential in tests/test_bpe.py), so the gate also
+    exercises the scheduler-round-trip optimization. The oracle replays
+    the full iterative training in DuckDB via the bracketed-string
+    encoding (merge application == non-overlapping replace)."""
+    from postgresql_topn_spark.operators.bpe import train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=8, batch_m=4)
+    rows = [(i + 1, a, b, a + b) for i, (a, b) in enumerate(merges)]
+    return spark.createDataFrame(
+        rows, "merge_rank int, a string, b string, merged string"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: driver-verification priority
 # ---------------------------------------------------------------------------
 # The round-3 driver correctness run stopped after the first 50 registry
@@ -3344,7 +3428,9 @@ def quantile_rollup_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle; only the iteration order changes.
 
 _PRIORITY = [
-    # r3-uncovered tail, original relative order preserved.
+    # round-4 additions (never had a driver row), then the r3-uncovered
+    # tail in its original relative order.
+    "bpe_train_merges",
     "search_tfidf",
     "text_pii",
     "distinct_rollup_hll",

@@ -57,3 +57,68 @@ def test_early_stop_when_pairs_exhaust(spark):
 def test_rejects_bad_params(corpus):
     with pytest.raises(ValueError):
         train_bpe(corpus, "text", n_merges=0)
+
+
+def test_batched_selection_equals_sequential(spark):
+    """batch_m > 1 must learn the IDENTICAL merge list (the prefix rule
+    is provably order-equivalent, operators/bpe.py _select_batch)."""
+    from postgresql_topn_spark.operators.bpe import train_bpe
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    seq = train_bpe(docs, "text", n_merges=12, batch_m=1)
+    for m in (4, 12):
+        assert train_bpe(docs, "text", n_merges=12, batch_m=m) == seq, m
+
+
+def test_select_batch_rules():
+    """Unit pins for the three safety rules: overlap stops the prefix,
+    the cutoff truncates non-dominant picks, a non-fresh concat stops,
+    and the argmax always survives."""
+    from postgresql_topn_spark.operators.bpe import _select_batch
+
+    # disjoint prefix, no truncation (candidate list complete)
+    rows = [("a", "b", 10), ("c", "d", 8), ("e", "f", 6)]
+    assert _select_batch(rows, 3, truncated=False, prior_concats=set()) == [
+        ("a", "b"),
+        ("c", "d"),
+        ("e", "f"),
+    ]
+    # overlap at position 2 sets the cutoff at its count: c-d (8 > 7)
+    # survives, e-f (6 <= 7) is cut
+    rows = [("a", "b", 10), ("c", "d", 8), ("b", "x", 7), ("e", "f", 6)]
+    assert _select_batch(rows, 4, truncated=False, prior_concats=set()) == [
+        ("a", "b"),
+        ("c", "d"),
+    ]
+    # truncated fetch: the (m+1)-th row is the cutoff even without overlap
+    rows = [("a", "b", 10), ("c", "d", 8), ("e", "f", 8)]
+    assert _select_batch(rows, 2, truncated=True, prior_concats=set()) == [
+        ("a", "b")
+    ]
+    # tie with the cutoff: only the argmax survives
+    rows = [("a", "b", 8), ("c", "d", 8), ("b", "x", 8)]
+    assert _select_batch(rows, 3, truncated=False, prior_concats=set()) == [
+        ("a", "b")
+    ]
+    # freshness: concat equal to a prior merge result stops the prefix
+    rows = [("a", "b", 10), ("c", "d", 8)]
+    assert _select_batch(
+        rows, 2, truncated=False, prior_concats={"cd"}
+    ) == [("a", "b")]
+    # concat equal to an earlier batch member's concat also stops
+    rows = [("x", "yz", 10), ("xy", "z", 8)]
+    assert _select_batch(rows, 2, truncated=False, prior_concats=set()) == [
+        ("x", "yz")
+    ]
+
+
+def test_select_batch_stale_argmax_takes_only_p1():
+    """If the argmax's own concat re-creates an alive symbol, existing
+    pairs can inflate — nothing after p_1 is provable."""
+    from postgresql_topn_spark.operators.bpe import _select_batch
+
+    rows = [("a", "b", 10), ("c", "d", 8)]
+    assert _select_batch(
+        rows, 2, truncated=False, prior_concats={"ab"}
+    ) == [("a", "b")]
