@@ -269,12 +269,22 @@ def topn_weighted_agg(
             )
             .alias("__w")
         )
-    # inputs to try_sum are never NULL (coalesce above), so a NULL sum
-    # can only mean int64 overflow -> saturate at INT64_MAX
+    # sum in decimal(38,0) (cannot overflow below ~10^19 addends of
+    # int64 magnitude) and clamp to the int64 range: positive overflow
+    # saturates at INT64_MAX, NEGATIVE overflow at INT64_MIN — the old
+    # try_sum+coalesce form mapped a negative overflow to +INT64_MAX,
+    # turning a hugely-negative item into the top heavy hitter.
     freq = (
-        F.when(F.col(_ITEM).isNull(), F.lit(0))
-        .otherwise(F.coalesce(F.try_sum("__w"), F.lit(INT64_MAX)))
-        .cast("long")
+        F.when(F.col(_ITEM).isNull(), F.lit(0).cast("long"))
+        .otherwise(
+            F.least(
+                F.greatest(
+                    F.sum(F.col("__w").cast("decimal(38,0)")),
+                    F.lit(-INT64_MAX - 1).cast("decimal(38,0)"),
+                ),
+                F.lit(INT64_MAX).cast("decimal(38,0)"),
+            ).cast("long")
+        )
         .alias(_FREQ)
     )
     from pyspark.sql.types import (

@@ -224,16 +224,36 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
     @pandas_udf(SKETCH_TYPE, PandasUDFType.GROUPED_AGG)
     def topn_weighted_agg_udaf(items: pd.Series, weights: pd.Series) -> dict:
         # beyond-reference additive-measure form (aggregates.py:189-213):
-        # NULL weights contribute 0; items with total weight <= 0 drop.
+        # NULL/NaN weights contribute 0; items with total weight <= 0
+        # drop. Fractional weights round HALF-UP (away from zero) per
+        # row — the Column API's F.round semantics — NOT int() truncation
+        # (int(2.7) == 2 would silently disagree with the Column lane).
+        import math
+
         totals: dict[str, int] = {}
         for it, w in zip(items, weights):
             if it is None:
                 continue
             k = truncate_key_bytes(str(it))
             # NULL weights arrive as NaN in pandas' float-promoted column
-            wv = 0 if (w is None or pd.isna(w)) else int(w)
-            totals[k] = min(totals.get(k, 0) + wv, INT64_MAX)
-        return _prune({k: v for k, v in totals.items() if v > 0}, c)
+            if w is None or pd.isna(w):
+                wv = 0
+            else:
+                wf = float(w)
+                wv = math.floor(wf + 0.5) if wf >= 0 else math.ceil(wf - 0.5)
+                wv = max(min(wv, INT64_MAX), -INT64_MAX - 1)
+            # exact bigint running sum, ONE clamp at the end: a running
+            # per-add clamp would make the total depend on row order,
+            # which a distributed aggregate must never do
+            totals[k] = totals.get(k, 0) + wv
+        return _prune(
+            {
+                k: max(min(v, INT64_MAX), -INT64_MAX - 1)
+                for k, v in totals.items()
+                if v > 0
+            },
+            c,
+        )
 
     spark.udtf.register("topn", TopnUdtf)
     spark.udf.register("topn_add", topn_add_udf)
@@ -356,10 +376,7 @@ def topn_add_agg_sql(
 
     c = _rc(counters, spark)
     pairs = _sql_ident_pairs(group_by)
-    names = ", ".join(a for a, _ in pairs)
     sel_exprs = ", ".join(f"{e} AS {a}" for a, e in pairs)
-    prefix_names = f"{names}, " if pairs else ""
-    part = f"PARTITION BY {names} " if pairs else ""
     norm = _normalize_sql(item)
     wtext = f"WHERE {where} " if where else ""
     counted = (
@@ -367,6 +384,24 @@ def topn_add_agg_sql(
         f"count({norm}) AS __f FROM {source} {wtext}"
         f"GROUP BY {', '.join(str(i + 1) for i in range(len(pairs) + 1))}"
     )
+    return _two_phase_pack_sql(counted, pairs, c, out_col, salt_buckets)
+
+
+def _two_phase_pack_sql(
+    counted: str,
+    pairs: list[tuple[str, str]],
+    c: int,
+    out_col: str,
+    salt_buckets: int | None,
+) -> str:
+    """Shared rank+pack tail of the two-phase builders: optional
+    lossless salted pre-rank, per-group top-c rank, entry pack (the
+    non-positive-total drop rule of the counting/weighted builders)."""
+    from postgresql_topn_spark.functions.sketch import ENTRY_CMP_SQL
+
+    names = ", ".join(a for a, _ in pairs)
+    prefix_names = f"{names}, " if pairs else ""
+    part = f"PARTITION BY {names} " if pairs else ""
     if salt_buckets and salt_buckets > 1:
         salt_part = (
             f"PARTITION BY {prefix_names}"
@@ -386,6 +421,58 @@ def topn_add_agg_sql(
         f"FROM ({counted})) WHERE __rn <= {c} OR __i IS NULL "
         + (f"GROUP BY {names}" if pairs else "")
     )
+
+
+def topn_weighted_agg_sql(
+    source: str,
+    group_by: "Sequence[str | tuple[str, str]]",
+    item: str,
+    weight: str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+    salt_buckets: int | None = None,
+    spark: SparkSession | None = None,
+    where: str | None = None,
+) -> str:
+    """SQL text for ``SELECT keys, topn_weighted_agg(item, weight) …
+    GROUP BY keys`` as the two-phase built-in plan — the weighted twin
+    of topn_add_agg_sql. Semantics match the Column API
+    (aggregates.topn_weighted_agg): NULL items skipped (all-NULL groups
+    yield ``{}``), NULL/NaN weights contribute 0, per-row round-half-up
+    to int64 with sign saturation, exact decimal(38,0) sum clamped to
+    the int64 range, items whose total is <= 0 dropped. SQL-text
+    weights route through double (the >2^53 integral caveat — use the
+    Column API when integer weights can exceed 2^53)."""
+    from postgresql_topn_spark.conf import resolve_counters as _rc
+
+    c = _rc(counters, spark)
+    pairs = _sql_ident_pairs(group_by)
+    sel_exprs = ", ".join(f"{e} AS {a}" for a, e in pairs)
+    norm = _normalize_sql(item)
+    wd = f"cast(({weight}) as double)"
+    w_row = (
+        f"CASE WHEN {wd} IS NULL OR isnan({wd}) THEN cast(0 as bigint) "
+        f"ELSE coalesce(try_cast(round({wd}, 0) as bigint), "
+        f"CASE WHEN round({wd}, 0) > 0 THEN {INT64_MAX}"
+        f" ELSE {-INT64_MAX - 1} END) END"
+    )
+    freq = (
+        f"cast(least(greatest(sum(cast({w_row} as decimal(38,0))), "
+        f"cast({-INT64_MAX - 1} as decimal(38,0))), "
+        f"cast({INT64_MAX} as decimal(38,0))) as bigint)"
+    )
+    wtext = f"WHERE {where} " if where else ""
+    # a NULL-item group row must carry __f = 0 (not its weight sum):
+    # it exists only as the keep-the-group marker, and a big __f would
+    # let it consume a top-c rank slot from a real item
+    counted = (
+        f"SELECT {sel_exprs + ', ' if pairs else ''}{norm} AS __i, "
+        f"CASE WHEN ({norm}) IS NULL THEN cast(0 as bigint) "
+        f"ELSE {freq} END AS __f FROM {source} {wtext}"
+        f"GROUP BY {', '.join(str(i + 1) for i in range(len(pairs) + 1))}"
+    )
+    return _two_phase_pack_sql(counted, pairs, c, out_col, salt_buckets)
 
 
 def topn_union_agg_sql(
@@ -459,7 +546,10 @@ def topn_union_agg_sql(
 import re as _re
 import warnings as _warnings
 
-_TOPN_AGG_RE = _re.compile(r"^(topn_add_agg|topn_union_agg)\s*\(", _re.I)
+_TOPN_AGG_RE = _re.compile(
+    r"^(topn_add_agg|topn_union_agg|topn_weighted_agg)\s*\(", _re.I
+)
+_AGG_ARITY = {"topn_add_agg": 1, "topn_union_agg": 1, "topn_weighted_agg": 2}
 _IDENT_RE = _re.compile(r"^[A-Za-z_][A-Za-z0-9_]*$")
 _CLAUSE_RE = _re.compile(
     r"\b(select|from|where|group\s+by|having|order\s+by|limit|union|"
@@ -604,12 +694,13 @@ def _rewrite_select(
             am = _re.match(r"^as\s+([A-Za-z_][A-Za-z0-9_]*|`[^`]+`)$", rest, _re.I)
             if am is None:
                 return None  # nested expression or missing alias
+            fn_name = m.group(1).lower()
             args = _split_top_commas(it[open_i + 1 : close_i])
-            if len(args) != 1 or not args[0]:
+            if len(args) != _AGG_ARITY[fn_name] or not all(args):
                 return None
             if agg is not None:
                 return None  # two agg calls in one list: fall back
-            agg = (idx, m.group(1).lower(), args[0], am.group(1))
+            agg = (idx, fn_name, args, am.group(1))
             continue
         if _ANY_TOPN_FN_RE.search(it):
             return None  # some other topn call mixed in: fall back
@@ -649,12 +740,24 @@ def _rewrite_select(
         if covered != set(range(len(keys))):
             return None  # a select key is not grouped (invalid / unsafe)
     where_text = bounds["where"]
-    fn, arg, out_alias = agg[1], agg[2], agg[3]
+    fn, args, out_alias = agg[1], agg[2], agg[3]
     if fn == "topn_add_agg":
         rewritten = topn_add_agg_sql(
             from_text,
             keys,
-            arg,
+            args[0],
+            counters=counters,
+            out_col=out_alias,
+            salt_buckets=salt_buckets,
+            spark=spark,
+            where=where_text,
+        )
+    elif fn == "topn_weighted_agg":
+        rewritten = topn_weighted_agg_sql(
+            from_text,
+            keys,
+            args[0],
+            args[1],
             counters=counters,
             out_col=out_alias,
             salt_buckets=salt_buckets,
@@ -665,7 +768,7 @@ def _rewrite_select(
         rewritten = topn_union_agg_sql(
             from_text,
             keys,
-            arg,
+            args[0],
             counters=counters,
             out_col=out_alias,
             spark=spark,

@@ -28,6 +28,7 @@ map-side with no shuffle.
 from __future__ import annotations
 
 import random
+import time
 
 import numpy as np
 import pandas as pd
@@ -176,6 +177,7 @@ def connected_components(
     dst: str = "doc_b",
     max_iter: int = 50,
     checkpoint_dir: str | None = None,
+    round_stats: list | None = None,
 ) -> DataFrame:
     """(node, component) for every node appearing in `edges` (undirected),
     where component = the minimum node id reachable from it — the
@@ -261,7 +263,8 @@ def connected_components(
         return lbl.agg(F.sum(F.col("__c").cast("decimal(38,0)"))).first()[0]
 
     prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
+    for rnd in range(max_iter):
+        _t0 = time.perf_counter()
         nbr = und.join(
             labels.select(F.col("__s").alias("__d"), "__c"), "__d"
         ).select("__s", "__c")
@@ -273,6 +276,16 @@ def connected_components(
         )
         cur_sum = _label_sum(labels)
         _drop_stale_pins()
+        if round_stats is not None:
+            # instrumentation for scale probes (cc_scale_probe.py):
+            # per-round wall and whether this round changed any label
+            round_stats.append(
+                {
+                    "round": rnd + 1,
+                    "seconds": round(time.perf_counter() - _t0, 3),
+                    "converged": cur_sum == prev_sum,
+                }
+            )
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum

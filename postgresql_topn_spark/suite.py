@@ -704,17 +704,21 @@ def topn_sql_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def topn_sql_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """topn_revenue_products expressed through the registered SQL
-    aggregate surface: ``topn_weighted_agg(item, weight)`` in a GROUP
-    BY plus lateral ``topn()`` — same results as the Column-API twin
-    (suite.topn_revenue_products), proving the two surfaces agree."""
-    from postgresql_topn_spark.functions.sql_api import register_sql_functions
+    """topn_revenue_products expressed through the SQL front door:
+    ``topn_weighted_agg(item, weight)`` in a GROUP BY plus lateral
+    ``topn()`` — same results as the Column-API twin
+    (suite.topn_revenue_products), proving the surfaces agree. Runs
+    through ``topn_sql()``, which rewrites the weighted aggregate CTE
+    onto the two-phase built-in plan (topn_weighted_agg_sql): the raw
+    lineitem rows never cross into Python — only the bounded sketch
+    rows reach the ``topn()`` UDTF extraction."""
+    from postgresql_topn_spark.functions.sql_api import topn_sql
 
-    register_sql_functions(spark, counters=C)
     load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
         "__topn_sql_lineitem"
     )
-    return spark.sql(
+    return topn_sql(
+        spark,
         """
         WITH yearly AS (
           SELECT CAST(year(l_shipdate) AS INT) AS yr,
@@ -727,7 +731,8 @@ def topn_sql_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT yr, t.item, t.frequency
         FROM yearly, LATERAL topn(yearly.sk, 5) t
-        """
+        """,
+        counters=C,
     )
 
 

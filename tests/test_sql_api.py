@@ -510,3 +510,65 @@ class TestTopnSqlRewriter:
             )
             got = {r["mon"]: dict(r["sk"]) for r in df.collect()}
             assert got == {1: {"a": 2, "b": 1}, 2: {"b": 1, "c": 1}}, gb
+
+
+class TestWeightedSqlRewrite:
+    """topn_weighted_agg through topn_sql(): rewritten onto the
+    two-phase plan with Column-API semantics (round-half-up, NaN/NULL
+    -> 0, exact clamped sum, non-positive totals dropped)."""
+
+    def _mk(self, spark):
+        spark.createDataFrame(
+            [
+                ("g", "a", 2.6),
+                ("g", "a", 2.6),
+                ("g", "b", 100.0),
+                ("g", "c", None),
+                ("g", "d", float("nan")),
+                ("g", None, 7.0),
+            ],
+            "grp string, item string, w double",
+        ).createOrReplaceTempView("wrw_in")
+
+    def test_rewrite_equals_udaf_and_column_api(self, spark):
+        from postgresql_topn_spark.functions.sql_api import (
+            register_sql_functions,
+            topn_sql,
+        )
+        from postgresql_topn_spark.plans.audit import (
+            has_partial_aggregate,
+            python_stages,
+        )
+
+        self._mk(spark)
+        sql = """
+            SELECT grp, topn_weighted_agg(item, w) AS sk
+            FROM wrw_in GROUP BY grp
+        """
+        register_sql_functions(spark, counters=100)
+        udaf = dict(spark.sql(sql).collect()[0]["sk"])
+        df = topn_sql(spark, sql, counters=100)
+        assert python_stages(df) == 0
+        assert has_partial_aggregate(df)
+        got = dict(df.collect()[0]["sk"])
+        # 2.6 rounds half-up to 3 per row (not int-truncated to 2);
+        # NULL and NaN weights contribute 0 -> c and d drop (<= 0);
+        # the NULL item is skipped but the group survives
+        assert got == udaf == {"b": 100, "a": 6}
+
+    def test_null_item_marker_does_not_steal_rank_slot(self, spark):
+        from postgresql_topn_spark.functions.sql_api import topn_sql
+
+        spark.createDataFrame(
+            [("g", None, 1e9), ("g", "a", 5.0), ("g", "b", 3.0)],
+            "grp string, item string, w double",
+        ).createOrReplaceTempView("wrw_null")
+        df = topn_sql(
+            spark,
+            "SELECT grp, topn_weighted_agg(item, w) AS sk "
+            "FROM wrw_null GROUP BY grp",
+            counters=2,
+        )
+        # with counters=2 both real items must survive: the NULL-item
+        # marker row's weight sum must not rank above them
+        assert dict(df.collect()[0]["sk"]) == {"a": 5, "b": 3}
