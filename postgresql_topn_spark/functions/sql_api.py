@@ -645,10 +645,11 @@ def _rewrite_select(
     kinds = [_norm_expr(m.group(1)) for m in spans]
     if kinds[0] != "select" or spans[0].start() != 0:
         return None
-    allowed = {"select", "from", "where", "group by"}
+    order = ["select", "from", "where", "group by", "order by", "limit"]
+    allowed = set(order)
     if any(k not in allowed for k in kinds) or kinds.count("select") != 1:
         return None
-    if kinds != sorted(kinds, key=["select", "from", "where", "group by"].index):
+    if kinds != sorted(kinds, key=order.index):
         return None  # clauses out of order (e.g. a second SELECT)
     bounds = {k: None for k in allowed}
     for idx, m in enumerate(spans):
@@ -776,10 +777,36 @@ def _rewrite_select(
         )
     # The builders emit keys-then-sketch; restore the original column
     # order when the agg was not the last select item.
-    order = [a for a, _ in keys]
-    order.insert(agg[0], out_alias)
+    col_order = [a for a, _ in keys]
+    col_order.insert(agg[0], out_alias)
     if agg[0] != len(keys):
-        rewritten = f"SELECT {', '.join(order)} FROM ({rewritten})"
+        rewritten = f"SELECT {', '.join(col_order)} FROM ({rewritten})"
+    # ORDER BY / LIMIT re-attach on top of the rewrite when every sort
+    # item provably names an output KEY column (alias or select-list
+    # ordinal — ordinals stay valid because column order is preserved).
+    # Sorting by the sketch or an arbitrary expression: fall back.
+    order_text, limit_text = bounds["order by"], bounds["limit"]
+    if order_text is not None:
+        key_names = {_norm_expr(a) for a, _ in keys}
+        key_ords = {
+            str(i + 1) for i in range(len(col_order)) if col_order[i] != out_alias
+        }
+        for ob in _split_top_commas(order_text):
+            obm = _re.match(
+                r"^(.*?)(?:\s+(?:asc|desc))?(?:\s+nulls\s+(?:first|last))?$",
+                ob.strip(),
+                _re.I | _re.S,
+            )
+            ref = _norm_expr(obm.group(1)) if obm else ""
+            if ref not in key_names and ref not in key_ords:
+                return None
+        rewritten = f"SELECT * FROM ({rewritten}) ORDER BY {order_text}"
+    if limit_text is not None:
+        if not _re.fullmatch(r"\d+", limit_text.strip()):
+            return None
+        if order_text is None:
+            rewritten = f"SELECT * FROM ({rewritten})"
+        rewritten = f"{rewritten} LIMIT {limit_text.strip()}"
     return rewritten
 
 

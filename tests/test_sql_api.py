@@ -457,10 +457,10 @@ class TestTopnSqlRewriter:
         from postgresql_topn_spark.functions.sql_api import topn_sql
 
         self._mk(spark)
-        # ORDER BY is outside the rewriter's model -> UDAF lane + warning
+        # HAVING is outside the rewriter's model -> UDAF lane + warning
         sql = """
             SELECT d, topn_add_agg(item) AS sk FROM rw_in
-            GROUP BY d ORDER BY d
+            GROUP BY d HAVING d >= '2024-01-01'
         """
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
@@ -488,14 +488,42 @@ class TestTopnSqlRewriter:
     def test_nested_or_aliasless_shapes_fall_back(self, spark):
         from postgresql_topn_spark.functions.sql_api import rewrite_topn_sql
 
-        # nested call, missing alias, DISTINCT, ORDER BY: all unsupported
+        # nested call, missing alias, DISTINCT, ORDER BY the sketch /
+        # an expression, non-literal LIMIT: all unsupported
         for sql in [
             "SELECT g, topn_entries(topn_add_agg(i), 5) AS e FROM t GROUP BY g",
             "SELECT g, topn_add_agg(i) FROM t GROUP BY g",
             "SELECT DISTINCT g, topn_add_agg(i) AS sk FROM t GROUP BY g",
-            "SELECT g, topn_add_agg(i) AS sk FROM t GROUP BY g ORDER BY g",
+            "SELECT g, topn_add_agg(i) AS sk FROM t GROUP BY g ORDER BY sk",
+            "SELECT g, topn_add_agg(i) AS sk FROM t GROUP BY g ORDER BY upper(g)",
+            "SELECT g, topn_add_agg(i) AS sk FROM t GROUP BY g LIMIT 1+1",
         ]:
             assert rewrite_topn_sql(sql) is None, sql
+
+    def test_order_by_and_limit_reattach(self, spark):
+        from postgresql_topn_spark.functions.sql_api import topn_sql
+        from postgresql_topn_spark.plans.audit import python_stages
+
+        self._mk(spark)
+        df = topn_sql(
+            spark,
+            "SELECT d, topn_add_agg(item) AS sk FROM rw_in "
+            "GROUP BY d ORDER BY d DESC LIMIT 2",
+            counters=100,
+        )
+        assert python_stages(df) == 0
+        rows = df.collect()
+        assert [r["d"] for r in rows] == ["2024-02-02", "2024-02-01"]
+        assert dict(rows[1]["sk"]) == {"b": 1}
+        # ordinal sort target also rewrites
+        df2 = topn_sql(
+            spark,
+            "SELECT d, topn_add_agg(item) AS sk FROM rw_in "
+            "GROUP BY d ORDER BY 1 LIMIT 1",
+            counters=100,
+        )
+        assert python_stages(df2) == 0
+        assert df2.collect()[0]["d"] == "2024-01-03"
 
     def test_group_by_ordinals_and_aliases(self, spark):
         from postgresql_topn_spark.functions.sql_api import topn_sql
