@@ -864,10 +864,27 @@ def rewrite_topn_sql(
     spark: SparkSession | None = None,
     salt_buckets: int | None = None,
 ) -> str | None:
-    """Rewrite every flagship ``topn_add_agg`` / ``topn_union_agg``
-    aggregate SELECT in *sql* (top level and WITH-CTE bodies) onto the
-    two-phase pure-built-in plan. Returns the rewritten statement, or
-    None when nothing could be rewritten."""
+    """Rewrite every flagship ``topn_add_agg`` / ``topn_union_agg`` /
+    ``topn_weighted_agg`` aggregate SELECT in *sql* (top level, inside
+    WITH-CTE bodies, and under an ``INSERT INTO … SELECT`` — the
+    reference's own rollup-maintenance statement, README.md:84-88) onto
+    the two-phase pure-built-in plan. Returns the rewritten statement,
+    or None when nothing could be rewritten."""
+    s = sql.strip()
+    ins = _re.match(
+        r"^(insert\s+(?:into|overwrite)\s+(?:table\s+)?"
+        r"[A-Za-z_][\w.]*\s*(?:\([^)]*\)\s*)?)",
+        s,
+        _re.I,
+    )
+    if ins:
+        body = rewrite_topn_sql(
+            s[ins.end() :],
+            counters=counters,
+            spark=spark,
+            salt_buckets=salt_buckets,
+        )
+        return None if body is None else f"{ins.group(1)}{body}"
     parsed = _split_ctes(sql)
     if parsed is None:
         return None

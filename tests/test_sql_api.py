@@ -600,3 +600,38 @@ class TestWeightedSqlRewrite:
         # with counters=2 both real items must survive: the NULL-item
         # marker row's weight sum must not rank above them
         assert dict(df.collect()[0]["sk"]) == {"a": 5, "b": 3}
+
+
+def test_insert_into_select_rewrites(spark, tmp_path):
+    """The reference's own rollup-maintenance statement (README.md:84-88)
+    — INSERT INTO rollup SELECT keys, topn_add_agg(item) ... GROUP BY —
+    runs through topn_sql with the two-phase plan and lands rows in the
+    target table."""
+    from postgresql_topn_spark.functions.sql_api import (
+        rewrite_topn_sql,
+        topn_sql,
+    )
+
+    spark.createDataFrame(
+        [("2024-01-01", "a"), ("2024-01-01", "a"), ("2024-01-02", "b")],
+        "review_date string, product_id string",
+    ).createOrReplaceTempView("ins_reviews")
+    spark.sql("DROP TABLE IF EXISTS popular_products_t")
+    spark.sql(
+        "CREATE TABLE popular_products_t "
+        f"(review_date string, agg_data map<string,bigint>) USING parquet "
+        f"LOCATION '{tmp_path}/popular_products_t'"
+    )
+    sql = """
+        INSERT INTO popular_products_t
+        SELECT review_date, topn_add_agg(product_id) AS agg_data
+        FROM ins_reviews GROUP BY review_date
+    """
+    assert rewrite_topn_sql(sql, counters=100) is not None
+    topn_sql(spark, sql, counters=100)
+    got = {
+        r["review_date"]: dict(r["agg_data"])
+        for r in spark.sql("SELECT * FROM popular_products_t").collect()
+    }
+    spark.sql("DROP TABLE popular_products_t")
+    assert got == {"2024-01-01": {"a": 2}, "2024-01-02": {"b": 1}}
