@@ -1244,3 +1244,100 @@ def simhash_md5_pairs(
     the oracle-checkable twin of simhash_pairs (same pigeonhole join)."""
     sh = simhash_md5_table(df, id_col, text_col, k)
     return _hamming_chunk_pairs(sh, 60, max_hamming)
+
+
+def substring_run_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_run_tokens: int = 16,
+    shingle_k: int = 8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact SHARED-SUBSTRING detection at token granularity — the
+    substring-dedup primitive of Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") expressed as Spark
+    relational algebra instead of a suffix array: every maximal run of
+    >= `min_run_tokens` consecutive tokens shared verbatim by two
+    documents, with its start offsets. Catches boilerplate headers,
+    quoted passages and partial copies that document-level
+    (Jaccard/MinHash) dedup misses because the rest of the documents
+    differ.
+
+    Algorithm: positional `shingle_k`-token grams, md5-60bit hashed
+    (oracle-replayable; collisions ~2^-60 per candidate pair, same
+    class as every other md5 operator here); inverted-index self-join
+    on the hash (never all-pairs); a shared run of R tokens appears as
+    R-k+1 matches on one (doc_a, doc_b, pa-pb) DIAGONAL at consecutive
+    pa — coalesced with the gaps-and-islands trick (pa - row_number
+    per diagonal), so each maximal run becomes one output row with
+    run_tokens = matches + k - 1.
+
+    Scale shape: the only joins are hash-equality on longs; window
+    state is per-(pair, diagonal) match lists (bounded by matched
+    positions, not corpus size). `max_shingle_df` drops grams whose
+    posting list exceeds the cap (Zipf guard, same trade as
+    jaccard_pairs: a dropped gram can split a run that crosses it —
+    candidate bound, never a false positive).
+
+    Returns (doc_a, doc_b, a_start, b_start, run_tokens), 1-based
+    token offsets, doc_a < doc_b."""
+    if shingle_k < 1:
+        raise ValueError(f"shingle_k must be >= 1, got {shingle_k}")
+    if min_run_tokens < shingle_k:
+        raise ValueError(
+            f"min_run_tokens ({min_run_tokens}) must be >= shingle_k "
+            f"({shingle_k}): shorter runs are invisible to k-gram matching"
+        )
+    from pyspark.sql.window import Window
+
+    t = _tokenized(df, id_col, text_col)
+    sh_expr = shingles_from_tokens(F.col("__toks"), shingle_k)
+    # posexplode in the SAME select as the shingle expression (see
+    # _tokenized's Generate-boundary note)
+    sh = t.select(
+        "__id", F.posexplode(sh_expr).alias("__p0", "__s")
+    ).select(
+        "__id",
+        (F.col("__p0") + 1).alias("__p"),
+        F.conv(F.substring(F.md5("__s"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("__h"),
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("__h")
+            .count()  # posting appearances (incl. intra-doc repeats)
+            .where(F.col("count") > max_shingle_df)
+            .select("__h")
+        )
+        sh = sh.join(F.broadcast(hot), "__h", "left_anti")
+    a = sh.select(
+        F.col("__id").alias("doc_a"), F.col("__p").alias("__pa"), "__h"
+    )
+    b = sh.select(
+        F.col("__id").alias("doc_b"), F.col("__p").alias("__pb"), "__h"
+    )
+    m = a.join(b, "__h").where(F.col("doc_a") < F.col("doc_b"))
+    w = Window.partitionBy("doc_a", "doc_b", "__diag").orderBy("__pa")
+    runs = (
+        m.select(
+            "doc_a",
+            "doc_b",
+            "__pa",
+            "__pb",
+            (F.col("__pa") - F.col("__pb")).alias("__diag"),
+        )
+        .withColumn("__isl", F.col("__pa") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "__diag", "__isl")
+        .agg(
+            F.min("__pa").alias("a_start"),
+            F.min("__pb").alias("b_start"),
+            (F.count(F.lit(1)) + F.lit(shingle_k - 1))
+            .cast("int")
+            .alias("run_tokens"),
+        )
+        .where(F.col("run_tokens") >= min_run_tokens)
+    )
+    return runs.select("doc_a", "doc_b", "a_start", "b_start", "run_tokens")

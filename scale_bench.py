@@ -94,6 +94,10 @@ SUBSET = [
     "text_bigram_logprob",
     "pipeline_quality_deciles",
     "pipeline_profile_docs",
+    # round-4 additions over scaled tables
+    "dedup_substring_runs",
+    "bpe_train_merges",
+    "stream_kmv_rollup",
 ]
 
 def _near_auto(spark, sf_dir):

@@ -478,3 +478,111 @@ class TestExactDedupQualityKeeper:
         assert hash_shuffles(out) == 1
         assert has_partial_aggregate(out)
         assert python_stages(out) == 0
+
+
+class TestSubstringRuns:
+    """substring_run_pairs: token-granular shared-run detection (Lee et
+    al. 2022 ExactSubstr as relational algebra)."""
+
+    def test_basic_run_and_offsets(self, spark):
+        from postgresql_topn_spark.operators.dedup import substring_run_pairs
+
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e f g h i j k l"),
+                (2, "x y a b c d e f g h i j"),  # shares a..j at (1, 3)
+                (3, "nothing in common at all"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = substring_run_pairs(
+            df, "doc_id", "text", min_run_tokens=8, shingle_k=4
+        ).collect()
+        assert [tuple(r) for r in out] == [(1, 2, 1, 3, 10)]
+
+    def test_two_disjoint_runs_stay_separate(self, spark):
+        from postgresql_topn_spark.operators.dedup import substring_run_pairs
+
+        # two shared 5-token runs separated by different middles
+        df = spark.createDataFrame(
+            [
+                (1, "p q r s t MID1 u v w x y"),
+                (2, "p q r s t MID2 u v w x y"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = sorted(
+            tuple(r)
+            for r in substring_run_pairs(
+                df, "doc_id", "text", min_run_tokens=5, shingle_k=4
+            ).collect()
+        )
+        assert out == [(1, 2, 1, 1, 5), (1, 2, 7, 7, 5)]
+
+    def test_intra_doc_repeat_makes_two_alignments(self, spark):
+        from postgresql_topn_spark.operators.dedup import substring_run_pairs
+
+        # doc 2 contains the shared run twice -> two diagonals
+        df = spark.createDataFrame(
+            [
+                (1, "a b c d e"),
+                (2, "a b c d e SEP a b c d e"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = sorted(
+            tuple(r)
+            for r in substring_run_pairs(
+                df, "doc_id", "text", min_run_tokens=5, shingle_k=5
+            ).collect()
+        )
+        assert out == [(1, 2, 1, 1, 5), (1, 2, 1, 7, 5)]
+
+    def test_short_docs_and_validation(self, spark):
+        from postgresql_topn_spark.operators.dedup import substring_run_pairs
+
+        df = spark.createDataFrame(
+            [(1, "a b"), (2, "a b")], "doc_id bigint, text string"
+        )
+        # docs shorter than k produce no shingles, no crash
+        assert (
+            substring_run_pairs(
+                df, "doc_id", "text", min_run_tokens=4, shingle_k=4
+            ).count()
+            == 0
+        )
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="min_run_tokens"):
+            substring_run_pairs(
+                df, "doc_id", "text", min_run_tokens=3, shingle_k=4
+            )
+
+    def test_hot_gram_cap_bounds_candidates(self, spark):
+        from postgresql_topn_spark.operators.dedup import substring_run_pairs
+
+        # the ubiquitous boilerplate run appears in every doc; capping
+        # its grams removes those candidates entirely
+        rows = [(i, "the same boiler plate line here") for i in range(10)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        uncapped = substring_run_pairs(
+            df, "doc_id", "text", min_run_tokens=6, shingle_k=4
+        ).count()
+        capped = substring_run_pairs(
+            df,
+            "doc_id",
+            "text",
+            min_run_tokens=6,
+            shingle_k=4,
+            max_shingle_df=5,
+        ).count()
+        assert uncapped == 45 and capped == 0
+
+    def test_plan_all_jvm(self, spark):
+        from postgresql_topn_spark.operators.dedup import substring_run_pairs
+        from postgresql_topn_spark.plans.audit import python_stages
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+        out = substring_run_pairs(docs, "doc_id", "text")
+        assert python_stages(out) == 0
