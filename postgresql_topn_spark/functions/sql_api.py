@@ -617,7 +617,28 @@ def _split_top_commas(s: str) -> list[str]:
 
 
 def _norm_expr(s: str) -> str:
-    return " ".join(s.split()).lower()
+    """Whitespace-collapsed, case-folded OUTSIDE quoted spans: folding a
+    string literal's case would falsely equate GROUP BY f('A') with a
+    select key f('a') and rewrite to the wrong grouping."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"', "`"):
+            j = i + 1
+            while j < n:
+                if s[j] == ch:
+                    if j + 1 < n and s[j + 1] == ch:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(s[i : min(j + 1, n)])
+            i = j + 1
+            continue
+        out.append(ch.lower())
+        i += 1
+    return " ".join("".join(out).split())
 
 
 def _clause_spans(s: str):
@@ -639,6 +660,16 @@ def _rewrite_select(
     [GROUP BY keys]) onto the two-phase built-in SQL. Returns None when
     the shape is not provably that pattern (caller falls back)."""
     s = sql.strip().rstrip(";").strip()
+    # drop leading comments so the SELECT-at-position-0 check sees code
+    while True:
+        if s.startswith("--"):
+            nl = s.find("\n")
+            s = "" if nl < 0 else s[nl + 1 :].lstrip()
+        elif s.startswith("/*"):
+            e = s.find("*/")
+            s = "" if e < 0 else s[e + 2 :].lstrip()
+        else:
+            break
     spans = _clause_spans(s)
     if not spans:
         return None
@@ -651,6 +682,11 @@ def _rewrite_select(
         return None
     if kinds != sorted(kinds, key=order.index):
         return None  # clauses out of order (e.g. a second SELECT)
+    if len(set(kinds)) != len(kinds):
+        # a duplicated clause keyword (invalid SQL): rewriting would
+        # silently DROP the earlier clause's text — let the engine
+        # produce its parse error instead
+        return None
     bounds = {k: None for k in allowed}
     for idx, m in enumerate(spans):
         k = _norm_expr(m.group(1))
@@ -838,6 +874,15 @@ def _split_ctes(sql: str):
                 j += 1
                 while j < n and s[j] != q:
                     j += 1
+            elif c == "-" and j + 1 < n and s[j + 1] == "-":
+                # line comment: a stray paren inside would desync depth
+                while j < n and s[j] != "\n":
+                    j += 1
+                continue
+            elif c == "/" and j + 1 < n and s[j + 1] == "*":
+                e = s.find("*/", j + 2)
+                j = n if e < 0 else e + 2
+                continue
             elif c == "(":
                 depth += 1
             elif c == ")":

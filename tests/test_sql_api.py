@@ -635,3 +635,49 @@ def test_insert_into_select_rewrites(spark, tmp_path):
     }
     spark.sql("DROP TABLE popular_products_t")
     assert got == {"2024-01-01": {"a": 2}, "2024-01-02": {"b": 1}}
+
+
+def test_rewriter_literal_case_and_duplicate_clauses():
+    """Self-review pins: (a) string-literal case must NOT fold during
+    GROUP BY matching — f('A') grouping is not the f('a') select key;
+    (b) a duplicated clause keyword (invalid SQL) must fall back, not
+    silently drop the earlier clause; (c) comments inside CTE bodies
+    must not desync the paren scanner."""
+    from postgresql_topn_spark.functions.sql_api import rewrite_topn_sql
+
+    # (a) literal-case mismatch -> no rewrite
+    assert (
+        rewrite_topn_sql(
+            "SELECT replace(g, 'a', '') AS k, topn_add_agg(i) AS sk "
+            "FROM t GROUP BY replace(g, 'A', '')"
+        )
+        is None
+    )
+    # same-case literals still rewrite
+    assert (
+        rewrite_topn_sql(
+            "SELECT replace(g, 'a', '') AS k, topn_add_agg(i) AS sk "
+            "FROM t GROUP BY replace(g, 'a', '')"
+        )
+        is not None
+    )
+    # (b) duplicate WHERE -> fall back to the engine's parse error
+    assert (
+        rewrite_topn_sql(
+            "SELECT g, topn_add_agg(i) AS sk FROM t WHERE x WHERE y GROUP BY g"
+        )
+        is None
+    )
+    # (c) a comment containing a stray ')' inside a CTE body must not
+    # desync the paren scanner, and a leading comment must not block
+    # the body rewrite (the comment itself is dropped from the rewrite)
+    sql = """
+        WITH m AS (
+          -- boiler) plate comment
+          SELECT g, topn_add_agg(i) AS sk FROM t GROUP BY g
+        )
+        SELECT * FROM m
+    """
+    out = rewrite_topn_sql(sql)
+    assert out is not None and "row_number() OVER" in out
+    assert out.rstrip().endswith("SELECT * FROM m")
