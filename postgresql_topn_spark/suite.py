@@ -3338,6 +3338,48 @@ def quantile_rollup_kll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Audio multimodal: real WAV encode -> parse -> PCM windowed energy
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "multimodal_audio_energy",
+    """
+    WITH n AS (
+      SELECT doc_id, CAST(512 + (doc_id % 7) * 256 AS INT) AS ns
+      FROM documents
+    ),
+    s AS (
+      SELECT doc_id, i, ((doc_id * 31 + i * 17) % 2048) - 1024 AS v
+      FROM (SELECT doc_id, unnest(generate_series(0, ns - 1)) AS i FROM n)
+    )
+    SELECT doc_id, CAST(i // 256 AS INT) AS window_idx,
+           CAST(count(*) AS INT) AS win_samples,
+           CAST(sum(v * v) AS BIGINT) AS sum_sq,
+           CAST(max(abs(v)) AS INT) AS peak
+    FROM s GROUP BY doc_id, i // 256
+    """,
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-column pipeline, END TO END REAL: synthesize genuine
+    RIFF/WAVE PCM16 payloads (stdlib-wave-verified), parse the chunk
+    list back (parse_wav_meta — the audio twin of the image header
+    parser), decode PCM16 with numpy and emit per-256-sample windowed
+    energy (exact integer sum of squares + absolute peak — the
+    loudness/silence profile speech pipelines filter on). The samples
+    are a pure integer function of doc_id, so the oracle replays every
+    metric value-for-value while the Spark side exercises real WAV
+    encode -> parse -> decode (operators/multimodal.py)."""
+    from postgresql_topn_spark.operators.multimodal import (
+        audio_energy_windows,
+        make_audio_blob_table,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return audio_energy_windows(make_audio_blob_table(docs), window=256)
+
+
+# ---------------------------------------------------------------------------
 # Substring dedup (Lee et al. 2022 — token-granular shared-run detection)
 # ---------------------------------------------------------------------------
 
@@ -3650,6 +3692,7 @@ _PRIORITY = [
     "stream_kmv_rollup",
     "topn_csv_reviews",
     "dedup_substring_runs",
+    "multimodal_audio_energy",
     "search_tfidf",
     "text_pii",
     "distinct_rollup_hll",

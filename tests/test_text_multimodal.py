@@ -403,3 +403,88 @@ class TestRealPixelDecode:
         )
         with _pytest.raises(ValueError):
             resize_pixels(decoded, 0, 1)
+
+
+class TestAudioWav:
+    """Real RIFF/WAV parsing + PCM windowed energy (the audio twin of
+    the image header/pixel path)."""
+
+    def test_parse_matches_stdlib_wave(self):
+        """A WAV written by the STDLIB wave module (independent
+        encoder) must parse to the same metadata."""
+        import io
+        import struct
+        import wave
+
+        from postgresql_topn_spark.operators.multimodal import parse_wav_meta
+
+        buf = io.BytesIO()
+        w = wave.open(buf, "wb")
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(44100)
+        w.writeframes(struct.pack("<6h", 1, -1, 2, -2, 3, -3))  # 3 frames
+        w.close()
+        assert parse_wav_meta(buf.getvalue()) == (2, 44100, 16, 3)
+
+    def test_parse_skips_preceding_chunks_and_rejects_garbage(self):
+        import struct
+
+        from postgresql_topn_spark.operators.multimodal import (
+            parse_wav_meta,
+            synth_wav_pcm16,
+        )
+
+        base = synth_wav_pcm16(1)
+        # splice a JUNK chunk (odd length -> word-alignment padding)
+        # between WAVE and fmt — real encoders do this
+        junk = b"JUNK" + struct.pack("<I", 3) + b"xyz" + b"\x00"
+        spliced = base[:12] + junk + base[12:]
+        assert parse_wav_meta(spliced) == parse_wav_meta(base)
+        assert parse_wav_meta(b"not audio") is None
+        assert parse_wav_meta(None) is None
+        assert parse_wav_meta(b"RIFF\x00\x00\x00\x00WAVE") is None
+
+    def test_energy_windows_exact(self, spark):
+        """Windowed sum-of-squares must equal the direct integer
+        computation, including the short tail window."""
+        from postgresql_topn_spark.operators.multimodal import (
+            audio_energy_windows,
+            make_audio_blob_table,
+        )
+
+        docs = spark.createDataFrame([(3,), (9,)], "doc_id bigint")
+        rows = {
+            (r["doc_id"], r["window_idx"]): (
+                r["win_samples"],
+                r["sum_sq"],
+                r["peak"],
+            )
+            for r in audio_energy_windows(
+                make_audio_blob_table(docs), window=300
+            ).collect()
+        }
+        for d in (3, 9):
+            n = 512 + (d % 7) * 256
+            s = [((d * 31 + i * 17) % 2048) - 1024 for i in range(n)]
+            for w0 in range(0, n, 300):
+                chunk = s[w0 : w0 + 300]
+                assert rows[(d, w0 // 300)] == (
+                    len(chunk),
+                    sum(v * v for v in chunk),
+                    max(abs(v) for v in chunk),
+                ), (d, w0)
+
+    def test_undecodable_blobs_skip_not_crash(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            audio_energy_windows,
+            decode_wav_meta,
+        )
+
+        blobs = spark.createDataFrame(
+            [(1, bytearray(b"not a wav"), "audio/wav", 9), (2, None, "audio/wav", 0)],
+            "doc_id bigint, blob binary, media_type string, n_bytes int",
+        )
+        assert audio_energy_windows(blobs).count() == 0
+        metas = decode_wav_meta(blobs).collect()
+        assert all(m["sample_rate"] is None for m in metas)
