@@ -372,7 +372,6 @@ def topn_add_agg_sql(
     millions of distinct items (see aggregates._rank_and_pack). *where*
     filters raw rows before the count (the original query's WHERE)."""
     from postgresql_topn_spark.conf import resolve_counters as _rc
-    from postgresql_topn_spark.functions.sketch import ENTRY_CMP_SQL
 
     c = _rc(counters, spark)
     pairs = _sql_ident_pairs(group_by)
@@ -605,6 +604,45 @@ def _top_mask(s: str) -> list[bool]:
     return mask
 
 
+def _strip_sql_comments(s: str) -> str:
+    """Replace -- line comments and /* */ block comments with a space,
+    string-literal-aware. Rewritten statements are emitted as ONE line,
+    so a surviving line comment would swallow everything after it."""
+    out: list[str] = []
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in ("'", '"', "`"):
+            q = ch
+            j = i + 1
+            while j < n:
+                if s[j] == "\\" and q != "`":
+                    j += 2
+                    continue
+                if s[j] == q:
+                    if j + 1 < n and s[j + 1] == q:
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(s[i : min(j + 1, n)])
+            i = j + 1
+            continue
+        if ch == "-" and i + 1 < n and s[i + 1] == "-":
+            nl = s.find("\n", i)
+            out.append(" ")
+            i = n if nl < 0 else nl + 1
+            continue
+        if ch == "/" and i + 1 < n and s[i + 1] == "*":
+            e = s.find("*/", i + 2)
+            out.append(" ")
+            i = n if e < 0 else e + 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 def _split_top_commas(s: str) -> list[str]:
     mask = _top_mask(s)
     parts, start = [], 0
@@ -617,14 +655,31 @@ def _split_top_commas(s: str) -> list[str]:
 
 
 def _norm_expr(s: str) -> str:
-    """Whitespace-collapsed, case-folded OUTSIDE quoted spans: folding a
-    string literal's case would falsely equate GROUP BY f('A') with a
-    select key f('a') and rewrite to the wrong grouping."""
-    out = []
+    """Case-folded and whitespace-collapsed OUTSIDE quoted spans only:
+    folding a literal's case (or collapsing its internal whitespace)
+    would falsely equate GROUP BY f('A') / f('a  b') with a select key
+    f('a') / f('a b') and rewrite to the wrong grouping."""
+    out: list[str] = []
+    seg: list[str] = []  # pending non-quoted run
     i, n = 0, len(s)
+
+    def flush() -> None:
+        if seg:
+            # collapse whitespace within the non-quoted run; single
+            # spaces at the run edges keep token separation stable
+            txt = "".join(seg)
+            collapsed = " ".join(txt.split())
+            if txt[:1].isspace() and collapsed:
+                collapsed = " " + collapsed
+            if txt[-1:].isspace() and collapsed.strip():
+                collapsed = collapsed + " "
+            out.append(collapsed)
+            seg.clear()
+
     while i < n:
         ch = s[i]
         if ch in ("'", '"', "`"):
+            flush()
             j = i + 1
             while j < n:
                 if s[j] == ch:
@@ -636,9 +691,10 @@ def _norm_expr(s: str) -> str:
             out.append(s[i : min(j + 1, n)])
             i = j + 1
             continue
-        out.append(ch.lower())
+        seg.append(ch.lower())
         i += 1
-    return " ".join("".join(out).split())
+    flush()
+    return "".join(out).strip()
 
 
 def _clause_spans(s: str):
@@ -872,7 +928,17 @@ def _split_ctes(sql: str):
             if c in ("'", '"', "`"):
                 q = c
                 j += 1
-                while j < n and s[j] != q:
+                while j < n:
+                    # mirror _top_mask's escape handling — the two
+                    # scanners must agree on where strings end
+                    if s[j] == "\\" and q != "`":
+                        j += 2
+                        continue
+                    if s[j] == q:
+                        if j + 1 < n and s[j + 1] == q:
+                            j += 2
+                            continue
+                        break
                     j += 1
             elif c == "-" and j + 1 < n and s[j + 1] == "-":
                 # line comment: a stray paren inside would desync depth
@@ -915,7 +981,10 @@ def rewrite_topn_sql(
     reference's own rollup-maintenance statement, README.md:84-88) onto
     the two-phase pure-built-in plan. Returns the rewritten statement,
     or None when nothing could be rewritten."""
-    s = sql.strip()
+    # strip comments once, statement-wide: clause texts are interpolated
+    # into ONE-LINE generated SQL, where a surviving -- comment would
+    # swallow the rest of the statement
+    s = _strip_sql_comments(sql).strip()
     ins = _re.match(
         r"^(insert\s+(?:into|overwrite)\s+(?:table\s+)?"
         r"[A-Za-z_][\w.]*\s*(?:\([^)]*\)\s*)?)",
@@ -930,7 +999,7 @@ def rewrite_topn_sql(
             salt_buckets=salt_buckets,
         )
         return None if body is None else f"{ins.group(1)}{body}"
-    parsed = _split_ctes(sql)
+    parsed = _split_ctes(s)
     if parsed is None:
         return None
     ctes, main = parsed

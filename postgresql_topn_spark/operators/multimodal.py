@@ -437,32 +437,44 @@ def make_audio_blob_table(documents: DataFrame) -> DataFrame:
     return documents.select("doc_id").mapInPandas(synth, BLOB_SCHEMA)
 
 
-def parse_wav_meta(buf: bytes):
-    """(channels, sample_rate, bits, n_samples) from a RIFF/WAVE
-    payload, pure stdlib — the audio analogue of parse_image_header.
-    Walks the chunk list (fmt may be preceded by LIST/JUNK chunks in
-    real files); returns None for non-WAV payloads. Header arithmetic,
-    not validation — a lying header parses to the lie."""
+def _wav_chunks(buf: bytes):
+    """ONE RIFF chunk-list walk shared by metadata and PCM decode:
+    (fmt_tuple, data_offset, data_len) or None. fmt may be preceded by
+    LIST/JUNK chunks in real files; chunks are word-aligned. data_len
+    is the DECLARED chunk length — a lying/truncated header can exceed
+    the buffer; consumers must clamp to the bytes that exist."""
     import struct
 
     if buf is None or len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         return None
     pos = 12
     fmt = None
-    data_len = None
+    data_span = None
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
         body = buf[pos + 8 : pos + 8 + clen]
         if cid == b"fmt " and len(body) >= 16:
             fmt = struct.unpack("<HHIIHH", body[:16])
-        elif cid == b"data":
-            data_len = clen
+        elif cid == b"data" and data_span is None:
+            data_span = (pos + 8, clen)
         pos += 8 + clen + (clen & 1)  # chunks are word-aligned
-        if fmt is not None and data_len is not None:
+        if fmt is not None and data_span is not None:
             break
-    if fmt is None or data_len is None:
+    if fmt is None or data_span is None:
         return None
+    return fmt, data_span[0], data_span[1]
+
+
+def parse_wav_meta(buf: bytes):
+    """(channels, sample_rate, bits, n_samples) from a RIFF/WAVE
+    payload, pure stdlib — the audio analogue of parse_image_header.
+    Returns None for non-WAV payloads. Header arithmetic, not
+    validation — a lying header parses to the lie."""
+    parsed = _wav_chunks(buf)
+    if parsed is None:
+        return None
+    fmt, _, data_len = parsed
     _, channels, rate, _, block_align, bits = fmt
     if block_align == 0:
         return None
@@ -515,30 +527,25 @@ def audio_energy_windows(blobs: DataFrame, *, window: int = 256) -> DataFrame:
     from collections.abc import Iterator as _It
 
     def feats(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
-        import struct
-
         for pdf in batches:
             out: list[tuple] = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 if blob is None:
                     continue
                 buf = bytes(blob)
-                meta = parse_wav_meta(buf)
-                if meta is None:
+                parsed = _wav_chunks(buf)
+                if parsed is None:
                     continue
-                channels, _, bits, n_samples = meta
-                if bits != 16 or channels != 1 or n_samples == 0:
+                (_, channels, _, _, _, bits), off, clen = parsed
+                if bits != 16 or channels != 1:
                     continue
-                # find the data chunk payload
-                pos, data = 12, None
-                while pos + 8 <= len(buf):
-                    cid = buf[pos : pos + 4]
-                    (clen,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
-                    if cid == b"data":
-                        data = buf[pos + 8 : pos + 8 + clen]
-                        break
-                    pos += 8 + clen + (clen & 1)
-                if data is None:
+                # clamp to bytes that EXIST and to whole int16 samples:
+                # a lying/truncated data length (odd, or past the buffer
+                # end) must skip gracefully, never raise in frombuffer —
+                # a corrupt blob cannot kill a 100 TB scan
+                data = buf[off : off + clen]
+                data = data[: (len(data) // 2) * 2]
+                if not data:
                     continue
                 s = np.frombuffer(data, dtype="<i2").astype(np.int64)
                 for w in range(0, len(s), window):

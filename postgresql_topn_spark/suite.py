@@ -727,7 +727,7 @@ def topn_sql_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)
                  ) AS sk
           FROM __topn_sql_lineitem
-          GROUP BY year(l_shipdate)
+          GROUP BY CAST(year(l_shipdate) AS INT)
         )
         SELECT yr, t.item, t.frequency
         FROM yearly, LATERAL topn(yearly.sk, 5) t
@@ -1513,14 +1513,9 @@ def stream_topn_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events")  # sets the nanos-as-long conf
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     base = tempfile.mkdtemp(prefix="topn_stream_rollup_")
-    # the file stream source wants a DIRECTORY to watch; stage the
-    # fixture file into one (symlink — no copy)
-    src_dir = os.path.join(base, "in")
-    os.makedirs(src_dir)
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src_dir, "events.parquet"),
-    )
+    # the file stream source wants a DIRECTORY of files to watch;
+    # stage the fixture into one (symlinks — no copy)
+    src_dir = _stage_stream_source(sf_dir, "events", base)
     src = spark.readStream.schema(raw.schema).parquet(src_dir)
     from pyspark.sql.types import LongType
 
@@ -3428,6 +3423,30 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stage_stream_source(sf_dir: str, name: str, base: str) -> str:
+    """Stage a fixture parquet into a fresh directory the FILE STREAM
+    source can watch. The fixture may be a single .parquet FILE (the
+    driver's testdata) or a Spark-written DIRECTORY of part files
+    (scale_bench's derived corpora) — symlinking a directory as one
+    entry makes the stream source list ZERO files (its part files sit
+    one level below the monitored glob), so directories get their part
+    files linked individually."""
+    import os
+
+    src_dir = os.path.join(base, "in")
+    os.makedirs(src_dir)
+    src = os.path.join(sf_dir, f"{name}.parquet")
+    if os.path.isdir(src):
+        for i, f in enumerate(sorted(os.listdir(src))):
+            if f.endswith(".parquet"):
+                os.symlink(
+                    os.path.join(src, f), os.path.join(src_dir, f"p{i}.parquet")
+                )
+    else:
+        os.symlink(src, os.path.join(src_dir, f"{name}.parquet"))
+    return src_dir
+
+
 # ---------------------------------------------------------------------------
 # CSV ingestion end-to-end (VERDICT r3 item 8: the copy_data.sql loop)
 # ---------------------------------------------------------------------------
@@ -3549,12 +3568,7 @@ def stream_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     load_table(spark, sf_dir, "events")  # sets the nanos-as-long conf
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     base = tempfile.mkdtemp(prefix="topn_stream_kmv_")
-    src_dir = os.path.join(base, "in")
-    os.makedirs(src_dir)
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(src_dir, "events.parquet"),
-    )
+    src_dir = _stage_stream_source(sf_dir, "events", base)
     src = (
         spark.readStream.schema(raw.schema)
         .parquet(src_dir)

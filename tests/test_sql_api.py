@@ -681,3 +681,54 @@ def test_rewriter_literal_case_and_duplicate_clauses():
     out = rewrite_topn_sql(sql)
     assert out is not None and "row_number() OVER" in out
     assert out.rstrip().endswith("SELECT * FROM m")
+
+
+def test_review_r4_rewriter_pins(spark):
+    """Round-4 code-review pins (sql_api findings)."""
+    from postgresql_topn_spark.functions.sql_api import (
+        _norm_expr,
+        _split_ctes,
+        rewrite_topn_sql,
+        topn_sql,
+    )
+
+    # literal internal whitespace must NOT collapse (a false match here
+    # would rewrite to the select key's literal, changing semantics);
+    # non-quoted whitespace still normalizes
+    assert _norm_expr("f('a  b')") != _norm_expr("f('a b')")
+    assert _norm_expr("f(x ,   Y)") == _norm_expr("f(x , y)")
+    assert _norm_expr("f('a b')") == _norm_expr("f('a b')")
+    # backslash-escaped quote inside a CTE body must not desync depth
+    parsed = _split_ctes(
+        "WITH m AS (SELECT * FROM t WHERE x = 'a\\')b') SELECT * FROM m"
+    )
+    assert parsed is not None and parsed[0][0][0] == "m"
+    assert "'a\\')b'" in parsed[0][0][1]
+    # a trailing line comment in WHERE must not swallow the generated
+    # one-line SQL
+    spark.createDataFrame(
+        [("g", "a"), ("g", "b"), ("h", "a")], "g string, i string"
+    ).createOrReplaceTempView("cmt_in")
+    df = topn_sql(
+        spark,
+        "SELECT g, topn_add_agg(i) AS sk FROM cmt_in "
+        "WHERE g = 'g' -- keep only g\nGROUP BY g",
+        counters=10,
+    )
+    assert {r["g"]: dict(r["sk"]) for r in df.collect()} == {
+        "g": {"a": 1, "b": 1}
+    }
+    # the suite's weighted statement (GROUP BY repeats the CAST select
+    # key) must actually rewrite — it silently fell back before
+    stmt = """
+        WITH yearly AS (
+          SELECT CAST(year(l_shipdate) AS INT) AS yr,
+                 topn_weighted_agg(l_partkey, CAST(round(l_extendedprice
+                   * (1 - l_discount) * 100, 0) AS BIGINT)) AS sk
+          FROM __topn_sql_lineitem
+          GROUP BY CAST(year(l_shipdate) AS INT)
+        )
+        SELECT yr, t.item, t.frequency
+        FROM yearly, LATERAL topn(yearly.sk, 5) t
+    """
+    assert rewrite_topn_sql(stmt, counters=100) is not None

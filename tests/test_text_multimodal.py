@@ -488,3 +488,43 @@ class TestAudioWav:
         assert audio_energy_windows(blobs).count() == 0
         metas = decode_wav_meta(blobs).collect()
         assert all(m["sample_rate"] is None for m in metas)
+
+
+def test_audio_odd_data_chunk_skips_not_crashes(spark):
+    """Round-4 review pin: a lying/truncated PCM16 data chunk (odd byte
+    length, or declared length past the buffer) must degrade to the
+    decodable prefix instead of raising inside mapInPandas."""
+    import struct
+
+    from postgresql_topn_spark.operators.multimodal import (
+        audio_energy_windows,
+        parse_wav_meta,
+    )
+
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    odd = (
+        b"RIFF" + struct.pack("<I", 40) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 3) + b"\x01\x02\x03"
+    )
+    overrun = (
+        b"RIFF" + struct.pack("<I", 400) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 1000) + struct.pack("<2h", 7, -7)
+    )
+    assert parse_wav_meta(odd) == (1, 8000, 16, 1)
+    blobs = spark.createDataFrame(
+        [
+            (1, bytearray(odd), "audio/wav", len(odd)),
+            (2, bytearray(overrun), "audio/wav", len(overrun)),
+        ],
+        "doc_id bigint, blob binary, media_type string, n_bytes int",
+    )
+    rows = {
+        r["doc_id"]: (r["win_samples"], r["sum_sq"], r["peak"])
+        for r in audio_energy_windows(blobs).collect()
+    }
+    # odd chunk decodes its single whole sample; overrun clamps to the
+    # two samples that exist
+    assert rows[1][0] == 1
+    assert rows[2] == (2, 98, 7)
