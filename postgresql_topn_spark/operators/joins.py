@@ -53,3 +53,84 @@ def salted_join(
     )
     out = s.join(o, [on, "__salt"], how)
     return out.drop("__salt")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: "str | list[str]",
+    *,
+    left_time: str = "ts",
+    right_time: str = "ts",
+    payload: "list[str] | None" = None,
+    strict: bool = False,
+) -> DataFrame:
+    """Backward AS-OF join: each left row gains the payload of the
+    LATEST right row with the same key and right_time <= left_time
+    (``strict=True`` uses ``<``) — "the config in effect when this
+    event happened", "the last login before this purchase". The
+    operator relational engines grow special syntax for (DuckDB
+    ``ASOF JOIN``, Pandas ``merge_asof``, kdb ``aj``); Spark has none,
+    and the naive range-join (equi-key + inequality + per-row max)
+    explodes into an O(n*m) candidate space per key.
+
+    Spark-first shape: UNION the two streams with a side tag, one
+    window per key ordered by (time, side) carrying last-non-null
+    payload forward, keep the left rows — exactly ONE key exchange, no
+    range explosion, whole-stage codegen end to end (zero Python).
+    Right rows sort before left rows at equal time, which gives the
+    inclusive (<=) semantics; ``strict`` flips the tag order. Among
+    right rows tied on (key, time) the payload of the one sorting LAST
+    by payload values wins — pass pre-deduplicated right input when
+    tie identity matters.
+
+    Returns every left row + ``payload`` columns (NULL when no right
+    row precedes). Column-name collisions between payload and left
+    columns must be resolved by the caller (alias before calling)."""
+    keys = [on] if isinstance(on, str) else list(on)
+    payload = list(payload) if payload is not None else [
+        c for c in right.columns if c not in keys and c != right_time
+    ]
+    overlap = set(payload) & set(left.columns)
+    if overlap:
+        raise ValueError(
+            f"payload columns {sorted(overlap)} collide with left columns; "
+            "alias them on the right side first"
+        )
+    # side tag: right must sort BEFORE left at equal time for inclusive
+    # semantics (left first when strict)
+    r_tag, l_tag = (1, 0) if strict else (0, 1)
+    r = right.select(
+        *keys,
+        F.col(right_time).alias("__t"),
+        F.lit(r_tag).alias("__side"),
+        *[F.col(c) for c in payload],
+        *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
+    )
+    left_cols = [F.col(c).alias(f"__l_{c}") for c in left.columns]
+    lf = left.select(
+        *keys,
+        F.col(left_time).alias("__t"),
+        F.lit(l_tag).alias("__side"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload],
+        *left_cols,
+    )
+    from pyspark.sql.window import Window
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy("__t", "__side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = r.unionByName(lf).select(
+        "*",
+        *[
+            F.last(c, ignorenulls=True).over(w).alias(f"__ff_{c}")
+            for c in payload
+        ],
+    )
+    out = merged.where(F.col("__side") == F.lit(l_tag)).select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"__ff_{c}").alias(c) for c in payload],
+    )
+    return out
