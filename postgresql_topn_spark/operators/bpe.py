@@ -107,6 +107,20 @@ def _select_batch(
        merge, or the EOW marker — single chars can't collide with a
        2+-char concat). A non-fresh concat would let an EXISTING pair's
        count increase past the cutoff bound in (2).
+    4. SELF-PAIR TERMINATOR: an accepted self-pair (a, a) ENDS the
+       prefix. Merging (a, a) over a run "aaaa…" creates pairs —
+       (aa, aa) from even positions, (aa, a) at odd run tails — whose
+       counts derive from (a, a)'s OWN occurrences, which sit at or
+       above the prefix, NOT below the cutoff, so rule (2)'s bound does
+       not apply to them and nothing after the self-pair is provable.
+       (Counterexample without this rule: corpus "aaaaaa"×60 +
+       "cde"/"cdf"×50 — sequential learns [(a,a),(aa,aa),(c,d)] but an
+       unterminated batch of 2 would emit [(a,a),(c,d),…].) Accepting
+       the self-pair itself is safe: earlier accepts are disjoint from
+       it, so its count is untouched. Non-self pairs are immune: a new
+       pair created by merging (a, b) inherits occurrences of some pair
+       overlapping (a, b) — e.g. (ab, ab) from "abab" inherits (b, a) —
+       and every overlapping pair sorts below the prefix.
     p_1 is always safe: it is the true argmax of the current state."""
     if not rows:
         return []
@@ -126,6 +140,15 @@ def _select_batch(
         batch.append((a, b))
         used.update((a, b, a + b))
         concats.add(a + b)
+        if a == b:
+            # rule (4): nothing after a self-pair is provable; the
+            # accepted prefix still owes the cutoff discipline against
+            # the first non-accepted candidate (an overlapping pair at
+            # EQUAL count could seed a new pair that wins a lexicographic
+            # tie at a later sequential turn).
+            if len(rows) > len(batch):
+                cutoff = rows[len(batch)][2]
+            break
     if cutoff is None and truncated and len(rows) > m:
         cutoff = rows[m][2]
     if cutoff is not None:

@@ -113,6 +113,46 @@ def test_select_batch_rules():
     ]
 
 
+def test_select_batch_self_pair_terminates_prefix():
+    """Rule (4): an accepted self-pair (a, a) ends the batch — pairs it
+    creates ((aa,aa), (aa,a)) inherit (a,a)'s OWN count, which no cutoff
+    below the prefix bounds (ADVICE r4, high)."""
+    from postgresql_topn_spark.operators.bpe import _select_batch
+
+    # self-pair at p_1: nothing after it, even a disjoint dominant pair
+    rows = [("a", "a", 300), ("c", "d", 100), ("d", "e", 50)]
+    assert _select_batch(rows, 3, truncated=False, prior_concats=set()) == [
+        ("a", "a")
+    ]
+    # self-pair deeper in the prefix: kept, but terminates the batch
+    rows = [("c", "d", 100), ("a", "a", 50), ("e", "f", 40)]
+    assert _select_batch(rows, 3, truncated=False, prior_concats=set()) == [
+        ("c", "d"),
+        ("a", "a"),
+    ]
+    # ... and the self-pair itself still owes the cutoff vs the first
+    # non-accepted candidate: equal count -> only the argmax survives
+    rows = [("c", "d", 100), ("a", "a", 50), ("e", "c", 50)]
+    assert _select_batch(rows, 3, truncated=False, prior_concats=set()) == [
+        ("c", "d")
+    ]
+
+
+def test_batched_equals_sequential_on_repeated_char_runs(spark):
+    """The ADVICE r4 counterexample corpus: 'aaaaaa'x60 + 'cde'/'cdf'x50.
+    Sequential learns [(a,a),(aa,aa),(c,d),(aa,</w>)]; an unterminated
+    batch of 2 would emit [(a,a),(c,d),...]. Pin hand-computed order and
+    batch_m equivalence."""
+    rows = [("aaaaaa",)] * 60 + [("cde",)] * 50 + [("cdf",)] * 50
+    docs = spark.createDataFrame(
+        [(i, t[0]) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    seq = train_bpe(docs, "text", n_merges=4, batch_m=1)
+    assert seq == [("a", "a"), ("aa", "aa"), ("c", "d"), ("aa", EOW)]
+    for m in (2, 4):
+        assert train_bpe(docs, "text", n_merges=4, batch_m=m) == seq, m
+
+
 def test_select_batch_stale_argmax_takes_only_p1():
     """If the argmax's own concat re-creates an alive symbol, existing
     pairs can inflate — nothing after p_1 is provable."""
