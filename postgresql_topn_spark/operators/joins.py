@@ -75,14 +75,27 @@ def asof_join(
     explodes into an O(n*m) candidate space per key.
 
     Spark-first shape: UNION the two streams with a side tag, one
-    window per key ordered by (time, side) carrying last-non-null
-    payload forward, keep the left rows — exactly ONE key exchange, no
-    range explosion, whole-stage codegen end to end (zero Python).
-    Right rows sort before left rows at equal time, which gives the
-    inclusive (<=) semantics; ``strict`` flips the tag order. Among
-    right rows tied on (key, time) the payload of the one sorting LAST
-    by payload values wins — pass pre-deduplicated right input when
-    tie identity matters.
+    window per key ordered by (time, side) carrying the last right ROW
+    forward, keep the left rows — exactly ONE key exchange, no range
+    explosion, whole-stage codegen end to end (zero Python). Right rows
+    sort before left rows at equal time, which gives the inclusive
+    (<=) semantics; ``strict`` flips the tag order.
+
+    The payload rides as ONE struct column and the window fill is
+    ``last(struct, ignorenulls=True)``: the struct is non-NULL on every
+    right row (even when all its FIELDS are NULL) and NULL on left
+    rows, so the fill skips only rows that are entirely absent — the
+    matched row's values come back intact, NULL fields included,
+    matching DuckDB ``ASOF JOIN`` / pandas ``merge_asof``. (Filling
+    each column independently would back-fill a NULL field from an
+    OLDER right row and emit a row that never existed.)
+
+    Among right rows tied on (key, time) the row sorting LAST by its
+    payload struct wins — deterministic, but it requires the payload
+    types to be orderable (no maps); pass pre-deduplicated right input
+    when tie identity matters or payloads are unorderable. NULL join
+    keys group together (window-partition semantics, like pandas), not
+    SQL-equality semantics — pre-filter NULL keys for SQL parity.
 
     Returns every left row + ``payload`` columns (NULL when no right
     row precedes). Column-name collisions between payload and left
@@ -97,6 +110,18 @@ def asof_join(
             f"payload columns {sorted(overlap)} collide with left columns; "
             "alias them on the right side first"
         )
+    if not payload:
+        return left
+    from pyspark.sql import types as T
+    from pyspark.sql.window import Window
+
+    rfields = {f.name: f for f in right.schema.fields}
+    missing = [c for c in payload if c not in rfields]
+    if missing:
+        raise ValueError(f"payload columns {missing} not in right side")
+    pay_type = T.StructType(
+        [T.StructField(c, rfields[c].dataType, True) for c in payload]
+    )
     # side tag: right must sort BEFORE left at equal time for inclusive
     # semantics (left first when strict)
     r_tag, l_tag = (1, 0) if strict else (0, 1)
@@ -104,7 +129,7 @@ def asof_join(
         *keys,
         F.col(right_time).alias("__t"),
         F.lit(r_tag).alias("__side"),
-        *[F.col(c) for c in payload],
+        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__pay"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
     left_cols = [F.col(c).alias(f"__l_{c}") for c in left.columns]
@@ -112,25 +137,22 @@ def asof_join(
         *keys,
         F.col(left_time).alias("__t"),
         F.lit(l_tag).alias("__side"),
-        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(c) for c in payload],
+        F.lit(None).cast(pay_type).alias("__pay"),
         *left_cols,
     )
-    from pyspark.sql.window import Window
-
+    # __pay as the final sort key makes right-side (key, time) ties
+    # deterministic (left rows carry NULL __pay but never tie with
+    # right rows: __side differs)
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__t", "__side")
+        .orderBy("__t", "__side", "__pay")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r.unionByName(lf).select(
-        "*",
-        *[
-            F.last(c, ignorenulls=True).over(w).alias(f"__ff_{c}")
-            for c in payload
-        ],
+        "*", F.last("__pay", ignorenulls=True).over(w).alias("__ff")
     )
     out = merged.where(F.col("__side") == F.lit(l_tag)).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
-        *[F.col(f"__ff_{c}").alias(c) for c in payload],
+        *[F.col("__ff")[c].alias(c) for c in payload],
     )
     return out

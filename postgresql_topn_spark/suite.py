@@ -3689,49 +3689,111 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# AS-OF join (gate form)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "events_asof_latest",
+    """
+    WITH cfg AS (
+      SELECT event_type, ts AS cts, value AS cfg_value,
+             event_id AS cfg_event_id
+      FROM events WHERE event_type IS NOT NULL AND event_id % 97 = 0
+    )
+    SELECT e.event_id, e.event_type,
+           round(cfg.cfg_value, 6) AS cfg_value, cfg.cfg_event_id
+    FROM (SELECT event_id, event_type, ts FROM events
+          WHERE event_type IS NOT NULL) e
+    ASOF LEFT JOIN cfg
+      ON e.event_type = cfg.event_type AND e.ts >= cfg.cts
+    """,
+)
+def events_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward AS-OF join behind the gate (operators/joins.py
+    asof_join; VERDICT r4 item 1): every event picks up the payload of
+    the LATEST preceding sparse "config" row of its type (a 1-in-97
+    deterministic subset of events — sparse enough that early events
+    find nothing and get NULLs, and config rows themselves exercise the
+    inclusive equal-time tie). The oracle is DuckDB's NATIVE ASOF LEFT
+    JOIN, so the struct-based forward fill (matched row's values come
+    back intact, NULL fields included) is value-checked against the
+    engine that defines the semantics."""
+    from postgresql_topn_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    cfg = ev.where(F.col("event_id") % 97 == 0).select(
+        "event_type",
+        F.col("ts").alias("cts"),
+        F.col("value").alias("cfg_value"),
+        F.col("event_id").alias("cfg_event_id"),
+    )
+    out = asof_join(
+        ev.select("event_id", "event_type", "ts"),
+        cfg,
+        "event_type",
+        left_time="ts",
+        right_time="cts",
+        payload=["cfg_value", "cfg_event_id"],
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("cfg_value", 6).alias("cfg_value"),
+        "cfg_event_id",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry ordering: driver-verification priority
 # ---------------------------------------------------------------------------
-# The round-3 driver correctness run stopped after the first 50 registry
-# entries (registration order), leaving the 25 newest queries without a
-# driver-level CORRECTNESS row (VERDICT.md r3, "What's missing" #1).  The
-# driver iterates `queries()` in dict order, so we rotate the registry:
-# queries that have never had a driver row run FIRST, followed by the
-# previously-green 50 in their original order.  Every query keeps its
-# oracle; only the iteration order changes.
+# The driver correctness run stops after ~50 registry entries
+# (registration order), so the registry is re-rotated EVERY round
+# (VERDICT r3/r4; memory: driver-correctness-cap): new queries with no
+# driver row ever go first, then the queries whose latest green row is
+# oldest (the previous round's complement), then last round's green 50.
+# Every query keeps its oracle; only the iteration order changes.
 
 _PRIORITY = [
-    # round-4 additions (never had a driver row), then the r3-uncovered
-    # tail in its original relative order.
-    "bpe_train_merges",
-    "stream_kmv_rollup",
-    "topn_csv_reviews",
-    "dedup_substring_runs",
-    "multimodal_audio_energy",
-    "search_tfidf",
-    "text_pii",
-    "distinct_rollup_hll",
-    "dedup_exact_best",
-    "dedup_bloom_incremental",
-    "distinct_kmv_window_7d",
-    "cms_window_7d",
-    "cms_rollup_events",
-    "text_unigram_logprob",
-    "text_bigram_logprob",
-    "distinct_kmv_sets",
-    "pipeline_quality_deciles",
-    "pipeline_profile_docs",
-    "pipeline_pack_contexts",
-    "pipeline_chunk_docs",
-    "topn_session_pairs",
-    "topn_with_others",
-    "events_rate_anomaly",
-    "topn_exact_heavy",
-    "topn_composite_key",
-    "topn_grouping_sets",
-    "pipeline_temperature_mix",
-    "pipeline_weighted_sample",
-    "topn_native_approx",
-    "quantile_rollup_kll",
+    # round-5 additions (never had a driver row)
+    "events_asof_latest",
+    "pipeline_substring_dedup",
+    "multimodal_png_pixels",
+    "topn_sql_having_fallback",
+    # the 30 queries with no CORRECTNESS_r04 row (green in r3 — exactly
+    # one round stale), in registration order
+    "dedup_jaccard_pairs",
+    "dedup_minhash_lsh",
+    "dedup_char_ngram",
+    "dedup_clusters",
+    "minhash_source_jaccard",
+    "dedup_winnow_pairs",
+    "dedup_decontaminate",
+    "dedup_simhash_md5",
+    "ann_cosine_topk",
+    "ann_lsh_topk",
+    "ann_lsh_multiprobe",
+    "dedup_embedding_exact",
+    "dedup_embedding_near",
+    "text_winnow",
+    "ann_ivf_topk",
+    "ann_ivfpq_topk",
+    "stream_topn_rollup_monthly",
+    "events_sessionize",
+    "text_repetition",
+    "text_token_counts",
+    "text_lang_id",
+    "topn_tokens_by_lang",
+    "pipeline_curation",
+    "pipeline_sample_mix",
+    "text_quality",
+    "text_fingerprint",
+    "multimodal_image_meta",
+    "multimodal_frame_sample",
+    "multimodal_feature_ann",
+    "search_bm25",
 ]
 
 

@@ -64,3 +64,159 @@ def test_rejects_bad_params(skewed, dim):
         salted_join(skewed, dim, "k", n_salts=0)
     with pytest.raises(ValueError):
         salted_join(skewed, dim, "k", how="full")
+
+
+# ---------------------------------------------------------------------------
+# asof_join
+# ---------------------------------------------------------------------------
+
+from postgresql_topn_spark.operators.joins import asof_join  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    # (sym, ts, px, src): px deliberately NULL on the ts=20 GOOG row —
+    # the matched row's NULL must come back, not an older px
+    rows = [
+        ("GOOG", 10, 100.0, "a"),
+        ("GOOG", 20, None, "b"),
+        ("GOOG", 30, 120.0, "c"),
+        ("MSFT", 15, 50.0, "a"),
+    ]
+    return spark.createDataFrame(
+        rows, "sym string, ts long, px double, src string"
+    )
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    rows = [
+        ("GOOG", 5, 1),   # before any quote -> all-NULL payload
+        ("GOOG", 10, 2),  # tie with quote ts=10 (inclusive matches it)
+        ("GOOG", 25, 3),  # latest preceding is ts=20 (NULL px, src=b)
+        ("GOOG", 99, 4),  # ts=30
+        ("MSFT", 16, 5),  # ts=15
+        ("AMZN", 50, 6),  # key with no right rows at all
+    ]
+    return spark.createDataFrame(rows, "sym string, ts long, qty int")
+
+
+def _by_qty(df):
+    return {
+        r["qty"]: (r["px"], r["src"])
+        for r in df.select("qty", "px", "src").collect()
+    }
+
+
+def test_asof_inclusive_backward(quotes, trades):
+    got = _by_qty(asof_join(trades, quotes, "sym", payload=["px", "src"]))
+    assert got == {
+        1: (None, None),      # nothing precedes
+        2: (100.0, "a"),      # equal time matches (inclusive)
+        3: (None, "b"),       # matched ROW has NULL px — must NOT
+                              # back-fill px=100.0 from the older row
+        4: (120.0, "c"),
+        5: (50.0, "a"),
+        6: (None, None),      # key absent on the right
+    }
+
+
+def test_asof_strict(quotes, trades):
+    got = _by_qty(
+        asof_join(trades, quotes, "sym", payload=["px", "src"], strict=True)
+    )
+    # equal time no longer matches: qty=2 at ts=10 gets nothing
+    assert got[2] == (None, None)
+    assert got[3] == (None, "b")
+    assert got[5] == (50.0, "a")
+
+
+def test_asof_null_payload_row_not_mixed(spark):
+    """The ADVICE r4 regression shape in isolation: per-column fill
+    would emit (px from row1, src from row2) — a row that never
+    existed."""
+    right = spark.createDataFrame(
+        [("k", 1, 1.0, "old"), ("k", 2, None, "new")],
+        "k string, ts long, px double, src string",
+    )
+    left = spark.createDataFrame([("k", 3)], "k string, ts long")
+    row = asof_join(left, right, "k").collect()[0]
+    assert (row["px"], row["src"]) == (None, "new")
+
+
+def test_asof_all_null_payload_row_still_matches(spark):
+    """A right row whose EVERY payload field is NULL is still a match
+    (the struct is non-NULL) — it must shadow older non-NULL rows."""
+    right = spark.createDataFrame(
+        [("k", 1, 1.0, "old"), ("k", 2, None, None)],
+        "k string, ts long, px double, src string",
+    )
+    left = spark.createDataFrame([("k", 3)], "k string, ts long")
+    row = asof_join(left, right, "k").collect()[0]
+    assert (row["px"], row["src"]) == (None, None)
+
+
+def test_asof_right_tie_deterministic(spark):
+    """Two right rows at the same (key, time): the one sorting LAST by
+    payload struct wins, repeatably."""
+    right = spark.createDataFrame(
+        [("k", 1, 5.0, "a"), ("k", 1, 9.0, "z")],
+        "k string, ts long, px double, src string",
+    )
+    left = spark.createDataFrame([("k", 2)], "k string, ts long")
+    for _ in range(3):
+        row = asof_join(left, right.repartition(4), "k").collect()[0]
+        assert (row["px"], row["src"]) == (9.0, "z")
+
+
+def test_asof_composite_key_and_payload_inference(spark):
+    right = spark.createDataFrame(
+        [("a", 1, 10, 7.0), ("a", 2, 10, 8.0), ("b", 1, 20, 9.0)],
+        "g string, sub long, ts long, v double",
+    )
+    left = spark.createDataFrame(
+        [("a", 1, 50), ("b", 1, 5)], "g string, sub long, ts long"
+    )
+    # payload inferred = all right columns minus keys minus right_time
+    out = asof_join(left, right, ["g", "sub"])
+    got = {(r["g"], r["sub"]): r["v"] for r in out.collect()}
+    assert got == {("a", 1): 7.0, ("b", 1): None}  # b: ts 5 < 20
+
+
+def test_asof_collision_and_empty_payload(spark, quotes, trades):
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(trades, quotes.withColumnRenamed("px", "qty"), "sym")
+    with pytest.raises(ValueError, match="not in right"):
+        asof_join(trades, quotes, "sym", payload=["nope"])
+    # empty payload: left comes back unchanged
+    out = asof_join(trades, quotes, "sym", payload=[])
+    assert out.columns == trades.columns and out.count() == trades.count()
+
+
+def test_asof_matches_duckdb(spark, quotes, trades):
+    """Value-level parity with DuckDB's native ASOF LEFT JOIN on the
+    same frames (the engine this operator cites as its spec)."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("q", quotes.toPandas())
+    con.register("t", trades.toPandas())
+    for strict, op in ((False, ">="), (True, ">")):
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                f"SELECT t.qty, q.px, q.src FROM t ASOF LEFT JOIN q "
+                f"ON t.sym = q.sym AND t.ts {op} q.ts"
+            ).fetchall()
+        }
+        got = _by_qty(
+            asof_join(trades, quotes, "sym", payload=["px", "src"],
+                      strict=strict)
+        )
+        # DuckDB NaN-vs-None normalization for floats
+        want = {
+            k: (None if v[0] != v[0] else v[0] if v[0] is not None else None,
+                v[1])
+            for k, v in want.items()
+        }
+        assert got == want, strict
