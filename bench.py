@@ -87,17 +87,44 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "suite_total_wall",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
-            }
-        )
-    )
+    result = {
+        "metric": "suite_total_wall",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+    }
+
+    # The grading driver keeps only the LAST 2000 chars of stdout and
+    # json-parses the tail; with 80+ queries the full map no longer fits
+    # (BENCH_r03/r04 both recorded parsed: null).  So: (a) persist the
+    # FULL result to a committed per-round artifact, (b) make the final
+    # stdout line a complete JSON that fits the capture window —
+    # slowest queries first, map truncated to fit, with a pointer to
+    # the full artifact.
+    here = os.path.dirname(os.path.abspath(__file__))
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    full_name = f"BENCH_full_r{(max(rounds) + 1) if rounds else 0:02d}.json"
+    with open(os.path.join(here, full_name), "w") as fh:
+        json.dump(result, fh, indent=1, sort_keys=True)
+
+    budget = 1900  # < 2000-char driver tail, with headroom for prefixes
+    slowest = sorted(timings, key=timings.get, reverse=True)
+    compact = dict(result)
+    compact["full"] = full_name
+    for keep in range(len(slowest), -1, -1):
+        compact["queries"] = {n: timings[n] for n in slowest[:keep]}
+        compact["queries_omitted"] = len(timings) - keep
+        line = json.dumps(compact, separators=(",", ":"))
+        if len(line) <= budget:
+            break
+    print(line, flush=True)
     spark.stop()
 
 
