@@ -1341,3 +1341,93 @@ def substring_run_pairs(
         .where(F.col("run_tokens") >= min_run_tokens)
     )
     return runs.select("doc_a", "doc_b", "a_start", "b_start", "run_tokens")
+
+
+def substring_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    min_run_tokens: int = 16,
+    shingle_k: int = 8,
+    max_shingle_df: int | None = None,
+    theta: float = 0.5,
+) -> DataFrame:
+    """Substring-dedup DECISION on top of `substring_run_pairs` — Lee
+    et al. 2022 dedup doesn't just list shared spans, it removes them;
+    this is the document-drop variant of that policy: a document is
+    dropped when the fraction of its tokens covered by >=
+    `min_run_tokens` runs shared with EARLIER-id documents exceeds
+    `theta` (keep-earliest, like the other dedup operators here).
+
+    Coverage is the length of the UNION of the document's shared
+    intervals (classic sort + running-max-end islands — overlapping
+    runs against different partners aren't double-counted), one window
+    per doc over per-doc interval lists (bounded by matched spans, not
+    corpus size). Coverage counts runs against ALL earlier documents,
+    including ones themselves dropped — the one-pass, non-iterative
+    policy (a survivor-only recount would need a sequential dependency
+    chain; at corpus scale the difference is second-order and the
+    one-pass form is deterministic and embarrassingly parallel).
+
+    Returns one row per input document:
+    (id_col, n_tokens, covered_tokens, coverage, keep)."""
+    if not (0.0 <= theta <= 1.0):
+        raise ValueError(f"theta must be in [0, 1], got {theta}")
+    from pyspark.sql.window import Window
+
+    runs = substring_run_pairs(
+        df,
+        id_col,
+        text_col,
+        min_run_tokens=min_run_tokens,
+        shingle_k=shingle_k,
+        max_shingle_df=max_shingle_df,
+    )
+    # the LATER doc of each pair owes coverage to the earlier one
+    iv = runs.select(
+        F.col("doc_b").alias("__id"),
+        F.col("b_start").alias("__s"),
+        (F.col("b_start") + F.col("run_tokens") - 1).alias("__e"),
+    )
+    w = Window.partitionBy("__id").orderBy("__s", "__e")
+    prev_max = F.max("__e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_island = F.when(
+        prev_max.isNull() | (F.col("__s") > prev_max), 1
+    ).otherwise(0)
+    island = F.sum(new_island).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    covered = (
+        iv.withColumn("__isl", island)
+        .groupBy("__id", "__isl")
+        .agg((F.max("__e") - F.min("__s") + 1).alias("__len"))
+        .groupBy("__id")
+        .agg(F.sum("__len").alias("__covered"))
+    )
+    totals = _tokenized(df, id_col, text_col).select(
+        "__id", F.size("__toks").alias("n_tokens")
+    )
+    cov_raw = F.when(
+        F.col("n_tokens") > 0,
+        F.col("covered_tokens") / F.col("n_tokens").cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        totals.join(covered, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "n_tokens",
+            F.coalesce("__covered", F.lit(0))
+            .cast("long")
+            .alias("covered_tokens"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            "covered_tokens",
+            F.round(cov_raw, 6).alias("coverage"),
+            (cov_raw <= F.lit(float(theta))).alias("keep"),
+        )
+    )

@@ -3423,6 +3423,83 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipeline_substring_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS tk
+      FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, i AS p,
+             CAST(concat('0x', substr(md5(array_to_string(tk[i:i+7], ' ')), 1, 15)) AS BIGINT) AS h
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
+            FROM toks)
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+    ),
+    runs AS (
+      SELECT doc_a, doc_b, a_start, b_start, run_tokens FROM (
+        SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
+               CAST(count(*) + 7 AS INT) AS run_tokens
+        FROM (SELECT doc_a, doc_b, pa, pb, pa - pb AS diag,
+                     pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                             ORDER BY pa) AS isl
+              FROM m)
+        GROUP BY doc_a, doc_b, diag, isl
+      ) WHERE run_tokens >= 16
+    ),
+    iv AS (
+      SELECT doc_b AS id, b_start AS s, b_start + run_tokens - 1 AS e
+      FROM runs
+    ),
+    isl AS (
+      SELECT id, s, e,
+             SUM(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+               OVER (PARTITION BY id ORDER BY s, e
+                     ROWS UNBOUNDED PRECEDING) AS g
+      FROM (SELECT id, s, e,
+                   MAX(e) OVER (PARTITION BY id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING) AS pm
+            FROM iv)
+    ),
+    cov AS (
+      SELECT id, SUM(len) AS covered FROM (
+        SELECT id, g, MAX(e) - MIN(s) + 1 AS len FROM isl GROUP BY id, g)
+      GROUP BY id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.tk) AS INT) AS n_tokens,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS covered_tokens,
+           round(CASE WHEN len(t.tk) > 0
+                 THEN coalesce(cov.covered, 0) / CAST(len(t.tk) AS DOUBLE)
+                 ELSE 0 END, 6) AS coverage,
+           (CASE WHEN len(t.tk) > 0
+            THEN coalesce(cov.covered, 0) / CAST(len(t.tk) AS DOUBLE)
+            ELSE 0 END) <= 0.2 AS keep
+    FROM toks t LEFT JOIN cov ON t.doc_id = cov.id
+    """,
+)
+def pipeline_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring dedup as a DECISION, not just a pair list (VERDICT r4
+    item 5): per document, the fraction of tokens covered by the UNION
+    of >= 16-token runs shared with earlier-id documents, and the
+    keep/drop verdict at theta = 0.2 (operators/dedup.py
+    substring_dedup). The oracle replays all FIVE stages — grams,
+    inverted-index join, diagonal islands, per-doc interval union,
+    coverage policy — value-for-value."""
+    from postgresql_topn_spark.operators.dedup import substring_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_dedup(
+        docs, "doc_id", "text", min_run_tokens=16, shingle_k=8, theta=0.2
+    )
+
+
 def _stage_stream_source(sf_dir: str, name: str, base: str) -> str:
     """Stage a fixture parquet into a fresh directory the FILE STREAM
     source can watch. The fixture may be a single .parquet FILE (the

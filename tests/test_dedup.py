@@ -586,3 +586,97 @@ class TestSubstringRuns:
         docs = load_table(spark, "/root/testdata/sf0.001", "documents")
         out = substring_run_pairs(docs, "doc_id", "text")
         assert python_stages(out) == 0
+
+
+class TestSubstringDedup:
+    """substring_dedup: interval-union coverage + keep-earliest drop
+    policy over substring_run_pairs (VERDICT r4 item 5)."""
+
+    def _decide(self, spark, rows, **kw):
+        from postgresql_topn_spark.operators.dedup import substring_dedup
+
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        out = substring_dedup(df, "doc_id", "text", **kw)
+        return {
+            r["doc_id"]: (
+                r["n_tokens"],
+                r["covered_tokens"],
+                r["coverage"],
+                r["keep"],
+            )
+            for r in out.collect()
+        }
+
+    def test_hand_computed_coverage_and_drop(self, spark):
+        # doc 2 shares tokens 1..10 (its positions 3..12) with doc 1:
+        # 10 of 12 tokens covered -> 0.8333 > theta=0.5 -> dropped.
+        # doc 1 (earlier) owes nothing; doc 3 clean.
+        rows = [
+            (1, "a b c d e f g h i j k l"),
+            (2, "x y a b c d e f g h i j"),
+            (3, "nothing shared here at all among these tokens"),
+        ]
+        got = self._decide(
+            spark, rows, min_run_tokens=8, shingle_k=4, theta=0.5
+        )
+        assert got[1] == (12, 0, 0.0, True)
+        assert got[2] == (12, 10, 0.833333, False)
+        assert got[3] == (8, 0, 0.0, True)
+
+    def test_overlapping_runs_union_not_double_counted(self, spark):
+        # doc 3 shares its WHOLE text with doc 1 AND with doc 2 (same
+        # span): union coverage is 5 tokens, not 10
+        rows = [
+            (1, "a b c d e"),
+            (2, "a b c d e extra tail tokens here"),
+            (3, "a b c d e"),
+        ]
+        got = self._decide(
+            spark, rows, min_run_tokens=5, shingle_k=5, theta=0.9
+        )
+        n, covered, coverage, keep = got[3]
+        assert (n, covered, coverage) == (5, 5, 1.0)
+        assert not keep  # 1.0 > 0.9
+        # doc 2: shares its first 5 of 9 tokens with doc 1 only
+        assert got[2] == (9, 5, 0.555556, True)
+        # doc 1 is earliest: nothing owed
+        assert got[1] == (5, 0, 0.0, True)
+
+    def test_disjoint_runs_sum(self, spark):
+        # two disjoint 5-token shared runs in a 11-token doc: 10 covered
+        rows = [
+            (1, "p q r s t MID1 u v w x y"),
+            (2, "p q r s t MID2 u v w x y"),
+        ]
+        got = self._decide(
+            spark, rows, min_run_tokens=5, shingle_k=4, theta=0.95
+        )
+        assert got[2] == (11, 10, 0.909091, True)  # 10/11 <= 0.95
+
+    def test_theta_boundary_inclusive_keep(self, spark):
+        # coverage exactly == theta keeps the doc (drop requires >)
+        rows = [(1, "a b c d"), (2, "a b c d w x y z")]
+        got = self._decide(
+            spark, rows, min_run_tokens=4, shingle_k=4, theta=0.5
+        )
+        assert got[2] == (8, 4, 0.5, True)
+
+    def test_theta_validation(self, spark):
+        from postgresql_topn_spark.operators.dedup import substring_dedup
+
+        df = spark.createDataFrame([(1, "a")], "doc_id bigint, text string")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="theta"):
+            substring_dedup(df, "doc_id", "text", theta=1.5)
+
+    def test_all_jvm_no_python_stages(self, spark):
+        from postgresql_topn_spark.operators.dedup import substring_dedup
+        from postgresql_topn_spark.plans.audit import python_stages
+
+        df = spark.createDataFrame(
+            [(i, "w x y z " * 8) for i in range(20)],
+            "doc_id bigint, text string",
+        )
+        out = substring_dedup(df, "doc_id", "text")
+        assert python_stages(out) == 0
