@@ -528,3 +528,171 @@ def test_audio_odd_data_chunk_skips_not_crashes(spark):
     # two samples that exist
     assert rows[1][0] == 1
     assert rows[2] == (2, 98, 7)
+
+
+class TestPngCodec:
+    """synth_png / decode_png_pixels: real zlib PNG round-trip plus
+    unfilter coverage for all five PNG filter types (VERDICT r4 item 7
+    — the compressed-codec image path)."""
+
+    def test_round_trip_matches_formula(self):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_png_pixels,
+            parse_image_header,
+            synth_png,
+        )
+
+        for d in (0, 1, 42, 499):
+            buf = synth_png(d)
+            w, h, c, px = decode_png_pixels(buf)
+            assert parse_image_header(buf) == ("png", w, h, c)
+            assert (w, h, c) == (
+                8 + d % 17,
+                8 + (d * 3) % 13,
+                1 if d % 2 else 3,
+            )
+            assert px == [(d * 31 + i * 7) % 256 for i in range(w * h * c)]
+
+    @staticmethod
+    def _png(w, h, channels, rows_filtered, ctype):
+        """Hand-assemble a PNG from pre-filtered scanlines."""
+        import struct
+        import zlib
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        raw = b"".join(bytes([f]) + bytes(line) for f, line in rows_filtered)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    def test_unfilters_sub_up_average_paeth(self):
+        """Encode known pixels with each filter type by hand and pin
+        that decode recovers them — real-world PNGs use all five."""
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_png_pixels,
+        )
+
+        w, h = 4, 5
+        pixels = [[(3 * y * w + 7 * x) % 256 for x in range(w)] for y in range(h)]
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        rows = []
+        filters = [0, 1, 2, 3, 4]
+        prev = [0] * w
+        for y, f in enumerate(filters):
+            cur = pixels[y]
+            if f == 0:
+                enc = cur[:]
+            elif f == 1:  # Sub
+                enc = [
+                    (cur[x] - (cur[x - 1] if x else 0)) & 0xFF for x in range(w)
+                ]
+            elif f == 2:  # Up
+                enc = [(cur[x] - prev[x]) & 0xFF for x in range(w)]
+            elif f == 3:  # Average
+                enc = [
+                    (cur[x] - (((cur[x - 1] if x else 0) + prev[x]) >> 1)) & 0xFF
+                    for x in range(w)
+                ]
+            else:  # Paeth
+                enc = [
+                    (
+                        cur[x]
+                        - paeth(
+                            cur[x - 1] if x else 0,
+                            prev[x],
+                            prev[x - 1] if x else 0,
+                        )
+                    )
+                    & 0xFF
+                    for x in range(w)
+                ]
+            rows.append((f, enc))
+            prev = cur
+        got = decode_png_pixels(self._png(w, h, 1, rows, ctype=0))
+        assert got == (w, h, 1, [v for row in pixels for v in row])
+
+    def test_rgba_and_gray_alpha_channels(self):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_png_pixels,
+        )
+
+        # RGBA (ctype 6, 4 channels), one row, filter 0
+        px = list(range(8))
+        got = decode_png_pixels(self._png(2, 1, 4, [(0, px)], ctype=6))
+        assert got == (2, 1, 4, px)
+        # gray+alpha (ctype 4, 2 channels)
+        got = decode_png_pixels(self._png(2, 1, 2, [(0, [9, 8, 7, 6])], ctype=4))
+        assert got == (2, 1, 2, [9, 8, 7, 6])
+
+    def test_graceful_rejections(self):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_png_pixels,
+            synth_png,
+        )
+        import struct
+        import zlib
+
+        assert decode_png_pixels(None) is None
+        assert decode_png_pixels(b"") is None
+        assert decode_png_pixels(b"not a png at all") is None
+        assert decode_png_pixels(synth_png(3)[:30]) is None  # truncated
+        # palette (ctype 3) and 16-bit depth unsupported -> None
+        def with_ihdr(depth, ctype):
+            def chunk(tag, data):
+                return (
+                    struct.pack(">I", len(data))
+                    + tag
+                    + data
+                    + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+                )
+
+            ihdr = struct.pack(">IIBBBBB", 2, 1, depth, ctype, 0, 0, 0)
+            raw = b"\x00" + bytes(2)
+            return (
+                b"\x89PNG\r\n\x1a\n"
+                + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw))
+                + chunk(b"IEND", b"")
+            )
+
+        assert decode_png_pixels(with_ihdr(8, 3)) is None
+        assert decode_png_pixels(with_ihdr(16, 0)) is None
+        # bad filter byte -> None
+        bad = self._png(2, 1, 1, [(9, [1, 2])], ctype=0)
+        assert decode_png_pixels(bad) is None
+
+    def test_spark_pipeline_decodes_via_hook(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_image_pixels,
+            decode_png_pixels,
+            make_png_blob_table,
+        )
+
+        docs = spark.range(6).select(F.col("id").alias("doc_id"))
+        out = decode_image_pixels(
+            make_png_blob_table(docs), decoder=decode_png_pixels
+        ).collect()
+        assert len(out) == 6
+        for r in out:
+            assert r["pixels"] is not None
+            assert len(r["pixels"]) == r["width"] * r["height"] * r["channels"]
+            d = r["doc_id"]
+            assert r["pixels"][:3] == [
+                (d * 31 + i * 7) % 256 for i in range(3)
+            ]
