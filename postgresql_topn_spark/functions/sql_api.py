@@ -228,7 +228,12 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
         # drop. Fractional weights round HALF-UP (away from zero) per
         # row — the Column API's F.round semantics — NOT int() truncation
         # (int(2.7) == 2 would silently disagree with the Column lane).
+        # The rounding goes through Decimal(repr(wf)) because Spark's
+        # F.round is BigDecimal-on-the-shortest-repr: naive wf + 0.5
+        # diverges on edge doubles (0.49999999999999994 + 0.5 == 1.0 in
+        # binary float, but HALF_UP of the decimal value is 0).
         import math
+        from decimal import ROUND_HALF_UP, Decimal
 
         totals: dict[str, int] = {}
         for it, w in zip(items, weights):
@@ -240,7 +245,15 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
                 wv = 0
             else:
                 wf = float(w)
-                wv = math.floor(wf + 0.5) if wf >= 0 else math.ceil(wf - 0.5)
+                if math.isinf(wf):
+                    # Spark's non-ANSI double->long cast saturates
+                    wv = INT64_MAX if wf > 0 else -INT64_MAX - 1
+                else:
+                    wv = int(
+                        Decimal(repr(wf)).quantize(
+                            Decimal(1), rounding=ROUND_HALF_UP
+                        )
+                    )
                 wv = max(min(wv, INT64_MAX), -INT64_MAX - 1)
             # exact bigint running sum, ONE clamp at the end: a running
             # per-add clamp would make the total depend on row order,
@@ -1052,9 +1065,11 @@ def topn_sql(
         sql, counters=counters, spark=spark, salt_buckets=salt_buckets
     )
     text = rewritten if rewritten is not None else sql
-    if rewritten is None and _re.search(
-        r"\btopn_(add|union|weighted)_agg\s*\(", sql, _re.I
-    ):
+    # Scan the FINAL text, not just the rewrite's all-or-nothing result:
+    # a partially-rewritten statement (one CTE rewritten, another
+    # aggregate not provable) leaves the surviving aggregate on the
+    # UDAF lane and owes the same scale caveat (ADVICE r4).
+    if _re.search(r"\btopn_(add|union|weighted)_agg\s*\(", text, _re.I):
         _warnings.warn(
             "topn_sql could not rewrite this aggregate onto the two-phase "
             "plan; it will run as a GROUPED_AGG pandas UDAF (every raw row "

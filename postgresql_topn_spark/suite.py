@@ -639,6 +639,55 @@ def topn_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topn_sql_having_fallback",
+    """
+    SELECT yr, item, frequency FROM (
+      SELECT CAST(year(ts) AS INT) AS yr, event_type AS item,
+             COUNT(event_type) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY year(ts)
+                                ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
+      FROM events WHERE event_type IS NOT NULL AND year(ts) >= 2000
+      GROUP BY year(ts), event_type
+    ) t WHERE rn <= 3
+    """,
+)
+def topn_sql_having_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The topn_sql WARNED FALLBACK lane under the gate (VERDICT r4
+    item 6): HAVING on the group keys is a shape rewrite_topn_sql
+    declines, so this statement intentionally runs the GROUPED_AGG
+    pandas UDAF (one Python reducer per group — bounded here: one group
+    per year). The UDAF lane was pytest-pinned equal to the rewrite
+    lane (tests/test_sql_api.py); this row makes the driver check it at
+    value level every round. The scale-caveat warning firing for this
+    statement is itself pinned in tests/test_sql_api.py."""
+    import warnings as _w
+
+    from postgresql_topn_spark.functions.sql_api import topn_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__hav_events"
+    )
+    with _w.catch_warnings():
+        _w.simplefilter("ignore")  # the fallback here is deliberate
+        out = topn_sql(
+            spark,
+            """
+            WITH g AS (
+              SELECT year(ts) AS yr, topn_add_agg(event_type) AS sk
+              FROM __hav_events
+              WHERE event_type IS NOT NULL
+              GROUP BY year(ts)
+              HAVING yr >= 2000
+            )
+            SELECT CAST(g.yr AS INT) AS yr, t.item, t.frequency
+            FROM g, LATERAL topn(g.sk, 3) t
+            """,
+            counters=C,
+        )
+    return out
+
+
+@_register(
     "topn_sql_twophase",
     """
     SELECT yr, item, frequency FROM (

@@ -732,3 +732,86 @@ def test_review_r4_rewriter_pins(spark):
         FROM yearly, LATERAL topn(yearly.sk, 5) t
     """
     assert rewrite_topn_sql(stmt, counters=100) is not None
+
+
+def test_partial_rewrite_still_warns(spark):
+    """ADVICE r4: when one CTE rewrites but another aggregate stays on
+    the UDAF lane, the scale-caveat warning must still fire (the check
+    scans the FINAL text, not the all-or-nothing rewrite result)."""
+    import warnings
+
+    from postgresql_topn_spark.functions.sql_api import (
+        rewrite_topn_sql,
+        topn_sql,
+    )
+
+    spark.createDataFrame(
+        [("2024-01-01", "a"), ("2024-01-01", "b"), ("2024-01-02", "a")],
+        "d string, item string",
+    ).createOrReplaceTempView("pw_in")
+    # CTE `good` is the flagship shape (rewrites); CTE `bad` has HAVING
+    # on the group key (declines) -> partial rewrite
+    sql = """
+        WITH good AS (
+          SELECT d, topn_add_agg(item) AS sk FROM pw_in GROUP BY d
+        ),
+        bad AS (
+          SELECT d, topn_add_agg(item) AS sk FROM pw_in
+          GROUP BY d HAVING d >= '2024-01-01'
+        )
+        SELECT g.d, g.sk AS gsk, b.sk AS bsk
+        FROM good g JOIN bad b ON g.d = b.d
+    """
+    partial = rewrite_topn_sql(sql, counters=10, spark=spark)
+    assert partial is not None  # one CTE did rewrite
+    assert "topn_add_agg" in partial  # ... and one survived
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = topn_sql(spark, sql, counters=10)
+        rows = {r["d"]: (dict(r["gsk"]), dict(r["bsk"])) for r in out.collect()}
+    assert any("Python reducer" in str(x.message) for x in w)
+    exp = {
+        "2024-01-01": ({"a": 1, "b": 1}, {"a": 1, "b": 1}),
+        "2024-01-02": ({"a": 1}, {"a": 1}),
+    }
+    assert rows == exp
+
+
+def test_weighted_udaf_rounding_matches_column_lane(spark):
+    """ADVICE r4: per-row HALF-UP rounding of fractional weights must
+    agree bit-for-bit with Spark's BigDecimal F.round — including the
+    edge double 0.49999999999999994, where naive wf + 0.5 == 1.0 in
+    binary float but the decimal value rounds to 0."""
+    from postgresql_topn_spark.functions.aggregates import (
+        topn_weighted_agg,
+    )
+    from postgresql_topn_spark.functions.sql_api import (
+        register_sql_functions,
+    )
+
+    edge = 0.49999999999999994
+    rows = [
+        ("a", edge),   # rounds to 0 -> total 0 -> dropped
+        ("b", 2.5),    # 3
+        ("c", 0.5),    # 1
+        ("d", -2.5),   # -3 -> dropped (<= 0)
+        ("e", 1.25),   # 1
+        ("e", 1.25),   # 1 (per-row rounding: 1+1, not round(2.5))
+    ]
+    df = spark.createDataFrame(rows, "item string, w double")
+    col_lane = dict(
+        topn_weighted_agg(df, [], "item", "w", counters=100)
+        .collect()[0]["topn"]
+    )
+    register_sql_functions(spark, counters=100)
+    try:
+        df.createOrReplaceTempView("wr_in")
+        udaf_lane = dict(
+            spark.sql(
+                "SELECT topn_weighted_agg(item, w) AS sk FROM wr_in"
+            ).collect()[0]["sk"]
+        )
+    finally:
+        register_sql_functions(spark, counters=1000)
+    assert col_lane == {"b": 3, "c": 1, "e": 2}
+    assert udaf_lane == col_lane
