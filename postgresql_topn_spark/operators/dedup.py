@@ -1431,3 +1431,79 @@ def substring_dedup(
             (cov_raw <= F.lit(float(theta))).alias("keep"),
         )
     )
+
+
+def levenshtein_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_dist: int = 2,
+    block: Column | None = None,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Edit-distance near-duplicate pairs — the record-linkage /
+    fuzzy-title-dedup flavor the token-set operators (Jaccard, MinHash,
+    SimHash) can't express: Jaccard sees "colour" vs "color" as
+    different tokens, edit distance sees one deletion. Standard
+    blocking-then-verify shape: candidates must share an equality
+    BLOCKING key (default: lower-cased first whitespace token), then
+    pairs are verified with Spark's built-in ``levenshtein`` (same
+    unweighted Wagner-Fischer as DuckDB/Postgres ``levenshtein``) —
+    never all-pairs across the corpus.
+
+    Pre-filter: ``abs(len_a - len_b) <= max_dist`` (a length gap of g
+    needs >= g edits) runs before the O(n*m) distance — it prunes most
+    candidates for small thresholds. ``max_block_size`` optionally
+    drops blocks with more members than the cap (the Zipf guard, same
+    trade as jaccard_pairs' df cap: a dropped block can only lose
+    candidate pairs, never fabricate them) — set it at corpus scale
+    where a degenerate blocking key (empty titles) would go quadratic.
+
+    Returns (doc_a, doc_b, dist), doc_a < doc_b. Scale shape: one
+    hash-equality self-join on the block key (AQE skew-split applies),
+    distance computed JVM-side, zero Python stages."""
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    b = (
+        block
+        if block is not None
+        else F.lower(F.split(F.col(text_col), r"\s+").getItem(0))
+    )
+    t = df.select(
+        _col(id_col).alias("__id"),
+        _col(text_col).alias("__t"),
+        b.alias("__b"),
+    ).where(F.col("__b").isNotNull() & F.col("__t").isNotNull())
+    if max_block_size is not None:
+        hot = (
+            t.groupBy("__b")
+            .count()
+            .where(F.col("count") > max_block_size)
+            .select("__b")
+        )
+        t = t.join(F.broadcast(hot), "__b", "left_anti")
+    a = t.select(
+        F.col("__b"),
+        F.col("__id").alias("doc_a"),
+        F.col("__t").alias("__ta"),
+    )
+    c = t.select(
+        F.col("__b"),
+        F.col("__id").alias("doc_b"),
+        F.col("__t").alias("__tb"),
+    )
+    pairs = (
+        a.join(c, "__b")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .where(
+            F.abs(F.length("__ta") - F.length("__tb")) <= F.lit(max_dist)
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.levenshtein("__ta", "__tb").alias("dist"),
+        )
+        .where(F.col("dist") <= F.lit(max_dist))
+    )
+    return pairs

@@ -200,3 +200,51 @@ def weighted_sample_k(
         .drop("__score")
         .withColumnRenamed("__k", key_out)
     )
+
+
+def train_split(
+    df: DataFrame,
+    key: Column | str,
+    splits: Mapping[str, float] | None = None,
+    *,
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment — the split every
+    training pipeline needs before anything else. Each row's bucket is
+    a pure function of (key, seed): the portable md5 key-uniform
+    (hash_uniform) against the cumulative split boundaries, so the
+    assignment is reproducible across runs, engines and partitionings,
+    and ADDING OR REMOVING rows never reassigns the survivors — the
+    property that keeps an eval set stable across corpus refreshes
+    (random-split-by-position re-deals everything on every refresh).
+
+    ``splits`` maps name -> weight (normalized; default 90/5/5
+    train/val/test); insertion order defines the boundary order. Map-
+    side only: no shuffle, no state — a projection on the scan stage.
+    Prefer exact binary weights (0.75, 0.125, ...) when an external
+    system must reproduce the boundaries digit-for-digit."""
+    if splits is None:
+        splits = {"train": 0.9, "val": 0.05, "test": 0.05}
+    splits = dict(splits)
+    if not splits:
+        raise ValueError("splits must contain at least one bucket")
+    if any(w < 0 for w in splits.values()):
+        raise ValueError(f"split weights must be >= 0, got {splits}")
+    total = float(sum(splits.values()))
+    if total <= 0:
+        raise ValueError(f"split weights must sum > 0, got {splits}")
+    u = hash_uniform(key, seed)
+    names = list(splits)
+    chain = None
+    acc = 0.0
+    for nm in names[:-1]:
+        acc += splits[nm] / total
+        cond = u < F.lit(acc)
+        chain = F.when(cond, F.lit(nm)) if chain is None else chain.when(
+            cond, F.lit(nm)
+        )
+    last = F.lit(names[-1])
+    return df.withColumn(
+        out_col, last if chain is None else chain.otherwise(last)
+    )

@@ -74,3 +74,56 @@ def session_stats(
             ).cast("long"),
         )
     )
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    *,
+    period: str = "week",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Classic retention matrix: users grouped into COHORTS by the
+    period of their FIRST event; for each (cohort, period-offset), how
+    many of the cohort's users were active — the activation/churn view
+    every event analytics stack ships next to sessionization.
+
+    Two hash aggregations, both map-side combinable: (1) first period
+    per user (min over the user's events), (2) distinct active users
+    per (cohort, offset) — computed on the already user-deduped
+    (user, period) pairs so the count is exact without a count-distinct
+    shuffle of raw events. ``period``: "day" | "week" | "month"
+    (date_trunc buckets); offsets are calendar-period differences.
+
+    Returns (cohort date, period_offset int, n_users bigint),
+    period_offset >= 0, optionally capped at ``max_offset``."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"period must be day/week/month, got {period!r}")
+    p = F.date_trunc(period, F.col(ts_col)).cast("date")
+    up = (
+        events.where(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        .select(F.col(user_col).alias("__u"), p.alias("__p"))
+        .distinct()
+    )
+    firsts = up.groupBy("__u").agg(F.min("__p").alias("__cohort"))
+    joined = up.join(firsts, "__u")
+    if period == "day":
+        off = F.datediff("__p", "__cohort")
+    elif period == "week":
+        off = (F.datediff("__p", "__cohort") / 7).cast("int")
+    else:
+        off = (
+            (F.year("__p") - F.year("__cohort")) * 12
+            + (F.month("__p") - F.month("__cohort"))
+        )
+    out = joined.select(
+        F.col("__cohort").alias("cohort"),
+        off.cast("int").alias("period_offset"),
+        "__u",
+    )
+    if max_offset is not None:
+        out = out.where(F.col("period_offset") <= max_offset)
+    return out.groupBy("cohort", "period_offset").agg(
+        F.count(F.lit(1)).alias("n_users")
+    )

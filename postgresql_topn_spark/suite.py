@@ -3937,6 +3937,92 @@ def events_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "pipeline_train_split",
+    """
+    SELECT doc_id,
+           CASE WHEN u < 0.75 THEN 'train'
+                WHEN u < 0.875 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               / 1152921504606846976.0 AS u
+      FROM documents)
+    """,
+)
+def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (operators/sampling.py
+    train_split): bucket = cumulative ranges of the portable md5
+    key-uniform, so assignment is a pure function of (doc_id, seed) —
+    stable across runs, engines, partitionings and corpus refreshes.
+    Gate uses exact binary weights (0.75/0.125/0.125) so the range
+    boundaries are digit-for-digit identical in the SQL replay.
+    Map-side only: a projection on the scan stage, no shuffle."""
+    from postgresql_topn_spark.operators.sampling import train_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return train_split(
+        docs,
+        "doc_id",
+        {"train": 0.75, "val": 0.125, "test": 0.125},
+        seed=0,
+    ).select("doc_id", "split")
+
+
+@_register(
+    "dedup_levenshtein_pairs",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text, lower(string_split_regex(text, '\s+')[1]) AS b
+      FROM documents WHERE text IS NOT NULL
+    )
+    SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           CAST(levenshtein(a.text, c.text) AS INT) AS dist
+    FROM t a JOIN t c ON a.b = c.b AND a.doc_id < c.doc_id
+    WHERE abs(length(a.text) - length(c.text)) <= 20
+      AND levenshtein(a.text, c.text) <= 20
+    """,
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup pairs (operators/dedup.py
+    levenshtein_pairs) — the record-linkage flavor token-set dedup
+    can't express ("colour"/"color" is one deletion, two unrelated
+    tokens to Jaccard). Equality blocking on the lower-cased first
+    token, length-gap pre-filter, JVM-side Wagner-Fischer verify
+    (Spark's levenshtein == DuckDB's levenshtein); never all-pairs."""
+    from postgresql_topn_spark.operators.dedup import levenshtein_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return levenshtein_pairs(docs, "doc_id", "text", max_dist=20)
+
+
+@_register(
+    "events_retention_cohorts",
+    """
+    WITH up AS (
+      SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS p
+      FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    f AS (SELECT u, min(p) AS cohort FROM up GROUP BY u)
+    SELECT f.cohort, CAST(date_diff('day', f.cohort, up.p) AS INT) AS period_offset,
+           count(*) AS n_users
+    FROM up JOIN f ON up.u = f.u
+    GROUP BY 1, 2
+    """,
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention matrix (operators/sessions.py retention_cohorts):
+    users cohorted by the day of their first event; per (cohort,
+    day-offset), exact distinct active users. Two map-side-combinable
+    hash aggs — the distinct-(user, day) projection makes the final
+    count exact without a count-distinct shuffle of raw events."""
+    from postgresql_topn_spark.operators.sessions import retention_cohorts
+
+    ev = load_table(spark, sf_dir, "events")
+    return retention_cohorts(ev, "user_id", "ts", period="day")
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: driver-verification priority
 # ---------------------------------------------------------------------------
@@ -3953,6 +4039,9 @@ _PRIORITY = [
     "pipeline_substring_dedup",
     "multimodal_png_pixels",
     "topn_sql_having_fallback",
+    "pipeline_train_split",
+    "dedup_levenshtein_pairs",
+    "events_retention_cohorts",
     # the 30 queries with no CORRECTNESS_r04 row (green in r3 — exactly
     # one round stale), in registration order
     "dedup_jaccard_pairs",

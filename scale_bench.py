@@ -98,6 +98,15 @@ SUBSET = [
     "dedup_substring_runs",
     "bpe_train_merges",
     "stream_kmv_rollup",
+    # round-5 additions: substring policy (documents), PNG + audio
+    # codecs (documents), asof + warned-UDAF lane (events), CSV COPY
+    # round trip (lineitem — scaled as of v3)
+    "pipeline_substring_dedup",
+    "multimodal_png_pixels",
+    "multimodal_audio_energy",
+    "events_asof_latest",
+    "topn_sql_having_fallback",
+    "topn_csv_reviews",
 ]
 
 def _near_auto(spark, sf_dir):
@@ -114,7 +123,25 @@ def _near_auto(spark, sf_dir):
     )
 
 
-EXTRA = {"dedup_embedding_near_auto": _near_auto}
+def _substring_runs_capped(spark, sf_dir):
+    """dedup_substring_runs with the Zipf guard ON (max_shingle_df=50):
+    the open question from VERDICT r4 item 4 — how the un-capped gate
+    config scales vs the capped production config when boilerplate
+    grams exist."""
+    from postgresql_topn_spark.operators.dedup import substring_run_pairs
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return substring_run_pairs(
+        docs, "doc_id", "text", min_run_tokens=16, shingle_k=8,
+        max_shingle_df=50,
+    )
+
+
+EXTRA = {
+    "dedup_embedding_near_auto": _near_auto,
+    "dedup_substring_runs_capped": _substring_runs_capped,
+}
 
 ALL_TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
@@ -123,7 +150,7 @@ ALL_TABLES = [
 
 
 def build_scaled(spark, mult: int) -> str:
-    out = os.path.join(SCALE_ROOT, f"x{mult}v2")
+    out = os.path.join(SCALE_ROOT, f"x{mult}v3")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
@@ -192,6 +219,16 @@ def build_scaled(spark, mult: int) -> str:
         os.path.join(out, "events.parquet")
     )
 
+    li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
+    l = li.select("*", rep)
+    l = l.select(
+        (F.col("l_orderkey") + F.col("__r") * OFF).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    )
+    l.repartition(32).write.mode("overwrite").parquet(
+        os.path.join(out, "lineitem.parquet")
+    )
+
     for t in ALL_TABLES:
         dst = os.path.join(out, f"{t}.parquet")
         if not os.path.exists(dst):
@@ -247,6 +284,9 @@ def main() -> None:
     fns = {n: QUERIES[n] for n in SUBSET if n in QUERIES}
     fns.update(EXTRA)
     names = list(fns)
+    if "--only" in sys.argv:
+        only = sys.argv[sys.argv.index("--only") + 1].split(",")
+        names = [n for n in names if n in only]
     # warmup both datasets' scans + the Arrow lane
     for d in (BASE, scaled_dir):
         for t in ("documents", "embeddings", "events"):

@@ -680,3 +680,95 @@ class TestSubstringDedup:
         )
         out = substring_dedup(df, "doc_id", "text")
         assert python_stages(out) == 0
+
+
+class TestLevenshteinPairs:
+    """levenshtein_pairs: blocking + length pre-filter + edit-distance
+    verify (record-linkage flavor)."""
+
+    def test_hand_computed_pairs(self, spark):
+        from postgresql_topn_spark.operators.dedup import levenshtein_pairs
+
+        rows = [
+            (1, "acme widget deluxe"),
+            (2, "acme widgit deluxe"),   # 1 substitution from doc 1
+            (3, "acme widget delux"),    # 1 deletion from doc 1
+            (4, "zenith widget deluxe"), # different block (first token)
+            (5, "acme completely different thing entirely"),
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = sorted(
+            tuple(r)
+            for r in levenshtein_pairs(df, "doc_id", "text", max_dist=2).collect()
+        )
+        assert got == [(1, 2, 1), (1, 3, 1), (2, 3, 2)]
+
+    def test_blocking_prevents_cross_block_pairs(self, spark):
+        from postgresql_topn_spark.operators.dedup import levenshtein_pairs
+
+        # identical except the first (blocking) token: dist 1 but never
+        # compared — the documented blocking trade-off
+        rows = [(1, "a same tail"), (2, "b same tail")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        assert levenshtein_pairs(df, "doc_id", "text", max_dist=5).count() == 0
+
+    def test_custom_block_and_hot_block_cap(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_topn_spark.operators.dedup import levenshtein_pairs
+
+        rows = [(i, f"x{'y' * (i % 3)} common") for i in range(12)]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        # constant custom block: all 12 in one block -> 66 candidates
+        allp = levenshtein_pairs(
+            df, "doc_id", "text", max_dist=99, block=F.lit("one")
+        )
+        assert allp.count() == 66
+        # cap of 10 drops the single 12-member block entirely
+        capped = levenshtein_pairs(
+            df,
+            "doc_id",
+            "text",
+            max_dist=99,
+            block=F.lit("one"),
+            max_block_size=10,
+        )
+        assert capped.count() == 0
+
+    def test_matches_duckdb_levenshtein(self, spark):
+        """Spark's levenshtein must agree with DuckDB's on the same
+        strings (both classic unweighted Wagner-Fischer)."""
+        import duckdb
+
+        from postgresql_topn_spark.operators.dedup import levenshtein_pairs
+
+        rows = [
+            (1, "kitten sat"), (2, "kitten sitting"), (3, "kitten s"),
+            (4, "kitten   sat"),  # whitespace run: same first token
+        ]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["dist"]
+            for r in levenshtein_pairs(df, "doc_id", "text", max_dist=9).collect()
+        }
+        con = duckdb.connect()
+        for (a, b), d in got.items():
+            ta = rows[a - 1][1]
+            tb = rows[b - 1][1]
+            assert con.execute(
+                "SELECT levenshtein(?, ?)", [ta, tb]
+            ).fetchone()[0] == d
+
+    def test_nulls_and_validation(self, spark):
+        from postgresql_topn_spark.operators.dedup import levenshtein_pairs
+
+        df = spark.createDataFrame(
+            [(1, None), (2, "ok text"), (3, "ok test")],
+            "doc_id bigint, text string",
+        )
+        got = levenshtein_pairs(df, "doc_id", "text", max_dist=2).collect()
+        assert [(r["doc_a"], r["doc_b"], r["dist"]) for r in got] == [(2, 3, 1)]
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="max_dist"):
+            levenshtein_pairs(df, "doc_id", "text", max_dist=-1)

@@ -107,3 +107,134 @@ class TestSessionize:
         out = session_stats(ev)
         assert hash_shuffles(out) == 1
         assert python_stages(out) == 0
+
+
+class TestTrainSplit:
+    """train_split: deterministic md5-keyed train/val/test assignment."""
+
+    def test_exhaustive_and_stable_under_refresh(self, spark):
+        from postgresql_topn_spark.operators.sampling import train_split
+
+        df = spark.range(2000).select(F.col("id").alias("k"))
+        out = train_split(
+            df, "k", {"train": 0.75, "val": 0.125, "test": 0.125}
+        )
+        got = {r["k"]: r["split"] for r in out.collect()}
+        assert set(got.values()) == {"train", "val", "test"}
+        assert len(got) == 2000  # every row assigned exactly once
+        # proportions near weights (md5-uniform: +-5% at n=2000)
+        frac = {s: sum(v == s for v in got.values()) / 2000 for s in set(got.values())}
+        assert abs(frac["train"] - 0.75) < 0.05
+        assert abs(frac["val"] - 0.125) < 0.04
+        assert abs(frac["test"] - 0.125) < 0.04
+        # refresh stability: dropping half the corpus reassigns nobody
+        half = train_split(
+            df.where(F.col("k") % 2 == 0),
+            "k",
+            {"train": 0.75, "val": 0.125, "test": 0.125},
+        )
+        for r in half.collect():
+            assert got[r["k"]] == r["split"]
+
+    def test_seed_changes_assignment_weights_normalize(self, spark):
+        from postgresql_topn_spark.operators.sampling import train_split
+
+        df = spark.range(500).select(F.col("id").alias("k"))
+        a = {r["k"]: r["split"] for r in train_split(df, "k", seed=0).collect()}
+        b = {r["k"]: r["split"] for r in train_split(df, "k", seed=1).collect()}
+        assert a != b  # different seed, different deal
+        # weights normalize: {3, 1} == {0.75, 0.25}
+        n1 = train_split(df, "k", {"a": 3.0, "b": 1.0})
+        n2 = train_split(df, "k", {"a": 0.75, "b": 0.25})
+        assert n1.collect() == n2.collect()
+
+    def test_single_bucket_and_validation(self, spark):
+        from postgresql_topn_spark.operators.sampling import train_split
+
+        df = spark.range(10).select(F.col("id").alias("k"))
+        only = train_split(df, "k", {"all": 1.0})
+        assert {r["split"] for r in only.collect()} == {"all"}
+        import pytest as _pytest
+
+        for bad in ({}, {"a": -1.0}, {"a": 0.0}):
+            with _pytest.raises(ValueError):
+                train_split(df, "k", bad)
+
+    def test_no_shuffle_plan(self, spark):
+        from postgresql_topn_spark.operators.sampling import train_split
+        from postgresql_topn_spark.plans.audit import hash_shuffles
+
+        df = spark.range(100).select(F.col("id").alias("k"))
+        assert hash_shuffles(train_split(df, "k")) == 0
+
+
+class TestRetentionCohorts:
+    def test_hand_computed_matrix(self, spark):
+        from postgresql_topn_spark.operators.sessions import (
+            retention_cohorts,
+        )
+
+        rows = [
+            # u1: first day 1, active days 1, 2, 4
+            (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+            (1, "2024-01-02 23:00:00"), (1, "2024-01-04 01:00:00"),
+            # u2: first day 1, active days 1, 4
+            (2, "2024-01-01 00:00:01"), (2, "2024-01-04 12:00:00"),
+            # u3: first day 2 only
+            (3, "2024-01-02 05:00:00"),
+            # NULL user ignored
+            (None, "2024-01-01 00:00:00"),
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id int, ts_s string"
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+        got = {
+            (str(r["cohort"]), r["period_offset"]): r["n_users"]
+            for r in retention_cohorts(ev, "user_id", "ts", period="day").collect()
+        }
+        assert got == {
+            ("2024-01-01", 0): 2,  # u1, u2
+            ("2024-01-01", 1): 1,  # u1
+            ("2024-01-01", 3): 2,  # u1, u2
+            ("2024-01-02", 0): 1,  # u3
+        }
+
+    def test_week_and_month_offsets(self, spark):
+        from postgresql_topn_spark.operators.sessions import (
+            retention_cohorts,
+        )
+
+        rows = [
+            (1, "2024-01-01 00:00:00"),  # week of Jan 1 (Monday)
+            (1, "2024-01-10 00:00:00"),  # next week -> offset 1
+            (1, "2024-03-05 00:00:00"),  # month offset 2
+        ]
+        ev = spark.createDataFrame(
+            rows, "user_id int, ts_s string"
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+        wk = {
+            r["period_offset"]: r["n_users"]
+            for r in retention_cohorts(ev, period="week").collect()
+        }
+        assert wk == {0: 1, 1: 1, 9: 1}
+        mo = {
+            r["period_offset"]: r["n_users"]
+            for r in retention_cohorts(ev, period="month").collect()
+        }
+        assert mo == {0: 1, 2: 1}
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="period"):
+            retention_cohorts(ev, period="year")
+
+    def test_max_offset_caps(self, spark):
+        from postgresql_topn_spark.operators.sessions import (
+            retention_cohorts,
+        )
+
+        rows = [(1, "2024-01-01 00:00:00"), (1, "2024-02-15 00:00:00")]
+        ev = spark.createDataFrame(
+            rows, "user_id int, ts_s string"
+        ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
+        got = retention_cohorts(ev, period="day", max_offset=30).collect()
+        assert {r["period_offset"] for r in got} == {0}
