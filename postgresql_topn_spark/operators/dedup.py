@@ -1507,3 +1507,98 @@ def levenshtein_pairs(
         .where(F.col("dist") <= F.lit(max_dist))
     )
     return pairs
+
+
+def tfidf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_k: int = 3,
+    min_sim: float = 0.5,
+    max_df: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sparse TF-IDF cosine near-duplicate pairs — the weighted bridge
+    between token-set Jaccard (every shingle counts the same) and dense
+    embedding cosine (needs an embedding column): documents are
+    tf-idf-weighted sparse vectors over `shingle_k`-token shingles, and
+    similarity is the exact normalized dot product.
+
+    weight = tf * ln(N / df); terms with zero idf (df == N) — and,
+    when ``max_df`` is set, terms with df > max_df — carry weight 0 in
+    the MEASURE itself (a df-derived stopword rule: idf already says
+    ubiquitous terms carry no signal) and are dropped from the inverted
+    index, which is exactly what bounds the hottest posting lists (the
+    |postings|^2 quadratic trap). The remaining candidate generation is
+    an inverted-index self-join on shared terms — never all-pairs; the
+    dot product needs only SHARED terms, so the join result is the
+    whole computation.
+
+    Plan: tf hash-agg (map-side combined) -> df/norm derived from it ->
+    posting self-join -> per-pair sum. All JVM. Returns
+    (doc_a, doc_b, cos_sim) with cos_sim rounded to ``round_to`` and
+    the threshold applied to the ROUNDED value (engine-portable
+    boundary semantics)."""
+    if not (0.0 <= min_sim <= 1.0):
+        raise ValueError(f"min_sim must be in [0, 1], got {min_sim}")
+    t = _tokenized(df, id_col, text_col)
+    sh = t.select(
+        "__id",
+        F.explode(shingles_from_tokens(F.col("__toks"), shingle_k)).alias(
+            "__term"
+        ),
+    )
+    tf = sh.groupBy("__id", "__term").agg(
+        F.count(F.lit(1)).cast("double").alias("__tf")
+    )
+    df_t = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
+    if max_df is not None:
+        df_t = df_t.where(F.col("__df") <= max_df)
+    n_docs = t.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    w = (
+        tf.join(df_t, "__term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "__id",
+            "__term",
+            (
+                F.col("__tf")
+                * F.log(F.col("__n") / F.col("__df").cast("double"))
+            ).alias("__w"),
+        )
+        .where(F.col("__w") > 0)  # df == N terms carry no signal
+    )
+    nrm = w.groupBy("__id").agg(
+        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nn")
+    )
+    a = w.select(
+        F.col("__term"),
+        F.col("__id").alias("doc_a"),
+        F.col("__w").alias("__wa"),
+    )
+    b = w.select(
+        F.col("__term"),
+        F.col("__id").alias("doc_b"),
+        F.col("__w").alias("__wb"),
+    )
+    dots = (
+        a.join(b, "__term")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    na = nrm.select(F.col("__id").alias("doc_a"), F.col("__nn").alias("__na"))
+    nb = nrm.select(F.col("__id").alias("doc_b"), F.col("__nn").alias("__nb"))
+    return (
+        dots.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("__dot") / (F.col("__na") * F.col("__nb")), round_to
+            ).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= F.lit(float(min_sim)))
+    )

@@ -772,3 +772,81 @@ class TestLevenshteinPairs:
 
         with _pytest.raises(ValueError, match="max_dist"):
             levenshtein_pairs(df, "doc_id", "text", max_dist=-1)
+
+
+class TestTfidfCosinePairs:
+    """tfidf_cosine_pairs: weighted sparse cosine over k-token
+    shingles (replica math computed in-test, oracle-style)."""
+
+    def _docs(self, spark):
+        rows = [
+            (1, "a b c d"),
+            (2, "a b c e"),   # shares 'a b','b c' with doc 1
+            (3, "x y z w"),   # shares nothing
+        ]
+        return spark.createDataFrame(rows, "doc_id bigint, text string")
+
+    def test_hand_replicated_similarity(self, spark):
+        import math
+
+        from postgresql_topn_spark.operators.dedup import tfidf_cosine_pairs
+
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cos_sim"]
+            for r in tfidf_cosine_pairs(
+                self._docs(spark), "doc_id", "text",
+                shingle_k=2, min_sim=0.0,
+            ).collect()
+        }
+        # replica: N=3; df('a b')=df('b c')=2, singles df=1
+        shared = math.log(3 / 2)
+        rare = math.log(3 / 1)
+        norm = math.sqrt(2 * shared**2 + rare**2)
+        exp = round((2 * shared**2) / (norm * norm), 6)
+        assert got == {(1, 2): exp}  # (1,3)/(2,3): no shared terms
+        assert 0.2 < exp < 0.25
+
+    def test_min_sim_threshold_and_validation(self, spark):
+        from postgresql_topn_spark.operators.dedup import tfidf_cosine_pairs
+
+        high = tfidf_cosine_pairs(
+            self._docs(spark), "doc_id", "text", shingle_k=2, min_sim=0.5
+        )
+        assert high.count() == 0  # 0.214 < 0.5
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="min_sim"):
+            tfidf_cosine_pairs(
+                self._docs(spark), "doc_id", "text", min_sim=1.5
+            )
+
+    def test_max_df_prunes_measure_and_index(self, spark):
+        from postgresql_topn_spark.operators.dedup import tfidf_cosine_pairs
+
+        # cap at df <= 1: the shared (df=2) shingles leave the measure,
+        # so doc 1 and 2 share nothing -> no pair at all
+        out = tfidf_cosine_pairs(
+            self._docs(spark), "doc_id", "text",
+            shingle_k=2, min_sim=0.0, max_df=1,
+        )
+        assert out.count() == 0
+
+    def test_identical_docs_score_one(self, spark):
+        from postgresql_topn_spark.operators.dedup import tfidf_cosine_pairs
+
+        rows = [(1, "p q r s t u"), (2, "p q r s t u"), (3, "m n o p q r")]
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        got = {
+            (r["doc_a"], r["doc_b"]): r["cos_sim"]
+            for r in tfidf_cosine_pairs(
+                df, "doc_id", "text", shingle_k=3, min_sim=0.99
+            ).collect()
+        }
+        assert got == {(1, 2): 1.0}
+
+    def test_all_jvm(self, spark):
+        from postgresql_topn_spark.operators.dedup import tfidf_cosine_pairs
+        from postgresql_topn_spark.plans.audit import python_stages
+
+        out = tfidf_cosine_pairs(self._docs(spark), "doc_id", "text")
+        assert python_stages(out) == 0
