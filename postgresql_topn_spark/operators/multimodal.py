@@ -409,7 +409,11 @@ def synth_png(doc_id: int) -> bytes:
 
     width = 8 + doc_id % 17, height = 8 + (doc_id*3) % 13,
     channels = 1 (odd doc_id, color type 0) or 3 (even, color type 2),
-    flat pixel i = (doc_id*31 + i*7) % 256."""
+    flat pixel i = ((i % (8 + doc_id % 9)) * 37 + doc_id * 31) % 256 —
+    each doc's pixels cycle over 8..16 DISTINCT values whose positions
+    depend on doc_id, so intensity HISTOGRAMS differ per document
+    (a flat i-linear formula makes every histogram uniform and
+    degenerates any downstream similarity)."""
     import struct
     import zlib
 
@@ -417,8 +421,9 @@ def synth_png(doc_id: int) -> bytes:
     h = 8 + (doc_id * 3) % 13
     channels = 1 if doc_id % 2 == 1 else 3
     stride = w * channels
+    m = 8 + doc_id % 9
     flat = bytes(
-        (doc_id * 31 + i * 7) % 256 for i in range(h * stride)
+        ((i % m) * 37 + doc_id * 31) % 256 for i in range(h * stride)
     )
     raw = b"".join(
         b"\x00" + flat[r * stride : (r + 1) * stride] for r in range(h)
@@ -544,6 +549,53 @@ def decode_png_pixels(buf: bytes):
         return (w, h, channels, px)
     except Exception:
         return None
+
+
+def pixel_histogram_features(
+    imgs: DataFrame,
+    *,
+    bins: int = 16,
+    pixels_col: str = "pixels",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """REAL image featurizer over DECODED pixel rows (the output of
+    `decode_image_pixels`): a `bins`-bin intensity histogram as integer
+    COUNTS in a dense double array — the classic color-histogram
+    image descriptor. Counts, not fractions, on purpose: cosine is
+    scale-invariant (cos of count vectors == cos of normalized
+    histograms) and integer counts are exact in float64, so every
+    downstream similarity stays bit-identical across engines.
+
+    Pure Catalyst: explode -> (doc, bucket) hash count (map-side
+    combined) -> map_from_entries -> dense bucket array. NULL-pixel
+    rows (undecodable payloads) are skipped. `bins` must divide 256.
+
+    Returns (doc_id, `out_col` array<double>) ready for
+    `similarity.cosine_topk`."""
+    if bins < 1 or 256 % bins != 0:
+        raise ValueError(f"bins must divide 256, got {bins}")
+    width = 256 // bins
+    ex = imgs.where(F.col(pixels_col).isNotNull()).select(
+        "doc_id", F.explode(pixels_col).alias("__px")
+    )
+    cnt = ex.groupBy(
+        "doc_id",
+        F.floor(F.col("__px") / F.lit(width)).cast("int").alias("__b"),
+    ).agg(F.count(F.lit(1)).alias("__c"))
+    m = cnt.groupBy("doc_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__b", "__c"))
+        ).alias("__m")
+    )
+    return m.select(
+        "doc_id",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(bins - 1)),
+            lambda b: F.coalesce(
+                F.element_at(F.col("__m"), b), F.lit(0)
+            ).cast("double"),
+        ).alias(out_col),
+    )
 
 
 def synth_wav_pcm16(doc_id: int) -> bytes:

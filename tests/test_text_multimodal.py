@@ -551,7 +551,10 @@ class TestPngCodec:
                 8 + (d * 3) % 13,
                 1 if d % 2 else 3,
             )
-            assert px == [(d * 31 + i * 7) % 256 for i in range(w * h * c)]
+            m = 8 + d % 9
+            assert px == [
+                ((i % m) * 37 + d * 31) % 256 for i in range(w * h * c)
+            ]
 
     @staticmethod
     def _png(w, h, channels, rows_filtered, ctype):
@@ -693,6 +696,89 @@ class TestPngCodec:
             assert r["pixels"] is not None
             assert len(r["pixels"]) == r["width"] * r["height"] * r["channels"]
             d = r["doc_id"]
+            m = 8 + d % 9
             assert r["pixels"][:3] == [
-                (d * 31 + i * 7) % 256 for i in range(3)
+                ((i % m) * 37 + d * 31) % 256 for i in range(3)
             ]
+
+
+class TestPixelHistogramFeatures:
+    """pixel_histogram_features: dense integer-count intensity
+    histogram over decoded pixel rows (the real featurizer)."""
+
+    def test_hand_computed_histogram(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            pixel_histogram_features,
+        )
+
+        rows = [
+            (1, 2, 2, 1, [0, 15, 16, 255]),   # buckets 0,0,1,15
+            (2, 1, 1, 1, [128]),              # bucket 8
+            (3, None, None, None, None),      # undecodable -> skipped
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "doc_id bigint, width int, height int, channels int, pixels array<int>",
+        )
+        got = {
+            r["doc_id"]: r["embedding"]
+            for r in pixel_histogram_features(df, bins=16).collect()
+        }
+        exp1 = [0.0] * 16
+        exp1[0], exp1[1], exp1[15] = 2.0, 1.0, 1.0
+        exp2 = [0.0] * 16
+        exp2[8] = 1.0
+        assert got == {1: exp1, 2: exp2}
+
+    def test_bins_validation_and_coarser_bins(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            pixel_histogram_features,
+        )
+
+        df = spark.createDataFrame(
+            [(1, 1, 1, 1, [0, 64, 128, 192])],
+            "doc_id bigint, width int, height int, channels int, pixels array<int>",
+        )
+        got = pixel_histogram_features(df, bins=4).collect()[0]["embedding"]
+        assert got == [1.0, 1.0, 1.0, 1.0]
+        import pytest as _pytest
+
+        for bad in (0, 3, 257):
+            with _pytest.raises(ValueError, match="bins"):
+                pixel_histogram_features(df, bins=bad)
+
+    def test_matches_python_replica_through_codec(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_image_pixels,
+            decode_png_pixels,
+            make_png_blob_table,
+            pixel_histogram_features,
+        )
+
+        docs = spark.range(8).select(F.col("id").alias("doc_id"))
+        feats = pixel_histogram_features(
+            decode_image_pixels(
+                make_png_blob_table(docs), decoder=decode_png_pixels
+            ),
+            bins=16,
+        )
+        got = {r["doc_id"]: r["embedding"] for r in feats.collect()}
+        for d in range(8):
+            w, h, c = 8 + d % 17, 8 + (d * 3) % 13, 1 if d % 2 else 3
+            m = 8 + d % 9
+            exp = [0.0] * 16
+            for i in range(w * h * c):
+                exp[(((i % m) * 37 + d * 31) % 256) // 16] += 1.0
+            assert got[d] == exp, d
+
+    def test_all_jvm(self, spark):
+        from postgresql_topn_spark.operators.multimodal import (
+            pixel_histogram_features,
+        )
+        from postgresql_topn_spark.plans.audit import python_stages
+
+        df = spark.createDataFrame(
+            [(1, 1, 1, 1, [1, 2, 3])],
+            "doc_id bigint, width int, height int, channels int, pixels array<int>",
+        )
+        assert python_stages(pixel_histogram_features(df)) == 0
