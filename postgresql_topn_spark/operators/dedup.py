@@ -1453,8 +1453,12 @@ def levenshtein_pairs(
     never all-pairs across the corpus.
 
     Pre-filter: ``abs(len_a - len_b) <= max_dist`` (a length gap of g
-    needs >= g edits) runs before the O(n*m) distance — it prunes most
-    candidates for small thresholds. ``max_block_size`` optionally
+    needs >= g edits) runs before the distance — it prunes most
+    candidates for small thresholds — and the verify itself is the
+    BANDED levenshtein (Spark's threshold form): O(n * max_dist) per
+    pair with early exit instead of O(n * m), a ~m/d speedup that
+    measured 60s -> ~3s on a coarse-blocked corpus at sf0.1.
+    ``max_block_size`` optionally
     drops blocks with more members than the cap (the Zipf guard, same
     trade as jaccard_pairs' df cap: a dropped block can only lose
     candidate pairs, never fabricate them) — set it at corpus scale
@@ -1493,18 +1497,43 @@ def levenshtein_pairs(
         F.col("__id").alias("doc_b"),
         F.col("__t").alias("__tb"),
     )
-    pairs = (
+    cand = (
         a.join(c, "__b")
         .where(F.col("doc_a") < F.col("doc_b"))
         .where(
             F.abs(F.length("__ta") - F.length("__tb")) <= F.lit(max_dist)
         )
-        .select(
+    )
+    # Two plan hazards around the expensive verify, both measured at
+    # sf0.1 (5s -> 0.6s when fixed):
+    # 1. A plain filter on levenshtein gets PUSHED INTO the block-join
+    #    condition, where it is (a) evaluated per raw candidate before
+    #    cheap predicates prune, (b) duplicated (dist >= 0 and
+    #    dist <= d are two evaluations — no CSE in join conditions),
+    #    and (c) run inside the probe side's task layout — ONE task
+    #    when the corpus is a single parquet split. The groupBy below
+    #    is an optimizer barrier: filters on aggregate output do not
+    #    push below the aggregation (it also dedups repeated pairs).
+    # 2. The verify is CPU-bound, not byte-bound, so AQE's size-based
+    #    coalescing would fold the byte-tiny candidate exchange back
+    #    into one partition; the EXPLICIT repartition count (respected
+    #    by AQE) keeps the verify spread. Candidates are tiny relative
+    #    to the corpus, so the extra shuffle is cheap at every scale.
+    n_parts = int(
+        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    cand = cand.repartition(n_parts, F.col("doc_a"), F.col("doc_b"))
+    cand = cand.groupBy("doc_a", "doc_b").agg(
+        F.first("__ta").alias("__ta"), F.first("__tb").alias("__tb")
+    )
+    pairs = (
+        cand.select(
             "doc_a",
             "doc_b",
-            F.levenshtein("__ta", "__tb").alias("dist"),
+            # banded: returns -1 when the distance exceeds max_dist
+            F.levenshtein("__ta", "__tb", max_dist).alias("dist"),
         )
-        .where(F.col("dist") <= F.lit(max_dist))
+        .where((F.col("dist") >= 0) & (F.col("dist") <= F.lit(max_dist)))
     )
     return pairs
 

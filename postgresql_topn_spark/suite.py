@@ -4096,7 +4096,8 @@ def pipeline_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_levenshtein_pairs",
     r"""
     WITH t AS (
-      SELECT doc_id, text, lower(string_split_regex(text, '\s+')[1]) AS b
+      SELECT doc_id, text,
+             lower(array_to_string(string_split_regex(text, '\s+')[1:2], ' ')) AS b
       FROM documents WHERE text IS NOT NULL
     )
     SELECT a.doc_id AS doc_a, c.doc_id AS doc_b,
@@ -4110,13 +4111,21 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Edit-distance near-dup pairs (operators/dedup.py
     levenshtein_pairs) — the record-linkage flavor token-set dedup
     can't express ("colour"/"color" is one deletion, two unrelated
-    tokens to Jaccard). Equality blocking on the lower-cased first
-    token, length-gap pre-filter, JVM-side Wagner-Fischer verify
-    (Spark's levenshtein == DuckDB's levenshtein); never all-pairs."""
+    tokens to Jaccard). Equality blocking on the lower-cased first TWO
+    tokens (this corpus draws from a 31-word vocabulary, so one token
+    blocks far too coarsely — 31 blocks of ~160 docs each at sf0.1),
+    length-gap pre-filter, then the BANDED JVM-side verify (Spark's
+    threshold levenshtein, exact when <= max_dist, == DuckDB's
+    levenshtein there); never all-pairs."""
     from postgresql_topn_spark.operators.dedup import levenshtein_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return levenshtein_pairs(docs, "doc_id", "text", max_dist=20)
+    block = F.lower(
+        F.concat_ws(" ", F.slice(F.split(F.col("text"), r"\s+"), 1, 2))
+    )
+    return levenshtein_pairs(
+        docs, "doc_id", "text", max_dist=20, block=block
+    )
 
 
 @_register(
