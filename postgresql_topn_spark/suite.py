@@ -3950,6 +3950,91 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bpe_encode_oracle_sql(k: int) -> str:
+    """DuckDB twin of train_bpe(k) + bpe_encode over the same corpus:
+    the training CTE chain of _bpe_oracle_sql, then every document's
+    words re-encoded by applying the k learned merges IN LEARN ORDER
+    (replace-all left-to-right per merge — the canonical equivalence
+    with bpe_encode's greedy lowest-rank-first loop, pytest-pinned in
+    test_encode_matches_sequential_merge_application), EOW suffixes
+    stripped, standalone-EOW symbols dropped, tokens re-joined in
+    document order."""
+    fs, gs = "chr(28)", "chr(29)"
+    sym_re = f"{fs}||'([^'||{gs}||']*)'||{gs}"
+    # training prefix (identical chain to _bpe_oracle_sql)
+    train = _bpe_oracle_sql(k)
+    with_prefix = train[: train.rindex(" SELECT CAST(merge_rank")]
+    # drop the final-select; keep "WITH words AS (...) ... w{k} AS (...)"
+    parts = [with_prefix]
+    parts.append(
+        f""",
+    docw AS (
+      SELECT doc_id, i AS wp,
+             array_to_string(list_transform(
+               list_append(regexp_extract_all(tk[i], '.'), '</w>'),
+               c -> {fs} || c || {gs}), '') AS s
+      FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk))) AS i
+            FROM (SELECT doc_id,
+                         list_filter(string_split_regex(trim(text), '\\s+'),
+                                     t -> t <> '') AS tk
+                  FROM documents))
+    )"""
+    )
+    prev = "docw"
+    for r in range(1, k + 1):
+        parts.append(
+            f""",
+    e{r} AS (
+      SELECT doc_id, wp,
+             CASE WHEN p.a IS NULL THEN s
+             ELSE replace(s, {fs}||p.a||{gs}||{fs}||p.b||{gs},
+                          {fs}||p.a||p.b||{gs}) END AS s
+      FROM {prev} LEFT JOIN p{r} p ON TRUE
+    )"""
+        )
+        prev = f"e{r}"
+    parts.append(
+        f"""
+    SELECT doc_id,
+           CAST(len(toks) AS INT) AS n_bpe,
+           array_to_string(toks, ' ') AS bpe_text
+    FROM (
+      SELECT doc_id,
+             flatten(list(syms ORDER BY wp)) AS toks
+      FROM (
+        SELECT doc_id, wp,
+               list_filter(
+                 list_transform(regexp_extract_all(s, {sym_re}, 1),
+                                x -> regexp_replace(x, '</w>$', '')),
+                 x -> x <> '') AS syms
+        FROM {prev})
+      GROUP BY doc_id)
+    """
+    )
+    return "".join(parts)
+
+
+@_register("bpe_encode_tokens", _bpe_encode_oracle_sql(8))
+def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer LIFECYCLE behind the gate: train 8 merges on
+    the corpus (batched selector), then ENCODE every document with the
+    learned rules (operators/bpe.py bpe_encode — the Arrow-batched
+    greedy apply loop) and emit per-doc token count + the re-joined
+    token stream. The oracle independently re-trains in DuckDB and
+    re-applies the merges in learn order, so a defect in either
+    training or application breaks the hash."""
+    from postgresql_topn_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges = train_bpe(docs, "text", n_merges=8, batch_m=4)
+    enc = bpe_encode(docs, merges, "doc_id", "text")
+    return enc.select(
+        "doc_id",
+        F.size("bpe_tokens").alias("n_bpe"),
+        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # AS-OF join (gate form)
 # ---------------------------------------------------------------------------
@@ -4175,6 +4260,7 @@ _PRIORITY = [
     "events_retention_cohorts",
     "dedup_tfidf_cosine",
     "multimodal_png_feature_ann",
+    "bpe_encode_tokens",
     # the 30 queries with no CORRECTNESS_r04 row (green in r3 — exactly
     # one round stale), in registration order
     "dedup_jaccard_pairs",

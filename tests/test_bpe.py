@@ -162,3 +162,39 @@ def test_select_batch_stale_argmax_takes_only_p1():
     assert _select_batch(
         rows, 2, truncated=False, prior_concats={"ab"}
     ) == [("a", "b")]
+
+
+def test_encode_matches_sequential_merge_application(spark):
+    """bpe_encode's greedy lowest-rank-first loop must equal applying
+    the merges IN LEARN ORDER, each replace-all left-to-right (the
+    canonical BPE equivalence the bpe_encode_tokens oracle relies on)
+    — including overlap-tricky repeated-char runs."""
+    rows = [("aaaaa bab abab",)] * 4 + [("low lower aaab",)] * 3
+    docs = spark.createDataFrame(
+        [(i, t[0]) for i, t in enumerate(rows)], "doc_id long, text string"
+    )
+    merges = train_bpe(docs, "text", n_merges=6, min_pair_count=1)
+
+    def apply_in_order(word):
+        syms = list(word) + [EOW]
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return [
+            t for t in (s.removesuffix(EOW) for s in syms) if t
+        ]
+
+    enc = {
+        r["doc_id"]: r["bpe_tokens"]
+        for r in bpe_encode(docs, merges).collect()
+    }
+    for i, (t,) in enumerate(rows):
+        exp = [tok for w in t.split() for tok in apply_in_order(w)]
+        assert enc[i] == exp, (i, t, merges)
