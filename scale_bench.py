@@ -107,6 +107,12 @@ SUBSET = [
     "events_asof_latest",
     "topn_sql_having_fallback",
     "topn_csv_reviews",
+    "dedup_tfidf_cosine",
+    "dedup_levenshtein_pairs",
+    "events_retention_cohorts",
+    "pipeline_train_split",
+    "multimodal_png_feature_ann",
+    "bpe_encode_tokens",
 ]
 
 def _near_auto(spark, sf_dir):
