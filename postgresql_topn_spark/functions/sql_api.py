@@ -245,8 +245,13 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
                 wv = 0
             else:
                 wf = float(w)
-                if math.isinf(wf):
-                    # Spark's non-ANSI double->long cast saturates
+                if math.isinf(wf) or abs(wf) >= 9.3e18:
+                    # infinities AND finite magnitudes beyond int64
+                    # saturate like Spark's non-ANSI double->long cast.
+                    # The magnitude short-circuit also keeps Decimal
+                    # quantize inside its default 28-digit context —
+                    # Decimal(repr(1e30)).quantize(1) would raise
+                    # InvalidOperation and kill the task.
                     wv = INT64_MAX if wf > 0 else -INT64_MAX - 1
                 else:
                     wv = int(

@@ -1469,10 +1469,13 @@ def levenshtein_pairs(
     distance computed JVM-side, zero Python stages."""
     if max_dist < 0:
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    # default block: first REAL token (text.tokens() trims and drops
+    # phantom '' tokens, so leading whitespace can't dump documents
+    # into a shared degenerate '' block)
     b = (
         block
         if block is not None
-        else F.lower(F.split(F.col(text_col), r"\s+").getItem(0))
+        else F.lower(tokens(text_col).getItem(0))
     )
     t = df.select(
         _col(id_col).alias("__id"),

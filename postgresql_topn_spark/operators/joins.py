@@ -91,10 +91,11 @@ def asof_join(
     OLDER right row and emit a row that never existed.)
 
     Among right rows tied on (key, time) the row sorting LAST by its
-    payload struct wins — deterministic, but it requires the payload
-    types to be orderable (no maps); pass pre-deduplicated right input
-    when tie identity matters or payloads are unorderable. NULL join
-    keys group together (window-partition semantics, like pandas), not
+    payload struct wins — deterministic — when every payload type is
+    orderable; a payload containing an unorderable type (a map) keeps
+    working but falls back to engine-order ties (pass pre-deduplicated
+    right input when tie identity matters there). NULL join keys group
+    together (window-partition semantics, like pandas), not
     SQL-equality semantics — pre-filter NULL keys for SQL parity.
 
     Returns every left row + ``payload`` columns (NULL when no right
@@ -142,10 +143,22 @@ def asof_join(
     )
     # __pay as the final sort key makes right-side (key, time) ties
     # deterministic (left rows carry NULL __pay but never tie with
-    # right rows: __side differs)
+    # right rows: __side differs) — but only orderable payload types
+    # can sort; a map-bearing payload falls back to (time, side) with
+    # engine-order ties instead of failing the whole join.
+    def _orderable(dt) -> bool:
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    order = ["__t", "__side"] + (["__pay"] if _orderable(pay_type) else [])
     w = (
         Window.partitionBy(*keys)
-        .orderBy("__t", "__side", "__pay")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r.unionByName(lf).select(

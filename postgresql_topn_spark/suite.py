@@ -3995,10 +3995,10 @@ def _bpe_encode_oracle_sql(k: int) -> str:
         prev = f"e{r}"
     parts.append(
         f"""
-    SELECT doc_id,
-           CAST(len(toks) AS INT) AS n_bpe,
-           array_to_string(toks, ' ') AS bpe_text
-    FROM (
+    SELECT d.doc_id,
+           CAST(coalesce(len(e.toks), 0) AS INT) AS n_bpe,
+           coalesce(array_to_string(e.toks, ' '), '') AS bpe_text
+    FROM documents d LEFT JOIN (
       SELECT doc_id,
              flatten(list(syms ORDER BY wp)) AS toks
       FROM (
@@ -4008,7 +4008,7 @@ def _bpe_encode_oracle_sql(k: int) -> str:
                                 x -> regexp_replace(x, '</w>$', '')),
                  x -> x <> '') AS syms
         FROM {prev})
-      GROUP BY doc_id)
+      GROUP BY doc_id) e ON d.doc_id = e.doc_id
     """
     )
     return "".join(parts)
@@ -4028,10 +4028,15 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = train_bpe(docs, "text", n_merges=8, batch_m=4)
     enc = bpe_encode(docs, merges, "doc_id", "text")
+    # NULL/empty-text docs still get a row: n_bpe 0, bpe_text '' —
+    # matching the oracle's LEFT JOIN + coalesce (a doc the word
+    # unnest never reaches)
     return enc.select(
         "doc_id",
-        F.size("bpe_tokens").alias("n_bpe"),
-        F.concat_ws(" ", "bpe_tokens").alias("bpe_text"),
+        F.coalesce(F.size("bpe_tokens"), F.lit(0)).alias("n_bpe"),
+        F.concat_ws(" ", F.coalesce("bpe_tokens", F.array())).alias(
+            "bpe_text"
+        ),
     )
 
 
@@ -4044,9 +4049,13 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_asof_latest",
     """
     WITH cfg AS (
-      SELECT event_type, ts AS cts, value AS cfg_value,
-             event_id AS cfg_event_id
-      FROM events WHERE event_type IS NOT NULL AND event_id % 97 = 0
+      SELECT event_type, cts, cfg_value, cfg_event_id FROM (
+        SELECT event_type, ts AS cts, value AS cfg_value,
+               event_id AS cfg_event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IS NOT NULL AND event_id % 97 = 0
+      ) WHERE rn = 1
     )
     SELECT e.event_id, e.event_type,
            round(cfg.cfg_value, 6) AS cfg_value, cfg.cfg_event_id
@@ -4071,11 +4080,23 @@ def events_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isNotNull()
     )
-    cfg = ev.where(F.col("event_id") % 97 == 0).select(
-        "event_type",
-        F.col("ts").alias("cts"),
-        F.col("value").alias("cfg_value"),
-        F.col("event_id").alias("cfg_event_id"),
+    # deduplicate config rows on (key, ts) BEFORE the asof join: at an
+    # exact timestamp tie DuckDB ASOF picks an implementation-defined
+    # row, so the gate pins one deterministic survivor per (type, ts)
+    # on both engines (max event_id) instead of relying on fixture luck
+    cfg_w = Window.partitionBy("event_type", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    cfg = (
+        ev.where(F.col("event_id") % 97 == 0)
+        .withColumn("__rn", F.row_number().over(cfg_w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("cts"),
+            F.col("value").alias("cfg_value"),
+            F.col("event_id").alias("cfg_event_id"),
+        )
     )
     out = asof_join(
         ev.select("event_id", "event_type", "ts"),

@@ -291,8 +291,10 @@ def main() -> None:
     fns.update(EXTRA)
     names = list(fns)
     if "--only" in sys.argv:
-        only = sys.argv[sys.argv.index("--only") + 1].split(",")
-        names = [n for n in names if n in only]
+        i = sys.argv.index("--only") + 1
+        if i >= len(sys.argv) or sys.argv[i].startswith("--"):
+            sys.exit("usage: scale_bench.py --only name1,name2,...")
+        names = [n for n in names if n in sys.argv[i].split(",")]
     # warmup both datasets' scans + the Arrow lane
     for d in (BASE, scaled_dir):
         for t in ("documents", "embeddings", "events"):

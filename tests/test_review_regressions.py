@@ -355,3 +355,115 @@ def test_python_stages_counts_stateful_lane(spark):
         )
     )
     assert n == 2  # one stateful grouped-map + one mapInPandas
+
+
+# ---------------------------------------------------------------------------
+# Round-5 adversarial review findings (applied)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_udaf_huge_finite_weight_saturates_not_crashes(spark):
+    """Review r5 #1: Decimal(repr(1e30)).quantize(1) overflows the
+    default 28-digit context and killed the task; finite magnitudes
+    beyond int64 must saturate like the Column lane's double->long
+    cast."""
+    from pyspark.sql import functions as F
+
+    from postgresql_topn_spark.functions.aggregates import (
+        topn_weighted_agg,
+    )
+    from postgresql_topn_spark.functions.sql_api import (
+        register_sql_functions,
+    )
+
+    df = spark.createDataFrame(
+        [("big", 1e30), ("neg", -1e30), ("ok", 2.0)],
+        "item string, w double",
+    )
+    col_lane = dict(
+        topn_weighted_agg(df, [], "item", "w", counters=100)
+        .collect()[0]["topn"]
+    )
+    register_sql_functions(spark, counters=100)
+    try:
+        df.createOrReplaceTempView("huge_w_in")
+        udaf = dict(
+            spark.sql(
+                "SELECT topn_weighted_agg(item, w) AS sk FROM huge_w_in"
+            ).collect()[0]["sk"]
+        )
+    finally:
+        register_sql_functions(spark, counters=1000)
+    assert udaf == col_lane
+    assert udaf["big"] == (1 << 63) - 1  # saturated, not crashed
+    assert "neg" not in udaf  # negative total dropped
+
+
+def test_asof_join_map_payload_works_with_engine_order_ties(spark):
+    """Review r5 #3: a map-typed payload column must not break the
+    window sort — tie determinism degrades, the join still runs."""
+    from postgresql_topn_spark.operators.joins import asof_join
+
+    right = spark.createDataFrame(
+        [("k", 1, {"a": "1"}), ("k", 5, {"b": "2"})],
+        "k string, ts long, attrs map<string,string>",
+    )
+    left = spark.createDataFrame([("k", 3), ("k", 9)], "k string, ts long")
+    got = {r["ts"]: r["attrs"] for r in asof_join(left, right, "k").collect()}
+    assert got == {3: {"a": "1"}, 9: {"b": "2"}}
+
+
+def test_levenshtein_default_block_ignores_leading_whitespace(spark):
+    """Review r5 #5: leading whitespace must not dump documents into a
+    degenerate '' block — the default key is the first REAL token."""
+    from postgresql_topn_spark.operators.dedup import levenshtein_pairs
+
+    rows = [(1, "colour of x"), (2, "  colour of y")]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    got = levenshtein_pairs(df, "doc_id", "text", max_dist=3).collect()
+    # same first word -> same block; distance = 2 leading spaces + x/y
+    assert [(r["doc_a"], r["doc_b"], r["dist"]) for r in got] == [(1, 2, 3)]
+
+
+def test_bpe_encode_gate_lanes_agree_on_null_and_empty_docs(spark):
+    """Review r5 #2: the encode-gate oracle silently dropped NULL /
+    empty / whitespace-only documents that the Spark lane emitted; both
+    lanes must now produce (doc_id, 0, '') rows for them."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from postgresql_topn_spark.operators.bpe import bpe_encode, train_bpe
+    from postgresql_topn_spark.suite import _bpe_encode_oracle_sql
+
+    rows = [
+        (0, "aa bb aa bb"),
+        (1, ""),
+        (2, None),
+        (3, "   "),
+        (4, "aa aa bb cc"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    merges = train_bpe(docs, "text", n_merges=2)
+    enc = bpe_encode(docs, merges)
+    got = {
+        r["doc_id"]: (r["n_bpe"], r["bpe_text"])
+        for r in enc.select(
+            "doc_id",
+            F.coalesce(F.size("bpe_tokens"), F.lit(0)).alias("n_bpe"),
+            F.concat_ws(" ", F.coalesce("bpe_tokens", F.array())).alias(
+                "bpe_text"
+            ),
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM (VALUES "
+        "(0, 'aa bb aa bb'), (1, ''), (2, CAST(NULL AS VARCHAR)), "
+        "(3, '   '), (4, 'aa aa bb cc')) t(doc_id, text)"
+    )
+    want = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(_bpe_encode_oracle_sql(2)).fetchall()
+    }
+    assert got == want
+    assert got[1] == (0, "") and got[2] == (0, "") and got[3] == (0, "")
