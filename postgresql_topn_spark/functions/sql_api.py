@@ -750,7 +750,15 @@ def _rewrite_select(
     kinds = [_norm_expr(m.group(1)) for m in spans]
     if kinds[0] != "select" or spans[0].start() != 0:
         return None
-    order = ["select", "from", "where", "group by", "order by", "limit"]
+    order = [
+        "select",
+        "from",
+        "where",
+        "group by",
+        "having",
+        "order by",
+        "limit",
+    ]
     allowed = set(order)
     if any(k not in allowed for k in kinds) or kinds.count("select") != 1:
         return None
@@ -891,6 +899,33 @@ def _rewrite_select(
     col_order.insert(agg[0], out_alias)
     if agg[0] != len(keys):
         rewritten = f"SELECT {', '.join(col_order)} FROM ({rewritten})"
+    # HAVING on the GROUP KEYS only (a post-agg filter on key values)
+    # == WHERE over the rewritten aggregate's output. Provable subset:
+    # every identifier in the predicate is a select-list KEY ALIAS and
+    # none is a function call — HAVING with aggregates (count(*)) or
+    # un-aliased source expressions falls back to the UDAF lane.
+    having_text = bounds["having"]
+    if having_text is not None:
+        if group_text is None:
+            return None  # HAVING without GROUP BY: not the flagship
+        key_names = {_norm_expr(a) for a, _ in keys}
+        stripped = _re.sub(r"'(?:[^'\\]|\\.)*'", " ", having_text)
+        sql_words = {
+            "and", "or", "not", "in", "between", "like", "rlike",
+            "ilike", "is", "null", "true", "false", "escape", "exists",
+        }
+        ok = True
+        for im in _re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", stripped):
+            w = im.group(0).lower()
+            if w in sql_words:
+                continue
+            after = stripped[im.end() :].lstrip()
+            if after.startswith("(") or w not in key_names:
+                ok = False  # function call / not a key alias
+                break
+        if not ok:
+            return None
+        rewritten = f"SELECT * FROM ({rewritten}) WHERE {having_text}"
     # ORDER BY / LIMIT re-attach on top of the rewrite when every sort
     # item provably names an output KEY column (alias or select-list
     # ordinal — ordinals stay valid because column order is preserved).

@@ -653,10 +653,12 @@ def topn_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def topn_sql_having_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The topn_sql WARNED FALLBACK lane under the gate (VERDICT r4
-    item 6): HAVING on the group keys is a shape rewrite_topn_sql
-    declines, so this statement intentionally runs the GROUPED_AGG
-    pandas UDAF (one Python reducer per group — bounded here: one group
-    per year). The UDAF lane was pytest-pinned equal to the rewrite
+    item 6): HAVING on an UN-ALIASED source expression (year(ts)) is a
+    shape rewrite_topn_sql declines — it can only prove HAVING over
+    select-list key ALIASES (see topn_sql_having_keys for the rewritten
+    lane) — so this statement intentionally runs the GROUPED_AGG pandas
+    UDAF (one Python reducer per group — bounded here: one group per
+    year). The UDAF lane was pytest-pinned equal to the rewrite
     lane (tests/test_sql_api.py); this row makes the driver check it at
     value level every round. The scale-caveat warning firing for this
     statement is itself pinned in tests/test_sql_api.py."""
@@ -677,7 +679,7 @@ def topn_sql_having_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM __hav_events
               WHERE event_type IS NOT NULL
               GROUP BY year(ts)
-              HAVING yr >= 2000
+              HAVING year(ts) >= 2000
             )
             SELECT CAST(g.yr AS INT) AS yr, t.item, t.frequency
             FROM g, LATERAL topn(g.sk, 3) t
@@ -685,6 +687,50 @@ def topn_sql_having_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
             counters=C,
         )
     return out
+
+
+@_register(
+    "topn_sql_having_keys",
+    """
+    SELECT yr, mon, item, frequency FROM (
+      SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mon,
+             event_type AS item, COUNT(event_type) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY year(ts), month(ts)
+                                ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
+      FROM events WHERE event_type IS NOT NULL
+    GROUP BY year(ts), month(ts)
+      , event_type
+    ) t WHERE rn <= 3 AND yr >= 2000 AND mon >= 1
+    """,
+)
+def topn_sql_having_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING over the GROUP KEYS on the REWRITTEN lane (round-5
+    rewriter extension): a post-agg filter whose every identifier is a
+    select-list key alias is provably a WHERE over the two-phase
+    rewrite's output, so this statement keeps the zero-Python plan
+    (pinned in tests/test_sql_api.py) instead of falling back. The
+    oracle applies the same key filter to the exact counts."""
+    from postgresql_topn_spark.functions.sql_api import topn_sql
+
+    load_table(spark, sf_dir, "events").createOrReplaceTempView(
+        "__havk_events"
+    )
+    g = topn_sql(
+            spark,
+            """
+            SELECT CAST(year(ts) AS INT) AS yr,
+                   CAST(month(ts) AS INT) AS mon,
+                   topn_add_agg(event_type) AS sk
+            FROM __havk_events
+            WHERE event_type IS NOT NULL
+            GROUP BY CAST(year(ts) AS INT), CAST(month(ts) AS INT)
+            HAVING yr >= 2000 AND mon >= 1
+            """,
+        counters=C,
+    )
+    from postgresql_topn_spark.functions.sketch import explode_topn
+
+    return explode_topn(g, "sk", 3, keep=["yr", "mon"], counters=C)
 
 
 @_register(
@@ -4282,6 +4328,7 @@ _PRIORITY = [
     "dedup_tfidf_cosine",
     "multimodal_png_feature_ann",
     "bpe_encode_tokens",
+    "topn_sql_having_keys",
     # the 30 queries with no CORRECTNESS_r04 row (green in r3 — exactly
     # one round stale), in registration order
     "dedup_jaccard_pairs",

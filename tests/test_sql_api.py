@@ -457,10 +457,12 @@ class TestTopnSqlRewriter:
         from postgresql_topn_spark.functions.sql_api import topn_sql
 
         self._mk(spark)
-        # HAVING is outside the rewriter's model -> UDAF lane + warning
+        # HAVING on a FUNCTION of the key is outside the rewriter's
+        # provable model (only bare key aliases rewrite) -> UDAF lane
+        # + warning
         sql = """
             SELECT d, topn_add_agg(item) AS sk FROM rw_in
-            GROUP BY d HAVING d >= '2024-01-01'
+            GROUP BY d HAVING upper(d) >= '2024-01-01'
         """
         with warnings.catch_warnings(record=True) as w:
             warnings.simplefilter("always")
@@ -750,14 +752,14 @@ def test_partial_rewrite_still_warns(spark):
         "d string, item string",
     ).createOrReplaceTempView("pw_in")
     # CTE `good` is the flagship shape (rewrites); CTE `bad` has HAVING
-    # on the group key (declines) -> partial rewrite
+    # on a function of the group key (declines) -> partial rewrite
     sql = """
         WITH good AS (
           SELECT d, topn_add_agg(item) AS sk FROM pw_in GROUP BY d
         ),
         bad AS (
           SELECT d, topn_add_agg(item) AS sk FROM pw_in
-          GROUP BY d HAVING d >= '2024-01-01'
+          GROUP BY d HAVING upper(d) >= '2024-01-01'
         )
         SELECT g.d, g.sk AS gsk, b.sk AS bsk
         FROM good g JOIN bad b ON g.d = b.d
@@ -815,3 +817,53 @@ def test_weighted_udaf_rounding_matches_column_lane(spark):
         register_sql_functions(spark, counters=1000)
     assert col_lane == {"b": 3, "c": 1, "e": 2}
     assert udaf_lane == col_lane
+
+
+def test_having_on_key_aliases_rewrites(spark):
+    """Round-5 rewriter extension: HAVING whose every identifier is a
+    select-list key alias rewrites to a WHERE over the two-phase
+    output — zero Python stages, same rows as the UDAF lane."""
+    from postgresql_topn_spark.functions.sql_api import (
+        rewrite_topn_sql,
+        topn_sql,
+    )
+    from postgresql_topn_spark.plans.audit import python_stages
+
+    spark.createDataFrame(
+        [("2024-01-01", "a"), ("2024-01-01", "b"), ("2024-02-02", "a"),
+         ("2024-03-03", "c")],
+        "d string, item string",
+    ).createOrReplaceTempView("hk_in")
+    sql = """
+        SELECT d, topn_add_agg(item) AS sk FROM hk_in
+        GROUP BY d HAVING d >= '2024-02-01' AND d NOT LIKE '%zzz%'
+    """
+    assert rewrite_topn_sql(sql, counters=10) is not None
+    df = topn_sql(spark, sql, counters=10)
+    assert python_stages(df) == 0
+    got = {r["d"]: dict(r["sk"]) for r in df.collect()}
+    assert got == {"2024-02-02": {"a": 1}, "2024-03-03": {"c": 1}}
+    # ... and composes with ORDER BY / LIMIT re-attachment
+    df2 = topn_sql(
+        spark,
+        sql + " ORDER BY d DESC LIMIT 1",
+        counters=10,
+    )
+    assert python_stages(df2) == 0
+    assert [r["d"] for r in df2.collect()] == ["2024-03-03"]
+
+
+def test_having_unprovable_shapes_decline(spark):
+    """Aggregates, function calls, un-aliased source expressions and
+    HAVING-without-GROUP-BY all stay on the (correct) fallback lane."""
+    from postgresql_topn_spark.functions.sql_api import rewrite_topn_sql
+
+    for sql in [
+        "SELECT d, topn_add_agg(i) AS sk FROM t GROUP BY d HAVING count(*) > 1",
+        "SELECT d, topn_add_agg(i) AS sk FROM t GROUP BY d HAVING upper(d) = 'X'",
+        "SELECT year(ts) AS yr, topn_add_agg(i) AS sk FROM t "
+        "GROUP BY year(ts) HAVING year(ts) >= 2000",
+        "SELECT d, topn_add_agg(i) AS sk FROM t GROUP BY d HAVING other_col > 1",
+        "SELECT topn_add_agg(i) AS sk FROM t HAVING sk IS NOT NULL",
+    ]:
+        assert rewrite_topn_sql(sql, counters=10) is None, sql
