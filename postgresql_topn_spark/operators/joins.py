@@ -64,15 +64,27 @@ def asof_join(
     right_time: str = "ts",
     payload: "list[str] | None" = None,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward AS-OF join: each left row gains the payload of the
-    LATEST right row with the same key and right_time <= left_time
-    (``strict=True`` uses ``<``) — "the config in effect when this
-    event happened", "the last login before this purchase". The
-    operator relational engines grow special syntax for (DuckDB
-    ``ASOF JOIN``, Pandas ``merge_asof``, kdb ``aj``); Spark has none,
-    and the naive range-join (equi-key + inequality + per-row max)
-    explodes into an O(n*m) candidate space per key.
+    """AS-OF join: each left row gains the payload of one right row
+    with the same key, chosen by ``direction`` —
+
+    - ``"backward"`` (default): the LATEST right row with
+      right_time <= left_time (``strict=True``: ``<``) — "the config
+      in effect when this event happened".
+    - ``"forward"``: the EARLIEST right row with right_time >=
+      left_time (``strict=True``: ``>``) — "the next deploy after this
+      alert".
+    - ``"nearest"``: whichever of the two candidates has the smaller
+      absolute time distance; a tie picks the backward row (pandas
+      ``merge_asof(direction='nearest')``). ``strict`` is not
+      supported for nearest.
+
+    The operator relational engines grow special syntax for (DuckDB
+    ``ASOF JOIN`` with ``>=``/``<=``, Pandas ``merge_asof``, kdb
+    ``aj``); Spark has none, and the naive range-join (equi-key +
+    inequality + per-row extremum) explodes into an O(n*m) candidate
+    space per key.
 
     Spark-first shape: UNION the two streams with a side tag, one
     window per key ordered by (time, side) carrying the last right ROW
@@ -91,7 +103,8 @@ def asof_join(
     OLDER right row and emit a row that never existed.)
 
     Among right rows tied on (key, time) the row sorting LAST by its
-    payload struct wins — deterministic — when every payload type is
+    payload struct wins (FIRST for the forward direction) —
+    deterministic — when every payload type is
     orderable; a payload containing an unorderable type (a map) keeps
     working but falls back to engine-order ties (pass pre-deduplicated
     right input when tie identity matters there). NULL join keys group
@@ -99,8 +112,14 @@ def asof_join(
     SQL-equality semantics — pre-filter NULL keys for SQL parity.
 
     Returns every left row + ``payload`` columns (NULL when no right
-    row precedes). Column-name collisions between payload and left
+    row qualifies). Column-name collisions between payload and left
     columns must be resolved by the caller (alias before calling)."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(
+            f"direction must be backward/forward/nearest, got {direction!r}"
+        )
+    if direction == "nearest" and strict:
+        raise ValueError("strict=True is not supported with nearest")
     keys = [on] if isinstance(on, str) else list(on)
     payload = list(payload) if payload is not None else [
         c for c in right.columns if c not in keys and c != right_time
@@ -120,17 +139,34 @@ def asof_join(
     missing = [c for c in payload if c not in rfields]
     if missing:
         raise ValueError(f"payload columns {missing} not in right side")
-    pay_type = T.StructType(
-        [T.StructField(c, rfields[c].dataType, True) for c in payload]
+    # nearest needs the matched row's time to compare distances: a
+    # leading double-epoch field rides in the fill struct (it is
+    # constant among same-time ties, so tie ordering is unchanged)
+    with_rt = direction == "nearest"
+    pay_fields = (
+        [T.StructField("__rtd", T.DoubleType(), True)] if with_rt else []
+    ) + [T.StructField(c, rfields[c].dataType, True) for c in payload]
+    pay_type = T.StructType(pay_fields)
+    # side tag: for BACKWARD, right must sort BEFORE left at equal time
+    # for inclusive semantics (after when strict) — the preceding-frame
+    # fill then sees equal-time right rows. FORWARD mirrors it: right
+    # sorts AFTER left when inclusive (before when strict) so the
+    # following frame sees them. NEAREST uses the backward-inclusive
+    # layout: the forward candidate is then strict-at-equal-time, but a
+    # distance-0 backward candidate wins every comparison anyway.
+    if direction == "forward":
+        r_tag, l_tag = (0, 1) if strict else (1, 0)
+    else:
+        r_tag, l_tag = (1, 0) if strict else (0, 1)
+    pay_struct = F.struct(
+        *([F.col(right_time).cast("double").alias("__rtd")] if with_rt else []),
+        *[F.col(c).alias(c) for c in payload],
     )
-    # side tag: right must sort BEFORE left at equal time for inclusive
-    # semantics (left first when strict)
-    r_tag, l_tag = (1, 0) if strict else (0, 1)
     r = right.select(
         *keys,
         F.col(right_time).alias("__t"),
         F.lit(r_tag).alias("__side"),
-        F.struct(*[F.col(c).alias(c) for c in payload]).alias("__pay"),
+        pay_struct.alias("__pay"),
         *[F.lit(None).alias(f"__l_{c}") for c in left.columns],
     )
     left_cols = [F.col(c).alias(f"__l_{c}") for c in left.columns]
@@ -156,14 +192,28 @@ def asof_join(
         return True
 
     order = ["__t", "__side"] + (["__pay"] if _orderable(pay_type) else [])
-    w = (
-        Window.partitionBy(*keys)
-        .orderBy(*order)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base = Window.partitionBy(*keys).orderBy(*order)
+    back = F.last("__pay", ignorenulls=True).over(
+        base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    merged = r.unionByName(lf).select(
-        "*", F.last("__pay", ignorenulls=True).over(w).alias("__ff")
+    fwd = F.first("__pay", ignorenulls=True).over(
+        base.rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
+    if direction == "backward":
+        fill = back
+    elif direction == "forward":
+        fill = fwd
+    else:  # nearest: both fills share one exchange and one sort
+        td = F.col("__t").cast("double")
+        b, f = back, fwd
+        fill = (
+            F.when(b.isNull(), f)
+            .when(f.isNull(), b)
+            # tie (equal distance) picks backward, like merge_asof
+            .when((td - b["__rtd"]) <= (f["__rtd"] - td), b)
+            .otherwise(f)
+        )
+    merged = r.unionByName(lf).select("*", fill.alias("__ff"))
     out = merged.where(F.col("__side") == F.lit(l_tag)).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
         *[F.col("__ff")[c].alias(c) for c in payload],

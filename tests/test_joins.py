@@ -220,3 +220,73 @@ def test_asof_matches_duckdb(spark, quotes, trades):
             for k, v in want.items()
         }
         assert got == want, strict
+
+
+def test_asof_forward_matches_duckdb(spark, quotes, trades):
+    """direction='forward': earliest right row at-or-after the left
+    time — DuckDB ASOF LEFT JOIN with <= as the reference."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.register("q", quotes.toPandas())
+    con.register("t", trades.toPandas())
+    for strict, op in ((False, "<="), (True, "<")):
+        want = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                f"SELECT t.qty, q.px, q.src FROM t ASOF LEFT JOIN q "
+                f"ON t.sym = q.sym AND t.ts {op} q.ts"
+            ).fetchall()
+        }
+        want = {
+            k: (None if v[0] != v[0] else v[0], v[1])
+            for k, v in want.items()
+        }
+        got = _by_qty(
+            asof_join(
+                trades, quotes, "sym", payload=["px", "src"],
+                direction="forward", strict=strict,
+            )
+        )
+        assert got == want, strict
+
+
+def test_asof_nearest_matches_pandas(spark, quotes, trades):
+    """direction='nearest': pandas merge_asof as the reference
+    (equal-distance tie -> backward row)."""
+    import pandas as pd
+
+    qp = quotes.toPandas().sort_values("ts")
+    tp = trades.toPandas().sort_values("ts")
+    want_df = pd.merge_asof(
+        tp, qp, on="ts", by="sym", direction="nearest"
+    )
+    want = {
+        int(r.qty): (None if pd.isna(r.px) else r.px,
+                     None if (isinstance(r.src, float) and pd.isna(r.src)) or r.src is None else r.src)
+        for r in want_df.itertuples()
+    }
+    got = _by_qty(
+        asof_join(
+            trades, quotes, "sym", payload=["px", "src"],
+            direction="nearest",
+        )
+    )
+    assert got == want
+
+
+def test_asof_nearest_tie_prefers_backward(spark):
+    right = spark.createDataFrame(
+        [("k", 10, "early"), ("k", 30, "late")],
+        "k string, ts long, tag string",
+    )
+    left = spark.createDataFrame([("k", 20)], "k string, ts long")
+    row = asof_join(left, right, "k", direction="nearest").collect()[0]
+    assert row["tag"] == "early"  # dist 10 both ways -> backward
+
+
+def test_asof_direction_validation(spark, quotes, trades):
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(trades, quotes, "sym", direction="sideways")
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(trades, quotes, "sym", direction="nearest", strict=True)
