@@ -219,3 +219,114 @@ def asof_join(
         *[F.col("__ff")[c].alias(c) for c in payload],
     )
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_time: str = "ts",
+    start: str = "start",
+    end: str = "end",
+    on: "str | list[str] | None" = None,
+    bucket_width: float,
+    long_multiple: int = 64,
+) -> DataFrame:
+    """Point-in-interval (range) join: every (point, interval) pair with
+    the same key (optional) and ``start <= point_time < end`` —
+    half-open, the time-window convention. The third join relational
+    engines special-case (DuckDB/Postgres run it as a plain range
+    predicate; Spark's naive form is a cross join + filter that
+    explodes at scale).
+
+    Scale shape — bucketize-and-split:
+
+    - Both sides map onto a grid of ``bucket_width``-sized buckets on
+      the time axis (doubles only GENERATE candidates; the exact typed
+      predicate decides, and casts are monotonic so a contained point
+      can never land outside its interval's bucket range — no false
+      negatives). An interval covers its start..end buckets via one
+      `sequence` explode; the equi-join on (keys, bucket) replaces the
+      cross join. A pair matches in exactly ONE bucket (the point's),
+      so no dedup pass is needed.
+    - Intervals spanning more than ``long_multiple`` buckets (the
+      degenerate tail that would explode the grid) take a BROADCAST
+      range join instead — correct for any span, cheap while long
+      intervals are rare, which is the regime that makes bucketing the
+      right default. Pick ``bucket_width`` near the typical interval
+      length: ~1-2 exploded rows per interval, candidates ~= matches.
+
+    Timestamps/dates bucket via their epoch seconds (unix_micros-based
+    — TIMESTAMP_NTZ included; the same monotonic transform applies to
+    both sides, so bucket assignment can never disagree with the typed
+    predicate); numeric axes use their value, and ``bucket_width`` is
+    in seconds for time axes. Column names must be disjoint across the
+    two frames except
+    the join keys. Returns points.* + the intervals' non-key columns,
+    inner-join semantics (points matching nothing drop; one row per
+    matching pair)."""
+    if bucket_width <= 0:
+        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    if long_multiple < 1:
+        raise ValueError(f"long_multiple must be >= 1, got {long_multiple}")
+    keys = (
+        []
+        if on is None
+        else ([on] if isinstance(on, str) else list(on))
+    )
+    overlap = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if overlap:
+        raise ValueError(
+            f"columns {sorted(overlap)} exist on both sides; alias them "
+            "(only join keys may be shared)"
+        )
+    from functools import reduce
+    from operator import and_
+
+    from pyspark.sql import types as T
+
+    def _axis(df: DataFrame, col: str):
+        dt = df.schema[col].dataType
+        if isinstance(
+            dt, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
+            return F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1e6)
+        return F.col(col).cast("double")
+
+    w = float(bucket_width)
+    pb = F.floor(_axis(points, point_time) / F.lit(w)).cast("long")
+    p2 = points.withColumn("__pb", pb)
+    sb = F.floor(_axis(intervals, start) / F.lit(w)).cast("long")
+    eb = F.floor(_axis(intervals, end) / F.lit(w)).cast("long")
+    iv2 = intervals.withColumn("__sb", sb).withColumn("__eb", eb).where(
+        F.col(end) > F.col(start)
+    )
+    is_long = (F.col("__eb") - F.col("__sb")) >= F.lit(long_multiple)
+    short = iv2.where(~is_long).withColumn(
+        "__pb", F.explode(F.sequence("__sb", "__eb"))
+    )
+    long_ = iv2.where(is_long)
+
+    out_cols = [F.col(f"__p.{c}") for c in points.columns] + [
+        F.col(f"__i.{c}")
+        for c in intervals.columns
+        if c not in keys
+    ]
+
+    def _match(iv_side: DataFrame, with_bucket: bool) -> DataFrame:
+        conds = [F.col(f"__p.{k}") == F.col(f"__i.{k}") for k in keys]
+        if with_bucket:
+            conds.append(F.col("__p.__pb") == F.col("__i.__pb"))
+        conds += [
+            F.col(f"__p.{point_time}") >= F.col(f"__i.{start}"),
+            F.col(f"__p.{point_time}") < F.col(f"__i.{end}"),
+        ]
+        return (
+            p2.alias("__p")
+            .join(iv_side.alias("__i"), reduce(and_, conds), "inner")
+            .select(*out_cols)
+        )
+
+    matched = _match(short, with_bucket=True)
+    # the long tail is broadcast by construction (rare rows)
+    return matched.unionByName(_match(F.broadcast(long_), with_bucket=False))

@@ -290,3 +290,118 @@ def test_asof_direction_validation(spark, quotes, trades):
         asof_join(trades, quotes, "sym", direction="sideways")
     with pytest.raises(ValueError, match="nearest"):
         asof_join(trades, quotes, "sym", direction="nearest", strict=True)
+
+
+# ---------------------------------------------------------------------------
+# interval_join
+# ---------------------------------------------------------------------------
+
+from postgresql_topn_spark.operators.joins import interval_join  # noqa: E402
+
+
+class TestIntervalJoin:
+    def test_hand_computed_matches(self, spark):
+        pts = spark.createDataFrame(
+            [(1, 5.0), (2, 10.0), (3, 15.0), (4, 25.0), (5, 100.0)],
+            "pid bigint, ts double",
+        )
+        ivs = spark.createDataFrame(
+            [("a", 0.0, 10.0), ("b", 10.0, 20.0), ("c", 12.0, 30.0)],
+            "tag string, start double, end double",
+        )
+        got = sorted(
+            (r["pid"], r["tag"])
+            for r in interval_join(
+                pts, ivs, point_time="ts", bucket_width=8.0
+            ).collect()
+        )
+        # half-open: ts=10 is NOT in [0,10) but IS in [10,20)
+        assert got == [(1, "a"), (2, "b"), (3, "b"), (3, "c"), (4, "c")]
+
+    def test_long_interval_broadcast_path(self, spark):
+        pts = spark.createDataFrame(
+            [(i, float(i)) for i in range(0, 1000, 100)],
+            "pid bigint, ts double",
+        )
+        # one tiny bucket width + a giant interval: the explode path
+        # would need 1000 buckets; long_multiple=4 routes it broadcast
+        ivs = spark.createDataFrame(
+            [("wide", -1.0, 2000.0), ("narrow", 195.0, 205.0)],
+            "tag string, start double, end double",
+        )
+        got = sorted(
+            (r["pid"], r["tag"])
+            for r in interval_join(
+                pts, ivs, point_time="ts", bucket_width=1.0, long_multiple=4
+            ).collect()
+        )
+        assert ("wide" == t for _, t in got)
+        assert got.count((200, "narrow")) == 1
+        assert sum(1 for _, t in got if t == "wide") == 10
+
+    def test_keys_restrict_matches(self, spark):
+        pts = spark.createDataFrame(
+            [("u1", 1, 5.0), ("u2", 2, 5.0)], "u string, pid bigint, ts double"
+        )
+        ivs = spark.createDataFrame(
+            [("u1", "w", 0.0, 10.0)], "u string, tag string, start double, end double"
+        )
+        got = interval_join(
+            pts, ivs, point_time="ts", on="u", bucket_width=10.0
+        ).collect()
+        assert [(r["u"], r["pid"], r["tag"]) for r in got] == [("u1", 1, "w")]
+
+    def test_matches_duckdb_range_join(self, spark):
+        import random
+
+        import duckdb
+
+        rnd = random.Random(7)
+        pts = [(i, rnd.uniform(0, 1000)) for i in range(300)]
+        ivs = [
+            (j, (s := rnd.uniform(0, 950)), s + rnd.uniform(0.1, 80))
+            for j in range(40)
+        ]
+        pdf = spark.createDataFrame(pts, "pid bigint, ts double")
+        idf = spark.createDataFrame(ivs, "iid bigint, start double, end double")
+        got = sorted(
+            (r["pid"], r["iid"])
+            for r in interval_join(
+                pdf, idf, point_time="ts", bucket_width=50.0, long_multiple=2
+            ).collect()
+        )
+        con = duckdb.connect()
+        con.execute("CREATE TABLE p AS SELECT * FROM (VALUES %s) t(pid, ts)"
+                    % ",".join(f"({i},{t!r})" for i, t in pts))
+        con.execute("CREATE TABLE iv AS SELECT * FROM (VALUES %s) t(iid, s, e)"
+                    % ",".join(f"({j},{s!r},{e!r})" for j, s, e in ivs))
+        want = sorted(
+            (r[0], r[1])
+            for r in con.execute(
+                "SELECT pid, iid FROM p JOIN iv ON ts >= s AND ts < e"
+            ).fetchall()
+        )
+        assert got == want and len(got) > 100
+
+    def test_validation_and_collisions(self, spark):
+        pts = spark.createDataFrame([(1, 1.0)], "pid bigint, ts double")
+        ivs = spark.createDataFrame(
+            [(1, 0.0, 2.0)], "pid bigint, start double, end double"
+        )
+        with pytest.raises(ValueError, match="both sides"):
+            interval_join(pts, ivs, point_time="ts", bucket_width=1.0)
+        with pytest.raises(ValueError, match="bucket_width"):
+            interval_join(
+                pts,
+                ivs.withColumnRenamed("pid", "iid"),
+                point_time="ts",
+                bucket_width=0,
+            )
+        # empty/inverted intervals match nothing
+        inv = spark.createDataFrame(
+            [("x", 5.0, 5.0), ("y", 9.0, 3.0)],
+            "tag string, start double, end double",
+        )
+        assert interval_join(
+            pts, inv, point_time="ts", bucket_width=1.0
+        ).count() == 0
