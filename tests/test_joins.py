@@ -405,3 +405,19 @@ class TestIntervalJoin:
         assert interval_join(
             pts, inv, point_time="ts", bucket_width=1.0
         ).count() == 0
+
+
+def test_new_joins_are_all_jvm(spark, quotes, trades):
+    """asof_join (all directions) and interval_join plan zero Python
+    stages — whole-stage-codegen operators end to end."""
+    from postgresql_topn_spark.plans.audit import python_stages
+
+    for d in ("backward", "forward", "nearest"):
+        df = asof_join(trades, quotes, "sym", payload=["px"], direction=d)
+        assert python_stages(df) == 0, d
+    pts = spark.createDataFrame([(1, 5.0)], "pid bigint, ts double")
+    ivs = spark.createDataFrame(
+        [("a", 0.0, 10.0)], "tag string, start double, end double"
+    )
+    out = interval_join(pts, ivs, point_time="ts", bucket_width=4.0)
+    assert python_stages(out) == 0
