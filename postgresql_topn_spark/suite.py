@@ -4442,6 +4442,69 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retention_cohorts(ev, "user_id", "ts", period="day")
 
 
+@_register(
+    "events_asof_next",
+    """
+    WITH cfg AS (
+      SELECT event_type, cts, cfg_value, cfg_event_id FROM (
+        SELECT event_type, ts AS cts, value AS cfg_value,
+               event_id AS cfg_event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IS NOT NULL AND event_id % 97 = 0
+      ) WHERE rn = 1
+    )
+    SELECT e.event_id, e.event_type,
+           round(cfg.cfg_value, 6) AS cfg_value, cfg.cfg_event_id
+    FROM (SELECT event_id, event_type, ts FROM events
+          WHERE event_type IS NOT NULL) e
+    ASOF LEFT JOIN cfg
+      ON e.event_type = cfg.event_type AND e.ts <= cfg.cts
+    """,
+)
+def events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join behind the gate (direction='forward' — the
+    round-5 extension): every event picks up the EARLIEST config row of
+    its type at-or-after its time ("the next deploy after this alert").
+    Same deduplicated sparse config subset as events_asof_latest;
+    oracle is DuckDB's native ASOF LEFT JOIN with <=. Late events (after
+    the last config of their type) exercise the all-NULL path."""
+    from postgresql_topn_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    cfg_w = Window.partitionBy("event_type", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    cfg = (
+        ev.where(F.col("event_id") % 97 == 0)
+        .withColumn("__rn", F.row_number().over(cfg_w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("cts"),
+            F.col("value").alias("cfg_value"),
+            F.col("event_id").alias("cfg_event_id"),
+        )
+    )
+    out = asof_join(
+        ev.select("event_id", "event_type", "ts"),
+        cfg,
+        "event_type",
+        left_time="ts",
+        right_time="cts",
+        payload=["cfg_value", "cfg_event_id"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("cfg_value", 6).alias("cfg_value"),
+        "cfg_event_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: driver-verification priority
 # ---------------------------------------------------------------------------
@@ -4467,6 +4530,7 @@ _PRIORITY = [
     "topn_sql_having_keys",
     "events_interval_join",
     "stream_session_windows",
+    "events_asof_next",
     # the 30 queries with no CORRECTNESS_r04 row (green in r3 — exactly
     # one round stale), in registration order
     "dedup_jaccard_pairs",
