@@ -901,29 +901,58 @@ def _rewrite_select(
         rewritten = f"SELECT {', '.join(col_order)} FROM ({rewritten})"
     # HAVING on the GROUP KEYS only (a post-agg filter on key values)
     # == WHERE over the rewritten aggregate's output. Provable subset:
-    # every identifier in the predicate is a select-list KEY ALIAS and
-    # none is a function call — HAVING with aggregates (count(*)) or
-    # un-aliased source expressions falls back to the UDAF lane.
+    # every identifier in the predicate must RESOLVE IDENTICALLY on
+    # both lanes. Spark resolves HAVING identifiers against SOURCE
+    # columns FIRST, aliases second — so an identifier is safe when it
+    # is (a) a BARE key (alias == expr == the identifier: both lanes
+    # see the same source column), or (b) a key alias provably NOT
+    # shadowing a source column (FROM is a resolvable plain table/view
+    # whose schema lacks the name — then Spark falls back to the alias,
+    # i.e. the key expr, which IS the output column). An alias that
+    # shadows a different source column (SELECT d2 AS d ... HAVING d)
+    # would filter on the wrong values — decline. Aggregates
+    # (count(*)) and function calls also decline to the UDAF lane.
     having_text = bounds["having"]
     if having_text is not None:
         if group_text is None:
             return None  # HAVING without GROUP BY: not the flagship
-        key_names = {_norm_expr(a) for a, _ in keys}
+        bare_keys = {
+            _norm_expr(a)
+            for a, e in keys
+            if _norm_expr(a) == _norm_expr(e)
+        }
+        alias_keys = {_norm_expr(a) for a, _ in keys} - bare_keys
+        src_cols: "set[str] | None" = None
+        if alias_keys and spark is not None:
+            fm = _re.fullmatch(
+                r"([A-Za-z_][A-Za-z0-9_.]*)"
+                r"(\s+(as\s+)?[A-Za-z_][A-Za-z0-9_]*)?",
+                from_text.strip(),
+                _re.I,
+            )
+            if fm:
+                try:
+                    src_cols = {
+                        c.lower() for c in spark.table(fm.group(1)).columns
+                    }
+                except Exception:
+                    src_cols = None
         stripped = _re.sub(r"'(?:[^'\\]|\\.)*'", " ", having_text)
         sql_words = {
             "and", "or", "not", "in", "between", "like", "rlike",
             "ilike", "is", "null", "true", "false", "escape", "exists",
         }
-        ok = True
         for im in _re.finditer(r"[A-Za-z_][A-Za-z0-9_]*", stripped):
             w = im.group(0).lower()
             if w in sql_words:
                 continue
             after = stripped[im.end() :].lstrip()
-            if after.startswith("(") or w not in key_names:
-                ok = False  # function call / not a key alias
-                break
-        if not ok:
+            if after.startswith("("):
+                return None  # function call
+            if w in bare_keys:
+                continue
+            if w in alias_keys and src_cols is not None and w not in src_cols:
+                continue  # alias provably unshadowed
             return None
         rewritten = f"SELECT * FROM ({rewritten}) WHERE {having_text}"
     # ORDER BY / LIMIT re-attach on top of the rewrite when every sort

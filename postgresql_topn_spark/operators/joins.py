@@ -110,6 +110,9 @@ def asof_join(
     right input when tie identity matters there). NULL join keys group
     together (window-partition semantics, like pandas), not
     SQL-equality semantics — pre-filter NULL keys for SQL parity.
+    NULL times never match (engine semantics: a NULL inequality is
+    never true): right rows with NULL time are ignored, left rows with
+    NULL time come back with NULL payload.
 
     Returns every left row + ``payload`` columns (NULL when no right
     row qualifies). Column-name collisions between payload and left
@@ -140,11 +143,37 @@ def asof_join(
     if missing:
         raise ValueError(f"payload columns {missing} not in right side")
     # nearest needs the matched row's time to compare distances: a
-    # leading double-epoch field rides in the fill struct (it is
-    # constant among same-time ties, so tie ordering is unchanged)
+    # leading numeric-axis field rides in the fill struct (it is
+    # constant among same-time ties, so tie ordering is unchanged).
+    # The axis stays EXACT: timestamps/dates -> unix_micros (long),
+    # integral types -> themselves (long) — a double cast would round
+    # ns-epoch longs to ~256 ns granularity and could pick the farther
+    # side; only genuinely fractional axes use double.
+    def _axis_of(dt):
+        if isinstance(
+            dt, (T.TimestampType, T.TimestampNTZType, T.DateType)
+        ):
+            return T.LongType(), lambda c: F.unix_micros(
+                c.cast("timestamp")
+            )
+        if isinstance(
+            dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        ):
+            return T.LongType(), lambda c: c.cast("long")
+        return T.DoubleType(), lambda c: c.cast("double")
+
     with_rt = direction == "nearest"
+    if with_rt:
+        axis_type, axis_fn = _axis_of(rfields[right_time].dataType)
+        l_axis_type, _ = _axis_of(
+            {f.name: f for f in left.schema.fields}[left_time].dataType
+        )
+        if l_axis_type != axis_type:
+            # mixed integral/fractional axes: fall back to double both
+            axis_type = T.DoubleType()
+            axis_fn = lambda c: c.cast("double")  # noqa: E731
     pay_fields = (
-        [T.StructField("__rtd", T.DoubleType(), True)] if with_rt else []
+        [T.StructField("__rtd", axis_type, True)] if with_rt else []
     ) + [T.StructField(c, rfields[c].dataType, True) for c in payload]
     pay_type = T.StructType(pay_fields)
     # side tag: for BACKWARD, right must sort BEFORE left at equal time
@@ -159,9 +188,12 @@ def asof_join(
     else:
         r_tag, l_tag = (1, 0) if strict else (0, 1)
     pay_struct = F.struct(
-        *([F.col(right_time).cast("double").alias("__rtd")] if with_rt else []),
+        *([axis_fn(F.col(right_time)).alias("__rtd")] if with_rt else []),
         *[F.col(c).alias(c) for c in payload],
     )
+    # a NULL right time matches nothing on any reference engine
+    # (NULL inequality): drop those rows from the fill stream
+    right = right.where(F.col(right_time).isNotNull())
     r = right.select(
         *keys,
         F.col(right_time).alias("__t"),
@@ -204,7 +236,7 @@ def asof_join(
     elif direction == "forward":
         fill = fwd
     else:  # nearest: both fills share one exchange and one sort
-        td = F.col("__t").cast("double")
+        td = axis_fn(F.col("__t"))
         b, f = back, fwd
         fill = (
             F.when(b.isNull(), f)
@@ -213,6 +245,12 @@ def asof_join(
             .when((td - b["__rtd"]) <= (f["__rtd"] - td), b)
             .otherwise(f)
         )
+    # a left row with NULL time matches nothing (engine semantics:
+    # NULL inequality is never true) — NULL-time rows would otherwise
+    # sort nulls-first and see every right row in the following frame
+    fill = F.when(F.col("__t").isNull(), F.lit(None).cast(pay_type)).otherwise(
+        fill
+    )
     merged = r.unionByName(lf).select("*", fill.alias("__ff"))
     out = merged.where(F.col("__side") == F.lit(l_tag)).select(
         *[F.col(f"__l_{c}").alias(c) for c in left.columns],
@@ -279,6 +317,14 @@ def interval_join(
         raise ValueError(
             f"columns {sorted(overlap)} exist on both sides; alias them "
             "(only join keys may be shared)"
+        )
+    reserved = {"__pb", "__sb", "__eb"} & (
+        set(points.columns) | set(intervals.columns)
+    )
+    if reserved:
+        raise ValueError(
+            f"columns {sorted(reserved)} are reserved by interval_join; "
+            "rename them first"
         )
     from functools import reduce
     from operator import and_

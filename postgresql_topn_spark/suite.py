@@ -1611,14 +1611,9 @@ def stream_topn_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the file stream source wants a DIRECTORY of files to watch;
     # stage the fixture into one (symlinks — no copy)
     src_dir = _stage_stream_source(sf_dir, "events", base)
-    src = spark.readStream.schema(raw.schema).parquet(src_dir)
-    from pyspark.sql.types import LongType
-
-    if isinstance(raw.schema["ts"].dataType, LongType):
-        src = src.withColumn(
-            "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
-        )
+    src = _stream_event_time(
+        spark.readStream.schema(raw.schema).parquet(src_dir), raw
+    )
     q = stream_topn_rollup(
         src,
         [F.year("ts").alias("yr"), F.month("ts").alias("mon")],
@@ -3731,6 +3726,24 @@ def pipeline_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _stream_event_time(src: DataFrame, raw: DataFrame) -> DataFrame:
+    """Normalize the staged events stream's `ts` to a proper TIMESTAMP:
+    nanos-as-long fixtures convert via floor-to-micros (load_table's
+    rule — keep the two lanes identical), NTZ casts to LTZ (required by
+    withWatermark). ONE definition so the streaming lanes can never
+    drift from the batch lane."""
+    from pyspark.sql.types import LongType
+
+    if isinstance(raw.schema["ts"].dataType, LongType):
+        return src.withColumn(
+            "ts",
+            F.timestamp_micros(
+                F.floor(F.col("ts") / F.lit(1000)).cast("long")
+            ),
+        )
+    return src.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def _stage_stream_source(sf_dir: str, name: str, base: str) -> str:
     """Stage a fixture parquet into a fresh directory the FILE STREAM
     source can watch. The fixture may be a single .parquet FILE (the
@@ -3963,17 +3976,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     base = tempfile.mkdtemp(prefix="topn_stream_sess_")
     src_dir = _stage_stream_source(sf_dir, "events", base)
-    src = spark.readStream.schema(raw.schema).parquet(src_dir)
-    from pyspark.sql.types import LongType
-
-    if isinstance(raw.schema["ts"].dataType, LongType):
-        src = src.withColumn(
-            "ts",
-            F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long")),
-        )
-    else:
-        # withWatermark wants TIMESTAMP (LTZ); parquet may read NTZ
-        src = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    src = _stream_event_time(
+        spark.readStream.schema(raw.schema).parquet(src_dir), raw
+    )
     src = src.where(
         F.col("user_id").isNotNull() & F.col("ts").isNotNull()
     ).select("user_id", "ts")
@@ -4169,6 +4174,27 @@ def bpe_encode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sparse_cfg(ev: DataFrame) -> DataFrame:
+    """The shared sparse "config" subset for the as-of gates: 1-in-97
+    events, deduplicated per (event_type, ts) keeping the max event_id
+    (exact-timestamp ties otherwise hit DuckDB ASOF's
+    implementation-defined pick)."""
+    w = Window.partitionBy("event_type", "ts").orderBy(
+        F.col("event_id").desc()
+    )
+    return (
+        ev.where(F.col("event_id") % 97 == 0)
+        .withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("cts"),
+            F.col("value").alias("cfg_value"),
+            F.col("event_id").alias("cfg_event_id"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # AS-OF join (gate form)
 # ---------------------------------------------------------------------------
@@ -4209,24 +4235,7 @@ def events_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isNotNull()
     )
-    # deduplicate config rows on (key, ts) BEFORE the asof join: at an
-    # exact timestamp tie DuckDB ASOF picks an implementation-defined
-    # row, so the gate pins one deterministic survivor per (type, ts)
-    # on both engines (max event_id) instead of relying on fixture luck
-    cfg_w = Window.partitionBy("event_type", "ts").orderBy(
-        F.col("event_id").desc()
-    )
-    cfg = (
-        ev.where(F.col("event_id") % 97 == 0)
-        .withColumn("__rn", F.row_number().over(cfg_w))
-        .where(F.col("__rn") == 1)
-        .select(
-            "event_type",
-            F.col("ts").alias("cts"),
-            F.col("value").alias("cfg_value"),
-            F.col("event_id").alias("cfg_event_id"),
-        )
-    )
+    cfg = _sparse_cfg(ev)
     out = asof_join(
         ev.select("event_id", "event_type", "ts"),
         cfg,
@@ -4474,20 +4483,7 @@ def events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isNotNull()
     )
-    cfg_w = Window.partitionBy("event_type", "ts").orderBy(
-        F.col("event_id").desc()
-    )
-    cfg = (
-        ev.where(F.col("event_id") % 97 == 0)
-        .withColumn("__rn", F.row_number().over(cfg_w))
-        .where(F.col("__rn") == 1)
-        .select(
-            "event_type",
-            F.col("ts").alias("cts"),
-            F.col("value").alias("cfg_value"),
-            F.col("event_id").alias("cfg_event_id"),
-        )
-    )
+    cfg = _sparse_cfg(ev)
     out = asof_join(
         ev.select("event_id", "event_type", "ts"),
         cfg,

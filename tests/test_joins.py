@@ -335,9 +335,9 @@ class TestIntervalJoin:
                 pts, ivs, point_time="ts", bucket_width=1.0, long_multiple=4
             ).collect()
         )
-        assert ("wide" == t for _, t in got)
         assert got.count((200, "narrow")) == 1
         assert sum(1 for _, t in got if t == "wide") == 10
+        assert all(t in ("wide", "narrow") for _, t in got)
 
     def test_keys_restrict_matches(self, spark):
         pts = spark.createDataFrame(
