@@ -1,0 +1,83 @@
+#!/usr/bin/env python
+"""Noise-calibrated round-over-round bench comparison.
+
+This VM's single-query timings swing 1.5-10x with transient CPU steal
+(STATUS round-3/4 calibration), so raw per-query deltas are useless:
+two past verdict rounds flagged "regressions" that were the box, not
+the code. The robust signal is the RELATIVE shape: the median ratio
+across every common query estimates the session speed factor, and only
+queries that deviate from that calibrated factor by more than
+--flag-ratio (and by an absolute margin) are worth investigating.
+
+Usage: python bench_diff.py OLD.json NEW.json [--flag-ratio 1.6]
+Accepts BENCH_full_r*.json (this repo's full artifacts) or the
+driver's BENCH_r*.json (parsed map, falling back to scraping the
+truncated 2000-char tail). Prints a human table + one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import statistics
+import sys
+
+
+def load_queries(path: str) -> dict[str, float]:
+    with open(path) as fh:
+        d = json.load(fh)
+    if isinstance(d.get("queries"), dict) and d["queries"]:
+        return {k: float(v) for k, v in d["queries"].items()}
+    if isinstance(d.get("parsed"), dict) and d["parsed"].get("queries"):
+        return {k: float(v) for k, v in d["parsed"]["queries"].items()}
+    tail = d.get("tail", "")
+    # scrape "name": float pairs from the truncated driver tail; drop
+    # the first pair, which is usually cut mid-name
+    pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
+    return {k: float(v) for k, v in pairs[1:]}
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) != 2:
+        sys.exit(__doc__)
+    flag_ratio = 1.6
+    if "--flag-ratio" in sys.argv:
+        flag_ratio = float(sys.argv[sys.argv.index("--flag-ratio") + 1])
+    old, new = load_queries(args[0]), load_queries(args[1])
+    common = sorted(set(old) & set(new))
+    if not common:
+        sys.exit("no common queries between the two files")
+    ratios = {n: new[n] / max(old[n], 1e-9) for n in common}
+    box = statistics.median(ratios.values())
+    flagged = []
+    for n in common:
+        adj = ratios[n] / box  # calibrated: 1.0 == moved with the box
+        if (adj >= flag_ratio or adj <= 1 / flag_ratio) and abs(
+            new[n] - old[n] * box
+        ) > 0.3:
+            flagged.append((n, old[n], new[n], round(adj, 2)))
+    flagged.sort(key=lambda r: -max(r[3], 1 / r[3]))
+    print(f"common queries: {len(common)}   box factor (median ratio): "
+          f"{box:.2f}x   flagged: {len(flagged)}")
+    if flagged:
+        print(f"{'query':34s} {'old s':>8s} {'new s':>8s} {'adj ratio':>10s}")
+        for n, o, v, a in flagged:
+            print(f"{n:34s} {o:8.2f} {v:8.2f} {a:10.2f}")
+    else:
+        print("nothing deviates from the calibrated box factor — "
+              "any total delta is the machine, not the code")
+    print(json.dumps({
+        "common": len(common),
+        "box_factor": round(box, 3),
+        "old_total": round(sum(old[n] for n in common), 2),
+        "new_total": round(sum(new[n] for n in common), 2),
+        "flagged": [
+            {"query": n, "old": o, "new": v, "adj_ratio": a}
+            for n, o, v, a in flagged
+        ],
+    }))
+
+
+if __name__ == "__main__":
+    main()
