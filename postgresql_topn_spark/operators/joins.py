@@ -267,7 +267,7 @@ def interval_join(
     start: str = "start",
     end: str = "end",
     on: "str | list[str] | None" = None,
-    bucket_width: float,
+    bucket_width: "float | str",
     long_multiple: int = 64,
 ) -> DataFrame:
     """Point-in-interval (range) join: every (point, interval) pair with
@@ -293,6 +293,8 @@ def interval_join(
       intervals are rare, which is the regime that makes bucketing the
       right default. Pick ``bucket_width`` near the typical interval
       length: ~1-2 exploded rows per interval, candidates ~= matches.
+      ``bucket_width="auto"`` measures it: the median interval span via
+      one approxQuantile pass over the (usually small) intervals side.
 
     Timestamps/dates bucket via their epoch seconds (unix_micros-based
     — TIMESTAMP_NTZ included; the same monotonic transform applies to
@@ -303,8 +305,11 @@ def interval_join(
     the join keys. Returns points.* + the intervals' non-key columns,
     inner-join semantics (points matching nothing drop; one row per
     matching pair)."""
-    if bucket_width <= 0:
-        raise ValueError(f"bucket_width must be > 0, got {bucket_width}")
+    auto_width = bucket_width == "auto"
+    if not auto_width and (
+        not isinstance(bucket_width, (int, float)) or bucket_width <= 0
+    ):
+        raise ValueError(f"bucket_width must be > 0 or 'auto', got {bucket_width!r}")
     if long_multiple < 1:
         raise ValueError(f"long_multiple must be >= 1, got {long_multiple}")
     keys = (
@@ -339,6 +344,15 @@ def interval_join(
             return F.unix_micros(F.col(col).cast("timestamp")) / F.lit(1e6)
         return F.col(col).cast("double")
 
+    if auto_width:
+        med = (
+            intervals.select(
+                (_axis(intervals, end) - _axis(intervals, start)).alias("__s")
+            )
+            .where(F.col("__s") > 0)
+            .approxQuantile("__s", [0.5], 0.01)
+        )
+        bucket_width = med[0] if med and med[0] > 0 else 1.0
     w = float(bucket_width)
     pb = F.floor(_axis(points, point_time) / F.lit(w)).cast("long")
     p2 = points.withColumn("__pb", pb)

@@ -421,3 +421,32 @@ def test_new_joins_are_all_jvm(spark, quotes, trades):
     )
     out = interval_join(pts, ivs, point_time="ts", bucket_width=4.0)
     assert python_stages(out) == 0
+
+
+def test_interval_join_auto_bucket_width(spark):
+    """bucket_width='auto' sizes the grid from the median interval span
+    and returns the same matches as an explicit width."""
+    pts = spark.createDataFrame(
+        [(i, float(i)) for i in range(0, 200, 7)], "pid bigint, ts double"
+    )
+    ivs = spark.createDataFrame(
+        [(j, float(j * 20), float(j * 20 + 15)) for j in range(10)],
+        "iid bigint, start double, end double",
+    )
+    auto = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pts, ivs, point_time="ts", bucket_width="auto"
+        ).collect()
+    )
+    explicit = sorted(
+        (r["pid"], r["iid"])
+        for r in interval_join(
+            pts, ivs, point_time="ts", bucket_width=15.0
+        ).collect()
+    )
+    assert auto == explicit and len(auto) > 10
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bucket_width"):
+        interval_join(pts, ivs, point_time="ts", bucket_width="huge")
