@@ -113,6 +113,10 @@ SUBSET = [
     "pipeline_train_split",
     "multimodal_png_feature_ann",
     "bpe_encode_tokens",
+    "stream_session_windows",
+    "events_interval_join",
+    "events_asof_next",
+    "topn_sql_having_keys",
 ]
 
 def _near_auto(spark, sf_dir):
