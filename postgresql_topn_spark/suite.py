@@ -4501,6 +4501,71 @@ def events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "events_asof_nearest",
+    """
+    WITH cfg AS (
+      SELECT event_type, cts, cfg_value, cfg_event_id FROM (
+        SELECT event_type, ts AS cts, value AS cfg_value,
+               event_id AS cfg_event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IS NOT NULL AND event_id % 97 = 0
+      ) WHERE rn = 1
+    ),
+    cand AS (
+      SELECT e.event_id, c.cfg_value, c.cfg_event_id,
+             CASE WHEN c.cts <= e.ts
+                  THEN date_diff('microsecond', c.cts, e.ts)
+                  ELSE date_diff('microsecond', e.ts, c.cts) END AS adist,
+             CASE WHEN c.cts <= e.ts THEN 0 ELSE 1 END AS side
+      FROM events e JOIN cfg c ON e.event_type = c.event_type
+      WHERE e.event_type IS NOT NULL
+    ),
+    ranked AS (
+      SELECT event_id, cfg_value, cfg_event_id,
+             ROW_NUMBER() OVER (PARTITION BY event_id
+                                ORDER BY adist, side) AS rn
+      FROM cand
+    )
+    SELECT e.event_id, e.event_type,
+           round(r.cfg_value, 6) AS cfg_value, r.cfg_event_id
+    FROM (SELECT event_id, event_type FROM events
+          WHERE event_type IS NOT NULL) e
+    LEFT JOIN ranked r ON e.event_id = r.event_id AND r.rn = 1
+    """,
+)
+def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST as-of join behind the gate (direction='nearest'): every
+    event picks whichever config row of its type is closer in time,
+    equal distance tying to the backward row. The Spark plan is still
+    ONE key exchange + one sort (both window fills share them); the
+    oracle brute-forces every (event, config) candidate and ranks by
+    (|distance|, backward-first) — microsecond-exact integers, so the
+    hash pins both the distance math and the tie rule."""
+    from postgresql_topn_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isNotNull()
+    )
+    cfg = _sparse_cfg(ev)
+    out = asof_join(
+        ev.select("event_id", "event_type", "ts"),
+        cfg,
+        "event_type",
+        left_time="ts",
+        right_time="cts",
+        payload=["cfg_value", "cfg_event_id"],
+        direction="nearest",
+    )
+    return out.select(
+        "event_id",
+        "event_type",
+        F.round("cfg_value", 6).alias("cfg_value"),
+        "cfg_event_id",
+    )
+
+
 # ---------------------------------------------------------------------------
 # Registry ordering: driver-verification priority
 # ---------------------------------------------------------------------------
@@ -4527,6 +4592,7 @@ _PRIORITY = [
     "events_interval_join",
     "stream_session_windows",
     "events_asof_next",
+    "events_asof_nearest",
     # the 30 queries with no CORRECTNESS_r04 row (green in r3 — exactly
     # one round stale), in registration order
     "dedup_jaccard_pairs",
