@@ -31,19 +31,36 @@ def load_queries(path: str) -> dict[str, float]:
     if isinstance(d.get("parsed"), dict) and d["parsed"].get("queries"):
         return {k: float(v) for k, v in d["parsed"]["queries"].items()}
     tail = d.get("tail", "")
-    # scrape "name": float pairs from the truncated driver tail; drop
-    # the first pair, which is usually cut mid-name
+    # scrape "name": float pairs from the truncated driver tail. The
+    # truncation cuts the FRONT only, and a pair cut mid-name loses its
+    # opening quote (regex-invisible) while a pair cut mid-value loses
+    # its name too — so every matched pair is complete and correct.
     pairs = re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+\.[0-9]+)', tail)
-    return {k: float(v) for k, v in pairs[1:]}
+    return {k: float(v) for k, v in pairs}
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    argv = sys.argv[1:]
+    flag_ratio = 1.6
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "--flag-ratio":
+            if i + 1 >= len(argv):
+                sys.exit("--flag-ratio needs a value")
+            flag_ratio = float(argv[i + 1])
+            i += 2
+            continue
+        if a.startswith("--flag-ratio="):
+            flag_ratio = float(a.split("=", 1)[1])
+        elif a.startswith("--"):
+            sys.exit(f"unknown option {a}\n{__doc__}")
+        else:
+            args.append(a)
+        i += 1
     if len(args) != 2:
         sys.exit(__doc__)
-    flag_ratio = 1.6
-    if "--flag-ratio" in sys.argv:
-        flag_ratio = float(sys.argv[sys.argv.index("--flag-ratio") + 1])
     old, new = load_queries(args[0]), load_queries(args[1])
     common = sorted(set(old) & set(new))
     if not common:
@@ -57,7 +74,9 @@ def main() -> None:
             new[n] - old[n] * box
         ) > 0.3:
             flagged.append((n, old[n], new[n], round(adj, 2)))
-    flagged.sort(key=lambda r: -max(r[3], 1 / r[3]))
+    flagged.sort(
+        key=lambda r: -(max(r[3], 1 / r[3]) if r[3] > 0 else float("inf"))
+    )
     print(f"common queries: {len(common)}   box factor (median ratio): "
           f"{box:.2f}x   flagged: {len(flagged)}")
     if flagged:

@@ -307,7 +307,9 @@ def interval_join(
     matching pair)."""
     auto_width = bucket_width == "auto"
     if not auto_width and (
-        not isinstance(bucket_width, (int, float)) or bucket_width <= 0
+        isinstance(bucket_width, bool)
+        or not isinstance(bucket_width, (int, float))
+        or bucket_width <= 0
     ):
         raise ValueError(f"bucket_width must be > 0 or 'auto', got {bucket_width!r}")
     if long_multiple < 1:

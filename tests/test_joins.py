@@ -446,7 +446,7 @@ def test_interval_join_auto_bucket_width(spark):
         ).collect()
     )
     assert auto == explicit and len(auto) > 10
-    import pytest as _pytest
-
-    with _pytest.raises(ValueError, match="bucket_width"):
+    with pytest.raises(ValueError, match="bucket_width"):
         interval_join(pts, ivs, point_time="ts", bucket_width="huge")
+    with pytest.raises(ValueError, match="bucket_width"):
+        interval_join(pts, ivs, point_time="ts", bucket_width=True)
