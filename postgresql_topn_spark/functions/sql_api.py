@@ -228,38 +228,22 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
         # drop. Fractional weights round HALF-UP (away from zero) per
         # row — the Column API's F.round semantics — NOT int() truncation
         # (int(2.7) == 2 would silently disagree with the Column lane).
-        # The rounding goes through Decimal(repr(wf)) because Spark's
-        # F.round is BigDecimal-on-the-shortest-repr: naive wf + 0.5
-        # diverges on edge doubles (0.49999999999999994 + 0.5 == 1.0 in
-        # binary float, but HALF_UP of the decimal value is 0).
-        import math
-        from decimal import ROUND_HALF_UP, Decimal
+        # The rounding rule is SHARED with the Tier-2 sketch
+        # (sketch_state.weight_to_long): Decimal on the shortest repr
+        # because Spark's F.round is BigDecimal-based (naive wf + 0.5
+        # diverges on edge doubles), saturation for infinities and
+        # beyond-int64 magnitudes (a raw Decimal quantize of 1e30 would
+        # blow the 28-digit context and kill the task).
+        from postgresql_topn_spark.operators.sketch_state import (
+            weight_to_long,
+        )
 
         totals: dict[str, int] = {}
         for it, w in zip(items, weights):
             if it is None:
                 continue
             k = truncate_key_bytes(str(it))
-            # NULL weights arrive as NaN in pandas' float-promoted column
-            if w is None or pd.isna(w):
-                wv = 0
-            else:
-                wf = float(w)
-                if math.isinf(wf) or abs(wf) >= 9.3e18:
-                    # infinities AND finite magnitudes beyond int64
-                    # saturate like Spark's non-ANSI double->long cast.
-                    # The magnitude short-circuit also keeps Decimal
-                    # quantize inside its default 28-digit context —
-                    # Decimal(repr(1e30)).quantize(1) would raise
-                    # InvalidOperation and kill the task.
-                    wv = INT64_MAX if wf > 0 else -INT64_MAX - 1
-                else:
-                    wv = int(
-                        Decimal(repr(wf)).quantize(
-                            Decimal(1), rounding=ROUND_HALF_UP
-                        )
-                    )
-                wv = max(min(wv, INT64_MAX), -INT64_MAX - 1)
+            wv = weight_to_long(w)
             # exact bigint running sum, ONE clamp at the end: a running
             # per-add clamp would make the total depend on row order,
             # which a distributed aggregate must never do

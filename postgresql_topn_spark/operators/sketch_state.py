@@ -98,16 +98,42 @@ class TopnState:
         return self.counts
 
 
+def weight_to_long(w) -> int:
+    """The THREE-SURFACE fractional-weight rule (Column lane's F.round
+    == SQL UDAF == Tier-2 sketch): NULL/NaN -> 0; finite values round
+    HALF-UP away from zero via Decimal on the shortest repr (naive
+    wf + 0.5 diverges on edge doubles); infinities and magnitudes
+    beyond int64 saturate like Spark's non-ANSI double->long cast."""
+    import math
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if w is None or (isinstance(w, float) and w != w):
+        return 0
+    wf = float(w)
+    if math.isinf(wf) or abs(wf) >= 9.3e18:
+        return INT64_MAX if wf > 0 else -INT64_MAX - 1
+    wv = int(Decimal(repr(wf)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+    return max(min(wv, INT64_MAX), -INT64_MAX - 1)
+
+
 def _group_ddl(df: DataFrame, gnames: Sequence[str]) -> str:
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     ddl = ", ".join(f"{g} {fields[g]}" for g in gnames)
     return ddl + ", " if ddl else ""
 
 
-def _merge_fn(gnames: Sequence[str], counters: int, out_json: str):
+def _merge_fn(
+    gnames: Sequence[str],
+    counters: int,
+    out_json: str,
+    *,
+    drop_nonpositive: bool = False,
+):
     """Phase-2 reducer: MergeTopn over partial entries, final prune,
     JSON materialization (the reference also materializes through a JSON
-    string, topn.c:914-939)."""
+    string, topn.c:914-939). drop_nonpositive applies the weighted
+    aggregate's "total weight <= 0 is not a heavy hitter" rule after
+    the merge (aggregates.py topn_weighted_agg semantics)."""
 
     def merge_keyed(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         st = TopnState(counters)
@@ -115,8 +141,11 @@ def _merge_fn(gnames: Sequence[str], counters: int, out_json: str):
         live = live.sort_values(["__freq", "__item"], ascending=[False, True])
         for it, freq in zip(live["__item"], live["__freq"]):
             st.add(it, int(freq), aggregate_path=True)
+        out = st.finalize()
+        if drop_nonpositive:
+            out = {k: v for k, v in out.items() if v > 0}
         row = dict(zip(gnames, key))
-        row[out_json] = json.dumps(st.finalize())
+        row[out_json] = json.dumps(out)
         return pd.DataFrame([row])
 
     return merge_keyed
@@ -194,6 +223,79 @@ def topn_add_agg_sketch(
     final_schema = _group_ddl(src, gnames) + f"__{out_col}_json string"
     merged = partial_df.groupBy(*gnames).applyInPandas(
         _merge_fn(gnames, counters, f"__{out_col}_json"), schema=final_schema
+    )
+    return _pack(merged, df, group_cols, gnames, out_col)
+
+
+def topn_weighted_agg_sketch(
+    df: DataFrame,
+    group_cols: Sequence[Column | str],
+    item: Column | str,
+    weight: Column | str,
+    *,
+    counters: int | None = None,
+    out_col: str = "topn",
+) -> DataFrame:
+    """Bounded-memory ``topn_weighted_agg``: the additive-measure
+    aggregate under the Tier-2 sketch policy — per-group state never
+    exceeds 3 x counters entries whatever the item cardinality, weights
+    folded with the three-surface rounding rule (weight_to_long).
+
+    Parity contract: EXACT equality with the Tier-1 Column lane in the
+    no-eviction regime (counter budget >= distinct items — the regime
+    the reference is exact in), including the NULL-weight-is-0 and
+    total<=0-drops rules. Under eviction the usual sketch caveat
+    applies, plus one weighted-only caveat: NEGATIVE weights make
+    evicted mass unrecoverable in either direction, so prefer
+    non-negative weights when the budget can actually evict.
+
+    NULL items are skipped (group still emits {}); zero-valued weights
+    add nothing and do not create entries."""
+    counters = resolve_counters(counters, df.sparkSession)
+    gnames = [f"__g{i}" for i in range(len(group_cols))]
+    gexprs = [_col(c).alias(g) for c, g in zip(group_cols, gnames)]
+    if not gnames:
+        gnames, gexprs = ["__gall"], [F.lit(1).alias("__gall")]
+    src = df.select(
+        *gexprs,
+        _col(item).cast("string").alias("__item"),
+        _col(weight).cast("double").alias("__w"),
+    )
+    mid_schema = _group_ddl(src, gnames) + "__item string, __freq bigint"
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, TopnState] = {}
+        for pdf in batches:
+            keys = [
+                tuple(
+                    None if (isinstance(k, float) and k != k) else k
+                    for k in key
+                )
+                for key in zip(*[pdf[g] for g in gnames])
+            ]
+            for key, it, w in zip(keys, pdf["__item"], pdf["__w"]):
+                st = states.get(key)
+                if st is None:
+                    st = states[key] = TopnState(counters)
+                if it is None or (isinstance(it, float) and pd.isna(it)):
+                    continue  # NULL items skipped, group preserved
+                wv = weight_to_long(w)
+                if wv != 0:
+                    st.add(truncate_key_bytes(it), wv, aggregate_path=True)
+        rows = []
+        for key, st in states.items():
+            if not st.counts:
+                rows.append((*key, None, 0))
+            rows.extend((*key, it, fr) for it, fr in st.counts.items())
+        yield pd.DataFrame(rows, columns=gnames + ["__item", "__freq"])
+
+    partial_df = src.mapInPandas(partial, schema=mid_schema)
+    final_schema = _group_ddl(src, gnames) + f"__{out_col}_json string"
+    merged = partial_df.groupBy(*gnames).applyInPandas(
+        _merge_fn(
+            gnames, counters, f"__{out_col}_json", drop_nonpositive=True
+        ),
+        schema=final_schema,
     )
     return _pack(merged, df, group_cols, gnames, out_col)
 

@@ -487,6 +487,45 @@ def topn_sketch_tier2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topn_weighted_tier2",
+    """
+    SELECT yr, item, frequency FROM (
+      SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(l_partkey AS VARCHAR) AS item,
+             CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY year(l_shipdate)
+                                ORDER BY SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) DESC,
+                                         CAST(l_partkey AS VARCHAR) ASC) AS rn
+      FROM lineitem GROUP BY year(l_shipdate), CAST(l_partkey AS VARCHAR)
+    ) t WHERE rn <= 5
+    """,
+)
+def topn_weighted_tier2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tier-2 bounded-memory WEIGHTED aggregation (sketch_state.py
+    topn_weighted_agg_sketch — round-5): the revenue-products rollup
+    through the mapInPandas-partial + applyInPandas-merge sketch path
+    with the three-surface weight rule (weight_to_long). Exact here
+    because the counter budget exceeds the distinct-part count, so it
+    shares topn_revenue_products' exact-sum oracle — pinning that the
+    weighted Tier-2 lane agrees with Tier-1 and with SQL bit-for-bit."""
+    from postgresql_topn_spark.operators.sketch_state import (
+        topn_weighted_agg_sketch,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.round(
+        F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100, 0
+    )
+    sk = topn_weighted_agg_sketch(
+        li,
+        [F.year("l_shipdate").alias("yr")],
+        "l_partkey",
+        w,
+        counters=100_000,
+    )
+    return explode_topn(sk, "topn", 5, keep=["yr"], counters=100_000)
+
+
+@_register(
     "topn_salted_skew",
     """
     SELECT l_returnflag, item, frequency FROM (
@@ -4593,6 +4632,7 @@ _PRIORITY = [
     "stream_session_windows",
     "events_asof_next",
     "events_asof_nearest",
+    "topn_weighted_tier2",
     # the 30 queries with no CORRECTNESS_r04 row (green in r3 — exactly
     # one round stale), in registration order
     "dedup_jaccard_pairs",

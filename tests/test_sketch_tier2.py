@@ -154,3 +154,85 @@ def test_merge_commutes_when_no_eviction(left, right):
         return s.finalize()
 
     assert merged(left, right) == merged(right, left)
+
+
+class TestWeightedSketch:
+    """topn_weighted_agg_sketch: Tier-2 bounded-memory weighted
+    aggregation + the shared three-surface weight rule."""
+
+    def test_weight_to_long_rule(self):
+        from postgresql_topn_spark.operators.sketch_state import (
+            weight_to_long,
+        )
+
+        assert weight_to_long(None) == 0
+        assert weight_to_long(float("nan")) == 0
+        assert weight_to_long(2.5) == 3 and weight_to_long(-2.5) == -3
+        assert weight_to_long(0.49999999999999994) == 0  # edge double
+        assert weight_to_long(1e30) == (1 << 63) - 1  # saturate, no raise
+        assert weight_to_long(float("-inf")) == -(1 << 63)
+        assert weight_to_long(7) == 7
+
+    def test_matches_tier1_when_no_eviction(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_topn_spark.functions.aggregates import (
+            topn_weighted_agg,
+        )
+        from postgresql_topn_spark.operators.sketch_state import (
+            topn_weighted_agg_sketch,
+        )
+
+        rows = [
+            ("g1", "a", 10.0), ("g1", "a", 2.5), ("g1", "b", None),
+            ("g1", None, 99.0), ("g1", "c", -5.0), ("g1", "c", 2.0),
+            ("g2", "x", 0.5), ("g2", "y", 1e30),
+        ]
+        df = spark.createDataFrame(rows, "g string, item string, w double")
+        t1 = {
+            r["g"]: dict(r["topn"])
+            for r in topn_weighted_agg(
+                df, ["g"], "item", "w", counters=100
+            ).collect()
+        }
+        t2 = {
+            r["g"]: dict(r["topn"])
+            for r in topn_weighted_agg_sketch(
+                df, ["g"], "item", "w", counters=100
+            ).collect()
+        }
+        assert t1 == t2
+        # a: 10 + 3 (2.5 HALF_UP rounds per row); b: NULL weight -> 0
+        # total -> dropped; c: -5 + 2 <= 0 -> dropped; y saturates
+        assert t2["g1"] == {"a": 13}
+        assert t2["g2"] == {"x": 1, "y": (1 << 63) - 1}
+
+    def test_bounded_state_and_global_group(self, spark):
+        from pyspark.sql import functions as F
+
+        from postgresql_topn_spark.operators.sketch_state import (
+            topn_weighted_agg_sketch,
+        )
+
+        df = spark.range(5_000).select(
+            F.col("id").cast("string").alias("item"),
+            (F.col("id") % 7 + 1).cast("double").alias("w"),
+        )
+        out = topn_weighted_agg_sketch(
+            df, [], "item", "w", counters=10
+        ).collect()
+        assert len(out) == 1
+        sk = dict(out[0]["topn"])
+        assert 0 < len(sk) <= 10  # final prune to counters
+        assert all(v > 0 for v in sk.values())
+
+    def test_all_null_items_emit_empty_group(self, spark):
+        from postgresql_topn_spark.operators.sketch_state import (
+            topn_weighted_agg_sketch,
+        )
+
+        df = spark.createDataFrame(
+            [("g", None, 1.0)], "g string, item string, w double"
+        )
+        out = topn_weighted_agg_sketch(df, ["g"], "item", "w", counters=5)
+        assert [dict(r["topn"]) for r in out.collect()] == [{}]
