@@ -116,6 +116,34 @@ def weight_to_long(w) -> int:
     return max(min(wv, INT64_MAX), -INT64_MAX - 1)
 
 
+def weights_to_long_vec(a) -> "np.ndarray":
+    """Vectorized weight_to_long over a float64 array — bit-identical
+    results, ~100x faster on the common case. Fast path: |w| < 2^30
+    (double ulp ~2.4e-7, far under the guard band) and fractional part
+    at least 1e-6 away from .5 — there floor(w + 0.5) provably equals
+    the Decimal HALF_UP of the shortest repr. Everything else (NaN/inf,
+    near-half fractions where binary +0.5 can cross the boundary, big
+    magnitudes where ulp swamps the guard) takes the exact scalar
+    path."""
+    import numpy as np
+
+    a = np.asarray(a, dtype=np.float64)
+    out = np.zeros(len(a), dtype=np.int64)
+    with np.errstate(invalid="ignore"):  # NaN rows route to slow path
+        finite = np.isfinite(a)
+        frac = a - np.floor(a)
+        near_half = np.abs(frac - 0.5) < 1e-6
+        fast = finite & (np.abs(a) < float(1 << 30)) & ~near_half
+    af = a[fast]
+    out[fast] = np.where(
+        af >= 0, np.floor(af + 0.5), np.ceil(af - 0.5)
+    ).astype(np.int64)
+    for i in np.nonzero(~fast)[0]:
+        v = a[i]
+        out[i] = weight_to_long(None if np.isnan(v) else float(v))
+    return out
+
+
 def _group_ddl(df: DataFrame, gnames: Sequence[str]) -> str:
     fields = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     ddl = ", ".join(f"{g} {fields[g]}" for g in gnames)
@@ -273,15 +301,32 @@ def topn_weighted_agg_sketch(
                 )
                 for key in zip(*[pdf[g] for g in gnames])
             ]
-            for key, it, w in zip(keys, pdf["__item"], pdf["__w"]):
-                st = states.get(key)
-                if st is None:
-                    st = states[key] = TopnState(counters)
+            wvs = weights_to_long_vec(
+                pd.to_numeric(pdf["__w"], errors="coerce").to_numpy(
+                    dtype=float, na_value=float("nan")
+                )
+            )
+            # per-batch pre-combine: per-row rounding FIRST (the
+            # three-surface semantics), then one exact int sum per
+            # (group, item) and ONE state add per pair — the same
+            # map-side combine the reference's per-worker partials do;
+            # identical in the no-eviction regime, and under eviction
+            # arrival batching was already arbitrary (partition splits)
+            batch_acc: dict[tuple, dict[str, int]] = {}
+            for key, it, wv in zip(keys, pdf["__item"], wvs):
+                if key not in states:
+                    states[key] = TopnState(counters)
                 if it is None or (isinstance(it, float) and pd.isna(it)):
                     continue  # NULL items skipped, group preserved
-                wv = weight_to_long(w)
-                if wv != 0:
-                    st.add(truncate_key_bytes(it), wv, aggregate_path=True)
+                if wv:
+                    acc = batch_acc.setdefault(key, {})
+                    k = truncate_key_bytes(it)
+                    acc[k] = acc.get(k, 0) + int(wv)
+            for key, items in batch_acc.items():
+                st = states[key]
+                for it, v in items.items():
+                    if v != 0:
+                        st.add(it, v, aggregate_path=True)
         rows = []
         for key, st in states.items():
             if not st.counts:

@@ -236,3 +236,29 @@ class TestWeightedSketch:
         )
         out = topn_weighted_agg_sketch(df, ["g"], "item", "w", counters=5)
         assert [dict(r["topn"]) for r in out.collect()] == [{}]
+
+
+def test_weights_to_long_vec_bit_identical_to_scalar():
+    """The vectorized fast path must agree with the Decimal scalar rule
+    on every value class: uniform ranges, exact .5 boundaries, the edge
+    double, big-magnitude/odd-integer doubles (where naive +0.5 breaks
+    half-even), saturation and non-finites."""
+    import random
+
+    import numpy as np
+
+    from postgresql_topn_spark.operators.sketch_state import (
+        weight_to_long,
+        weights_to_long_vec,
+    )
+
+    rnd = random.Random(3)
+    vals = [rnd.uniform(-1e6, 1e6) for _ in range(5000)]
+    vals += [rnd.uniform(-1e12, 1e12) for _ in range(2000)]
+    vals += [x + 0.5 for x in range(-50, 50)]
+    vals += [0.49999999999999994, 1e30, -1e30,
+             float("inf"), float("-inf"), float("nan")]
+    vals += [rnd.randint(-(2**60), 2**60) * 1.0 for _ in range(1000)]
+    got = weights_to_long_vec(np.array(vals))
+    exp = [weight_to_long(None if v != v else v) for v in vals]
+    assert list(got) == exp
