@@ -269,6 +269,8 @@ def interval_join(
     on: "str | list[str] | None" = None,
     bucket_width: "float | str",
     long_multiple: int = 64,
+    how: str = "inner",
+    point_id: str | None = None,
 ) -> DataFrame:
     """Point-in-interval (range) join: every (point, interval) pair with
     the same key (optional) and ``start <= point_time < end`` —
@@ -296,6 +298,13 @@ def interval_join(
       ``bucket_width="auto"`` measures it: the median interval span via
       one approxQuantile pass over the (usually small) intervals side.
 
+    ``how="left"`` keeps points that fall in no interval (interval
+    columns NULL); because a point may match on either the grid or the
+    broadcast path, the anti-join needs a caller-named UNIQUE
+    ``point_id`` column rather than a synthesized row id (synthesized
+    ids are recomputation-unstable on retries). ``how="inner"`` is the
+    default and needs no id.
+
     Timestamps/dates bucket via their epoch seconds (unix_micros-based
     — TIMESTAMP_NTZ included; the same monotonic transform applies to
     both sides, so bucket assignment can never disagree with the typed
@@ -305,6 +314,15 @@ def interval_join(
     the join keys. Returns points.* + the intervals' non-key columns,
     inner-join semantics (points matching nothing drop; one row per
     matching pair)."""
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner/left, got {how!r}")
+    if how == "left" and not point_id:
+        raise ValueError(
+            "how='left' needs point_id: a unique column on the points "
+            "side for the unmatched anti-join"
+        )
+    if point_id is not None and point_id not in points.columns:
+        raise ValueError(f"point_id {point_id!r} not in points columns")
     auto_width = bucket_width == "auto"
     if not auto_width and (
         isinstance(bucket_width, bool)
@@ -389,6 +407,20 @@ def interval_join(
             .select(*out_cols)
         )
 
-    matched = _match(short, with_bucket=True)
-    # the long tail is broadcast by construction (rare rows)
-    return matched.unionByName(_match(F.broadcast(long_), with_bucket=False))
+    matched = _match(short, with_bucket=True).unionByName(
+        # the long tail is broadcast by construction (rare rows)
+        _match(F.broadcast(long_), with_bucket=False)
+    )
+    if how == "inner":
+        return matched
+    unmatched = points.join(
+        matched.select(point_id).distinct(), point_id, "left_anti"
+    ).select(
+        *[F.col(c) for c in points.columns],
+        *[
+            F.lit(None).cast(intervals.schema[c].dataType).alias(c)
+            for c in intervals.columns
+            if c not in keys
+        ],
+    )
+    return matched.unionByName(unmatched)

@@ -450,3 +450,41 @@ def test_interval_join_auto_bucket_width(spark):
         interval_join(pts, ivs, point_time="ts", bucket_width="huge")
     with pytest.raises(ValueError, match="bucket_width"):
         interval_join(pts, ivs, point_time="ts", bucket_width=True)
+
+
+def test_interval_join_left_keeps_unmatched_points(spark):
+    pts = spark.createDataFrame(
+        [(1, 5.0), (2, 50.0), (3, 500.0)], "pid bigint, ts double"
+    )
+    ivs = spark.createDataFrame(
+        [("a", 0.0, 10.0), ("wide", -10.0, 600.0)],
+        "tag string, start double, end double",
+    )
+    # wide spans many buckets -> broadcast path; a matches pid 1 only
+    got = sorted(
+        (r["pid"], r["tag"])
+        for r in interval_join(
+            pts, ivs, point_time="ts", bucket_width=10.0,
+            long_multiple=4, how="left", point_id="pid",
+        ).collect()
+    )
+    assert got == [(1, "a"), (1, "wide"), (2, "wide"), (3, "wide")]
+    # narrow-only intervals: pid 3 survives null-extended
+    got2 = sorted(
+        (r["pid"], r["tag"])
+        for r in interval_join(
+            pts,
+            ivs.where(F.col("tag") == "a"),
+            point_time="ts",
+            bucket_width=10.0,
+            how="left",
+            point_id="pid",
+        ).collect()
+    )
+    assert got2 == [(1, "a"), (2, None), (3, None)]
+    import pytest as _p
+
+    with _p.raises(ValueError, match="point_id"):
+        interval_join(pts, ivs, point_time="ts", bucket_width=10.0, how="left")
+    with _p.raises(ValueError, match="how"):
+        interval_join(pts, ivs, point_time="ts", bucket_width=10.0, how="full")
