@@ -3639,6 +3639,148 @@ def multimodal_png_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@_register(
+    "multimodal_png_resize",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 17 AS INT) AS w,
+             CAST(8 + (doc_id * 3) % 13 AS INT) AS h,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS INT) AS c
+      FROM documents
+    ),
+    rp AS (
+      SELECT doc_id, w, h, c, i,
+             ((((2 * ((i // c) // 8) + 1) * h) // 16) * w
+              + (((2 * ((i // c) % 8) + 1) * w) // 16)) * c + (i % c) AS src
+      FROM (SELECT doc_id, w, h, c,
+                   unnest(generate_series(0, 8 * 8 * c - 1)) AS i
+            FROM dims)
+    )
+    SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+           c AS channels,
+           CAST(sum(((src % (8 + doc_id % 9)) * 37 + doc_id * 31) % 256) AS BIGINT) AS px_sum,
+           CAST(sum((((src % (8 + doc_id % 9)) * 37 + doc_id * 31) % 256) * (i + 1)) AS BIGINT) AS px_wsum
+    FROM rp GROUP BY 1, 2, 3, 4
+    """,
+)
+def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real decode -> nearest-neighbor RESIZE behind the gate
+    (operators/multimodal.py resize_pixels, previously pytest-only):
+    every synthesized PNG decodes through the codec and resamples to
+    8x8 with the standard center-aligned NN grid (src index =
+    floor((i + 0.5) * src/dst) per axis). The oracle replays the
+    integer sampling arithmetic — (2i+1)*src // (2*dst) — against the
+    pixel formula, position-weighted so any grid or interleave defect
+    breaks the hash."""
+    from postgresql_topn_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_png_pixels,
+        make_png_blob_table,
+        resize_pixels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = decode_image_pixels(
+        make_png_blob_table(docs), decoder=decode_png_pixels
+    )
+    small = resize_pixels(imgs, 8, 8)
+    one = F.lit(1).cast("long")
+    return small.select(
+        "doc_id",
+        "width",
+        "height",
+        "channels",
+        F.aggregate(
+            "pixels", F.lit(0).cast("long"), lambda a, x: a + x
+        ).alias("px_sum"),
+        F.aggregate(
+            F.zip_with(
+                "pixels",
+                F.sequence(one, F.size("pixels").cast("long")),
+                lambda v, i: v * i,
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("px_wsum"),
+    )
+
+
+@_register(
+    "docs_jsonl_roundtrip",
+    """
+    SELECT lang, source, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS chars
+    FROM documents GROUP BY 1, 2
+    """,
+)
+def docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sharded-JSONL corpus sink/source end-to-end behind the gate
+    (sources/jsonl.py, previously pytest-only): write the documents
+    table as a sharded JSONL corpus (deterministic md5 shard
+    membership + manifest), read it back WITH manifest verification
+    (per-shard row counts + order-independent checksums), and
+    aggregate per (lang, source). The oracle reads the parquet fixture
+    directly — any JSON escaping, sharding or manifest defect breaks
+    the round trip."""
+    import os
+    import tempfile
+
+    from postgresql_topn_spark.sources.jsonl import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = os.path.join(tempfile.mkdtemp(prefix="topn_jsonl_"), "corpus")
+    write_jsonl_corpus(docs, base, n_shards=8)
+    back = read_jsonl_corpus(
+        spark,
+        base,
+        schema="doc_id bigint, text string, lang string, source string, n_chars int",
+        verify_manifest=True,
+    )
+    return back.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("chars"),
+    )
+
+
+@_register(
+    "topn_orc_roundtrip",
+    """
+    SELECT o_orderpriority, item, frequency FROM (
+      SELECT o_orderpriority, CAST(o_custkey AS VARCHAR) AS item,
+             COUNT(*) AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY COUNT(*) DESC,
+                                         CAST(o_custkey AS VARCHAR) ASC) AS rn
+      FROM orders GROUP BY 1, 2
+    ) t WHERE rn <= 5
+    """,
+)
+def topn_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC as a source format (the columnar interchange sibling of the
+    parquet/CSV/JSONL lanes): the orders table round-trips through an
+    ORC write + read, then the flagship rollup runs on the re-read
+    frame — top-5 customers per order priority. The oracle computes the
+    same exact counts from the parquet fixture, so any ORC
+    type-mapping or value defect breaks the hash."""
+    import os
+    import tempfile
+
+    from postgresql_topn_spark.functions.aggregates import topn_add_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    path = os.path.join(tempfile.mkdtemp(prefix="topn_orc_"), "orders.orc")
+    orders.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    sk = topn_add_agg(
+        back, ["o_orderpriority"], "o_custkey", counters=C
+    )
+    return explode_topn(sk, "topn", 5, keep=["o_orderpriority"], counters=C)
+
+
 # ---------------------------------------------------------------------------
 # Substring dedup (Lee et al. 2022 — token-granular shared-run detection)
 # ---------------------------------------------------------------------------
@@ -4633,6 +4775,9 @@ _PRIORITY = [
     "events_asof_next",
     "events_asof_nearest",
     "topn_weighted_tier2",
+    "multimodal_png_resize",
+    "docs_jsonl_roundtrip",
+    "topn_orc_roundtrip",
     # the 30 queries with no CORRECTNESS_r04 row (green in r3 — exactly
     # one round stale), in registration order
     "dedup_jaccard_pairs",
