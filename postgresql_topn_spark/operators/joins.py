@@ -270,7 +270,6 @@ def interval_join(
     bucket_width: "float | str",
     long_multiple: int = 64,
     how: str = "inner",
-    point_id: str | None = None,
 ) -> DataFrame:
     """Point-in-interval (range) join: every (point, interval) pair with
     the same key (optional) and ``start <= point_time < end`` —
@@ -299,11 +298,17 @@ def interval_join(
       one approxQuantile pass over the (usually small) intervals side.
 
     ``how="left"`` keeps points that fall in no interval (interval
-    columns NULL); because a point may match on either the grid or the
-    broadcast path, the anti-join needs a caller-named UNIQUE
-    ``point_id`` column rather than a synthesized row id (synthesized
-    ids are recomputation-unstable on retries). ``how="inner"`` is the
-    default and needs no id.
+    columns NULL). The unmatched set is computed by ANTI-joining the
+    points against both interval paths with the SAME predicates as the
+    match — no row id needed (a synthesized id would be
+    recomputation-unstable on retries, and a caller id column can be
+    NULL, which equality anti-joins silently keep). Cost note: the
+    left form probes the grid twice (one inner pass for pairs, one
+    anti pass for survivors) — the anti probe produces at most one row
+    per point and short-circuits on first match, so it is the cheaper
+    of the two; callers who already carry a unique non-NULL id can
+    instead run ``how="inner"`` and left-join the result back
+    themselves if one probe matters.
 
     Timestamps/dates bucket via their epoch seconds (unix_micros-based
     — TIMESTAMP_NTZ included; the same monotonic transform applies to
@@ -311,18 +316,12 @@ def interval_join(
     predicate); numeric axes use their value, and ``bucket_width`` is
     in seconds for time axes. Column names must be disjoint across the
     two frames except
-    the join keys. Returns points.* + the intervals' non-key columns,
-    inner-join semantics (points matching nothing drop; one row per
-    matching pair)."""
+    the join keys. Returns points.* + the intervals' non-key columns:
+    one row per matching pair; under the default ``how="inner"``
+    points matching nothing drop, under ``how="left"`` they survive
+    null-extended."""
     if how not in ("inner", "left"):
         raise ValueError(f"how must be inner/left, got {how!r}")
-    if how == "left" and not point_id:
-        raise ValueError(
-            "how='left' needs point_id: a unique column on the points "
-            "side for the unmatched anti-join"
-        )
-    if point_id is not None and point_id not in points.columns:
-        raise ValueError(f"point_id {point_id!r} not in points columns")
     auto_width = bucket_width == "auto"
     if not auto_width and (
         isinstance(bucket_width, bool)
@@ -407,14 +406,31 @@ def interval_join(
             .select(*out_cols)
         )
 
+    def _anti(pts: DataFrame, iv_side: DataFrame, with_bucket: bool) -> DataFrame:
+        conds = [F.col(f"__p.{k}") == F.col(f"__i.{k}") for k in keys]
+        if with_bucket:
+            conds.append(F.col("__p.__pb") == F.col("__i.__pb"))
+        conds += [
+            F.col(f"__p.{point_time}") >= F.col(f"__i.{start}"),
+            F.col(f"__p.{point_time}") < F.col(f"__i.{end}"),
+        ]
+        return pts.alias("__p").join(
+            iv_side.alias("__i"), reduce(and_, conds), "left_anti"
+        )
+
     matched = _match(short, with_bucket=True).unionByName(
         # the long tail is broadcast by construction (rare rows)
         _match(F.broadcast(long_), with_bucket=False)
     )
     if how == "inner":
         return matched
-    unmatched = points.join(
-        matched.select(point_id).distinct(), point_id, "left_anti"
+    # survivors = points matching NEITHER path; each anti pass uses the
+    # exact match predicates, so a point is null-extended iff it joined
+    # nothing — NULL keys/times match nothing and survive, like SQL LEFT
+    unmatched = _anti(
+        _anti(p2, short, with_bucket=True),
+        F.broadcast(long_),
+        with_bucket=False,
     ).select(
         *[F.col(c) for c in points.columns],
         *[

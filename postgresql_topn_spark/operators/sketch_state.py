@@ -39,8 +39,11 @@ nondeterministic here; we pin determinism as a documented deviation.
 from __future__ import annotations
 
 import json
+import math
 from collections.abc import Iterator, Sequence
+from decimal import ROUND_HALF_UP, Decimal
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import Column, DataFrame
@@ -50,6 +53,16 @@ from postgresql_topn_spark.conf import INT64_MAX, resolve_counters
 from postgresql_topn_spark.functions.sketch import _col
 
 UNION_FACTOR = 3  # topn.c:50
+
+
+def clamp64(v: int) -> int:
+    """Saturate an exact integer total into int64 — applied ONCE at
+    each egress (JSON/state-store materialization), never per add:
+    a running per-add clamp would make mixed-sign weighted totals
+    depend on partition arrival order, which a distributed aggregate
+    must never do (Tier-1 sums exactly in decimal(38,0) and clamps
+    once; Tier-2 matches)."""
+    return max(min(v, INT64_MAX), -INT64_MAX - 1)
 
 
 def truncate_key_bytes(s: str, limit: int = 255) -> str:
@@ -83,14 +96,16 @@ class TopnState:
         topn.c:350)."""
         cur = self.counts.get(item)
         if cur is None:
-            self.counts[item] = min(amount, INT64_MAX)
+            # exact (unbounded) Python-int totals; int64 saturation is
+            # applied once at egress via clamp64 — see its docstring
+            self.counts[item] = amount
             if aggregate_path:
                 if len(self.counts) > self.counters * UNION_FACTOR:
                     self._prune(len(self.counts) // 2)
             elif len(self.counts) > self.counters:
                 self._prune(self.counters)
         else:
-            self.counts[item] = min(cur + amount, INT64_MAX)
+            self.counts[item] = cur + amount
 
     def finalize(self) -> dict[str, int]:
         """topn_pack: prune to counters (topn.c:652)."""
@@ -104,10 +119,11 @@ def weight_to_long(w) -> int:
     HALF-UP away from zero via Decimal on the shortest repr (naive
     wf + 0.5 diverges on edge doubles); infinities and magnitudes
     beyond int64 saturate like Spark's non-ANSI double->long cast."""
-    import math
-    from decimal import ROUND_HALF_UP, Decimal
-
-    if w is None or (isinstance(w, float) and w != w):
+    # pd.isna, not `isinstance(w, float) and w != w`: missing markers
+    # arrive as np.float32 NaN (not a Python-float subclass) or pd.NA
+    # depending on the Arrow dtype, and Decimal(repr(nan)) raises
+    # (review pin)
+    if w is None or pd.isna(w):
         return 0
     wf = float(w)
     if math.isinf(wf) or abs(wf) >= 9.3e18:
@@ -125,8 +141,6 @@ def weights_to_long_vec(a) -> "np.ndarray":
     near-half fractions where binary +0.5 can cross the boundary, big
     magnitudes where ulp swamps the guard) takes the exact scalar
     path."""
-    import numpy as np
-
     a = np.asarray(a, dtype=np.float64)
     out = np.zeros(len(a), dtype=np.int64)
     with np.errstate(invalid="ignore"):  # NaN rows route to slow path
@@ -169,7 +183,9 @@ def _merge_fn(
         live = live.sort_values(["__freq", "__item"], ascending=[False, True])
         for it, freq in zip(live["__item"], live["__freq"]):
             st.add(it, int(freq), aggregate_path=True)
-        out = st.finalize()
+        # single egress clamp (see clamp64) — sign is preserved, so the
+        # nonpositive drop is clamp-order independent
+        out = {k: clamp64(v) for k, v in st.finalize().items()}
         if drop_nonpositive:
             out = {k: v for k, v in out.items() if v > 0}
         row = dict(zip(gnames, key))
@@ -177,6 +193,73 @@ def _merge_fn(
         return pd.DataFrame([row])
 
     return merge_keyed
+
+
+def _partial_fn(gnames: Sequence[str], counters: int, *, weighted: bool):
+    """Phase-1 mapInPandas partial for BOTH the counting and weighted
+    lanes: one bounded state per (group, input partition). Shared on
+    purpose — the NaN group-key normalization (NaN != NaN would
+    fragment NULL numeric group keys into one state PER ROW, unbounded
+    memory), the NULL-item skip and the group-preserving ``(key, None,
+    0)`` marker row must live in exactly one place (review pin: two
+    hand-kept copies drifted).
+
+    Weighted lane: per-row rounding FIRST (the three-surface
+    semantics), then a per-batch pre-combine — one exact int sum per
+    (group, item) and ONE state add per pair, the same map-side combine
+    the reference's per-worker partials do. Identical in the
+    no-eviction regime; under eviction arrival batching was already
+    arbitrary (partition splits). Emitted ``__freq`` values are EXACT
+    Python ints (the weighted mid-schema is decimal(38,0), so partials
+    never clamp — parity with Tier-1's sum-exact-clamp-once)."""
+
+    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        states: dict[tuple, TopnState] = {}
+        for pdf in batches:
+            keys = [
+                tuple(
+                    None if (isinstance(k, float) and k != k) else k
+                    for k in key
+                )
+                for key in zip(*[pdf[g] for g in gnames])
+            ]
+            if weighted:
+                wvs = weights_to_long_vec(
+                    pd.to_numeric(pdf["__w"], errors="coerce").to_numpy(
+                        dtype=float, na_value=float("nan")
+                    )
+                )
+                batch_acc: dict[tuple, dict[str, int]] = {}
+                for key, it, wv in zip(keys, pdf["__item"], wvs):
+                    if key not in states:
+                        states[key] = TopnState(counters)
+                    if it is None or (isinstance(it, float) and pd.isna(it)):
+                        continue  # NULL items skipped, group preserved
+                    if wv:
+                        acc = batch_acc.setdefault(key, {})
+                        k = truncate_key_bytes(it)
+                        acc[k] = acc.get(k, 0) + int(wv)
+                for key, items in batch_acc.items():
+                    st = states[key]
+                    for it, v in items.items():
+                        if v != 0:
+                            st.add(it, v, aggregate_path=True)
+            else:
+                for key, it in zip(keys, pdf["__item"]):
+                    st = states.get(key)
+                    if st is None:
+                        st = states[key] = TopnState(counters)
+                    if it is None or (isinstance(it, float) and pd.isna(it)):
+                        continue  # NULL items skipped, group preserved
+                    st.add(truncate_key_bytes(it), 1, aggregate_path=True)
+        rows = []
+        for key, st in states.items():
+            if not st.counts:
+                rows.append((*key, None, 0))  # group-preserving marker
+            rows.extend((*key, it, fr) for it, fr in st.counts.items())
+        yield pd.DataFrame(rows, columns=gnames + ["__item", "__freq"])
+
+    return partial
 
 
 def _pack(merged: DataFrame, df: DataFrame, group_cols, gnames, out_col: str) -> DataFrame:
@@ -216,38 +299,9 @@ def topn_add_agg_sketch(
         _col(item).cast("string").alias("__item"),
     )
     mid_schema = _group_ddl(src, gnames) + "__item string, __freq bigint"
-
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        states: dict[tuple, TopnState] = {}
-        for pdf in batches:
-            if gnames:
-                # NaN != NaN would fragment NULL numeric group keys into
-                # one state PER ROW (unbounded memory); normalize NaN to
-                # the None singleton so NULL groups share one state
-                keys = [
-                    tuple(
-                        None if (isinstance(k, float) and k != k) else k
-                        for k in key
-                    )
-                    for key in zip(*[pdf[g] for g in gnames])
-                ]
-            else:
-                keys = [()] * len(pdf)
-            for key, it in zip(keys, pdf["__item"]):
-                st = states.get(key)
-                if st is None:
-                    st = states[key] = TopnState(counters)
-                if it is None or (isinstance(it, float) and pd.isna(it)):
-                    continue  # NULL items skipped, group still preserved
-                st.add(truncate_key_bytes(it), 1, aggregate_path=True)
-        rows = []
-        for key, st in states.items():
-            if not st.counts:
-                rows.append((*key, None, 0))  # group-preserving marker
-            rows.extend((*key, it, fr) for it, fr in st.counts.items())
-        yield pd.DataFrame(rows, columns=gnames + ["__item", "__freq"])
-
-    partial_df = src.mapInPandas(partial, schema=mid_schema)
+    partial_df = src.mapInPandas(
+        _partial_fn(gnames, counters, weighted=False), schema=mid_schema
+    )
     final_schema = _group_ddl(src, gnames) + f"__{out_col}_json string"
     merged = partial_df.groupBy(*gnames).applyInPandas(
         _merge_fn(gnames, counters, f"__{out_col}_json"), schema=final_schema
@@ -289,52 +343,16 @@ def topn_weighted_agg_sketch(
         _col(item).cast("string").alias("__item"),
         _col(weight).cast("double").alias("__w"),
     )
-    mid_schema = _group_ddl(src, gnames) + "__item string, __freq bigint"
-
-    def partial(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        states: dict[tuple, TopnState] = {}
-        for pdf in batches:
-            keys = [
-                tuple(
-                    None if (isinstance(k, float) and k != k) else k
-                    for k in key
-                )
-                for key in zip(*[pdf[g] for g in gnames])
-            ]
-            wvs = weights_to_long_vec(
-                pd.to_numeric(pdf["__w"], errors="coerce").to_numpy(
-                    dtype=float, na_value=float("nan")
-                )
-            )
-            # per-batch pre-combine: per-row rounding FIRST (the
-            # three-surface semantics), then one exact int sum per
-            # (group, item) and ONE state add per pair — the same
-            # map-side combine the reference's per-worker partials do;
-            # identical in the no-eviction regime, and under eviction
-            # arrival batching was already arbitrary (partition splits)
-            batch_acc: dict[tuple, dict[str, int]] = {}
-            for key, it, wv in zip(keys, pdf["__item"], wvs):
-                if key not in states:
-                    states[key] = TopnState(counters)
-                if it is None or (isinstance(it, float) and pd.isna(it)):
-                    continue  # NULL items skipped, group preserved
-                if wv:
-                    acc = batch_acc.setdefault(key, {})
-                    k = truncate_key_bytes(it)
-                    acc[k] = acc.get(k, 0) + int(wv)
-            for key, items in batch_acc.items():
-                st = states[key]
-                for it, v in items.items():
-                    if v != 0:
-                        st.add(it, v, aggregate_path=True)
-        rows = []
-        for key, st in states.items():
-            if not st.counts:
-                rows.append((*key, None, 0))
-            rows.extend((*key, it, fr) for it, fr in st.counts.items())
-        yield pd.DataFrame(rows, columns=gnames + ["__item", "__freq"])
-
-    partial_df = src.mapInPandas(partial, schema=mid_schema)
+    # decimal(38,0), not bigint: partial totals stay EXACT across the
+    # shuffle so the int64 saturation happens exactly once, at the
+    # merge's JSON egress — two near-max same-sign partials would
+    # otherwise clamp per partition and make the merged total depend on
+    # partition arrival (review pin). 38 digits hold any realistic sum
+    # of int64 terms.
+    mid_schema = _group_ddl(src, gnames) + "__item string, __freq decimal(38,0)"
+    partial_df = src.mapInPandas(
+        _partial_fn(gnames, counters, weighted=True), schema=mid_schema
+    )
     final_schema = _group_ddl(src, gnames) + f"__{out_col}_json string"
     merged = partial_df.groupBy(*gnames).applyInPandas(
         _merge_fn(

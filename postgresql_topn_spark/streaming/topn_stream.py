@@ -41,6 +41,7 @@ from postgresql_topn_spark.functions.sketch import _col
 from postgresql_topn_spark.operators.sketch_state import (
     TopnState,
     _group_ddl,
+    clamp64,
     truncate_key_bytes,
 )
 
@@ -97,6 +98,12 @@ def topn_streaming_state(
                 if it is None or (isinstance(it, float) and pd.isna(it)):
                     continue
                 st.add(truncate_key_bytes(it), int(w), aggregate_path=True)
+        # per-TRIGGER saturation into the bigint state store: a stream
+        # is sequential by nature, so saturating at each trigger is the
+        # reference's running saturating-add semantic (batch Tier-2
+        # instead sums exactly and clamps once — order-independence
+        # matters there, arrival order is real here)
+        st.counts = {k: clamp64(int(v)) for k, v in st.counts.items()}
         state.update((list(st.counts.keys()), [int(v) for v in st.counts.values()]))
         import json as _json
 

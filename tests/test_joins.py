@@ -465,7 +465,7 @@ def test_interval_join_left_keeps_unmatched_points(spark):
         (r["pid"], r["tag"])
         for r in interval_join(
             pts, ivs, point_time="ts", bucket_width=10.0,
-            long_multiple=4, how="left", point_id="pid",
+            long_multiple=4, how="left",
         ).collect()
     )
     assert got == [(1, "a"), (1, "wide"), (2, "wide"), (3, "wide")]
@@ -478,13 +478,34 @@ def test_interval_join_left_keeps_unmatched_points(spark):
             point_time="ts",
             bucket_width=10.0,
             how="left",
-            point_id="pid",
         ).collect()
     )
     assert got2 == [(1, "a"), (2, None), (3, None)]
     import pytest as _p
 
-    with _p.raises(ValueError, match="point_id"):
-        interval_join(pts, ivs, point_time="ts", bucket_width=10.0, how="left")
     with _p.raises(ValueError, match="how"):
         interval_join(pts, ivs, point_time="ts", bucket_width=10.0, how="full")
+
+
+def test_interval_join_left_null_id_and_time(spark):
+    """Review pin: how='left' must not depend on any id column — a
+    matched point whose every column is NULL-laden is emitted exactly
+    once, and a NULL-time point matches nothing but SURVIVES
+    null-extended (SQL LEFT semantics)."""
+    pts = spark.createDataFrame(
+        [(None, 5.0), (None, None), (7, 50.0)], "pid bigint, ts double"
+    )
+    ivs = spark.createDataFrame(
+        [("a", 0.0, 10.0)], "tag string, start double, end double"
+    )
+    rows = [
+        (r["pid"], r["ts"], r["tag"])
+        for r in interval_join(
+            pts, ivs, point_time="ts", bucket_width=10.0, how="left"
+        ).collect()
+    ]
+    got = sorted(
+        rows,
+        key=lambda t: (t[0] is not None, t[0] or 0, t[1] is not None, t[1] or 0),
+    )
+    assert got == [(None, None, None), (None, 5.0, "a"), (7, 50.0, None)]

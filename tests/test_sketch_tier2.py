@@ -40,11 +40,24 @@ class TestStateUnit:
         st.add("late", 1)
         assert st.counts["hot"] == 100  # heavy hitter survives pruning
 
-    def test_saturation(self):
+    def test_saturation_at_egress_not_per_add(self):
+        """Review pin: state totals are EXACT Python ints (a per-add
+        clamp would make mixed-sign weighted totals depend on partition
+        arrival order); int64 saturation happens once, at egress, via
+        clamp64 — in both directions."""
+        from postgresql_topn_spark.operators.sketch_state import clamp64
+
+        i64 = 9223372036854775807
         st = TopnState(counters=2)
-        st.add("a", T.conf.INT64_MAX if hasattr(T, "conf") else 9223372036854775807)
+        st.add("a", i64)
         st.add("a", 5)
-        assert st.counts["a"] == 9223372036854775807
+        assert st.counts["a"] == i64 + 5  # exact in state
+        assert clamp64(st.counts["a"]) == i64  # saturated at egress
+        st.add("a", -10)
+        assert clamp64(st.counts["a"]) == i64 - 5  # recoverable pre-clamp
+        # lower clamp exists too (the old min()-only clamp overflowed
+        # Arrow int64 with two most-negative weighted adds)
+        assert clamp64(-(1 << 64)) == -i64 - 1
 
     def test_truncate_key_bytes(self):
         assert truncate_key_bytes("x" * 300) == "x" * 255
@@ -236,6 +249,74 @@ class TestWeightedSketch:
         )
         out = topn_weighted_agg_sketch(df, ["g"], "item", "w", counters=5)
         assert [dict(r["topn"]) for r in out.collect()] == [{}]
+
+
+def test_weight_to_long_foreign_nan_flavors():
+    """Review pin: missing weights can arrive as np.float32 NaN (not a
+    Python-float subclass) or pd.NA depending on the Arrow dtype — the
+    isinstance-guarded NaN check missed them and Decimal(repr(nan))
+    raised, killing the SQL UDAF task on FLOAT weight columns."""
+    import numpy as np
+    import pandas as pd
+
+    from postgresql_topn_spark.operators.sketch_state import weight_to_long
+
+    assert weight_to_long(np.float32("nan")) == 0
+    assert weight_to_long(np.float64("nan")) == 0
+    assert weight_to_long(pd.NA) == 0
+    assert weight_to_long(np.float32(2.5)) == 3
+
+
+def test_weighted_sketch_most_negative_overflow_no_crash(spark):
+    """Review pin: two most-negative weights on one (group, item) sum
+    to -2^64 in the partial state; the old min()-only per-add clamp let
+    that through the bigint Arrow schema (OverflowError). Now the state
+    is exact and egress clamps both directions; the total is <= 0, so
+    the weighted drop rule removes the item and the group emits {}."""
+    from postgresql_topn_spark.operators.sketch_state import (
+        topn_weighted_agg_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("g", "x", -9.3e18), ("g", "x", -9.3e18)],
+        "g string, item string, w double",
+    ).coalesce(1)
+    out = topn_weighted_agg_sketch(df, ["g"], "item", "w", counters=5)
+    assert [dict(r["topn"]) for r in out.collect()] == [{}]
+
+
+def test_weighted_sketch_transient_overflow_matches_tier1(spark):
+    """Review pin: partial totals cross the shuffle as decimal(38,0),
+    so a partition whose local total exceeds int64 does NOT clamp early
+    — the merged result equals Tier-1's exact-sum-then-clamp-once even
+    when the partials transiently overflow in mixed-sign input."""
+    from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+    from postgresql_topn_spark.operators.sketch_state import (
+        topn_weighted_agg_sketch,
+    )
+
+    big = 9.2e18  # rounds to an integer-valued double just under int64
+    part_a = spark.createDataFrame(
+        [("g", "x", big), ("g", "x", big)], "g string, item string, w double"
+    ).coalesce(1)
+    part_b = spark.createDataFrame(
+        [("g", "x", -9e18)], "g string, item string, w double"
+    ).coalesce(1)
+    df = part_a.union(part_b)  # two partitions by construction
+    t1 = {
+        r["g"]: dict(r["topn"])
+        for r in topn_weighted_agg(df, ["g"], "item", "w", counters=5).collect()
+    }
+    t2 = {
+        r["g"]: dict(r["topn"])
+        for r in topn_weighted_agg_sketch(
+            df, ["g"], "item", "w", counters=5
+        ).collect()
+    }
+    # exact total 2*9.2e18 - 9e18 = 9.4e18 > INT64_MAX -> one clamp
+    assert t1 == t2 == {"g": {"x": (1 << 63) - 1}}
+    # and the old bug's signature value (INT64_MAX - 9e18) is absent
+    assert t2["g"]["x"] != (1 << 63) - 1 - 9_000_000_000_000_000_000
 
 
 def test_weights_to_long_vec_bit_identical_to_scalar():
