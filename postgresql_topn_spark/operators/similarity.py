@@ -805,24 +805,47 @@ def ivfpq_topk(
             if not include_self:
                 S[qid_arr[:, None] == ids[None, :]] = -np.inf
             if rerank_depth > 0:
-                # exact-cosine rerank of the ADC shortlist, per batch
-                E = (
-                    _seq_dots(Q, X) if exact_fold else Q @ X.T
-                ) / (
-                    qn[:, None]
-                    * (
-                        np.sqrt(_seq_sqnorm(X))
-                        if exact_fold
-                        else np.linalg.norm(X, axis=1)
-                    )[None, :]
-                )
-                keep = np.full_like(S, -np.inf)
+                # exact-cosine rerank of the ADC shortlist: exact dots
+                # are computed ONLY for the union of shortlisted
+                # columns, not the whole batch (the whole-batch form
+                # cost the same as brute force and nullified the ADC
+                # pruning; review pin). Per-pair sequential folds
+                # depend only on the two vectors, so restricting the
+                # column set changes no value — oracle parity holds.
+                shorts = []
                 for i in range(len(Q)):
                     idx = np.nonzero(S[i] > -np.inf)[0]
-                    if not len(idx):
-                        continue
-                    short = idx[np.lexsort((ids[idx], -S[i][idx]))][:rerank_depth]
-                    keep[i, short] = E[i, short]
+                    if len(idx):
+                        shorts.append(
+                            idx[np.lexsort((ids[idx], -S[i][idx]))][
+                                :rerank_depth
+                            ]
+                        )
+                    else:
+                        shorts.append(np.empty(0, dtype=np.int64))
+                cols = (
+                    np.unique(np.concatenate(shorts))
+                    if any(len(s) for s in shorts)
+                    else np.empty(0, dtype=np.int64)
+                )
+                keep = np.full_like(S, -np.inf)
+                if len(cols):
+                    Xc = X[cols]
+                    Ec = (
+                        _seq_dots(Q, Xc) if exact_fold else Q @ Xc.T
+                    ) / (
+                        qn[:, None]
+                        * (
+                            np.sqrt(_seq_sqnorm(Xc))
+                            if exact_fold
+                            else np.linalg.norm(Xc, axis=1)
+                        )[None, :]
+                    )
+                    for i, short in enumerate(shorts):
+                        if len(short):
+                            keep[i, short] = Ec[
+                                i, np.searchsorted(cols, short)
+                            ]
                 S = keep
             top = _partial_topk_rows(qid_arr, ids, S, k)
             if top is not None:
@@ -862,6 +885,15 @@ def auto_lsh_params(
     bounded cost instead of an explosion."""
     import math
 
+    if not (0.0 < recall < 1.0):
+        # recall=1.0 would take log(0): no finite table count guarantees
+        # full recall under the probabilistic model — that ask is the
+        # exact baseline's job (cosine_pairs_exact), so fail loudly
+        # naming the argument instead of a bare 'math domain error'
+        raise ValueError(
+            f"recall must be in (0, 1), got {recall}; for guaranteed "
+            "full recall use the exact baseline instead of LSH"
+        )
     if n_rows < 2:
         return 1, 1
     t = min(max(threshold, -1.0), 1.0)
@@ -924,24 +956,24 @@ def embedding_near_dup_pairs(
     # costs O(m * dim + tile^2) task memory instead of O(m^2) — the
     # quadratic term is bounded by `tile` no matter how skewed the
     # bucket (score WORK stays O(m^2); only memory is bounded).
-    from pyspark.sql.types import (
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
-    id_dtype = dict(df.dtypes)[id_col] if id_col in dict(df.dtypes) else "bigint"
+    # ids keep their NATIVE Spark type end to end: a long cast would
+    # silently NULL every string id (a common dedup key shape) and
+    # corrupt the output (review pin). NULL ids are dropped up front —
+    # an unidentifiable row cannot be reported as a pair, and None is
+    # unorderable in the kernel's id sort.
+    id_type = df.schema[id_col].dataType
     out_schema = StructType(
         [
-            StructField("id_a", LongType()),
-            StructField("id_b", LongType()),
+            StructField("id_a", id_type),
+            StructField("id_b", id_type),
             StructField("__sim", DoubleType()),
         ]
     )
 
-    banded = df.select(
-        F.col(id_col).cast("long").alias("__id"),
+    banded = df.where(F.col(id_col).isNotNull()).select(
+        F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
         F.posexplode(np_lsh_buckets(vec_col, dim, n_tables, n_planes, seed)).alias(
             "__tbl", "__bkt"
@@ -971,21 +1003,31 @@ def embedding_near_dup_pairs(
                 S = _seq_dots(X[i0:i1], X[j0:j1]) / (
                     nrm[i0:i1, None] * nrm[None, j0:j1]
                 )
+                # threshold FIRST, then materialize only surviving
+                # indices (nonzero over all-ones allocated ~2 tile^2
+                # int64s per block pair for nothing; review pin)
+                mask = S >= threshold
                 if i0 == j0:  # diagonal block: upper triangle only
-                    bi, bj = np.triu_indices(i1 - i0, k=1, m=j1 - j0)
-                else:  # off-diagonal: every (row, col) has row-id < col-id
-                    bi, bj = np.nonzero(np.ones(S.shape, dtype=bool))
-                keep = S[bi, bj] >= threshold
-                if keep.any():
-                    frames.append(
-                        pd.DataFrame(
-                            {
-                                "id_a": ids[i0 + bi[keep]],
-                                "id_b": ids[j0 + bj[keep]],
-                                "__sim": S[bi, bj][keep],
-                            }
-                        )
+                    mask &= np.triu(
+                        np.ones(S.shape, dtype=bool), k=1
                     )
+                bi, bj = np.nonzero(mask)
+                if bi.size:
+                    ia, ib = ids[i0 + bi], ids[j0 + bj]
+                    # sorted ids make row-id <= col-id; duplicate id
+                    # VALUES on distinct rows would emit a self-pair
+                    # the exact baseline (strict qid < id) never does
+                    neq = ia != ib
+                    if neq.any():
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "id_a": ia[neq],
+                                    "id_b": ib[neq],
+                                    "__sim": S[bi, bj][neq],
+                                }
+                            )
+                        )
         if not frames:
             return pd.DataFrame(columns=["id_a", "id_b", "__sim"])
         return pd.concat(frames, ignore_index=True)
@@ -996,5 +1038,5 @@ def embedding_near_dup_pairs(
     return (
         pairs.groupBy("id_a", "id_b")
         .agg(F.round(F.max("__sim"), 6).alias("sim"))
-        .select(F.col("id_a").cast(id_dtype), F.col("id_b").cast(id_dtype), "sim")
+        .select("id_a", "id_b", "sim")
     )

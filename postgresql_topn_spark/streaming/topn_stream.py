@@ -43,6 +43,7 @@ from postgresql_topn_spark.operators.sketch_state import (
     _group_ddl,
     clamp64,
     truncate_key_bytes,
+    weight_to_long,
 )
 
 
@@ -64,18 +65,28 @@ def topn_streaming_state(
     every group that saw input. Use output mode ``update``.
 
     With ``weight`` the sketch accumulates the additive measure instead
-    of row counts — the streaming twin of ``topn_weighted_agg`` (NULL
-    weights contribute 0; NULL items are skipped).
+    of row counts — the streaming twin of ``topn_weighted_agg``, using
+    the SAME three-surface weight rule (``weight_to_long``: NULL/NaN
+    contribute 0, fractions round HALF-UP — a plain long cast would
+    TRUNCATE and diverge from the batch lanes; review pin) and the same
+    "zero weights add nothing and create no entries" rule, so streaming
+    and batch sketches agree over the same rows. NULL items are
+    skipped. An empty ``group_cols`` is the global aggregate (one
+    sketch for the whole stream), like the batch API.
     """
     counters = resolve_counters(counters, stream_df.sparkSession)
+    weighted = weight is not None
     gnames = [f"__g{i}" for i in range(len(group_cols))]
+    gexprs = [_col(c).alias(g) for c, g in zip(group_cols, gnames)]
+    if not gnames:
+        # applyInPandasWithState needs a grouping key: ride an internal
+        # constant one, dropped again below (the batch twin's shape)
+        gnames, gexprs = ["__gall"], [F.lit(1).alias("__gall")]
     w_col = (
-        F.coalesce(_col(weight).cast("long"), F.lit(0))
-        if weight is not None
-        else F.lit(1).cast("long")
+        _col(weight).cast("double") if weighted else F.lit(1).cast("double")
     )
     src = stream_df.select(
-        *[_col(c).alias(g) for c, g in zip(group_cols, gnames)],
+        *gexprs,
         _col(item).cast("string").alias("__item"),
         w_col.alias("__w"),
     )
@@ -97,7 +108,12 @@ def topn_streaming_state(
             for it, w in zip(pdf["__item"], pdf["__w"]):
                 if it is None or (isinstance(it, float) and pd.isna(it)):
                     continue
-                st.add(truncate_key_bytes(it), int(w), aggregate_path=True)
+                wv = weight_to_long(w) if weighted else 1
+                if wv:
+                    # zero/NULL weights add nothing and create no
+                    # entries (batch Tier-2 rule — a zero-count entry
+                    # would still consume sketch capacity)
+                    st.add(truncate_key_bytes(it), wv, aggregate_path=True)
         # per-TRIGGER saturation into the bigint state store: a stream
         # is sequential by nature, so saturating at each trigger is the
         # reference's running saturating-add semantic (batch Tier-2
@@ -119,13 +135,14 @@ def topn_streaming_state(
         row[out_col] = _json.dumps(snapshot)
         yield pd.DataFrame([row])
 
-    return src.groupBy(*gnames).applyInPandasWithState(
+    out = src.groupBy(*gnames).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    return out.drop("__gall") if gnames == ["__gall"] else out
 
 
 def stream_topn_rollup(
@@ -358,8 +375,13 @@ def kmv_streaming_state(
     import hashlib
 
     gnames = [f"__g{i}" for i in range(len(group_cols))]
+    gexprs = [_col(c).alias(g) for c, g in zip(group_cols, gnames)]
+    if not gnames:
+        # applyInPandasWithState needs a grouping key: ride an internal
+        # constant one, dropped again below (global-aggregate shape)
+        gnames, gexprs = ["__gall"], [F.lit(1).alias("__gall")]
     src = stream_df.select(
-        *[_col(c).alias(g) for c, g in zip(group_cols, gnames)],
+        *gexprs,
         _col(item).cast("string").alias("__item"),
     )
     out_schema = _group_ddl(src, gnames) + f"{out_col} array<bigint>"
@@ -382,13 +404,14 @@ def kmv_streaming_state(
         row[out_col] = kept
         yield pd.DataFrame([row])
 
-    return src.groupBy(*gnames).applyInPandasWithState(
+    out = src.groupBy(*gnames).applyInPandasWithState(
         update,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    return out.drop("__gall") if gnames == ["__gall"] else out
 
 
 def stream_bloom_dedup(
@@ -453,14 +476,24 @@ def stream_bloom_dedup(
         bloom_might_contain,
     )
 
-    # Output rows are namespaced by a RUN id derived from the checkpoint
-    # location: same checkpoint (normal restarts) -> same namespace, so a
-    # replayed batch overwrites its own partition; a NEW/changed
-    # checkpoint restarts batch ids at 0, and without this a fresh run's
-    # batch 0 would dynamic-overwrite the OLD run's batch-0 partition —
-    # silent loss of already-admitted rows. With it, the old run's
-    # output stays put and the shared filter still dedups across runs.
-    run_id = hashlib.md5((checkpoint or out_path).encode()).hexdigest()[:12]
+    # Output rows are namespaced by a RUN id: same checkpoint (normal
+    # restarts) -> same namespace, so a replayed batch overwrites its
+    # own partition; a NEW/changed checkpoint restarts batch ids at 0,
+    # and without the namespace a fresh run's batch 0 would
+    # dynamic-overwrite the OLD run's batch-0 partition — silent loss
+    # of already-admitted rows. WITHOUT a durable checkpoint every
+    # process start replays from scratch with batch ids at 0, so the
+    # run id must be unique PER PROCESS (a path-derived id is constant
+    # across restarts and collides — review pin); within the process,
+    # foreachBatch retries of batch N still share the closure's id and
+    # stay overwrite-idempotent. The old run's output stays put and the
+    # shared filter still dedups across runs either way.
+    if checkpoint:
+        run_id = hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    else:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
 
     def _fs(spark, path: str):
         jvm = spark._jvm
@@ -500,11 +533,27 @@ def stream_bloom_dedup(
         versions = _versions(spark)
         have_filter = bool(versions)
         if have_filter:
+            fdf = spark.read.parquet(f"{bloom_path}/v={versions[-1]}")
+            # geometry guard: probing a stored filter with different
+            # m_bits/depth silently corrupts dedup in BOTH directions
+            # (fresh rows wrongly dropped forever, or historical keys
+            # re-admitted) — refuse loudly instead (review pin).
+            # Filters written before the metadata columns skip the
+            # check (back-compat).
+            if "m_bits" in fdf.columns:
+                meta = fdf.select("m_bits", "depth").head()
+                if meta and (meta["m_bits"], meta["depth"]) != (m_bits, depth):
+                    raise ValueError(
+                        f"bloom filter at {bloom_path} was built with "
+                        f"m_bits={meta['m_bits']}, depth={meta['depth']} "
+                        f"but this stream was configured with "
+                        f"m_bits={m_bits}, depth={depth}; changing "
+                        "filter geometry against existing history "
+                        "corrupts dedup — use a fresh bloom_path"
+                    )
             # the filter column gets a private name so an input stream
             # that itself carries a 'bloom' column cannot collide
-            seen = spark.read.parquet(
-                f"{bloom_path}/v={versions[-1]}"
-            ).select(F.col("bloom").alias("__bloom_filter"))
+            seen = fdf.select(F.col("bloom").alias("__bloom_filter"))
             fresh = keyed.crossJoin(F.broadcast(seen)).where(
                 ~bloom_might_contain(
                     "__bloom_filter", key_col, m_bits=m_bits, depth=depth
@@ -542,7 +591,11 @@ def stream_bloom_dedup(
             else:
                 merged = delta
             new_v = (versions[-1] + 1) if versions else 0
-            merged.coalesce(1).write.mode("overwrite").parquet(
+            merged.select(
+                "bloom",
+                F.lit(m_bits).alias("m_bits"),
+                F.lit(depth).alias("depth"),
+            ).coalesce(1).write.mode("overwrite").parquet(
                 f"{bloom_path}/v={new_v}"
             )
             fs, _ = _fs(spark, bloom_path)

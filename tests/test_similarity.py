@@ -250,3 +250,74 @@ def test_ivfpq_rejects_bad_params(spark, sf_dir):
         ivfpq_topk(emb, q, m=7, centroid_mode="seeded").count()  # 64 % 7 != 0
     with pytest.raises(ValueError):
         ivfpq_topk(emb, q, centroid_mode="nope")
+
+
+def test_auto_lsh_params_validates_recall():
+    """Review pin: recall=1.0 used to surface as a bare 'math domain
+    error'; it must name the argument."""
+    import pytest
+
+    from postgresql_topn_spark.operators.similarity import auto_lsh_params
+
+    with pytest.raises(ValueError, match="recall"):
+        auto_lsh_params(1000, 0.95, recall=1.0)
+    with pytest.raises(ValueError, match="recall"):
+        auto_lsh_params(1000, 0.95, recall=0.0)
+    # the valid range still works
+    L, r = auto_lsh_params(1000, 0.95, recall=0.99)
+    assert L >= 1 and r >= 1
+
+
+def test_near_dup_pairs_string_ids(spark):
+    """Review pin: non-numeric id columns must round-trip (the old long
+    cast silently NULLed every string id). Planted near-dups with
+    md5-style string ids must come back under their own ids."""
+    import numpy as np
+
+    from postgresql_topn_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(6, 16)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((f"doc-{i:02d}", [float(x) for x in v]))
+        # a near-identical twin of each vector
+        rows.append(
+            (f"doc-{i:02d}-dup", [float(x) for x in v + rng.randn(16) * 1e-4])
+        )
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.99, n_tables=8, n_planes=4, dim=16
+        ).collect()
+    }
+    expected = {(f"doc-{i:02d}", f"doc-{i:02d}-dup") for i in range(6)}
+    assert expected <= got  # every planted twin found, ids intact
+    assert all(isinstance(a, str) and isinstance(b, str) for a, b in got)
+
+
+def test_near_dup_pairs_no_self_pairs_on_duplicate_ids(spark):
+    """Review pin: distinct rows sharing an id value must not emit an
+    (x, x) self-pair — the exact baseline's strict qid < id never
+    does. NULL ids are dropped, not emitted."""
+    import numpy as np
+
+    from postgresql_topn_spark.operators.similarity import (
+        embedding_near_dup_pairs,
+    )
+
+    v = [float(x) for x in np.arange(16) / 10.0]
+    df = spark.createDataFrame(
+        [(7, v), (7, v), (None, v), (9, v)],
+        "vec_id bigint, embedding array<double>",
+    )
+    got = sorted(
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            df, threshold=0.9, n_tables=4, n_planes=3, dim=16
+        ).collect()
+    )
+    assert got == [(7, 9)]  # no (7, 7); no NULL-id rows

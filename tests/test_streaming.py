@@ -449,3 +449,165 @@ def test_stream_bloom_dedup_drops_history_dups(spark, tmp_path):
         .count()
     )
     assert n_hit == 40
+
+
+def test_streaming_fractional_weight_matches_batch(
+    spark, events_stream_dir, tmp_path
+):
+    """Review pin: the streaming weighted lane must apply the
+    three-surface weight rule (HALF-UP rounding), not a truncating long
+    cast — fractional and negative-fractional weights must converge to
+    topn_weighted_agg's batch result over the same rows."""
+    from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+    from postgresql_topn_spark.streaming.topn_stream import (
+        topn_streaming_state,
+    )
+
+    ev = spark.read.parquet(events_stream_dir)
+    # fractional weights incl. negatives and exact .5 boundaries:
+    # truncation vs HALF-UP disagrees on most of these
+    w = ((F.xxhash64("user_id") % 7 + 7) % 7 - 2).cast("double") + F.lit(0.5)
+    expected = {
+        r["event_type"]: dict(r["topn"])
+        for r in topn_weighted_agg(
+            ev, ["event_type"], "user_id", w, counters=1_000_000
+        ).collect()
+    }
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    out = topn_streaming_state(
+        stream, ["event_type"], "user_id", counters=1_000_000, weight=w
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topn_frac_weight_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    latest: dict[str, dict] = {}
+    for r in spark.sql("select * from topn_frac_weight_test").collect():
+        latest[r["__g0"]] = json.loads(r["topn"])
+    assert latest == expected
+
+
+def test_streaming_state_global_group(spark, events_stream_dir, tmp_path):
+    """Review pin: empty group_cols is the global aggregate, like the
+    batch API (previously raised at analysis time — groupBy() with no
+    key cannot feed applyInPandasWithState)."""
+    ev = spark.read.parquet(events_stream_dir)
+    expected = {
+        None: dict(r["topn"])
+        for r in topn_add_agg(ev, [], "user_id", counters=1_000_000).collect()
+    }[None]
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_stream_dir)
+    )
+    out = topn_streaming_state(stream, [], "user_id", counters=1_000_000)
+    assert out.columns == ["topn"]
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topn_global_state_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_g"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emissions = spark.sql("select * from topn_global_state_test").collect()
+    assert emissions  # at least one trigger emitted
+    assert json.loads(emissions[-1]["topn"]) == expected
+
+
+def test_stream_bloom_dedup_restart_without_checkpoint_preserves_history(
+    spark, tmp_path
+):
+    """Review pin: without a durable checkpoint, a process restart
+    replays with batch ids at 0 — the run namespace must be unique per
+    process or the new run's batch-0 dynamic overwrite destroys the old
+    run's admitted rows."""
+    from postgresql_topn_spark.streaming.topn_stream import stream_bloom_dedup
+
+    out_path = str(tmp_path / "out")
+    bloom_path = str(tmp_path / "bloom")
+
+    def run(src_name, lo, hi):
+        src = str(tmp_path / src_name)
+        df = spark.createDataFrame(
+            [(i, f"doc{i}") for i in range(lo, hi)], "i long, content string"
+        )
+        df.coalesce(1).write.parquet(src)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_bloom_dedup(
+                stream,
+                F.col("content"),
+                out_path=out_path,
+                bloom_path=bloom_path,
+                m_bits=1 << 14,
+                # no checkpoint: each run replays from scratch at batch 0
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run("in1", 0, 20)       # run 1 admits doc0..doc19 under batch_id=0
+    run("in2", 10, 30)      # run 2: batch 0 again; doc10..19 are dups
+    keys = sorted(
+        r["content_key"]
+        for r in spark.read.parquet(out_path).select("content_key").collect()
+    )
+    # run 1's rows survive; run 2 admitted only the genuinely new keys
+    assert keys == sorted(f"doc{i}" for i in range(30))
+
+
+def test_stream_bloom_dedup_geometry_mismatch_raises(spark, tmp_path):
+    """Review pin: probing a stored filter with different m_bits/depth
+    silently corrupts dedup; the stream must refuse loudly."""
+    import pytest
+
+    from postgresql_topn_spark.streaming.topn_stream import stream_bloom_dedup
+
+    out_path = str(tmp_path / "out")
+    bloom_path = str(tmp_path / "bloom")
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "i long, content string")
+    df.coalesce(1).write.parquet(src)
+
+    def start(m_bits, depth):
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            stream_bloom_dedup(
+                stream,
+                F.col("content"),
+                out_path=out_path,
+                bloom_path=bloom_path,
+                m_bits=m_bits,
+                depth=depth,
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    start(1 << 14, 3)
+    with pytest.raises(Exception, match="m_bits"):
+        start(1 << 14, 2)
+    with pytest.raises(Exception, match="m_bits"):
+        start(1 << 12, 3)
