@@ -49,9 +49,11 @@ _MICRO = 1_000_000.0
 
 
 def _token_stream(docs: DataFrame, id_col: str, text_col: Column | str) -> DataFrame:
+    # tokens() already filters empties ('Empty/whitespace-only text
+    # tokenizes to []'), so no extra predicate is needed here
     return docs.select(
         id_col, F.explode(tokens(_col(text_col))).alias("tok")
-    ).where(F.col("tok") != "")
+    )
 
 
 def unigram_model(
@@ -133,7 +135,7 @@ def bigram_model(
 
     tok = docs.select(
         id_col, F.posexplode(tokens(_col(text_col))).alias("pos", "tok")
-    ).where(F.col("tok") != "")
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     pairs = tok.withColumn("prev", F.lag("tok").over(w)).where(
         F.col("prev").isNotNull()
@@ -181,7 +183,7 @@ def bigram_logprob_scores(
 
     tok = docs.select(
         id_col, F.posexplode(tokens(_col(text_col))).alias("pos", "tok")
-    ).where(F.col("tok") != "")
+    )
     w = Window.partitionBy(id_col).orderBy("pos")
     stream = tok.withColumn("prev", F.lag("tok").over(w))
     joined = (

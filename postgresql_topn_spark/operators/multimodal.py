@@ -131,19 +131,30 @@ def decode_image_meta(blobs: DataFrame, *, decoder: str = "header") -> DataFrame
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            sizes = pdf["blob"].map(len)
+            # a SQL-NULL blob must yield a NULL row, never a dead scan
+            # (len(None)/bytes(None) raised; review pin)
+            sizes = [None if b is None else len(b) for b in pdf["blob"]]
             if decoder == "fake":
-                dims = sizes.map(fake_decode_dims)
-                parsed = [("fake", d[0], d[1], d[2]) for d in dims]
+                parsed = [
+                    (None, None, None, None)
+                    if s is None
+                    else ("fake", *fake_decode_dims(s))
+                    for s in sizes
+                ]
             else:
                 parsed = [
-                    parse_image_header(bytes(buf)) or ("unknown", None, None, None)
+                    (None, None, None, None)
+                    if buf is None
+                    else (
+                        parse_image_header(bytes(buf))
+                        or ("unknown", None, None, None)
+                    )
                     for buf in pdf["blob"]
                 ]
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
-                    "n_bytes": sizes.astype("int32"),
+                    "n_bytes": pd.array(sizes, dtype="Int32"),
                     "width": pd.array([p[1] for p in parsed], dtype="Int32"),
                     "height": pd.array([p[2] for p in parsed], dtype="Int32"),
                     "channels": pd.array([p[3] for p in parsed], dtype="Int32"),
@@ -231,10 +242,13 @@ def decode_image_pixels(
             out = {"doc_id": pdf["doc_id"], "width": [], "height": [],
                    "channels": [], "pixels": []}
             for buf in pdf["blob"]:
-                b = bytes(buf)
-                parsed = parse_netpbm(b)
-                if parsed is None and decoder is not None:
-                    parsed = decoder(b)
+                if buf is None:  # SQL-NULL blob -> NULL row, not a crash
+                    parsed = None
+                else:
+                    b = bytes(buf)
+                    parsed = parse_netpbm(b)
+                    if parsed is None and decoder is not None:
+                        parsed = decoder(b)
                 if parsed is None:
                     out["width"].append(None)
                     out["height"].append(None)
@@ -246,13 +260,16 @@ def decode_image_pixels(
                     out["height"].append(h)
                     out["channels"].append(c)
                     out["pixels"].append(px)
+            # keyed by out_col, matching the renamed schema (a
+            # hardcoded 'pixels' key crashed every non-default out_col
+            # with RESULT_COLUMN_NAMES_MISMATCH; review pin)
             yield pd.DataFrame(
                 {
                     "doc_id": out["doc_id"],
                     "width": pd.array(out["width"], dtype="Int32"),
                     "height": pd.array(out["height"], dtype="Int32"),
                     "channels": pd.array(out["channels"], dtype="Int32"),
-                    "pixels": out["pixels"],
+                    out_col: out["pixels"],
                 }
             )
 
@@ -302,7 +319,16 @@ def resize_pixels(
                     "doc_id": pdf["doc_id"],
                     "width": pd.array([out_w if r is not None else None for r in res], dtype="Int32"),
                     "height": pd.array([out_h if r is not None else None for r in res], dtype="Int32"),
-                    "channels": pdf["channels"],
+                    # failed rows null EVERY image field incl. channels
+                    # — a survivor of the input would make 'channels IS
+                    # NOT NULL' misclassify dead rows (review pin)
+                    "channels": pd.array(
+                        [
+                            c if r is not None else None
+                            for c, r in zip(pdf["channels"], res)
+                        ],
+                        dtype="Int32",
+                    ),
                     pixels_col: res,
                 }
             )
@@ -326,7 +352,9 @@ def resize_images(
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             pixels = [
-                bytes((buf * (out_len // max(len(buf), 1) + 1))[:out_len])
+                None
+                if buf is None  # NULL blob -> NULL row, not a crash
+                else bytes((buf * (out_len // max(len(buf), 1) + 1))[:out_len])
                 for buf in pdf["blob"]
             ]
             yield pd.DataFrame(
@@ -356,6 +384,9 @@ def extract_features(blobs: DataFrame, *, dim: int = 64) -> DataFrame:
         for pdf in batches:
             out = []
             for buf in pdf["blob"]:
+                if buf is None:  # NULL blob -> NULL row, not a crash
+                    out.append(None)
+                    continue
                 arr = np.frombuffer(bytes(buf), dtype=np.uint8)
                 hist = np.bincount(arr % dim, minlength=dim).astype("float64")
                 norm = float(np.sqrt((hist * hist).sum())) or 1.0

@@ -116,9 +116,10 @@ def chunk_documents(
     chunk_text: bool = True,
 ) -> DataFrame:
     """Sliding-window document chunking — the RAG / long-document
-    pretraining splitter: each document becomes ceil(n/(L-O)) chunks of
-    up to `chunk_len` tokens, consecutive chunks sharing `overlap`
-    tokens so no boundary context is lost. Output rows:
+    pretraining splitter: each document becomes max(1, ceil((n-O)/(L-O)))
+    chunks of up to `chunk_len` tokens, consecutive chunks sharing
+    `overlap` tokens so no boundary context is lost and no chunk is a
+    subset of its predecessor. Output rows:
     (id, chunk_idx, start_tok, n_tok[, chunk]) with chunk text
     re-joined on single spaces (whitespace runs are NOT preserved — the
     split is the same \\s+ tokenizer as the rest of the text stack;
@@ -140,17 +141,24 @@ def chunk_documents(
     stride = chunk_len - overlap
     from postgresql_topn_spark.operators.text import tokens as _tokens
 
-    # filter the phantom empty token a leading tab/newline produces
-    # (F.trim strips spaces only), so offsets and n_tok count REAL
-    # tokens and whitespace-only docs of any kind yield zero chunks
-    toks = F.filter(_tokens(_col(text_col)), lambda t: t != "")
+    toks = _tokens(_col(text_col))
     base = docs.select(
         id_col,
         toks.alias("__toks"),
     ).withColumn("__n", F.size("__toks"))
     nonempty = base.where(F.col("__n") > 0)
+    # a start is emitted only while the PREVIOUS chunk did not already
+    # reach the document's end (s <= n - overlap - 1): otherwise the
+    # final chunk is a strict subset of its predecessor — duplicated
+    # text that inflates and biases downstream training/retrieval data
+    # (review pin; docs of length in (k*stride, k*stride + overlap]
+    # used to emit one). s=0 always emits (greatest guard).
     starts = F.explode(
-        F.sequence(F.lit(0), F.col("__n") - 1, F.lit(stride))
+        F.sequence(
+            F.lit(0),
+            F.greatest(F.col("__n") - overlap - 1, F.lit(0)),
+            F.lit(stride),
+        )
     ).alias("start_tok")
     out = nonempty.select(id_col, "__toks", "__n", starts)
     piece = F.slice(F.col("__toks"), F.col("start_tok") + 1, F.lit(chunk_len))

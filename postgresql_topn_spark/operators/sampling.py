@@ -223,7 +223,13 @@ def train_split(
     train/val/test); insertion order defines the boundary order. Map-
     side only: no shuffle, no state — a projection on the scan stage.
     Prefer exact binary weights (0.75, 0.125, ...) when an external
-    system must reproduce the boundaries digit-for-digit."""
+    system must reproduce the boundaries digit-for-digit.
+
+    A NULL key gets a NULL split (its hash is NULL, so it belongs to no
+    boundary range) — previously the when-chain's otherwise() silently
+    dumped every NULL-key row into the LAST bucket, contaminating the
+    smallest (eval) set with the whole unidentifiable population
+    (review pin). Filter or repair NULL keys upstream."""
     if splits is None:
         splits = {"train": 0.9, "val": 0.05, "test": 0.05}
     splits = dict(splits)
@@ -245,6 +251,8 @@ def train_split(
             cond, F.lit(nm)
         )
     last = F.lit(names[-1])
+    assigned = last if chain is None else chain.otherwise(last)
     return df.withColumn(
-        out_col, last if chain is None else chain.otherwise(last)
+        out_col,
+        F.when(u.isNull(), F.lit(None).cast("string")).otherwise(assigned),
     )

@@ -2951,7 +2951,8 @@ def pipeline_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
     ),
     c AS (
-      SELECT doc_id, toks, n, unnest(range(0, n, 224)) AS start_tok
+      SELECT doc_id, toks, n,
+             unnest(range(0, greatest(n - 32, 1), 224)) AS start_tok
       FROM d2
     )
     SELECT doc_id,

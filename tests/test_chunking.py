@@ -65,3 +65,36 @@ def test_rejects_bad_params(docs):
         chunk_documents(docs, chunk_len=0)
     with pytest.raises(ValueError):
         chunk_documents(docs, chunk_len=10, overlap=10)
+
+
+def test_no_subset_final_chunk(spark):
+    """Review pin: a document whose length lands in
+    (k*stride, k*stride + overlap] used to emit a final chunk that was
+    a strict SUBSET of its predecessor — pure duplicated text. The
+    start sequence now stops once the previous chunk reaches the end."""
+    from postgresql_topn_spark.operators.packing import chunk_documents
+
+    def doc(n):
+        return " ".join(f"t{i}" for i in range(n))
+
+    df = spark.createDataFrame(
+        [(225, doc(225)), (300, doc(300)), (224, doc(224)), (449, doc(449)),
+         (20, doc(20))],
+        "doc_id bigint, text string",
+    )
+    out = chunk_documents(df, "doc_id", "text", chunk_len=256, overlap=32)
+    counts = {
+        r["doc_id"]: r["n"]
+        for r in out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()
+    }
+    # 225 tokens fit one 256-token chunk entirely: chunk at 224 would
+    # be a subset; 300 needs two; 449: chunk@224 covers 224..448 (all)
+    assert counts == {20: 1, 224: 1, 225: 1, 300: 2, 449: 2}
+    # every token is still covered: last chunk end == doc length
+    ends = {
+        r["doc_id"]: r["end"]
+        for r in out.groupBy("doc_id")
+        .agg(F.max(F.col("start_tok") + F.col("n_tok")).alias("end"))
+        .collect()
+    }
+    assert ends == {20: 20, 224: 224, 225: 225, 300: 300, 449: 449}

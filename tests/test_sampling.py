@@ -238,3 +238,19 @@ class TestRetentionCohorts:
         ).select("user_id", F.to_timestamp("ts_s").alias("ts"))
         got = retention_cohorts(ev, period="day", max_offset=30).collect()
         assert {r["period_offset"] for r in got} == {0}
+
+
+def test_train_split_null_keys_get_null_split(spark):
+    """Review pin: NULL keys used to fall through the when-chain's
+    otherwise() into the LAST bucket, silently contaminating the
+    smallest (eval) split with the whole NULL-key population. They now
+    get a NULL split for the caller to filter or repair."""
+    from postgresql_topn_spark.operators.sampling import train_split
+
+    df = spark.createDataFrame(
+        [("a",), ("b",), (None,), (None,)], "k string"
+    )
+    got = {r["k"]: r["split"] for r in train_split(df, "k").collect()}
+    assert got[None] is None
+    assert got["a"] in ("train", "val", "test")
+    assert got["b"] in ("train", "val", "test")

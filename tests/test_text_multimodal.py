@@ -782,3 +782,53 @@ class TestPixelHistogramFeatures:
             "doc_id bigint, width int, height int, channels int, pixels array<int>",
         )
         assert python_stages(pixel_histogram_features(df)) == 0
+
+
+def test_decode_image_pixels_out_col_and_null_blobs(spark):
+    """Review pins: (1) out_col produced a RESULT_COLUMN_NAMES_MISMATCH
+    crash because the yielded frame hardcoded 'pixels'; (2) a SQL-NULL
+    blob row killed the scan (bytes(None)) instead of yielding a NULL
+    row, violating the module's own corrupt-payload contract."""
+    from postgresql_topn_spark.operators.multimodal import (
+        decode_image_meta,
+        decode_image_pixels,
+        extract_features,
+        resize_images,
+    )
+
+    blobs = spark.createDataFrame(
+        [(1, bytearray(b"P2 2 1 255 7 9")), (2, None)],
+        "doc_id bigint, blob binary",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in decode_image_pixels(blobs, out_col="px").collect()
+    }
+    assert rows[1]["px"] == [7, 9] and rows[1]["width"] == 2
+    assert rows[2]["px"] is None and rows[2]["width"] is None
+    meta = {r["doc_id"]: r for r in decode_image_meta(blobs).collect()}
+    assert meta[1]["n_bytes"] == 14
+    assert meta[2]["n_bytes"] is None and meta[2]["format"] is None
+    rz = {r["doc_id"]: r for r in resize_images(blobs).collect()}
+    assert rz[1]["pixels"] is not None and rz[2]["pixels"] is None
+    ft = {r["doc_id"]: r for r in extract_features(blobs).collect()}
+    assert ft[1]["embedding"] is not None and ft[2]["embedding"] is None
+
+
+def test_resize_pixels_failed_row_nulls_channels(spark):
+    """Review pin: a row the resize cannot process must null EVERY
+    image field including channels — a surviving channels value made
+    'channels IS NOT NULL' misclassify dead rows."""
+    from postgresql_topn_spark.operators.multimodal import resize_pixels
+
+    imgs = spark.createDataFrame(
+        [
+            (1, 2, 1, 1, [10, 20]),        # consistent 2x1 gray
+            (2, 2, 2, 3, [1, 2, 3]),       # len != w*h*c -> dead row
+        ],
+        "doc_id bigint, width int, height int, channels int, pixels array<int>",
+    )
+    out = {r["doc_id"]: r for r in resize_pixels(imgs, 1, 1).collect()}
+    assert out[1]["pixels"] is not None and out[1]["channels"] == 1
+    assert out[2]["pixels"] is None
+    assert out[2]["width"] is None and out[2]["channels"] is None
