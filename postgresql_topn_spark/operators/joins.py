@@ -55,6 +55,84 @@ def salted_join(
     return out.drop("__salt")
 
 
+def bloom_pruned_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: "str | list[str]",
+    *,
+    m_bits: int = 1 << 20,
+    depth: int = 3,
+    how: str = "inner",
+) -> DataFrame:
+    """Semi-join reduction — the classic big-data shuffle cut: build a
+    Bloom filter over the SMALL side's join keys (one bounded
+    aggregation; the filter is m_bits/8 bytes total), broadcast its
+    single row, and filter the LARGE side BEFORE its shuffle. Rows
+    whose key cannot possibly match die at the scan stage, so only
+    matches + false positives pay the exchange — at 100 TB the
+    difference between shuffling the whole fact table and shuffling
+    the ~matching slice. Bloom filters have NO false negatives, so the
+    result is EXACTLY the plain join (pytest- and oracle-pinned); a
+    false positive merely rides to the join and is dropped there.
+
+    Spark's runtime bloom pruning
+    (``spark.sql.optimizer.runtimeFilter.bloomFilter.enabled``)
+    automates this for joins the optimizer can see through; the
+    explicit operator is for the shapes it declines — pruning before
+    an intermediate aggregation, across separately-built pipelines, or
+    against a key set read from a rollup — and makes the reduction
+    deterministic and md5-portable (functions/bloom.py) rather than
+    engine-internal.
+
+    ``on`` may name several columns (same names both sides). The probe
+    key is the unit-separator concat of the parts — an encoding
+    collision can only ADD a false positive, never lose a match, so
+    correctness is unaffected. Rows with a NULL key part never match a
+    plain join; whether the prune drops them early or the join drops
+    them later is equivalence-invisible.
+
+    ``how``: ``inner`` (default) or ``left_semi`` (the pruned
+    EXISTS-filter — only large-side columns come back). Shapes that
+    keep unmatched large rows (left outer) cannot be pruned this way.
+
+    Sizing: keep set-bit load (n_small_keys * depth / m_bits) under
+    ~0.3; past that the filter saturates toward all-true and the prune
+    degrades to a no-op (still correct, just useless)."""
+    from postgresql_topn_spark.functions.bloom import (
+        bloom_add_agg,
+        bloom_might_contain,
+    )
+
+    if how not in ("inner", "left_semi"):
+        raise ValueError(f"how must be inner/left_semi, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    if not keys:
+        raise ValueError("on must name at least one join column")
+
+    def probe_key(df: DataFrame) -> "F.Column":
+        parts = [F.col(k).cast("string") for k in keys]
+        return parts[0] if len(parts) == 1 else F.concat_ws("\x1f", *parts)
+
+    filt = bloom_add_agg(
+        small.select(probe_key(small).alias("__k")),
+        [],
+        "__k",
+        m_bits=m_bits,
+        depth=depth,
+        out_col="__bloom_prune",
+    )
+    pruned = (
+        large.crossJoin(F.broadcast(filt))
+        .where(
+            bloom_might_contain(
+                "__bloom_prune", probe_key(large), m_bits=m_bits, depth=depth
+            )
+        )
+        .drop("__bloom_prune")
+    )
+    return pruned.join(small, keys, how)
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -526,6 +526,46 @@ def topn_weighted_tier2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "topn_bloom_pruned_join",
+    """
+    SELECT item, frequency FROM (
+      SELECT CAST(l_suppkey AS VARCHAR) AS item, COUNT(*) AS frequency,
+             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
+                                CAST(l_suppkey AS VARCHAR) ASC) AS rn
+      FROM lineitem l
+      WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      )
+      GROUP BY 1
+    ) t WHERE rn <= 10
+    """,
+)
+def topn_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction feeding the flagship aggregate
+    (operators/joins.py bloom_pruned_join — round-5): top suppliers
+    among lineitems of URGENT orders, where the fact table is pruned by
+    a broadcast Bloom filter over the qualifying order keys BEFORE any
+    exchange — the classic 100 TB shuffle cut. Bloom filters have no
+    false negatives, so the result must equal the plain semi-join
+    exactly; the oracle computes the plain IN-subquery form, so any
+    lost row (a false negative, a probe/build hash mismatch) breaks
+    the hash."""
+    from postgresql_topn_spark.operators.joins import bloom_pruned_join
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    pruned = bloom_pruned_join(
+        li, urgent, "l_orderkey", m_bits=1 << 20, how="left_semi"
+    )
+    sk = topn_add_agg(pruned, [], "l_suppkey", counters=C)
+    return explode_topn(sk, "topn", 10, counters=C)
+
+
+@_register(
     "topn_salted_skew",
     """
     SELECT l_returnflag, item, frequency FROM (
@@ -4779,6 +4819,7 @@ _PRIORITY = [
     "multimodal_png_resize",
     "docs_jsonl_roundtrip",
     "topn_orc_roundtrip",
+    "topn_bloom_pruned_join",
     # the 30 queries with no CORRECTNESS_r04 row (green in r3 — exactly
     # one round stale), in registration order
     "dedup_jaccard_pairs",

@@ -509,3 +509,76 @@ def test_interval_join_left_null_id_and_time(spark):
         key=lambda t: (t[0] is not None, t[0] or 0, t[1] is not None, t[1] or 0),
     )
     assert got == [(None, None, None), (None, 5.0, "a"), (7, 50.0, None)]
+
+
+class TestBloomPrunedJoin:
+    def _tables(self, spark):
+        large = spark.createDataFrame(
+            [(i % 500, f"p{i}", i * 1.5) for i in range(4000)],
+            "k bigint, payload string, v double",
+        )
+        # small side matches only 40 of the 500 large-side keys
+        small = spark.createDataFrame(
+            [(k * 13, f"s{k}") for k in range(40)], "k bigint, tag string"
+        )
+        return large, small
+
+    def test_equals_plain_join(self, spark):
+        from postgresql_topn_spark.operators.joins import bloom_pruned_join
+
+        large, small = self._tables(spark)
+        got = sorted(
+            map(tuple, bloom_pruned_join(large, small, "k").collect())
+        )
+        exp = sorted(map(tuple, large.join(small, "k").collect()))
+        assert got == exp and len(exp) > 0
+
+    def test_left_semi_and_null_keys(self, spark):
+        from postgresql_topn_spark.operators.joins import bloom_pruned_join
+
+        large, small = self._tables(spark)
+        large = large.union(
+            spark.createDataFrame(
+                [(None, "pnull", 0.0)], "k bigint, payload string, v double"
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                bloom_pruned_join(large, small, "k", how="left_semi").collect(),
+            )
+        )
+        exp = sorted(map(tuple, large.join(small, "k", "left_semi").collect()))
+        assert got == exp
+
+    def test_composite_key(self, spark):
+        from postgresql_topn_spark.operators.joins import bloom_pruned_join
+
+        large = spark.createDataFrame(
+            [(i % 20, f"g{i % 7}", i) for i in range(500)],
+            "a bigint, b string, v bigint",
+        )
+        small = spark.createDataFrame(
+            [(3, "g1", "x"), (5, "g2", "y"), (19, "g6", "z")],
+            "a bigint, b string, tag string",
+        )
+        got = sorted(
+            map(tuple, bloom_pruned_join(large, small, ["a", "b"]).collect())
+        )
+        exp = sorted(map(tuple, large.join(small, ["a", "b"]).collect()))
+        assert got == exp and len(exp) > 0
+
+    def test_prune_filter_in_plan_and_validation(self, spark):
+        from postgresql_topn_spark.operators.joins import bloom_pruned_join
+
+        large, small = self._tables(spark)
+        out = bloom_pruned_join(large, small, "k")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # the md5 slot probe sits in a Filter ahead of the equi-join
+        assert "md5" in plan
+        import pytest as _p
+
+        with _p.raises(ValueError, match="how"):
+            bloom_pruned_join(large, small, "k", how="left")
+        with _p.raises(ValueError, match="at least one"):
+            bloom_pruned_join(large, small, [])
