@@ -81,17 +81,19 @@ def bloom_add_agg(
         *gcols,
         F.explode(
             F.array(*[bloom_slot(it, i, m_bits) for i in range(depth)])
-        ).alias("slot"),
+        ).alias("__slot"),
     )
     names = [f.name for f in slots.schema.fields[:-1]]
+    # __-prefixed working names: bare 'word'/'bits' collided with
+    # same-named user group columns at analysis time (review pin)
     sparse = slots.select(
         *names,
-        (F.col("slot") / _WORD).cast("int").alias("word"),
-        _mask(F.pmod(F.col("slot"), F.lit(_WORD))).alias("bits"),
-    ).groupBy(*names, "word").agg(F.bit_or("bits").alias("bits"))
+        (F.col("__slot") / _WORD).cast("int").alias("__word"),
+        _mask(F.pmod(F.col("__slot"), F.lit(_WORD))).alias("__bits"),
+    ).groupBy(*names, "__word").agg(F.bit_or("__bits").alias("__bits"))
     packed = sparse.groupBy(*names).agg(
         F.map_from_entries(
-            F.collect_list(F.struct(F.col("word"), F.col("bits")))
+            F.collect_list(F.struct(F.col("__word"), F.col("__bits")))
         ).alias("__m")
     )
     nwords = m_bits // _WORD
@@ -104,11 +106,27 @@ def bloom_add_agg(
 
 def bloom_merge(a: Column | str, b: Column | str) -> Column:
     """Scalar two-filter merge: element-wise bitwise OR (the `+` of the
-    membership algebra). NULL-tolerant: NULL acts as the empty filter."""
+    membership algebra). NULL-tolerant: NULL acts as the empty filter.
+    Different-LENGTH filters (built with different m_bits) raise
+    instead of zip_with silently padding NULL words — a NULL word makes
+    bloom_might_contain return NULL, which a NOT-probe caller reads as
+    'seen' and silently drops fresh rows (review pin)."""
     ca, cb = _col(a), _col(b)
     return (
         F.when(ca.isNull(), cb)
         .when(cb.isNull(), ca)
+        .when(
+            F.size(ca) != F.size(cb),
+            F.raise_error(
+                F.concat(
+                    F.lit("bloom_merge: filter shapes differ ("),
+                    F.size(ca).cast("string"),
+                    F.lit(" vs "),
+                    F.size(cb).cast("string"),
+                    F.lit(" words) — built with different m_bits"),
+                )
+            ).cast("array<bigint>"),
+        )
         .otherwise(F.zip_with(ca, cb, lambda x, y: x.bitwiseOR(y)))
     )
 
@@ -145,7 +163,13 @@ def bloom_might_contain(
     depth: int = DEFAULT_DEPTH,
 ) -> Column:
     """Membership probe: TRUE iff all `depth` bits are set. No false
-    negatives ever; false-positive rate ~= (set-bit fraction)^depth."""
+    negatives ever; false-positive rate ~= (set-bit fraction)^depth.
+    Probing a filter whose word count does not match m_bits reads the
+    wrong bit positions (false negatives — the one guarantee this
+    structure exists for), so a shape mismatch raises instead (review
+    pin). A depth mismatch is not structurally detectable: keep
+    build/read parameters in one place (stream_bloom_dedup stores and
+    checks both)."""
     s = _col(sketch)
     checks = []
     for i in range(depth):
@@ -156,4 +180,15 @@ def bloom_might_contain(
     out = checks[0]
     for c in checks[1:]:
         out = out & c
-    return out
+    nwords = m_bits // _WORD
+    return F.when(
+        F.size(s) != nwords,
+        F.raise_error(
+            F.concat(
+                F.lit(f"bloom_might_contain(m_bits={m_bits}): filter has "),
+                F.size(s).cast("string"),
+                F.lit(f" words, expected {nwords} — probe with the m_bits "),
+                F.lit("it was built with"),
+            )
+        ).cast("boolean"),
+    ).otherwise(out)

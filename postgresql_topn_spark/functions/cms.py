@@ -63,6 +63,9 @@ def cms_add_agg(
         raise ValueError(f"cms needs depth >= 1, width >= 2; got {depth}x{width}")
     gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
     it = _col(item)
+    # __-prefixed working names: bare 'slot'/'cnt' collided with
+    # same-named user group columns at analysis time (review pin;
+    # kmv.py's __h/__salt convention)
     slots = df.where(it.isNotNull()).select(
         *gcols,
         F.explode(
@@ -72,13 +75,15 @@ def cms_add_agg(
                     for i in range(depth)
                 ]
             )
-        ).alias("slot"),
+        ).alias("__slot"),
     )
     names = [f.name for f in slots.schema.fields[:-1]]
-    sparse = slots.groupBy(*names, "slot").agg(F.count(F.lit(1)).alias("cnt"))
+    sparse = slots.groupBy(*names, "__slot").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
     packed = sparse.groupBy(*names).agg(
         F.map_from_entries(
-            F.collect_list(F.struct(F.col("slot"), F.col("cnt")))
+            F.collect_list(F.struct(F.col("__slot"), F.col("__cnt")))
         ).alias("__m")
     )
     dw = depth * width
@@ -91,11 +96,27 @@ def cms_add_agg(
 
 def cms_merge(a: Column | str, b: Column | str) -> Column:
     """Scalar two-sketch merge: element-wise sum (the `+` of the CMS
-    algebra). NULL-tolerant: a NULL side acts as the zero sketch."""
+    algebra). NULL-tolerant: a NULL side acts as the zero sketch.
+    Different-LENGTH sketches (two rollups built with different
+    depth/width) raise instead of zip_with silently padding the short
+    side with NULL cells and summing mismatched layouts (review
+    pin)."""
     ca, cb = _col(a), _col(b)
     return (
         F.when(ca.isNull(), cb)
         .when(cb.isNull(), ca)
+        .when(
+            F.size(ca) != F.size(cb),
+            F.raise_error(
+                F.concat(
+                    F.lit("cms_merge: sketch shapes differ ("),
+                    F.size(ca).cast("string"),
+                    F.lit(" vs "),
+                    F.size(cb).cast("string"),
+                    F.lit(" cells) — built with different depth/width"),
+                )
+            ).cast("array<bigint>"),
+        )
         .otherwise(F.zip_with(ca, cb, lambda x, y: x + y))
     )
 
@@ -150,7 +171,10 @@ def cms_estimate(
     width: int = DEFAULT_WIDTH,
 ) -> Column:
     """Point estimate of `item`'s count: min over the d rows' cells.
-    Guarantees est >= true count; est <= true + (e/width)*N w.h.p."""
+    Guarantees est >= true count; est <= true + (e/width)*N w.h.p.
+    Probing a sketch whose cell count does not match depth*width reads
+    unrelated cells and can UNDER-estimate (violating the one-sided
+    guarantee), so a shape mismatch raises instead (review pin)."""
     s = _col(sketch)
     cells = F.array(
         *[
@@ -158,4 +182,15 @@ def cms_estimate(
             for i in range(depth)
         ]
     )
-    return F.array_min(cells)
+    return F.when(
+        F.size(s) != depth * width,
+        F.raise_error(
+            F.concat(
+                F.lit(f"cms_estimate(depth={depth}, width={width}): "),
+                F.lit("sketch has "),
+                F.size(s).cast("string"),
+                F.lit(f" cells, expected {depth * width} — read it with "),
+                F.lit("the depth/width it was built with"),
+            )
+        ).cast("bigint"),
+    ).otherwise(F.array_min(cells))

@@ -84,5 +84,14 @@ def hll_estimate_col(sketch: Column | str) -> Column:
 
 def hll_union(a: Column | str, b: Column | str) -> Column:
     """Scalar two-sketch union — the `+` of the distinct algebra,
-    mirroring topn_union for topn sketches."""
-    return F.hll_union(_col(a), _col(b), True)
+    mirroring topn_union for topn sketches. NULL-tolerant like every
+    sibling scalar merge (kmv/cms/bloom): a NULL side acts as the
+    empty sketch, so left-join rollup shapes with missing groups
+    estimate the non-NULL side instead of NULL (review pin — Spark's
+    native hll_union propagates NULL)."""
+    ca, cb = _col(a), _col(b)
+    return (
+        F.when(ca.isNull(), cb)
+        .when(cb.isNull(), ca)
+        .otherwise(F.hll_union(ca, cb, True))
+    )

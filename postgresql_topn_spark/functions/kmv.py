@@ -149,12 +149,35 @@ def kmv_union_over_window(
 
 def kmv_estimate(sketch: Column | str, *, k: int = DEFAULT_K) -> Column:
     """Distinct-count estimate (double). Exact below saturation
-    (|S| < k); the standard unbiased (k-1)*M/h_(k) estimator at k."""
+    (|S| < k); the standard unbiased (k-1)*M/h_(k) estimator at k.
+
+    Shape guard: a sketch LONGER than k was built with a larger k —
+    reading it here would take the k-th smallest of the wrong set, so
+    that mismatch raises instead of silently estimating. The converse
+    (built with a SMALLER k, read with a larger one) is structurally
+    indistinguishable from an unsaturated sketch — keep the build/read
+    k in one place (as the rollup suite queries do) rather than
+    relying on a runtime check that cannot exist."""
     s = _col(sketch)
     exact = F.size(s).cast("double")
     kth = F.element_at(s, k).cast("double")  # h_(k), 1-indexed
     est = F.lit(float(k - 1)) * F.lit(float(KMV_M)) / kth
-    return F.when(F.size(s) < k, exact).otherwise(est)
+    return (
+        F.when(
+            F.size(s) > k,
+            F.raise_error(
+                F.concat(
+                    F.lit("kmv_estimate(k="),
+                    F.lit(str(k)),
+                    F.lit("): sketch has "),
+                    F.size(s).cast("string"),
+                    F.lit(" values — built with a larger k; read it with that k"),
+                )
+            ).cast("double"),
+        )
+        .when(F.size(s) < k, exact)
+        .otherwise(est)
+    )
 
 
 def kmv_intersect_estimate(
@@ -165,8 +188,14 @@ def kmv_intersect_estimate(
     estimator of the Jaccard similarity, scaled by the union estimate
     (Beyer et al. 2007, §5). Exact when both sides are unsaturated."""
     ca, cb = _col(a), _col(b)
+    # NULL-as-empty on BOTH uses of each side: kmv_merge already
+    # coalesces internally, but intersecting x against a raw NULL arm
+    # made the whole estimate NULL where empty-set math says 0.0
+    # (review pin) — intersect against the coalesced arrays instead
+    empty = F.array().cast("array<bigint>")
+    ea, eb = F.coalesce(ca, empty), F.coalesce(cb, empty)
     x = kmv_merge(ca, cb, k=k)
-    in_both = F.size(F.array_intersect(F.array_intersect(x, ca), cb))
+    in_both = F.size(F.array_intersect(F.array_intersect(x, ea), eb))
     kx = F.size(x)
     return F.when(kx == 0, F.lit(0.0)).otherwise(
         in_both.cast("double") / kx.cast("double") * kmv_estimate(x, k=k)

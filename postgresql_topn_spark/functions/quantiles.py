@@ -52,8 +52,16 @@ def kll_add_agg(
 
 
 def kll_merge(a: Column | str, b: Column | str) -> Column:
-    """Scalar two-sketch merge (the `+` of the quantile algebra)."""
-    return _call("kll_sketch_merge_double", _col(a), _col(b))
+    """Scalar two-sketch merge (the `+` of the quantile algebra).
+    NULL-tolerant like every sibling scalar merge (kmv/cms/bloom/hll):
+    a NULL side acts as the empty sketch (review pin — the native
+    merge propagates NULL)."""
+    ca, cb = _col(a), _col(b)
+    return (
+        F.when(ca.isNull(), cb)
+        .when(cb.isNull(), ca)
+        .otherwise(_call("kll_sketch_merge_double", ca, cb))
+    )
 
 
 def kll_union_rollup(
@@ -69,11 +77,14 @@ def kll_union_rollup(
     gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
     out = out_col or sketch_col
     lst = F.collect_list(_col(sketch_col))
-    # try_element_at: all-NULL groups collect empty -> NULL merge, no crash
+    # try_element_at: all-NULL groups collect empty -> NULL merge, no
+    # crash. The fold reuses kll_merge so THE merge expression (incl.
+    # its NULL tolerance) lives in exactly one place, like the
+    # kmv/cms _merge_collected pattern.
     folded = F.aggregate(
         F.slice(lst, 2, F.greatest(F.size(lst) - 1, F.lit(0))),
         F.try_element_at(lst, F.lit(1)),
-        lambda acc, x: _call("kll_sketch_merge_double", acc, x),
+        lambda acc, x: kll_merge(acc, x),
     )
     return df.groupBy(*gcols).agg(folded.alias(out))
 

@@ -117,6 +117,10 @@ SUBSET = [
     "events_interval_join",
     "events_asof_next",
     "topn_sql_having_keys",
+    # round-5 continuation: semi-join reduction over scaled lineitem
+    # (orders stays unscaled: the prune's selectivity GROWS with the
+    # fact table — the designed regime)
+    "topn_bloom_pruned_join",
 ]
 
 def _near_auto(spark, sf_dir):

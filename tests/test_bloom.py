@@ -93,3 +93,56 @@ def test_rejects_bad_shape(keyed):
         bloom_add_agg(keyed, ["bucket"], "item", m_bits=100)
     with pytest.raises(ValueError):
         bloom_add_agg(keyed, ["bucket"], "item", depth=0)
+
+
+def test_merge_and_probe_reject_shape_mismatch(spark):
+    """Review pin: OR-merging filters of different m_bits NULL-padded
+    words (a NULL probe reads as 'seen' under NOT), and probing with
+    the wrong m_bits loses the no-false-negative guarantee; both now
+    raise."""
+    import pytest
+
+    from postgresql_topn_spark.functions.bloom import (
+        bloom_add_agg,
+        bloom_merge,
+        bloom_might_contain,
+    )
+
+    df = spark.range(30).select(F.col("id").cast("string").alias("x"))
+    a = bloom_add_agg(df, [], "x", m_bits=1 << 10).select(
+        F.col("bloom").alias("a")
+    )
+    b = bloom_add_agg(df, [], "x", m_bits=1 << 11).select(
+        F.col("bloom").alias("b")
+    )
+    both = a.crossJoin(b)
+    with pytest.raises(Exception, match="shapes differ"):
+        both.select(bloom_merge("a", "b")).collect()
+    with pytest.raises(Exception, match="expected"):
+        a.select(
+            bloom_might_contain("a", F.lit("x"), m_bits=1 << 11)
+        ).collect()
+
+
+def test_group_column_named_word(spark):
+    """Review pin: bare internal working names collided with
+    same-named user group columns at analysis time."""
+    from postgresql_topn_spark.functions.bloom import (
+        bloom_add_agg,
+        bloom_might_contain,
+    )
+
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g2", "b")], "word string, item string"
+    )
+    out = bloom_add_agg(df, ["word"], "item", m_bits=1 << 10)
+    got = {
+        r["word"]: r["hit"]
+        for r in out.select(
+            "word",
+            bloom_might_contain("bloom", F.lit("a"), m_bits=1 << 10).alias(
+                "hit"
+            ),
+        ).collect()
+    }
+    assert got["g1"] is True

@@ -136,3 +136,47 @@ def test_window_merge_equals_direct_over_frame(spark):
             width=16,
         ).collect()[0]["cms"]
         assert rolled[d] == list(direct), d
+
+
+def test_merge_and_estimate_reject_shape_mismatch(spark):
+    """Review pin: merging or probing sketches of different depth/width
+    silently corrupted counts (zip_with NULL padding / wrong cells,
+    which can UNDER-estimate); both now raise."""
+    import pytest
+
+    from postgresql_topn_spark.functions.cms import (
+        cms_add_agg,
+        cms_estimate,
+        cms_merge,
+    )
+
+    df = spark.range(50).select(F.col("id").cast("string").alias("x"))
+    a = cms_add_agg(df, [], "x", depth=2, width=32).select(
+        F.col("cms").alias("a")
+    )
+    b = cms_add_agg(df, [], "x", depth=2, width=64).select(
+        F.col("cms").alias("b")
+    )
+    both = a.crossJoin(b)
+    with pytest.raises(Exception, match="shapes differ"):
+        both.select(cms_merge("a", "b")).collect()
+    with pytest.raises(Exception, match="expected"):
+        a.select(cms_estimate("a", F.lit("x"), depth=2, width=64)).collect()
+
+
+def test_group_column_named_slot(spark):
+    """Review pin: bare internal working names collided with
+    same-named user group columns at analysis time."""
+    from postgresql_topn_spark.functions.cms import cms_add_agg, cms_estimate
+
+    df = spark.createDataFrame(
+        [("g1", "a"), ("g1", "a"), ("g2", "b")], "slot string, item string"
+    )
+    out = cms_add_agg(df, ["slot"], "item", depth=2, width=32)
+    got = {
+        r["slot"]: r["est"]
+        for r in out.select(
+            "slot", cms_estimate("cms", F.lit("a"), depth=2, width=32).alias("est")
+        ).collect()
+    }
+    assert got["g1"] >= 2 and got["g2"] >= 0

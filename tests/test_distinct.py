@@ -187,3 +187,46 @@ def test_native_topk_exact_regime_and_sketch_bridge(spark):
     for r in ent:
         freqs = [e["frequency"] for e in r.t]
         assert freqs == sorted(freqs, reverse=True) and len(r.t) == 2
+
+
+def test_hll_union_null_tolerant(spark):
+    """Review pin: a NULL side acts as the empty sketch, like every
+    sibling scalar merge (the native hll_union propagates NULL)."""
+    from postgresql_topn_spark.functions.distinct import (
+        hll_add_agg,
+        hll_estimate_col,
+        hll_union,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("x"))
+    sk = hll_add_agg(df, [], "x").select(F.col("hll").alias("b"))
+    out = sk.select(
+        hll_estimate_col(
+            hll_union(F.lit(None).cast("binary"), "b")
+        ).alias("nb"),
+        hll_estimate_col(
+            hll_union("b", F.lit(None).cast("binary"))
+        ).alias("bn"),
+    ).collect()[0]
+    assert abs(out["nb"] - 100) <= 5 and abs(out["bn"] - 100) <= 5
+
+
+def test_kll_merge_null_tolerant(spark):
+    """Review pin: kll_merge treats a NULL side as the empty sketch,
+    like every sibling scalar merge."""
+    from postgresql_topn_spark.functions.quantiles import (
+        kll_add_agg,
+        kll_merge,
+        kll_n,
+        kll_quantile,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("double").alias("v"))
+    sk = kll_add_agg(df, [], "v").select(F.col("kll").alias("b"))
+    out = sk.select(
+        kll_n(kll_merge(F.lit(None).cast("binary"), "b")).alias("n"),
+        kll_quantile(kll_merge("b", F.lit(None).cast("binary")), 0.5).alias(
+            "med"
+        ),
+    ).collect()[0]
+    assert out["n"] == 100 and 30 <= out["med"] <= 70

@@ -179,3 +179,40 @@ def test_window_merge_equals_direct_over_frame(spark):
             k=16,
         ).collect()[0]["kmv"]
         assert rolled[d] == list(direct), d
+
+
+def test_intersect_estimate_null_side_is_zero(spark):
+    """Review pin: a NULL sketch arm is the empty set, so the
+    intersection estimate is 0.0, not NULL (left-join rollup shape)."""
+    from postgresql_topn_spark.functions.kmv import (
+        kmv_add_agg,
+        kmv_intersect_estimate,
+    )
+
+    df = spark.range(100).select(F.col("id").cast("string").alias("x"))
+    sk = kmv_add_agg(df, [], "x", k=16).select(F.col("kmv").alias("b"))
+    out = sk.select(
+        kmv_intersect_estimate(F.lit(None).cast("array<bigint>"), "b", k=16)
+        .alias("ab"),
+        kmv_intersect_estimate("b", F.lit(None).cast("array<bigint>"), k=16)
+        .alias("ba"),
+        kmv_intersect_estimate(
+            F.lit(None).cast("array<bigint>"),
+            F.lit(None).cast("array<bigint>"),
+            k=16,
+        ).alias("nn"),
+    ).collect()[0]
+    assert (out["ab"], out["ba"], out["nn"]) == (0.0, 0.0, 0.0)
+
+
+def test_estimate_rejects_oversized_sketch(spark):
+    """Review pin: reading a sketch with a SMALLER k than it was built
+    with silently took the wrong k-th order statistic; it now raises."""
+    import pytest
+
+    from postgresql_topn_spark.functions.kmv import kmv_add_agg, kmv_estimate
+
+    df = spark.range(200).select(F.col("id").cast("string").alias("x"))
+    sk = kmv_add_agg(df, [], "x", k=64)
+    with pytest.raises(Exception, match="larger k"):
+        sk.select(kmv_estimate("kmv", k=16)).collect()
