@@ -91,17 +91,51 @@ def bloom_add_agg(
         (F.col("__slot") / _WORD).cast("int").alias("__word"),
         _mask(F.pmod(F.col("__slot"), F.lit(_WORD))).alias("__bits"),
     ).groupBy(*names, "__word").agg(F.bit_or("__bits").alias("__bits"))
-    packed = sparse.groupBy(*names).agg(
-        F.map_from_entries(
-            F.collect_list(F.struct(F.col("__word"), F.col("__bits")))
-        ).alias("__m")
-    )
     nwords = m_bits // _WORD
-    dense = F.transform(
-        F.sequence(F.lit(0), F.lit(nwords - 1)),
-        lambda i: F.coalesce(F.element_at(F.col("__m"), i.cast("int")), F.lit(0)),
+    if nwords <= 4096:
+        # small filters (the rollup-family default, 4096 bits = 128
+        # words): one per-index map lookup each — O(words * set_words)
+        # per group is trivial here and keeps the build at exactly two
+        # exchanges
+        packed = sparse.groupBy(*names).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__word"), F.col("__bits")))
+            ).alias("__m")
+        )
+        dense = F.transform(
+            F.sequence(F.lit(0), F.lit(nwords - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("__m"), i.cast("int")), F.lit(0)
+            ),
+        )
+        return packed.select(*names, dense.alias(out_col))
+    # big filters (bloom_pruned_join's 2^20-bit default = 32k words):
+    # Spark's map lookup is a LINEAR scan, so the transform pack is
+    # O(words * set_words) ~ 10^9 comparisons and takes tens of seconds
+    # (measured). Pack via a dense word GRID instead: groups x
+    # sequence-explode -> left join the sparse words -> sort-collect.
+    # O(nwords) rows through small exchanges, still zero Python.
+    groups = sparse.select(*names).distinct() if names else None
+    grid_words = F.explode(
+        F.sequence(F.lit(0), F.lit(nwords - 1))
+    ).alias("__word")
+    if names:
+        grid = groups.select(*names, grid_words)
+        joined = grid.join(sparse, [*names, "__word"], "left")
+    else:
+        grid = slots.sparkSession.range(1).select(grid_words)
+        joined = grid.join(sparse, ["__word"], "left")
+    dense_sorted = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("__word"), F.coalesce("__bits", F.lit(0)).alias("__bits"))
+            )
+        ),
+        lambda e: e["__bits"],
     )
-    return packed.select(*names, dense.alias(out_col))
+    if names:
+        return joined.groupBy(*names).agg(dense_sorted.alias(out_col))
+    return joined.groupBy().agg(dense_sorted.alias(out_col))
 
 
 def bloom_merge(a: Column | str, b: Column | str) -> Column:
