@@ -48,11 +48,24 @@ DEFAULT_DEPTH = 3
 _WORD = 32
 
 
-def bloom_slot(item: Column | str, row: int, m_bits: int) -> Column:
-    """Row-`row` bit index of `item` (0..m_bits-1), md5-portable."""
-    salted = F.concat(F.lit(f"{row}:"), _col(item))
-    h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
-    return F.pmod(h, F.lit(m_bits)).cast("int")
+def bloom_slot(
+    item: Column | str, row: int, m_bits: int, *, portable: bool = True
+) -> Column:
+    """Row-`row` bit index of `item` (0..m_bits-1).
+
+    ``portable=True`` (default): md5-60bit — an ANSI oracle replays
+    every membership decision INCLUDING false positives, the contract
+    the rollup family's gate queries rest on. ``portable=False``:
+    xxhash64 — several times cheaper per probe; use it when only the
+    no-false-negative guarantee matters (semi-join pruning, where the
+    RESULT is hash-independent), not the exact bit pattern."""
+    if portable:
+        salted = F.concat(F.lit(f"{row}:"), _col(item))
+        h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+        return F.pmod(h, F.lit(m_bits)).cast("int")
+    return F.pmod(F.xxhash64(F.lit(row), _col(item)), F.lit(m_bits)).cast(
+        "int"
+    )
 
 
 def _mask(bit: Column) -> Column:
@@ -68,9 +81,11 @@ def bloom_add_agg(
     m_bits: int = DEFAULT_M_BITS,
     depth: int = DEFAULT_DEPTH,
     out_col: str = "bloom",
+    portable: bool = True,
 ) -> DataFrame:
     """Per-group Bloom filter (array<long> of m_bits/32 words) over
-    `item`. NULL items are skipped."""
+    `item`. NULL items are skipped. ``portable`` picks the slot hash
+    (see bloom_slot) — build and probe MUST agree on it."""
     if m_bits % _WORD != 0 or m_bits < _WORD:
         raise ValueError(f"m_bits must be a positive multiple of {_WORD}")
     if depth < 1:
@@ -80,7 +95,12 @@ def bloom_add_agg(
     slots = df.where(it.isNotNull()).select(
         *gcols,
         F.explode(
-            F.array(*[bloom_slot(it, i, m_bits) for i in range(depth)])
+            F.array(
+                *[
+                    bloom_slot(it, i, m_bits, portable=portable)
+                    for i in range(depth)
+                ]
+            )
         ).alias("__slot"),
     )
     names = [f.name for f in slots.schema.fields[:-1]]
@@ -195,19 +215,20 @@ def bloom_might_contain(
     *,
     m_bits: int = DEFAULT_M_BITS,
     depth: int = DEFAULT_DEPTH,
+    portable: bool = True,
 ) -> Column:
     """Membership probe: TRUE iff all `depth` bits are set. No false
     negatives ever; false-positive rate ~= (set-bit fraction)^depth.
     Probing a filter whose word count does not match m_bits reads the
     wrong bit positions (false negatives — the one guarantee this
     structure exists for), so a shape mismatch raises instead (review
-    pin). A depth mismatch is not structurally detectable: keep
-    build/read parameters in one place (stream_bloom_dedup stores and
-    checks both)."""
+    pin). A depth or slot-hash (``portable``) mismatch is not
+    structurally detectable: keep build/read parameters in one place
+    (stream_bloom_dedup stores and checks geometry)."""
     s = _col(sketch)
     checks = []
     for i in range(depth):
-        slot = bloom_slot(item, i, m_bits)
+        slot = bloom_slot(item, i, m_bits, portable=portable)
         word = F.element_at(s, (slot / _WORD).cast("int") + F.lit(1))
         mask = _mask(F.pmod(slot, F.lit(_WORD)))
         checks.append(word.bitwiseAND(mask) != 0)

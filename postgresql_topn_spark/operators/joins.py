@@ -63,6 +63,7 @@ def bloom_pruned_join(
     m_bits: int = 1 << 20,
     depth: int = 3,
     how: str = "inner",
+    portable: bool = False,
 ) -> DataFrame:
     """Semi-join reduction — the classic big-data shuffle cut: build a
     Bloom filter over the SMALL side's join keys (one bounded
@@ -97,7 +98,15 @@ def bloom_pruned_join(
 
     Sizing: keep set-bit load (n_small_keys * depth / m_bits) under
     ~0.3; past that the filter saturates toward all-true and the prune
-    degrades to a no-op (still correct, just useless)."""
+    degrades to a no-op (still correct, just useless).
+
+    ``portable=False`` (default) hashes slots with xxhash64 — several
+    times cheaper per fact-row probe than the md5-portable form, and
+    the RESULT is hash-independent anyway (no false negatives under
+    any hash; a different hash only moves which non-matches survive to
+    the join, where they drop). Pass ``portable=True`` only when an
+    external ANSI engine must replay the pruned INTERMEDIATE
+    exactly."""
     from postgresql_topn_spark.functions.bloom import (
         bloom_add_agg,
         bloom_might_contain,
@@ -120,12 +129,17 @@ def bloom_pruned_join(
         m_bits=m_bits,
         depth=depth,
         out_col="__bloom_prune",
+        portable=portable,
     )
     pruned = (
         large.crossJoin(F.broadcast(filt))
         .where(
             bloom_might_contain(
-                "__bloom_prune", probe_key(large), m_bits=m_bits, depth=depth
+                "__bloom_prune",
+                probe_key(large),
+                m_bits=m_bits,
+                depth=depth,
+                portable=portable,
             )
         )
         .drop("__bloom_prune")

@@ -574,8 +574,14 @@ class TestBloomPrunedJoin:
         large, small = self._tables(spark)
         out = bloom_pruned_join(large, small, "k")
         plan = out._jdf.queryExecution().executedPlan().toString()
-        # the md5 slot probe sits in a Filter ahead of the equi-join
-        assert "md5" in plan
+        # the default fast-hash slot probe sits in a Filter ahead of
+        # the equi-join; portable=True swaps in the md5 form
+        assert "xxhash64" in plan
+        p2 = bloom_pruned_join(large, small, "k", portable=True)
+        assert "md5" in p2._jdf.queryExecution().executedPlan().toString()
+        # both hash modes produce the identical (exact) join result
+        exp = sorted(map(tuple, large.join(small, "k").collect()))
+        assert sorted(map(tuple, p2.collect())) == exp
         import pytest as _p
 
         with _p.raises(ValueError, match="how"):
