@@ -255,13 +255,41 @@ def connected_components(
         .select("__s", F.least("__s", "__m").alias("__c"))
     )
 
-    def _label_sum(lbl: DataFrame):
-        # labels only ever decrease element-wise, so the label sum is
-        # strictly monotone: equal consecutive sums == fixpoint. One
-        # cheap scan of the checkpointed labels per round, instead of a
-        # join + inequality count. decimal(38,0) cannot wrap.
-        return lbl.agg(F.sum(F.col("__c").cast("decimal(38,0)"))).first()[0]
+    from pyspark.sql import types as _T
 
+    _numeric_label = isinstance(
+        und.schema["__s"].dataType,
+        (
+            _T.ByteType,
+            _T.ShortType,
+            _T.IntegerType,
+            _T.LongType,
+            _T.DecimalType,
+        ),
+    )
+
+    def _label_sum(lbl: DataFrame):
+        # labels only ever decrease element-wise, so one cheap scan of
+        # the checkpointed labels per round detects the fixpoint —
+        # instead of a join + inequality count. Integral/decimal ids:
+        # the exact decimal(38,0) label sum is strictly monotone, so
+        # equal consecutive sums == fixpoint, exactly. Other id types
+        # (string doc keys — supported by every pair generator; the
+        # old unconditional decimal cast CRASHED on them under ANSI,
+        # review pin): a (sum, bit_xor) pair over xxhash64(label) — a
+        # changed label multiset escapes both checks except with
+        # probability ~2^-128 (the JSONL manifest's digest argument),
+        # and the max_iter exhaustion guard below backstops even that.
+        if _numeric_label:
+            return lbl.agg(F.sum(F.col("__c").cast("decimal(38,0)"))).first()[0]
+        h = F.xxhash64("__c")
+        row = lbl.agg(
+            F.sum(h.cast("decimal(38,0)")).alias("s"),
+            F.bit_xor(h).alias("x"),
+        ).first()
+        return (row["s"], row["x"])
+
+    converged = False
     prev_sum = _label_sum(labels)
     for rnd in range(max_iter):
         _t0 = time.perf_counter()
@@ -287,6 +315,7 @@ def connected_components(
                 }
             )
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     # every checkpoint's writer job has run by now (doCheckpoint fires
@@ -295,6 +324,18 @@ def connected_components(
     for df in pinned:
         df.unpersist()
     pinned.clear()
+    if not converged:
+        # returning partially-propagated labels would silently split
+        # components (and downstream keep-one dedup would keep several
+        # 'canonical' copies); the docstring promises the exact
+        # labeling, so fail loudly instead (review pin)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter="
+            f"{max_iter} rounds — the component diameter exceeds the "
+            "round budget; raise max_iter (rounds are cheap and "
+            "measured to stay at ~1 on near-dup graphs) or pass "
+            "checkpoint_dir for long chains"
+        )
     return labels.select(
         F.col("__s").alias("node"), F.col("__c").alias("component")
     )
@@ -690,6 +731,11 @@ def char_ngram_jaccard_pairs(
     candidate distinct-exchange (reused, since they differ only in
     projections above it), keeping the whole query at two kernel
     evaluations: the prefix-index chain and this one."""
+    if not 0.0 < threshold <= 1.0:
+        # an out-of-range threshold makes the prefix length negative
+        # and surfaces as a cryptic runtime slice error deep in the
+        # job; validate at the API boundary like the sibling operators
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     garr = _char_gram_arrays(df, id_col, text_col, n)
     posts = garr.select("__id", F.explode("__g").alias("__sh"), "__n")
     cand = _prefix_candidates(posts, threshold)
@@ -884,7 +930,13 @@ def minhash_lsh_pairs(
     r=2, b=16 the candidate probability at s=0.9 is 1-(1-0.81)^16 >
     0.999999.
     """
-    assert num_hashes % bands == 0
+    if num_hashes % bands != 0:
+        # ValueError, not assert: asserts vanish under python -O and
+        # the silent floor division would use only bands*(n//bands) of
+        # the signature — a different recall curve than requested
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands})"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(
         df, id_col, text_col, num_hashes=num_hashes, k=k, seed=seed
@@ -1471,11 +1523,14 @@ def levenshtein_pairs(
         raise ValueError(f"max_dist must be >= 0, got {max_dist}")
     # default block: first REAL token (text.tokens() trims and drops
     # phantom '' tokens, so leading whitespace can't dump documents
-    # into a shared degenerate '' block)
+    # into a shared degenerate '' block). F.get, not getItem: an
+    # empty/whitespace-only document tokenizes to [] and getItem(0)
+    # CRASHES under ANSI (INVALID_ARRAY_INDEX) — F.get yields NULL and
+    # the isNotNull filter below drops the row (review pin)
     b = (
         block
         if block is not None
-        else F.lower(tokens(text_col).getItem(0))
+        else F.lower(F.get(tokens(text_col), 0))
     )
     t = df.select(
         _col(id_col).alias("__id"),
@@ -1587,7 +1642,14 @@ def tfidf_cosine_pairs(
     df_t = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
     if max_df is not None:
         df_t = df_t.where(F.col("__df") <= max_df)
-    n_docs = t.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    # N counts docs that produced at least one term — the same universe
+    # df is counted over. Counting ALL docs (incl. those shorter than
+    # shingle_k) made df == N unreachable in short-doc corpora, so the
+    # zero-idf stopword guard never fired and a ubiquitous shingle kept
+    # its full quadratic posting list (review pin)
+    n_docs = tf.agg(
+        F.count_distinct(F.col("__id")).cast("double").alias("__n")
+    )
     w = (
         tf.join(df_t, "__term")
         .crossJoin(F.broadcast(n_docs))

@@ -4489,7 +4489,7 @@ def events_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM toks))
       GROUP BY 1, 2
     ),
-    n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+    n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM tk),
     dfs AS (SELECT term, count(*) AS df FROM tk GROUP BY 1),
     w AS (
       SELECT tk.doc_id, tk.term, tk.tf * ln(nd / CAST(df AS DOUBLE)) AS w

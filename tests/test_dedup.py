@@ -850,3 +850,93 @@ class TestTfidfCosinePairs:
 
         out = tfidf_cosine_pairs(self._docs(spark), "doc_id", "text")
         assert python_stages(out) == 0
+
+
+def test_levenshtein_pairs_empty_doc_survives(spark):
+    """Review pin: the default blocking key used getItem(0), which
+    CRASHES under ANSI on an empty token array; empty/whitespace-only
+    docs must simply not block with anyone."""
+    from postgresql_topn_spark.operators.dedup import levenshtein_pairs
+
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "hello worlds"), (3, "   "), (4, "")],
+        "doc_id bigint, text string",
+    )
+    got = [
+        (r["doc_a"], r["doc_b"], r["dist"])
+        for r in levenshtein_pairs(df, "doc_id", "text", max_dist=2).collect()
+    ]
+    assert got == [(1, 2, 1)]
+
+
+def test_connected_components_string_ids(spark):
+    """Review pin: the convergence check cast labels to decimal(38,0),
+    crashing on string doc ids (ANSI) — every pair generator supports
+    string ids, so the labeling layer must too."""
+    from postgresql_topn_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("x", "y")],
+        "src string, dst string",
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "x": "x", "y": "x"}
+
+
+def test_connected_components_max_iter_exhaustion_raises(spark):
+    """Review pin: returning partially-propagated labels silently
+    split components; exhausting max_iter now fails loudly."""
+    import pytest
+
+    from postgresql_topn_spark.operators.dedup import connected_components
+
+    # a 6-node path needs several propagation rounds; 1 is not enough
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 6)], "src bigint, dst bigint"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, "src", "dst", max_iter=1)
+
+
+def test_minhash_bands_and_char_ngram_threshold_validation(spark):
+    """Review pin: assert-based validation vanishes under python -O;
+    out-of-range thresholds surfaced as cryptic runtime slice errors."""
+    import pytest
+
+    from postgresql_topn_spark.operators.dedup import (
+        char_ngram_jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "a b c")], "doc_id bigint, text string")
+    with pytest.raises(ValueError, match="divisible"):
+        minhash_lsh_pairs(df, "doc_id", "text", num_hashes=32, bands=5)
+    with pytest.raises(ValueError, match="threshold"):
+        char_ngram_jaccard_pairs(df, "doc_id", "text", threshold=1.5)
+    with pytest.raises(ValueError, match="threshold"):
+        char_ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
+
+
+def test_tfidf_zero_idf_fires_with_short_docs(spark):
+    """Review pin: N must count docs that produced >= 1 shingle — with
+    N over ALL docs, a corpus containing sub-shingle_k docs could never
+    reach df == N, so the zero-idf stopword guard never fired."""
+    from postgresql_topn_spark.operators.dedup import tfidf_cosine_pairs
+
+    df = spark.createDataFrame(
+        [
+            (1, "the same boilerplate line here"),
+            (2, "the same boilerplate line there"),
+            (3, "short"),  # < 3 tokens: no shingles
+        ],
+        "doc_id bigint, text string",
+    )
+    out = tfidf_cosine_pairs(df, "doc_id", "text", shingle_k=3, min_sim=0.0)
+    rows = {(r["doc_a"], r["doc_b"]): r["cos_sim"] for r in out.collect()}
+    # 'the same boilerplate' and 'same boilerplate line' have df == N
+    # == 2 -> weight 0; the docs still share no POSITIVE-weight term,
+    # so no pair survives (every shared term is ubiquitous)
+    assert rows == {}
