@@ -276,11 +276,20 @@ def bpe_encode(
                 )
             return syms
 
+        import re as _re
+
+        # the TRAINER tokenizes with Java \s+ (ASCII whitespace:
+        # [ \t\n\x0B\f\r]) via text.tokens(); Python str.split() splits
+        # on UNICODE whitespace too, so a word containing U+00A0 (NBSP)
+        # would train as ONE word but encode as two (review pin) — split with the
+        # exact Java class
+        _java_ws = _re.compile(r"[ \t\n\x0b\f\r]+")
+
         def enc(t):
             if t is None:
                 return None
             out: list[str] = []
-            for w in t.split():
+            for w in (w for w in _java_ws.split(t) if w):
                 out.extend(
                     t
                     for t in (s.removesuffix(EOW) for s in enc_word(w))

@@ -96,7 +96,10 @@ def bm25_topk(
     """
     if not query_terms:
         raise ValueError("query_terms must be non-empty")
-    qt = [str(t) for t in query_terms]
+    # dedupe (order-preserving): a repeated term would double its df
+    # (understating idf) and emit duplicate hit rows occupying two
+    # ranks (review pin)
+    qt = list(dict.fromkeys(str(t) for t in query_terms))
 
     base = docs.select(
         F.col(id_col).alias("doc_id"),

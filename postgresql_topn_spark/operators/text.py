@@ -158,11 +158,16 @@ def quality_score(text: Column | str) -> Column:
     stop_component = F.least(stop_ratio * F.lit(3.0), F.lit(1.0)) * F.lit(0.3)
     punct_component = (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
     score = F.round(length_component + stop_component + punct_component, 6)
-    # empty/whitespace-only text has no quality to score: NULL, not a
-    # DIVIDE_BY_ZERO crash (ANSI) and not the 0.3 artifact F.least's
-    # NULL-skipping would otherwise cook up from the NULL ratios
+    # empty/whitespace-only/NULL text has no quality to score: NULL,
+    # not a DIVIDE_BY_ZERO crash (ANSI) and not the 0.3/0.8 artifact
+    # F.least's NULL-skipping would otherwise cook up from the NULL
+    # ratios. The isNull arm is load-bearing: on NULL text the other
+    # conditions evaluate to NULL (not true), fell through to the
+    # score branch, and a missing text field scored 0.8 — sailing
+    # through any quality pre-filter (review pin)
     return F.when(
-        (F.char_length(t) == 0) | (n_tok == 0), F.lit(None).cast("double")
+        t.isNull() | (F.char_length(t) == 0) | (n_tok == 0),
+        F.lit(None).cast("double"),
     ).otherwise(score)
 
 
@@ -213,15 +218,23 @@ def repetition_signals(text: Column | str) -> Column:
     n = F.size(toks).cast("double")
     lines = F.split(t, "\n")
     n_lines = F.size(lines).cast("double")
+    # try_divide: an empty/whitespace-only document has 0 tokens and a
+    # plain '/' crashed the whole scan under ANSI (review pin); the
+    # fractions come back NULL for such rows, like quality_score
     return F.struct(
         F.size(toks).cast("long").alias("n_tokens"),
         (
-            F.lit(1.0) - F.size(F.array_distinct(toks)).cast("double") / n
+            F.lit(1.0)
+            - F.try_divide(F.size(F.array_distinct(toks)).cast("double"), n)
         ).alias("dup_token_frac"),
-        (top_token_count(t).cast("double") / n).alias("top_token_frac"),
+        F.try_divide(top_token_count(t).cast("double"), n).alias(
+            "top_token_frac"
+        ),
         (
             F.lit(1.0)
-            - F.size(F.array_distinct(lines)).cast("double") / n_lines
+            - F.try_divide(
+                F.size(F.array_distinct(lines)).cast("double"), n_lines
+            )
         ).alias("dup_line_frac"),
     )
 

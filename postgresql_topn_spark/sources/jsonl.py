@@ -85,7 +85,19 @@ def write_jsonl_corpus(
     w = sharded.repartition(n_shards, "__shard").write.mode("overwrite")
     if compression:
         w = w.option("compression", compression)
-    w.partitionBy("__shard").json(path)
+    # pin STATIC overwrite for the write: under a session-level
+    # partitionOverwriteMode=dynamic, re-exporting with fewer shards
+    # would leave the old export's extra shard dirs in place — and the
+    # read-back manifest would then ATTEST the stale/duplicated corpus
+    # (review pin). Static mode clears the whole target first.
+    spark = df.sparkSession
+    _MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
+    prev_mode = spark.conf.get(_MODE_KEY)
+    spark.conf.set(_MODE_KEY, "static")
+    try:
+        w.partitionBy("__shard").json(path)
+    finally:
+        spark.conf.set(_MODE_KEY, prev_mode)
     # Manifest stats come from READING BACK the written files (not from
     # a second pass over the source): the checksums then attest the
     # bytes that actually landed on disk, and the computation is the

@@ -19,9 +19,12 @@ up. These helpers fold the accumulated state back down:
   scan bandwidth does.
 
 Rewrites stage into a sibling temp dir then swap, so a concurrent
-reader never sees a half-written table on a posix-rename filesystem
-(object stores want the table-format route — Delta/Iceberg — instead;
-these helpers are the raw-parquet tier).
+reader never sees a HALF-WRITTEN table on a posix-rename filesystem —
+though it can briefly observe the path missing between the swap's two
+renames (each rename is atomic; the pair is not), so concurrent
+readers should retry path-not-found. Object stores and strict
+isolation want the table-format route — Delta/Iceberg — instead;
+these helpers are the raw-parquet tier.
 """
 
 from __future__ import annotations
@@ -35,9 +38,30 @@ from pyspark.sql import functions as F
 
 
 def _staged_rewrite(write_fn, path: str) -> None:
+    """Write into a sibling staging dir, then swap via two renames.
+
+    Failure behavior (review pins): a failed write cleans up its
+    staging dir; the backup name is DETERMINISTIC (``<path>__old``) so
+    a crash between the two renames leaves the previous table at a
+    known recovery location — and a stale backup from such a crash
+    makes the next rewrite refuse loudly instead of stacking uuid
+    orphans. Readers can observe a brief missing-path window between
+    the renames (posix rename is atomic per call, not across two) —
+    retry-on-missing, or use a table format for strict isolation."""
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
-    write_fn(staging)
-    backup = f"{path.rstrip('/')}__old_{uuid.uuid4().hex[:8]}"
+    try:
+        write_fn(staging)
+    except BaseException:
+        shutil.rmtree(staging, ignore_errors=True)
+        raise
+    backup = f"{path.rstrip('/')}__old"
+    if os.path.exists(backup):
+        shutil.rmtree(staging, ignore_errors=True)
+        raise RuntimeError(
+            f"stale backup {backup} exists — a previous swap crashed "
+            "between its renames; inspect/restore it (it holds the "
+            "last complete table) and delete it before rewriting"
+        )
     os.rename(path, backup)
     os.rename(staging, path)
     shutil.rmtree(backup)
@@ -66,15 +90,24 @@ def compact_topn_rollup(
         "topn",
         counters=counters,
     ).withColumn("topn", sketch_to_json(F.col("topn")))
-    n = merged.count()
-    # one file per bucket partition: the repartition keys match the
-    # partitionBy, so every partition dir gets exactly one writer task
-    out = merged.repartition(max(1, n), bucket_name)
+    # persist: the count and the staged write would otherwise each run
+    # the full fragment scan + merge shuffle (review pin — compaction
+    # paid its dominant cost twice)
+    merged = merged.persist()
+    try:
+        n = merged.count()
+        # one file per bucket partition: the repartition keys match the
+        # partitionBy, so every partition dir gets one writer task
+        out = merged.repartition(max(1, n), bucket_name)
 
-    def write(staging: str) -> None:
-        out.write.mode("overwrite").partitionBy(bucket_name).parquet(staging)
+        def write(staging: str) -> None:
+            out.write.mode("overwrite").partitionBy(bucket_name).parquet(
+                staging
+            )
 
-    _staged_rewrite(write, path)
+        _staged_rewrite(write, path)
+    finally:
+        merged.unpersist()
     return n
 
 

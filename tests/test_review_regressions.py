@@ -567,3 +567,149 @@ def test_interval_join_reserved_names_raise(spark):
 
     with _pytest.raises(ValueError, match="reserved"):
         interval_join(pts, ivs, point_time="ts", bucket_width=1.0)
+
+
+# ---------------------------------------------------------------------------
+# Round-5 continuation review pins: text/search/bpe/jsonl/maintenance
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_signals_empty_doc_no_crash(spark):
+    """Empty/whitespace-only docs have 0 tokens: the fractions come
+    back NULL (try_divide), never a DIVIDE_BY_ZERO scan kill."""
+    from postgresql_topn_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, ""), (3, "   "), (4, None)],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r["r"]
+        for r in df.select(
+            "doc_id", repetition_signals("text").alias("r")
+        ).collect()
+    }
+    assert rows[1]["n_tokens"] == 3
+    assert abs(rows[1]["dup_token_frac"] - (1 - 2 / 3)) < 1e-9
+    assert rows[2]["n_tokens"] == 0 and rows[2]["dup_token_frac"] is None
+    assert rows[3]["top_token_frac"] is None
+
+
+def test_quality_score_null_text_is_null(spark):
+    """NULL text used to score 0.8 (the when-guard evaluated to NULL
+    and F.least's NULL-skipping gave full credit) — a missing text
+    field must not sail through quality pre-filters."""
+    from postgresql_topn_spark.operators.text import quality_score
+
+    df = spark.createDataFrame(
+        [(1, None), (2, "the cat sat on the mat for a while")],
+        "doc_id bigint, text string",
+    )
+    rows = {
+        r["doc_id"]: r["q"]
+        for r in df.select("doc_id", quality_score("text").alias("q")).collect()
+    }
+    assert rows[1] is None and rows[2] is not None
+
+
+def test_bm25_duplicate_query_terms_deduped(spark):
+    """A repeated query term used to double its df (understating idf)
+    and emit duplicate rank rows."""
+    from postgresql_topn_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "cat sat"), (2, "cat cat nap"), (3, "dog park")],
+        "doc_id bigint, text string",
+    )
+    once = sorted(
+        map(tuple, bm25_topk(df, "doc_id", "text", ["cat"], k=5).collect())
+    )
+    twice = sorted(
+        map(
+            tuple,
+            bm25_topk(df, "doc_id", "text", ["cat", "cat"], k=5).collect(),
+        )
+    )
+    assert once == twice and len(once) == 2
+
+
+def test_bpe_encode_java_whitespace_parity(spark):
+    """bpe_encode must tokenize with the TRAINER's Java \\s+ (ASCII)
+    class: a word containing U+00A0 is one word on both sides."""
+    from postgresql_topn_spark.operators.bpe import bpe_encode, train_bpe
+
+    word = "ab ab"
+    df = spark.createDataFrame([(word + " ",)] * 8, "text string")
+    merges = train_bpe(df, "text", n_merges=3, min_pair_count=2)
+    enc = bpe_encode(
+        df.select(F.monotonically_increasing_id().alias("id"), "text"),
+        merges,
+        text_col="text",
+        id_col="id",
+    )
+    toks = enc.collect()[0]["bpe_tokens"]
+    # the NBSP stays inside the single trained word: re-joining the
+    # emitted tokens reproduces it (a Unicode split would lose it)
+    assert "".join(toks) == word
+
+
+def test_jsonl_reexport_fewer_shards_under_dynamic_mode(spark, tmp_path):
+    """Re-exporting with fewer shards under session-level dynamic
+    partition overwrite used to leave the old export's extra shard
+    dirs in place — with the manifest ATTESTING the stale corpus."""
+    from postgresql_topn_spark.sources.jsonl import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    df = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc "), F.col("id")).alias("text"),
+    )
+    base = str(tmp_path / "corpus")
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        write_jsonl_corpus(df, base, n_shards=8)
+        m2 = write_jsonl_corpus(df, base, n_shards=2)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    assert m2["n_shards"] == 2 and m2["total_rows"] == 40
+    back = read_jsonl_corpus(
+        spark, base, schema="doc_id bigint, text string", verify_manifest=True
+    )
+    assert back.count() == 40  # no stale shard rows
+
+
+def test_staged_rewrite_failure_cleanup_and_stale_backup(tmp_path):
+    """A failed write cleans its staging dir; a stale backup from a
+    crashed swap makes the next rewrite refuse loudly."""
+    import os
+
+    import pytest
+
+    from postgresql_topn_spark.sources.maintenance import _staged_rewrite
+
+    live = tmp_path / "table"
+    live.mkdir()
+    (live / "part-0").write_text("v1")
+
+    def bad_write(staging):
+        os.makedirs(staging, exist_ok=True)
+        raise RuntimeError("boom")
+
+    with pytest.raises(RuntimeError, match="boom"):
+        _staged_rewrite(bad_write, str(live))
+    assert (live / "part-0").read_text() == "v1"
+    assert not [p for p in tmp_path.iterdir() if "__staging" in p.name]
+    # stale backup refusal
+    backup = tmp_path / "table__old"
+    backup.mkdir()
+
+    def good_write(staging):
+        os.makedirs(staging, exist_ok=True)
+
+    with pytest.raises(RuntimeError, match="stale backup"):
+        _staged_rewrite(good_write, str(live))
+    assert (live / "part-0").read_text() == "v1"
+    assert not [p for p in tmp_path.iterdir() if "__staging" in p.name]
