@@ -10,9 +10,11 @@ the driver's data, and there is no sf1 drop), with replicas DECORRELATED
 so the duplicate/similarity structure scales linearly instead of
 quadratically:
 
-- documents: replica i>0 applies a Caesar shift of i to every letter
-  (``translate`` with a rotated alphabet — JVM-side, bijective on
-  chars). A bijective char map preserves EVERY equality statistic —
+- documents: replica i>0 applies a per-replica AFFINE char map
+  (x -> a*x + b mod 26; ``translate`` with a permuted alphabet —
+  JVM-side, bijective on chars; 312 distinct maps, so no identity
+  collision up to mult 312). A bijective char map preserves EVERY
+  equality statistic —
   doc lengths, gram counts, token/shingle/char-gram/minhash/simhash
   similarity structure — exactly within the replica, while replicas
   share essentially no grams with each other.  10x docs => 10x
@@ -164,7 +166,9 @@ ALL_TABLES = [
 
 
 def build_scaled(spark, mult: int) -> str:
-    out = os.path.join(SCALE_ROOT, f"x{mult}v3")
+    # v4: affine char maps (v3 was Caesar-only — identity collisions
+    # past mult 26) + long replica offsets (v3 overflowed at mult 22+)
+    out = os.path.join(SCALE_ROOT, f"x{mult}v4")
     marker = os.path.join(out, "_DONE")
     if os.path.exists(marker):
         return out
@@ -186,10 +190,21 @@ def build_scaled(spark, mult: int) -> str:
 
     lower = "abcdefghijklmnopqrstuvwxyz"
     upper = lower.upper()
+    # bijective per-replica char maps. AFFINE maps (x -> a*x + b mod
+    # 26, gcd(a, 26) = 1), not plain Caesar shifts: shifts wrap at 26,
+    # so mult > 26 would hand replicas 26/52/78 the IDENTITY map —
+    # exact copies of replica 0, correlating the corpus and breaking
+    # the linear-duplicate-growth derivation. 12 units x 26 offsets =
+    # 312 distinct bijections (minus identity), plenty for mult <= 100.
+    coprimes = [3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25, 1]
+    affine = [
+        (a, b) for a in coprimes for b in range(26) if (a, b) != (1, 0)
+    ]
     shifted = F.col("text")
     for i in range(1, mult):
-        rl = lower[i:] + lower[:i]
-        ru = upper[i:] + upper[:i]
+        a, b = affine[(i - 1) % len(affine)]
+        rl = "".join(lower[(a * j + b) % 26] for j in range(26))
+        ru = rl.upper()
         shifted = F.when(
             F.col("__r") == i,
             F.translate(F.translate("text", lower, rl), upper, ru),
@@ -197,7 +212,7 @@ def build_scaled(spark, mult: int) -> str:
 
     d = docs.select("*", rep)
     d = d.select(
-        (F.col("doc_id") + F.col("__r") * OFF).alias("doc_id"),
+        (F.col("doc_id") + F.col("__r").cast("long") * F.lit(OFF)).alias("doc_id"),
         shifted.alias("text"),
         "lang",
         "source",
@@ -209,7 +224,7 @@ def build_scaled(spark, mult: int) -> str:
     e = emb.select("*", rep)
     shift = (F.col("__r") * 13) % dim
     e = e.select(
-        (F.col("vec_id") + F.col("__r") * OFF).alias("vec_id"),
+        (F.col("vec_id") + F.col("__r").cast("long") * F.lit(OFF)).alias("vec_id"),
         F.concat(
             F.slice("embedding", shift + 1, F.lit(dim) - shift),
             F.slice("embedding", F.lit(1), shift),
@@ -222,9 +237,9 @@ def build_scaled(spark, mult: int) -> str:
 
     v = ev.select("*", rep)
     v = v.select(
-        (F.col("event_id") + F.col("__r") * OFF).alias("event_id"),
+        (F.col("event_id") + F.col("__r").cast("long") * F.lit(OFF)).alias("event_id"),
         "ts",
-        (F.col("user_id") + F.col("__r") * OFF).alias("user_id"),
+        (F.col("user_id") + F.col("__r").cast("long") * F.lit(OFF)).alias("user_id"),
         "event_type",
         "value",
         "props",
@@ -236,7 +251,7 @@ def build_scaled(spark, mult: int) -> str:
     li = spark.read.parquet(os.path.join(BASE, "lineitem.parquet"))
     l = li.select("*", rep)
     l = l.select(
-        (F.col("l_orderkey") + F.col("__r") * OFF).alias("l_orderkey"),
+        (F.col("l_orderkey") + F.col("__r").cast("long") * F.lit(OFF)).alias("l_orderkey"),
         *[c for c in li.columns if c != "l_orderkey"],
     )
     l.repartition(32).write.mode("overwrite").parquet(
