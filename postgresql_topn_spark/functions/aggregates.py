@@ -347,25 +347,34 @@ def topn_union_agg(
     )
     counted = exploded.groupBy(*gnames, _ITEM).agg(
         # saturating int64 sum at native long speed: try_sum yields NULL
-        # on any int64 overflow, which coalesces to INT64_MAX — same
-        # observable saturation as the reference's pairwise clamp
-        # (frequencies are non-negative, so an overflowed sum can only
-        # mean "beyond INT64_MAX"). A decimal(38,0) accumulator gives
-        # the identical result but aggregates several times slower.
+        # exact decimal(38,0) sum, ONE clamp to the int64 range — the
+        # weighted path's idiom. The old try_sum+coalesce(INT64_MAX)
+        # form had two union-only defects (negative frequencies are
+        # first-class here — sketch_from_json admits them and
+        # drop_nonpositive=False keeps them): a NEGATIVE overflow
+        # surfaced as +INT64_MAX (the top heavy-hitter slot), and a
+        # TRANSIENT mixed-sign overflow whose exact total fits int64
+        # still read as saturation, making the result depend on
+        # aggregation order (review pin).
         # NULL-item marker rows (from explode_outer of NULL sketches) get
         # frequency 0 so they survive as group-preserving placeholders.
         # NULL map VALUES (a nullable-value sketch column, e.g. built
         # with create_map) contribute 0 like the scalar merge_sketches
-        # coalesce — without it a NULL-only item would try_sum to NULL
-        # and be misread as saturation (INT64_MAX).
-        F.when(F.col(_ITEM).isNull(), F.lit(0))
+        # coalesce.
+        F.when(F.col(_ITEM).isNull(), F.lit(0).cast("long"))
         .otherwise(
-            F.coalesce(
-                F.try_sum(F.coalesce(F.col("__v"), F.lit(0))),
-                F.lit(INT64_MAX),
-            )
+            F.least(
+                F.greatest(
+                    F.sum(
+                        F.coalesce(F.col("__v"), F.lit(0)).cast(
+                            "decimal(38,0)"
+                        )
+                    ),
+                    F.lit(-INT64_MAX - 1).cast("decimal(38,0)"),
+                ),
+                F.lit(INT64_MAX).cast("decimal(38,0)"),
+            ).cast("long")
         )
-        .cast("long")
         .alias(_FREQ)
     )
     out = _rank_and_pack(
@@ -461,6 +470,14 @@ def topn_add_agg_grouping_sets(
     for s in grouping_sets:
         if len(set(s)) != len(s):
             raise ValueError(f"duplicate column in grouping set {s!r}")
+    # a REPEATED set shares one gid bitmap, so its duplicate rank rows
+    # crash the final map_from_entries with a duplicate-map-key error
+    # at runtime (or silently double-count past the budget) — refuse at
+    # the API boundary instead (review pin)
+    canon = [tuple(sorted(s)) for s in grouping_sets]
+    if len(set(canon)) != len(canon):
+        dup = next(s for s in canon if canon.count(s) > 1)
+        raise ValueError(f"grouping set {list(dup)!r} appears more than once")
     counters = resolve_counters(counters, df.sparkSession)
 
     base = df.select(

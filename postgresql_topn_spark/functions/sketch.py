@@ -197,9 +197,16 @@ def explode_topn(
 
 def _sat_add(a: Column, b: Column) -> Column:
     """Saturating int64 addition (topn.c:997-1009). ``try_add`` yields
-    NULL on overflow in every ANSI mode; frequencies are non-negative so
-    overflow can only saturate upward."""
-    return F.coalesce(F.try_add(a, b), F.lit(INT64_MAX))
+    NULL on overflow in every ANSI mode; int64 addition can only
+    overflow when both operands share a sign, so saturation follows
+    that sign. (The old unconditional +INT64_MAX mapped NEGATIVE
+    overflow — reachable on the union path, where sketch_from_json
+    admits negative frequencies — to the TOP heavy-hitter slot;
+    review pin.)"""
+    return F.coalesce(
+        F.try_add(a, b),
+        F.when(a > 0, F.lit(INT64_MAX)).otherwise(F.lit(-INT64_MAX - 1)),
+    )
 
 
 def topn_others_count(
@@ -211,23 +218,37 @@ def topn_others_count(
     the top-n sum; both folds run over the already-sorted entry array
     (pure expressions, no extra aggregation). Same n-vs-counters
     validation as topn()."""
-    top = topn_entries(sketch, n, counters)
-    # saturating folds: a sketch whose counters were themselves
-    # saturated must not overflow (ANSI crash / silent wrap) here.
-    # The total is order-independent, so it folds the raw map values —
-    # no entry transform, no sort (the head fold reuses the sorted
-    # entries topn_entries built anyway).
+    # resolve the sketch argument ONCE and share the Column between the
+    # two halves — topn_entries' string path and _col parse dotted
+    # names differently, so the halves could read different columns
+    # (review pin)
+    s = _col(sketch)
+    top = topn_entries(s, n, counters)
+    # EXACT decimal(38,0) folds with one both-direction clamp at the
+    # end: saturating per-add folds were fold-order dependent for
+    # mixed-sign sketches, and the final long subtraction could
+    # overflow under ANSI (review pin). The total is order-independent
+    # by exactness; decimal(38,0) holds any sum of map-bounded int64
+    # entries.
+    dec0 = F.lit(0).cast("decimal(38,0)")
     total = F.aggregate(
-        F.map_values(_col(sketch)),
-        F.lit(0).cast("bigint"),
-        lambda acc, v: _sat_add(acc, v),
+        F.map_values(s),
+        dec0,
+        lambda acc, v: acc + v.cast("decimal(38,0)"),
     )
     head = F.aggregate(
         top,
-        F.lit(0).cast("bigint"),
-        lambda acc, e: _sat_add(acc, e["frequency"]),
+        dec0,
+        lambda acc, e: acc + e["frequency"].cast("decimal(38,0)"),
     )
-    return total - head
+    diff = total - head
+    clamped = F.least(
+        F.greatest(diff, F.lit(-INT64_MAX - 1).cast("decimal(38,0)")),
+        F.lit(INT64_MAX).cast("decimal(38,0)"),
+    ).cast("long")
+    # greatest/least SKIP NULLs, so a NULL sketch must short-circuit to
+    # NULL explicitly (it would otherwise clamp to INT64_MIN)
+    return F.when(diff.isNull(), F.lit(None).cast("long")).otherwise(clamped)
 
 
 def topn_add(
@@ -396,8 +417,15 @@ def sketch_from_json(json_col: Column | str, *, strict_keys: bool = True) -> Col
     values are accepted (others silently skipped); numerics are truncated
     toward zero to int64; keys longer than 256 bytes raise an error
     (topn.c:700-706 — pass ``strict_keys=False`` to skip them instead).
+
+    "Numeric" means the JSON TYPE (jbvNumeric, topn.c:709), not the
+    lexical shape: ``{"a": "5"}`` is a quoted STRING and is skipped,
+    exactly like the reference. Parsing goes through Spark 4's VARIANT
+    type because ``map<string,string>`` erases the number-vs-string
+    distinction (a regex on the erased text accepted quoted numerics —
+    review pin); ``schema_of_variant`` recovers each entry's JSON type.
     """
-    raw = F.map_entries(F.from_json(_col(json_col), "map<string,string>"))
+    raw = F.map_entries(F.from_json(_col(json_col), "map<string,variant>"))
     if strict_keys:
         # the reference raises on an over-long key REGARDLESS of its
         # value's type (topn.c:700-706 runs before numeric_normalize),
@@ -415,18 +443,32 @@ def sketch_from_json(json_col: Column | str, *, strict_keys: bool = True) -> Col
                             f"({READ_KEY_ERROR_BYTES} bytes)"
                         ),
                     )
-                ).cast("struct<key:string,value:string>"),
+                ).cast("struct<key:string,value:variant>"),
             ).otherwise(e),
         )
     else:
         raw = F.filter(
             raw, lambda e: F.octet_length(e["key"]) <= READ_KEY_ERROR_BYTES
         )
-    # numeric-value filter runs AFTER the key-length handling (the
-    # reference's key check precedes numeric_normalize)
-    checked = F.filter(
-        raw,
-        lambda e: e["value"].rlike(r"^-?[0-9]+(\.[0-9]+)?([eE][+-]?[0-9]+)?$"),
+    # numeric-JSON-TYPE filter runs AFTER the key-length handling (the
+    # reference's key check precedes numeric_normalize). JSON integers
+    # surface as BIGINT, decimals as DECIMAL(p,s), big/exponent floats
+    # as DOUBLE; strings/booleans/nulls/objects/arrays are skipped.
+    def _is_numeric(v: Column) -> Column:
+        t = F.schema_of_variant(v)
+        return (
+            (t == F.lit("BIGINT"))
+            | (t == F.lit("DOUBLE"))
+            | (t == F.lit("FLOAT"))
+            | t.startswith("DECIMAL")
+        )
+
+    checked = F.transform(
+        F.filter(raw, lambda e: _is_numeric(e["value"])),
+        lambda e: F.struct(
+            e["key"].alias("key"),
+            F.try_variant_get(e["value"], "$", "string").alias("value"),
+        ),
     )
     # Integer-shaped strings parse straight to long so frequencies above
     # 2^53 keep exact int64 precision, matching the reference's

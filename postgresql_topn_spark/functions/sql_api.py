@@ -168,8 +168,16 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
             return None
         out = dict(a)
         for k, v in b.items():
-            out[k] = min(out.get(k, 0) + v, INT64_MAX)
-        return _prune(out, c)
+            out[k] = out.get(k, 0) + v
+        # exact Python-int sums, ONE both-direction clamp at emit: the
+        # old min(..., INT64_MAX) per-add capped only upward, so a
+        # hugely-negative merged total crashed the Arrow int64 return
+        # (and for two operands exact-then-clamp equals the Column
+        # lane's sign-aware _sat_add)
+        return _prune(
+            {k: max(min(v, INT64_MAX), -INT64_MAX - 1) for k, v in out.items()},
+            c,
+        )
 
     @udf(returnType="array<struct<item:string,frequency:bigint>>")
     def topn_entries_udf(sketch: dict, n: int):
@@ -211,8 +219,15 @@ def register_sql_functions(spark: SparkSession, *, counters: int | None = None) 
             if sk is None:
                 continue
             for k, v in sk.items():
-                out[k] = min(out.get(k, 0) + v, INT64_MAX)
-        return _prune(out, c)
+                # exact sums, one clamp at emit (matches the Column
+                # lane's decimal-sum-then-clamp): the per-add upward
+                # clamp was arrival-order dependent for mixed signs
+                # and let negative totals under INT64_MIN crash Arrow
+                out[k] = out.get(k, 0) + v
+        return _prune(
+            {k: max(min(v, INT64_MAX), -INT64_MAX - 1) for k, v in out.items()},
+            c,
+        )
 
     # Precision caveat (SQL surface only): a NULL weight in a group makes
     # Arrow ship the column as float64, so integer weights above 2^53
@@ -508,9 +523,12 @@ def topn_union_agg_sql(
         f"SELECT {sel_exprs + ', ' if pairs else ''}__t.__i AS __i, "
         # coalesce INSIDE least: Spark's least skips NULLs, so an
         # all-NULL (empty-sketch marker) group must become 0 before the
-        # saturation clamp, not fall through to INT64_MAX
-        f"cast(least(coalesce(sum(cast(__t.__fr as decimal(38,0))), 0), "
-        f"{INT64_MAX}) as bigint) AS __f "
+        # saturation clamp, not fall through to INT64_MAX. The clamp is
+        # BOTH-direction: negative frequencies are first-class on the
+        # union path, and a total under INT64_MIN would otherwise fail
+        # the bigint cast under ANSI (review pin)
+        f"cast(least(greatest(coalesce(sum(cast(__t.__fr as decimal(38,0))), "
+        f"0), {-INT64_MAX - 1}), {INT64_MAX}) as bigint) AS __f "
         f"FROM {source} "
         f"LATERAL VIEW OUTER explode({sketch_col}) __t AS __i, __fr "
         f"{wtext}"

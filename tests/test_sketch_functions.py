@@ -240,3 +240,127 @@ class TestTopnOthersCount:
 
         with _pytest.raises(ValueError, match="greater than"):
             topn_others_count("sk", 11, counters=10)
+
+
+class TestParityReviewPins:
+    """Round-5 continuation review pins on the reference-parity core."""
+
+    def test_from_json_skips_quoted_numeric_strings(self, spark):
+        """topn.c:709 accepts jbvNumeric ONLY: {"a": "5"} is a quoted
+        STRING and must be skipped — the old map<string,string> parse
+        erased the distinction and a lexical regex admitted it."""
+        from postgresql_topn_spark.functions.sketch import sketch_from_json
+
+        out = spark.range(1).select(
+            sketch_from_json(
+                F.lit('{"a": "5", "b": 2, "c": 2.5, "d": "x", '
+                      '"e": true, "f": 9007199254740993}')
+            ).alias("sk")
+        ).collect()[0]["sk"]
+        assert dict(out) == {"b": 2, "c": 2, "f": 9007199254740993}
+
+    def test_scalar_union_negative_saturation(self, spark):
+        """_sat_add saturates toward the OPERANDS' shared sign: a
+        hugely-negative merged entry lands at INT64_MIN, not at the
+        top heavy-hitter slot (+INT64_MAX)."""
+        from postgresql_topn_spark.functions.sketch import topn_union
+
+        big_neg = -9_200_000_000_000_000_000
+        a = F.create_map(F.lit("x"), F.lit(big_neg).cast("long"))
+        out = spark.range(1).select(
+            topn_union(a, a, counters=5).alias("sk")
+        ).collect()[0]["sk"]
+        assert dict(out) == {"x": -(1 << 63)}
+
+    def test_union_agg_negative_and_transient_overflow(self, spark):
+        """The union aggregate sums exactly in decimal and clamps once:
+        negative overflow saturates DOWN, and a transient mixed-sign
+        overflow whose exact total fits int64 stays exact regardless of
+        aggregation order (the old try_sum read it as +INT64_MAX)."""
+        from postgresql_topn_spark.functions.aggregates import topn_union_agg
+
+        i64 = (1 << 63) - 1
+        neg = spark.createDataFrame(
+            [("g", {"x": -5_000_000_000_000_000_000})] * 3,
+            "g string, sk map<string,bigint>",
+        )
+        out = {
+            r["g"]: dict(r["topn"])
+            for r in topn_union_agg(neg, ["g"], "sk", counters=5).collect()
+        }
+        assert out == {"g": {"x": -(1 << 63)}}
+        mixed = spark.createDataFrame(
+            [("g", {"x": 9_200_000_000_000_000_000})] * 2
+            + [("g", {"x": -9_000_000_000_000_000_000})] * 2,
+            "g string, sk map<string,bigint>",
+        ).repartition(4)
+        out2 = {
+            r["g"]: dict(r["topn"])
+            for r in topn_union_agg(mixed, ["g"], "sk", counters=5).collect()
+        }
+        # exact total 2*9.2e18 - 2*9e18 = 4e17 — fits int64 exactly
+        assert out2 == {"g": {"x": 400_000_000_000_000_000}}
+
+    def test_others_count_mixed_sign_no_crash(self, spark):
+        """Exact decimal folds: the old saturating per-add fold was
+        fold-order dependent and the final long subtraction overflowed
+        under ANSI on adversarial mixed-sign sketches."""
+        from postgresql_topn_spark.functions.sketch import topn_others_count
+
+        i64 = (1 << 63) - 1
+        sk = F.create_map(
+            F.lit("a"), F.lit(i64).cast("long"),
+            F.lit("b"), F.lit(-i64).cast("long"),
+            F.lit("c"), F.lit(-i64).cast("long"),
+        )
+        out = spark.range(1).select(
+            topn_others_count(sk, 1, counters=5).alias("o")
+        ).collect()[0]["o"]
+        # exact others = (-i64) + (-i64) = -2*i64 -> clamps to INT64_MIN
+        assert out == -(1 << 63)
+        # plain positive sketches stay exact
+        sk2 = F.create_map(
+            F.lit("a"), F.lit(10).cast("long"),
+            F.lit("b"), F.lit(3).cast("long"),
+        )
+        assert spark.range(1).select(
+            topn_others_count(sk2, 1, counters=5).alias("o")
+        ).collect()[0]["o"] == 3
+
+    def test_others_count_dotted_and_struct_names(self, spark):
+        """Both halves of others_count resolve the sketch argument the
+        same way: a struct field reference works."""
+        from postgresql_topn_spark.functions.sketch import topn_others_count
+
+        df = spark.range(1).select(
+            F.struct(
+                F.create_map(
+                    F.lit("a"), F.lit(5).cast("long"),
+                    F.lit("b"), F.lit(2).cast("long"),
+                ).alias("sk")
+            ).alias("s")
+        )
+        assert df.select(
+            topn_others_count("s.sk", 1, counters=5).alias("o")
+        ).collect()[0]["o"] == 2
+
+    def test_grouping_sets_duplicate_set_rejected(self, spark):
+        """A repeated grouping set shares one gid bitmap and crashed
+        map_from_entries at runtime with duplicate map keys."""
+        import pytest
+
+        from postgresql_topn_spark.functions.aggregates import (
+            topn_add_agg_grouping_sets,
+        )
+
+        df = spark.createDataFrame(
+            [("x", "y", "i")], "a string, b string, item string"
+        )
+        with pytest.raises(ValueError, match="more than once"):
+            topn_add_agg_grouping_sets(
+                df, [["a"], ["a"]], "item", counters=5
+            )
+        with pytest.raises(ValueError, match="more than once"):
+            topn_add_agg_grouping_sets(
+                df, [["a", "b"], ["b", "a"]], "item", counters=5
+            )
