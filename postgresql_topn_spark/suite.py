@@ -4797,6 +4797,14 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # driver row ever go first, then the queries whose latest green row is
 # oldest (the previous round's complement), then last round's green 50.
 # Every query keeps its oracle; only the iteration order changes.
+#
+# SATURATION (round-5 continuation): the registry holds 100 queries —
+# exactly 2 x the 50-row cap, the most the 2-round staleness bar
+# admits. Before REGISTERING any new query, retire or merge an
+# existing one (e.g. fold two single-operator checks into one combined
+# oracled query), or every addition pushes an owed query to
+# two-rounds-stale. Round 6's front = the 50 queries WITHOUT a
+# CORRECTNESS_r05 row.
 
 _PRIORITY = [
     # round-5 additions (never had a driver row)
