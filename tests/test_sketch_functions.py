@@ -364,3 +364,88 @@ class TestParityReviewPins:
             topn_add_agg_grouping_sets(
                 df, [["a", "b"], ["b", "a"]], "item", counters=5
             )
+
+
+def test_from_json_randomized_against_reference_model(spark):
+    """Randomized parity: ~300 generated JSON objects with every value
+    class (ints, big ints, decimals, exponent floats, QUOTED numeric
+    strings, plain strings, booleans, nulls, arrays, objects, unicode
+    keys, over-long keys) parsed by sketch_from_json(strict_keys=False)
+    in ONE Spark job and compared against a Python model of the
+    reference's read path (topn.c:671-722): jbvNumeric-only, truncation
+    toward zero, int64 saturation, long keys skipped."""
+    import json
+    import math
+    import random
+
+    from postgresql_topn_spark.functions.sketch import sketch_from_json
+
+    rnd = random.Random(11)
+    I64 = (1 << 63) - 1
+
+    def rand_key():
+        choice = rnd.randrange(5)
+        if choice == 0:
+            return "k" + str(rnd.randrange(1000))
+        if choice == 1:
+            return "ключ" + str(rnd.randrange(100))  # multibyte
+        if choice == 2:
+            return "x" * rnd.randrange(250, 262)  # straddles the cap
+        if choice == 3:
+            return 'q"uo\\te' + str(rnd.randrange(50))  # JSON-hostile
+        return "k" + str(rnd.randrange(10))
+
+    def rand_value():
+        c = rnd.randrange(10)
+        if c == 0:
+            return rnd.randrange(-1000, 1000)
+        if c == 1:
+            return rnd.randrange(-(1 << 70), 1 << 70)  # beyond int64
+        if c == 2:
+            return round(rnd.uniform(-1e6, 1e6), 3)
+        if c == 3:
+            return rnd.choice([1e19, -1e19, 1.5e18, 123.456e10])
+        if c == 4:
+            return str(rnd.randrange(-100, 100))  # QUOTED numeric
+        if c == 5:
+            return rnd.choice(["abc", "", "12abc"])
+        if c == 6:
+            return rnd.choice([True, False, None])
+        if c == 7:
+            return [1, 2]
+        if c == 8:
+            return {"nested": 1}
+        return rnd.randrange(0, 5)
+
+    def model(obj):
+        out = {}
+        for k, v in obj.items():
+            if len(k.encode("utf-8")) > 256:
+                continue  # strict_keys=False skips
+            if isinstance(v, bool) or not isinstance(v, (int, float)):
+                continue  # jbvNumeric only (bool is not numeric)
+            if isinstance(v, int):
+                iv = v
+            else:
+                iv = math.trunc(v)  # toward zero
+            out[k] = max(min(iv, I64), -I64 - 1)
+        return out
+
+    cases = []
+    for i in range(300):
+        obj = {}
+        for _ in range(rnd.randrange(0, 8)):
+            obj[rand_key()] = rand_value()
+        cases.append((i, json.dumps(obj, ensure_ascii=rnd.random() < 0.5), model(obj)))
+
+    df = spark.createDataFrame(
+        [(i, j) for i, j, _ in cases], "i int, j string"
+    )
+    got = {
+        r["i"]: dict(r["sk"])
+        for r in df.select(
+            "i", sketch_from_json("j", strict_keys=False).alias("sk")
+        ).collect()
+    }
+    for i, _, want in cases:
+        assert got[i] == want, f"case {i}: {got[i]} != {want}"
