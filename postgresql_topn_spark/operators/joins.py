@@ -45,6 +45,13 @@ def salted_join(
         raise ValueError(f"n_salts must be >= 1, got {n_salts}")
     if how not in ("inner", "left"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if "__salt" in skewed.columns or "__salt" in other.columns:
+        # withColumn would silently REPLACE a caller's __salt column
+        # (it would vanish from the output and the join would run on
+        # the synthetic salt instead) — refuse loudly.
+        raise ValueError(
+            "column '__salt' is reserved by salted_join; rename it first"
+        )
     s = skewed.withColumn(
         "__salt", (F.rand(seed) * n_salts).cast("int")
     )
@@ -216,6 +223,16 @@ def asof_join(
     if direction == "nearest" and strict:
         raise ValueError("strict=True is not supported with nearest")
     keys = [on] if isinstance(on, str) else list(on)
+    reserved = {"__t", "__side", "__pay", "__ff"} & set(keys)
+    if reserved:
+        # the union stream selects keys unaliased next to these
+        # internal columns — a key with one of these names would
+        # produce duplicate/ambiguous columns deep in the plan;
+        # fail with an actionable message instead.
+        raise ValueError(
+            f"join keys {sorted(reserved)} collide with asof_join's "
+            "internal columns; rename them first"
+        )
     payload = list(payload) if payload is not None else [
         c for c in right.columns if c not in keys and c != right_time
     ]

@@ -66,6 +66,16 @@ def test_rejects_bad_params(skewed, dim):
         salted_join(skewed, dim, "k", how="full")
 
 
+def test_rejects_reserved_salt_column(spark, skewed, dim):
+    # withColumn would silently REPLACE a caller's __salt column and
+    # join on the synthetic salt instead — must refuse loudly
+    with_salt = skewed.withColumn("__salt", F.lit(7))
+    with pytest.raises(ValueError, match="__salt.*reserved"):
+        salted_join(with_salt, dim, "k")
+    with pytest.raises(ValueError, match="__salt.*reserved"):
+        salted_join(skewed, dim.withColumn("__salt", F.lit(7)), "k")
+
+
 # ---------------------------------------------------------------------------
 # asof_join
 # ---------------------------------------------------------------------------
@@ -191,6 +201,14 @@ def test_asof_collision_and_empty_payload(spark, quotes, trades):
     # empty payload: left comes back unchanged
     out = asof_join(trades, quotes, "sym", payload=[])
     assert out.columns == trades.columns and out.count() == trades.count()
+    # a join key named like an internal column would otherwise surface
+    # as an opaque ambiguous-column error deep in the plan
+    with pytest.raises(ValueError, match="internal columns"):
+        asof_join(
+            trades.withColumnRenamed("sym", "__side"),
+            quotes.withColumnRenamed("sym", "__side"),
+            "__side",
+        )
 
 
 def test_asof_matches_duckdb(spark, quotes, trades):
