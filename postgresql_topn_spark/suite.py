@@ -4789,84 +4789,79 @@ def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Registry ordering: driver-verification priority
+# Registry ordering: driver-verification priority (self-rotating)
 # ---------------------------------------------------------------------------
 # The driver correctness run stops after ~50 registry entries
-# (registration order), so the registry is re-rotated EVERY round
-# (VERDICT r3/r4; memory: driver-correctness-cap): new queries with no
-# driver row ever go first, then the queries whose latest green row is
-# oldest (the previous round's complement), then last round's green 50.
-# Every query keeps its oracle; only the iteration order changes.
+# (registration order), so the registry must be re-rotated EVERY round
+# (VERDICT r3/r4; memory: driver-correctness-cap). Rounds 4/5 kept a
+# hand-maintained priority list; this derives the rotation from the
+# committed CORRECTNESS_r*.json artifacts instead, so it can never go
+# stale:
+#
+# - a query with no GREEN driver row in ANY round sorts first (new
+#   queries, and queries whose last run FAILED — both need a fresh row
+#   most urgently);
+# - then ascending by the round of the latest green row (two-rounds-
+#   stale before one-round-stale — the previous round's complement);
+# - registration order breaks ties.
+#
+# After the driver writes CORRECTNESS_r05.json, the next import
+# automatically fronts the 50 queries without an r05 row — no manual
+# re-rotation.
 #
 # SATURATION (round-5 continuation): the registry holds 100 queries —
 # exactly 2 x the 50-row cap, the most the 2-round staleness bar
 # admits. Before REGISTERING any new query, retire or merge an
 # existing one (e.g. fold two single-operator checks into one combined
 # oracled query), or every addition pushes an owed query to
-# two-rounds-stale. Round 6's front = the 50 queries WITHOUT a
-# CORRECTNESS_r05 row.
-
-_PRIORITY = [
-    # round-5 additions (never had a driver row)
-    "events_asof_latest",
-    "pipeline_substring_dedup",
-    "multimodal_png_pixels",
-    "topn_sql_having_fallback",
-    "pipeline_train_split",
-    "dedup_levenshtein_pairs",
-    "events_retention_cohorts",
-    "dedup_tfidf_cosine",
-    "multimodal_png_feature_ann",
-    "bpe_encode_tokens",
-    "topn_sql_having_keys",
-    "events_interval_join",
-    "stream_session_windows",
-    "events_asof_next",
-    "events_asof_nearest",
-    "topn_weighted_tier2",
-    "multimodal_png_resize",
-    "docs_jsonl_roundtrip",
-    "topn_orc_roundtrip",
-    "topn_bloom_pruned_join",
-    # the 30 queries with no CORRECTNESS_r04 row (green in r3 — exactly
-    # one round stale), in registration order
-    "dedup_jaccard_pairs",
-    "dedup_minhash_lsh",
-    "dedup_char_ngram",
-    "dedup_clusters",
-    "minhash_source_jaccard",
-    "dedup_winnow_pairs",
-    "dedup_decontaminate",
-    "dedup_simhash_md5",
-    "ann_cosine_topk",
-    "ann_lsh_topk",
-    "ann_lsh_multiprobe",
-    "dedup_embedding_exact",
-    "dedup_embedding_near",
-    "text_winnow",
-    "ann_ivf_topk",
-    "ann_ivfpq_topk",
-    "stream_topn_rollup_monthly",
-    "events_sessionize",
-    "text_repetition",
-    "text_token_counts",
-    "text_lang_id",
-    "topn_tokens_by_lang",
-    "pipeline_curation",
-    "pipeline_sample_mix",
-    "text_quality",
-    "text_fingerprint",
-    "multimodal_image_meta",
-    "multimodal_frame_sample",
-    "multimodal_feature_ann",
-    "search_bm25",
-]
+# two-rounds-stale.
 
 
-def _reorder_registry() -> None:
-    front = [n for n in _PRIORITY if n in QUERIES]
-    rest = [n for n in QUERIES if n not in set(front)]
-    order = front + rest
+def _latest_green_round(root: "str | None" = None) -> "dict[str, int]":
+    """name -> highest round with a fully-green CORRECTNESS row.
+
+    A row that ran but FAILED (mismatch or err) does not count — such a
+    query must re-front next round so the fix gets a fresh row."""
+    import glob
+    import json as _json
+    import os
+    import re as _re
+
+    if root is None:
+        root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    latest: dict[str, int] = {}
+    for path in glob.glob(os.path.join(root, "CORRECTNESS_r*.json")):
+        m = _re.fullmatch(
+            r"CORRECTNESS_r(\d+)\.json", os.path.basename(path)
+        )
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(path) as fh:
+                data = _json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(data, dict):
+            continue
+        for name, row in data.items():
+            if not isinstance(row, dict) or row.get("err"):
+                continue
+            if not (
+                row.get("rows_match")
+                and row.get("schema_match", True)
+                and row.get("hash_match", True)
+            ):
+                continue
+            if rnd > latest.get(name, -1):
+                latest[name] = rnd
+    return latest
+
+
+def _reorder_registry(root: "str | None" = None) -> None:
+    latest = _latest_green_round(root)
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
+    order = sorted(QUERIES, key=lambda n: (latest.get(n, -1), reg_pos[n]))
     for reg in (QUERIES, ORACLES):
         snapshot = dict(reg)
         reg.clear()

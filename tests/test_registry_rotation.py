@@ -1,0 +1,72 @@
+"""Self-rotating registry order (suite.py _latest_green_round /
+_reorder_registry): the driver's correctness run caps at ~50 registry
+entries per round, so the suite fronts the queries most in need of a
+fresh row — derived from the committed CORRECTNESS_r*.json artifacts,
+never from a hand-maintained list (the round-3/4/5 verdicts each had
+to ask for a manual re-rotation; this retires that failure mode)."""
+
+import json
+import os
+
+from postgresql_topn_spark.suite import QUERIES, _latest_green_round
+
+GREEN = {
+    "rows_match": True,
+    "schema_match": True,
+    "hash_match": True,
+    "err": None,
+}
+
+
+def _write(tmp, rnd, rows):
+    with open(os.path.join(tmp, f"CORRECTNESS_r{rnd:02d}.json"), "w") as fh:
+        json.dump(rows, fh)
+
+
+def test_green_rows_ranked_by_recency(tmp_path):
+    tmp = str(tmp_path)
+    _write(tmp, 3, {"a": GREEN, "b": GREEN})
+    _write(tmp, 4, {"b": GREEN, "c": GREEN})
+    latest = _latest_green_round(tmp)
+    assert latest == {"a": 3, "b": 4, "c": 4}
+
+
+def test_failed_rows_do_not_count_as_seen(tmp_path):
+    tmp = str(tmp_path)
+    bad_hash = dict(GREEN, hash_match=False)
+    errored = dict(GREEN, err="boom")
+    _write(tmp, 4, {"ok": GREEN, "bad": bad_hash, "err": errored})
+    latest = _latest_green_round(tmp)
+    # a failed run must NOT push the query to the back of the rotation:
+    # the fix needs a fresh driver row next round
+    assert latest == {"ok": 4}
+
+
+def test_malformed_artifacts_ignored(tmp_path):
+    tmp = str(tmp_path)
+    with open(os.path.join(tmp, "CORRECTNESS_r09.json"), "w") as fh:
+        fh.write("not json {")
+    with open(os.path.join(tmp, "CORRECTNESS_r10.json"), "w") as fh:
+        json.dump(["a", "list"], fh)
+    assert _latest_green_round(tmp) == {}
+    assert _latest_green_round(str(tmp_path / "missing_dir")) == {}
+
+
+def test_live_registry_fronts_stale_queries():
+    """On the real repo artifacts: every query whose latest green row is
+    older sorts before every query with a newer one, and never-green
+    queries come first of all — so the driver's 50-row window always
+    covers the most-owed rows."""
+    latest = _latest_green_round()
+    names = list(QUERIES)
+    ranks = [latest.get(n, -1) for n in names]
+    assert ranks == sorted(ranks)
+    # the driver cap is ~50: with the 100-query registry nothing in the
+    # front window may be fresher than anything behind it (guaranteed
+    # by the global sort above) and the front 50 must contain every
+    # query lacking a row from the newest round
+    if latest:
+        newest = max(latest.values())
+        owed = [n for n in names if latest.get(n, -1) < newest]
+        front = set(names[: max(50, len(owed))])
+        assert all(n in front for n in owed[:50])
