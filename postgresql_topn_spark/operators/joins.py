@@ -233,6 +233,16 @@ def asof_join(
             f"join keys {sorted(reserved)} collide with asof_join's "
             "internal columns; rename them first"
         )
+    shadow = {f"__l_{c}" for c in left.columns} & set(keys)
+    if shadow:
+        # left columns ride the union stream prefixed "__l_"; a key
+        # named "__l_<left column>" would duplicate that name and fail
+        # with an opaque ambiguity error deep in the plan — refuse
+        # loudly instead (same discipline as the reserved names above).
+        raise ValueError(
+            f"join keys {sorted(shadow)} collide with asof_join's "
+            "prefixed left columns; rename them first"
+        )
     payload = list(payload) if payload is not None else [
         c for c in right.columns if c not in keys and c != right_time
     ]

@@ -209,6 +209,14 @@ def test_asof_collision_and_empty_payload(spark, quotes, trades):
             quotes.withColumnRenamed("sym", "__side"),
             "__side",
         )
+    # a key named "__l_<left column>" duplicates the union stream's
+    # prefixed left column — also refused loudly
+    with pytest.raises(ValueError, match="prefixed left columns"):
+        asof_join(
+            trades.withColumnRenamed("sym", "__l_qty"),
+            quotes.withColumnRenamed("sym", "__l_qty"),
+            "__l_qty",
+        )
 
 
 def test_asof_matches_duckdb(spark, quotes, trades):
