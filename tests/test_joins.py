@@ -614,3 +614,73 @@ class TestBloomPrunedJoin:
             bloom_pruned_join(large, small, "k", how="left")
         with _p.raises(ValueError, match="at least one"):
             bloom_pruned_join(large, small, [])
+
+
+def test_asof_randomized_vs_merge_asof(spark):
+    """Seeded randomized differential test: ~40 independent cases ride
+    ONE asof_join call per (direction, strict) via a case-id join key,
+    and pandas merge_asof (the semantics reference) replays each
+    lane with by=[case, sym]. Right (case, sym, ts) triples are unique
+    — our documented tie deviation (max-by-payload among right ties) is
+    out of scope, per the operator docstring. For nearest, left times
+    are odd and right times even, so an exact-distance tie (2*lt =
+    rb+rf) is impossible and the pandas tie rule never engages."""
+    import random
+
+    import pandas as pd
+
+    rng = random.Random(20260815)
+
+    def gen(parity_split):
+        lrows, rrows, lid = [], [], 0
+        for case in range(40):
+            for sym in ("a", "b"):
+                seen = set()
+                for _ in range(rng.randint(0, 5)):
+                    ts = rng.randrange(0, 60)
+                    if parity_split:
+                        ts |= 1  # odd left times
+                    lrows.append((case, sym, ts, lid))
+                    lid += 1
+                for _ in range(rng.randint(0, 4)):
+                    ts = rng.randrange(0, 60)
+                    if parity_split:
+                        ts &= ~1  # even right times
+                    if (case, sym, ts) in seen:
+                        continue
+                    seen.add((case, sym, ts))
+                    px = None if rng.random() < 0.3 else float(rng.randrange(100))
+                    rrows.append((case, sym, ts, px, f"t{rng.randrange(9)}"))
+        left = spark.createDataFrame(
+            lrows, "case int, sym string, ts long, lid int"
+        )
+        right = spark.createDataFrame(
+            rrows, "case int, sym string, ts long, px double, tag string"
+        )
+        lp = pd.DataFrame(lrows, columns=["case", "sym", "ts", "lid"])
+        rp = pd.DataFrame(rrows, columns=["case", "sym", "ts", "px", "tag"])
+        return left, right, lp.sort_values("ts"), rp.sort_values("ts")
+
+    def canon(v):
+        return None if v is None or (isinstance(v, float) and v != v) else v
+
+    lanes = [("backward", False), ("backward", True),
+             ("forward", False), ("forward", True), ("nearest", False)]
+    for direction, strict in lanes:
+        left, right, lp, rp = gen(parity_split=direction == "nearest")
+        got = {
+            r["lid"]: (canon(r["px"]), canon(r["tag"]))
+            for r in asof_join(
+                left, right, ["case", "sym"],
+                payload=["px", "tag"], direction=direction, strict=strict,
+            ).collect()
+        }
+        want_df = pd.merge_asof(
+            lp, rp, on="ts", by=["case", "sym"],
+            direction=direction, allow_exact_matches=not strict,
+        )
+        want = {
+            int(r.lid): (canon(r.px), canon(r.tag))
+            for r in want_df.itertuples()
+        }
+        assert got == want, (direction, strict)
