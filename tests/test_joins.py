@@ -684,3 +684,66 @@ def test_asof_randomized_vs_merge_asof(spark):
             for r in want_df.itertuples()
         }
         assert got == want, (direction, strict)
+
+
+def test_interval_join_left_randomized_vs_duckdb(spark):
+    """Seeded randomized differential for the how='left' lane (the
+    double-anti-join unmatched path) against DuckDB's LEFT JOIN with
+    the same range predicate: random keys, NULL point times, inverted/
+    empty spans, and spans long enough to take the broadcast-long path
+    (long_multiple=2)."""
+    import random
+
+    import duckdb
+
+    from postgresql_topn_spark.operators.joins import interval_join
+
+    rnd = random.Random(55)
+    pts = [
+        (
+            i,
+            rnd.choice(["a", "b", "c"]),
+            None if rnd.random() < 0.1 else rnd.uniform(0, 200),
+        )
+        for i in range(250)
+    ]
+    ivs = []
+    for j in range(30):
+        s = rnd.uniform(0, 190)
+        span = rnd.choice([0.0, -5.0, rnd.uniform(0.1, 12), rnd.uniform(30, 90)])
+        ivs.append((j, rnd.choice(["a", "b", "d"]), s, s + span))
+    pdf = spark.createDataFrame(pts, "pid bigint, k string, ts double")
+    idf = spark.createDataFrame(
+        ivs, "iid bigint, k string, start double, end double"
+    )
+    out = interval_join(
+        pdf, idf, point_time="ts", on="k",
+        bucket_width=8.0, long_multiple=2, how="left",
+    )
+    got = sorted(
+        (r["pid"], r["iid"]) for r in out.select("pid", "iid").collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE p AS SELECT * FROM (VALUES %s) t(pid, k, ts)"
+        % ",".join(
+            f"({i},'{k}',{('NULL' if t is None else repr(t))})"
+            for i, k, t in pts
+        )
+    )
+    con.execute(
+        "CREATE TABLE iv AS SELECT * FROM (VALUES %s) t(iid, k, s, e)"
+        % ",".join(f"({j},'{k}',{s!r},{e!r})" for j, k, s, e in ivs)
+    )
+    want = sorted(
+        (r[0], r[1])
+        for r in con.execute(
+            "SELECT p.pid, iv.iid FROM p LEFT JOIN iv"
+            " ON p.k = iv.k AND p.ts >= iv.s AND p.ts < iv.e"
+        ).fetchall()
+    )
+    assert got == want
+    # sanity: the random data actually exercised both lanes
+    assert any(i is None for _, i in got) and sum(
+        i is not None for _, i in got
+    ) > 50
