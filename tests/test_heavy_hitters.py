@@ -76,3 +76,31 @@ def test_nulls_skipped_and_threshold_strict(spark):
 def test_rejects_bad_k(skewed):
     with pytest.raises(ValueError):
         exact_heavy_hitters(skewed, "item", k=1)
+
+
+def test_randomized_exact_boundary(spark):
+    """Randomized strictness pin: a random tail plus two engineered
+    items — A lands EXACTLY at total/k (count*k == total, must be
+    excluded by the strict > rule) and B one count above it (must be
+    included with its exact count) — verified against brute force
+    across 31 partitions, where pass-1 MG states are tiny and
+    decrement pressure is highest."""
+    import random
+
+    rng = random.Random(99)
+    k, a = 7, 400
+    t = a * (k - 2) - 1  # so that count(A)*k == total exactly
+    tail = [(f"z{rng.randrange(700)}",) for _ in range(t)]
+    rows = [("A",)] * a + [("B",)] * (a + 1) + tail
+    rng.shuffle(rows)
+    df = spark.createDataFrame(
+        [(i, v[0]) for i, v in enumerate(rows)], "i long, item string"
+    ).repartition(31)
+    total = len(rows)
+    assert a * k == total  # the boundary really is exact
+    got = {
+        (r["item"], r["frequency"])
+        for r in exact_heavy_hitters(df.select("item"), "item", k=k).collect()
+    }
+    assert got == _brute(df, k)
+    assert ("A", a) not in got and ("B", a + 1) in got
