@@ -254,3 +254,46 @@ def test_train_split_null_keys_get_null_split(spark):
     assert got[None] is None
     assert got["a"] in ("train", "val", "test")
     assert got["b"] in ("train", "val", "test")
+
+
+def test_train_split_randomized_vs_python_md5(spark):
+    """Randomized independent-implementation differential: NON-binary
+    random weights (the gate deliberately uses exact binary ones), a
+    random seed, and mixed int/string keys, with every assignment
+    replayed by a pure-Python hashlib.md5 replica of hash_uniform
+    (bigint-cast-then-divide, matching Spark's two-step float path) and
+    the same insertion-order cumulative boundaries."""
+    import hashlib
+    import random
+
+    from postgresql_topn_spark.operators.sampling import train_split
+
+    rng = random.Random(777)
+    seed = rng.randrange(100)
+    weights = {nm: rng.uniform(0.05, 2.0) for nm in ("w", "x", "y", "z")}
+    keys = [str(rng.randrange(10_000)) for _ in range(300)] + [
+        f"k-{rng.randrange(500)}" for _ in range(200)
+    ]
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got = {
+        r["k"]: r["split"]
+        for r in train_split(df, "k", weights, seed=seed).collect()
+    }
+
+    total = float(sum(weights.values()))
+    names = list(weights)
+    bounds = []
+    acc = 0.0
+    for nm in names[:-1]:
+        acc += weights[nm] / total
+        bounds.append((nm, acc))
+    for k in set(keys):
+        h = hashlib.md5(f"{seed}:{k}".encode()).hexdigest()[:15]
+        u = float(int(h, 16)) / float(1 << 60)
+        want = names[-1]
+        for nm, b in bounds:
+            if u < b:
+                want = nm
+                break
+        assert got[k] == want, (k, u)
+    assert len(set(got.values())) == 4  # all buckets hit
