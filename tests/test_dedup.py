@@ -940,3 +940,81 @@ def test_tfidf_zero_idf_fires_with_short_docs(spark):
     # == 2 -> weight 0; the docs still share no POSITIVE-weight term,
     # so no pair survives (every shared term is ubiquitous)
     assert rows == {}
+
+
+def test_substring_runs_randomized_vs_bruteforce(spark):
+    """Definition-level differential for substring_run_pairs: a direct
+    O(n^2) pure-Python scan over every (pair, diagonal) computes the
+    maximal shared token runs >= 16, independent of the gram/island
+    algebra. Random 50-word-vocab docs (a coincidental 16-token run is
+    ~50^-16) with planted shared chunks — one long, one exactly at the
+    threshold, one just below (must be absent), a pair sharing TWO runs
+    on different diagonals, and an adversarial repeated-token block
+    that matches on 9 diagonals at once."""
+    import random
+
+    from postgresql_topn_spark.operators.dedup import substring_run_pairs
+
+    rng = random.Random(31337)
+
+    def doc(n):
+        return [f"w{rng.randrange(50)}" for _ in range(n)]
+
+    docs = {i: doc(rng.randrange(40, 80)) for i in range(10)}
+
+    def plant(src, dst, length, at=None):
+        s = rng.randrange(0, len(docs[src]) - length)
+        chunk = docs[src][s : s + length]
+        p = rng.randrange(0, len(docs[dst])) if at is None else at
+        docs[dst] = docs[dst][:p] + chunk + docs[dst][p:]
+
+    plant(0, 1, 25)
+    plant(2, 3, 18)
+    plant(2, 3, 21)   # second shared run, different diagonal
+    plant(4, 5, 16)   # exactly at threshold
+    plant(6, 7, 15)   # below threshold -> must NOT appear
+    docs[8] = docs[8][:5] + ["rr"] * 20 + docs[8][5:]
+    docs[9] = docs[9][:9] + ["rr"] * 20 + docs[9][9:]
+
+    def brute(A, B):
+        out = []
+        for d in range(-(len(B) - 1), len(A)):
+            i, j, run = max(0, d), max(0, d) - d, 0
+            si = sj = None
+            while i <= len(A) and j <= len(B):
+                if i < len(A) and j < len(B) and A[i] == B[j]:
+                    if run == 0:
+                        si, sj = i, j
+                    run += 1
+                else:
+                    if run >= 16:
+                        out.append((si + 1, sj + 1, run))
+                    run = 0
+                i += 1
+                j += 1
+        return out
+
+    want = sorted(
+        (a, b, sa, sb, r)
+        for a in docs
+        for b in docs
+        if a < b
+        for sa, sb, r in brute(docs[a], docs[b])
+    )
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in docs.items()], "doc_id long, text string"
+    )
+    got = sorted(
+        map(
+            tuple,
+            substring_run_pairs(df, "doc_id", "text")
+            .select("doc_a", "doc_b", "a_start", "b_start", "run_tokens")
+            .collect(),
+        )
+    )
+    assert got == want
+    # the planted shapes really are all present
+    pairs = {(a, b) for a, b, *_ in want}
+    assert {(0, 1), (4, 5), (8, 9)} <= pairs and (6, 7) not in pairs
+    assert sum(1 for a, b, *_ in want if (a, b) == (2, 3)) >= 2
+    assert sum(1 for a, b, *_ in want if (a, b) == (8, 9)) == 9
