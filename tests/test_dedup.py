@@ -1018,3 +1018,52 @@ def test_substring_runs_randomized_vs_bruteforce(spark):
     assert {(0, 1), (4, 5), (8, 9)} <= pairs and (6, 7) not in pairs
     assert sum(1 for a, b, *_ in want if (a, b) == (2, 3)) >= 2
     assert sum(1 for a, b, *_ in want if (a, b) == (8, 9)) == 9
+
+
+def test_char_ngram_prefix_filter_randomized(spark):
+    """Randomized exactness sweep for the AllPairs/PPJoin prefix
+    filter: strings over a 4-char alphabet share most of the 256
+    possible 4-grams, so the 435 random pairs land densely around any
+    threshold — the regime where an off-by-one in the prefix size
+    (n - ceil(t*n) + 1) or in the length filter silently loses pairs.
+    Brute-force gram Jaccard is the reference at three thresholds."""
+    import random
+    from itertools import combinations
+
+    from postgresql_topn_spark.operators.dedup import (
+        char_ngram_jaccard_pairs,
+    )
+
+    rng = random.Random(246)
+    docs = {
+        i: "".join(rng.choice("abcd") for _ in range(rng.randrange(20, 60)))
+        for i in range(30)
+    }
+    # planted near-dups (single-char edits) so the 0.8 threshold has
+    # qualifying pairs too — random 4-char strings top out around 0.6
+    for src, dst in ((0, 30), (1, 31), (2, 32)):
+        s = list(docs[src])
+        s[rng.randrange(len(s))] = rng.choice("abcd")
+        docs[dst] = "".join(s)
+    n = 4
+
+    def grams(s):
+        return {s[i : i + n] for i in range(len(s) - n + 1)}
+
+    df = spark.createDataFrame(
+        list(docs.items()), "doc_id long, text string"
+    )
+    for t in (0.3, 0.5, 0.8):
+        expected = set()
+        for (ia, ta), (ib, tb) in combinations(docs.items(), 2):
+            ga, gb = grams(ta), grams(tb)
+            if ga and gb and len(ga & gb) / len(ga | gb) >= t:
+                expected.add((min(ia, ib), max(ia, ib)))
+        got = {
+            (r["doc_a"], r["doc_b"])
+            for r in char_ngram_jaccard_pairs(
+                df, "doc_id", "text", threshold=t, n=n
+            ).collect()
+        }
+        assert got == expected, t
+        assert expected  # the sweep actually exercises each threshold
