@@ -1067,3 +1067,52 @@ def test_char_ngram_prefix_filter_randomized(spark):
         }
         assert got == expected, t
         assert expected  # the sweep actually exercises each threshold
+
+
+def test_connected_components_randomized_vs_union_find(spark):
+    """Random graph + a deliberately long path (high diameter — forces
+    the min-label fixpoint through many rounds, the classic place an
+    early-converged iteration returns wrong labels) vs a pure-Python
+    union-find; component label must be the min node id."""
+    import random
+
+    from postgresql_topn_spark.operators.dedup import connected_components
+
+    rng = random.Random(13)
+    edges = [
+        (rng.randrange(150), rng.randrange(150)) for _ in range(120)
+    ]
+    chain = rng.sample(range(200, 290), 60)
+    edges += list(zip(chain, chain[1:]))  # a 60-node path
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {x: find(x) for x in parent}
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df).collect()
+    }
+    # union-find roots are path-dependent; canonicalize both sides to
+    # min-id-per-component before comparing
+    comp_min = {}
+    for x, r in want.items():
+        comp_min[r] = min(comp_min.get(r, x), x)
+    want_min = {x: comp_min[r] for x, r in want.items()}
+    assert got == want_min
+    # the planted path really is one component labeled by its min node
+    assert len({got[c] for c in chain}) == 1 and got[chain[0]] == min(chain)
