@@ -45,7 +45,21 @@ from postgresql_topn_spark.operators.text import (
     tokens,
 )
 
-MERSENNE_61 = (1 << 61) - 1
+# MinHash permutation modulus: the smallest prime ABOVE the 32-bit
+# shingle-hash universe. The modulus must sit just above the hash
+# range so a*h wraps it ~a times and the permuted value decorrelates
+# from h's magnitude. The first cut used 2^61 - 1: with h < 2^32 and
+# a < 2^31, a*h + b < 2^63 wraps that modulus at most 3 times, so the
+# "permutation" stayed roughly PROPORTIONAL to a*h — one shingle with
+# a tiny 32-bit hash (p ~ 2^-12 per corpus shingle) captured the min
+# of EVERY permutation in every doc containing it, collapsing the
+# signatures of its supersets onto it (found as a jaccard-0.9 pair
+# whose 32 signature slots all differed: sf0.1 sweep, round 5). With a
+# prime field just above the universe, (a*h + b) mod p is exactly
+# uniform in h (b alone spans the field) and two distinct 32-bit
+# hashes can NEVER collide under any (a, b): a*(h1-h2) has both
+# factors nonzero and below the prime.
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32; a*h + b < 2^63
 
 
 def _size_bytes(v: str) -> int:
@@ -870,7 +884,7 @@ def minhash_signatures(
     seed: int = 42,
 ) -> DataFrame:
     """MinHash signatures over k-token shingles: sig_i = min over
-    shingles of (a_i * h(shingle) + b_i) mod (2^61 - 1), where h is the
+    shingles of (a_i * h(shingle) + b_i) mod MINHASH_PRIME, where h is the
     64-bit shingle hash reduced to 32 bits. Hash params are derived from
     a fixed seed so signatures are deterministic across runs/partitions.
 
@@ -884,9 +898,13 @@ def minhash_signatures(
     rng = random.Random(seed)
     # a < 2^31 and h reduced to 32 bits keep a*h + b inside int64 —
     # Spark 4 runs ANSI mode, where signed overflow is an error, so the
-    # permutation arithmetic must be overflow-free by construction.
+    # permutation arithmetic must be overflow-free by construction:
+    # a*h + b <= (2^31-1)(2^32-1) + (p-1) < 2^63. b spans the FULL
+    # prime field so the permuted value is uniform even for h = 0
+    # (see the MINHASH_PRIME note for the magnitude-bias bug this
+    # family replaces).
     params = [
-        (rng.randrange(1, 1 << 31), rng.randrange(0, 1 << 31))
+        (rng.randrange(1, 1 << 31), rng.randrange(0, MINHASH_PRIME))
         for _ in range(num_hashes)
     ]
     hashed = _tokenized(df, id_col, text_col).select(
@@ -903,7 +921,7 @@ def minhash_signatures(
     # (pure driver-side DataFrame-construction cost, measured 0.26s vs
     # 0.07s warm; the plan is identical)
     mins = [
-        F.expr(f"min(pmod(__h * {a}L + {b}L, {MERSENNE_61}L)) AS __m{i}")
+        F.expr(f"min(pmod(__h * {a}L + {b}L, {MINHASH_PRIME}L)) AS __m{i}")
         for i, (a, b) in enumerate(params)
     ]
     agg = hashed.groupBy("__id").agg(*mins)
@@ -980,13 +998,21 @@ def minhash_lsh_pairs(
 def _minhash_md5_params(num_hashes: int) -> list[tuple[int, int]]:
     """Deterministic (a_i, b_i) permutation params, themselves derived
     from md5 so the oracle can inline the same literals: a_i in
-    [1, 2^31), b_i in [0, 2^31)."""
+    [1, 2^31) (keeps a*h inside int64), b_i in [0, MINHASH_PRIME) —
+    b must span the FULL prime field for uniformity at small h (see
+    the MINHASH_PRIME note)."""
     import hashlib
 
-    def h31(tag: str) -> int:
-        return int(hashlib.md5(tag.encode()).hexdigest()[:8], 16) % (1 << 31)
+    def hmd5(tag: str, hexchars: int) -> int:
+        return int(hashlib.md5(tag.encode()).hexdigest()[:hexchars], 16)
 
-    return [(h31(f"a:{i}") | 1, h31(f"b:{i}")) for i in range(num_hashes)]
+    return [
+        (
+            hmd5(f"a:{i}", 8) % (1 << 31) | 1,
+            hmd5(f"b:{i}", 16) % MINHASH_PRIME,
+        )
+        for i in range(num_hashes)
+    ]
 
 
 def minhash_signatures_md5(
@@ -999,7 +1025,7 @@ def minhash_signatures_md5(
 ) -> DataFrame:
     """(__id, __sig) — MinHash signatures in the SQL-replayable md5
     form: ONE md5 per distinct k-token shingle reduced to 32 bits, then
-    ``sig_i = min((a_i * h + b_i) mod (2^61 - 1))`` with fixed md5-
+    ``sig_i = min((a_i * h + b_i) mod MINHASH_PRIME)`` with fixed md5-
     derived params — the xxhash production form's permutation algebra
     (minhash_signatures) with the repo's cross-engine hash swapped in.
     All arithmetic stays inside int64 on both engines (a < 2^31,
@@ -1026,7 +1052,7 @@ def minhash_signatures_md5(
         )
     )
     mins = [
-        F.expr(f"min(pmod(__h * {a}L + {b}L, {MERSENNE_61}L)) AS __m{i}")
+        F.expr(f"min(pmod(__h * {a}L + {b}L, {MINHASH_PRIME}L)) AS __m{i}")
         for i, (a, b) in enumerate(_minhash_md5_params(num_hashes))
     ]
     agg = shs.groupBy("__id").agg(*mins)

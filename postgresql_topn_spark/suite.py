@@ -1061,7 +1061,7 @@ def _minhash_oracle_sql(num_hashes: int = 16) -> str:
     DuckDB: one md5 per distinct shingle reduced to 32 bits, the same
     md5-derived (a, b) permutation literals, all int64 arithmetic."""
     from postgresql_topn_spark.operators.dedup import (
-        MERSENNE_61,
+        MINHASH_PRIME,
         _minhash_md5_params,
     )
 
@@ -1080,7 +1080,7 @@ def _minhash_oracle_sql(num_hashes: int = 16) -> str:
           FROM sh),
     p AS (SELECT * FROM (VALUES {values}) AS v(i, a, b)),
     m AS (SELECT h.source, p.i,
-                 MIN((h.hv * p.a + p.b) % {MERSENNE_61}) AS mn
+                 MIN((h.hv * p.a + p.b) % {MINHASH_PRIME}) AS mn
           FROM h, p GROUP BY 1, 2),
     sig AS (SELECT source, list(mn ORDER BY i) AS sig FROM m GROUP BY 1)
     SELECT a.source AS src_a, b.source AS src_b,

@@ -1116,3 +1116,62 @@ def test_connected_components_randomized_vs_union_find(spark):
     assert got == want_min
     # the planted path really is one component labeled by its min node
     assert len({got[c] for c in chain}) == 1 and got[chain[0]] == min(chain)
+
+
+def test_minhash_small_hash_shingle_does_not_capture_signature(spark):
+    """Regression for the M61 permutation-modulus bug (round-5 sf0.1
+    sweep): with (a*h + b) mod 2^61-1 over 32-bit h, the permuted value
+    stayed proportional to a*h, so ONE shingle with a tiny 32-bit hash
+    captured the minimum of every permutation and the signatures of a
+    jaccard-0.9 superset pair agreed in 0/32 slots. Reconstruct that
+    shape: B's shingles are a subset of A's, and A's one extra shingle
+    is chosen (by search) to have the smallest 32-bit hash among 20k
+    candidates (~2^14, far below any other). Under the prime-field
+    family the extra item must NOT dominate: agreement stays near the
+    true jaccard and LSH recovers the pair."""
+    from pyspark.sql import functions as F
+
+    from postgresql_topn_spark.operators.dedup import (
+        hashed_shingles_from_tokens,
+        minhash_lsh_pairs,
+        minhash_signatures,
+    )
+
+    base = [f"tok{i}" for i in range(11)]  # 9 shingles
+    cands = spark.createDataFrame(
+        [(i, f"{base[-2]} {base[-1]} cand{i}") for i in range(20_000)],
+        "i long, text string",
+    ).select(
+        "i",
+        F.element_at(
+            F.transform(
+                hashed_shingles_from_tokens(F.split("text", r"\s+"), 3),
+                lambda h: F.pmod(h, F.lit(1 << 32)),
+            ),
+            1,
+        ).alias("h"),
+    )
+    best = cands.orderBy("h", "i").first()
+    assert best["h"] < 1 << 22  # the planted hash really is tiny
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(base + [f"cand{best['i']}"])),  # A: 10 shingles
+            (2, " ".join(base)),                          # B: 9, subset
+        ],
+        "doc_id long, text string",
+    )
+    sigs = {
+        r["__id"]: r["__sig"]
+        for r in minhash_signatures(docs, "doc_id", "text").collect()
+    }
+    agree = sum(1 for x, y in zip(sigs[1], sigs[2]) if x == y)
+    # true jaccard 0.9 -> expected agreement ~29/32; the broken family
+    # gave 0. Any sane threshold separates them; 20 is conservative.
+    assert agree >= 20, agree
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    assert pairs.get((1, 2)) == 0.9
