@@ -867,3 +867,70 @@ def test_having_unprovable_shapes_decline(spark):
         "SELECT topn_add_agg(i) AS sk FROM t HAVING sk IS NOT NULL",
     ]:
         assert rewrite_topn_sql(sql, counters=10) is None, sql
+
+
+def test_weighted_four_surface_randomized(sql_session):
+    """Randomized FOUR-surface agreement for the weighted aggregate:
+    Column lane (aggregates.topn_weighted_agg), Tier-2 sketch
+    (sketch_state.topn_weighted_agg_sketch, no-eviction regime),
+    registered GROUPED_AGG UDAF, and the generated two-phase SQL
+    (topn_weighted_agg_sql) must produce IDENTICAL maps on a weight
+    mix drawn to hit every rounding/saturation/drop rule: integers,
+    exact .5 halves (HALF-UP away from zero), the 0.49999999999999994
+    edge double, NULL, NaN, +/-1e30 saturation, negatives that drive
+    totals nonpositive, and NULL items on otherwise-empty groups."""
+    import math
+    import random
+
+    from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+    from postgresql_topn_spark.functions.sql_api import topn_weighted_agg_sql
+    from postgresql_topn_spark.operators.sketch_state import (
+        topn_weighted_agg_sketch,
+    )
+
+    rng = random.Random(2468)
+    pool = (
+        [float(rng.randrange(-20, 50)) for _ in range(8)]
+        + [x + 0.5 for x in range(-3, 4)]
+        + [0.49999999999999994, -0.49999999999999994]
+        + [None, float("nan"), 1e30, -1e30, 0.0]
+        + [rng.uniform(-5, 5) for _ in range(6)]
+    )
+    rows = [
+        (f"g{rng.randrange(8)}",
+         rng.choice([None, "a", "b", "c", "d", "e"]),
+         rng.choice(pool))
+        for _ in range(400)
+    ]
+    df = sql_session.createDataFrame(rows, "g string, item string, w double")
+    df.createOrReplaceTempView("__four_surface_in")
+
+    def canon(out_rows):
+        return {r["g"]: dict(r["topn"]) for r in out_rows}
+
+    col_lane = canon(
+        topn_weighted_agg(df, ["g"], "item", "w", counters=100).collect()
+    )
+    tier2 = canon(
+        topn_weighted_agg_sketch(df, ["g"], "item", "w", counters=100).collect()
+    )
+    udaf = {
+        r["g"]: dict(r["topn"])
+        for r in sql_session.sql(
+            "SELECT g, topn_weighted_agg(item, w) AS topn"
+            " FROM __four_surface_in GROUP BY g"
+        ).collect()
+    }
+    twophase = canon(
+        sql_session.sql(
+            topn_weighted_agg_sql(
+                "__four_surface_in", ["g"], "item", "w", counters=100
+            )
+        ).collect()
+    )
+    assert col_lane == tier2 == udaf == twophase
+    # the mix really exercised the rules: some group lost an item to
+    # the nonpositive-total drop, and some total saturated
+    all_vals = [v for m in col_lane.values() for v in m.values()]
+    assert any(v == (1 << 63) - 1 for v in all_vals)
+    assert len(col_lane) == 8
