@@ -262,12 +262,47 @@ def _partial_fn(gnames: Sequence[str], counters: int, *, weighted: bool):
     return partial
 
 
-def _pack(merged: DataFrame, df: DataFrame, group_cols, gnames, out_col: str) -> DataFrame:
+def _decimal_ride_keys(src: DataFrame, gnames: Sequence[str]):
+    """Cast INTEGRAL group-key columns to decimal(20,0) for the
+    mapInPandas leg and return (frame, restore-type map).
+
+    Why: a nullable int64 Arrow column coerces to FLOAT64 in pandas, so
+    an integral group key above 2^53 sharing an input partition with
+    NULL keys would come back with its low bits rounded off (the same
+    coercion class as the union-path __freq fix above). decimal(20,0)
+    arrives as exact Python Decimal whatever the null mix; _pack casts
+    the survivors back to the original type."""
+    from pyspark.sql import types as T
+
+    restore: dict[str, str] = {}
+    out = src
+    for f in src.schema.fields:
+        if f.name in set(gnames) and isinstance(
+            f.dataType,
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        ):
+            restore[f.name] = f.dataType.simpleString()
+            out = out.withColumn(f.name, F.col(f.name).cast("decimal(20,0)"))
+    return out, restore
+
+
+def _pack(
+    merged: DataFrame,
+    df: DataFrame,
+    group_cols,
+    gnames,
+    out_col: str,
+    restore: "dict[str, str] | None" = None,
+) -> DataFrame:
     def name_of(c):
         return c if isinstance(c, str) else df.select(_col(c)).columns[0]
 
+    def gcol(g):
+        c = F.col(g)
+        return c.cast(restore[g]) if restore and g in restore else c
+
     return merged.select(
-        *[F.col(g).alias(name_of(c)) for g, c in zip(gnames, group_cols)],
+        *[gcol(g).alias(name_of(c)) for g, c in zip(gnames, group_cols)],
         F.from_json(F.col(f"__{out_col}_json"), "map<string,bigint>").alias(out_col),
     )
 
@@ -298,6 +333,7 @@ def topn_add_agg_sketch(
         *gexprs,
         _col(item).cast("string").alias("__item"),
     )
+    src, restore = _decimal_ride_keys(src, gnames)
     mid_schema = _group_ddl(src, gnames) + "__item string, __freq bigint"
     partial_df = src.mapInPandas(
         _partial_fn(gnames, counters, weighted=False), schema=mid_schema
@@ -306,7 +342,7 @@ def topn_add_agg_sketch(
     merged = partial_df.groupBy(*gnames).applyInPandas(
         _merge_fn(gnames, counters, f"__{out_col}_json"), schema=final_schema
     )
-    return _pack(merged, df, group_cols, gnames, out_col)
+    return _pack(merged, df, group_cols, gnames, out_col, restore)
 
 
 def topn_weighted_agg_sketch(
@@ -343,6 +379,7 @@ def topn_weighted_agg_sketch(
         _col(item).cast("string").alias("__item"),
         _col(weight).cast("double").alias("__w"),
     )
+    src, restore = _decimal_ride_keys(src, gnames)
     # decimal(38,0), not bigint: partial totals stay EXACT across the
     # shuffle so the int64 saturation happens exactly once, at the
     # merge's JSON egress — two near-max same-sign partials would
@@ -360,7 +397,7 @@ def topn_weighted_agg_sketch(
         ),
         schema=final_schema,
     )
-    return _pack(merged, df, group_cols, gnames, out_col)
+    return _pack(merged, df, group_cols, gnames, out_col, restore)
 
 
 def topn_union_agg_sketch(
@@ -379,10 +416,19 @@ def topn_union_agg_sketch(
     gexprs = [_col(c).alias(g) for c, g in zip(group_cols, gnames)]
     if not gnames:
         gnames, gexprs = ["__gall"], [F.lit(1).alias("__gall")]
+    # __freq rides as decimal(38,0), NOT bigint: explode_outer's NULL
+    # marker rows (NULL/empty sketches keeping their group alive) make
+    # the column nullable, and Arrow->pandas coerces nullable int64 to
+    # FLOAT64 — a frequency near 2^63 then loses its low bits BEFORE
+    # the merge's exact Python sum (found by the randomized four-surface
+    # test: a group holding both a NULL sketch and an INT64_MAX-adjacent
+    # count came back off by one). Decimal converts to exact Python
+    # Decimal objects whatever the null mix — same rule as the weighted
+    # partial mid-schema.
     exploded = df.select(
         *gexprs,
         F.explode_outer(_col(sketch)).alias("__item", "__freq"),
-    )
+    ).withColumn("__freq", F.col("__freq").cast("decimal(38,0)"))
     final_schema = _group_ddl(exploded, gnames) + f"__{out_col}_json string"
     merged = exploded.groupBy(*gnames).applyInPandas(
         _merge_fn(gnames, counters, f"__{out_col}_json"), schema=final_schema

@@ -343,3 +343,48 @@ def test_weights_to_long_vec_bit_identical_to_scalar():
     got = weights_to_long_vec(np.array(vals))
     exp = [weight_to_long(None if v != v else v) for v in vals]
     assert list(got) == exp
+
+
+class TestArrowNullCoercion:
+    """Regressions for the Arrow->pandas nullable-int64-becomes-float64
+    coercion (found by the randomized four-surface test): exactness
+    must survive a NULL marker sharing a pandas column with values
+    above 2^53."""
+
+    def test_union_exact_with_null_sketch_and_huge_freq(self, spark):
+        from postgresql_topn_spark.operators.sketch_state import (
+            topn_union_agg_sketch,
+        )
+
+        big = (1 << 63) - 1
+        rows = [
+            ("g", None),            # NULL sketch -> explode_outer marker
+            ("g", {"k": big - 2}),  # 2^63-adjacent: float64 would round
+            ("g", {"k": -3}),
+        ]
+        df = spark.createDataFrame(
+            rows, "g string, sk map<string,bigint>"
+        ).coalesce(1)
+        out = {
+            r["g"]: dict(r["topn"])
+            for r in topn_union_agg_sketch(df, ["g"], "sk", counters=10).collect()
+        }
+        assert out == {"g": {"k": big - 5}}
+
+    def test_counting_group_key_above_2_53_with_null_keys(self, spark):
+        from postgresql_topn_spark.operators.sketch_state import (
+            topn_add_agg_sketch,
+        )
+
+        k = (1 << 53) + 1  # not representable in float64
+        rows = [(k, "a"), (None, "b"), (k, "a"), (None, None)]
+        df = spark.createDataFrame(rows, "g bigint, item string").coalesce(1)
+        out = {
+            r["g"]: dict(r["topn"])
+            for r in topn_add_agg_sketch(df, ["g"], "item", counters=10).collect()
+        }
+        assert out == {k: {"a": 2}, None: {"b": 1}}
+        got_types = dict(
+            topn_add_agg_sketch(df, ["g"], "item", counters=10).dtypes
+        )
+        assert got_types["g"] == "bigint"  # restore-cast keeps the type

@@ -934,3 +934,100 @@ def test_weighted_four_surface_randomized(sql_session):
     all_vals = [v for m in col_lane.values() for v in m.values()]
     assert any(v == (1 << 63) - 1 for v in all_vals)
     assert len(col_lane) == 8
+
+
+def test_add_and_union_four_surface_randomized(sql_session):
+    """Randomized multi-surface agreement for the counting and union
+    aggregates. Counting: Column lane, Tier-2 sketch, registered UDAF,
+    two-phase SQL — on items mixing multibyte unicode, >255-byte
+    strings (byte-cap rule), and NULLs. Union: the same four surfaces
+    over random sketches with negative and near-INT64_MAX frequencies
+    (signed saturation), NULL sketches, and empty maps."""
+    import random
+
+    from postgresql_topn_spark.functions.aggregates import (
+        topn_add_agg,
+        topn_union_agg,
+    )
+    from postgresql_topn_spark.functions.sql_api import (
+        topn_add_agg_sql,
+        topn_union_agg_sql,
+    )
+    from postgresql_topn_spark.operators.sketch_state import (
+        topn_add_agg_sketch,
+        topn_union_agg_sketch,
+    )
+
+    rng = random.Random(97531)
+    items = ["é" * 200, "日本語テスト" * 50, "plain", "x", "☃", None] + [
+        f"it{i}" for i in range(6)
+    ]
+    rows = [
+        (f"g{rng.randrange(6)}", rng.choice(items)) for _ in range(400)
+    ]
+    df = sql_session.createDataFrame(rows, "g string, item string")
+    df.createOrReplaceTempView("__ms_add_in")
+
+    def canon(out_rows):
+        return {r["g"]: dict(r["topn"]) for r in out_rows}
+
+    a1 = canon(topn_add_agg(df, ["g"], "item", counters=50).collect())
+    a2 = canon(topn_add_agg_sketch(df, ["g"], "item", counters=50).collect())
+    a3 = {
+        r["g"]: dict(r["topn"])
+        for r in sql_session.sql(
+            "SELECT g, topn_add_agg(item) AS topn FROM __ms_add_in GROUP BY g"
+        ).collect()
+    }
+    a4 = canon(
+        sql_session.sql(
+            topn_add_agg_sql("__ms_add_in", ["g"], "item", counters=50)
+        ).collect()
+    )
+    assert a1 == a2 == a3 == a4
+    assert any("é" in k for m in a1.values() for k in m)  # truncation hit
+
+    big = (1 << 63) - 1
+    def sk():
+        if rng.random() < 0.15:
+            return None
+        if rng.random() < 0.15:
+            return {}
+        return {
+            f"k{rng.randrange(8)}": rng.choice(
+                [1, 5, -3, big - 2, big, -(big - 1), rng.randrange(-100, 100)]
+            )
+            for _ in range(rng.randrange(1, 5))
+        }
+
+    urows = [(f"g{rng.randrange(5)}", sk()) for _ in range(200)]
+    udf_df = sql_session.createDataFrame(
+        urows, "g string, sk map<string,bigint>"
+    )
+    udf_df.createOrReplaceTempView("__ms_union_in")
+    u1 = {
+        r["g"]: dict(r["topn"])
+        for r in topn_union_agg(udf_df, ["g"], "sk", counters=50).collect()
+    }
+    u2 = {
+        r["g"]: dict(r["topn"])
+        for r in topn_union_agg_sketch(
+            udf_df, ["g"], "sk", counters=50
+        ).collect()
+    }
+    u3 = {
+        r["g"]: dict(r["topn"])
+        for r in sql_session.sql(
+            "SELECT g, topn_union_agg(sk) AS topn FROM __ms_union_in GROUP BY g"
+        ).collect()
+    }
+    u4 = {
+        r["g"]: dict(r["topn"])
+        for r in sql_session.sql(
+            topn_union_agg_sql("__ms_union_in", ["g"], "sk", counters=50)
+        ).collect()
+    }
+    assert u1 == u2 == u3 == u4
+    vals = [v for m in u1.values() for v in m.values()]
+    assert any(v == big for v in vals)      # positive saturation hit
+    assert any(v < 0 for v in vals)         # negative totals survive union
