@@ -176,7 +176,13 @@ def cosine_topk(
                     {"query_id": top[0], "neighbor_id": top[1], "__sim": top[2]}
                 )
 
-    scored = corpus.select(_col(id_col), _col(vec_col)).mapInPandas(score, schema)
+    scored = (
+        # NULL-id rows are garbage input AND would float-coerce the
+        # whole Arrow id column (corrupting ids > 2^53): drop at scan
+        corpus.select(_col(id_col), _col(vec_col))
+        .where(_col(id_col).isNotNull())
+        .mapInPandas(score, schema)
+    )
     return _merge_partial_topk(scored, k)
 
 
@@ -234,7 +240,13 @@ def cosine_pairs_exact(
                     {"id_a": qid_arr[iq], "id_b": ids[ix], "__sim": S[iq, ix]}
                 )
 
-    scored = df.select(_col(id_col), _col(vec_col)).mapInPandas(score, schema)
+    scored = (
+        # NULL-id rows are garbage input AND would float-coerce the
+        # whole Arrow id column (corrupting ids > 2^53): drop at scan
+        df.select(_col(id_col), _col(vec_col))
+        .where(_col(id_col).isNotNull())
+        .mapInPandas(score, schema)
+    )
     return scored.select("id_a", "id_b", F.round("__sim", 6).alias("sim"))
 
 
@@ -463,7 +475,13 @@ def lsh_topk(
                     {"query_id": top[0], "neighbor_id": top[1], "__sim": top[2]}
                 )
 
-    scored = corpus.select(_col(id_col), _col(vec_col)).mapInPandas(score, schema)
+    scored = (
+        # NULL-id rows are garbage input AND would float-coerce the
+        # whole Arrow id column (corrupting ids > 2^53): drop at scan
+        corpus.select(_col(id_col), _col(vec_col))
+        .where(_col(id_col).isNotNull())
+        .mapInPandas(score, schema)
+    )
     return _merge_partial_topk(scored, k)
 
 
@@ -623,7 +641,13 @@ def ivf_topk(
                     {"query_id": top[0], "neighbor_id": top[1], "__sim": top[2]}
                 )
 
-    scored = corpus.select(_col(id_col), _col(vec_col)).mapInPandas(score, schema)
+    scored = (
+        # NULL-id rows are garbage input AND would float-coerce the
+        # whole Arrow id column (corrupting ids > 2^53): drop at scan
+        corpus.select(_col(id_col), _col(vec_col))
+        .where(_col(id_col).isNotNull())
+        .mapInPandas(score, schema)
+    )
     return _merge_partial_topk(scored, k)
 
 
@@ -853,7 +877,13 @@ def ivfpq_topk(
                     {"query_id": top[0], "neighbor_id": top[1], "__sim": top[2]}
                 )
 
-    scored = corpus.select(_col(id_col), _col(vec_col)).mapInPandas(score, schema)
+    scored = (
+        # NULL-id rows are garbage input AND would float-coerce the
+        # whole Arrow id column (corrupting ids > 2^53): drop at scan
+        corpus.select(_col(id_col), _col(vec_col))
+        .where(_col(id_col).isNotNull())
+        .mapInPandas(score, schema)
+    )
     return _merge_partial_topk(scored, k)
 
 

@@ -321,3 +321,25 @@ def test_near_dup_pairs_no_self_pairs_on_duplicate_ids(spark):
         ).collect()
     )
     assert got == [(7, 9)]  # no (7, 7); no NULL-id rows
+
+
+def test_ann_null_corpus_ids_dropped_not_corrupting(spark):
+    """A NULL corpus id must be dropped at the scan, not ride into the
+    Arrow batch where it would float-coerce the id column and corrupt
+    ids above 2^53 (the Arrow nullable-int64 coercion class)."""
+    from postgresql_topn_spark.operators.similarity import cosine_topk
+
+    big = (1 << 53) + 1  # not representable in float64
+    corpus = spark.createDataFrame(
+        [(big, [1.0, 0.0]), (None, [1.0, 0.0]), (2, [0.0, 1.0])],
+        "vec_id bigint, embedding array<double>",
+    ).coalesce(1)
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "vec_id bigint, embedding array<double>"
+    )
+    out = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(corpus, queries, k=2).collect()
+    }
+    assert (100, big) in out            # exact id survives
+    assert all(n is not None for _, n in out)
