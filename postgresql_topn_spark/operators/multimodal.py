@@ -19,6 +19,11 @@ boundary is crossed per-batch, not per-row. For 100 TB of media, keep
 `spark.sql.files.maxPartitionBytes` sized so a batch of blobs fits in
 executor memory, and select() only the metadata columns when the blob
 is not needed (column pruning skips the bytes entirely).
+
+NULL doc_id rows are dropped at the scan before every mapInPandas leg:
+they are unjoinable garbage, and a NULL in the Arrow int64 id column
+would coerce it to float64, corrupting ids above 2^53 for the whole
+batch (the nullable-int64 coercion class; see sketch_state.py).
 """
 
 from __future__ import annotations
@@ -162,7 +167,7 @@ def decode_image_meta(blobs: DataFrame, *, decoder: str = "header") -> DataFrame
                 }
             )
 
-    return blobs.select("doc_id", "blob").mapInPandas(decode, schema=IMAGE_META_SCHEMA)
+    return blobs.select("doc_id", "blob").where(F.col("doc_id").isNotNull()).mapInPandas(decode, schema=IMAGE_META_SCHEMA)
 
 
 PIXELS_SCHEMA = (
@@ -273,7 +278,7 @@ def decode_image_pixels(
                 }
             )
 
-    return blobs.select("doc_id", "blob").mapInPandas(
+    return blobs.select("doc_id", "blob").where(F.col("doc_id").isNotNull()).mapInPandas(
         decode, schema=PIXELS_SCHEMA.replace("pixels", out_col)
     )
 
@@ -335,7 +340,7 @@ def resize_pixels(
 
     return imgs.select(
         "doc_id", "width", "height", "channels", pixels_col
-    ).mapInPandas(resize, schema=PIXELS_SCHEMA.replace("pixels", pixels_col))
+    ).where(F.col("doc_id").isNotNull()).mapInPandas(resize, schema=PIXELS_SCHEMA.replace("pixels", pixels_col))
 
 
 def resize_images(
@@ -366,7 +371,7 @@ def resize_images(
                 }
             )
 
-    return blobs.select("doc_id", "blob").mapInPandas(
+    return blobs.select("doc_id", "blob").where(F.col("doc_id").isNotNull()).mapInPandas(
         resize, schema="doc_id bigint, width int, height int, pixels binary"
     )
 
@@ -393,7 +398,7 @@ def extract_features(blobs: DataFrame, *, dim: int = 64) -> DataFrame:
                 out.append((hist / norm).astype("float32").tolist())
             yield pd.DataFrame({"doc_id": pdf["doc_id"], "embedding": out})
 
-    return blobs.select("doc_id", "blob").mapInPandas(
+    return blobs.select("doc_id", "blob").where(F.col("doc_id").isNotNull()).mapInPandas(
         featurize, schema="doc_id bigint, embedding array<float>"
     )
 
@@ -495,7 +500,7 @@ def make_png_blob_table(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(synth, BLOB_SCHEMA)
+    return documents.select("doc_id").where(F.col("doc_id").isNotNull()).mapInPandas(synth, BLOB_SCHEMA)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -664,7 +669,7 @@ def make_audio_blob_table(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").mapInPandas(synth, BLOB_SCHEMA)
+    return documents.select("doc_id").where(F.col("doc_id").isNotNull()).mapInPandas(synth, BLOB_SCHEMA)
 
 
 def _wav_chunks(buf: bytes):
@@ -738,7 +743,7 @@ def decode_wav_meta(blobs: DataFrame) -> DataFrame:
                 ],
             )
 
-    return blobs.select("doc_id", "blob", "n_bytes").mapInPandas(
+    return blobs.select("doc_id", "blob", "n_bytes").where(F.col("doc_id").isNotNull()).mapInPandas(
         decode, WAV_META_SCHEMA
     )
 
@@ -800,6 +805,6 @@ def audio_energy_windows(blobs: DataFrame, *, window: int = 256) -> DataFrame:
                 ],
             )
 
-    return blobs.select("doc_id", "blob").mapInPandas(
+    return blobs.select("doc_id", "blob").where(F.col("doc_id").isNotNull()).mapInPandas(
         feats, AUDIO_ENERGY_SCHEMA
     )
