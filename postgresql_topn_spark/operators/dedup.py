@@ -595,7 +595,11 @@ def _char_gram_arrays(
 
     base = df.select(
         _col(id_col).alias("__id"), _col(text_col).alias("__txt")
-    ).where(F.char_length(text_col) >= n)
+    ).where(
+        # NULL-id docs can't name a pair, and a NULL in the Arrow id
+        # column would float-coerce it (corrupting ids > 2^53)
+        F.col("__id").isNotNull() & (F.char_length(text_col) >= n)
+    )
     base = _spread_small_scan(df, base)
     out_schema = StructType(
         [
@@ -1139,7 +1143,11 @@ def simhash_table(
     # and no shuffle is added.
     hashed = df.select(
         _col(id_col).alias("__id"), tokens(text_col).alias("__toks")
-    ).where(F.size("__toks") >= k)
+    ).where(
+        # NULL-id guard: same Arrow nullable-int64 coercion class as
+        # the char-gram path above
+        F.col("__id").isNotNull() & (F.size("__toks") >= k)
+    )
     hashed = hashed.select(
         "__id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th")
     )
