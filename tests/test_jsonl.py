@@ -139,3 +139,35 @@ def test_pre_sum_manifest_still_verifies(spark, corpus, tmp_path):
     with open(mpath, "w") as f:
         _json.dump(manifest, f)
     read_jsonl_corpus(spark, path, SCHEMA, verify_manifest=True)
+
+
+def test_round_trip_hostile_strings(spark, tmp_path):
+    """Escaping fidelity under randomized hostile text: JSON
+    metacharacters, backslash runs, newlines/tabs/CR inside values
+    (JSONL is line-framed — an unescaped newline would split a record),
+    control chars, astral-plane and combining unicode, JSON-lookalike
+    payloads, empty strings, and NULLs. The roundtrip must return the
+    exact multiset."""
+    import random
+
+    rng = random.Random(31415)
+    atoms = [
+        '"', "\\", "\\\\", '\\"', "\n", "\r", "\t", "\x01", "\x1f",
+        "😀", "é", "ß", "'", "{", "}", "[", "]", ",", ":",
+        '{"a": 1}', "null", "true", "-- comment", "line1\nline2",
+        " ", " ",  # JS line separators, classic JSONL trap
+    ]
+    def hostile():
+        return "".join(rng.choice(atoms) for _ in range(rng.randrange(0, 12)))
+    rows = [(i, hostile(), "xx") for i in range(150)]
+    rows += [(900, None, "xx"), (901, "", "xx"), (902, " \t ", "xx")]
+    corpus = spark.createDataFrame(rows, SCHEMA)
+    path = str(tmp_path / "hostile")
+    write_jsonl_corpus(corpus, path, n_shards=4)
+    back = read_jsonl_corpus(
+        spark, path, schema=SCHEMA, verify_manifest=True
+    )
+    got = sorted(
+        (r["doc_id"], r["text"], r["lang"]) for r in back.collect()
+    )
+    assert got == sorted(rows)
