@@ -1175,3 +1175,67 @@ def test_minhash_small_hash_shingle_does_not_capture_signature(spark):
         ).collect()
     }
     assert pairs.get((1, 2)) == 0.9
+
+
+def test_minhash_estimator_tracks_true_jaccard(spark):
+    """Statistical sentinel for the permutation family: on randomized
+    set pairs spanning low/mid/high true Jaccard — including the
+    superset shape the M61 family collapsed on — the 32-hash signature
+    agreement must track the true value within binomial noise
+    (|est - J| <= 0.25 per pair at n=32; the broken family gave est=0
+    at J=0.9)."""
+    import random
+
+    from postgresql_topn_spark.operators.dedup import (
+        minhash_est_jaccard,
+        minhash_signatures_md5,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(8642)
+    vocab = [f"w{i}" for i in range(400)]
+    pairs, rows, did = [], [], 0
+    for _ in range(12):
+        base = rng.sample(vocab, 60)
+        keep = rng.choice([10, 30, 45, 57])  # spans J ~0.09..0.9
+        other = base[:keep] + rng.sample(
+            [w for w in vocab if w not in base], 60 - keep
+        )
+        # token overlap induces 3-shingle overlap; the TRUE jaccard is
+        # computed from the actual shingle sets below, so the induced
+        # distribution (which spans ~0.1..0.9) is all that matters
+        rows.append((did, " ".join(w for w in base))); a_id = did; did += 1
+        rows.append((did, " ".join(w for w in other))); b_id = did; did += 1
+        pairs.append((a_id, b_id))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # true 3-shingle jaccard per pair, computed directly
+    texts = dict(rows)
+    def sh(t):
+        tk = t.split()
+        return {" ".join(tk[i : i + 3]) for i in range(len(tk) - 2)}
+    sigs = {
+        r["__id"]: r["__sig"]
+        for r in minhash_signatures_md5(
+            df, "doc_id", "text", num_hashes=32
+        ).collect()
+    }
+    checked = 0
+    for a_id, b_id in pairs:
+        A, B = sh(texts[a_id]), sh(texts[b_id])
+        true_j = len(A & B) / len(A | B)
+        est = sum(
+            1 for x, y in zip(sigs[a_id], sigs[b_id]) if x == y
+        ) / 32.0
+        assert abs(est - true_j) <= 0.25, (true_j, est)
+        checked += 1
+    assert checked == 12
+    # and the Column-side estimator agrees with the python agreement
+    two = spark.createDataFrame(
+        [(sigs[pairs[0][0]], sigs[pairs[0][1]])],
+        "sa array<bigint>, sb array<bigint>",
+    ).select(minhash_est_jaccard(F.col("sa"), F.col("sb")).alias("e"))
+    got = two.collect()[0]["e"]
+    exp = sum(
+        1 for x, y in zip(sigs[pairs[0][0]], sigs[pairs[0][1]]) if x == y
+    ) / 32.0
+    assert abs(got - exp) < 1e-9
