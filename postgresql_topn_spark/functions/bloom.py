@@ -141,7 +141,25 @@ def bloom_add_agg(
     ).alias("__word")
     if names:
         grid = groups.select(*names, grid_words)
-        joined = grid.join(sparse, [*names, "__word"], "left")
+        # NULL group keys: distinct() keeps a NULL-keyed grid row, but a
+        # null-UNSAFE equi-join would never match it to its own sparse
+        # words — that group's filter would pack all-zero and every
+        # probe against it would return FALSE, a false negative (the
+        # one guarantee the structure exists for; the small-filter map
+        # lane is immune because groupBy treats NULL keys as a group).
+        # Join with eqNullSafe per key column instead (review pin).
+        rnames = [f"__r{i}" for i in range(len(names))]
+        rsparse = sparse.select(
+            *[F.col(c).alias(r) for c, r in zip(names, rnames)],
+            F.col("__word").alias("__rword"),
+            "__bits",
+        )
+        cond = grid["__word"] == rsparse["__rword"]
+        for c, r in zip(names, rnames):
+            cond = cond & grid[c].eqNullSafe(rsparse[r])
+        joined = grid.join(rsparse, cond, "left").drop(
+            "__rword", *rnames
+        )
     else:
         grid = slots.sparkSession.range(1).select(grid_words)
         joined = grid.join(sparse, ["__word"], "left")

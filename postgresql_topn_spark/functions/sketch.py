@@ -267,9 +267,16 @@ def topn_add(
     m = _col(sketch)
     it = normalize_item(item)
     one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+    # coalesce the stored value to 0 BEFORE _sat_add: try_add returns
+    # NULL for NULL inputs too, so a NULL map value (repo convention:
+    # contributes 0, matching the merge path below) would otherwise be
+    # read as overflow and saturate to INT64_MIN (review pin)
     bumped = F.transform_values(
         m,
-        lambda k, v: F.when(k == it, _sat_add(v, one)).otherwise(v),
+        lambda k, v: F.when(
+            k == it, _sat_add(F.coalesce(v, zero), one)
+        ).otherwise(v),
     )
     inserted = prune_sketch(F.map_concat(m, F.create_map(it, one)), counters)
     return (

@@ -1519,6 +1519,22 @@ def substring_dedup(
     )
 
 
+def _shuffle_partition_count(spark) -> int:
+    """spark.sql.shuffle.partitions as an int, degrading gracefully on
+    platforms where the conf holds a non-integer value (e.g. 'auto'
+    under AQE-managed runtimes): fall back to the cluster default
+    parallelism, then 200 — never fail plan construction over a
+    repartition width hint (review pin)."""
+    raw = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    try:
+        return int(raw)
+    except (TypeError, ValueError):
+        try:
+            return int(spark.sparkContext.defaultParallelism) or 200
+        except Exception:
+            return 200
+
+
 def levenshtein_pairs(
     df: DataFrame,
     id_col: str,
@@ -1611,9 +1627,7 @@ def levenshtein_pairs(
     #    into one partition; the EXPLICIT repartition count (respected
     #    by AQE) keeps the verify spread. Candidates are tiny relative
     #    to the corpus, so the extra shuffle is cheap at every scale.
-    n_parts = int(
-        df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    n_parts = _shuffle_partition_count(df.sparkSession)
     cand = cand.repartition(n_parts, F.col("doc_a"), F.col("doc_b"))
     cand = cand.groupBy("doc_a", "doc_b").agg(
         F.first("__ta").alias("__ta"), F.first("__tb").alias("__tb")
