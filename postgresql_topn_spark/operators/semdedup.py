@@ -1,0 +1,268 @@
+"""SemDeDup-style semantic deduplication (Abbas et al. 2023,
+arXiv:2303.09540): coarse-cluster the embedding space, then inside each
+cluster drop every example whose cosine similarity to an EARLIER-RANKED
+cluster member meets the threshold. The rank order implements the
+paper's keeper rule — "keep the example with the lowest cosine
+similarity to the cluster centroid" — as a greedy sweep (rank by
+centroid-similarity ascending; an example dies iff some earlier-ranked
+example is a near-duplicate of it), which is exactly the
+upper-triangular max-similarity test the released SemDeDup
+implementation runs per cluster.
+
+Relation to the neighboring operators: `dedup_embedding_*` emit PAIRS
+above a threshold (candidate generation); this operator emits a
+per-example KEEP/DROP decision with a `dup_of` witness — the
+document-selection form a curation pipeline consumes directly.
+Semantic dedup catches paraphrases/translations that token-level
+MinHash/SimHash can't see (the embedding carries the semantics).
+
+Scale shape (100 TB):
+- cluster ASSIGNMENT is scan-stage only: the centroid table rides the
+  plan as literals (`assign_mode='expr'`, pure Catalyst fold — zero
+  exchanges, whole-stage codegen) or the task closure
+  (`assign_mode='pandas'`, one Arrow-batched mapInPandas pass for
+  centroid counts too big to inline). The corpus never shuffles to be
+  assigned.
+- the pairwise stage is per-cluster quadratic BY DESIGN (the paper's
+  definition); the knob is `n_clusters`, which the caller scales
+  ~n/target_cluster_size so in-cluster work stays bounded (the paper
+  uses 50k clusters for LAION-scale corpora). `max_cluster_size` is
+  the Zipf guard: clusters over the cap skip pair generation entirely
+  (their members are all kept — a guard can only under-delete, never
+  fabricate a drop), same trade as the dedup family's df caps.
+- the rank window partitions by cluster — bounded partitions when
+  n_clusters is sized as above, never a global sort.
+
+Determinism: `centroid_mode='seeded'` picks the md5-shuffled first
+n_clusters corpus vectors (similarity._seeded_ivf_centroids) and every
+float fold accumulates dimension-sequentially, so a DuckDB oracle
+replays centroid pick, assignment, ranking, pairwise cosine and the
+keep/drop sweep value-for-value. `'trained'` runs Lloyd's k-means on a
+bounded sample (better centroids, nothing to replay — pytest scope).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.functions.sketch import _col
+from postgresql_topn_spark.operators.similarity import (
+    _seeded_ivf_centroids,
+    _seq_dots,
+    _seq_sqnorm,
+    _train_ivf_centroids,
+    dot,
+    norm,
+)
+
+
+def _centroid_literal(C: "np.ndarray") -> Column:
+    """array<struct<cell:int, sq:double, cv:array<double>>> literal.
+    `sq` is the dimension-sequential squared norm, so it equals the
+    oracle's list_reduce fold bit-for-bit."""
+    sq = _seq_sqnorm(C)
+    return F.array(
+        *[
+            F.struct(
+                F.lit(int(j)).alias("cell"),
+                F.lit(float(sq[j])).alias("sq"),
+                F.array(*[F.lit(float(v)) for v in C[j]]).alias("cv"),
+            )
+            for j in range(len(C))
+        ]
+    )
+
+
+def assign_clusters(
+    corpus: DataFrame,
+    centroids: "np.ndarray",
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    assign_mode: str = "expr",
+) -> DataFrame:
+    """(id, vec, cluster, centroid_sim): nearest-centroid assignment by
+    squared L2 (-2*dot + ||c||^2; ||x||^2 is constant per row), ties to
+    the lowest cell id, plus the cosine to the assigned centroid.
+
+    'expr': centroids inline as literals; per row, a transform scores
+    every centroid and array_sort picks min (d2, cell) — one
+    whole-stage-codegen projection, ZERO exchanges, and float folds
+    that match DuckDB's list_reduce left fold exactly. Right for
+    centroid counts up to a few hundred (plan-size bound).
+    'pandas': one mapInPandas pass with the same sequential folds
+    (bit-identical to 'expr' — pytest-pinned); right for the 50k-cell
+    regime where literals would bloat the plan.
+    """
+    idc, vc = _col(id_col), _col(vec_col)
+    # NULL-id rows are unjoinable garbage AND would float-coerce the
+    # Arrow id column in pandas mode (ids > 2^53 corrupt): drop at scan
+    base = corpus.select(idc.alias("__id"), vc.alias("__v")).where(
+        idc.isNotNull()
+    )
+    if assign_mode == "expr":
+        cent = _centroid_literal(centroids)
+        scored = F.transform(
+            cent,
+            lambda c: F.struct(
+                (F.lit(-2.0) * dot(F.col("__v"), c["cv"]) + c["sq"]).alias(
+                    "d2"
+                ),
+                c["cell"].alias("cell"),
+            ),
+        )
+        best = F.element_at(F.array_sort(scored), 1)
+        out = base.select(
+            "__id",
+            "__v",
+            best["cell"].alias("cluster"),
+            F.element_at(cent, best["cell"] + 1).alias("__c"),
+        )
+        return out.select(
+            "__id",
+            "__v",
+            "cluster",
+            (
+                dot(F.col("__v"), F.col("__c.cv"))
+                / (norm(F.col("__v")) * F.sqrt(F.col("__c.sq")))
+            ).alias("centroid_sim"),
+        )
+    if assign_mode != "pandas":
+        raise ValueError(
+            f"assign_mode must be 'expr' or 'pandas': {assign_mode}"
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    c_sq = _seq_sqnorm(C)
+    c_norm = np.sqrt(c_sq)
+    from pyspark.sql.types import (
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("__id", base.schema["__id"].dataType),
+            StructField("__v", base.schema["__v"].dataType),
+            StructField("cluster", IntegerType()),
+            StructField("centroid_sim", DoubleType()),
+        ]
+    )
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+            d = _seq_dots(X, C)
+            cells = np.argmin(-2.0 * d + c_sq, axis=1)  # stable: low cell
+            sims = d[np.arange(len(X)), cells] / (
+                np.sqrt(_seq_sqnorm(X)) * c_norm[cells]
+            )
+            yield pd.DataFrame(
+                {
+                    "__id": pdf["__id"],
+                    "__v": pdf["__v"],
+                    "cluster": cells.astype("int32"),
+                    "centroid_sim": sims,
+                }
+            )
+
+    return base.mapInPandas(assign, schema)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_clusters: int = 16,
+    threshold: float = 0.8,
+    centroid_mode: str = "seeded",
+    assign_mode: str = "expr",
+    seed: int = 7,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Per-example semantic keep/drop decisions (SemDeDup).
+
+    Returns (id_col, cluster, centroid_sim, rank, keep, dup_of):
+    `rank` is the in-cluster keeper order (centroid_sim ASC, id ASC —
+    the paper prefers the example FARTHEST from the centroid); an
+    example is dropped (keep=false) iff some earlier-ranked member of
+    its cluster has cosine >= threshold with it, and `dup_of` names the
+    earliest-ranked such witness. centroid_sim is rounded to 6 decimals
+    for cross-engine hash stability; ranking uses the unrounded value
+    (bit-exact across engines by the sequential-fold discipline)."""
+    if n_clusters < 1:
+        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    if not (-1.0 <= threshold <= 1.0):
+        raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
+    if centroid_mode == "seeded":
+        C = _seeded_ivf_centroids(corpus, id_col, vec_col, n_clusters)
+    elif centroid_mode == "trained":
+        C = _train_ivf_centroids(corpus, vec_col, n_clusters, seed)
+    else:
+        raise ValueError(
+            f"centroid_mode must be 'seeded' or 'trained': {centroid_mode}"
+        )
+    assigned = assign_clusters(
+        corpus,
+        C,
+        id_col=id_col,
+        vec_col=vec_col,
+        assign_mode=assign_mode,
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        F.asc("centroid_sim"), F.asc("__id")
+    )
+    m = assigned.withColumn("rank", F.row_number().over(w))
+    pair_src = m
+    if max_cluster_size is not None:
+        # Zipf guard: a degenerate cluster (all-alike embeddings, or a
+        # centroid that swallowed the corpus) would make |members|^2
+        # pairs; capped clusters keep ALL members (under-delete only)
+        hot = (
+            m.groupBy("cluster")
+            .count()
+            .where(F.col("count") > max_cluster_size)
+            .select("cluster")
+        )
+        pair_src = m.join(F.broadcast(hot), "cluster", "left_anti")
+    a = pair_src.select(
+        "cluster",
+        F.col("__id").alias("__ida"),
+        F.col("__v").alias("__va"),
+        F.col("rank").alias("__ra"),
+    )
+    b = pair_src.select(
+        "cluster",
+        F.col("__id").alias("__idb"),
+        F.col("__v").alias("__vb"),
+        F.col("rank").alias("__rb"),
+    )
+    sim_ab = dot(F.col("__va"), F.col("__vb")) / (
+        norm(F.col("__va")) * norm(F.col("__vb"))
+    )
+    kills = (
+        a.join(b, "cluster")
+        .where(F.col("__ra") < F.col("__rb"))
+        .where(sim_ab >= F.lit(float(threshold)))
+        # earliest-ranked witness; ranks are unique within a cluster
+        .groupBy("__idb")
+        .agg(F.min_by("__ida", "__ra").alias("dup_of"))
+    )
+    return (
+        m.join(kills, m["__id"] == kills["__idb"], "left")
+        .select(
+            F.col("__id").alias(id_col),
+            "cluster",
+            F.round("centroid_sim", 6).alias("centroid_sim"),
+            "rank",
+            F.col("__idb").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

@@ -1295,6 +1295,13 @@ _COS_AB = """
               i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
 """
 
+_IVF_D2 = """
+         -2 * list_reduce(list_transform(range(1, 65),
+              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+         + list_reduce(list_transform(range(1, 65),
+              i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+"""
+
 
 @_register(
     "ann_lsh_topk",
@@ -1370,36 +1377,6 @@ def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "dedup_embedding_exact",
-    """
-    SELECT id_a, id_b, round(sim, 6) AS sim FROM (
-      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-             list_reduce(list_transform(range(1, 65),
-                         i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)),
-                         (x, y) -> x + y)
-             / (sqrt(list_reduce(list_transform(range(1, 65),
-                      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE)), (x, y) -> x + y))
-                * sqrt(list_reduce(list_transform(range(1, 65),
-                      i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), (x, y) -> x + y)))
-             AS sim
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    ) t WHERE sim >= 0.4
-    """,
-)
-def dedup_embedding_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT embedding-cosine near-dup pairs (>= 0.4) — the oracled
-    correctness baseline for the LSH pair generator below. One side
-    rides the task closure, the corpus streams through one scoring
-    pass; sub-threshold pairs never become rows. The threshold sits
-    below this fixture's max pairwise cosine (~0.51) so the query
-    returns real pairs."""
-    from postgresql_topn_spark.operators.similarity import cosine_pairs_exact
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return cosine_pairs_exact(emb, threshold=0.4)
-
-
-@_register(
     "dedup_embedding_near",
     f"""
     WITH {_lsh_planes_bk_sql(16, 4, 7)},
@@ -1433,6 +1410,65 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "dedup_semantic_clusters",
+    f"""
+    WITH cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             embedding AS cv
+      FROM embeddings
+      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    ),
+    d AS (
+      SELECT e.vec_id, e.embedding, c.cell, {_IVF_D2} AS d2,
+             list_reduce(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS csim
+      FROM embeddings e, cent c
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, cluster, csim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                                     ORDER BY csim ASC, vec_id ASC) AS INT) AS rnk
+      FROM (
+        SELECT vec_id, embedding, CAST(cell AS INT) AS cluster, csim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM d) t WHERE rn = 1
+    ),
+    kills AS (
+      SELECT b.vec_id AS idb, arg_min(a.vec_id, a.rnk) AS dup_of
+      FROM ranked a JOIN ranked b ON a.cluster = b.cluster AND a.rnk < b.rnk
+      WHERE {_COS_AB} >= 0.35
+      GROUP BY b.vec_id
+    )
+    SELECT r.vec_id, r.cluster, round(r.csim, 6) AS centroid_sim,
+           r.rnk AS "rank", k.idb IS NULL AS keep, k.dup_of
+    FROM ranked r LEFT JOIN kills k ON k.idb = r.vec_id
+    """,
+)
+def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): coarse-cluster the embeddings
+    (seeded md5-shuffled centroids — the IVF oracle contract), rank
+    each cluster by centroid-similarity ascending (the paper keeps the
+    example FARTHEST from the centroid), and drop any example whose
+    cosine to an earlier-ranked cluster member reaches the threshold,
+    with the earliest such witness as dup_of. The per-example
+    KEEP/DROP decision form of embedding dedup — dedup_embedding_near
+    emits candidate PAIRS; this emits the selection a curation
+    pipeline applies. Every stage (centroid pick, assignment, rank,
+    pairwise cosine, greedy sweep) is replayed value-for-value by the
+    DuckDB oracle; cluster assignment itself is a scan-stage Catalyst
+    fold (zero exchanges — plan-pinned in tests/test_semdedup.py)."""
+    from postgresql_topn_spark.operators.semdedup import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, n_clusters=16, threshold=0.35)
+
+
+@_register(
     "text_winnow",
     r"""
     WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents),
@@ -1462,14 +1498,6 @@ def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", F.explode(fingerprint_winnow_md5("text")).alias("fp")
     )
-
-
-_IVF_D2 = """
-         -2 * list_reduce(list_transform(range(1, 65),
-              i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
-         + list_reduce(list_transform(range(1, 65),
-              i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
-"""
 
 
 @_register(
@@ -2104,69 +2132,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return sample_frames(make_blob_table(docs))
-
-
-@_register(
-    "multimodal_feature_ann",
-    """
-    WITH cps AS (
-      SELECT doc_id,
-             list_transform(range(1, length(text) + 1), i -> unicode(text[i])) AS cp
-      FROM documents
-    ),
-    hist AS (
-      SELECT doc_id,
-             list_transform(range(0, 64),
-                            j -> CAST(len(list_filter(cp, c -> c % 64 = j)) AS DOUBLE)) AS h
-      FROM cps
-    ),
-    feat AS (
-      SELECT doc_id,
-             list_transform(h, x -> CAST(x / sqrt(list_reduce(list_transform(h, y -> y * y),
-                                                              (a, b) -> a + b)) AS REAL)) AS emb
-      FROM hist
-    ),
-    q AS (SELECT doc_id AS qid, emb AS qv FROM feat WHERE doc_id % 200 = 0),
-    scored AS (
-      SELECT q.qid AS query_id, c.doc_id AS neighbor_id,
-             list_reduce(list_transform(range(1, 65),
-                         i -> CAST(q.qv[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE)),
-                         (a, b) -> a + b)
-             / (sqrt(list_reduce(list_transform(range(1, 65),
-                      i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)), (a, b) -> a + b))
-                * sqrt(list_reduce(list_transform(range(1, 65),
-                      i -> CAST(c.emb[i] AS DOUBLE) * CAST(c.emb[i] AS DOUBLE)), (a, b) -> a + b)))
-             AS sim
-      FROM q, feat c WHERE c.doc_id <> q.qid
-    )
-    SELECT query_id, neighbor_id, "rank", round(sim, 6) AS sim FROM (
-      SELECT query_id, neighbor_id, sim,
-             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id ASC) AS "rank"
-      FROM scored
-    ) t WHERE "rank" <= 3
-    """,
-)
-def multimodal_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end multimodal pipeline: blob table -> mapInPandas feature
-    extraction (stub featurizer, real Arrow plumbing) -> brute-force
-    cosine top-3 over the extracted embeddings. The full
-    decode->embed->search composition a training-data pipeline runs.
-    Oracled end-to-end: the stub featurizer (byte histogram mod 64,
-    L2-normalized, quantized to float32) is a pure function of the
-    payload that ANSI SQL reproduces bit-for-bit — histogram sums are
-    exact integers in float64, so norm/divide/float32-cast round
-    identically — and the cosine stage reuses the sequential-fold
-    contract of ann_cosine_topk."""
-    from postgresql_topn_spark.operators.multimodal import (
-        extract_features,
-        make_blob_table,
-    )
-    from postgresql_topn_spark.operators.similarity import cosine_topk
-
-    docs = load_table(spark, sf_dir, "documents")
-    emb = extract_features(make_blob_table(docs))
-    queries = emb.where(F.col("doc_id") % 200 == 0)
-    return cosine_topk(emb, queries, id_col="doc_id", vec_col="embedding", k=3)
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:
@@ -3376,6 +3341,92 @@ def pipeline_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         20,
         seed=7,
     ).select("lang", "doc_id", "rank")
+
+
+@_register(
+    "pipeline_dsir_resample",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                              i -> t[i] || ' ' || t[i+1]))) AS f
+      FROM toks
+    ),
+    fb AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 4096 AS bucket
+      FROM feats
+    ),
+    docfeat AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM fb GROUP BY doc_id, bucket
+    ),
+    rawc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY bucket),
+    tgtc AS (
+      SELECT fb.bucket, CAST(count(*) AS BIGINT) AS ct
+      FROM fb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY fb.bucket
+    ),
+    tot AS (
+      SELECT CAST((SELECT sum(cr) FROM rawc) AS DOUBLE) AS tr,
+             CAST(COALESCE((SELECT sum(ct) FROM tgtc), 0) AS DOUBLE) AS tt
+    ),
+    model AS (
+      SELECT r.bucket,
+             CAST(round(((ln(CAST(COALESCE(t2.ct, 0) AS DOUBLE) + 1.0) - ln(tt + 4096.0))
+                         - (ln(CAST(r.cr AS DOUBLE) + 1.0) - ln(tr + 4096.0)))
+                        * 1000000.0, 0) AS BIGINT) AS lr_micro
+      FROM rawc r LEFT JOIN tgtc t2 USING (bucket) CROSS JOIN tot
+    ),
+    w AS (
+      SELECT df.doc_id, CAST(sum(df.cnt) AS BIGINT) AS n_feats,
+             CAST(sum(df.cnt * m.lr_micro) AS BIGINT) AS logw_micro
+      FROM docfeat df JOIN model m USING (bucket)
+      GROUP BY df.doc_id
+    ),
+    allw AS (
+      SELECT d.doc_id, COALESCE(w.n_feats, 0) AS n_feats,
+             COALESCE(w.logw_micro, 0) AS logw_micro
+      FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN w USING (doc_id)
+    ),
+    keyed AS (
+      SELECT doc_id, n_feats, logw_micro,
+             CAST(round(CAST(logw_micro AS DOUBLE) / 1.0, 0) AS BIGINT)
+             + CAST(round(-ln(-ln((CAST(CAST(concat('0x',
+                     substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     AS DOUBLE) + 0.5) / 1152921504606846976.0))
+                    * 1000000.0, 0) AS BIGINT) AS key_micro
+      FROM allw
+    )
+    SELECT doc_id, n_feats, logw_micro, key_micro
+    FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT 50
+    """,
+)
+def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023): estimate hashed-bigram
+    multinomials for the raw corpus and an in-corpus target slice
+    (lang='en' — 'make the mix look like the English slice'), weight
+    every document by its fixed-point log importance ratio, and draw
+    50 documents by Gumbel top-k (md5-uniform noise). The importance
+    weights are exact integer sums of per-bucket micro-nat ratios and
+    the Gumbel keys are integer micro-nats from the portable
+    key-uniform, so the DuckDB oracle replays model, weights, noise
+    and the selected set value-for-value."""
+    from postgresql_topn_spark.operators.dsir import dsir_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_resample(
+        docs,
+        docs.where(F.col("lang") == "en"),
+        k=50,
+        n_buckets=4096,
+        seed=0,
+    )
 
 
 @_register(

@@ -72,8 +72,9 @@ SUBSET = [
     "ann_lsh_topk",
     "ann_lsh_multiprobe",
     "ann_ivf_topk",
-    "dedup_embedding_exact",
     "dedup_embedding_near",
+    "dedup_semantic_clusters",
+    "pipeline_dsir_resample",
     "events_sessionize",
     "topn_monthly_event_types",
     "distinct_rollup_hll",

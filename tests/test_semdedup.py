@@ -1,0 +1,176 @@
+"""SemDeDup semantic dedup: definition-level differential vs a pure
+numpy/python replica, expr==pandas assignment bit-equality, plan shape
+(scan-stage assignment), planted-duplicate behavior, the
+max_cluster_size guard, and argument validation."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.operators.semdedup import (
+    assign_clusters,
+    semantic_dedup,
+)
+from postgresql_topn_spark.operators.similarity import (
+    _seq_dots,
+    _seq_sqnorm,
+)
+
+
+def _mk_corpus(spark, n=80, dim=8, seed=3, dupes=0):
+    rng = np.random.RandomState(seed)
+    X = rng.randn(n, dim)
+    for i in range(dupes):
+        X[n - 1 - i] = X[i]  # exact copies of the first `dupes` rows
+    rows = [(int(i), [float(v) for v in X[i]]) for i in range(n)]
+    return (
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>"),
+        X.astype(np.float32).astype(np.float64),
+    )
+
+
+def _replica(X, ids, n_clusters, threshold):
+    """Pure-python SemDeDup: seeded centroids (md5-shuffled first k),
+    argmin(-2 d + |c|^2) assignment with low-cell ties, rank by
+    (centroid_sim, id), greedy drop iff an earlier-ranked member has
+    cos >= threshold; dup_of = earliest-ranked witness."""
+    order = sorted(ids, key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i))
+    cent_ids = order[:n_clusters]
+    C = X[[ids.index(i) for i in cent_ids]]
+    d = _seq_dots(X, C)
+    d2 = -2.0 * d + _seq_sqnorm(C)
+    cells = np.argmin(d2, axis=1)
+    xn = np.sqrt(_seq_sqnorm(X))
+    cn = np.sqrt(_seq_sqnorm(C))
+    csim = d[np.arange(len(X)), cells] / (xn * cn[cells])
+    out = {}
+    for cell in set(cells.tolist()):
+        members = [i for i in range(len(ids)) if cells[i] == cell]
+        members.sort(key=lambda i: (csim[i], ids[i]))
+        for rank, i in enumerate(members, 1):
+            dup_of = None
+            for j in members[: rank - 1]:
+                cos = float(
+                    _seq_dots(X[i : i + 1], X[j : j + 1])[0, 0] / (xn[i] * xn[j])
+                )
+                if cos >= threshold:
+                    dup_of = ids[j]
+                    break  # members are rank-ordered: first hit = earliest
+            out[ids[i]] = (int(cell), round(csim[i], 6), rank, dup_of is None, dup_of)
+    return out
+
+
+def test_matches_python_replica(spark):
+    df, X = _mk_corpus(spark, n=80, dim=8, seed=3)
+    ids = [int(r["vec_id"]) for r in df.select("vec_id").collect()]
+    ids.sort()
+    got = {
+        r["vec_id"]: (
+            r["cluster"],
+            r["centroid_sim"],
+            r["rank"],
+            r["keep"],
+            r["dup_of"],
+        )
+        for r in semantic_dedup(df, n_clusters=8, threshold=0.6).collect()
+    }
+    want = _replica(X, ids, 8, 0.6)
+    assert got == want
+    # the threshold actually bites on this fixture
+    assert any(not v[3] for v in want.values())
+
+
+def test_expr_and_pandas_assignment_identical(spark):
+    df, X = _mk_corpus(spark, n=60, dim=8, seed=5)
+    a = {
+        tuple(r)
+        for r in semantic_dedup(
+            df, n_clusters=8, threshold=0.5, assign_mode="expr"
+        ).collect()
+    }
+    b = {
+        tuple(r)
+        for r in semantic_dedup(
+            df, n_clusters=8, threshold=0.5, assign_mode="pandas"
+        ).collect()
+    }
+    assert a == b
+
+
+def test_assignment_is_scan_stage(spark):
+    """expr-mode assignment adds ZERO exchanges over the scan: the
+    centroids ride the plan as literals."""
+    from postgresql_topn_spark.plans.audit import (
+        hash_shuffles,
+        python_stages,
+    )
+
+    df, _ = _mk_corpus(spark, n=40, dim=8)
+    C = np.asarray(
+        [r["embedding"] for r in df.limit(4).collect()], dtype=np.float64
+    )
+    out = assign_clusters(df, C, assign_mode="expr")
+    assert hash_shuffles(out) == 0
+    assert python_stages(out) == 0
+
+
+def test_planted_exact_duplicates_collapse(spark):
+    """Exact copies always share a cluster and cosine 1.0 — exactly one
+    survivor per copy-group at a high threshold."""
+    df, X = _mk_corpus(spark, n=40, dim=8, seed=11, dupes=3)
+    out = semantic_dedup(df, n_clusters=4, threshold=0.999999).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    for orig in (0, 1, 2):
+        copy = 39 - orig
+        pair = sorted(
+            [by_id[orig], by_id[copy]], key=lambda r: r["rank"]
+        )
+        assert pair[0]["cluster"] == pair[1]["cluster"]
+        assert pair[1]["dup_of"] is not None  # later-ranked copy dies
+        assert not pair[1]["keep"]
+
+
+def test_max_cluster_size_guard_keeps_members(spark):
+    df, _ = _mk_corpus(spark, n=40, dim=8, seed=7)
+    # cap below every cluster size -> no pairs anywhere -> all kept
+    out = semantic_dedup(
+        df, n_clusters=2, threshold=-1.0, max_cluster_size=1
+    )
+    rows = out.collect()
+    assert len(rows) == 40
+    assert all(r["keep"] for r in rows)
+    # without the guard the same config kills everything but the
+    # rank-1 member of each cluster (threshold -1 matches every pair)
+    out2 = semantic_dedup(df, n_clusters=2, threshold=-1.0).collect()
+    assert sum(1 for r in out2 if r["keep"]) == 2
+
+
+def test_trained_mode_runs_and_drops(spark):
+    df, _ = _mk_corpus(spark, n=40, dim=8, seed=13, dupes=2)
+    out = semantic_dedup(
+        df, n_clusters=4, threshold=0.999999, centroid_mode="trained"
+    ).collect()
+    assert len(out) == 40
+    assert sum(1 for r in out if not r["keep"]) >= 2
+
+
+def test_validation():
+    with pytest.raises(ValueError, match="n_clusters"):
+        semantic_dedup(None, n_clusters=0, threshold=0.5)
+    with pytest.raises(ValueError, match="threshold"):
+        semantic_dedup(None, n_clusters=4, threshold=1.5)
+    with pytest.raises(ValueError, match="centroid_mode"):
+        semantic_dedup(None, n_clusters=4, threshold=0.5, centroid_mode="x")
+
+
+def test_null_ids_dropped_before_python_stage(spark):
+    df = spark.createDataFrame(
+        [(None, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [0.0, 1.0])],
+        "vec_id long, embedding array<float>",
+    )
+    C = np.asarray([[1.0, 0.0], [0.0, 1.0]])
+    for mode in ("expr", "pandas"):
+        got = assign_clusters(df, C, assign_mode=mode).collect()
+        assert sorted(r["__id"] for r in got) == [1, 2]
