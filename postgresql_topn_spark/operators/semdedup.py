@@ -180,12 +180,13 @@ def semantic_dedup(
     *,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_clusters: int = 16,
+    n_clusters: int | str = 16,
     threshold: float = 0.8,
     centroid_mode: str = "seeded",
     assign_mode: str = "expr",
     seed: int = 7,
     max_cluster_size: int | None = None,
+    target_cluster_size: int = 200,
 ) -> DataFrame:
     """Per-example semantic keep/drop decisions (SemDeDup).
 
@@ -196,9 +197,27 @@ def semantic_dedup(
     its cluster has cosine >= threshold with it, and `dup_of` names the
     earliest-ranked such witness. centroid_sim is rounded to 6 decimals
     for cross-engine hash stability; ranking uses the unrounded value
-    (bit-exact across engines by the sequential-fold discipline)."""
-    if n_clusters < 1:
-        raise ValueError(f"n_clusters must be >= 1, got {n_clusters}")
+    (bit-exact across engines by the sequential-fold discipline).
+
+    `n_clusters='auto'` sizes the quantizer to the corpus —
+    ceil(n / target_cluster_size) — so EXPECTED cluster size (and with
+    it the per-cluster quadratic pair work) stays constant as the
+    corpus grows: the scale path for production corpora, mirroring
+    auto_lsh_params (a fixed cluster count is the same quadratic trap
+    as a fixed LSH band config — constant cluster space, occupancy
+    grows with n, in-cluster work grows ~n^2). Costs one count() job;
+    a FIXED n_clusters keeps the build one-pass and deterministic
+    relative to corpus size (the oracle-replay configuration)."""
+    if n_clusters == "auto":
+        import math
+
+        n_clusters = max(
+            1, math.ceil(corpus.count() / max(1, int(target_cluster_size)))
+        )
+    if not isinstance(n_clusters, int) or n_clusters < 1:
+        raise ValueError(
+            f"n_clusters must be a positive int or 'auto', got {n_clusters}"
+        )
     if not (-1.0 <= threshold <= 1.0):
         raise ValueError(f"threshold must be in [-1, 1], got {threshold}")
     if centroid_mode == "seeded":
@@ -209,6 +228,11 @@ def semantic_dedup(
         raise ValueError(
             f"centroid_mode must be 'seeded' or 'trained': {centroid_mode}"
         )
+    if assign_mode == "expr" and n_clusters > 256:
+        # literal centroid arrays past a few hundred cells bloat the
+        # plan; the pandas lane is pinned bit-identical, so the switch
+        # is invisible in results
+        assign_mode = "pandas"
     assigned = assign_clusters(
         corpus,
         C,

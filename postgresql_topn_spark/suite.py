@@ -3709,9 +3709,9 @@ def multimodal_png_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula gives each document a distinct 8..16-value intensity
     profile, so the similarity structure is real (top-3 ~0.95, median
     ~0.43) — unlike a flat formula where every histogram is uniform.
-    Replaces the last fake in the multimodal story
-    (multimodal_feature_ann's byte-histogram stub stays as the
-    raw-bytes variant)."""
+    Replaces the last fake in the multimodal story (the retired
+    byte-histogram-stub gate's featurizer stays in the library as the
+    raw-bytes variant, pytest-covered)."""
     from postgresql_topn_spark.operators.multimodal import (
         decode_image_pixels,
         decode_png_pixels,

@@ -156,6 +156,30 @@ def test_trained_mode_runs_and_drops(spark):
     assert sum(1 for r in out if not r["keep"]) >= 2
 
 
+def test_auto_cluster_sizing(spark):
+    """n_clusters='auto' = ceil(n / target_cluster_size), and matches
+    the explicit-k run exactly (same seeded centroids)."""
+    df, _ = _mk_corpus(spark, n=80, dim=8, seed=3)
+    auto = {
+        tuple(r)
+        for r in semantic_dedup(
+            df, n_clusters="auto", target_cluster_size=10, threshold=0.6
+        ).collect()
+    }
+    explicit = {
+        tuple(r)
+        for r in semantic_dedup(df, n_clusters=8, threshold=0.6).collect()
+    }
+    assert auto == explicit
+    # occupancy stays constant as n grows: k doubles when n doubles
+    df2, _ = _mk_corpus(spark, n=160, dim=8, seed=4)
+    out = semantic_dedup(
+        df2, n_clusters="auto", target_cluster_size=10, threshold=0.6
+    )
+    assert out.select(F.countDistinct("cluster")).collect()[0][0] <= 16
+    assert out.agg(F.max("cluster")).collect()[0][0] == 15  # k = 160/10
+
+
 def test_validation():
     with pytest.raises(ValueError, match="n_clusters"):
         semantic_dedup(None, n_clusters=0, threshold=0.5)
