@@ -108,13 +108,65 @@ def dsir_model(
     rc = (
         _feature_buckets(raw, id_col, text_col, n_buckets, bigrams)
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("cr"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
     tc = (
         _feature_buckets(target, id_col, text_col, n_buckets, bigrams)
         .groupBy("bucket")
-        .agg(F.count(F.lit(1)).alias("ct"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
+    return dsir_model_from_counts(
+        rc, tc, n_buckets=n_buckets, alpha=alpha
+    )
+
+
+def dsir_bucket_counts(
+    docs: DataFrame,
+    group_cols: "list[Column | str]",
+    *,
+    id_col: str = "doc_id",
+    text_col: Column | str = "text",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+) -> DataFrame:
+    """(group..., bucket, cnt): per-group hashed-feature counts — the
+    MERGEABLE rollup form of the DSIR model. Counts are additive, so
+    per-(source, day) rollup rows sum to the model counts of ANY slice
+    without rescanning text: build once, model everything — the same
+    build-per-bucket / merge-at-read algebra as the topn/HLL/KMV/CMS/
+    Bloom/KLL families. One hash-agg exchange, key space bounded by
+    |groups| * n_buckets."""
+    gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
+    return (
+        docs.select(
+            *gcols,
+            F.explode(hashed_ngrams(text_col, bigrams=bigrams)).alias("__f"),
+        )
+        .select("*", _bucket(F.col("__f"), n_buckets).alias("bucket"))
+        .drop("__f")
+        .groupBy(*[c for c in docs.select(*gcols).columns], "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dsir_model_from_counts(
+    raw_counts: DataFrame,
+    target_counts: DataFrame,
+    *,
+    n_buckets: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Build the (bucket, ct, cr, lr_micro) model from pre-aggregated
+    (bucket, cnt) frames — e.g. `dsir_bucket_counts` rollup rows summed
+    over the slices of interest. `dsir_model(raw, target)` ==
+    `dsir_model_from_counts(sum-of-rollups)` exactly (counts are
+    additive; the law is pytest-pinned)."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    rc = raw_counts.groupBy("bucket").agg(F.sum("cnt").alias("cr"))
+    tc = target_counts.groupBy("bucket").agg(F.sum("cnt").alias("ct"))
     m = (
         rc.join(tc, "bucket", "full_outer")
         .select(

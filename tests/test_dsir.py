@@ -201,6 +201,36 @@ def test_enrichment_on_documents_table(spark):
     assert frac > base  # pulled toward the target
 
 
+def test_rollup_merge_law(spark, corpus, target):
+    """Bucket counts are additive: the model built from summed
+    per-group rollup rows equals the direct model EXACTLY — the
+    build-per-bucket / merge-at-read law of every rollup family."""
+    from postgresql_topn_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_model_from_counts,
+    )
+
+    tagged = corpus.withColumn("src", F.pmod(F.col("doc_id"), F.lit(3)))
+    rollup = dsir_bucket_counts(tagged, ["src"], n_buckets=B)
+    # raw = all three sources merged; target = the slice law re-derived
+    # from a SECOND rollup over the target docs only
+    traw = rollup.select("bucket", "cnt")
+    ttgt = dsir_bucket_counts(
+        tagged.where(F.col("doc_id").isin(*TARGET_IDS)), ["src"], n_buckets=B
+    ).select("bucket", "cnt")
+    merged = {
+        r["bucket"]: (r["ct"], r["cr"], r["lr_micro"])
+        for r in dsir_model_from_counts(
+            traw, ttgt, n_buckets=B
+        ).collect()
+    }
+    direct = {
+        r["bucket"]: (r["ct"], r["cr"], r["lr_micro"])
+        for r in dsir_model(corpus, target, n_buckets=B).collect()
+    }
+    assert merged == direct
+
+
 def test_validation(corpus, target):
     with pytest.raises(ValueError, match="k must"):
         dsir_resample(corpus, target, k=0)
