@@ -402,6 +402,24 @@ def exact_dedup(
     )
 
 
+# Default posting-list Zipf guard: max(1000, ceil(0.5% * N)). The
+# floor keeps small corpora exact (a cap below any real posting list
+# never binds); the fraction keeps the hottest posting list — and with
+# it the |postings|^2 self-join term — linear in corpus size. Dropping
+# a hot gram only SHRINKS candidate sets (under-delete, never a false
+# positive), the same trade every df cap in this module makes.
+_AUTO_DF_FLOOR = 1000
+_AUTO_DF_FRAC = 0.005
+
+
+def _auto_df_cap(n: Column) -> Column:
+    """max(1000, ceil(0.5% * n)) as a Column over a (broadcast) count."""
+    return F.greatest(
+        F.lit(_AUTO_DF_FLOOR).cast("long"),
+        F.ceil(n.cast("double") * F.lit(_AUTO_DF_FRAC)),
+    )
+
+
 def _postings(
     base: DataFrame,
     grams: Column,
@@ -1339,7 +1357,7 @@ def substring_run_pairs(
     *,
     min_run_tokens: int = 16,
     shingle_k: int = 8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: "int | str | None" = "auto",
 ) -> DataFrame:
     """Exact SHARED-SUBSTRING detection at token granularity — the
     substring-dedup primitive of Lee et al. 2022 ("Deduplicating
@@ -1365,7 +1383,12 @@ def substring_run_pairs(
     positions, not corpus size). `max_shingle_df` drops grams whose
     posting list exceeds the cap (Zipf guard, same trade as
     jaccard_pairs: a dropped gram can split a run that crosses it —
-    candidate bound, never a false positive).
+    candidate bound, never a false positive). It defaults to
+    ``'auto'`` = max(1000, ceil(0.5% * n_docs)) with n_docs = docs
+    producing >= 1 gram — the guard is ON by default so a boilerplate
+    gram shared by the whole corpus can't go |postings|^2 under
+    default arguments; an explicit int overrides, ``None`` disables
+    (the exact-Lee-et-al escape hatch).
 
     Returns (doc_a, doc_b, a_start, b_start, run_tokens), 1-based
     token offsets, doc_a < doc_b."""
@@ -1391,11 +1414,21 @@ def substring_run_pairs(
         .cast("long")
         .alias("__h"),
     )
-    if max_shingle_df is not None:
+    if max_shingle_df == "auto":
+        ndocs = sh.agg(F.count_distinct("__id").alias("__nd"))
         hot = (
             sh.groupBy("__h")
             .count()  # posting appearances (incl. intra-doc repeats)
-            .where(F.col("count") > max_shingle_df)
+            .crossJoin(F.broadcast(ndocs))
+            .where(F.col("count") > _auto_df_cap(F.col("__nd")))
+            .select("__h")
+        )
+        sh = sh.join(F.broadcast(hot), "__h", "left_anti")
+    elif max_shingle_df is not None:
+        hot = (
+            sh.groupBy("__h")
+            .count()  # posting appearances (incl. intra-doc repeats)
+            .where(F.col("count") > int(max_shingle_df))
             .select("__h")
         )
         sh = sh.join(F.broadcast(hot), "__h", "left_anti")
@@ -1436,7 +1469,7 @@ def substring_dedup(
     *,
     min_run_tokens: int = 16,
     shingle_k: int = 8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: "int | str | None" = "auto",
     theta: float = 0.5,
 ) -> DataFrame:
     """Substring-dedup DECISION on top of `substring_run_pairs` — Lee
@@ -1651,7 +1684,7 @@ def tfidf_cosine_pairs(
     *,
     shingle_k: int = 3,
     min_sim: float = 0.5,
-    max_df: int | None = None,
+    max_df: "int | str | None" = "auto",
     round_to: int = 6,
 ) -> DataFrame:
     """Sparse TF-IDF cosine near-duplicate pairs — the weighted bridge
@@ -1660,15 +1693,24 @@ def tfidf_cosine_pairs(
     tf-idf-weighted sparse vectors over `shingle_k`-token shingles, and
     similarity is the exact normalized dot product.
 
-    weight = tf * ln(N / df); terms with zero idf (df == N) — and,
-    when ``max_df`` is set, terms with df > max_df — carry weight 0 in
-    the MEASURE itself (a df-derived stopword rule: idf already says
+    weight = tf * ln(N / df); terms with zero idf (df == N) — and
+    terms with df over the ``max_df`` cap — carry weight 0 in the
+    MEASURE itself (a df-derived stopword rule: idf already says
     ubiquitous terms carry no signal) and are dropped from the inverted
     index, which is exactly what bounds the hottest posting lists (the
     |postings|^2 quadratic trap). The remaining candidate generation is
     an inverted-index self-join on shared terms — never all-pairs; the
     dot product needs only SHARED terms, so the join result is the
     whole computation.
+
+    ``max_df`` defaults to ``'auto'`` = max(1000, ceil(0.5% * N)) —
+    the posting-list Zipf guard is ON by default (the same
+    default-not-knob promotion as `auto_lsh_params` and semdedup's
+    `n_clusters='auto'`: a pathological corpus must not go
+    |postings|^2 just because the caller took the defaults). An
+    explicit int overrides the cap; ``None`` disables it entirely (the
+    exact-measure escape hatch). The cap only ever DROPS near-stopword
+    terms: pairs lose a low-idf contribution, never gain one.
 
     Plan: tf hash-agg (map-side combined) -> df/norm derived from it ->
     posting self-join -> per-pair sum. All JVM. Returns
@@ -1688,8 +1730,6 @@ def tfidf_cosine_pairs(
         F.count(F.lit(1)).cast("double").alias("__tf")
     )
     df_t = tf.groupBy("__term").agg(F.count(F.lit(1)).alias("__df"))
-    if max_df is not None:
-        df_t = df_t.where(F.col("__df") <= max_df)
     # N counts docs that produced at least one term — the same universe
     # df is counted over. Counting ALL docs (incl. those shorter than
     # shingle_k) made df == N unreachable in short-doc corpora, so the
@@ -1698,6 +1738,14 @@ def tfidf_cosine_pairs(
     n_docs = tf.agg(
         F.count_distinct(F.col("__id")).cast("double").alias("__n")
     )
+    if max_df == "auto":
+        df_t = (
+            df_t.crossJoin(F.broadcast(n_docs))
+            .where(F.col("__df") <= _auto_df_cap(F.col("__n")))
+            .select("__term", "__df")
+        )
+    elif max_df is not None:
+        df_t = df_t.where(F.col("__df") <= int(max_df))
     w = (
         tf.join(df_t, "__term")
         .crossJoin(F.broadcast(n_docs))

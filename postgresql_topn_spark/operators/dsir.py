@@ -100,7 +100,13 @@ def dsir_model(
 
     over the union of buckets observed in either corpus. Two hash-agg
     exchanges (one per corpus, key space <= n_buckets) + one join of
-    two <=n_buckets-row sides; totals ride a 1-row broadcast."""
+    two <=n_buckets-row sides; totals ride a 1-row broadcast.
+
+    The returned frame is tagged (Python-side) with the (n_buckets,
+    alpha) it was built under; `dsir_importance`/`dsir_resample`
+    validate the tag against their own parameters so a precomputed
+    model can't silently skew the unseen-bucket floor (the only place
+    the scoring side re-derives anything from those parameters)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if alpha <= 0:
@@ -135,17 +141,30 @@ def dsir_bucket_counts(
     without rescanning text: build once, model everything — the same
     build-per-bucket / merge-at-read algebra as the topn/HLL/KMV/CMS/
     Bloom/KLL families. One hash-agg exchange, key space bounded by
-    |groups| * n_buckets."""
+    |groups| * n_buckets.
+
+    'bucket' and 'cnt' are reserved output names — a group column with
+    either name would make the derived columns ambiguous, so it is
+    rejected up front (the bloom.py collision-review convention: derive
+    under a __-prefixed working name, alias at the end)."""
     gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
+    gnames = docs.select(*gcols).columns
+    clash = [n for n in gnames if n in ("bucket", "cnt")]
+    if clash:
+        raise ValueError(
+            f"group_cols may not produce reserved output names {clash}; "
+            "alias the column(s) before calling dsir_bucket_counts"
+        )
     return (
         docs.select(
             *gcols,
             F.explode(hashed_ngrams(text_col, bigrams=bigrams)).alias("__f"),
         )
-        .select("*", _bucket(F.col("__f"), n_buckets).alias("bucket"))
+        .select("*", _bucket(F.col("__f"), n_buckets).alias("__bucket"))
         .drop("__f")
-        .groupBy(*[c for c in docs.select(*gcols).columns], "bucket")
+        .groupBy(*gnames, "__bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumnRenamed("__bucket", "bucket")
     )
 
 
@@ -190,12 +209,33 @@ def dsir_model_from_counts(
             - F.log(F.col("__tr").cast("double") + F.lit(ab))
         )
     ) * F.lit(float(_MICRO))
-    return m.crossJoin(F.broadcast(totals)).select(
+    out = m.crossJoin(F.broadcast(totals)).select(
         "bucket",
         "ct",
         "cr",
         F.round(lr, 0).cast("long").alias("lr_micro"),
     )
+    out._dsir_params = (int(n_buckets), float(alpha))
+    return out
+
+
+def _check_model_params(
+    model: DataFrame, n_buckets: int, alpha: float
+) -> None:
+    """Guard the model/scoring parameter coupling: the unseen-bucket
+    floor is re-derived from the CALLER's (n_buckets, alpha), so a
+    precomputed model built under different parameters would skew
+    scores for out-of-model buckets only — silently. Models built by
+    `dsir_model`/`dsir_model_from_counts` in this process carry a tag;
+    a model re-read from storage loses it (tag None → the caller owns
+    the coupling, as documented)."""
+    tag = getattr(model, "_dsir_params", None)
+    if tag is not None and tag != (int(n_buckets), float(alpha)):
+        raise ValueError(
+            f"model was built with (n_buckets, alpha)={tag} but scoring "
+            f"was called with ({int(n_buckets)}, {float(alpha)}); the "
+            "unseen-bucket floor depends on these — pass matching values"
+        )
 
 
 def _floor_row(model: DataFrame, n_buckets: int, alpha: float) -> DataFrame:
@@ -237,7 +277,13 @@ def dsir_importance(
     """(id, n_feats, logw_micro): per-document log importance weight =
     exact integer sum of feature-count * bucket log-ratio. Documents
     with no features (empty text) keep weight 0 (ratio 1) rather than
-    vanishing."""
+    vanishing.
+
+    (n_buckets, alpha) MUST match the values the model was built with
+    (they derive the unseen-bucket floor); in-process models carry a
+    tag that is validated here, models re-read from storage are on the
+    caller."""
+    _check_model_params(model, n_buckets, alpha)
     feats = (
         _feature_buckets(docs, id_col, text_col, n_buckets, bigrams)
         .groupBy("__id", "bucket")

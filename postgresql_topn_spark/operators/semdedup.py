@@ -207,12 +207,19 @@ def semantic_dedup(
     as a fixed LSH band config — constant cluster space, occupancy
     grows with n, in-cluster work grows ~n^2). Costs one count() job;
     a FIXED n_clusters keeps the build one-pass and deterministic
-    relative to corpus size (the oracle-replay configuration)."""
+    relative to corpus size (the oracle-replay configuration).
+
+    NULL-id rows are dropped entirely (they are unjoinable and would
+    corrupt Arrow id transfer in the pandas assignment lane) — they
+    appear in NO output row, so a pipeline joining keep decisions back
+    must treat absent ids as unjudged, not kept. The 'auto' sizing
+    counts only the judged (non-NULL-id) rows."""
     if n_clusters == "auto":
         import math
 
+        judged = corpus.where(_col(id_col).isNotNull()).count()
         n_clusters = max(
-            1, math.ceil(corpus.count() / max(1, int(target_cluster_size)))
+            1, math.ceil(judged / max(1, int(target_cluster_size)))
         )
     if not isinstance(n_clusters, int) or n_clusters < 1:
         raise ValueError(

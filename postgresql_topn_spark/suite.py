@@ -3892,9 +3892,15 @@ def topn_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
             FROM toks)
     ),
+    hot AS (
+      SELECT h FROM sh GROUP BY h
+      HAVING count(*) > greatest(1000, CAST(ceil(
+          0.005 * (SELECT count(DISTINCT doc_id) FROM sh)) AS BIGINT))
+    ),
+    shf AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
     m AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
-      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b, a_start, b_start, run_tokens FROM (
       SELECT doc_a, doc_b, min(pa) AS a_start, min(pb) AS b_start,
@@ -3936,9 +3942,15 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 7)) AS i
             FROM toks)
     ),
+    hot AS (
+      SELECT h FROM sh GROUP BY h
+      HAVING count(*) > greatest(1000, CAST(ceil(
+          0.005 * (SELECT count(DISTINCT doc_id) FROM sh)) AS BIGINT))
+    ),
+    shf AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
     m AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
-      FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+      FROM shf a JOIN shf b ON a.h = b.h AND a.doc_id < b.doc_id
     ),
     runs AS (
       SELECT doc_a, doc_b, a_start, b_start, run_tokens FROM (
@@ -4541,7 +4553,9 @@ def events_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY 1, 2
     ),
     n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS nd FROM tk),
-    dfs AS (SELECT term, count(*) AS df FROM tk GROUP BY 1),
+    dfs AS (SELECT term, count(*) AS df FROM tk GROUP BY 1
+            HAVING count(*) <= greatest(1000, CAST(ceil(
+                0.005 * (SELECT nd FROM n)) AS BIGINT))),
     w AS (
       SELECT tk.doc_id, tk.term, tk.tf * ln(nd / CAST(df AS DOUBLE)) AS w
       FROM tk JOIN dfs USING (term), n
