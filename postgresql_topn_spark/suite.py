@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from postgresql_topn_spark.functions.aggregates import (
@@ -676,31 +676,56 @@ def topn_month_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "topn_sql_agg",
     """
-    SELECT item, frequency FROM (
-      SELECT event_type AS item, COUNT(event_type) AS frequency,
-             ROW_NUMBER() OVER (ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
-      FROM events WHERE event_type IS NOT NULL GROUP BY event_type
-    ) t WHERE rn <= 5
+    SELECT lane, yr, item, frequency FROM (
+      SELECT 'front_door' AS lane, CAST(NULL AS INT) AS yr, item, frequency
+      FROM (
+        SELECT event_type AS item, COUNT(event_type) AS frequency,
+               ROW_NUMBER() OVER (ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
+        FROM events WHERE event_type IS NOT NULL GROUP BY event_type
+      ) t WHERE rn <= 5
+      UNION ALL
+      SELECT 'generated_sql' AS lane, yr, item, frequency FROM (
+        SELECT CAST(year(ts) AS INT) AS yr, event_type AS item,
+               COUNT(event_type) AS frequency,
+               ROW_NUMBER() OVER (PARTITION BY year(ts)
+                                  ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY year(ts), event_type
+      ) t WHERE rn <= 3
+    )
     """,
 )
 def topn_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The reference's flagship SQL pattern run ENTIRELY through the
-    SQL front door: ``SELECT …, topn_add_agg(item) … GROUP BY`` per
-    month, ``topn_union_agg`` to the grand total, lateral ``topn()``
-    extraction (update/topn--2.3.0--2.3.1.sql:34-51, README.md:84-96;
-    sql/customer_reviews_query.sql:12-40). Runs through ``topn_sql()``,
-    which rewrites both aggregate CTEs onto the two-phase pure-built-in
-    plan (map-side partial combine, zero Python below the extraction —
-    the reference's parallel aggregate as Catalyst plans it); only the
-    bounded-sketch ``topn()`` UDTF extraction stays Python. Plan-pinned
-    in tests/test_plans.py; UDAF-vs-rewrite equivalence pinned in
-    tests/test_sql_api.py."""
-    from postgresql_topn_spark.functions.sql_api import topn_sql
+    """BOTH pure-SQL lanes of the reference's flagship pattern in one
+    gate (round-7 registry consolidation — this absorbed the retired
+    `topn_sql_twophase` gate; each lane keeps its own oracle branch):
+
+    - lane 'front_door': ``SELECT …, topn_add_agg(item) … GROUP BY``
+      per month, ``topn_union_agg`` to the grand total, lateral
+      ``topn()`` extraction (update/topn--2.3.0--2.3.1.sql:34-51,
+      README.md:84-96; sql/customer_reviews_query.sql:12-40) through
+      ``topn_sql()``, which rewrites both aggregate CTEs onto the
+      two-phase pure-built-in plan (map-side partial combine, zero
+      Python below the extraction); only the bounded-sketch ``topn()``
+      UDTF extraction stays Python.
+    - lane 'generated_sql': the generated-SQL surface WITHOUT any
+      Python stage at all — monthly sketches by topn_add_agg_sql
+      (salted variant), merged per year by topn_union_agg_sql,
+      extracted with a plain map explode + rank (the reference's
+      parallel aggregate, topn.c:509-625, compiled to Catalyst).
+
+    Both lanes plan-pinned in tests/test_plans.py; UDAF-vs-rewrite
+    equivalence pinned in tests/test_sql_api.py."""
+    from postgresql_topn_spark.functions.sql_api import (
+        topn_add_agg_sql,
+        topn_sql,
+        topn_union_agg_sql,
+    )
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
         "__topn_sql_events"
     )
-    return topn_sql(
+    front = topn_sql(
         spark,
         """
         WITH monthly AS (
@@ -714,35 +739,82 @@ def topn_sql_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM overall, LATERAL topn(overall.sk, 5) t
         """,
         counters=C,
+    ).select(
+        F.lit("front_door").alias("lane"),
+        F.lit(None).cast("int").alias("yr"),
+        "item",
+        "frequency",
     )
+    monthly = topn_add_agg_sql(
+        "__topn_sql_events",
+        [("yr", "cast(year(ts) as int)"), ("mon", "month(ts)")],
+        "event_type",
+        counters=C,
+        salt_buckets=4,
+    )
+    yearly = topn_union_agg_sql("monthly", ["yr"], "topn", counters=C)
+    gen = spark.sql(
+        f"""
+        WITH monthly AS ({monthly}),
+             yearly AS ({yearly})
+        SELECT 'generated_sql' AS lane, yr, item, frequency FROM (
+          SELECT yr, t.item, t.frequency,
+                 row_number() OVER (PARTITION BY yr
+                                    ORDER BY t.frequency DESC, t.item ASC) AS rn
+          FROM yearly LATERAL VIEW explode(topn) t AS item, frequency
+        ) WHERE rn <= 3
+        """
+    )
+    return front.unionByName(gen)
 
 
 @_register(
-    "topn_sql_having_fallback",
+    "topn_sql_having",
     """
-    SELECT yr, item, frequency FROM (
-      SELECT CAST(year(ts) AS INT) AS yr, event_type AS item,
-             COUNT(event_type) AS frequency,
-             ROW_NUMBER() OVER (PARTITION BY year(ts)
-                                ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
-      FROM events WHERE event_type IS NOT NULL AND year(ts) >= 2000
-      GROUP BY year(ts), event_type
-    ) t WHERE rn <= 3
+    SELECT lane, yr, mon, item, frequency FROM (
+      SELECT 'fallback' AS lane, yr, CAST(NULL AS INT) AS mon, item, frequency
+      FROM (
+        SELECT CAST(year(ts) AS INT) AS yr, event_type AS item,
+               COUNT(event_type) AS frequency,
+               ROW_NUMBER() OVER (PARTITION BY year(ts)
+                                  ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
+        FROM events WHERE event_type IS NOT NULL AND year(ts) >= 2000
+        GROUP BY year(ts), event_type
+      ) t WHERE rn <= 3
+      UNION ALL
+      SELECT 'rewrite' AS lane, yr, mon, item, frequency FROM (
+        SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mon,
+               event_type AS item, COUNT(event_type) AS frequency,
+               ROW_NUMBER() OVER (PARTITION BY year(ts), month(ts)
+                                  ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
+        FROM events WHERE event_type IS NOT NULL
+        GROUP BY year(ts), month(ts), event_type
+      ) t WHERE rn <= 3 AND yr >= 2000 AND mon >= 1
+    )
     """,
 )
-def topn_sql_having_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The topn_sql WARNED FALLBACK lane under the gate (VERDICT r4
-    item 6): HAVING on an UN-ALIASED source expression (year(ts)) is a
-    shape rewrite_topn_sql declines — it can only prove HAVING over
-    select-list key ALIASES (see topn_sql_having_keys for the rewritten
-    lane) — so this statement intentionally runs the GROUPED_AGG pandas
-    UDAF (one Python reducer per group — bounded here: one group per
-    year). The UDAF lane was pytest-pinned equal to the rewrite
-    lane (tests/test_sql_api.py); this row makes the driver check it at
-    value level every round. The scale-caveat warning firing for this
-    statement is itself pinned in tests/test_sql_api.py."""
+def topn_sql_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH HAVING lanes of the topn_sql rewriter in one gate (round-7
+    registry consolidation — absorbed the retired
+    `topn_sql_having_fallback` + `topn_sql_having_keys` gates; each
+    keeps its own oracle branch):
+
+    - lane 'fallback': HAVING on an UN-ALIASED source expression
+      (year(ts)) is a shape rewrite_topn_sql declines — it can only
+      prove HAVING over select-list key ALIASES — so this statement
+      deliberately runs the GROUPED_AGG pandas UDAF (one Python
+      reducer per group — bounded here: one group per year). The
+      scale-caveat warning firing for this statement is itself pinned
+      in tests/test_sql_api.py.
+    - lane 'rewrite': HAVING over the GROUP KEYS (every identifier a
+      select-list key alias) is provably a WHERE over the two-phase
+      rewrite's output, so this statement keeps the zero-Python plan
+      (pinned in tests/test_plans.py / test_sql_api.py).
+
+    The driver value-checks both lanes every time this gate runs."""
     import warnings as _w
 
+    from postgresql_topn_spark.functions.sketch import explode_topn
     from postgresql_topn_spark.functions.sql_api import topn_sql
 
     load_table(spark, sf_dir, "events").createOrReplaceTempView(
@@ -750,7 +822,7 @@ def topn_sql_having_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     with _w.catch_warnings():
         _w.simplefilter("ignore")  # the fallback here is deliberate
-        out = topn_sql(
+        fb = topn_sql(
             spark,
             """
             WITH g AS (
@@ -765,103 +837,31 @@ def topn_sql_having_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
             """,
             counters=C,
         )
-    return out
-
-
-@_register(
-    "topn_sql_having_keys",
-    """
-    SELECT yr, mon, item, frequency FROM (
-      SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mon,
-             event_type AS item, COUNT(event_type) AS frequency,
-             ROW_NUMBER() OVER (PARTITION BY year(ts), month(ts)
-                                ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
-      FROM events WHERE event_type IS NOT NULL
-    GROUP BY year(ts), month(ts)
-      , event_type
-    ) t WHERE rn <= 3 AND yr >= 2000 AND mon >= 1
-    """,
-)
-def topn_sql_having_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """HAVING over the GROUP KEYS on the REWRITTEN lane (round-5
-    rewriter extension): a post-agg filter whose every identifier is a
-    select-list key alias is provably a WHERE over the two-phase
-    rewrite's output, so this statement keeps the zero-Python plan
-    (pinned in tests/test_sql_api.py) instead of falling back. The
-    oracle applies the same key filter to the exact counts."""
-    from postgresql_topn_spark.functions.sql_api import topn_sql
-
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "__havk_events"
+    fb = fb.select(
+        F.lit("fallback").alias("lane"),
+        "yr",
+        F.lit(None).cast("int").alias("mon"),
+        "item",
+        "frequency",
     )
     g = topn_sql(
-            spark,
-            """
-            SELECT CAST(year(ts) AS INT) AS yr,
-                   CAST(month(ts) AS INT) AS mon,
-                   topn_add_agg(event_type) AS sk
-            FROM __havk_events
-            WHERE event_type IS NOT NULL
-            GROUP BY CAST(year(ts) AS INT), CAST(month(ts) AS INT)
-            HAVING yr >= 2000 AND mon >= 1
-            """,
-        counters=C,
-    )
-    from postgresql_topn_spark.functions.sketch import explode_topn
-
-    return explode_topn(g, "sk", 3, keep=["yr", "mon"], counters=C)
-
-
-@_register(
-    "topn_sql_twophase",
-    """
-    SELECT yr, item, frequency FROM (
-      SELECT CAST(year(ts) AS INT) AS yr, event_type AS item,
-             COUNT(event_type) AS frequency,
-             ROW_NUMBER() OVER (PARTITION BY year(ts)
-                                ORDER BY COUNT(event_type) DESC, event_type ASC) AS rn
-      FROM events WHERE event_type IS NOT NULL
-      GROUP BY year(ts), event_type
-    ) t WHERE rn <= 3
-    """,
-)
-def topn_sql_twophase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The flagship aggregate for ``spark.sql()`` users WITHOUT the
-    Python UDAF wall: monthly sketches built by the generated
-    pure-built-in two-phase SQL (topn_add_agg_sql, salted variant),
-    merged per year by topn_union_agg_sql, extracted with a plain map
-    explode + rank — zero Python stages end-to-end, map-side partial
-    combine on the count (the reference's parallel aggregate,
-    topn.c:509-625, compiled to Catalyst). Plan-pinned in
-    tests/test_plans.py."""
-    from postgresql_topn_spark.functions.sql_api import (
-        topn_add_agg_sql,
-        topn_union_agg_sql,
-    )
-
-    load_table(spark, sf_dir, "events").createOrReplaceTempView(
-        "__tp_events"
-    )
-    monthly = topn_add_agg_sql(
-        "__tp_events",
-        [("yr", "cast(year(ts) as int)"), ("mon", "month(ts)")],
-        "event_type",
-        counters=C,
-        salt_buckets=4,
-    )
-    yearly = topn_union_agg_sql("monthly", ["yr"], "topn", counters=C)
-    return spark.sql(
-        f"""
-        WITH monthly AS ({monthly}),
-             yearly AS ({yearly})
-        SELECT yr, item, frequency FROM (
-          SELECT yr, t.item, t.frequency,
-                 row_number() OVER (PARTITION BY yr
-                                    ORDER BY t.frequency DESC, t.item ASC) AS rn
-          FROM yearly LATERAL VIEW explode(topn) t AS item, frequency
-        ) WHERE rn <= 3
+        spark,
         """
+        SELECT CAST(year(ts) AS INT) AS yr,
+               CAST(month(ts) AS INT) AS mon,
+               topn_add_agg(event_type) AS sk
+        FROM __hav_events
+        WHERE event_type IS NOT NULL
+        GROUP BY CAST(year(ts) AS INT), CAST(month(ts) AS INT)
+        HAVING yr >= 2000 AND mon >= 1
+        """,
+        counters=C,
     )
+    rw = explode_topn(g, "sk", 3, keep=["yr", "mon"], counters=C).select(
+        F.lit("rewrite").alias("lane"), "yr", "mon", "item", "frequency"
+    )
+    return fb.unionByName(rw)
+
 
 
 @_register(
@@ -1308,72 +1308,51 @@ _IVF_D2 = """
     f"""
     WITH {_lsh_planes_bk_sql(12, 4, 7)},
     cand AS (
-      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      SELECT DISTINCT 0 AS probe, q.vec_id AS query_id, c.vec_id AS neighbor_id
       FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+      WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
+      UNION
+      SELECT DISTINCT 1 AS probe, q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM bk q JOIN bk c
+        ON q.t = c.t AND bit_count(xor(q.bucket, c.bucket)) <= 1
       WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
     ),
     scored AS (
-      SELECT cand.query_id, cand.neighbor_id, {_COS_AB} AS sim
+      SELECT cand.probe, cand.query_id, cand.neighbor_id, {_COS_AB} AS sim
       FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
                 JOIN embeddings b ON b.vec_id = cand.neighbor_id
     )
-    SELECT query_id, neighbor_id, "rank", round(sim, 6) AS sim FROM (
-      SELECT query_id, neighbor_id, sim,
-             ROW_NUMBER() OVER (PARTITION BY query_id
+    SELECT probe, query_id, neighbor_id, "rank", round(sim, 6) AS sim FROM (
+      SELECT probe, query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY probe, query_id
                                 ORDER BY sim DESC, neighbor_id ASC) AS "rank"
       FROM scored
     ) t WHERE "rank" <= 5
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH bucketed top-k (the scale path). Recall < 1 vs
-    brute force by construction (pytest enforces a floor), but the
-    OUTPUT is deterministic: planes are md5-derived and projections /
-    sims fold dimension-sequentially, so the DuckDB oracle replays the
-    identical bucket -> candidate -> rerank pipeline and the result is
-    value-hash-checked like any exact query."""
+    """Hyperplane-LSH bucketed top-k, BOTH probe disciplines in one
+    gate (round-7 registry consolidation — absorbed the retired
+    `ann_lsh_multiprobe` gate): probe=0 is the exact-bucket collision,
+    probe=1 additionally matches a table at bucket Hamming distance 1
+    (one sign flip) — the classic recall lever without more tables.
+    Recall < 1 vs brute force by construction (pytest enforces a floor
+    and probe-1-dominates-probe-0), but the OUTPUT is deterministic:
+    planes are md5-derived and projections / sims fold
+    dimension-sequentially, so the DuckDB oracle replays the identical
+    bucket -> candidate -> rerank pipeline for both disciplines and the
+    result is value-hash-checked like any exact query."""
     from postgresql_topn_spark.operators.similarity import lsh_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
-    return lsh_topk(emb, queries, k=5)
-
-
-@_register(
-    "ann_lsh_multiprobe",
-    f"""
-    WITH {_lsh_planes_bk_sql(12, 4, 7)},
-    cand AS (
-      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-      FROM bk q JOIN bk c
-        ON q.t = c.t AND bit_count(xor(q.bucket, c.bucket)) <= 1
-      WHERE q.vec_id % 100 = 0 AND c.vec_id <> q.vec_id
-    ),
-    scored AS (
-      SELECT cand.query_id, cand.neighbor_id, {_COS_AB} AS sim
-      FROM cand JOIN embeddings a ON a.vec_id = cand.query_id
-                JOIN embeddings b ON b.vec_id = cand.neighbor_id
+    exact = lsh_topk(emb, queries, k=5).select(
+        F.lit(0).alias("probe"), "query_id", "neighbor_id", "rank", "sim"
     )
-    SELECT query_id, neighbor_id, "rank", round(sim, 6) AS sim FROM (
-      SELECT query_id, neighbor_id, sim,
-             ROW_NUMBER() OVER (PARTITION BY query_id
-                                ORDER BY sim DESC, neighbor_id ASC) AS "rank"
-      FROM scored
-    ) t WHERE "rank" <= 5
-    """,
-)
-def ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe LSH top-k: same 12x4 tables as ann_lsh_topk but a
-    table also matches at bucket Hamming distance 1 (one sign flip) —
-    the classic recall lever without more tables. The oracle replays
-    the relaxed collision predicate (bit_count(xor(buckets)) <= 1) over
-    the same md5-derived buckets; pytest asserts recall dominance over
-    the exact-bucket probe."""
-    from postgresql_topn_spark.operators.similarity import lsh_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    queries = emb.where(F.col("vec_id") % 100 == 0)
-    return lsh_topk(emb, queries, k=5, probe_hamming=1)
+    multi = lsh_topk(emb, queries, k=5, probe_hamming=1).select(
+        F.lit(1).alias("probe"), "query_id", "neighbor_id", "rank", "sim"
+    )
+    return exact.unionByName(multi)
 
 
 @_register(
@@ -3609,24 +3588,56 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, width, height, channels,
              unnest(generate_series(0, width * height * channels - 1)) AS i
       FROM dims
+    ),
+    rp AS (
+      SELECT doc_id, c, i,
+             ((((2 * ((i // c) // 8) + 1) * h) // 16) * w
+              + (((2 * ((i // c) % 8) + 1) * w) // 16)) * c + (i % c) AS src
+      FROM (SELECT doc_id, width AS w, height AS h, channels AS c,
+                   unnest(generate_series(0, 8 * 8 * channels - 1)) AS i
+            FROM dims)
     )
-    SELECT doc_id, width, height, channels,
+    SELECT 'decode' AS stage, doc_id, width, height, channels,
            CAST(count(*) AS INT) AS n_px,
            CAST(sum(((i % (8 + doc_id % 9)) * 37 + doc_id * 31) % 256) AS BIGINT) AS px_sum,
            CAST(sum((((i % (8 + doc_id % 9)) * 37 + doc_id * 31) % 256) * (i + 1)) AS BIGINT)
              AS px_wsum
-    FROM px GROUP BY 1, 2, 3, 4
+    FROM px GROUP BY 2, 3, 4, 5
+    UNION ALL
+    SELECT 'resize8' AS stage, doc_id, CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height, c AS channels,
+           CAST(count(*) AS INT) AS n_px,
+           CAST(sum(((src % (8 + doc_id % 9)) * 37 + doc_id * 31) % 256) AS BIGINT) AS px_sum,
+           CAST(sum((((src % (8 + doc_id % 9)) * 37 + doc_id * 31) % 256) * (i + 1)) AS BIGINT)
+             AS px_wsum
+    FROM rp GROUP BY 2, 3, 4, 5
     """,
 )
 def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Real compressed-codec image path behind the gate (VERDICT r4
-    item 7): synthesize a REAL PNG per document (zlib-compressed,
+    item 7), now carrying the RESIZE stage too (round-7 registry
+    consolidation — absorbed the retired `multimodal_png_resize`
+    gate): synthesize a REAL PNG per document (zlib-compressed,
     correct CRCs — operators/multimodal.py synth_png), decode it
     through the pluggable ``decoder=`` hook with the pure-stdlib PNG
-    decoder (chunk walk -> inflate -> unfilter), then reduce the pixel
-    array JVM-side (sum + position-weighted sum, so any ordering or
-    off-by-one in decode breaks the hash). The oracle replays the
-    integer pixel formula — the Spark side genuinely round-trips
+    decoder (chunk walk -> inflate -> unfilter), then
+
+    - stage 'decode': reduce the full pixel array JVM-side (sum +
+      position-weighted sum, so any ordering or off-by-one in decode
+      breaks the hash);
+    - stage 'resize8': resample every image to 8x8 with the standard
+      center-aligned nearest-neighbor grid (src index = (2i+1)*src //
+      (2*dst) per axis — resize_pixels' arithmetic, here as a pure
+      Catalyst gather over the decoded array so BOTH stages ride ONE
+      decode in ONE projection; a union of two branches would re-plan
+      the mapInPandas decode twice) and reduce the SAME way — the
+      oracle replays the integer sampling arithmetic against the pixel
+      formula, position-weighted so any grid or interleave defect
+      breaks the hash. The mapInPandas `resize_pixels` operator stays
+      the library surface for standalone resizing (pytest-pinned equal
+      to this gather on the same images).
+
+    One decode feeds both stages; the Spark side genuinely round-trips
     through the PNG codec."""
     from postgresql_topn_spark.operators.multimodal import (
         decode_image_pixels,
@@ -3639,25 +3650,55 @@ def multimodal_png_pixels(spark: SparkSession, sf_dir: str) -> DataFrame:
         make_png_blob_table(docs), decoder=decode_png_pixels
     )
     one = F.lit(1).cast("long")
-    return imgs.select(
-        "doc_id",
-        "width",
-        "height",
-        "channels",
-        F.size("pixels").alias("n_px"),
-        F.aggregate(
-            "pixels", F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("px_sum"),
-        F.aggregate(
-            F.zip_with(
-                "pixels",
-                F.sequence(one, F.size("pixels").cast("long")),
-                lambda v, i: v * i,
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("px_wsum"),
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    c = F.col("channels").cast("long")
+
+    def _idiv(a: Column, b: Column) -> Column:
+        return F.floor(a / b).cast("long")
+
+    def _src(j: Column) -> Column:
+        po, ch = _idiv(j, c), j % c
+        oy, ox = _idiv(po, F.lit(8)), po % 8
+        sy = _idiv((F.lit(2) * oy + 1) * h, F.lit(16))
+        sx = _idiv((F.lit(2) * ox + 1) * w, F.lit(16))
+        return (sy * w + sx) * c + ch
+
+    rpx = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.lit(64) * c - 1),
+        lambda j: F.element_at("pixels", (_src(j) + 1).cast("int")),
     )
+
+    def metrics(stage: str, wid, hei, px: Column) -> Column:
+        return F.struct(
+            F.lit(stage).alias("stage"),
+            F.col("doc_id").alias("doc_id"),
+            wid.cast("int").alias("width"),
+            hei.cast("int").alias("height"),
+            F.col("channels").alias("channels"),
+            F.size(px).alias("n_px"),
+            F.aggregate(px, F.lit(0).cast("long"), lambda a, x: a + x).alias(
+                "px_sum"
+            ),
+            F.aggregate(
+                F.zip_with(
+                    px,
+                    F.sequence(one, F.size(px).cast("long")),
+                    lambda v, i: v * i,
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("px_wsum"),
+        )
+
+    return imgs.select(
+        F.explode(
+            F.array(
+                metrics("decode", F.col("width"), F.col("height"), F.col("pixels")),
+                metrics("resize8", F.lit(8), F.lit(8), rpx),
+            )
+        ).alias("r")
+    ).select("r.*")
 
 
 @_register(
@@ -3731,71 +3772,6 @@ def multimodal_png_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@_register(
-    "multimodal_png_resize",
-    """
-    WITH dims AS (
-      SELECT doc_id,
-             CAST(8 + doc_id % 17 AS INT) AS w,
-             CAST(8 + (doc_id * 3) % 13 AS INT) AS h,
-             CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS INT) AS c
-      FROM documents
-    ),
-    rp AS (
-      SELECT doc_id, w, h, c, i,
-             ((((2 * ((i // c) // 8) + 1) * h) // 16) * w
-              + (((2 * ((i // c) % 8) + 1) * w) // 16)) * c + (i % c) AS src
-      FROM (SELECT doc_id, w, h, c,
-                   unnest(generate_series(0, 8 * 8 * c - 1)) AS i
-            FROM dims)
-    )
-    SELECT doc_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
-           c AS channels,
-           CAST(sum(((src % (8 + doc_id % 9)) * 37 + doc_id * 31) % 256) AS BIGINT) AS px_sum,
-           CAST(sum((((src % (8 + doc_id % 9)) * 37 + doc_id * 31) % 256) * (i + 1)) AS BIGINT) AS px_wsum
-    FROM rp GROUP BY 1, 2, 3, 4
-    """,
-)
-def multimodal_png_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real decode -> nearest-neighbor RESIZE behind the gate
-    (operators/multimodal.py resize_pixels, previously pytest-only):
-    every synthesized PNG decodes through the codec and resamples to
-    8x8 with the standard center-aligned NN grid (src index =
-    floor((i + 0.5) * src/dst) per axis). The oracle replays the
-    integer sampling arithmetic — (2i+1)*src // (2*dst) — against the
-    pixel formula, position-weighted so any grid or interleave defect
-    breaks the hash."""
-    from postgresql_topn_spark.operators.multimodal import (
-        decode_image_pixels,
-        decode_png_pixels,
-        make_png_blob_table,
-        resize_pixels,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    imgs = decode_image_pixels(
-        make_png_blob_table(docs), decoder=decode_png_pixels
-    )
-    small = resize_pixels(imgs, 8, 8)
-    one = F.lit(1).cast("long")
-    return small.select(
-        "doc_id",
-        "width",
-        "height",
-        "channels",
-        F.aggregate(
-            "pixels", F.lit(0).cast("long"), lambda a, x: a + x
-        ).alias("px_sum"),
-        F.aggregate(
-            F.zip_with(
-                "pixels",
-                F.sequence(one, F.size("pixels").cast("long")),
-                lambda v, i: v * i,
-            ),
-            F.lit(0).cast("long"),
-            lambda a, x: a + x,
-        ).alias("px_wsum"),
-    )
 
 
 @_register(
@@ -4739,7 +4715,7 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "events_asof_next",
+    "events_asof_modes",
     """
     WITH cfg AS (
       SELECT event_type, cts, cfg_value, cfg_event_id FROM (
@@ -4749,56 +4725,14 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY event_id DESC) AS rn
         FROM events WHERE event_type IS NOT NULL AND event_id % 97 = 0
       ) WHERE rn = 1
-    )
-    SELECT e.event_id, e.event_type,
-           round(cfg.cfg_value, 6) AS cfg_value, cfg.cfg_event_id
-    FROM (SELECT event_id, event_type, ts FROM events
-          WHERE event_type IS NOT NULL) e
-    ASOF LEFT JOIN cfg
-      ON e.event_type = cfg.event_type AND e.ts <= cfg.cts
-    """,
-)
-def events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FORWARD as-of join behind the gate (direction='forward' — the
-    round-5 extension): every event picks up the EARLIEST config row of
-    its type at-or-after its time ("the next deploy after this alert").
-    Same deduplicated sparse config subset as events_asof_latest;
-    oracle is DuckDB's native ASOF LEFT JOIN with <=. Late events (after
-    the last config of their type) exercise the all-NULL path."""
-    from postgresql_topn_spark.operators.joins import asof_join
-
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type").isNotNull()
-    )
-    cfg = _sparse_cfg(ev)
-    out = asof_join(
-        ev.select("event_id", "event_type", "ts"),
-        cfg,
-        "event_type",
-        left_time="ts",
-        right_time="cts",
-        payload=["cfg_value", "cfg_event_id"],
-        direction="forward",
-    )
-    return out.select(
-        "event_id",
-        "event_type",
-        F.round("cfg_value", 6).alias("cfg_value"),
-        "cfg_event_id",
-    )
-
-
-@_register(
-    "events_asof_nearest",
-    """
-    WITH cfg AS (
-      SELECT event_type, cts, cfg_value, cfg_event_id FROM (
-        SELECT event_type, ts AS cts, value AS cfg_value,
-               event_id AS cfg_event_id,
-               ROW_NUMBER() OVER (PARTITION BY event_type, ts
-                                  ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type IS NOT NULL AND event_id % 97 = 0
-      ) WHERE rn = 1
+    ),
+    fwd AS (
+      SELECT e.event_id, e.event_type,
+             round(cfg.cfg_value, 6) AS cfg_value, cfg.cfg_event_id
+      FROM (SELECT event_id, event_type, ts FROM events
+            WHERE event_type IS NOT NULL) e
+      ASOF LEFT JOIN cfg
+        ON e.event_type = cfg.event_type AND e.ts <= cfg.cts
     ),
     cand AS (
       SELECT e.event_id, c.cfg_value, c.cfg_event_id,
@@ -4814,43 +4748,68 @@ def events_asof_next(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY event_id
                                 ORDER BY adist, side) AS rn
       FROM cand
+    ),
+    near AS (
+      SELECT e.event_id, e.event_type,
+             round(r.cfg_value, 6) AS cfg_value, r.cfg_event_id
+      FROM (SELECT event_id, event_type FROM events
+            WHERE event_type IS NOT NULL) e
+      LEFT JOIN ranked r ON e.event_id = r.event_id AND r.rn = 1
     )
-    SELECT e.event_id, e.event_type,
-           round(r.cfg_value, 6) AS cfg_value, r.cfg_event_id
-    FROM (SELECT event_id, event_type FROM events
-          WHERE event_type IS NOT NULL) e
-    LEFT JOIN ranked r ON e.event_id = r.event_id AND r.rn = 1
+    SELECT 'forward' AS mode, * FROM fwd
+    UNION ALL
+    SELECT 'nearest' AS mode, * FROM near
     """,
 )
-def events_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """NEAREST as-of join behind the gate (direction='nearest'): every
-    event picks whichever config row of its type is closer in time,
-    equal distance tying to the backward row. The Spark plan is still
-    ONE key exchange + one sort (both window fills share them); the
-    oracle brute-forces every (event, config) candidate and ranks by
-    (|distance|, backward-first) — microsecond-exact integers, so the
-    hash pins both the distance math and the tie rule."""
+def events_asof_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD and NEAREST as-of joins in one gate (round-7 registry
+    consolidation — absorbed the retired `events_asof_next` +
+    `events_asof_nearest` gates; `events_asof_latest` keeps its own
+    gate as the reference direction checked against DuckDB's native
+    ASOF JOIN semantics):
+
+    - mode 'forward': every event picks up the EARLIEST config row of
+      its type at-or-after its time ("the next deploy after this
+      alert"); oracle is DuckDB's native ASOF LEFT JOIN with <=. Late
+      events (after the last config of their type) exercise the
+      all-NULL path.
+    - mode 'nearest': whichever config row of the event's type is
+      closer in time, equal distance tying to the backward row; the
+      oracle brute-forces every (event, config) candidate and ranks by
+      (|distance|, backward-first) — microsecond-exact integers, so
+      the hash pins both the distance math and the tie rule.
+
+    Both modes share ONE deduplicated sparse config subset and, on the
+    Spark side, the same union+window plan shape (one key exchange +
+    one sort per mode)."""
     from postgresql_topn_spark.operators.joins import asof_join
 
     ev = load_table(spark, sf_dir, "events").where(
         F.col("event_type").isNotNull()
     )
     cfg = _sparse_cfg(ev)
-    out = asof_join(
-        ev.select("event_id", "event_type", "ts"),
-        cfg,
-        "event_type",
-        left_time="ts",
-        right_time="cts",
-        payload=["cfg_value", "cfg_event_id"],
-        direction="nearest",
-    )
-    return out.select(
-        "event_id",
-        "event_type",
-        F.round("cfg_value", 6).alias("cfg_value"),
-        "cfg_event_id",
-    )
+    outs = []
+    for mode in ("forward", "nearest"):
+        out = asof_join(
+            ev.select("event_id", "event_type", "ts"),
+            cfg,
+            "event_type",
+            left_time="ts",
+            right_time="cts",
+            payload=["cfg_value", "cfg_event_id"],
+            direction=mode,
+        )
+        outs.append(
+            out.select(
+                F.lit(mode).alias("mode"),
+                "event_id",
+                "event_type",
+                F.round("cfg_value", 6).alias("cfg_value"),
+                "cfg_event_id",
+            )
+        )
+    return outs[0].unionByName(outs[1])
+
 
 
 # ---------------------------------------------------------------------------

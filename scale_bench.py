@@ -70,7 +70,6 @@ SUBSET = [
     "topn_tokens_by_lang",
     "ann_cosine_topk",
     "ann_lsh_topk",
-    "ann_lsh_multiprobe",
     "ann_ivf_topk",
     "dedup_embedding_near",
     "dedup_semantic_clusters",
@@ -108,7 +107,7 @@ SUBSET = [
     "multimodal_png_pixels",
     "multimodal_audio_energy",
     "events_asof_latest",
-    "topn_sql_having_fallback",
+    "topn_sql_having",
     "topn_csv_reviews",
     "dedup_tfidf_cosine",
     "dedup_levenshtein_pairs",
@@ -118,8 +117,7 @@ SUBSET = [
     "bpe_encode_tokens",
     "stream_session_windows",
     "events_interval_join",
-    "events_asof_next",
-    "topn_sql_having_keys",
+    "events_asof_modes",
     # round-5 continuation: semi-join reduction over scaled lineitem
     # (orders stays unscaled: the prune's selectivity GROWS with the
     # fact table — the designed regime)

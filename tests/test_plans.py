@@ -211,14 +211,40 @@ def test_union_agg_partial_combines(spark):
 
 
 def test_sql_twophase_no_python_with_partial_combine(spark):
-    """The pure-SQL two-phase aggregate surface (topn_sql_twophase):
-    build + union + extraction entirely JVM-side — zero Python stages —
-    with map-side partial combine on the (group, item) count, matching
-    the Column API plan (the reference's parallel aggregate,
-    topn.c:509-625)."""
-    from postgresql_topn_spark.suite import QUERIES
+    """The pure-SQL two-phase aggregate surface (the 'generated_sql'
+    lane of the merged topn_sql_agg gate): build + union + extraction
+    entirely JVM-side — zero Python stages — with map-side partial
+    combine on the (group, item) count, matching the Column API plan
+    (the reference's parallel aggregate, topn.c:509-625)."""
+    from postgresql_topn_spark.functions.sql_api import (
+        topn_add_agg_sql,
+        topn_union_agg_sql,
+    )
+    from postgresql_topn_spark.sources.tables import load_table
 
-    df = QUERIES["topn_sql_twophase"](spark, SF)
+    load_table(spark, SF, "events").createOrReplaceTempView(
+        "__tp_plan_events"
+    )
+    monthly = topn_add_agg_sql(
+        "__tp_plan_events",
+        [("yr", "cast(year(ts) as int)"), ("mon", "month(ts)")],
+        "event_type",
+        counters=100,
+        salt_buckets=4,
+    )
+    yearly = topn_union_agg_sql("monthly", ["yr"], "topn", counters=100)
+    df = spark.sql(
+        f"""
+        WITH monthly AS ({monthly}),
+             yearly AS ({yearly})
+        SELECT yr, item, frequency FROM (
+          SELECT yr, t.item, t.frequency,
+                 row_number() OVER (PARTITION BY yr
+                                    ORDER BY t.frequency DESC, t.item ASC) AS rn
+          FROM yearly LATERAL VIEW explode(topn) t AS item, frequency
+        ) WHERE rn <= 3
+        """
+    )
     assert python_stages(df) == 0
     assert has_partial_aggregate(df)
 

@@ -832,3 +832,49 @@ def test_resize_pixels_failed_row_nulls_channels(spark):
     assert out[1]["pixels"] is not None and out[1]["channels"] == 1
     assert out[2]["pixels"] is None
     assert out[2]["width"] is None and out[2]["channels"] is None
+
+
+def test_png_gate_resize_gather_equals_resize_pixels(spark):
+    """The multimodal_png_pixels gate's 'resize8' stage computes the
+    8x8 NN resample as a pure Catalyst gather; pin it row-for-row
+    against the library mapInPandas operator (resize_pixels) on the
+    same real-PNG decode, so the two implementations of the sampling
+    grid can never drift (round-7 registry consolidation)."""
+    from pyspark.sql import functions as F
+
+    from postgresql_topn_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_png_pixels,
+        make_png_blob_table,
+        resize_pixels,
+    )
+    from postgresql_topn_spark.sources.tables import load_table
+    from postgresql_topn_spark.suite import QUERIES
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(40)
+    imgs = decode_image_pixels(
+        make_png_blob_table(docs), decoder=decode_png_pixels
+    )
+    lib = {
+        r["doc_id"]: r
+        for r in resize_pixels(imgs, 8, 8)
+        .select(
+            "doc_id",
+            F.aggregate(
+                "pixels", F.lit(0).cast("long"), lambda a, x: a + x
+            ).alias("px_sum"),
+        )
+        .collect()
+    }
+    gate = {
+        r["doc_id"]: r
+        for r in QUERIES["multimodal_png_pixels"](
+            spark, "/root/testdata/sf0.001"
+        )
+        .where(F.col("stage") == "resize8")
+        .collect()
+    }
+    # limit(40) vs full gate: compare on the intersection
+    assert lib, "no decoded rows"
+    for doc_id, r in lib.items():
+        assert gate[doc_id]["px_sum"] == r["px_sum"], doc_id
