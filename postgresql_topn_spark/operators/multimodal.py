@@ -634,6 +634,90 @@ def pixel_histogram_features(
     )
 
 
+def pixel_block_features(
+    imgs: DataFrame,
+    *,
+    grid: int = 4,
+    pixels_col: str = "pixels",
+    out_col: str = "embedding",
+) -> DataFrame:
+    """SPATIAL image descriptor over DECODED pixel rows (the output of
+    `decode_image_pixels`): the grid x grid block-mean embedding — the
+    image plane is partitioned into grid*grid cells by the indicator
+    gy = (y*g)//h / gx = (x*g)//w (every pixel belongs to exactly one
+    cell; the equivalent gather bounds are y in [ceil(gy*h/g),
+    ceil((gy+1)*h/g)) — ceil, not floor, or the two forms disagree
+    whenever g does not divide h), and feature b = gy*grid+gx is the
+    MEAN intensity of cell (gy, gx), all channels pooled. The classic "tiny image" descriptor: unlike an
+    intensity histogram it carries WHERE the light is, so images with
+    equal palettes but different layouts separate (this is the real
+    replacement for the byte-histogram `extract_features` stand-in —
+    that one reads undecoded bytes and carries no pixel signal;
+    VERDICT r6 item 4).
+
+    Determinism: block sums are exact integer folds and the mean is a
+    single IEEE double division (sum/cnt) — bit-identical across
+    engines, so a DuckDB oracle can replay the embedding AND every
+    cosine computed from it (cosine over block-mean vectors folds
+    dimension-sequentially downstream, the repo's discipline).
+
+    Scale shape: ONE projection in the scan stage — per row, each cell
+    gathers exactly its own pixel indices (total work = one pass over
+    the pixel array) — zero exchanges, unlike the explode->groupBy
+    histogram featurizer. Cells that contain no pixel (image smaller
+    than the grid) contribute feature 0. NULL-pixel rows (undecodable
+    payloads) are skipped, like the other featurizers.
+
+    Returns (doc_id, `out_col` array<double>), length grid*grid, ready
+    for `similarity.cosine_topk` / `semdedup.semantic_dedup`."""
+    if grid < 1:
+        raise ValueError(f"grid must be >= 1, got {grid}")
+    g = int(grid)
+    w = F.col("width").cast("long")
+    h = F.col("height").cast("long")
+    c = F.col("channels").cast("long")
+
+    def _cdiv(a, b):
+        return F.ceil(a / b).cast("long")
+
+    def cell_mean(b: int):
+        gy, gx = b // g, b % g
+        y0, y1 = _cdiv(F.lit(gy) * h, F.lit(g)), _cdiv(F.lit(gy + 1) * h, F.lit(g))
+        x0, x1 = _cdiv(F.lit(gx) * w, F.lit(g)), _cdiv(F.lit(gx + 1) * w, F.lit(g))
+        idx = F.flatten(
+            F.transform(
+                F.sequence(y0, y1 - 1),
+                lambda y: F.flatten(
+                    F.transform(
+                        F.sequence(x0, x1 - 1),
+                        lambda x: F.transform(
+                            F.sequence(F.lit(0).cast("long"), c - 1),
+                            lambda ch: (y * w + x) * c + ch,
+                        ),
+                    )
+                ),
+            )
+        )
+        # an empty cell (h or w < grid) must not build a descending
+        # sequence; it contributes 0
+        idx = F.when((y1 > y0) & (x1 > x0), idx).otherwise(
+            F.array().cast("array<bigint>")
+        )
+        s = F.aggregate(
+            idx,
+            F.lit(0).cast("long"),
+            lambda a, i: a
+            + F.element_at(F.col(pixels_col), (i + 1).cast("int")),
+        )
+        return F.when(
+            F.size(idx) > 0, s.cast("double") / F.size(idx)
+        ).otherwise(F.lit(0.0))
+
+    return imgs.where(F.col(pixels_col).isNotNull()).select(
+        "doc_id", F.array(*[cell_mean(b) for b in range(g * g)]).alias(out_col)
+    )
+
+
 def synth_wav_pcm16(doc_id: int) -> bytes:
     """A REAL RIFF/WAVE payload (PCM16 mono, 8 kHz) whose samples are a
     pure integer function of doc_id — so a SQL oracle can replay every

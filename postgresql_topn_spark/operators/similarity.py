@@ -501,7 +501,15 @@ def _train_ivf_centroids(
     regardless of corpus size, and training cost is independent of scale.
     Only training is driver-side — cell ASSIGNMENT stays a distributed
     map-side pandas UDF. Replaces pyspark.ml KMeans, whose multi-job fit
-    dominated the index build (4.3s of a 4.4s query at sf0.1)."""
+    dominated the index build (4.3s of a 4.4s query at sf0.1).
+
+    Determinism: the collected sample is lexsorted before seeding, so
+    the trained centroids (and every keep/drop decision derived from
+    them) are invariant to input PARTITIONING whenever the training
+    multiset is — always in the n <= max_train regime (pytest-pinned
+    via semantic_dedup); above it the Bernoulli sample's membership is
+    partition-dependent by nature and only the given-sample training
+    is deterministic."""
     vecs = corpus.select(vec_col)
     n = vecs.count()
     if n > max_train:
@@ -511,6 +519,9 @@ def _train_ivf_centroids(
     X = np.asarray(
         [r[0] for r in vecs.collect()], dtype=np.float64
     )
+    if len(X):
+        # collect() order follows partitioning; lexsort normalizes it
+        X = X[np.lexsort(X.T[::-1])]
     rng = np.random.RandomState(seed)
     C = X[rng.choice(len(X), size=min(n_lists, len(X)), replace=False)]
     for _ in range(iters):

@@ -1974,6 +1974,212 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_select_mix",
+    f"""
+    WITH RECURSIVE s0 AS (
+      SELECT doc_id, text, lang,
+        CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS DOUBLE) AS n_tok,
+        CAST(len(regexp_extract_all(lower(text), '\\b(the|a|and|of|to|is|in|it|on|for)\\b')) AS DOUBLE) AS stop_cnt,
+        CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE) AS punct_cnt,
+        CAST(length(text) AS DOUBLE) AS n_chars
+      FROM documents
+    ),
+    filt AS (
+      SELECT * FROM (
+        SELECT doc_id, text, lang,
+          round(least(n_tok / 100.0, 1.0) * 0.5
+                + least(stop_cnt / n_tok * 3.0, 1.0) * 0.3
+                + (1.0 - least(punct_cnt / n_chars * 10.0, 1.0)) * 0.2, 6) AS score
+        FROM s0
+      ) WHERE score >= 0.45
+    ),
+    pairs AS ({_jaccard_oracle_sql("filt", 0.5)}),
+    e AS (SELECT doc_a AS s, doc_b AS d FROM pairs
+          UNION SELECT doc_b, doc_a FROM pairs),
+    reach(n, r) AS (
+      SELECT s, s FROM e
+      UNION
+      SELECT reach.n, e.d FROM reach JOIN e ON reach.r = e.s
+    ),
+    comp AS (SELECT n AS doc_id, MIN(r) AS component FROM reach GROUP BY n),
+    nd AS (
+      SELECT f.* FROM filt f LEFT JOIN comp c USING (doc_id)
+      WHERE COALESCE(c.component, f.doc_id) = f.doc_id
+    ),
+    semsrc AS (
+      SELECT nd.doc_id AS vec_id, emb.embedding
+      FROM nd JOIN embeddings emb ON emb.vec_id = nd.doc_id
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+             embedding AS cv
+      FROM semsrc ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 12
+    ),
+    d AS (
+      SELECT e.vec_id, e.embedding, c.cell, {_IVF_D2} AS d2,
+             list_reduce(list_transform(range(1, 65),
+                 i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 65),
+                  i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)))
+             AS csim
+      FROM semsrc e, cent c
+    ),
+    ranked AS (
+      SELECT vec_id, embedding, cluster, csim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                                     ORDER BY csim ASC, vec_id ASC) AS INT) AS rnk
+      FROM (
+        SELECT vec_id, embedding, CAST(cell AS INT) AS cluster, csim,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM d) t WHERE rn = 1
+    ),
+    kills AS (
+      SELECT b.vec_id AS idb
+      FROM ranked a JOIN ranked b ON a.cluster = b.cluster AND a.rnk < b.rnk
+      WHERE {_COS_AB} >= 0.4
+      GROUP BY b.vec_id
+    ),
+    pool AS (
+      SELECT nd.* FROM nd
+      JOIN ranked r ON r.vec_id = nd.doc_id
+      LEFT JOIN kills k ON k.idb = nd.doc_id
+      WHERE k.idb IS NULL
+    ),
+    toksp AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS t
+      FROM pool
+    ),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                              i -> t[i] || ' ' || t[i+1]))) AS f
+      FROM toksp
+    ),
+    fb AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 2048 AS bucket
+      FROM feats
+    ),
+    docfeat AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM fb GROUP BY doc_id, bucket
+    ),
+    rawc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY bucket),
+    tgtc AS (
+      SELECT fb.bucket, CAST(count(*) AS BIGINT) AS ct
+      FROM fb JOIN pool USING (doc_id) WHERE pool.lang = 'en' GROUP BY fb.bucket
+    ),
+    tot AS (
+      SELECT CAST((SELECT sum(cr) FROM rawc) AS DOUBLE) AS tr,
+             CAST(COALESCE((SELECT sum(ct) FROM tgtc), 0) AS DOUBLE) AS tt
+    ),
+    model AS (
+      SELECT r.bucket,
+             CAST(round(((ln(CAST(COALESCE(t2.ct, 0) AS DOUBLE) + 1.0) - ln(tt + 2048.0))
+                         - (ln(CAST(r.cr AS DOUBLE) + 1.0) - ln(tr + 2048.0)))
+                        * 1000000.0, 0) AS BIGINT) AS lr_micro
+      FROM rawc r LEFT JOIN tgtc t2 USING (bucket) CROSS JOIN tot
+    ),
+    w AS (
+      SELECT df.doc_id, CAST(sum(df.cnt) AS BIGINT) AS n_feats,
+             CAST(sum(df.cnt * m.lr_micro) AS BIGINT) AS logw_micro
+      FROM docfeat df JOIN model m USING (bucket)
+      GROUP BY df.doc_id
+    ),
+    allw AS (
+      SELECT p.doc_id, p.score, COALESCE(w.n_feats, 0) AS n_feats,
+             COALESCE(w.logw_micro, 0) AS logw_micro
+      FROM pool p LEFT JOIN w USING (doc_id)
+    ),
+    keyed AS (
+      SELECT doc_id, score, n_feats, logw_micro,
+             CAST(round(CAST(logw_micro AS DOUBLE) / 1.0, 0) AS BIGINT)
+             + CAST(round(-ln(-ln((CAST(CAST(concat('0x',
+                     substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                     AS DOUBLE) + 0.5) / 1152921504606846976.0))
+                    * 1000000.0, 0) AS BIGINT) AS key_micro
+      FROM allw
+    )
+    SELECT doc_id, score, n_feats, logw_micro, key_micro
+    FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT 40
+    """,
+)
+def pipeline_select_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP data-selection composition (VERDICT r6 item 3):
+    the two round-6 selection primitives chained AFTER token-level
+    dedup, the order a real pretraining-curation pipeline runs them,
+    as ONE dataflow over documents + embeddings:
+
+      1. quality floor  — quality_score >= 0.45 (scan-stage JVM
+         regex), ALL languages (the language targeting belongs to
+         DSIR, not a hard filter);
+      2. near-dup removal — 3-shingle Jaccard >= 0.5 inverted-index
+         pairs -> transitive closure -> keep each cluster's min-id
+         canonical (the pipeline_curation stage);
+      3. SEMANTIC dedup — survivors join their embeddings and
+         semantic_dedup (12 seeded clusters, cosine >= 0.4) drops
+         paraphrase-level duplicates token dedup can't see;
+      4. DSIR resample — importance-weight the surviving pool toward
+         its own lang='en' slice (hashed bigrams, 2048 buckets) and
+         Gumbel-top-k 40 documents.
+
+    The oracle replays ALL FOUR stages value-for-value (quality
+    formula, pair join + recursive closure, centroid pick ->
+    assignment -> rank -> greedy sweep, model -> integer weights ->
+    Gumbel keys -> selection), so the COMPOSITION — every stage
+    consuming exactly the previous stage's survivor set — is what the
+    hash pins, not just the stages in isolation."""
+    from postgresql_topn_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+    from postgresql_topn_spark.operators.dsir import dsir_resample
+    from postgresql_topn_spark.operators.semdedup import semantic_dedup
+    from postgresql_topn_spark.operators.text import quality_score
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = docs.select(
+        "doc_id", "text", "lang", quality_score("text").alias("score")
+    )
+    filt = scored.where(F.col("score") >= 0.45)
+    edges = jaccard_pairs(filt, "doc_id", "text", threshold=0.5, k=3)
+    comp = connected_components(edges, "doc_a", "doc_b")
+    nd = (
+        filt.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .where(F.coalesce("component", "doc_id") == F.col("doc_id"))
+        .drop("component")
+    )
+    sem = semantic_dedup(
+        nd.join(
+            emb.select(F.col("vec_id").alias("doc_id"), "embedding"),
+            "doc_id",
+        ).select("doc_id", "embedding"),
+        id_col="doc_id",
+        vec_col="embedding",
+        n_clusters=12,
+        threshold=0.4,
+    )
+    pool = nd.join(sem.where("keep").select("doc_id"), "doc_id")
+    sel = dsir_resample(
+        pool,
+        pool.where(F.col("lang") == "en"),
+        id_col="doc_id",
+        text_col="text",
+        k=40,
+        n_buckets=2048,
+        seed=0,
+    )
+    return sel.join(pool.select("doc_id", "score"), "doc_id").select(
+        "doc_id", "score", "n_feats", "logw_micro", "key_micro"
+    )
+
+
+@_register(
     "pipeline_sample_mix",
     """
     WITH s0 AS (
@@ -3409,6 +3615,74 @@ def pipeline_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_dsir_rollup",
+    r"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    feats AS (
+      SELECT doc_id,
+             unnest(list_concat(t,
+               list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                              i -> t[i] || ' ' || t[i+1]))) AS f
+      FROM toks
+    ),
+    fb AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 512 AS bucket
+      FROM feats
+    ),
+    rawc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM fb GROUP BY bucket),
+    tgtc AS (
+      SELECT fb.bucket, CAST(count(*) AS BIGINT) AS ct
+      FROM fb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY fb.bucket
+    ),
+    m AS (
+      SELECT COALESCE(r.bucket, t2.bucket) AS bucket,
+             COALESCE(t2.ct, 0) AS ct, COALESCE(r.cr, 0) AS cr
+      FROM rawc r FULL OUTER JOIN tgtc t2 ON r.bucket = t2.bucket
+    ),
+    tot AS (SELECT CAST(sum(ct) AS DOUBLE) AS tt,
+                   CAST(sum(cr) AS DOUBLE) AS tr FROM m)
+    SELECT bucket, ct, cr,
+           CAST(round(((ln(CAST(ct AS DOUBLE) + 1.0) - ln(tt + 512.0))
+                       - (ln(CAST(cr AS DOUBLE) + 1.0) - ln(tr + 512.0)))
+                      * 1000000.0, 0) AS BIGINT) AS lr_micro
+    FROM m CROSS JOIN tot
+    """,
+)
+def pipeline_dsir_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's MERGEABLE production form behind the gate (VERDICT r6
+    item 5): `dsir_bucket_counts` builds per-(lang, source) hashed-
+    feature rollup rows ONCE (one bounded hash-agg — the same
+    build-per-bucket / merge-at-read algebra as the topn/HLL/KMV
+    rollup families), then `dsir_model_from_counts` models ANY slice
+    by summing rollup rows without rescanning text: here raw = all 10
+    (lang, source) slices summed, target = the lang='en' slices
+    summed. The ORACLE computes the model DIRECTLY from the text — so
+    a green hash proves model-from-merged-rollups == model-from-scan
+    exactly (counts are additive; lr_micro is the fixed-point
+    micro-nat log ratio, bit-stable across engines)."""
+    from postgresql_topn_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_model_from_counts,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    roll = dsir_bucket_counts(
+        docs, ["lang", "source"], text_col="text", n_buckets=512
+    )
+    return dsir_model_from_counts(
+        roll.select("bucket", "cnt"),
+        roll.where(F.col("lang") == "en").select("bucket", "cnt"),
+        n_buckets=512,
+        alpha=1.0,
+    )
+
+
+@_register(
     "topn_native_approx",
     """
     SELECT yr, item, frequency FROM (
@@ -3769,6 +4043,118 @@ def multimodal_png_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = feats.where(F.col("doc_id") % 100 == 0)
     return cosine_topk(
         feats, queries, id_col="doc_id", vec_col="embedding", k=3
+    )
+
+
+@_register(
+    "multimodal_semantic_dedup",
+    """
+    WITH dims AS (
+      SELECT doc_id,
+             CAST(8 + doc_id % 17 AS INT) AS w,
+             CAST(8 + (doc_id * 3) % 13 AS INT) AS h,
+             CAST(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 3 END AS INT) AS c
+      FROM documents
+    ),
+    px AS (
+      SELECT doc_id,
+             ((i % (8 + doc_id % 9)) * 37 + doc_id * 31) % 256 AS v,
+             ((((i // c) // w) * 4) // h) * 4 + ((((i // c) % w) * 4) // w) AS b
+      FROM (SELECT doc_id, w, h, c,
+                   unnest(generate_series(0, w * h * c - 1)) AS i
+            FROM dims)
+    ),
+    feat AS (
+      SELECT doc_id, array_agg(CAST(s AS DOUBLE) / cnt ORDER BY b) AS embedding
+      FROM (SELECT doc_id, b, sum(v) AS s, count(*) AS cnt
+            FROM px GROUP BY 1, 2)
+      GROUP BY doc_id
+    ),
+    cent AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS cell,
+             embedding AS cv
+      FROM feat ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 8
+    ),
+    d AS (
+      SELECT e.doc_id, e.embedding, c.cell,
+             -2 * list_reduce(list_transform(range(1, 17),
+                  i -> e.embedding[i] * c.cv[i]), (x, y) -> x + y)
+             + list_reduce(list_transform(range(1, 17),
+                  i -> c.cv[i] * c.cv[i]), (x, y) -> x + y) AS d2,
+             list_reduce(list_transform(range(1, 17),
+                 i -> e.embedding[i] * c.cv[i]), (x, y) -> x + y)
+             / (sqrt(list_reduce(list_transform(range(1, 17),
+                  i -> e.embedding[i] * e.embedding[i]), (x, y) -> x + y))
+                * sqrt(list_reduce(list_transform(range(1, 17),
+                  i -> c.cv[i] * c.cv[i]), (x, y) -> x + y)))
+             AS csim
+      FROM feat e, cent c
+    ),
+    ranked AS (
+      SELECT doc_id, embedding, cluster, csim,
+             CAST(ROW_NUMBER() OVER (PARTITION BY cluster
+                                     ORDER BY csim ASC, doc_id ASC) AS INT) AS rnk
+      FROM (
+        SELECT doc_id, embedding, CAST(cell AS INT) AS cluster, csim,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY d2 ASC, cell ASC) AS rn
+        FROM d) t WHERE rn = 1
+    ),
+    kills AS (
+      SELECT b.doc_id AS idb, arg_min(a.doc_id, a.rnk) AS dup_of
+      FROM ranked a JOIN ranked b ON a.cluster = b.cluster AND a.rnk < b.rnk
+      WHERE list_reduce(list_transform(range(1, 17),
+                i -> a.embedding[i] * b.embedding[i]), (x, y) -> x + y)
+            / (sqrt(list_reduce(list_transform(range(1, 17),
+                 i -> a.embedding[i] * a.embedding[i]), (x, y) -> x + y))
+               * sqrt(list_reduce(list_transform(range(1, 17),
+                 i -> b.embedding[i] * b.embedding[i]), (x, y) -> x + y)))
+            >= 0.9999
+      GROUP BY b.doc_id
+    )
+    SELECT r.doc_id, r.cluster, round(r.csim, 6) AS centroid_sim,
+           r.rnk AS "rank", k.idb IS NULL AS keep, k.dup_of
+    FROM ranked r LEFT JOIN kills k ON k.idb = r.doc_id
+    """,
+)
+def multimodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal SEMANTIC-dedup story end-to-end with zero
+    stand-ins (VERDICT r6 item 4): real PNGs (synth_png) -> real codec
+    decode (decode_png_pixels: inflate + unfilter) -> REAL pixel-domain
+    embedding (pixel_block_features: 4x4 block means over the decoded
+    plane — spatial signal, not a byte histogram; one scan-stage
+    projection, zero exchanges) -> SemDeDup keep/drop decisions
+    (semantic_dedup: seeded centroids, rank by centroid-sim, greedy
+    earliest-witness sweep at cosine >= 0.9999 — the synthetic pixel
+    formula makes many images' block profiles exactly proportional, so
+    the high threshold collapses genuine layout-duplicates while
+    keeping each pattern class's keeper). The oracle replays pixel
+    formula -> block means -> centroid pick -> assignment -> rank ->
+    pairwise cosine -> sweep value-for-value."""
+    from postgresql_topn_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_png_pixels,
+        make_png_blob_table,
+        pixel_block_features,
+    )
+    from postgresql_topn_spark.operators.semdedup import semantic_dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    imgs = decode_image_pixels(
+        make_png_blob_table(docs), decoder=decode_png_pixels
+    )
+    # semantic_dedup fans its corpus into three branches (rank window,
+    # pair self-join a/b); without a lineage cut each branch re-plans
+    # the synth+decode mapInPandas chain. The feature frame is tiny
+    # (one 16-double row per doc), so checkpoint it — the same
+    # decode-once discipline a production pipeline would use (and the
+    # bpe.py precedent). Plan-audited in tests/test_plans.py.
+    feat = pixel_block_features(imgs, grid=4).localCheckpoint(eager=False)
+    return semantic_dedup(
+        feat,
+        id_col="doc_id",
+        vec_col="embedding",
+        n_clusters=8,
+        threshold=0.9999,
     )
 
 

@@ -74,6 +74,12 @@ SUBSET = [
     "dedup_embedding_near",
     "dedup_semantic_clusters",
     "pipeline_dsir_resample",
+    # round-7 additions: multimodal semantic dedup (documents), DSIR
+    # rollup model (documents), the 4-stage selection composition
+    # (documents + embeddings)
+    "multimodal_semantic_dedup",
+    "pipeline_dsir_rollup",
+    "pipeline_select_mix",
     "events_sessionize",
     "topn_monthly_event_types",
     "distinct_rollup_hll",

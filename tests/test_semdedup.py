@@ -198,3 +198,75 @@ def test_null_ids_dropped_before_python_stage(spark):
     for mode in ("expr", "pandas"):
         got = assign_clusters(df, C, assign_mode=mode).collect()
         assert sorted(r["__id"] for r in got) == [1, 2]
+
+
+def test_trained_mode_dedup_rate_band(spark):
+    """Behavioral contract for the oracle-exempt trained lane (VERDICT
+    r6 item 6): on planted-duplicate data at an exact-copy threshold,
+    the drop SET is clustering-independent — exact copies always share
+    a cluster and cosine 1.0 — so trained mode must drop exactly what
+    seeded mode drops: the planted copies."""
+    df, _ = _mk_corpus(spark, n=60, dim=8, seed=21, dupes=5)
+    kw = dict(n_clusters=6, threshold=0.999999)
+    seeded_drops = {
+        r["vec_id"]
+        for r in semantic_dedup(df, centroid_mode="seeded", **kw).collect()
+        if not r["keep"]
+    }
+    trained_drops = {
+        r["vec_id"]
+        for r in semantic_dedup(df, centroid_mode="trained", **kw).collect()
+        if not r["keep"]
+    }
+    assert len(seeded_drops) == 5
+    assert trained_drops == seeded_drops
+    # at a moderate threshold the two clusterings may judge borderline
+    # pairs differently, but the RATE must stay in a band: every
+    # planted copy still dies, and trained never drops more than twice
+    # seeded's count (both see the same geometry)
+    kw2 = dict(n_clusters=6, threshold=0.95)
+    s2 = sum(
+        1
+        for r in semantic_dedup(df, centroid_mode="seeded", **kw2).collect()
+        if not r["keep"]
+    )
+    t2 = sum(
+        1
+        for r in semantic_dedup(df, centroid_mode="trained", **kw2).collect()
+        if not r["keep"]
+    )
+    assert s2 >= 5 and t2 >= 5
+    assert t2 <= 2 * s2 + 2 and s2 <= 2 * t2 + 2
+
+
+def test_trained_mode_partition_invariant(spark):
+    """The trained lane's keep-set must not depend on how the input
+    happens to be partitioned (the k-means sample is lexsorted before
+    seeding precisely so collect() order can't leak in)."""
+    df, _ = _mk_corpus(spark, n=60, dim=8, seed=22, dupes=3)
+    kw = dict(
+        n_clusters=5, threshold=0.95, centroid_mode="trained", seed=9
+    )
+    a = sorted(
+        map(tuple, semantic_dedup(df.repartition(1), **kw).collect())
+    )
+    b = sorted(
+        map(tuple, semantic_dedup(df.repartition(13), **kw).collect())
+    )
+    assert a == b
+
+
+def test_trained_mode_planted_dupes_die_any_seed(spark):
+    """Exact copies collapse under EVERY training seed — the decision
+    is geometry, not luck of the initialization."""
+    df, _ = _mk_corpus(spark, n=40, dim=8, seed=23, dupes=3)
+    for seed in (1, 2, 3):
+        out = semantic_dedup(
+            df,
+            n_clusters=4,
+            threshold=0.999999,
+            centroid_mode="trained",
+            seed=seed,
+        ).collect()
+        drops = {r["vec_id"] for r in out if not r["keep"]}
+        assert drops == {37, 38, 39}
