@@ -377,10 +377,15 @@ def resize_images(
 
 
 def extract_features(blobs: DataFrame, *, dim: int = 64) -> DataFrame:
-    """Feature-extraction plumbing: (doc_id, embedding array<float>) via
-    mapInPandas. The featurizer is a deterministic stand-in (byte
-    histogram folded to `dim` buckets, L2-normalized) — swap in a real
-    vision/audio encoder with the same signature. Output composes
+    """Feature-extraction plumbing over RAW (possibly undecodable)
+    blobs: (doc_id, embedding array<float>) via mapInPandas. The
+    featurizer is a deterministic stand-in (byte histogram folded to
+    `dim` buckets, L2-normalized) — swap in a real vision/audio
+    encoder with the same signature. For payloads the codecs here CAN
+    decode, use the real pixel-domain featurizers instead:
+    `decode_image_pixels` -> `pixel_block_features` (spatial
+    block-mean embedding, the semantic-dedup path) or
+    `pixel_histogram_features` (intensity histogram). Output composes
     directly with operators/similarity.py (cosine_topk / lsh_topk /
     ivf_topk / embedding_near_dup_pairs)."""
     import numpy as np

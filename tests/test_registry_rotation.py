@@ -70,3 +70,16 @@ def test_live_registry_fronts_stale_queries():
         owed = [n for n in names if latest.get(n, -1) < newest]
         front = set(names[: max(50, len(owed))])
         assert all(n in front for n in owed[:50])
+
+
+def test_registry_stays_under_the_2round_saturation_cap():
+    """The driver verifies ~50 entries per round, so a registry of
+    more than 98 means some entry must go >2 rounds without a fresh
+    row (exactly-100 broke the freshness bar in r6). Registering a new
+    gate requires retiring or merging one first — see the round-7
+    lane-preserving merges for the pattern."""
+    assert len(QUERIES) <= 98, (
+        f"registry has {len(QUERIES)} entries; retire/merge before "
+        "registering (2-round freshness needs <= 2x the driver's "
+        "50-row cap, with slack)"
+    )
