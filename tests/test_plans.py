@@ -393,3 +393,45 @@ def test_pack_contexts_no_corpus_wide_single_partition(spark):
 
     assert re.search(r"HashAggregate\(keys=\[__bkt", p)
     assert python_stages(out) == 0
+
+
+def test_pixel_block_features_scan_stage(spark, docs):
+    """pixel_block_features adds ZERO exchanges and zero Python stages
+    of its own: every cell mean is a per-row gather expression riding
+    whatever stage produced the pixels (here the decode mapInPandas) —
+    unlike the explode->groupBy histogram featurizer, the embedding
+    never shuffles."""
+    from postgresql_topn_spark.operators.multimodal import (
+        decode_image_pixels,
+        decode_png_pixels,
+        make_png_blob_table,
+        pixel_block_features,
+    )
+
+    imgs = decode_image_pixels(
+        make_png_blob_table(docs), decoder=decode_png_pixels
+    )
+    out = pixel_block_features(imgs, grid=4)
+    assert hash_shuffles(out) == 0
+    assert python_stages(out) == python_stages(imgs)  # decode only
+
+
+def test_dsir_rollup_model_two_aggs_broadcast_totals(spark, docs):
+    """dsir_model_from_counts over dsir_bucket_counts rollups: the
+    model build is bounded hash-aggs (key space <= |groups| *
+    n_buckets) with the 1-row totals riding a broadcast — no Python
+    anywhere, partial combine on every agg."""
+    from postgresql_topn_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_model_from_counts,
+    )
+
+    roll = dsir_bucket_counts(docs, ["lang"], n_buckets=256)
+    model = dsir_model_from_counts(
+        roll.select("bucket", "cnt"),
+        roll.where(F.col("lang") == "en").select("bucket", "cnt"),
+        n_buckets=256,
+    )
+    assert python_stages(model) == 0
+    assert has_partial_aggregate(model)
+    assert broadcast_exchanges(model) >= 1

@@ -965,3 +965,49 @@ class TestPixelBlockFeatures:
         # other 12 cells are empty -> 0.0
         assert sorted(emb, reverse=True)[:4] == [40.0, 30.0, 20.0, 10.0]
         assert emb.count(0.0) == 12
+
+
+def test_pixel_block_features_numpy_differential(spark):
+    """Randomized differential: the Catalyst gather must equal a
+    straightforward numpy block-mean over the (y*g)//h indicator
+    partition for arbitrary (w, h, c, grid) shapes, including
+    non-divisible and smaller-than-grid axes."""
+    import numpy as np
+
+    from postgresql_topn_spark.operators.multimodal import (
+        pixel_block_features,
+    )
+
+    rng = np.random.RandomState(42)
+    cases, rows = [], []
+    did = 0
+    for _ in range(12):
+        w, h = int(rng.randint(1, 12)), int(rng.randint(1, 12))
+        c = int(rng.choice([1, 3]))
+        g = int(rng.choice([2, 3, 4]))
+        px = rng.randint(0, 256, size=w * h * c).tolist()
+        cases.append((did, w, h, c, g, px))
+        rows.append((did, w, h, c, px))
+        did += 1
+    df = spark.createDataFrame(
+        rows,
+        "doc_id bigint, width int, height int, channels int, "
+        "pixels array<int>",
+    )
+    for g in (2, 3, 4):
+        got = {
+            r["doc_id"]: r["embedding"]
+            for r in pixel_block_features(df, grid=g).collect()
+        }
+        for did_, w, h, c, _, px in cases:
+            a = np.asarray(px).reshape(h, w, c)
+            exp = []
+            for gy in range(g):
+                for gx in range(g):
+                    ys = [y for y in range(h) if (y * g) // h == gy]
+                    xs = [x for x in range(w) if (x * g) // w == gx]
+                    if ys and xs:
+                        exp.append(float(a[np.ix_(ys, xs)].mean()))
+                    else:
+                        exp.append(0.0)
+            assert got[did_] == exp, (did_, w, h, c, g)
