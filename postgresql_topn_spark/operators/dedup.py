@@ -1384,8 +1384,9 @@ def substring_run_pairs(
     posting list exceeds the cap (Zipf guard, same trade as
     jaccard_pairs: a dropped gram can split a run that crosses it —
     candidate bound, never a false positive). It defaults to
-    ``'auto'`` = max(1000, ceil(0.5% * n_docs)) with n_docs = docs
-    producing >= 1 gram — the guard is ON by default so a boilerplate
+    ``'auto'`` = max(1000, ceil(0.5% * N)) with N = input ROW count
+    (one cheap count job at call time, like semdedup's
+    `n_clusters='auto'`) — the guard is ON by default so a boilerplate
     gram shared by the whole corpus can't go |postings|^2 under
     default arguments; an explicit int overrides, ``None`` disables
     (the exact-Lee-et-al escape hatch).
@@ -1415,12 +1416,19 @@ def substring_run_pairs(
         .alias("__h"),
     )
     if max_shingle_df == "auto":
-        ndocs = sh.agg(F.count_distinct("__id").alias("__nd"))
+        # N = input ROW count (one cheap count job — parquet metadata
+        # for a bare scan), NOT a distinct-count over the postings:
+        # that variant re-evaluated the whole md5-shingle chain a
+        # third time and cost ~1.5x on the suite query (r7 bench).
+        # The cap is a heuristic bound, so the simpler universe is
+        # fine; the gate oracles replay count(*) over the same table.
+        import math
+
+        cap = max(_AUTO_DF_FLOOR, math.ceil(df.count() * _AUTO_DF_FRAC))
         hot = (
             sh.groupBy("__h")
             .count()  # posting appearances (incl. intra-doc repeats)
-            .crossJoin(F.broadcast(ndocs))
-            .where(F.col("count") > _auto_df_cap(F.col("__nd")))
+            .where(F.col("count") > cap)
             .select("__h")
         )
         sh = sh.join(F.broadcast(hot), "__h", "left_anti")

@@ -4257,7 +4257,7 @@ def topn_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot AS (
       SELECT h FROM sh GROUP BY h
       HAVING count(*) > greatest(1000, CAST(ceil(
-          0.005 * (SELECT count(DISTINCT doc_id) FROM sh)) AS BIGINT))
+          0.005 * (SELECT count(*) FROM documents)) AS BIGINT))
     ),
     shf AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
     m AS (
@@ -4307,7 +4307,7 @@ def dedup_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot AS (
       SELECT h FROM sh GROUP BY h
       HAVING count(*) > greatest(1000, CAST(ceil(
-          0.005 * (SELECT count(DISTINCT doc_id) FROM sh)) AS BIGINT))
+          0.005 * (SELECT count(*) FROM documents)) AS BIGINT))
     ),
     shf AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
     m AS (
