@@ -2149,10 +2149,18 @@ def pipeline_select_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     filt = scored.where(F.col("score") >= 0.45)
     edges = jaccard_pairs(filt, "doc_id", "text", threshold=0.5, k=3)
     comp = connected_components(edges, "doc_a", "doc_b")
+    # Lineage cuts at the two stage boundaries: semantic_dedup fans
+    # its corpus into three branches and DSIR reads its pool four
+    # times (model raw+target, doc features, id spine) — without the
+    # cuts each branch re-executes the quality + pair-join + closure
+    # chain (~10x re-run, measured 14s -> ~4s at sf0.1). A production
+    # pipeline materializes survivor sets between stages for exactly
+    # this reason.
     nd = (
         filt.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .where(F.coalesce("component", "doc_id") == F.col("doc_id"))
         .drop("component")
+        .localCheckpoint(eager=False)
     )
     sem = semantic_dedup(
         nd.join(
@@ -2164,7 +2172,9 @@ def pipeline_select_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=12,
         threshold=0.4,
     )
-    pool = nd.join(sem.where("keep").select("doc_id"), "doc_id")
+    pool = nd.join(
+        sem.where("keep").select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=False)
     sel = dsir_resample(
         pool,
         pool.where(F.col("lang") == "en"),
