@@ -97,6 +97,33 @@ def unigram_logprob_scores(
     so a doc full of unseen junk scores strictly worse than any
     in-vocabulary doc.
     """
+    sums = _unigram_logprob_sums(
+        docs, id_col, text_col, model=model, oov_lp_micro=oov_lp_micro
+    )
+    return sums.select(
+        id_col,
+        "n_tokens",
+        F.round(
+            F.col("sum_lp_micro").cast("double")
+            / (F.col("n_tokens") * F.lit(_MICRO)),
+            6,
+        ).alias("avg_logprob"),
+    )
+
+
+def _unigram_logprob_sums(
+    docs: DataFrame,
+    id_col: str,
+    text_col: Column | str,
+    *,
+    model: DataFrame | None = None,
+    oov_lp_micro: int | None = None,
+) -> DataFrame:
+    """(id, n_tokens, sum_lp_micro) — the exact-integer form of the
+    unigram scorer, before the avg division. Shared by
+    `unigram_logprob_scores` (derives the rounded mean) and
+    `ppl_buckets` (needs the integer sum so the bucket cutoffs are
+    computed over exact fixed-point values, never rounded doubles)."""
     own_model = model is None
     if own_model:
         model = unigram_model(docs, text_col, id_col=id_col)
@@ -116,9 +143,7 @@ def unigram_logprob_scores(
         lp = F.coalesce(F.col("lp_micro"), F.col("__floor"))
     return joined.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("n_tokens"),
-        F.round(
-            F.sum(lp).cast("double") / (F.count(F.lit(1)) * F.lit(_MICRO)), 6
-        ).alias("avg_logprob"),
+        F.sum(lp).alias("sum_lp_micro"),
     )
 
 
@@ -209,4 +234,133 @@ def bigram_logprob_scores(
         F.round(
             F.sum(lp).cast("double") / (F.count(F.lit(1)) * F.lit(_MICRO)), 6
         ).alias("avg_logprob"),
+    )
+
+
+def ppl_buckets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: Column | str = "text",
+    *,
+    reference: DataFrame | None = None,
+    sample_fraction: float = 1.0,
+    seed: int = 0,
+    cuts: "tuple[tuple[int, int], ...]" = ((1, 3), (2, 3)),
+    labels: "tuple[str, ...]" = ("head", "middle", "tail"),
+    oov_lp_micro: int | None = None,
+) -> DataFrame:
+    """CCNet perplexity bucketing (Wenzek et al. 2020): score every
+    document's cross-entropy under a language model trained on a
+    REFERENCE corpus (CCNet: Wikipedia; here any docs-shaped slice via
+    ``reference``, default: the corpus itself), then split the corpus
+    into head/middle/tail buckets at corpus-level perplexity cutoffs —
+    CCNet's head (most Wikipedia-like) is what the quality-focused
+    pipelines keep, tail is what a perplexity FILTER would drop, and
+    keeping all three labeled is CCNet's actual published design (the
+    buckets let downstream consumers choose their own trade-off).
+
+    Mechanics, all fixed-point / engine-replayable:
+
+    - per-doc score = ``ppl_micro = round(-sum_lp_micro / n_tokens)``
+      — integer micro-nats of cross-entropy per token (monotone in
+      true perplexity: ppl = exp(ppl_micro / 1e6)); the sum is exact
+      integer arithmetic (`_unigram_logprob_sums`), the division one
+      double op. With an external ``reference``, OOV tokens get the
+      floor treatment of `unigram_logprob_scores` (1e6 micro-nats
+      below the model's rarest token, or an explicit ``oov_lp_micro``).
+    - cutoffs are ORDER STATISTICS of the scored corpus (CCNet
+      computes them the same way, on a sample): cut i = the
+      ``ceil(n * num_i / den_i)``-th smallest ``(ppl_micro, id)`` over
+      the ``sample_fraction`` md5-sample — the rational ``cuts`` keep
+      the rank computation in exact integer arithmetic (a float 1/3
+      disagrees between engines at n divisible by 3). Defaults:
+      tertiles, labels head/middle/tail.
+    - bucket = first label whose cutoff the doc's ppl_micro does not
+      exceed (ties fall into the lower bucket, so each cut bounds AT
+      LEAST its rank's share of sampled docs below it).
+
+    Returns (id, n_tokens, ppl_micro, bucket).
+
+    100 TB shape: model build + scoring are the unigram scorer's plan
+    (hash-aggs, broadcast model under AQE, zero Python). The cutoff
+    rank runs a single-partition window over the SAMPLE only — that is
+    the CCNet design: cutoffs come from a bounded sample
+    (``sample_fraction`` ~1e-4 at corpus scale caps the window at ~1e6
+    rows), never a global sort of the corpus; the 2-value cutoff row
+    then broadcasts into a scan-stage CASE. The default
+    ``sample_fraction=1.0`` is the small-corpus / oracle-exact form.
+    """
+    from pyspark.sql import Window
+
+    if not 0.0 < sample_fraction <= 1.0:
+        raise ValueError(
+            f"sample_fraction must be in (0, 1], got {sample_fraction}"
+        )
+    if len(labels) != len(cuts) + 1:
+        raise ValueError(
+            f"need len(cuts)+1 labels, got {len(cuts)} cuts / "
+            f"{len(labels)} labels"
+        )
+    for num, den in cuts:
+        if not (0 < num < den):
+            raise ValueError(f"each cut must satisfy 0 < num < den: {cuts}")
+
+    from postgresql_topn_spark.operators.sampling import hash_uniform
+
+    sums = _unigram_logprob_sums(
+        docs,
+        id_col,
+        text_col,
+        model=(
+            None
+            if reference is None
+            else unigram_model(reference, text_col, id_col=id_col)
+        ),
+        oov_lp_micro=oov_lp_micro,
+    )
+    scored = sums.select(
+        id_col,
+        "n_tokens",
+        F.round(
+            -F.col("sum_lp_micro").cast("double") / F.col("n_tokens"), 0
+        )
+        .cast("long")
+        .alias("ppl_micro"),
+    )
+    sample = scored
+    if sample_fraction < 1.0:
+        sample = scored.where(
+            hash_uniform(F.col(id_col), seed) < F.lit(float(sample_fraction))
+        )
+    w = Window.orderBy(F.asc("ppl_micro"), F.asc(id_col))
+    ranked = sample.select(
+        "ppl_micro", F.row_number().over(w).alias("__rn")
+    )
+    n_s = sample.agg(F.count(F.lit(1)).alias("__n"))
+    cut_aggs = []
+    for i, (num, den) in enumerate(cuts):
+        # ceil(n*num/den) in exact integer arithmetic: the double
+        # division is exact below 2^53, and floor of it == the integer
+        # ceil-div identity (n*num + den-1) // den
+        rank_i = F.floor(
+            (F.col("__n") * F.lit(int(num)) + F.lit(int(den) - 1))
+            / F.lit(int(den))
+        ).cast("long")
+        cut_aggs.append(
+            F.max(
+                F.when(F.col("__rn") == rank_i, F.col("ppl_micro"))
+            ).alias(f"__c{i}")
+        )
+    cut_row = ranked.crossJoin(F.broadcast(n_s)).agg(*cut_aggs)
+    chain = None
+    for i, lbl in enumerate(labels[:-1]):
+        cond = F.col("ppl_micro") <= F.col(f"__c{i}")
+        chain = (
+            F.when(cond, F.lit(lbl))
+            if chain is None
+            else chain.when(cond, F.lit(lbl))
+        )
+    bucket = chain.otherwise(F.lit(labels[-1]))
+    return scored.crossJoin(F.broadcast(cut_row)).select(
+        id_col, "n_tokens", "ppl_micro", bucket.alias("bucket")
     )

@@ -139,6 +139,93 @@ def temperature_mix(
     return out.drop("__s", "__rate")
 
 
+def token_budget_mix(
+    df: DataFrame,
+    strata: Column | str,
+    key: Column | str,
+    size: Column | str,
+    *,
+    budget: float,
+    weights: Mapping[str, float],
+    seed: int = 0,
+    rate_round: int = 9,
+    rate_col: str | None = None,
+) -> DataFrame:
+    """Mix-to-budget sampling — the "assemble N tokens at these domain
+    proportions" step every pretraining recipe ends with (the Pile /
+    Dolma publish exactly this table: per-source token counts, target
+    weights, resulting sampling rates). Given a per-row ``size``
+    (token count), a global ``budget`` (total tokens wanted) and
+    per-stratum target ``weights``, each stratum s is down-sampled at
+
+        rate_s = min(1, budget * w_s / T_s)
+
+    where ``T_s = sum(size)`` over the stratum — so the EXPECTED kept
+    token mass is ``budget * w_s`` per stratum (exactly proportional
+    sampling: a row's keep probability is independent of its size, so
+    the expectation needs no size-biased correction). The min-cap binds
+    when a stratum is smaller than its allocation: sampling is without
+    replacement, a source can contribute at most itself (the same
+    under-budget honesty as `temperature_mix`'s cap — upsampling /
+    epoch repetition is a separate, explicit decision).
+
+    Deterministic and engine-replayable end-to-end: T_s is an integer
+    hash-agg, each rate is ONE double multiply/divide rounded to
+    ``rate_round`` decimals, and the keep decision is the portable md5
+    key-uniform — so the sampled output (not just the rates) is
+    reproducible across engines, partitionings and retries, and a
+    DuckDB oracle hash-matches it.
+
+    Strata rules follow `stratified_sample` / `temperature_mix`:
+    strata absent from ``weights`` (or weighted 0) get rate 0 (drop —
+    the recipe IS the allowlist), NULL strata are dropped, and a
+    POSITIVE-weight stratum whose T_s is 0 (every row sized 0/NULL)
+    keeps rate 1: its rows cost no budget, and an explicit CASE keeps
+    the 0/0 out of float land where engines disagree on NaN ordering.
+
+    ``rate_col`` (optional) appends each kept row's rate — the audit
+    column the published mixing tables carry.
+
+    100 TB shape: one |strata|-row hash-agg with map-side combine, the
+    rates broadcast back, and the sample itself is a scan-stage filter
+    ahead of every downstream shuffle."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be >= 0, got {dict(weights)}")
+    sc, kc = _col(strata), _col(key)
+    szc = _col(size)
+    df = df.where(sc.isNotNull())
+    totals = df.groupBy(sc.alias("__s")).agg(
+        F.sum(F.coalesce(szc, F.lit(0)).cast("long")).alias("__t")
+    )
+    w_expr: Column = F.lit(0.0)
+    for value, wt in weights.items():
+        w_expr = F.when(F.col("__s") == value, F.lit(float(wt))).otherwise(
+            w_expr
+        )
+    rates = totals.select(
+        "__s",
+        F.when(F.col("__t") <= 0, F.when(w_expr > 0, F.lit(1.0)).otherwise(F.lit(0.0)))
+        .otherwise(
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(budget)) * w_expr / F.col("__t").cast("double"),
+                ),
+                rate_round,
+            )
+        )
+        .alias("__rate"),
+    )
+    out = df.join(F.broadcast(rates), sc == F.col("__s"), "left").where(
+        hash_uniform(kc, seed) < F.coalesce(F.col("__rate"), F.lit(0.0))
+    )
+    if rate_col is not None:
+        out = out.withColumn(rate_col, F.col("__rate"))
+    return out.drop("__s", "__rate")
+
+
 def weighted_sample_k(
     df: DataFrame,
     group_cols: Sequence[Column | str],

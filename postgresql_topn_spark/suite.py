@@ -916,19 +916,70 @@ def topn_sql_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "dedup_exact",
+    "dedup_exact_modes",
     """
-    SELECT md5(text) AS content_key, MIN(doc_id) AS keeper_id,
-           COUNT(*) AS dup_count
-    FROM documents GROUP BY md5(text)
+    WITH md AS (
+      SELECT 'md5' AS mode, md5(text) AS content_key,
+             MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count
+      FROM documents GROUP BY md5(text)
+    ),
+    d AS (
+      SELECT doc_id, n_chars,
+             md5(array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''), 1, 3), ' ')) AS content_key
+      FROM documents
+    ),
+    r AS (
+      SELECT content_key, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY content_key
+                                ORDER BY CAST(n_chars AS DOUBLE) DESC,
+                                         doc_id ASC) AS rn
+      FROM d
+    ),
+    pb AS (
+      SELECT 'prefix_best' AS mode, r.content_key, r.doc_id AS keeper_id,
+             c.dup_count
+      FROM r JOIN (
+        SELECT content_key, CAST(count(*) AS BIGINT) AS dup_count
+        FROM d GROUP BY content_key) c USING (content_key)
+      WHERE rn = 1
+    )
+    SELECT * FROM md UNION ALL SELECT * FROM pb
     """,
 )
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: one hash aggregation on the content key."""
+def dedup_exact_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH exact-dedup keeper policies in one gate (round-7 registry
+    consolidation — absorbed the retired `dedup_exact` +
+    `dedup_exact_best` gates; both lanes stay value-pinned):
+
+    - mode 'md5': the basic form — group on md5(text), keeper = min
+      id. One hash aggregation on the content key.
+    - mode 'prefix_best': the quality-aware form — duplicate groups
+      keyed on the 3-token prefix fingerprint keep their
+      HIGHEST-quality member (n_chars; ties -> min id), the
+      canonical-keeper policy real curation uses when duplicates
+      differ in extraction cleanliness. The keeper is a min over a
+      (-quality, id) struct — one aggregate, no window over raw rows;
+      the oracle replays the policy with a rank."""
     from postgresql_topn_spark.operators.dedup import exact_dedup
+    from postgresql_topn_spark.operators.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
-    return exact_dedup(docs, F.md5("text"), "doc_id")
+    md = exact_dedup(docs, F.md5("text"), "doc_id").select(
+        F.lit("md5").alias("mode"), "content_key", "keeper_id", "dup_count"
+    )
+    key = F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 3)))
+    pb = exact_dedup(
+        docs.select(key.alias("k"), "doc_id", "n_chars"),
+        "k",
+        "doc_id",
+        quality="n_chars",
+    ).select(
+        F.lit("prefix_best").alias("mode"),
+        "content_key",
+        "keeper_id",
+        "dup_count",
+    )
+    return md.unionByName(pb)
 
 
 def _jaccard_oracle_sql(src: str = "documents", threshold: float = 0.5) -> str:
@@ -2190,6 +2241,156 @@ def pipeline_select_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
+    "pipeline_token_budget",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    tt AS (SELECT CAST(sum(n_tok) AS DOUBLE) AS t FROM d),
+    ts AS (
+      SELECT lang, CAST(sum(n_tok) AS BIGINT) AS t_s
+      FROM d WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    r AS (
+      SELECT lang,
+             CASE WHEN t_s <= 0
+                  THEN CASE WHEN w > 0 THEN 1.0 ELSE 0.0 END
+                  ELSE round(least(1.0, ((0.6 * tt.t) * w) / CAST(t_s AS DOUBLE)), 9)
+             END AS rate
+      FROM (SELECT lang, t_s,
+                   CASE lang WHEN 'en' THEN 0.2 WHEN 'de' THEN 0.35
+                             WHEN 'es' THEN 0.2 WHEN 'zh' THEN 0.25
+                             ELSE 0.0 END AS w
+            FROM ts) CROSS JOIN tt
+    )
+    SELECT d.doc_id, d.lang, d.n_tok, r.rate
+    FROM d JOIN r USING (lang)
+    WHERE CAST(concat('0x', substr(md5('11:' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0 < r.rate
+    """,
+)
+def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-to-budget sampling (`token_budget_mix`) — the step every
+    published pretraining recipe ends with (the Pile / Dolma publish
+    exactly this table: per-source token counts, target weights,
+    resulting sampling rates): assemble 60% of the corpus's token mass
+    at lang proportions en 0.2 / de 0.35 / es 0.2 / zh 0.25, fr absent
+    from the recipe (the weights ARE the allowlist -> rate 0). The de
+    weight deliberately over-allocates a ~15%-of-mass language so the
+    min(1, .) WITHOUT-REPLACEMENT cap binds (a source contributes at
+    most itself) while en is genuinely down-sampled — both regimes in
+    one gate. Rates are one rounded double op over integer hash-agg
+    totals and the keep decision is the portable md5 key-uniform, so
+    the oracle replays the sampled OUTPUT (incl. the audit rate
+    column), not just the rate table. Scan-stage filter + one
+    |langs|-row hash-agg at any scale."""
+    from postgresql_topn_spark.operators.sampling import token_budget_mix
+    from postgresql_topn_spark.operators.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    total = d.agg(F.sum("n_tok")).collect()[0][0]
+    return token_budget_mix(
+        d,
+        "lang",
+        "doc_id",
+        "n_tok",
+        budget=0.6 * float(total),
+        weights={"en": 0.2, "de": 0.35, "es": 0.2, "zh": 0.25},
+        seed=11,
+        rate_col="rate",
+    )
+
+
+@_register(
+    "pipeline_ppl_buckets",
+    """
+    WITH tokall AS (
+      SELECT doc_id, t.tok
+      FROM documents,
+           LATERAL (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    reftok AS (
+      SELECT t.tok
+      FROM documents,
+           LATERAL (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS tok) t
+      WHERE documents.lang = 'en' AND t.tok <> ''
+    ),
+    model AS (SELECT tok, count(*) AS cnt FROM reftok GROUP BY tok),
+    total AS (SELECT sum(cnt) AS t FROM model),
+    modlp AS (
+      SELECT tok,
+             CAST(round((ln(CAST(cnt AS DOUBLE)) - ln(CAST(t AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS lpm
+      FROM model CROSS JOIN total
+    ),
+    floorv AS (SELECT min(lpm) - 1000000 AS fl FROM modlp),
+    scored AS (
+      SELECT a.doc_id, coalesce(m.lpm, f.fl) AS lpm
+      FROM tokall a LEFT JOIN modlp m USING (tok) CROSS JOIN floorv f
+    ),
+    sums AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(lpm) AS s
+      FROM scored GROUP BY doc_id
+    ),
+    sc AS (
+      SELECT doc_id, n_tokens,
+             CAST(round(-CAST(s AS DOUBLE) / n_tokens, 0) AS BIGINT) AS ppl_micro
+      FROM sums
+    ),
+    rk AS (
+      SELECT ppl_micro,
+             ROW_NUMBER() OVER (ORDER BY ppl_micro ASC, doc_id ASC) AS rn
+      FROM sc
+    ),
+    nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+    cutrow AS (
+      SELECT max(CASE WHEN rn = CAST(floor((nn.n * 1 + 2) / 3) AS BIGINT)
+                      THEN ppl_micro END) AS c0,
+             max(CASE WHEN rn = CAST(floor((nn.n * 2 + 2) / 3) AS BIGINT)
+                      THEN ppl_micro END) AS c1
+      FROM rk CROSS JOIN nn
+    )
+    SELECT sc.doc_id, sc.n_tokens, sc.ppl_micro,
+           CASE WHEN sc.ppl_micro <= c.c0 THEN 'head'
+                WHEN sc.ppl_micro <= c.c1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM sc CROSS JOIN cutrow c
+    """,
+)
+def pipeline_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet perplexity bucketing (`ppl_buckets`, Wenzek et al. 2020):
+    every document's per-token cross-entropy under a unigram LM
+    trained on the lang='en' REFERENCE slice (CCNet trains on
+    Wikipedia and scores Common Crawl — the same cross-domain shape),
+    OOV tokens floored 1e6 micro-nats below the model's rarest token,
+    then the corpus split into head/middle/tail at tertile ORDER
+    STATISTICS of the integer ppl_micro scores (rational cut ranks
+    ceil(n*k/3) — exact integer arithmetic, no float-percentile
+    interpolation for engines to disagree on). CCNet's head is what
+    quality-focused pipelines keep; keeping all three labeled is the
+    published design. The oracle replays model -> OOV floor ->
+    fixed-point sums -> rank cutoffs -> bucket CASE value-for-value.
+    Scale shape: the scorer is the unigram plan (hash-aggs + broadcast
+    model); cutoffs come from a bounded sample at corpus scale
+    (`sample_fraction`), here the exact full-corpus form."""
+    from postgresql_topn_spark.operators.lm import ppl_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    return ppl_buckets(
+        docs,
+        "doc_id",
+        "text",
+        reference=docs.where(F.col("lang") == "en"),
+    )
+
+
+@_register(
     "pipeline_sample_mix",
     """
     WITH s0 AS (
@@ -2525,49 +2726,6 @@ def distinct_rollup_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "dedup_exact_best",
-    """
-    WITH d AS (
-      SELECT doc_id, n_chars,
-             md5(array_to_string(list_slice(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''), 1, 3), ' ')) AS content_key
-      FROM documents
-    ),
-    r AS (
-      SELECT content_key, doc_id,
-             ROW_NUMBER() OVER (PARTITION BY content_key
-                                ORDER BY CAST(n_chars AS DOUBLE) DESC,
-                                         doc_id ASC) AS rn
-      FROM d
-    )
-    SELECT r.content_key, r.doc_id AS keeper_id, c.dup_count
-    FROM r JOIN (
-      SELECT content_key, CAST(count(*) AS BIGINT) AS dup_count
-      FROM d GROUP BY content_key) c USING (content_key)
-    WHERE rn = 1
-    """,
-)
-def dedup_exact_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Quality-aware exact dedup: duplicate groups keyed on the
-    3-token prefix fingerprint keep their HIGHEST-quality member
-    (n_chars here; ties -> min id) — the canonical-keeper policy real
-    curation uses when duplicates differ in extraction cleanliness.
-    One aggregate, one shuffle: the keeper is a min over a
-    (-quality, id) struct, no window over raw rows; the oracle replays
-    the policy with a rank."""
-    from postgresql_topn_spark.operators.dedup import exact_dedup
-    from postgresql_topn_spark.operators.text import tokens
-
-    docs = load_table(spark, sf_dir, "documents")
-    key = F.md5(F.concat_ws(" ", F.slice(tokens("text"), 1, 3)))
-    return exact_dedup(
-        docs.select(key.alias("k"), "doc_id", "n_chars"),
-        "k",
-        "doc_id",
-        quality="n_chars",
-    )
-
-
-@_register(
     "dedup_bloom_incremental",
     """
     WITH corpus AS (
@@ -2830,44 +2988,7 @@ def cms_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "text_unigram_logprob",
-    """
-    WITH tok AS (
-      SELECT doc_id, t.tok
-      FROM documents,
-           LATERAL (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS tok) t
-      WHERE t.tok <> ''
-    ),
-    model AS (SELECT tok, count(*) AS cnt FROM tok GROUP BY tok),
-    total AS (SELECT sum(cnt) AS t FROM model),
-    scored AS (
-      SELECT doc_id,
-             CAST(round((ln(CAST(cnt AS DOUBLE)) - ln(CAST(t AS DOUBLE)))
-                        * 1000000.0, 0) AS BIGINT) AS lpm
-      FROM tok JOIN model USING (tok) CROSS JOIN total
-    )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(CAST(sum(lpm) AS DOUBLE) / (count(*) * 1000000.0), 6)
-             AS avg_logprob
-    FROM scored GROUP BY doc_id
-    """,
-)
-def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CCNet-style corpus-fluency scoring: a unigram LM built over the
-    corpus in one hash-agg exchange, then every document scored by its
-    mean token log-probability (low = gibberish/boilerplate — the
-    filter signal CCNet gets from KenLM perplexity). Per-token
-    log-probs are fixed-pointed to integer micro-nats before the
-    per-doc sum, so the aggregation is exact integer arithmetic and the
-    oracle hash-matches regardless of float summation order."""
-    from postgresql_topn_spark.operators.lm import unigram_logprob_scores
-
-    docs = load_table(spark, sf_dir, "documents")
-    return unigram_logprob_scores(docs, "doc_id", "text")
-
-
-@_register(
-    "text_bigram_logprob",
+    "text_lm_logprob",
     """
     WITH d AS (
       SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
@@ -2878,19 +2999,31 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM d, LATERAL (SELECT unnest(range(len(d.toks))) AS i) u
       WHERE toks[u.i + 1] <> ''
     ),
+    uni AS (SELECT tok, count(*) AS u_cnt FROM tok GROUP BY tok),
+    tot AS (SELECT sum(u_cnt) AS t FROM uni),
+    uniscored AS (
+      SELECT doc_id,
+             CAST(round((ln(CAST(u_cnt AS DOUBLE)) - ln(CAST(t AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS lpm
+      FROM tok JOIN uni USING (tok) CROSS JOIN tot
+    ),
+    uniagg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+             round(CAST(sum(lpm) AS DOUBLE) / (count(*) * 1000000.0), 6)
+               AS uni_logprob
+      FROM uniscored GROUP BY doc_id
+    ),
     stream AS (
       SELECT doc_id, pos, tok,
              lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
       FROM tok
     ),
-    uni AS (SELECT tok, count(*) AS u_cnt FROM tok GROUP BY tok),
-    tot AS (SELECT sum(u_cnt) AS t FROM uni),
     bg AS (
       SELECT prev, tok, count(*) AS bg_cnt FROM stream
       WHERE prev IS NOT NULL GROUP BY prev, tok
     ),
     ctx AS (SELECT prev, sum(bg_cnt) AS ctx_cnt FROM bg GROUP BY prev),
-    scored AS (
+    bgscored AS (
       SELECT s.doc_id,
              CAST(round(ln(
                CASE WHEN s.prev IS NULL
@@ -2905,26 +3038,51 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
       LEFT JOIN ctx c ON c.prev = s.prev
       JOIN uni u ON u.tok = s.tok
       CROSS JOIN tot
+    ),
+    bgagg AS (
+      SELECT doc_id,
+             round(CAST(sum(lpm) AS DOUBLE) / (count(*) * 1000000.0), 6)
+               AS bi_logprob
+      FROM bgscored GROUP BY doc_id
     )
-    SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-           round(CAST(sum(lpm) AS DOUBLE) / (count(*) * 1000000.0), 6)
-             AS avg_logprob
-    FROM scored GROUP BY doc_id
+    SELECT doc_id, n_tokens, uni_logprob, bi_logprob
+    FROM uniagg JOIN bgagg USING (doc_id)
     """,
 )
-def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Jelinek–Mercer interpolated bigram LM scoring (lam=0.75 — both
-    interpolation literals are exact doubles, shared by both engines):
-    the sequence-aware upgrade of text_unigram_logprob, catching
-    token-salad documents whose words are individually common but
-    never co-occur — the signal CCNet's KenLM perplexity filter uses.
-    Per-doc lag windows (doc-partitioned), three model joins, and the
-    fixed-point micro-nat trick keep the whole thing summation-order
-    exact and hash-replayable."""
-    from postgresql_topn_spark.operators.lm import bigram_logprob_scores
+def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH LM fluency scores in one gate (round-7 registry
+    consolidation — absorbed the retired `text_unigram_logprob` +
+    `text_bigram_logprob` gates; both scorers stay value-pinned over
+    the same token stream):
+
+    - `uni_logprob`: CCNet-style corpus-fluency — a unigram LM built
+      over the corpus in one hash-agg exchange, every document scored
+      by its mean token log-probability (low = gibberish/boilerplate —
+      the filter signal CCNet gets from KenLM perplexity).
+    - `bi_logprob`: the Jelinek–Mercer interpolated bigram upgrade
+      (lam=0.75 — both interpolation literals exact doubles shared by
+      both engines), catching token-salad documents whose words are
+      individually common but never co-occur. Per-doc lag windows
+      (doc-partitioned), three model joins.
+
+    Per-token log-probs are fixed-pointed to integer micro-nats before
+    the per-doc sums, so both aggregations are exact integer
+    arithmetic and the oracle hash-matches regardless of float
+    summation order. The doc_id join is exact: both scorers count the
+    identical token stream, so n_tokens agrees row-for-row."""
+    from postgresql_topn_spark.operators.lm import (
+        bigram_logprob_scores,
+        unigram_logprob_scores,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return bigram_logprob_scores(docs, "doc_id", "text", lam=0.75)
+    uni = unigram_logprob_scores(docs, "doc_id", "text").select(
+        "doc_id", "n_tokens", F.col("avg_logprob").alias("uni_logprob")
+    )
+    bi = bigram_logprob_scores(docs, "doc_id", "text", lam=0.75).select(
+        "doc_id", F.col("avg_logprob").alias("bi_logprob")
+    )
+    return uni.join(bi, "doc_id")
 
 
 @_register(

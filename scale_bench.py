@@ -54,7 +54,7 @@ SCALE_ROOT = os.environ.get("SPARK_GRAFT_SCALE_DIR", "/tmp/spark_graft_scale")
 # documents-, embeddings- and events-backed queries only (the scaled
 # tables); lineitem/orders queries are covered by bench.py at sf0.1.
 SUBSET = [
-    "dedup_exact",
+    "dedup_exact_modes",
     "dedup_jaccard_pairs",
     "dedup_minhash_lsh",
     "dedup_char_ngram",
@@ -85,7 +85,6 @@ SUBSET = [
     "distinct_rollup_hll",
     "distinct_kmv_sets",
     "cms_rollup_events",
-    "text_unigram_logprob",
     "ann_ivfpq_topk",
     "pipeline_chunk_docs",
     "pipeline_weighted_sample",
@@ -98,8 +97,7 @@ SUBSET = [
     "topn_session_pairs",
     "distinct_kmv_window_7d",
     "cms_window_7d",
-    "dedup_exact_best",
-    "text_bigram_logprob",
+    "text_lm_logprob",
     "pipeline_quality_deciles",
     "pipeline_profile_docs",
     # round-4 additions over scaled tables
@@ -327,7 +325,7 @@ def main() -> None:
     for d in (BASE, scaled_dir):
         for t in ("documents", "embeddings", "events"):
             spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
-    QUERIES["dedup_exact"](spark, BASE).count()
+    QUERIES["dedup_exact_modes"](spark, BASE).count()
 
     base_t = _run(fns, spark, BASE, names)
     scaled_t = _run(fns, spark, scaled_dir, names)

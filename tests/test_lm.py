@@ -122,3 +122,106 @@ def test_bigram_rejects_bad_lambda(spark):
     docs = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         bigram_logprob_scores(docs, lam=1.0)
+
+
+class TestPplBuckets:
+    def test_ppl_is_negative_mean_and_tertiles_split(self, spark):
+        from postgresql_topn_spark.operators.lm import (
+            _unigram_logprob_sums,
+            ppl_buckets,
+        )
+
+        # 6 docs with strictly increasing rarity -> distinct ppl values
+        rows = [
+            (1, "a a a a a a"),
+            (2, "a a a a a b"),
+            (3, "a a a a b c"),
+            (4, "a a a b c d"),
+            (5, "a a b c d e"),
+            (6, "a b c d e f"),
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        out = {r["doc_id"]: r for r in ppl_buckets(docs).collect()}
+        sums = {
+            r["doc_id"]: r
+            for r in _unigram_logprob_sums(docs, "doc_id", "text").collect()
+        }
+        for d in range(1, 7):
+            assert out[d]["ppl_micro"] == round(
+                -sums[d]["sum_lp_micro"] / sums[d]["n_tokens"]
+            )
+        ppl = sorted((out[d]["ppl_micro"], d) for d in out)
+        by_bucket = {"head": set(), "middle": set(), "tail": set()}
+        for d in out:
+            by_bucket[out[d]["bucket"]].add(d)
+        # n=6: cut ranks ceil(6/3)=2, ceil(12/3)=4 -> 2/2/2
+        assert by_bucket["head"] == {d for _, d in ppl[:2]}
+        assert by_bucket["middle"] == {d for _, d in ppl[2:4]}
+        assert by_bucket["tail"] == {d for _, d in ppl[4:]}
+
+    def test_ties_fall_into_lower_bucket(self, spark):
+        from postgresql_topn_spark.operators.lm import ppl_buckets
+
+        # all docs identical -> one ppl value -> everything <= every
+        # cutoff -> all head
+        docs = spark.createDataFrame(
+            [(i, "x y") for i in range(9)], "doc_id long, text string"
+        )
+        out = ppl_buckets(docs).collect()
+        assert {r["bucket"] for r in out} == {"head"}
+
+    def test_reference_model_scores_oov_below_invocab(self, spark):
+        from postgresql_topn_spark.operators.lm import ppl_buckets
+
+        ref = spark.createDataFrame(
+            [(100, "the cat sat on the mat")], "doc_id long, text string"
+        )
+        docs = spark.createDataFrame(
+            [(1, "the cat sat"), (2, "zz qq ww")],
+            "doc_id long, text string",
+        )
+        out = {r["doc_id"]: r for r in ppl_buckets(docs, reference=ref).collect()}
+        assert out[2]["ppl_micro"] > out[1]["ppl_micro"]
+
+    def test_partition_invariance_and_sampled_cutoffs(self, spark):
+        from postgresql_topn_spark.operators.lm import ppl_buckets
+
+        import random
+
+        rng = random.Random(7)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [
+            (i, " ".join(rng.choices(vocab, k=12))) for i in range(120)
+        ]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        full = {
+            (r["doc_id"], r["bucket"])
+            for r in ppl_buckets(docs).collect()
+        }
+        again = {
+            (r["doc_id"], r["bucket"])
+            for r in ppl_buckets(docs.repartition(13)).collect()
+        }
+        assert full == again
+        # sampled cutoffs: still a full labeling of every doc, buckets
+        # ordered by ppl (head max <= middle min etc.)
+        samp = ppl_buckets(docs, sample_fraction=0.5, seed=1).collect()
+        assert len(samp) == 120
+        hi = {b: [] for b in ("head", "middle", "tail")}
+        for r in samp:
+            hi[r["bucket"]].append(r["ppl_micro"])
+        assert max(hi["head"]) <= min(hi["middle"])
+        assert max(hi["middle"]) <= min(hi["tail"])
+
+    def test_validation(self, spark):
+        import pytest
+
+        from postgresql_topn_spark.operators.lm import ppl_buckets
+
+        docs = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="sample_fraction"):
+            ppl_buckets(docs, sample_fraction=0.0)
+        with pytest.raises(ValueError, match="labels"):
+            ppl_buckets(docs, labels=("a", "b"))
+        with pytest.raises(ValueError, match="cut"):
+            ppl_buckets(docs, cuts=((3, 2), (2, 3)))

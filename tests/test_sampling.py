@@ -297,3 +297,113 @@ def test_train_split_randomized_vs_python_md5(spark):
                 break
         assert got[k] == want, (k, u)
     assert len(set(got.values())) == 4  # all buckets hit
+
+
+class TestTokenBudgetMix:
+    def _docs(self, spark):
+        # src0: 600 rows x 100 tokens = 60k; src1: 200 x 50 = 10k;
+        # src2: 10 x 40 = 400 (smaller than any plausible allocation)
+        rows = (
+            [(i, "src0", 100) for i in range(600)]
+            + [(1000 + i, "src1", 50) for i in range(200)]
+            + [(2000 + i, "src2", 40) for i in range(10)]
+        )
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_tok long"
+        )
+
+    def test_expected_mass_and_cap(self, spark):
+        from postgresql_topn_spark.operators.sampling import token_budget_mix
+
+        df = self._docs(spark)
+        out = token_budget_mix(
+            df,
+            "source",
+            "doc_id",
+            "n_tok",
+            budget=20_000,
+            weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+            seed=3,
+            rate_col="rate",
+        )
+        rows = out.collect()
+        mass = {}
+        for r in rows:
+            mass[r["source"]] = mass.get(r["source"], 0) + r["n_tok"]
+        # expected 10k src0 tokens (rate 1/6), 6k src1 (rate 0.6);
+        # Bernoulli noise band ~3 sigma
+        assert 7_500 < mass["src0"] < 12_500
+        assert 4_500 < mass["src1"] < 7_500
+        # src2's allocation (4000 tokens) exceeds its size: cap binds,
+        # every row kept at rate exactly 1.0
+        src2 = [r for r in rows if r["source"] == "src2"]
+        assert len(src2) == 10
+        assert all(r["rate"] == 1.0 for r in src2)
+
+    def test_rates_are_exact_and_sample_is_hash_defined(self, spark):
+        from postgresql_topn_spark.operators.sampling import (
+            hash_uniform,
+            token_budget_mix,
+        )
+
+        df = self._docs(spark)
+        budget, weights, seed = 20_000, {"src0": 0.5, "src1": 0.3}, 5
+        out = token_budget_mix(
+            df, "source", "doc_id", "n_tok",
+            budget=budget, weights=weights, seed=seed,
+        )
+        got = {r["doc_id"] for r in out.collect()}
+        rate = {"src0": round(min(1.0, budget * 0.5 / 60_000), 9),
+                "src1": round(min(1.0, budget * 0.3 / 10_000), 9)}
+        u = {
+            r["doc_id"]: r["u"]
+            for r in df.select(
+                "doc_id", hash_uniform("doc_id", seed).alias("u")
+            ).collect()
+        }
+        want = {
+            r["doc_id"]
+            for r in df.collect()
+            if r["source"] in rate and u[r["doc_id"]] < rate[r["source"]]
+        }
+        assert got == want
+        # partition invariance: same keep set on any layout
+        got13 = {
+            r["doc_id"]
+            for r in token_budget_mix(
+                df.repartition(13), "source", "doc_id", "n_tok",
+                budget=budget, weights=weights, seed=seed,
+            ).collect()
+        }
+        assert got13 == got
+
+    def test_allowlist_and_zero_mass_strata(self, spark):
+        from postgresql_topn_spark.operators.sampling import token_budget_mix
+
+        rows = [(1, "a", 10), (2, "b", 10), (3, "c", 0), (4, "d", 0),
+                (5, None, 10)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, source string, n_tok long"
+        )
+        out = token_budget_mix(
+            df, "source", "doc_id", "n_tok",
+            budget=1_000_000,
+            weights={"a": 1.0, "c": 1.0},  # b, d, NULL not in recipe
+        )
+        got = {r["doc_id"] for r in out.collect()}
+        # a: rate caps at 1 -> kept; c: zero-mass + positive weight ->
+        # kept free; b/d: not in recipe -> dropped; NULL stratum dropped
+        assert got == {1, 3}
+
+    def test_validation(self, spark):
+        import pytest
+
+        from postgresql_topn_spark.operators.sampling import token_budget_mix
+
+        df = spark.createDataFrame([(1, "a", 1)], "doc_id long, source string, n_tok long")
+        with pytest.raises(ValueError, match="budget"):
+            token_budget_mix(df, "source", "doc_id", "n_tok",
+                             budget=-1, weights={"a": 1.0})
+        with pytest.raises(ValueError, match="weights"):
+            token_budget_mix(df, "source", "doc_id", "n_tok",
+                             budget=1, weights={"a": -0.5})
