@@ -80,6 +80,9 @@ SUBSET = [
     "multimodal_semantic_dedup",
     "pipeline_dsir_rollup",
     "pipeline_select_mix",
+    # round-7 continuation: mix-to-budget sampling + CCNet ppl buckets
+    "pipeline_token_budget",
+    "pipeline_ppl_buckets",
     "events_sessionize",
     "topn_monthly_event_types",
     "distinct_rollup_hll",

@@ -435,3 +435,49 @@ def test_dsir_rollup_model_two_aggs_broadcast_totals(spark, docs):
     assert python_stages(model) == 0
     assert has_partial_aggregate(model)
     assert broadcast_exchanges(model) >= 1
+
+
+def test_token_budget_mix_scan_stage_filter_broadcast_rates(spark, docs):
+    """token_budget_mix: one |strata|-row hash-agg (map-side combined)
+    for the totals, rates ride a BROADCAST back onto the corpus, and
+    the keep decision is a scan-stage filter — the corpus itself never
+    shuffles, so the sample prunes everything downstream at any
+    scale. Zero Python stages."""
+    from postgresql_topn_spark.operators.sampling import token_budget_mix
+    from postgresql_topn_spark.operators.text import tokens
+
+    d = docs.select(
+        "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tok")
+    )
+    out = token_budget_mix(
+        d, "lang", "doc_id", "n_tok",
+        budget=10_000.0, weights={"en": 0.5, "de": 0.5},
+    )
+    assert python_stages(out) == 0
+    assert has_partial_aggregate(out)
+    assert broadcast_exchanges(out) >= 1
+    # only the totals agg shuffles (its |langs|-row key space), never
+    # the corpus: exactly one hash-shuffle in the whole plan
+    assert hash_shuffles(out) == 1
+
+
+def test_ppl_buckets_single_partition_only_on_sample(spark, docs):
+    """ppl_buckets: the scorer is the unigram plan (hash-aggs with
+    partial combine, zero Python); the single-partition rank window
+    runs over the bounded SAMPLE subtree only, and the 2-value cutoff
+    row reaches the corpus as a BROADCAST feeding a scan-stage CASE —
+    the full corpus is never globally sorted."""
+    from postgresql_topn_spark.operators.lm import ppl_buckets
+
+    out = ppl_buckets(docs, sample_fraction=0.25, seed=3)
+    assert python_stages(out) == 0
+    assert has_partial_aggregate(out)
+    assert broadcast_exchanges(out) >= 2  # model total + cutoff row
+    p = plan_str(out)
+    # exactly ONE window in the whole plan — the sample rank; the
+    # corpus subtrees stay hash-partitioned (the remaining
+    # SinglePartition exchanges are the 1-row aggregates: model
+    # total, OOV floor, sample count, cutoff row)
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", p)) == 1
