@@ -2390,6 +2390,146 @@ def pipeline_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LR_SIGMOID = (
+    "1.0 / (1.0 + exp(-greatest(-30.0, least(30.0, "
+    "CAST({z} AS DOUBLE) / 1000000.0))))"
+)
+
+
+def _lr_oracle_iteration(i: int) -> str:
+    """One unrolled gradient-descent iteration of the classifier
+    oracle: z from (w{i-1}, b{i-1}) -> residual -> gradient ->
+    (w{i}, b{i}). Exact mirror of lr_train's integer fixed-point
+    loop."""
+    p = i - 1
+    sig = _LR_SIGMOID.format(z="z")
+    return f"""
+    z{i} AS (
+      SELECT ex.tid, ex.y, b{p}.b + COALESCE(s.z0, 0) AS z
+      FROM ex LEFT JOIN (
+        SELECT tf.tid, sum(tf.cnt * COALESCE(w{p}.w, 0)) AS z0
+        FROM trfeat tf LEFT JOIN w{p} USING (bucket) GROUP BY tf.tid
+      ) s USING (tid)
+      CROSS JOIN b{p}
+    ),
+    r{i} AS (
+      SELECT tid,
+             CAST(round(({sig} - CAST(y AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS r
+      FROM z{i}
+    ),
+    g{i} AS (
+      SELECT bucket, sum(tf.cnt * r{i}.r) AS g
+      FROM trfeat tf JOIN r{i} USING (tid) GROUP BY bucket
+    ),
+    w{i} AS (
+      SELECT g{i}.bucket,
+             COALESCE(w{p}.w, 0)
+             - CAST(round(0.5 * CAST(g AS DOUBLE) / n.n, 0) AS BIGINT) AS w
+      FROM g{i} LEFT JOIN w{p} USING (bucket) CROSS JOIN n
+    ),
+    b{i} AS (
+      SELECT b{p}.b
+             - CAST(round(0.5 * CAST((SELECT sum(r) FROM r{i}) AS DOUBLE)
+                          / n.n, 0) AS BIGINT) AS b
+      FROM b{p} CROSS JOIN n
+    )"""
+
+
+_LR_ORACLE = (
+    """
+    WITH tr AS (
+      SELECT concat(CASE WHEN lang = 'en' THEN '1' ELSE '0' END, ':',
+                    CAST(doc_id AS VARCHAR)) AS tid,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             text
+      FROM documents
+    ),
+    ex AS (SELECT tid, y FROM tr),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex),
+    trtok AS (
+      SELECT tid, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM tr
+    ),
+    trfeat AS (
+      SELECT tid, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT tid,
+               CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 512 AS bucket
+        FROM (
+          SELECT tid,
+                 unnest(list_concat(toks,
+                   list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                  i -> toks[i] || ' ' || toks[i+1]))) AS f
+          FROM trtok)
+      ) GROUP BY tid, bucket
+    ),
+    w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w WHERE FALSE),
+    b0 AS (SELECT CAST(0 AS BIGINT) AS b),"""
+    + ",".join(_lr_oracle_iteration(i) for i in (1, 2, 3))
+    + """,
+    dtok AS (
+      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    ),
+    docfeat AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT doc_id,
+               CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 512 AS bucket
+        FROM (
+          SELECT doc_id,
+                 unnest(list_concat(toks,
+                   list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
+                                  i -> toks[i] || ' ' || toks[i+1]))) AS f
+          FROM dtok)
+      ) GROUP BY doc_id, bucket
+    ),
+    sc AS (
+      SELECT d.doc_id, b3.b + COALESCE(s.z0, 0) AS z_micro
+      FROM (SELECT doc_id FROM documents) d
+      LEFT JOIN (
+        SELECT df.doc_id, sum(df.cnt * w3.w) AS z0
+        FROM docfeat df JOIN w3 USING (bucket) GROUP BY df.doc_id
+      ) s USING (doc_id)
+      CROSS JOIN b3
+    )
+    SELECT doc_id, z_micro,
+           round("""
+    + _LR_SIGMOID.format(z="z_micro")
+    + """, 6) AS prob
+    FROM sc
+    """
+)
+
+
+@_register("pipeline_quality_classifier", _LR_ORACLE)
+def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED quality classifier (`lr_train`/`lr_score`,
+    operators/classifier.py) — the GPT-3 / LLaMA / RefinedWeb "quality
+    filter" stage: logistic regression over hashed-ngram features
+    (DSIR's exact feature space), trained IN the engine by
+    full-batch gradient descent (3 iterations, lr=0.5, 512 buckets)
+    to separate the lang='en' slice from the rest, then scoring EVERY
+    document with the exact-integer logit and calibrated probability.
+    The whole training loop is fixed-point deterministic (integer
+    logits/gradients, one clamped sigmoid per example per round), so
+    the oracle replays ALL THREE unrolled GD iterations — weights,
+    bias, residuals — and the final scores value-for-value: the gate
+    pins the TRAINING ALGORITHM, not just an inference pass. Per
+    iteration: one doc-keyed hash-agg + one bucket-keyed hash-agg
+    (key space <= n_buckets) with the weight table riding broadcasts;
+    model size fixed at n_buckets+1 rows at any corpus scale."""
+    from postgresql_topn_spark.operators.classifier import lr_score, lr_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lr_train(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        n_buckets=512,
+        iters=3,
+        lr=0.5,
+    )
+    return lr_score(docs, model, n_buckets=512)
+
+
 @_register(
     "pipeline_sample_mix",
     """
@@ -2481,53 +2621,55 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "multimodal_image_meta",
-    """
-    WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents)
-    SELECT doc_id, n_bytes,
-           CAST(16 + n_bytes % 64 AS INT) AS width,
-           CAST(16 + (n_bytes * 7) % 48 AS INT) AS height,
-           CAST(3 AS INT) AS channels,
-           'fake' AS format
-    FROM b
-    """,
-)
-def multimodal_image_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary-column decode plumbing: blob table -> mapInPandas metadata
-    extraction (decode stubbed deterministically; see
-    operators/multimodal.py)."""
-    from postgresql_topn_spark.operators.multimodal import (
-        decode_image_meta,
-        make_blob_table,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    # decoder="fake": the oracled fixture mode (text bytes are not real
-    # images); the default header decoder is pytest-pinned on real
-    # PNG/GIF/BMP/JPEG byte literals (test_text_multimodal.py)
-    return decode_image_meta(make_blob_table(docs), decoder="fake")
-
-
-@_register(
-    "multimodal_frame_sample",
+    "multimodal_meta_frames",
     """
     WITH b AS (SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes FROM documents),
+    m AS (
+      SELECT doc_id, n_bytes,
+             CAST(16 + n_bytes % 64 AS INT) AS width,
+             CAST(16 + (n_bytes * 7) % 48 AS INT) AS height,
+             CAST(3 AS INT) AS channels,
+             'fake' AS format
+      FROM b
+    ),
     f AS (SELECT doc_id, unnest(range(0, least(n_bytes // 1024 + 1, 8))) AS frame_idx FROM b)
-    SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
-           CAST(frame_idx * 1024 AS INT) AS byte_offset
-    FROM f
+    SELECT m.doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+           CAST(f.frame_idx * 1024 AS INT) AS byte_offset,
+           m.n_bytes, m.width, m.height, m.channels, m.format
+    FROM m JOIN f USING (doc_id)
     """,
 )
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling fan-out over binary payloads (offset arithmetic +
-    posexplode; per-offset decode is the stubbed step)."""
+def multimodal_meta_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing AND frame-sampling fan-out in one
+    gate (round-7 registry consolidation — absorbed the retired
+    `multimodal_image_meta` + `multimodal_frame_sample` gates; both
+    lanes stay value-pinned): blob table -> mapInPandas metadata
+    extraction (decode stubbed deterministically; the REAL header
+    decoder is pytest-pinned on PNG/GIF/BMP/JPEG byte literals, and
+    the real-codec pixel path has its own gates), frames fanned out by
+    offset arithmetic and tagged with their stream's metadata — the
+    shape a video pipeline uses ("sample every frame, carry the
+    container metadata")."""
     from postgresql_topn_spark.operators.multimodal import (
+        decode_image_meta,
         make_blob_table,
         sample_frames,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    return sample_frames(make_blob_table(docs))
+    blobs = make_blob_table(docs)
+    meta = decode_image_meta(blobs, decoder="fake")
+    frames = sample_frames(blobs)
+    return frames.join(meta, "doc_id").select(
+        "doc_id",
+        "frame_idx",
+        "byte_offset",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        "format",
+    )
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:

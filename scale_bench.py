@@ -83,6 +83,7 @@ SUBSET = [
     # round-7 continuation: mix-to-budget sampling + CCNet ppl buckets
     "pipeline_token_budget",
     "pipeline_ppl_buckets",
+    "pipeline_quality_classifier",
     "events_sessionize",
     "topn_monthly_event_types",
     "distinct_rollup_hll",

@@ -1,0 +1,181 @@
+"""LR quality classifier: exact-integer differential against a
+pure-Python replay, separation/convergence behavior, partition
+invariance, and the model-tag / reserved-name contracts."""
+
+import hashlib
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.operators.classifier import (
+    lr_features,
+    lr_score,
+    lr_train,
+)
+
+_MICRO = 1_000_000
+
+
+def _round_half_up(x: float) -> int:
+    # Spark's F.round / DuckDB's round: HALF_UP (away from zero), not
+    # Python's banker's rounding
+    return int(math.copysign(math.floor(abs(x) + 0.5), x))
+
+
+def _bucket(feature: str, n_buckets: int) -> int:
+    h = int(hashlib.md5(feature.encode()).hexdigest()[:15], 16)
+    return h % n_buckets
+
+
+def _feats(text: str, n_buckets: int) -> dict:
+    toks = text.split()
+    grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+    out: dict = {}
+    for g in grams:
+        b = _bucket(g, n_buckets)
+        out[b] = out.get(b, 0) + 1
+    return out
+
+
+def _train_replay(pos, neg, n_buckets, iters, lr):
+    """Bit-exact replay of lr_train's integer GD in plain Python."""
+    examples = [(f"1:{i}", 1, _feats(t, n_buckets)) for i, t in pos] + [
+        (f"0:{i}", 0, _feats(t, n_buckets)) for i, t in neg
+    ]
+    n = len(examples)
+    w: dict = {}
+    b = 0
+    for _ in range(iters):
+        resid = {}
+        for tid, y, fs in examples:
+            z = b + sum(c * w.get(bk, 0) for bk, c in fs.items())
+            zc = max(-30.0, min(30.0, z / 1e6))
+            p = 1.0 / (1.0 + math.exp(-zc))
+            resid[tid] = _round_half_up((p - y) * 1e6)
+        grad: dict = {}
+        for tid, y, fs in examples:
+            for bk, c in fs.items():
+                grad[bk] = grad.get(bk, 0) + c * resid[tid]
+        for bk, g in grad.items():
+            w[bk] = w.get(bk, 0) - _round_half_up(lr * g / n)
+        b -= _round_half_up(lr * sum(resid.values()) / n)
+    return w, b
+
+
+@pytest.fixture(scope="module")
+def corpora(spark):
+    import random
+
+    rng = random.Random(11)
+    good_vocab = [f"good{i}" for i in range(20)]
+    bad_vocab = [f"junk{i}" for i in range(20)]
+    shared = [f"s{i}" for i in range(10)]
+    pos = [
+        (i, " ".join(rng.choices(good_vocab + shared, k=15)))
+        for i in range(40)
+    ]
+    neg = [
+        (i, " ".join(rng.choices(bad_vocab + shared, k=15)))
+        for i in range(40)
+    ]
+    pos_df = spark.createDataFrame(pos, "doc_id long, text string")
+    neg_df = spark.createDataFrame(neg, "doc_id long, text string")
+    return pos, neg, pos_df, neg_df
+
+
+class TestLrTrain:
+    def test_exact_match_with_python_replay(self, corpora):
+        pos, neg, pos_df, neg_df = corpora
+        model = lr_train(
+            pos_df, neg_df, n_buckets=256, iters=3, lr=0.5
+        )
+        got = {r["bucket"]: r["w_micro"] for r in model.collect()}
+        w, b = _train_replay(pos, neg, 256, 3, 0.5)
+        assert got.pop(-1) == b
+        assert got == w
+
+    def test_partition_invariance(self, corpora):
+        _, _, pos_df, neg_df = corpora
+        a = {
+            r["bucket"]: r["w_micro"]
+            for r in lr_train(
+                pos_df, neg_df, n_buckets=128, iters=2, lr=0.5
+            ).collect()
+        }
+        bq = {
+            r["bucket"]: r["w_micro"]
+            for r in lr_train(
+                pos_df.repartition(7),
+                neg_df.repartition(13),
+                n_buckets=128,
+                iters=2,
+                lr=0.5,
+            ).collect()
+        }
+        assert a == bq
+
+    def test_separates_pos_from_neg(self, corpora):
+        _, _, pos_df, neg_df = corpora
+        model = lr_train(pos_df, neg_df, n_buckets=512, iters=3, lr=0.5)
+        sp = lr_score(pos_df, model, n_buckets=512)
+        sn = lr_score(neg_df, model, n_buckets=512)
+        mp = sp.agg(F.avg("prob")).collect()[0][0]
+        mn = sn.agg(F.avg("prob")).collect()[0][0]
+        assert mp > 0.7 > 0.3 > mn
+        # training accuracy on a separable vocabulary should be high
+        acc = (
+            sp.where(F.col("prob") > 0.5).count()
+            + sn.where(F.col("prob") < 0.5).count()
+        ) / 80
+        assert acc > 0.9
+
+    def test_zero_token_docs_train_and_score_via_bias(self, spark):
+        pos = spark.createDataFrame(
+            [(1, "alpha beta"), (2, "   ")], "doc_id long, text string"
+        )
+        neg = spark.createDataFrame(
+            [(3, "gamma delta")], "doc_id long, text string"
+        )
+        model = lr_train(pos, neg, n_buckets=64, iters=2, lr=0.5)
+        scored = {
+            r["doc_id"]: r
+            for r in lr_score(pos, model, n_buckets=64).collect()
+        }
+        bias = {r["bucket"]: r["w_micro"] for r in model.collect()}[-1]
+        # the empty doc's logit is exactly the bias
+        assert scored[2]["z_micro"] == bias
+
+    def test_model_tag_validation(self, corpora):
+        _, _, pos_df, neg_df = corpora
+        model = lr_train(pos_df, neg_df, n_buckets=128, iters=1)
+        with pytest.raises(ValueError, match="feature spaces"):
+            lr_score(pos_df, model, n_buckets=256)
+
+    def test_validation_errors(self, corpora, spark):
+        _, _, pos_df, neg_df = corpora
+        with pytest.raises(ValueError, match="iters"):
+            lr_train(pos_df, neg_df, iters=0)
+        with pytest.raises(ValueError, match="lr"):
+            lr_train(pos_df, neg_df, lr=0.0)
+        with pytest.raises(ValueError, match="reserved"):
+            lr_features(
+                spark.createDataFrame([("a", "t")], "bucket string, text string"),
+                "bucket",
+                "text",
+            )
+
+
+class TestLrFeatures:
+    def test_counts_match_hand_hash(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "a b a")], "doc_id long, text string"
+        )
+        got = {
+            (r["doc_id"], r["bucket"]): r["cnt"]
+            for r in lr_features(docs, n_buckets=64).collect()
+        }
+        want: dict = {}
+        for k, v in _feats("a b a", 64).items():
+            want[(1, k)] = v
+        assert got == want

@@ -481,3 +481,35 @@ def test_ppl_buckets_single_partition_only_on_sample(spark, docs):
     import re
 
     assert len(re.findall(r"\(\d+\) Window", p)) == 1
+
+
+def test_lr_classifier_bounded_aggs_no_python(spark, docs):
+    """lr_train/lr_score: the whole training loop and the scorer are
+    JVM-side — zero Python stages, map-side-combined hash-aggs (the
+    per-iteration gradient agg's key space is <= n_buckets), the
+    n_buckets-row weight table and 1-row bias/count frames ride
+    broadcasts. No single-partition window or global sort anywhere."""
+    from postgresql_topn_spark.operators.classifier import lr_score, lr_train
+
+    model = lr_train(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        n_buckets=64,
+        iters=2,
+        lr=0.5,
+    )
+    out = lr_score(docs, model, n_buckets=64)
+    # model's own displayed plan is lineage-cut (localCheckpoint per
+    # iteration — the design), so the shape pins ride the scorer and
+    # the shared feature plan
+    from postgresql_topn_spark.operators.classifier import lr_features
+
+    feats = lr_features(docs, n_buckets=64)
+    for df in (feats, out):
+        assert python_stages(df) == 0
+        assert has_partial_aggregate(df)
+    assert python_stages(model) == 0
+    assert broadcast_exchanges(out) >= 2  # weights + bias
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan_str(out))) == 0
