@@ -122,7 +122,10 @@ def lr_train(
     (label, id)); a document present in BOTH frames contributes one
     positive and one negative example — dedup upstream if that is not
     intended. Zero-token documents still train the bias (their logit
-    is the bare bias term), matching what the scorer does to them.
+    is the bare bias term), matching what the scorer does to them;
+    NULL-id documents behave the same way (a NULL training identity
+    joins no features, so they contribute to the bias gradient only —
+    they are counted in n, not silently dropped).
 
     No regularization / early stopping: full-batch GD on a convex
     loss with a fixed iteration count is the deterministic-replay
@@ -248,6 +251,10 @@ def lr_score(
     FILTER is then just ``.where(F.col('prob') >= t)`` — or keep the
     probability as a sampling weight (the GPT-3 Pareto trick is a
     downstream choice this operator doesn't hard-code)."""
+    if id_col in ("z_micro", "prob", "bucket", "cnt"):
+        raise ValueError(
+            f"id_col may not be a reserved output name ({id_col!r})"
+        )
     params = getattr(model, "_lr_params", None)
     if params is not None and params != (int(n_buckets), bool(bigrams)):
         raise ValueError(

@@ -279,7 +279,14 @@ def ppl_buckets(
       exceed (ties fall into the lower bucket, so each cut bounds AT
       LEAST its rank's share of sampled docs below it).
 
-    Returns (id, n_tokens, ppl_micro, bucket).
+    Returns (id, n_tokens, ppl_micro, bucket) — reserved output names;
+    an `id_col` shadowing one is rejected up front. Degenerate inputs,
+    documented rather than guessed at: zero-token documents score
+    under no model and are absent from the output (the unigram-scorer
+    contract); if the md5-sample is EMPTY (sample_fraction too small
+    for the corpus) every cutoff is NULL and every document falls
+    through the CASE into the LAST label — size sample_fraction so
+    the sample holds at least a few hundred rows.
 
     100 TB shape: model build + scoring are the unigram scorer's plan
     (hash-aggs, broadcast model under AQE, zero Python). The cutoff
@@ -295,6 +302,10 @@ def ppl_buckets(
     if not 0.0 < sample_fraction <= 1.0:
         raise ValueError(
             f"sample_fraction must be in (0, 1], got {sample_fraction}"
+        )
+    if id_col in ("n_tokens", "ppl_micro", "bucket"):
+        raise ValueError(
+            f"id_col may not be a reserved output name ({id_col!r})"
         )
     if len(labels) != len(cuts) + 1:
         raise ValueError(

@@ -193,6 +193,11 @@ def token_budget_mix(
         raise ValueError(f"budget must be >= 0, got {budget}")
     if any(w < 0 for w in weights.values()):
         raise ValueError(f"weights must be >= 0, got {dict(weights)}")
+    if rate_col is not None and rate_col in df.columns:
+        raise ValueError(
+            f"rate_col {rate_col!r} already exists on the input — "
+            "withColumn would silently overwrite it"
+        )
     sc, kc = _col(strata), _col(key)
     szc = _col(size)
     df = df.where(sc.isNotNull())

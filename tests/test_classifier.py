@@ -179,3 +179,14 @@ class TestLrFeatures:
         for k, v in _feats("a b a", 64).items():
             want[(1, k)] = v
         assert got == want
+
+
+def test_score_reserved_id_col_rejected(spark):
+    from postgresql_topn_spark.operators.classifier import lr_score, lr_train
+
+    pos = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    neg = spark.createDataFrame([(2, "c d")], "doc_id long, text string")
+    model = lr_train(pos, neg, n_buckets=16, iters=1)
+    bad = spark.createDataFrame([("x", "a")], "prob string, text string")
+    with pytest.raises(ValueError, match="reserved"):
+        lr_score(bad, model, id_col="prob", n_buckets=16)

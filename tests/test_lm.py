@@ -225,3 +225,29 @@ class TestPplBuckets:
             ppl_buckets(docs, labels=("a", "b"))
         with pytest.raises(ValueError, match="cut"):
             ppl_buckets(docs, cuts=((3, 2), (2, 3)))
+
+
+class TestPplBucketsEdges:
+    def test_reserved_id_col_rejected(self, spark):
+        import pytest
+
+        from postgresql_topn_spark.operators.lm import ppl_buckets
+
+        docs = spark.createDataFrame(
+            [(1, "a b")], "ppl_micro long, text string"
+        )
+        with pytest.raises(ValueError, match="reserved"):
+            ppl_buckets(docs, "ppl_micro", "text")
+
+    def test_empty_sample_falls_into_last_label(self, spark):
+        from postgresql_topn_spark.operators.lm import ppl_buckets
+
+        docs = spark.createDataFrame(
+            [(i, "x y z") for i in range(5)], "doc_id long, text string"
+        )
+        # a fraction no md5-uniform of 5 ids falls under -> empty
+        # sample -> NULL cutoffs -> everything labeled 'tail'
+        # (documented degenerate case)
+        out = ppl_buckets(docs, sample_fraction=1e-12).collect()
+        assert len(out) == 5
+        assert {r["bucket"] for r in out} == {"tail"}

@@ -407,3 +407,16 @@ class TestTokenBudgetMix:
         with pytest.raises(ValueError, match="weights"):
             token_budget_mix(df, "source", "doc_id", "n_tok",
                              budget=1, weights={"a": -0.5})
+
+
+def test_token_budget_rate_col_collision_rejected(spark):
+    import pytest
+
+    from postgresql_topn_spark.operators.sampling import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(1, "a", 1, 0.5)], "doc_id long, source string, n_tok long, rate double"
+    )
+    with pytest.raises(ValueError, match="rate_col"):
+        token_budget_mix(df, "source", "doc_id", "n_tok",
+                         budget=1, weights={"a": 1.0}, rate_col="rate")
