@@ -231,6 +231,113 @@ def token_budget_mix(
     return out.drop("__s", "__rate")
 
 
+def token_budget_epochs(
+    df: DataFrame,
+    strata: Column | str,
+    key: Column | str,
+    size: Column | str,
+    *,
+    budget: float,
+    weights: Mapping[str, float],
+    seed: int = 0,
+    rate_round: int = 9,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """`token_budget_mix` WITH upsampling — the form a recipe takes
+    when a small high-value source is allocated MORE than its own mass
+    ("2 epochs of Wikipedia": the published mixing tables list epoch
+    counts > 1 for exactly this case). Where `token_budget_mix` clamps
+    rate_s = budget*w_s/T_s at 1, this operator honors rates above 1
+    by REPEATING rows: every row appears floor(rate_s) times (epochs
+    0..floor-1) plus once more with probability frac(rate_s) decided
+    by the portable md5 key-uniform — per-epoch seeds, so the
+    fractional epoch is its own reproducible subset. Expected kept
+    token mass is exactly ``budget * w_s`` per stratum with no cap.
+
+    Output = the input rows with `epoch_col` appended (0-based; a
+    row kept k times appears with epochs 0..k-1) — downstream packing
+    treats (key, epoch) as the training-example identity. A rate
+    below 1 degenerates to one Bernoulli(rate) draw, the same
+    STRUCTURE as `token_budget_mix` — but the draw is keyed by the
+    ``'{seed}e{epoch}:'``-prefixed uniform, so the two operators are
+    independent samplers, not row-identical ones.
+
+    Same stratum rules as `token_budget_mix` (NULL strata dropped,
+    absent/zero weights = rate 0, zero-mass positive-weight strata
+    keep one epoch). 100 TB shape: identical — one |strata|-row
+    hash-agg, broadcast rates, and the repeat is a scan-stage
+    posexplode of a rate-derived sequence (bounded by ceil(rate):
+    epochs are a recipe constant, never data-driven blowup)."""
+    if budget < 0:
+        raise ValueError(f"budget must be >= 0, got {budget}")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError(f"weights must be >= 0, got {dict(weights)}")
+    if epoch_col in df.columns:
+        raise ValueError(
+            f"epoch_col {epoch_col!r} already exists on the input"
+        )
+    sc, kc, szc = _col(strata), _col(key), _col(size)
+    df = df.where(sc.isNotNull())
+    totals = df.groupBy(sc.alias("__s")).agg(
+        F.sum(F.coalesce(szc, F.lit(0)).cast("long")).alias("__t")
+    )
+    w_expr: Column = F.lit(0.0)
+    for value, wt in weights.items():
+        w_expr = F.when(F.col("__s") == value, F.lit(float(wt))).otherwise(
+            w_expr
+        )
+    rates = totals.select(
+        "__s",
+        F.when(
+            F.col("__t") <= 0,
+            F.when(w_expr > 0, F.lit(1.0)).otherwise(F.lit(0.0)),
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(budget)) * w_expr / F.col("__t").cast("double"),
+                rate_round,
+            )
+        )
+        .alias("__rate"),
+    )
+    joined = df.join(F.broadcast(rates), sc == F.col("__s"), "left")
+    rate = F.coalesce(F.col("__rate"), F.lit(0.0))
+    full = F.floor(rate).cast("int")
+    frac = rate - full.cast("double")
+    # epoch e < full always kept; epoch e == full kept iff its own
+    # seeded uniform < frac — a per-epoch draw keyed by (seed, e, key)
+    epochs = F.filter(
+        F.sequence(F.lit(0), full),
+        lambda e: (e < full)
+        | (
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{seed}e"),
+                                e.cast("string"),
+                                F.lit(":"),
+                                kc.cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("bigint")
+                / F.lit(_TWO_POW_60)
+            )
+            < frac
+        ),
+    )
+    return (
+        joined.select("*", F.explode(epochs).alias(epoch_col))
+        .drop("__s", "__rate")
+    )
+
+
 def weighted_sample_k(
     df: DataFrame,
     group_cols: Sequence[Column | str],

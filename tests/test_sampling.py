@@ -420,3 +420,112 @@ def test_token_budget_rate_col_collision_rejected(spark):
     with pytest.raises(ValueError, match="rate_col"):
         token_budget_mix(df, "source", "doc_id", "n_tok",
                          budget=1, weights={"a": 1.0}, rate_col="rate")
+
+
+class TestTokenBudgetEpochs:
+    def _docs(self, spark):
+        # tiny: 20 rows x 100 tokens = 2000; big: 500 x 100 = 50000
+        rows = [(i, "tiny", 100) for i in range(20)] + [
+            (100 + i, "big", 100) for i in range(500)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, n_tok long"
+        )
+
+    def test_upsampling_hits_budget_in_expectation(self, spark):
+        from postgresql_topn_spark.operators.sampling import (
+            token_budget_epochs,
+        )
+
+        df = self._docs(spark)
+        # tiny allocated 5000 tokens = rate 2.5 -> 2 full epochs + 0.5;
+        # big allocated 5000 = rate 0.1
+        out = token_budget_epochs(
+            df, "source", "doc_id", "n_tok",
+            budget=10_000, weights={"tiny": 0.5, "big": 0.5}, seed=4,
+        ).collect()
+        tiny = [r for r in out if r["source"] == "tiny"]
+        big = [r for r in out if r["source"] == "big"]
+        # every tiny row has epochs 0 and 1; epoch 2 is the half draw
+        per = {}
+        for r in tiny:
+            per.setdefault(r["doc_id"], set()).add(r["epoch"])
+        assert all({0, 1} <= e for e in per.values())
+        n_frac = sum(1 for e in per.values() if 2 in e)
+        assert 4 <= n_frac <= 16  # Binomial(20, .5), wide band
+        assert len(per) == 20
+        # big: Bernoulli(0.1) of 500, all epoch 0
+        assert {r["epoch"] for r in big} == {0}
+        assert 25 <= len(big) <= 80
+
+    def test_exact_integer_rate_has_no_fractional_epoch(self, spark):
+        from postgresql_topn_spark.operators.sampling import (
+            token_budget_epochs,
+        )
+
+        df = self._docs(spark).where(F.col("source") == "tiny")
+        out = token_budget_epochs(
+            df, "source", "doc_id", "n_tok",
+            budget=4_000, weights={"tiny": 1.0},
+        ).collect()
+        # rate exactly 2.0: every row exactly epochs {0, 1}
+        per = {}
+        for r in out:
+            per.setdefault(r["doc_id"], set()).add(r["epoch"])
+        assert all(e == {0, 1} for e in per.values())
+        assert len(per) == 20
+
+    def test_partition_invariance_and_python_differential(self, spark):
+        import hashlib
+
+        from postgresql_topn_spark.operators.sampling import (
+            token_budget_epochs,
+        )
+
+        df = self._docs(spark)
+        budget, seed = 10_000, 9
+        out = {
+            (r["doc_id"], r["epoch"])
+            for r in token_budget_epochs(
+                df, "source", "doc_id", "n_tok",
+                budget=budget, weights={"tiny": 0.5, "big": 0.5}, seed=seed,
+            ).collect()
+        }
+        out13 = {
+            (r["doc_id"], r["epoch"])
+            for r in token_budget_epochs(
+                df.repartition(13), "source", "doc_id", "n_tok",
+                budget=budget, weights={"tiny": 0.5, "big": 0.5}, seed=seed,
+            ).collect()
+        }
+        assert out == out13
+
+        def u(e, k):
+            h = hashlib.md5(f"{seed}e{e}:{k}".encode()).hexdigest()[:15]
+            return int(h, 16) / float(1 << 60)
+
+        want = set()
+        for r in df.collect():
+            rate = round(
+                budget * 0.5 / (2000 if r["source"] == "tiny" else 50000), 9
+            )
+            full = int(rate)
+            for e in range(full):
+                want.add((r["doc_id"], e))
+            if u(full, r["doc_id"]) < rate - full:
+                want.add((r["doc_id"], full))
+        assert out == want
+
+    def test_epoch_col_collision_rejected(self, spark):
+        import pytest
+
+        from postgresql_topn_spark.operators.sampling import (
+            token_budget_epochs,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a", 1, 0)], "doc_id long, source string, n_tok long, epoch int"
+        )
+        with pytest.raises(ValueError, match="epoch_col"):
+            token_budget_epochs(df, "source", "doc_id", "n_tok",
+                                budget=1, weights={"a": 1.0})
