@@ -73,3 +73,63 @@ def profile_columns(
     return stacked.select(
         "col_name", "n_rows", "n_non_null", "n_distinct", "min_s", "max_s"
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    content_col: "str | None" = "text",
+    *,
+    status_col: str = "status",
+) -> DataFrame:
+    """Snapshot comparison — the "what changed between corpus v7 and
+    v8" audit a pipeline runs before re-training on a refreshed build:
+    one row per document id present in EITHER snapshot, labeled
+
+        'added'     — id only in `new`
+        'removed'   — id only in `old`
+        'changed'   — id in both, md5(`content_col`) differs
+                      (NULL content compares via eqNullSafe: NULL ==
+                      NULL is unchanged, NULL vs non-NULL is changed)
+        'unchanged' — id in both, content identical
+
+    With ``content_col=None`` only membership is compared (added /
+    removed / unchanged). Returns (id, status) — feed it to
+    `profile_columns` or a groupBy for the summary table, or
+    anti-join 'removed' ids against downstream rollups to invalidate
+    them. Pairs with `train_split`'s refresh-stability contract: a
+    refresh-stable pipeline expects the 'unchanged' set's split
+    assignments to be identical across versions.
+
+    100 TB shape: one full outer join on the id (a single key
+    exchange; ZERO exchanges when both snapshots are bucketed on the
+    id — sources/bucketed.py), comparing 128-bit digests instead of
+    shipping document bodies through the join."""
+    if id_col == status_col:
+        raise ValueError(
+            f"id_col and status_col collide ({id_col!r})"
+        )
+    def _side(df: DataFrame, tag: str) -> DataFrame:
+        cols = [F.col(id_col).alias(f"__id_{tag}")]
+        if content_col is not None:
+            cols.append(F.md5(F.col(content_col)).alias(f"__h_{tag}"))
+        else:
+            cols.append(F.lit(None).cast("string").alias(f"__h_{tag}"))
+        return df.select(*cols)
+
+    o, n = _side(old, "o"), _side(new, "n")
+    joined = o.join(
+        n, o["__id_o"].eqNullSafe(n["__id_n"]), "full_outer"
+    )
+    same = F.col("__h_o").eqNullSafe(F.col("__h_n"))
+    status = (
+        F.when(F.col("__id_o").isNull(), F.lit("added"))
+        .when(F.col("__id_n").isNull(), F.lit("removed"))
+        .when(F.lit(content_col is None) | same, F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.coalesce(F.col("__id_o"), F.col("__id_n")).alias(id_col),
+        status.alias(status_col),
+    )

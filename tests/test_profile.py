@@ -61,3 +61,48 @@ def test_column_subset_and_validation(messy):
     assert [r["col_name"] for r in out] == ["id"]
     with pytest.raises(ValueError):
         profile_columns(messy, [])
+
+
+class TestCorpusDiff:
+    def test_all_four_statuses(self, spark):
+        from postgresql_topn_spark.operators.profile import corpus_diff
+
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, "c"), (4, None)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(2, "b"), (3, "C!"), (4, None), (5, "e")],
+            "doc_id long, text string",
+        )
+        got = {
+            r["doc_id"]: r["status"]
+            for r in corpus_diff(old, new).collect()
+        }
+        assert got == {
+            1: "removed",
+            2: "unchanged",
+            3: "changed",
+            4: "unchanged",  # NULL == NULL via eqNullSafe
+            5: "added",
+        }
+
+    def test_null_vs_content_is_changed_and_membership_mode(self, spark):
+        from postgresql_topn_spark.operators.profile import corpus_diff
+
+        old = spark.createDataFrame([(1, None)], "doc_id long, text string")
+        new = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        assert corpus_diff(old, new).collect()[0]["status"] == "changed"
+        assert (
+            corpus_diff(old, new, content_col=None).collect()[0]["status"]
+            == "unchanged"
+        )
+
+    def test_collision_guard(self, spark):
+        import pytest
+
+        from postgresql_topn_spark.operators.profile import corpus_diff
+
+        df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="collide"):
+            corpus_diff(df, df, status_col="doc_id")
