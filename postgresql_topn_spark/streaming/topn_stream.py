@@ -616,3 +616,63 @@ def stream_bloom_dedup(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer
+
+
+def stream_score_documents(
+    stream_docs: DataFrame,
+    model: DataFrame,
+    *,
+    out_path: str,
+    checkpoint_path: str,
+    id_col: str = "doc_id",
+    text_col: "Column | str" = "text",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+    min_prob: "float | None" = None,
+    trigger_available_now: bool = False,
+):
+    """Streaming quality curation — score every ingest micro-batch
+    under a TRAINED classifier (operators/classifier.lr_train's
+    persisted n_buckets+1-row model) and APPEND the per-document
+    (id, z_micro, prob) verdicts to a parquet sink, optionally
+    filtered at ``min_prob`` (the curated-intake form: crawl lands on
+    the stream, only head-quality rows reach the corpus).
+
+    Stream == batch by construction: a document's score depends only
+    on its own text and the STATIC model (lr_score has no cross-doc
+    state), so the union of per-batch outputs equals scoring the whole
+    corpus in one batch — the same batch-split invariance contract the
+    sketch rollups here carry, pinned in test_streaming.py. Replay
+    safety follows the rollup sinks' story: foreachBatch is
+    at-least-once, and re-scoring a replayed batch appends IDENTICAL
+    verdict rows (deterministic scorer), so readers dedup on the id —
+    or run the sink with exactly-once table formats where available.
+
+    100 TB/day shape: per batch, the model broadcast-joins the
+    exploded feature stream and one doc-keyed agg closes it — the
+    batch never shuffles on anything wider than its own ids. The
+    model frame should be a persisted small table (read once,
+    broadcast every batch), not a live recomputation.
+
+    Returns the started StreamingQuery."""
+    from postgresql_topn_spark.operators.classifier import lr_score
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        scored = lr_score(
+            batch_df,
+            model,
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            bigrams=bigrams,
+        )
+        if min_prob is not None:
+            scored = scored.where(F.col("prob") >= float(min_prob))
+        scored.write.mode("append").parquet(out_path)
+
+    writer = stream_docs.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_path
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -611,3 +611,61 @@ def test_stream_bloom_dedup_geometry_mismatch_raises(spark, tmp_path):
         start(1 << 14, 2)
     with pytest.raises(Exception, match="m_bits"):
         start(1 << 12, 3)
+
+
+def test_stream_score_documents_matches_batch(spark, tmp_path):
+    """Streaming classifier scoring == batch scoring on the same
+    corpus: scores are per-doc pure functions of (text, model), so the
+    union of micro-batch outputs must equal the one-shot batch score —
+    including the min_prob curation filter."""
+    from postgresql_topn_spark.operators.classifier import lr_score, lr_train
+    from postgresql_topn_spark.sources.tables import load_table
+    from postgresql_topn_spark.streaming.topn_stream import (
+        stream_score_documents,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    model = lr_train(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        n_buckets=128,
+        iters=2,
+        lr=0.5,
+    )
+    # model must survive foreachBatch re-use across batches: pin it
+    model = spark.createDataFrame(model.collect(), "bucket long, w_micro long")
+
+    stream_dir = str(tmp_path / "docs_stream")
+    docs.repartition(4).write.mode("overwrite").parquet(stream_dir)
+    out_dir = str(tmp_path / "scored")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = stream_score_documents(
+        stream,
+        model,
+        out_path=out_dir,
+        checkpoint_path=str(tmp_path / "ckpt"),
+        n_buckets=128,
+        min_prob=0.4,
+        trigger_available_now=True,
+    )
+    q.awaitTermination(120)
+
+    got = {
+        (r["doc_id"], r["z_micro"], r["prob"])
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want = {
+        (r["doc_id"], r["z_micro"], r["prob"])
+        for r in lr_score(
+            spark.read.parquet(stream_dir), model, n_buckets=128
+        )
+        .where(F.col("prob") >= 0.4)
+        .collect()
+    }
+    assert got == want and len(got) > 0
