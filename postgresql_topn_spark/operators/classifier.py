@@ -9,26 +9,59 @@ derives per-document importance WEIGHTS from two bag-of-ngram
 multinomials; the classifier fits a DISCRIMINATIVE boundary by
 gradient descent and emits a calibrated probability.
 
+Features are MEAN-NORMALIZED (the fastText form): each document's
+feature vector is its bucket-count distribution, not raw counts —
+``m(d,i) = round(cnt(d,i) * 1e6 / n_feats(d))`` in integer micro
+units, so every document carries ~1e6 total feature mass regardless
+of length. This is what keeps full-batch GD well-conditioned: with
+RAW counts a 600-gram document multiplies every weight 600x and
+three lr=0.5 steps drive |z| to tens of nats — every probability
+saturates to 0/1 and the "calibrated" output is a step function (the
+first cut of this module did exactly that; the sf0.01 gate corpus,
+whose labels are near-independent of the text, came back with every
+prob < 0.01 instead of near the 0.44 base rate).
+
 The whole training loop is distributed AND deterministic — the
 fixed-point discipline the repo's oracles depend on, applied to
 gradient descent:
 
 - features: the exact DSIR feature space (word unigrams + bigrams,
   md5-60bit mod n_buckets) — scan-stage explode, one hash-agg to
-  per-doc counts; integer.
-- forward pass: ``z_micro = b_micro + sum(cnt * w_micro)`` is an
-  EXACT INTEGER sum (weights live in integer micro-units), so the
-  logit is summation-order independent. The only float step is
+  per-doc counts, one more double op for the micro-mean mass
+  ``m = round(cnt * 1e6 / n_feats)``; integers thereafter.
+- forward pass: ``z_micro = b_micro + round(sum(m * w_micro) / 1e6)``
+  — the sum is EXACT INTEGER (weights live in integer micro-units),
+  the division one double op on an exact integer, so the logit is
+  summation-order independent. The only other float step is
   ``p = 1/(1+exp(-clamp(z_micro/1e6)))`` — one fixed expression
   evaluated per-row identically by any IEEE engine (the clamp to
   +/-30 keeps exp out of the denormal range); the residual is
   immediately re-fixed-pointed: ``r_micro = round((p - y) * 1e6)``.
-- gradient: ``g(i) = sum_docs(cnt * r_micro)`` — exact integer again.
-- update: ``w' = w - round(lr * g / n)`` — one double expression over
-  exact integers, rounded back to integer micro-units. After every
-  iteration the entire model state is integers, so T unrolled
-  iterations replay bit-for-bit in ANSI SQL (the gate's DuckDB oracle
-  does exactly that).
+- gradient: per-(doc, bucket) term ``t = round(m * r_micro / 1e6)``
+  (re-fixed-pointed so the bucket sum ``g(i) = sum_docs(t)`` stays
+  exact-integer AND int64-safe at any corpus size: |t| <= 1e6, so a
+  billion-document gradient is ~1e15, nowhere near overflow — the
+  raw product ``m * r`` is ~1e12 per doc and would overflow the
+  bucket sum past ~1e7 docs). Alongside it, ``M(i) = sum_docs(m)`` —
+  the feature's total observed mass (same exact-integer agg).
+- update: DIAGONALLY PRECONDITIONED descent —
+  ``w' = w - round(lr * g / M * 1e6)``: each coordinate's step is its
+  feature-mass-weighted MEAN residual, not the n-normalized sum. Raw
+  full-batch GD is hopelessly scaled here: a feature direction's
+  curvature is ~||m||^2 ~ 1/n_distinct_buckets of the bias's, so any
+  lr that moves the weights stalls or oscillates the bias (measured:
+  lr=100 flips every probability 0 -> 1 between iterations — the
+  bias diverging — while lr=2 moves mean separation 0.03 in 40
+  rounds). Normalizing by M gives every coordinate the bias's own
+  classic rule (the bias IS the mass-1 feature: M = n recovers
+  ``lr * sum(r) / n`` exactly), and with mean-normalized features
+  the preconditioned curvature is <= 1/4 per coordinate, so lr <= 2
+  is stable for ANY corpus; default lr = 1. The division is one
+  double expression over exact integers in a fixed parenthesization,
+  rounded back to integer micro-units. After every iteration the
+  entire model state is integers, so T unrolled iterations replay
+  bit-for-bit in ANSI SQL (the gate's DuckDB oracle does exactly
+  that).
 
 100 TB shape: per iteration, ONE doc-keyed hash-agg (the logit sum)
 and ONE bucket-keyed hash-agg (the gradient, key space <= n_buckets),
@@ -69,25 +102,47 @@ def lr_features(
     n_buckets: int = 4096,
     bigrams: bool = True,
 ) -> DataFrame:
-    """(id, bucket, cnt) hashed-ngram multinomial counts — the shared
-    feature representation of `lr_train` / `lr_score` (identical to
-    DSIR's: word unigrams + bigrams, md5-60bit mod n_buckets). One
-    scan-stage explode + one hash-agg; 'bucket'/'cnt' are reserved
-    output names (the dsir_bucket_counts convention)."""
+    """(id, bucket, cnt, m) hashed-ngram features — the shared
+    representation of `lr_train` / `lr_score` (the feature space is
+    DSIR's: word unigrams + bigrams, md5-60bit mod n_buckets). ``cnt``
+    is the raw multinomial count; ``m`` is the MEAN-NORMALIZED micro
+    mass ``round(cnt * 1e6 / n_feats)`` (n_feats = the document's
+    total gram count), so every document carries ~1e6 total mass —
+    the fastText-style conditioning the GD loop needs. One scan-stage
+    explode + one hash-agg (n_feats rides the group keys: it is a
+    scan-stage expression, constant per document); 'bucket'/'cnt'/'m'
+    are reserved output names (the dsir_bucket_counts convention)."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    if id_col in ("bucket", "cnt"):
+    if id_col in ("bucket", "cnt", "m"):
         raise ValueError(
             f"id_col may not be a reserved output name ({id_col!r})"
         )
+    grams = hashed_ngrams(text_col, bigrams=bigrams)
     return (
         docs.select(
             _col(id_col).alias(id_col),
-            F.explode(hashed_ngrams(text_col, bigrams=bigrams)).alias("__f"),
+            F.size(grams).cast("long").alias("__nf"),
+            F.explode(grams).alias("__f"),
         )
-        .select(id_col, _bucket(F.col("__f"), n_buckets).alias("bucket"))
-        .groupBy(id_col, "bucket")
+        .select(
+            id_col, "__nf", _bucket(F.col("__f"), n_buckets).alias("bucket")
+        )
+        .groupBy(id_col, "bucket", "__nf")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .select(
+            id_col,
+            "bucket",
+            "cnt",
+            F.round(
+                F.col("cnt").cast("double")
+                * F.lit(float(_MICRO))
+                / F.col("__nf").cast("double"),
+                0,
+            )
+            .cast("long")
+            .alias("m"),
+        )
     )
 
 
@@ -107,7 +162,7 @@ def lr_train(
     text_col: Column | str = "text",
     n_buckets: int = 4096,
     iters: int = 3,
-    lr: float = 0.5,
+    lr: float = 1.0,
     bigrams: bool = True,
 ) -> DataFrame:
     """Train the classifier: `pos` is the reference ("high-quality")
@@ -117,6 +172,12 @@ def lr_train(
     stored at bucket = -1 (md5 buckets are non-negative, so -1 is
     free) — one bounded table, ready to persist and reuse across
     scoring runs like DSIR's model.
+
+    ``lr`` is in NATS under the mass preconditioner (module
+    docstring): every coordinate's step is lr x its mass-weighted
+    mean residual, so lr=1 moves a cleanly-separating feature's
+    weight ~0.5 nats on the first round and lr <= 2 is stable for
+    any corpus (preconditioned curvature <= 1/4).
 
     The frames may share document ids (training identity is
     (label, id)); a document present in BOTH frames contributes one
@@ -164,16 +225,21 @@ def lr_train(
         zsum = feats
         if w is not None:
             zsum = zsum.join(F.broadcast(w), "bucket", "left")
-            zterm = F.col("cnt") * F.coalesce(F.col("w_micro"), F.lit(0))
+            zterm = F.col("m") * F.coalesce(F.col("w_micro"), F.lit(0))
         else:
             zterm = F.lit(0).cast("long")
         zsum = zsum.groupBy("__tid").agg(F.sum(zterm).alias("__z0"))
         z = examples.join(zsum, "__tid", "left")
+        zdot = F.round(
+            F.coalesce(F.col("__z0"), F.lit(0)).cast("double")
+            / F.lit(float(_MICRO)),
+            0,
+        ).cast("long")
         if b is not None:
             z = z.crossJoin(F.broadcast(b))
-            z_micro = F.col("b_micro") + F.coalesce(F.col("__z0"), F.lit(0))
+            z_micro = F.col("b_micro") + zdot
         else:
-            z_micro = F.coalesce(F.col("__z0"), F.lit(0))
+            z_micro = zdot
         resid = z.select(
             "__tid",
             F.round(
@@ -187,29 +253,38 @@ def lr_train(
         grad = (
             feats.join(resid, "__tid")
             .groupBy("bucket")
-            .agg(F.sum(F.col("cnt") * F.col("__r")).alias("__g"))
+            .agg(
+                F.sum(
+                    F.round(
+                        (F.col("m") * F.col("__r")).cast("double")
+                        / F.lit(float(_MICRO)),
+                        0,
+                    ).cast("long")
+                ).alias("__g"),
+                F.sum("m").alias("__M"),
+            )
         )
         if w is not None:
             grad = grad.join(w, "bucket", "left")
             w_prev = F.coalesce(F.col("w_micro"), F.lit(0))
         else:
             w_prev = F.lit(0).cast("long")
-        w = (
-            grad.crossJoin(F.broadcast(n_row))
-            .select(
-                "bucket",
-                (
-                    w_prev
-                    - F.round(
-                        F.lit(float(lr))
-                        * F.col("__g").cast("double")
-                        / F.col("__n").cast("double"),
-                        0,
-                    ).cast("long")
-                ).alias("w_micro"),
-            )
-            .localCheckpoint(eager=False)
-        )
+        # mass-preconditioned step: lr x the feature's mass-weighted
+        # mean residual (M == 0 only for mass-rounded-to-zero buckets;
+        # they carry no signal, leave them at their previous weight)
+        step = F.when(
+            F.col("__M") > 0,
+            F.round(
+                F.lit(float(lr))
+                * F.col("__g").cast("double")
+                / F.col("__M").cast("double")
+                * F.lit(float(_MICRO)),
+                0,
+            ).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        w = grad.select(
+            "bucket", (w_prev - step).alias("w_micro")
+        ).localCheckpoint(eager=False)
         bgrad = resid.agg(F.sum("__r").alias("__bg"))
         b_prev = F.col("b_micro") if b is not None else F.lit(0).cast("long")
         bnew = bgrad.crossJoin(F.broadcast(n_row))
@@ -251,7 +326,7 @@ def lr_score(
     FILTER is then just ``.where(F.col('prob') >= t)`` — or keep the
     probability as a sampling weight (the GPT-3 Pareto trick is a
     downstream choice this operator doesn't hard-code)."""
-    if id_col in ("z_micro", "prob", "bucket", "cnt"):
+    if id_col in ("z_micro", "prob", "bucket", "cnt", "m"):
         raise ValueError(
             f"id_col may not be a reserved output name ({id_col!r})"
         )
@@ -272,9 +347,13 @@ def lr_score(
     zsum = (
         feats.join(F.broadcast(weights), "bucket")
         .groupBy(id_col)
-        .agg(F.sum(F.col("cnt") * F.col("w_micro")).alias("__z0"))
+        .agg(F.sum(F.col("m") * F.col("w_micro")).alias("__z0"))
     )
-    z_micro = F.col("__b") + F.coalesce(F.col("__z0"), F.lit(0))
+    z_micro = F.col("__b") + F.round(
+        F.coalesce(F.col("__z0"), F.lit(0)).cast("double")
+        / F.lit(float(_MICRO)),
+        0,
+    ).cast("long")
     return (
         docs.select(_col(id_col).alias(id_col))
         .join(zsum, id_col, "left")

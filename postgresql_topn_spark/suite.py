@@ -2397,17 +2397,19 @@ _LR_SIGMOID = (
 
 
 def _lr_oracle_iteration(i: int) -> str:
-    """One unrolled gradient-descent iteration of the classifier
-    oracle: z from (w{i-1}, b{i-1}) -> residual -> gradient ->
-    (w{i}, b{i}). Exact mirror of lr_train's integer fixed-point
-    loop."""
+    """One unrolled iteration of the classifier oracle: z from
+    (w{i-1}, b{i-1}) -> residual -> mass-preconditioned gradient step
+    -> (w{i}, b{i}). Exact mirror of lr_train's integer fixed-point
+    loop (lr = 1.0, the gate's setting)."""
     p = i - 1
     sig = _LR_SIGMOID.format(z="z")
     return f"""
     z{i} AS (
-      SELECT ex.tid, ex.y, b{p}.b + COALESCE(s.z0, 0) AS z
+      SELECT ex.tid, ex.y,
+             b{p}.b + CAST(round(CAST(COALESCE(s.z0, 0) AS DOUBLE)
+                                 / 1000000.0, 0) AS BIGINT) AS z
       FROM ex LEFT JOIN (
-        SELECT tf.tid, sum(tf.cnt * COALESCE(w{p}.w, 0)) AS z0
+        SELECT tf.tid, sum(tf.m * COALESCE(w{p}.w, 0)) AS z0
         FROM trfeat tf LEFT JOIN w{p} USING (bucket) GROUP BY tf.tid
       ) s USING (tid)
       CROSS JOIN b{p}
@@ -2418,18 +2420,25 @@ def _lr_oracle_iteration(i: int) -> str:
       FROM z{i}
     ),
     g{i} AS (
-      SELECT bucket, sum(tf.cnt * r{i}.r) AS g
+      SELECT bucket,
+             sum(CAST(round(CAST(tf.m * r{i}.r AS DOUBLE) / 1000000.0, 0)
+                      AS BIGINT)) AS g,
+             sum(tf.m) AS mm
       FROM trfeat tf JOIN r{i} USING (tid) GROUP BY bucket
     ),
     w{i} AS (
       SELECT g{i}.bucket,
              COALESCE(w{p}.w, 0)
-             - CAST(round(0.5 * CAST(g AS DOUBLE) / n.n, 0) AS BIGINT) AS w
-      FROM g{i} LEFT JOIN w{p} USING (bucket) CROSS JOIN n
+             - CASE WHEN mm > 0
+                    THEN CAST(round(1.0 * CAST(g AS DOUBLE)
+                                    / CAST(mm AS DOUBLE) * 1000000.0, 0)
+                              AS BIGINT)
+                    ELSE 0 END AS w
+      FROM g{i} LEFT JOIN w{p} USING (bucket)
     ),
     b{i} AS (
       SELECT b{p}.b
-             - CAST(round(0.5 * CAST((SELECT sum(r) FROM r{i}) AS DOUBLE)
+             - CAST(round(1.0 * CAST((SELECT sum(r) FROM r{i}) AS DOUBLE)
                           / n.n, 0) AS BIGINT) AS b
       FROM b{p} CROSS JOIN n
     )"""
@@ -2447,46 +2456,56 @@ _LR_ORACLE = (
     ex AS (SELECT tid, y FROM tr),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex),
     trtok AS (
-      SELECT tid, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
-      FROM tr
+      SELECT tid, toks,
+             len(toks) + greatest(len(toks) - 1, 0) AS nf
+      FROM (SELECT tid, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks FROM tr)
     ),
     trfeat AS (
-      SELECT tid, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
-        SELECT tid,
+      SELECT tid, bucket,
+             CAST(round(CAST(count(*) AS DOUBLE) * 1000000.0 / nf, 0)
+                  AS BIGINT) AS m
+      FROM (
+        SELECT tid, nf,
                CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 512 AS bucket
         FROM (
-          SELECT tid,
+          SELECT tid, nf,
                  unnest(list_concat(toks,
                    list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
                                   i -> toks[i] || ' ' || toks[i+1]))) AS f
           FROM trtok)
-      ) GROUP BY tid, bucket
+      ) GROUP BY tid, bucket, nf
     ),
     w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS w WHERE FALSE),
     b0 AS (SELECT CAST(0 AS BIGINT) AS b),"""
     + ",".join(_lr_oracle_iteration(i) for i in (1, 2, 3))
     + """,
     dtok AS (
-      SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks
-      FROM documents
+      SELECT doc_id, toks,
+             len(toks) + greatest(len(toks) - 1, 0) AS nf
+      FROM (SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks FROM documents)
     ),
     docfeat AS (
-      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt FROM (
-        SELECT doc_id,
+      SELECT doc_id, bucket,
+             CAST(round(CAST(count(*) AS DOUBLE) * 1000000.0 / nf, 0)
+                  AS BIGINT) AS m
+      FROM (
+        SELECT doc_id, nf,
                CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 512 AS bucket
         FROM (
-          SELECT doc_id,
+          SELECT doc_id, nf,
                  unnest(list_concat(toks,
                    list_transform(range(1, greatest(len(toks) - 1, 0) + 1),
                                   i -> toks[i] || ' ' || toks[i+1]))) AS f
           FROM dtok)
-      ) GROUP BY doc_id, bucket
+      ) GROUP BY doc_id, bucket, nf
     ),
     sc AS (
-      SELECT d.doc_id, b3.b + COALESCE(s.z0, 0) AS z_micro
+      SELECT d.doc_id,
+             b3.b + CAST(round(CAST(COALESCE(s.z0, 0) AS DOUBLE)
+                               / 1000000.0, 0) AS BIGINT) AS z_micro
       FROM (SELECT doc_id FROM documents) d
       LEFT JOIN (
-        SELECT df.doc_id, sum(df.cnt * w3.w) AS z0
+        SELECT df.doc_id, sum(df.m * w3.w) AS z0
         FROM docfeat df JOIN w3 USING (bucket) GROUP BY df.doc_id
       ) s USING (doc_id)
       CROSS JOIN b3
@@ -2504,19 +2523,27 @@ _LR_ORACLE = (
 def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRAINED quality classifier (`lr_train`/`lr_score`,
     operators/classifier.py) — the GPT-3 / LLaMA / RefinedWeb "quality
-    filter" stage: logistic regression over hashed-ngram features
-    (DSIR's exact feature space), trained IN the engine by
-    full-batch gradient descent (3 iterations, lr=0.5, 512 buckets)
-    to separate the lang='en' slice from the rest, then scoring EVERY
+    filter" stage: logistic regression over mean-normalized
+    hashed-ngram features (DSIR's feature space, fastText's
+    conditioning), trained IN the engine by mass-preconditioned
+    full-batch gradient descent (3 iterations, lr=1, 512 buckets) to
+    separate the lang='en' slice from the rest, then scoring EVERY
     document with the exact-integer logit and calibrated probability.
-    The whole training loop is fixed-point deterministic (integer
-    logits/gradients, one clamped sigmoid per example per round), so
-    the oracle replays ALL THREE unrolled GD iterations — weights,
-    bias, residuals — and the final scores value-for-value: the gate
-    pins the TRAINING ALGORITHM, not just an inference pass. Per
-    iteration: one doc-keyed hash-agg + one bucket-keyed hash-agg
-    (key space <= n_buckets) with the weight table riding broadcasts;
-    model size fixed at n_buckets+1 rows at any corpus scale."""
+    On THIS corpus the labels are near-independent of the text (every
+    synthetic lang shares one vocabulary), so the honest output the
+    gate pins is probabilities tightly around the 0.436 positive base
+    rate — the bias converging toward ln(218/282) with small
+    text-driven spread — which is exactly what the raw-count
+    formulation got wrong (every prob < 0.01; see the module
+    docstring's stability analysis). The training loop is fixed-point
+    deterministic (integer logits/gradients/masses, one clamped
+    sigmoid per example per round), so the oracle replays ALL THREE
+    unrolled iterations — weights, bias, residuals, preconditioner —
+    and the final scores value-for-value: the gate pins the TRAINING
+    ALGORITHM, not just an inference pass. Per iteration: one
+    doc-keyed hash-agg + one bucket-keyed hash-agg (key space <=
+    n_buckets) with the weight table riding broadcasts; model size
+    fixed at n_buckets+1 rows at any corpus scale."""
     from postgresql_topn_spark.operators.classifier import lr_score, lr_train
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2525,7 +2552,7 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.where(F.col("lang") != "en"),
         n_buckets=512,
         iters=3,
-        lr=0.5,
+        lr=1.0,
     )
     return lr_score(docs, model, n_buckets=512)
 

@@ -29,13 +29,15 @@ def _bucket(feature: str, n_buckets: int) -> int:
 
 
 def _feats(text: str, n_buckets: int) -> dict:
+    """(bucket -> micro-mean mass m), mirroring lr_features."""
     toks = text.split()
     grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
-    out: dict = {}
+    cnt: dict = {}
     for g in grams:
         b = _bucket(g, n_buckets)
-        out[b] = out.get(b, 0) + 1
-    return out
+        cnt[b] = cnt.get(b, 0) + 1
+    nf = len(grams)
+    return {b: _round_half_up(c * 1e6 / nf) for b, c in cnt.items()}
 
 
 def _train_replay(pos, neg, n_buckets, iters, lr):
@@ -49,16 +51,25 @@ def _train_replay(pos, neg, n_buckets, iters, lr):
     for _ in range(iters):
         resid = {}
         for tid, y, fs in examples:
-            z = b + sum(c * w.get(bk, 0) for bk, c in fs.items())
+            z = b + _round_half_up(
+                sum(m * w.get(bk, 0) for bk, m in fs.items()) / 1e6
+            )
             zc = max(-30.0, min(30.0, z / 1e6))
             p = 1.0 / (1.0 + math.exp(-zc))
             resid[tid] = _round_half_up((p - y) * 1e6)
         grad: dict = {}
+        mass: dict = {}
         for tid, y, fs in examples:
-            for bk, c in fs.items():
-                grad[bk] = grad.get(bk, 0) + c * resid[tid]
+            for bk, m in fs.items():
+                grad[bk] = grad.get(bk, 0) + _round_half_up(
+                    m * resid[tid] / 1e6
+                )
+                mass[bk] = mass.get(bk, 0) + m
         for bk, g in grad.items():
-            w[bk] = w.get(bk, 0) - _round_half_up(lr * g / n)
+            if mass[bk] > 0:
+                w[bk] = w.get(bk, 0) - _round_half_up(lr * g / mass[bk] * 1e6)
+            else:
+                w[bk] = w.get(bk, 0)
         b -= _round_half_up(lr * sum(resid.values()) / n)
     return w, b
 
@@ -88,10 +99,10 @@ class TestLrTrain:
     def test_exact_match_with_python_replay(self, corpora):
         pos, neg, pos_df, neg_df = corpora
         model = lr_train(
-            pos_df, neg_df, n_buckets=256, iters=3, lr=0.5
+            pos_df, neg_df, n_buckets=256, iters=3, lr=100.0
         )
         got = {r["bucket"]: r["w_micro"] for r in model.collect()}
-        w, b = _train_replay(pos, neg, 256, 3, 0.5)
+        w, b = _train_replay(pos, neg, 256, 3, 100.0)
         assert got.pop(-1) == b
         assert got == w
 
@@ -100,7 +111,7 @@ class TestLrTrain:
         a = {
             r["bucket"]: r["w_micro"]
             for r in lr_train(
-                pos_df, neg_df, n_buckets=128, iters=2, lr=0.5
+                pos_df, neg_df, n_buckets=128, iters=2, lr=100.0
             ).collect()
         }
         bq = {
@@ -110,14 +121,14 @@ class TestLrTrain:
                 neg_df.repartition(13),
                 n_buckets=128,
                 iters=2,
-                lr=0.5,
+                lr=100.0,
             ).collect()
         }
         assert a == bq
 
     def test_separates_pos_from_neg(self, corpora):
         _, _, pos_df, neg_df = corpora
-        model = lr_train(pos_df, neg_df, n_buckets=512, iters=3, lr=0.5)
+        model = lr_train(pos_df, neg_df, n_buckets=512, iters=3, lr=100.0)
         sp = lr_score(pos_df, model, n_buckets=512)
         sn = lr_score(neg_df, model, n_buckets=512)
         mp = sp.agg(F.avg("prob")).collect()[0][0]
@@ -137,7 +148,7 @@ class TestLrTrain:
         neg = spark.createDataFrame(
             [(3, "gamma delta")], "doc_id long, text string"
         )
-        model = lr_train(pos, neg, n_buckets=64, iters=2, lr=0.5)
+        model = lr_train(pos, neg, n_buckets=64, iters=2, lr=100.0)
         scored = {
             r["doc_id"]: r
             for r in lr_score(pos, model, n_buckets=64).collect()
@@ -172,12 +183,16 @@ class TestLrFeatures:
             [(1, "a b a")], "doc_id long, text string"
         )
         got = {
-            (r["doc_id"], r["bucket"]): r["cnt"]
+            (r["doc_id"], r["bucket"]): (r["cnt"], r["m"])
             for r in lr_features(docs, n_buckets=64).collect()
         }
+        # grams: a, b, a, "a b", "b a" -> nf=5
         want: dict = {}
-        for k, v in _feats("a b a", 64).items():
-            want[(1, k)] = v
+        cnts = {}
+        for g in ["a", "b", "a", "a b", "b a"]:
+            cnts[_bucket(g, 64)] = cnts.get(_bucket(g, 64), 0) + 1
+        for k, c in cnts.items():
+            want[(1, k)] = (c, _round_half_up(c * 1e6 / 5))
         assert got == want
 
 
