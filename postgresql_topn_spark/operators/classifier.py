@@ -119,11 +119,18 @@ def lr_features(
             f"id_col may not be a reserved output name ({id_col!r})"
         )
     grams = hashed_ngrams(text_col, bigrams=bigrams)
+    # materialize the gram array in its own projection BELOW the
+    # generator: referencing the array expression alongside explode()
+    # makes Spark rebuild the whole array per EXPLODED row (the
+    # projection collapses into the Generate output — measured 35s vs
+    # 1.5s on 536k grams at sf0.1); a named column under the Generate
+    # node is built once per document
     return (
-        docs.select(
-            _col(id_col).alias(id_col),
-            F.size(grams).cast("long").alias("__nf"),
-            F.explode(grams).alias("__f"),
+        docs.select(_col(id_col).alias(id_col), grams.alias("__g"))
+        .select(
+            id_col,
+            F.size("__g").cast("long").alias("__nf"),
+            F.explode("__g").alias("__f"),
         )
         .select(
             id_col, "__nf", _bucket(F.col("__f"), n_buckets).alias("bucket")
