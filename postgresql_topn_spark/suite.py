@@ -33,6 +33,54 @@ from postgresql_topn_spark.sources.tables import load_table
 # Large budget => no eviction => exact results, hash-matchable vs DuckDB.
 C = 1_000_000
 
+# Scratch-dir discipline for the sink/roundtrip gates: each run used a
+# bare mkdtemp and never removed it, so every suite sweep leaked its
+# written artifacts (the CSV gate alone writes ~4.5 GB at sf0.1 —
+# accumulated sweeps filled the disk mid-round and failed an unrelated
+# gate's DuckDB spill with ENOSPC). _scratch_dir registers removal at
+# process exit; _purge_stale_scratch reaps dirs older than 2 h left by
+# hard-killed processes WITHOUT racing concurrent live runs.
+_SCRATCH_PREFIXES = (
+    "topn_stream_rollup_",
+    "topn_jsonl_",
+    "topn_orc_",
+    "topn_csv_reviews_",
+    "topn_stream_kmv_",
+    "topn_stream_sess_",
+)
+
+
+def _purge_stale_scratch(max_age_s: float = 7200.0) -> None:
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+    import time as _time
+
+    now = _time.time()
+    for prefix in _SCRATCH_PREFIXES:
+        for d in _glob.glob(
+            _os.path.join(_tempfile.gettempdir(), prefix + "*")
+        ):
+            try:
+                if now - _os.path.getmtime(d) > max_age_s:
+                    _shutil.rmtree(d, ignore_errors=True)
+            except OSError:
+                pass
+
+
+def _scratch_dir(prefix: str) -> str:
+    import atexit as _atexit
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    d = _tempfile.mkdtemp(prefix=prefix)
+    _atexit.register(_shutil.rmtree, d, ignore_errors=True)
+    return d
+
+
+_purge_stale_scratch()
+
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
@@ -1499,7 +1547,7 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "text_winnow",
+    "text_fingerprints",
     r"""
     WITH t AS (SELECT doc_id, list_filter(string_split_regex(trim(text), '\s+'), t -> t <> '') AS toks FROM documents),
     sh AS (SELECT doc_id,
@@ -1512,22 +1560,45 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                  WHEN len(hs) > 0 THEN [list_min(hs)]
                  ELSE [] END AS mins
           FROM sh)
-    SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fp FROM w
+    SELECT 'winnow' AS mode, doc_id,
+           unnest(list_sort(list_distinct(mins))) AS fp
+    FROM w
+    UNION ALL
+    SELECT 'bow' AS mode, doc_id,
+           md5(list_aggregate(list_sort(list_distinct(toks)), 'string_agg', ' ')) AS fp
+    FROM t
     """,
 )
-def text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (plagiarism-style local
-    fingerprinting: min hash per sliding window of 4 3-token shingles),
-    exploded to (doc_id, fp) rows. The md5-digest variant so the
-    fingerprint VALUES are oracle-checked cross-engine; the xxhash64
-    long variant (fingerprint_winnow) is the cheaper form to index at
-    scale and is pytest-covered."""
-    from postgresql_topn_spark.operators.text import fingerprint_winnow_md5
+def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH document-fingerprint lanes in one gate (round-7 registry
+    consolidation — absorbed the retired `text_winnow` +
+    `text_fingerprint` gates; both stay value-pinned):
+
+    - mode 'winnow': winnowing fingerprints (plagiarism-style local
+      fingerprinting: min hash per sliding window of 4 3-token
+      shingles), exploded to one row per fingerprint. The md5-digest
+      variant so the VALUES are oracle-checked cross-engine; the
+      xxhash64 long variant (fingerprint_winnow) is the cheaper form
+      to index at scale and is pytest-covered.
+    - mode 'bow': the whole-document bag-of-words fingerprint
+      (md5 of the sorted distinct token set), one row per doc."""
+    from postgresql_topn_spark.operators.text import (
+        fingerprint_md5,
+        fingerprint_winnow_md5,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id", F.explode(fingerprint_winnow_md5("text")).alias("fp")
+    winnow = docs.select(
+        F.lit("winnow").alias("mode"),
+        "doc_id",
+        F.explode(fingerprint_winnow_md5("text")).alias("fp"),
     )
+    bow = docs.select(
+        F.lit("bow").alias("mode"),
+        "doc_id",
+        fingerprint_md5("text").alias("fp"),
+    )
+    return winnow.unionByName(bow)
 
 
 @_register(
@@ -1744,7 +1815,7 @@ def stream_topn_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "events")  # sets the nanos-as-long conf
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    base = tempfile.mkdtemp(prefix="topn_stream_rollup_")
+    base = _scratch_dir("topn_stream_rollup_")
     # the file stream source wants a DIRECTORY of files to watch;
     # stage the fixture into one (symlinks — no copy)
     src_dir = _stage_stream_source(sf_dir, "events", base)
@@ -2404,7 +2475,7 @@ def _lr_oracle_iteration(i: int) -> str:
     p = i - 1
     sig = _LR_SIGMOID.format(z="z")
     return f"""
-    z{i} AS (
+    z{i} AS MATERIALIZED (
       SELECT ex.tid, ex.y,
              b{p}.b + CAST(round(CAST(COALESCE(s.z0, 0) AS DOUBLE)
                                  / 1000000.0, 0) AS BIGINT) AS z
@@ -2414,19 +2485,19 @@ def _lr_oracle_iteration(i: int) -> str:
       ) s USING (tid)
       CROSS JOIN b{p}
     ),
-    r{i} AS (
+    r{i} AS MATERIALIZED (
       SELECT tid,
              CAST(round(({sig} - CAST(y AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS r
       FROM z{i}
     ),
-    g{i} AS (
+    g{i} AS MATERIALIZED (
       SELECT bucket,
              sum(CAST(round(CAST(tf.m * r{i}.r AS DOUBLE) / 1000000.0, 0)
                       AS BIGINT)) AS g,
              sum(tf.m) AS mm
       FROM trfeat tf JOIN r{i} USING (tid) GROUP BY bucket
     ),
-    w{i} AS (
+    w{i} AS MATERIALIZED (
       SELECT g{i}.bucket,
              COALESCE(w{p}.w, 0)
              - CASE WHEN mm > 0
@@ -2436,7 +2507,7 @@ def _lr_oracle_iteration(i: int) -> str:
                     ELSE 0 END AS w
       FROM g{i} LEFT JOIN w{p} USING (bucket)
     ),
-    b{i} AS (
+    b{i} AS MATERIALIZED (
       SELECT b{p}.b
              - CAST(round(1.0 * CAST((SELECT sum(r) FROM r{i}) AS DOUBLE)
                           / n.n, 0) AS BIGINT) AS b
@@ -2444,23 +2515,25 @@ def _lr_oracle_iteration(i: int) -> str:
     )"""
 
 
-_LR_ORACLE = (
-    """
-    WITH tr AS (
+# The classifier training + scoring CTE chain (through `sc` =
+# (doc_id, z_micro)), shared verbatim by the standalone classifier
+# gate and the recipe composition gate below.
+_LR_CTES = (
+    """tr AS (
       SELECT concat(CASE WHEN lang = 'en' THEN '1' ELSE '0' END, ':',
                     CAST(doc_id AS VARCHAR)) AS tid,
              CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
              text
       FROM documents
     ),
-    ex AS (SELECT tid, y FROM tr),
+    ex AS MATERIALIZED (SELECT tid, y FROM tr),
     n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ex),
     trtok AS (
       SELECT tid, toks,
              len(toks) + greatest(len(toks) - 1, 0) AS nf
       FROM (SELECT tid, list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS toks FROM tr)
     ),
-    trfeat AS (
+    trfeat AS MATERIALIZED (
       SELECT tid, bucket,
              CAST(round(CAST(count(*) AS DOUBLE) * 1000000.0 / nf, 0)
                   AS BIGINT) AS m
@@ -2509,7 +2582,13 @@ _LR_ORACLE = (
         FROM docfeat df JOIN w3 USING (bucket) GROUP BY df.doc_id
       ) s USING (doc_id)
       CROSS JOIN b3
-    )
+    )"""
+)
+
+_LR_ORACLE = (
+    "\n    WITH "
+    + _LR_CTES
+    + """
     SELECT doc_id, z_micro,
            round("""
     + _LR_SIGMOID.format(z="z_micro")
@@ -2555,6 +2634,178 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr=1.0,
     )
     return lr_score(docs, model, n_buckets=512)
+
+
+_RECIPE_ORACLE = (
+    "\n    WITH "
+    + _LR_CTES
+    + """,
+    scp AS (
+      SELECT doc_id,
+             round("""
+    + _LR_SIGMOID.format(z="z_micro")
+    + """, 6) AS prob
+      FROM sc
+    ),
+    flt AS MATERIALIZED (
+      SELECT d.doc_id, d.lang, d.text
+      FROM documents d JOIN scp USING (doc_id)
+      WHERE scp.prob >= 0.40
+    ),
+    ptokall AS (
+      SELECT doc_id, t.tok
+      FROM flt,
+           LATERAL (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS tok) t
+      WHERE t.tok <> ''
+    ),
+    preftok AS (
+      SELECT t.tok
+      FROM flt,
+           LATERAL (SELECT unnest(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS tok) t
+      WHERE flt.lang = 'en' AND t.tok <> ''
+    ),
+    pmodel AS (SELECT tok, count(*) AS cnt FROM preftok GROUP BY tok),
+    ptotal AS (SELECT sum(cnt) AS t FROM pmodel),
+    pmodlp AS (
+      SELECT tok,
+             CAST(round((ln(CAST(cnt AS DOUBLE)) - ln(CAST(t AS DOUBLE)))
+                        * 1000000.0, 0) AS BIGINT) AS lpm
+      FROM pmodel CROSS JOIN ptotal
+    ),
+    pfloor AS (SELECT min(lpm) - 1000000 AS fl FROM pmodlp),
+    pscored AS (
+      SELECT a.doc_id, coalesce(m.lpm, f.fl) AS lpm
+      FROM ptokall a LEFT JOIN pmodlp m USING (tok) CROSS JOIN pfloor f
+    ),
+    psums AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, sum(lpm) AS s
+      FROM pscored GROUP BY doc_id
+    ),
+    psc AS MATERIALIZED (
+      SELECT doc_id, n_tokens,
+             CAST(round(-CAST(s AS DOUBLE) / n_tokens, 0) AS BIGINT) AS ppl_micro
+      FROM psums
+    ),
+    prk AS (
+      SELECT ppl_micro,
+             ROW_NUMBER() OVER (ORDER BY ppl_micro ASC, doc_id ASC) AS rn
+      FROM psc
+    ),
+    pnn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM psc),
+    pcut AS (
+      SELECT max(CASE WHEN rn = CAST(floor((pnn.n * 1 + 2) / 3) AS BIGINT)
+                      THEN ppl_micro END) AS c0,
+             max(CASE WHEN rn = CAST(floor((pnn.n * 2 + 2) / 3) AS BIGINT)
+                      THEN ppl_micro END) AS c1
+      FROM prk CROSS JOIN pnn
+    ),
+    keepb AS (
+      SELECT psc.doc_id, psc.n_tokens, psc.ppl_micro,
+             CASE WHEN psc.ppl_micro <= c.c0 THEN 'head'
+                  WHEN psc.ppl_micro <= c.c1 THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM psc CROSS JOIN pcut c
+    ),
+    pool AS MATERIALIZED (
+      SELECT k.doc_id, f.lang, k.n_tokens, k.ppl_micro, k.bucket
+      FROM keepb k JOIN flt f USING (doc_id)
+      WHERE k.bucket <> 'tail'
+    ),
+    btt AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS t FROM pool),
+    bts AS (
+      SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS t_s
+      FROM pool WHERE lang IS NOT NULL GROUP BY lang
+    ),
+    br AS (
+      SELECT lang,
+             CASE WHEN t_s <= 0
+                  THEN CASE WHEN w2 > 0 THEN 1.0 ELSE 0.0 END
+                  ELSE round(least(1.0, ((0.5 * btt.t) * w2) / CAST(t_s AS DOUBLE)), 9)
+             END AS rate
+      FROM (SELECT lang, t_s,
+                   CASE lang WHEN 'en' THEN 0.4 WHEN 'de' THEN 0.15
+                             WHEN 'es' THEN 0.15 WHEN 'fr' THEN 0.15
+                             WHEN 'zh' THEN 0.15 ELSE 0.0 END AS w2
+            FROM bts) CROSS JOIN btt
+    )
+    SELECT p.doc_id, p.lang, p.n_tokens, p.ppl_micro, p.bucket, br.rate
+    FROM pool p JOIN br USING (lang)
+    WHERE CAST(concat('0x', substr(md5('13:' || CAST(p.doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+          / 1152921504606846976.0 < br.rate
+    """
+)
+
+
+@_register("pipeline_select_recipe", _RECIPE_ORACLE)
+def pipeline_select_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MODERN quality-selection recipe as one dataflow — the
+    classifier-era companion to `pipeline_select_mix` (which chains
+    the dedup-era selectors): the three round-7 operators feeding
+    each other the way FineWeb / CCNet-style pipelines actually
+    compose them:
+
+      1. TRAINED quality filter — `lr_train` (en vs rest, 512
+         buckets, 3 preconditioned iterations) scores every doc;
+         survivors need prob >= 0.40 (a lenient floor: on this
+         corpus the labels are near-text-independent, so the filter
+         is honest-but-weak — the COMPOSITION is what the gate pins);
+      2. CCNet perplexity bucketing — `ppl_buckets` over the
+         survivors (reference = the surviving en slice), DROP the
+         'tail' bucket (the published CCNet cut);
+      3. mix to budget — `token_budget_mix` assembles 50% of the
+         remaining token mass at en 0.4 / de-es-fr-zh 0.15 using the
+         stage-2 token counts as the size column.
+
+    The oracle replays ALL stages — the full unrolled 3-iteration
+    classifier training, the survivor-set LM + order-statistic
+    cutoffs, and the budget rates — each consuming exactly the
+    previous stage's survivor set, so the recipe is value-pinned
+    end-to-end. Output: (doc_id, lang, n_tokens, ppl_micro, bucket,
+    rate) for every selected document."""
+    from postgresql_topn_spark.operators.classifier import lr_score, lr_train
+    from postgresql_topn_spark.operators.lm import ppl_buckets
+    from postgresql_topn_spark.operators.sampling import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lr_train(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        n_buckets=512,
+        iters=3,
+        lr=1.0,
+    )
+    scored = lr_score(docs, model, n_buckets=512)
+    # stage boundaries are lineage cuts (the select_mix discipline):
+    # ppl_buckets fans its input into model/score/cutoff branches and
+    # the budget stage reads its pool three times
+    flt = (
+        docs.join(
+            scored.where(F.col("prob") >= 0.40).select("doc_id"), "doc_id"
+        )
+        .select("doc_id", "lang", "text")
+        .localCheckpoint(eager=False)
+    )
+    ppl = ppl_buckets(flt, "doc_id", "text", reference=flt.where(F.col("lang") == "en"))
+    pool = (
+        ppl.where(F.col("bucket") != "tail")
+        .join(flt.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "ppl_micro", "bucket")
+        .localCheckpoint(eager=False)
+    )
+    total = pool.agg(F.sum("n_tokens")).collect()[0][0]
+    out = token_budget_mix(
+        pool,
+        "lang",
+        "doc_id",
+        "n_tokens",
+        budget=0.5 * float(total),
+        weights={"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+        seed=13,
+        rate_col="rate",
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", "ppl_micro", "bucket", "rate"
+    )
 
 
 @_register(
@@ -2629,22 +2880,6 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         ws_token_count("text").alias("n_tokens"),
         quality_score("text").alias("score"),
     )
-
-
-@_register(
-    "text_fingerprint",
-    """
-    SELECT doc_id,
-           md5(list_aggregate(list_sort(list_distinct(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> ''))),
-                              'string_agg', ' ')) AS fp
-    FROM documents
-    """,
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from postgresql_topn_spark.operators.text import fingerprint_md5
-
-    docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", fingerprint_md5("text").alias("fp"))
 
 
 @_register(
@@ -4523,7 +4758,7 @@ def docs_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    base = os.path.join(tempfile.mkdtemp(prefix="topn_jsonl_"), "corpus")
+    base = os.path.join(_scratch_dir("topn_jsonl_"), "corpus")
     write_jsonl_corpus(docs, base, n_shards=8)
     back = read_jsonl_corpus(
         spark,
@@ -4563,7 +4798,7 @@ def topn_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgresql_topn_spark.functions.aggregates import topn_add_agg
 
     orders = load_table(spark, sf_dir, "orders")
-    path = os.path.join(tempfile.mkdtemp(prefix="topn_orc_"), "orders.orc")
+    path = os.path.join(_scratch_dir("topn_orc_"), "orders.orc")
     orders.write.mode("overwrite").orc(path)
     back = spark.read.orc(path)
     sk = topn_add_agg(
@@ -4807,7 +5042,7 @@ def topn_csv_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("}"),
         ).alias("similar_product_ids"),
     )
-    base = tempfile.mkdtemp(prefix="topn_csv_reviews_")
+    base = _scratch_dir("topn_csv_reviews_")
     csv_dir = os.path.join(base, "reviews_csv")
     reviews.write.mode("overwrite").option("header", "false").csv(csv_dir)
     back = read_customer_reviews_csv(spark, csv_dir)
@@ -4872,7 +5107,7 @@ def stream_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     K = 64
     load_table(spark, sf_dir, "events")  # sets the nanos-as-long conf
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    base = tempfile.mkdtemp(prefix="topn_stream_kmv_")
+    base = _scratch_dir("topn_stream_kmv_")
     src_dir = _stage_stream_source(sf_dir, "events", base)
     src = (
         spark.readStream.schema(raw.schema)
@@ -4958,7 +5193,7 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     load_table(spark, sf_dir, "events")  # sets the nanos-as-long conf
     raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    base = tempfile.mkdtemp(prefix="topn_stream_sess_")
+    base = _scratch_dir("topn_stream_sess_")
     src_dir = _stage_stream_source(sf_dir, "events", base)
     src = _stream_event_time(
         spark.readStream.schema(raw.schema).parquet(src_dir), raw

@@ -66,7 +66,7 @@ SUBSET = [
     "pipeline_sample_mix",
     "text_token_counts",
     "text_quality",
-    "text_winnow",
+    "text_fingerprints",
     "topn_tokens_by_lang",
     "ann_cosine_topk",
     "ann_lsh_topk",
