@@ -84,6 +84,7 @@ SUBSET = [
     "pipeline_token_budget",
     "pipeline_ppl_buckets",
     "pipeline_quality_classifier",
+    "pipeline_select_recipe",
     "events_sessionize",
     "topn_monthly_event_types",
     "distinct_rollup_hll",
