@@ -1081,3 +1081,74 @@ def embedding_near_dup_pairs(
         .agg(F.round(F.max("__sim"), 6).alias("sim"))
         .select("id_a", "id_b", "sim")
     )
+
+
+def random_projection(
+    emb: DataFrame,
+    out_dim: int,
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Deterministic sparse random projection (Achlioptas 2003, the
+    database-friendly Johnson-Lindenstrauss transform): project each
+    vector to `out_dim` dimensions through a fixed matrix with entries
+    in {+1, 0, -1} — P(+-1) = 1/6 each, P(0) = 2/3 — derived from the
+    portable md5-uniform of (seed, out_component, in_component), the
+    `_hyperplanes` idiom. The high-dim preprocessing step of the ANN
+    stack: project 1024-d embeddings to 64-128 dims BEFORE
+    `lsh_topk` / `ivf_topk` / `semantic_dedup`, shrinking every
+    downstream distance computation ~dim/out_dim while JL preserves
+    pairwise geometry to within ~sqrt(ln n / out_dim).
+
+    Each output component is an EXACT +-1-weighted sum of input
+    components in a fixed (ascending-index) fold order, so the output
+    is bit-reproducible across partitionings, engines and reruns —
+    and because two-thirds of the entries are zero, the fold touches
+    only the nonzero indices (a literal gather, the
+    pixel_block_features pattern). No 1/sqrt scaling is applied:
+    cosine similarity — what every consumer here computes — is scale
+    invariant, and integer weights keep the arithmetic exactly
+    reproducible where a float scale factor would invite
+    rounding-order drift.
+
+    Scale shape: the matrix is folded into the plan as literals —
+    one scan-stage projection, zero exchanges, zero Python. The plan
+    carries O(out_dim * nonzeros) expression nodes; beyond ~50k
+    nonzero cells switch to a mapInPandas matrix multiply (the
+    semdedup `assign_clusters` auto-switch precedent) — at the
+    default density that is out_dim * in_dim/3 ~ 50k at 1024->128,
+    the practical ceiling for the literal form."""
+    import hashlib
+
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1, got {out_dim}")
+    dim = len(
+        emb.select(_col(vec_col)).first()[0]
+    )
+    cols = []
+    for j in range(out_dim):
+        pos, negs = [], []
+        for d in range(dim):
+            h = int(
+                hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()[:15], 16
+            )
+            u = h / 2**60
+            if u < 1 / 6:
+                pos.append(d)
+            elif u < 2 / 6:
+                negs.append(d)
+        v = _col(vec_col)
+        comp = F.lit(0.0)
+        for d in pos:
+            comp = comp + F.element_at(v, d + 1).cast("double")
+        for d in negs:
+            comp = comp - F.element_at(v, d + 1).cast("double")
+        cols.append(comp.alias(f"__rp{j}"))
+    out_name = out_col or vec_col
+    return emb.select(_col(id_col).alias(id_col), *cols).select(
+        id_col,
+        F.array(*[F.col(f"__rp{j}") for j in range(out_dim)]).alias(out_name),
+    )

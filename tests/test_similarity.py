@@ -343,3 +343,77 @@ def test_ann_null_corpus_ids_dropped_not_corrupting(spark):
     }
     assert (100, big) in out            # exact id survives
     assert all(n is not None for _, n in out)
+
+
+class TestRandomProjection:
+    def test_matches_numpy_and_partition_invariant(self, spark):
+        import hashlib
+
+        import numpy as np
+
+        from postgresql_topn_spark.operators.similarity import (
+            random_projection,
+        )
+
+        rng = np.random.default_rng(3)
+        X = rng.normal(size=(50, 32)).astype("float32")
+        rows = [(i, [float(x) for x in X[i]]) for i in range(50)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {
+            r["vec_id"]: r["embedding"]
+            for r in random_projection(emb, 8, seed=5).collect()
+        }
+        # rebuild the matrix the same way
+        R = np.zeros((8, 32))
+        for j in range(8):
+            for d in range(32):
+                u = int(hashlib.md5(f"5:{j}:{d}".encode()).hexdigest()[:15], 16) / 2**60
+                if u < 1 / 6:
+                    R[j, d] = 1.0
+                elif u < 2 / 6:
+                    R[j, d] = -1.0
+        for i in range(50):
+            want = R @ X[i].astype("float64")
+            got = np.array(out[i])
+            assert np.allclose(got, want, rtol=0, atol=1e-9)
+        again = {
+            r["vec_id"]: r["embedding"]
+            for r in random_projection(emb.repartition(7), 8, seed=5).collect()
+        }
+        assert all(again[i] == out[i] for i in range(50))
+
+    def test_preserves_neighborhood_structure(self, spark):
+        import numpy as np
+
+        from postgresql_topn_spark.operators.similarity import (
+            cosine_topk,
+            random_projection,
+        )
+
+        # two tight clusters far apart: after projection, nearest
+        # neighbors must stay within-cluster
+        rng = np.random.default_rng(9)
+        a = rng.normal(loc=0.0, scale=0.05, size=(30, 64)) + np.r_[[1.0] * 32, [0.0] * 32]
+        b = rng.normal(loc=0.0, scale=0.05, size=(30, 64)) + np.r_[[0.0] * 32, [1.0] * 32]
+        X = np.vstack([a, b]).astype("float32")
+        rows = [(i, [float(x) for x in X[i]]) for i in range(60)]
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        proj = random_projection(emb, 16, seed=2)
+        qs = proj.where(F.col("vec_id").isin([0, 35]))
+        nn = cosine_topk(proj, qs, k=5, id_col="vec_id", vec_col="embedding")
+        got = [(r["query_id"], r["neighbor_id"]) for r in nn.collect()]
+        for q, n in got:
+            assert (q < 30) == (n < 30), f"cross-cluster neighbor {q}->{n}"
+
+    def test_validation(self, spark):
+        import pytest
+
+        from postgresql_topn_spark.operators.similarity import (
+            random_projection,
+        )
+
+        emb = spark.createDataFrame(
+            [(1, [1.0, 2.0])], "vec_id long, embedding array<float>"
+        )
+        with pytest.raises(ValueError, match="out_dim"):
+            random_projection(emb, 0)
