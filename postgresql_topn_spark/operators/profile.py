@@ -133,3 +133,109 @@ def corpus_diff(
         F.coalesce(F.col("__id_o"), F.col("__id_n")).alias(id_col),
         status.alias(status_col),
     )
+
+
+def corpus_drift(
+    old: DataFrame,
+    new: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    bigrams: bool = True,
+) -> DataFrame:
+    """Distributional drift between two corpus snapshots — the
+    monitoring twin of `corpus_diff` (which compares MEMBERSHIP, this
+    compares CONTENT): both snapshots are reduced to their
+    hashed-ngram bucket distributions (`dsir_bucket_counts`' feature
+    space, so a persisted rollup can feed either side without
+    rescanning text) and compared with total-variation distance
+
+        tv_micro = round(0.5 * sum_b |p_b - q_b| * 1e6)
+
+    plus the l1-heaviest buckets for attribution. TV is in [0, 1]:
+    ~0 means a refresh left the token distribution unchanged; a jump
+    says the new crawl/filter changed WHAT the corpus says, even if
+    row counts look stable — the pretraining-data drift alarm that
+    membership diffs can't raise.
+
+    Returns a 1-row frame (tv_micro, n_old, n_new, top_buckets) where
+    top_buckets is the 10 buckets with the largest |p - q| (array of
+    (bucket, delta_micro) structs, descending) — join back through
+    the feature hash offline to name the shifted vocabulary.
+
+    Determinism: per-bucket probabilities are exact-integer counts
+    over 1-row broadcast totals; |p - q| folds in bucket order inside
+    a sorted array aggregate, so the rounded tv_micro is
+    engine-replayable like every fixed-point measure here. Shape: two
+    bounded hash-aggs (key space <= n_buckets each) + a <=n_buckets
+    row join — nothing scales with corpus size."""
+    from postgresql_topn_spark.operators.dsir import dsir_bucket_counts
+
+    def _counts(df: DataFrame) -> DataFrame:
+        return dsir_bucket_counts(
+            df.select(F.col(id_col), F.col(text_col)),
+            [],
+            id_col=id_col,
+            text_col=text_col,
+            n_buckets=n_buckets,
+            bigrams=bigrams,
+        )
+
+    oc = _counts(old).withColumnRenamed("cnt", "c_old")
+    nc = _counts(new).withColumnRenamed("cnt", "c_new")
+    j = oc.join(nc, "bucket", "full_outer").select(
+        "bucket",
+        F.coalesce("c_old", F.lit(0)).alias("c_old"),
+        F.coalesce("c_new", F.lit(0)).alias("c_new"),
+    )
+    tot = j.agg(
+        F.sum("c_old").alias("__to"), F.sum("c_new").alias("__tn")
+    )
+    d = j.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "c_old",
+        "c_new",
+        (
+            F.col("c_old").cast("double") / F.col("__to").cast("double")
+            - F.col("c_new").cast("double") / F.col("__tn").cast("double")
+        ).alias("__delta"),
+        F.col("__to").alias("__to"),
+        F.col("__tn").alias("__tn"),
+    )
+    # sort by bucket before folding so the float sum order is fixed
+    rows = d.agg(
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(F.struct("bucket", F.abs(F.col("__delta")).alias("a")))
+            ),
+            F.lit(0.0),
+            lambda acc, e: acc + e["a"],
+        ).alias("__l1"),
+        F.reverse(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.abs(F.col("__delta")).alias("a"),
+                        F.col("bucket").alias("bucket"),
+                    )
+                )
+            )
+        ).alias("__ranked"),
+        F.max("__to").alias("n_old"),
+        F.max("__tn").alias("n_new"),
+    )
+    return rows.select(
+        F.round(F.lit(0.5) * F.col("__l1") * F.lit(1e6), 0)
+        .cast("long")
+        .alias("tv_micro"),
+        "n_old",
+        "n_new",
+        F.transform(
+            F.slice("__ranked", 1, 10),
+            lambda e: F.struct(
+                e["bucket"].alias("bucket"),
+                F.round(e["a"] * F.lit(1e6), 0).cast("long").alias("delta_micro"),
+            ),
+        ).alias("top_buckets"),
+    )

@@ -106,3 +106,52 @@ class TestCorpusDiff:
         df = spark.createDataFrame([(1, "a")], "doc_id long, text string")
         with pytest.raises(ValueError, match="collide"):
             corpus_diff(df, df, status_col="doc_id")
+
+
+class TestCorpusDrift:
+    def test_identical_corpora_zero_drift(self, spark):
+        from postgresql_topn_spark.operators.profile import corpus_drift
+
+        docs = spark.createDataFrame(
+            [(i, f"alpha beta gamma w{i % 3}") for i in range(30)],
+            "doc_id long, text string",
+        )
+        r = corpus_drift(docs, docs, n_buckets=256).collect()[0]
+        assert r["tv_micro"] == 0
+        assert r["n_old"] == r["n_new"] > 0
+
+    def test_disjoint_vocab_is_maximal_and_attributed(self, spark):
+        from postgresql_topn_spark.operators.profile import corpus_drift
+
+        old = spark.createDataFrame(
+            [(i, "aa bb cc") for i in range(10)], "doc_id long, text string"
+        )
+        new = spark.createDataFrame(
+            [(i, "xx yy zz") for i in range(10)], "doc_id long, text string"
+        )
+        r = corpus_drift(old, new, n_buckets=256).collect()[0]
+        # completely disjoint vocabularies: TV = 1 exactly
+        assert r["tv_micro"] == 1_000_000
+        assert len(r["top_buckets"]) == 10
+        assert r["top_buckets"][0]["delta_micro"] >= r["top_buckets"][-1]["delta_micro"]
+
+    def test_partial_shift_is_between_and_partition_invariant(self, spark):
+        from postgresql_topn_spark.operators.profile import corpus_drift
+
+        old = spark.createDataFrame(
+            [(i, "shared tokens here plus old stuff") for i in range(20)],
+            "doc_id long, text string",
+        )
+        new = spark.createDataFrame(
+            [(i, "shared tokens here plus new material") for i in range(20)],
+            "doc_id long, text string",
+        )
+        a = corpus_drift(old, new, n_buckets=512).collect()[0]
+        assert 0 < a["tv_micro"] < 1_000_000
+        b = corpus_drift(
+            old.repartition(7), new.repartition(5), n_buckets=512
+        ).collect()[0]
+        assert a["tv_micro"] == b["tv_micro"]
+        assert [tuple(x) for x in a["top_buckets"]] == [
+            tuple(x) for x in b["top_buckets"]
+        ]
