@@ -98,6 +98,8 @@ def corpora(spark):
 class TestLrTrain:
     def test_exact_match_with_python_replay(self, corpora):
         pos, neg, pos_df, neg_df = corpora
+        # lr far past the stable bound on purpose: the replay must
+        # match bit-for-bit even when the optimization diverges
         model = lr_train(
             pos_df, neg_df, n_buckets=256, iters=3, lr=100.0
         )
@@ -111,7 +113,7 @@ class TestLrTrain:
         a = {
             r["bucket"]: r["w_micro"]
             for r in lr_train(
-                pos_df, neg_df, n_buckets=128, iters=2, lr=100.0
+                pos_df, neg_df, n_buckets=128, iters=2, lr=2.0
             ).collect()
         }
         bq = {
@@ -121,14 +123,14 @@ class TestLrTrain:
                 neg_df.repartition(13),
                 n_buckets=128,
                 iters=2,
-                lr=100.0,
+                lr=2.0,
             ).collect()
         }
         assert a == bq
 
     def test_separates_pos_from_neg(self, corpora):
         _, _, pos_df, neg_df = corpora
-        model = lr_train(pos_df, neg_df, n_buckets=512, iters=3, lr=100.0)
+        model = lr_train(pos_df, neg_df, n_buckets=512, iters=3, lr=2.0)
         sp = lr_score(pos_df, model, n_buckets=512)
         sn = lr_score(neg_df, model, n_buckets=512)
         mp = sp.agg(F.avg("prob")).collect()[0][0]
@@ -148,7 +150,7 @@ class TestLrTrain:
         neg = spark.createDataFrame(
             [(3, "gamma delta")], "doc_id long, text string"
         )
-        model = lr_train(pos, neg, n_buckets=64, iters=2, lr=100.0)
+        model = lr_train(pos, neg, n_buckets=64, iters=2, lr=1.0)
         scored = {
             r["doc_id"]: r
             for r in lr_score(pos, model, n_buckets=64).collect()
@@ -205,3 +207,45 @@ def test_score_reserved_id_col_rejected(spark):
     bad = spark.createDataFrame([("x", "a")], "prob string, text string")
     with pytest.raises(ValueError, match="reserved"):
         lr_score(bad, model, id_col="prob", n_buckets=16)
+
+
+# property coverage of the fixed-point GD loop: random corpora of
+# random vocab overlap/length (incl. empty and single-token docs),
+# random iteration counts and step sizes — Spark must equal the
+# pure-Python integer replay EXACTLY on every draw. Few examples
+# (each runs a Spark job chain), wide strategy.
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.sampled_from([f"w{i}" for i in range(12)] + ["the", "of"])
+_doc = st.lists(_word, min_size=0, max_size=8).map(" ".join)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    pos=st.lists(_doc, min_size=1, max_size=6),
+    neg=st.lists(_doc, min_size=1, max_size=6),
+    iters=st.integers(min_value=1, max_value=3),
+    lr=st.sampled_from([0.5, 1.0, 2.0]),
+    n_buckets=st.sampled_from([16, 64]),
+)
+def test_train_replay_property(spark_session_holder, pos, neg, iters, lr, n_buckets):
+    spark = spark_session_holder[0]
+    pos_rows = list(enumerate(pos))
+    neg_rows = list(enumerate(neg))
+    pos_df = spark.createDataFrame(pos_rows, "doc_id long, text string")
+    neg_df = spark.createDataFrame(neg_rows, "doc_id long, text string")
+    model = lr_train(
+        pos_df, neg_df, n_buckets=n_buckets, iters=iters, lr=lr
+    )
+    got = {r["bucket"]: r["w_micro"] for r in model.collect()}
+    w, b = _train_replay(pos_rows, neg_rows, n_buckets, iters, lr)
+    assert got.pop(-1) == b
+    assert got == w
+
+
+@pytest.fixture(scope="module")
+def spark_session_holder(spark):
+    # hypothesis forbids function-scoped fixtures inside @given; hand
+    # the module-scoped session through a stable holder instead
+    return [spark]
