@@ -308,7 +308,7 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.driver.memory", "16g")
+        .config("spark.driver.memory", "48g")  # 100x waves need shuffle headroom; the box has 128 GiB
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
