@@ -93,6 +93,13 @@ _MICRO = 1_000_000
 # engine-dependent denormal handling.
 _Z_CLAMP = 30.0
 
+# Reserved model rows (md5 buckets are non-negative): -1 bias,
+# -2/-3 the embedded (n_buckets, bigrams) feature-space parameters —
+# the part of the model that must survive persistence for lr_score's
+# mismatch validation to keep working on reloaded models.
+_PARAM_NBUCKETS_ROW = -2
+_PARAM_BIGRAMS_ROW = -3
+
 
 def lr_features(
     docs: DataFrame,
@@ -176,9 +183,12 @@ def lr_train(
     corpus, `neg` the raw pool sample. Full-batch gradient descent
     from a zero init, `iters` rounds at step size ``lr/n`` (per-doc
     normalized). Returns the model as (bucket, w_micro) with the BIAS
-    stored at bucket = -1 (md5 buckets are non-negative, so -1 is
+    stored at bucket = -1 and the feature-space parameters embedded at
+    buckets -2/-3 (md5 buckets are non-negative, so negatives are
     free) — one bounded table, ready to persist and reuse across
-    scoring runs like DSIR's model.
+    scoring runs like DSIR's model; `lr_score` validates the embedded
+    parameters even on a model reloaded from storage, where a
+    Python-side tag would have been lost.
 
     ``lr`` is in NATS under the mass preconditioner (module
     docstring): every coordinate's step is lr x its mass-weighted
@@ -309,9 +319,23 @@ def lr_train(
             ).alias("b_micro")
         ).localCheckpoint(eager=False)
 
+    # bias + feature-space parameters live IN the frame at reserved
+    # negative buckets (md5 buckets are non-negative), so a model
+    # persisted to parquet and reloaded still carries — and lr_score
+    # still validates — the (n_buckets, bigrams) it was trained under;
+    # the Python-side tag alone dies at the store boundary (the DSIR
+    # params-frame review item, applied here)
+    spark = pos.sparkSession
+    meta = spark.createDataFrame(
+        [
+            (_PARAM_NBUCKETS_ROW, int(n_buckets)),
+            (_PARAM_BIGRAMS_ROW, 1 if bigrams else 0),
+        ],
+        "bucket long, w_micro long",
+    )
     model = w.unionByName(
         b.select(F.lit(-1).cast("long").alias("bucket"), F.col("b_micro").alias("w_micro"))
-    )
+    ).unionByName(meta)
     model._lr_params = (int(n_buckets), bool(bigrams))  # type: ignore[attr-defined]
     return model
 
@@ -338,6 +362,21 @@ def lr_score(
             f"id_col may not be a reserved output name ({id_col!r})"
         )
     params = getattr(model, "_lr_params", None)
+    if params is None:
+        # a persisted-and-reloaded model: read the embedded parameter
+        # rows (a 2-row filter on a small stored table — no training
+        # lineage exists to accidentally trigger)
+        prow = {
+            r["bucket"]: r["w_micro"]
+            for r in model.where(
+                F.col("bucket").isin(_PARAM_NBUCKETS_ROW, _PARAM_BIGRAMS_ROW)
+            ).collect()
+        }
+        if prow:
+            params = (
+                int(prow[_PARAM_NBUCKETS_ROW]),
+                bool(prow[_PARAM_BIGRAMS_ROW]),
+            )
     if params is not None and params != (int(n_buckets), bool(bigrams)):
         raise ValueError(
             f"model was trained with (n_buckets, bigrams)={params}, "
@@ -347,7 +386,7 @@ def lr_score(
     bias = model.where(F.col("bucket") == -1).select(
         F.col("w_micro").alias("__b")
     )
-    weights = model.where(F.col("bucket") != -1)
+    weights = model.where(F.col("bucket") >= 0)
     feats = lr_features(
         docs, id_col, text_col, n_buckets=n_buckets, bigrams=bigrams
     )

@@ -106,6 +106,7 @@ class TestLrTrain:
         got = {r["bucket"]: r["w_micro"] for r in model.collect()}
         w, b = _train_replay(pos, neg, 256, 3, 100.0)
         assert got.pop(-1) == b
+        assert (got.pop(-2), got.pop(-3)) == (256, 1)  # embedded params
         assert got == w
 
     def test_partition_invariance(self, corpora):
@@ -241,6 +242,7 @@ def test_train_replay_property(spark_session_holder, pos, neg, iters, lr, n_buck
     got = {r["bucket"]: r["w_micro"] for r in model.collect()}
     w, b = _train_replay(pos_rows, neg_rows, n_buckets, iters, lr)
     assert got.pop(-1) == b
+    got.pop(-2); got.pop(-3)
     assert got == w
 
 
@@ -249,3 +251,33 @@ def spark_session_holder(spark):
     # hypothesis forbids function-scoped fixtures inside @given; hand
     # the module-scoped session through a stable holder instead
     return [spark]
+
+
+def test_model_params_survive_persistence(spark, tmp_path):
+    """A model written to parquet and reloaded (Python tag gone) still
+    scores identically AND still rejects a feature-space mismatch —
+    the embedded -2/-3 parameter rows do what the in-session tag did."""
+    pos = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta")],
+        "doc_id long, text string",
+    )
+    neg = spark.createDataFrame(
+        [(3, "junk noise"), (4, "noise junk junk")],
+        "doc_id long, text string",
+    )
+    model = lr_train(pos, neg, n_buckets=64, iters=2, lr=1.0)
+    path = str(tmp_path / "lr_model")
+    model.write.mode("overwrite").parquet(path)
+    reloaded = spark.read.parquet(path)
+    assert not hasattr(reloaded, "_lr_params")
+    want = {
+        (r["doc_id"], r["z_micro"], r["prob"])
+        for r in lr_score(pos, model, n_buckets=64).collect()
+    }
+    got = {
+        (r["doc_id"], r["z_micro"], r["prob"])
+        for r in lr_score(pos, reloaded, n_buckets=64).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="feature spaces"):
+        lr_score(pos, reloaded, n_buckets=128)
