@@ -380,3 +380,40 @@ def dsir_resample(
         .orderBy(F.desc("key_micro"), F.asc(id_col))
         .limit(int(k))
     )
+
+
+def save_dsir_model(model: DataFrame, path: str) -> None:
+    """Persist a `dsir_model`/`dsir_model_from_counts` frame WITH its
+    (n_buckets, alpha) coupling: the model rows go to ``path/model``
+    and the parameters to a 1-row ``path/params`` table (parquet both
+    — engine-portable, object-store-safe; no driver-local files). The
+    DSIR model schema can't embed parameters in-band the way the
+    classifier's does (consumers SUM over ct/cr — a reserved row would
+    poison the totals), so the sidecar is the safe store shape.
+    Raises if the frame carries no tag (an untagged frame has no
+    authoritative parameters to persist — rebuild it via dsir_model)."""
+    tag = getattr(model, "_dsir_params", None)
+    if tag is None:
+        raise ValueError(
+            "model carries no (n_buckets, alpha) tag — persist only "
+            "frames built by dsir_model/dsir_model_from_counts in this "
+            "process, or rebuild via dsir_model_from_counts"
+        )
+    spark = model.sparkSession
+    model.write.mode("overwrite").parquet(f"{path}/model")
+    spark.createDataFrame(
+        [(int(tag[0]), float(tag[1]))], "n_buckets long, alpha double"
+    ).write.mode("overwrite").parquet(f"{path}/params")
+
+
+def load_dsir_model(spark, path: str) -> DataFrame:
+    """Reload a model saved by `save_dsir_model`, RE-TAGGED — so
+    `dsir_importance`/`dsir_resample` keep validating the
+    unseen-bucket-floor coupling across the store boundary (a bare
+    ``spark.read.parquet`` loses the tag and silently shifts the
+    coupling burden to the caller; that documented escape hatch still
+    exists, this is the safe default path)."""
+    prow = spark.read.parquet(f"{path}/params").collect()[0]
+    model = spark.read.parquet(f"{path}/model")
+    model._dsir_params = (int(prow["n_buckets"]), float(prow["alpha"]))  # type: ignore[attr-defined]
+    return model

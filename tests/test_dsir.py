@@ -240,3 +240,47 @@ def test_validation(corpus, target):
         dsir_model(corpus, target, n_buckets=0)
     with pytest.raises(ValueError, match="alpha"):
         dsir_model(corpus, target, alpha=0.0)
+
+
+def test_model_save_load_roundtrip_keeps_coupling(spark, tmp_path):
+    """save/load restores the (n_buckets, alpha) tag across the store
+    boundary: the reloaded model scores identically AND still rejects
+    mismatched scoring parameters — where a bare parquet read would
+    have silently skipped the validation."""
+    import pytest
+
+    from postgresql_topn_spark.operators.dsir import (
+        dsir_model,
+        dsir_resample,
+        load_dsir_model,
+        save_dsir_model,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 7} common tokens w{i % 3}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    target = docs.where(F.col("doc_id") % 2 == 0)
+    model = dsir_model(docs, target, n_buckets=128, alpha=1.0)
+    path = str(tmp_path / "dsir_model")
+    save_dsir_model(model, path)
+    back = load_dsir_model(spark, path)
+    assert back._dsir_params == (128, 1.0)
+    want = {
+        tuple(r)
+        for r in dsir_resample(
+            docs, None, model=model, k=10, n_buckets=128, seed=1
+        ).collect()
+    }
+    got = {
+        tuple(r)
+        for r in dsir_resample(
+            docs, None, model=back, k=10, n_buckets=128, seed=1
+        ).collect()
+    }
+    assert got == want
+    with pytest.raises(ValueError, match="n_buckets"):
+        dsir_resample(docs, None, model=back, k=10, n_buckets=64, seed=1)
+    # untagged frames are not persistable — no authoritative params
+    with pytest.raises(ValueError, match="tag"):
+        save_dsir_model(spark.read.parquet(f"{path}/model"), str(tmp_path / "x"))
