@@ -67,7 +67,9 @@ gradient descent:
 and ONE bucket-keyed hash-agg (the gradient, key space <= n_buckets),
 both map-side combined; the n_buckets-row weight table and the 1-row
 bias/count frames ride broadcasts. The feature frame is computed once
-and lineage-cut (localCheckpoint), so T iterations cost T bounded
+and lineage-cut (localCheckpoint by default; pass ``checkpoint_dir``
+for reliable shared-storage cuts that survive executor loss — see
+operators/checkpointing.py), so T iterations cost T bounded
 aggs over it — no Python stages, no driver-side data, no global sort.
 Model size is fixed at n_buckets+1 rows regardless of corpus size.
 
@@ -178,6 +180,7 @@ def lr_train(
     iters: int = 3,
     lr: float = 1.0,
     bigrams: bool = True,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """Train the classifier: `pos` is the reference ("high-quality")
     corpus, `neg` the raw pool sample. Full-batch gradient descent
@@ -214,7 +217,16 @@ def lr_train(
     The returned frame is tagged (Python-side) with
     (n_buckets, bigrams); `lr_score` validates the tag so a model
     can't silently be scored in the wrong feature space (the DSIR
-    model-tag convention)."""
+    model-tag convention).
+
+    Every GD iteration cuts lineage at its (w, b) state — otherwise
+    iteration k's plan embeds iterations 1..k-1 and a re-executed
+    branch replays the whole history. ``checkpoint_dir=None`` cuts
+    with executor-local blocks (fastest; lost on executor death);
+    pass an HDFS/S3 path for RELIABLE cuts — iteration state then
+    persists to shared storage and a failed executor recomputes
+    nothing upstream (operators/checkpointing.py; the
+    `connected_components` plumbing applied to the training loop)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if lr <= 0:
@@ -229,11 +241,18 @@ def lr_train(
             _col(text_col).alias("__text"),
         )
 
+    from postgresql_topn_spark.operators.checkpointing import stage_cut
+
+    def _cut(df: DataFrame) -> DataFrame:
+        return stage_cut(df, checkpoint_dir)
+
     train = _labeled(pos, 1).unionByName(_labeled(neg, 0))
-    examples = train.select("__tid", "__y").localCheckpoint(eager=False)
-    feats = lr_features(
-        train, "__tid", "__text", n_buckets=n_buckets, bigrams=bigrams
-    ).localCheckpoint(eager=False)
+    examples = _cut(train.select("__tid", "__y"))
+    feats = _cut(
+        lr_features(
+            train, "__tid", "__text", n_buckets=n_buckets, bigrams=bigrams
+        )
+    )
     n_row = examples.agg(F.count(F.lit(1)).alias("__n"))
 
     w = None  # (bucket, w_micro); None = the all-zero init
@@ -299,25 +318,25 @@ def lr_train(
                 0,
             ).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-        w = grad.select(
-            "bucket", (w_prev - step).alias("w_micro")
-        ).localCheckpoint(eager=False)
+        w = _cut(grad.select("bucket", (w_prev - step).alias("w_micro")))
         bgrad = resid.agg(F.sum("__r").alias("__bg"))
         b_prev = F.col("b_micro") if b is not None else F.lit(0).cast("long")
         bnew = bgrad.crossJoin(F.broadcast(n_row))
         if b is not None:
             bnew = bnew.crossJoin(F.broadcast(b))
-        b = bnew.select(
-            (
-                b_prev
-                - F.round(
-                    F.lit(float(lr))
-                    * F.col("__bg").cast("double")
-                    / F.col("__n").cast("double"),
-                    0,
-                ).cast("long")
-            ).alias("b_micro")
-        ).localCheckpoint(eager=False)
+        b = _cut(
+            bnew.select(
+                (
+                    b_prev
+                    - F.round(
+                        F.lit(float(lr))
+                        * F.col("__bg").cast("double")
+                        / F.col("__n").cast("double"),
+                        0,
+                    ).cast("long")
+                ).alias("b_micro")
+            )
+        )
 
     # bias + feature-space parameters live IN the frame at reserved
     # negative buckets (md5 buckets are non-negative), so a model

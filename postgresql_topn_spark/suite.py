@@ -2230,7 +2230,9 @@ def pipeline_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM keyed ORDER BY key_micro DESC, doc_id ASC LIMIT 40
     """,
 )
-def pipeline_select_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_select_mix(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: "str | None" = None
+) -> DataFrame:
     """The FLAGSHIP data-selection composition (VERDICT r6 item 3):
     the two round-6 selection primitives chained AFTER token-level
     dedup, the order a real pretraining-curation pipeline runs them,
@@ -2254,7 +2256,14 @@ def pipeline_select_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment -> rank -> greedy sweep, model -> integer weights ->
     Gumbel keys -> selection), so the COMPOSITION — every stage
     consuming exactly the previous stage's survivor set — is what the
-    hash pins, not just the stages in isolation."""
+    hash pins, not just the stages in isolation.
+
+    `checkpoint_dir=None` cuts stage lineage with executor-local
+    blocks; pass an HDFS/S3 path for RELIABLE stage boundaries — the
+    survivor sets then persist to shared storage (the production
+    materialization discipline) and an executor loss replays nothing
+    upstream. Same values either way (pytest-pinned)."""
+    from postgresql_topn_spark.operators.checkpointing import stage_cut
     from postgresql_topn_spark.operators.dedup import (
         connected_components,
         jaccard_pairs,
@@ -2270,19 +2279,22 @@ def pipeline_select_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     filt = scored.where(F.col("score") >= 0.45)
     edges = jaccard_pairs(filt, "doc_id", "text", threshold=0.5, k=3)
-    comp = connected_components(edges, "doc_a", "doc_b")
+    comp = connected_components(
+        edges, "doc_a", "doc_b", checkpoint_dir=checkpoint_dir
+    )
     # Lineage cuts at the two stage boundaries: semantic_dedup fans
     # its corpus into three branches and DSIR reads its pool four
     # times (model raw+target, doc features, id spine) — without the
     # cuts each branch re-executes the quality + pair-join + closure
     # chain (~10x re-run, measured 14s -> ~4s at sf0.1). A production
     # pipeline materializes survivor sets between stages for exactly
-    # this reason.
-    nd = (
+    # this reason — and with `checkpoint_dir` set the cut IS that
+    # materialization (shared storage, survives executor loss).
+    nd = stage_cut(
         filt.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
         .where(F.coalesce("component", "doc_id") == F.col("doc_id"))
-        .drop("component")
-        .localCheckpoint(eager=False)
+        .drop("component"),
+        checkpoint_dir,
     )
     sem = semantic_dedup(
         nd.join(
@@ -2294,9 +2306,9 @@ def pipeline_select_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=12,
         threshold=0.4,
     )
-    pool = nd.join(
-        sem.where("keep").select("doc_id"), "doc_id"
-    ).localCheckpoint(eager=False)
+    pool = stage_cut(
+        nd.join(sem.where("keep").select("doc_id"), "doc_id"), checkpoint_dir
+    )
     sel = dsir_resample(
         pool,
         pool.where(F.col("lang") == "en"),
@@ -2736,8 +2748,68 @@ _RECIPE_ORACLE = (
 )
 
 
+def _select_recipe_frame(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: "str | None" = None
+) -> DataFrame:
+    """The `pipeline_select_recipe` dataflow as a reusable frame —
+    shared by the gate itself and `pipeline_deliver_dataset`, which
+    chains the selected set into chunk -> pack -> split. See the gate
+    docstring for semantics; `checkpoint_dir` selects reliable
+    stage-boundary cuts (operators/checkpointing.py)."""
+    from postgresql_topn_spark.operators.checkpointing import stage_cut
+    from postgresql_topn_spark.operators.classifier import lr_score, lr_train
+    from postgresql_topn_spark.operators.lm import ppl_buckets
+    from postgresql_topn_spark.operators.sampling import token_budget_mix
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lr_train(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        n_buckets=512,
+        iters=3,
+        lr=1.0,
+        checkpoint_dir=checkpoint_dir,
+    )
+    scored = lr_score(docs, model, n_buckets=512)
+    # stage boundaries are lineage cuts (the select_mix discipline):
+    # ppl_buckets fans its input into model/score/cutoff branches and
+    # the budget stage reads its pool three times; with
+    # `checkpoint_dir` the cuts persist to shared storage
+    flt = stage_cut(
+        docs.join(
+            scored.where(F.col("prob") >= 0.40).select("doc_id"), "doc_id"
+        ).select("doc_id", "lang", "text"),
+        checkpoint_dir,
+    )
+    ppl = ppl_buckets(
+        flt, "doc_id", "text", reference=flt.where(F.col("lang") == "en")
+    )
+    pool = stage_cut(
+        ppl.where(F.col("bucket") != "tail")
+        .join(flt.select("doc_id", "lang"), "doc_id")
+        .select("doc_id", "lang", "n_tokens", "ppl_micro", "bucket"),
+        checkpoint_dir,
+    )
+    total = pool.agg(F.sum("n_tokens")).collect()[0][0]
+    out = token_budget_mix(
+        pool,
+        "lang",
+        "doc_id",
+        "n_tokens",
+        budget=0.5 * float(total),
+        weights={"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
+        seed=13,
+        rate_col="rate",
+    )
+    return out.select(
+        "doc_id", "lang", "n_tokens", "ppl_micro", "bucket", "rate"
+    )
+
+
 @_register("pipeline_select_recipe", _RECIPE_ORACLE)
-def pipeline_select_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pipeline_select_recipe(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: "str | None" = None
+) -> DataFrame:
     """The MODERN quality-selection recipe as one dataflow — the
     classifier-era companion to `pipeline_select_mix` (which chains
     the dedup-era selectors): the three round-7 operators feeding
@@ -2761,51 +2833,13 @@ def pipeline_select_recipe(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoffs, and the budget rates — each consuming exactly the
     previous stage's survivor set, so the recipe is value-pinned
     end-to-end. Output: (doc_id, lang, n_tokens, ppl_micro, bucket,
-    rate) for every selected document."""
-    from postgresql_topn_spark.operators.classifier import lr_score, lr_train
-    from postgresql_topn_spark.operators.lm import ppl_buckets
-    from postgresql_topn_spark.operators.sampling import token_budget_mix
+    rate) for every selected document.
 
-    docs = load_table(spark, sf_dir, "documents")
-    model = lr_train(
-        docs.where(F.col("lang") == "en"),
-        docs.where(F.col("lang") != "en"),
-        n_buckets=512,
-        iters=3,
-        lr=1.0,
-    )
-    scored = lr_score(docs, model, n_buckets=512)
-    # stage boundaries are lineage cuts (the select_mix discipline):
-    # ppl_buckets fans its input into model/score/cutoff branches and
-    # the budget stage reads its pool three times
-    flt = (
-        docs.join(
-            scored.where(F.col("prob") >= 0.40).select("doc_id"), "doc_id"
-        )
-        .select("doc_id", "lang", "text")
-        .localCheckpoint(eager=False)
-    )
-    ppl = ppl_buckets(flt, "doc_id", "text", reference=flt.where(F.col("lang") == "en"))
-    pool = (
-        ppl.where(F.col("bucket") != "tail")
-        .join(flt.select("doc_id", "lang"), "doc_id")
-        .select("doc_id", "lang", "n_tokens", "ppl_micro", "bucket")
-        .localCheckpoint(eager=False)
-    )
-    total = pool.agg(F.sum("n_tokens")).collect()[0][0]
-    out = token_budget_mix(
-        pool,
-        "lang",
-        "doc_id",
-        "n_tokens",
-        budget=0.5 * float(total),
-        weights={"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
-        seed=13,
-        rate_col="rate",
-    )
-    return out.select(
-        "doc_id", "lang", "n_tokens", "ppl_micro", "bucket", "rate"
-    )
+    `checkpoint_dir=None` cuts stage lineage with executor-local
+    blocks; an HDFS/S3 path makes every stage boundary (incl. the
+    classifier's per-iteration state) a RELIABLE checkpoint that
+    survives executor loss. Same values either way (pytest-pinned)."""
+    return _select_recipe_frame(spark, sf_dir, checkpoint_dir)
 
 
 @_register(
