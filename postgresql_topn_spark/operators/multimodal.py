@@ -10,8 +10,11 @@ for codec formats (JPEG/PNG) that this container cannot decode;
 undecodable rows yield NULL pixels instead of failing the scan.
 `resize_pixels` is a real numpy nearest-neighbor resample over decoded
 rows. The remaining deterministic stand-ins (`resize_images` /
-`extract_features` over raw bytes) exist so the SUITE queries stay
-ANSI-SQL-oracle-replicable; the real-pixel path is pytest-covered.
+`byte_histogram_features` over raw bytes; `extract_features` is its
+DEPRECATED alias and warns) exist so the Arrow-batched raw-bytes UDF
+plumbing stays pytest-covered; the real-pixel path
+(`decode_image_pixels` -> `pixel_block_features` /
+`pixel_histogram_features`) is what every oracled gate uses.
 
 Scale notes: binary payloads ride in the same parquet row groups as
 their metadata; `mapInPandas` processes Arrow batches so the Python
@@ -376,13 +379,16 @@ def resize_images(
     )
 
 
-def extract_features(blobs: DataFrame, *, dim: int = 64) -> DataFrame:
-    """Feature-extraction plumbing over RAW (possibly undecodable)
+def byte_histogram_features(blobs: DataFrame, *, dim: int = 64) -> DataFrame:
+    """Feature-extraction PLUMBING over RAW (possibly undecodable)
     blobs: (doc_id, embedding array<float>) via mapInPandas. The
     featurizer is a deterministic stand-in (byte histogram folded to
-    `dim` buckets, L2-normalized) — swap in a real vision/audio
-    encoder with the same signature. For payloads the codecs here CAN
-    decode, use the real pixel-domain featurizers instead:
+    `dim` buckets, L2-normalized) — it reads UNDECODED bytes and
+    carries no pixel-domain signal, so it is a batch-shape/schema
+    fixture, NOT an embedding. It exists so the Arrow-batched
+    raw-bytes UDF contract stays pytest-covered; swap in a real
+    vision/audio encoder with the same signature. For payloads the
+    codecs here CAN decode, use the real pixel-domain featurizers:
     `decode_image_pixels` -> `pixel_block_features` (spatial
     block-mean embedding, the semantic-dedup path) or
     `pixel_histogram_features` (intensity histogram). Output composes
@@ -406,6 +412,27 @@ def extract_features(blobs: DataFrame, *, dim: int = 64) -> DataFrame:
     return blobs.select("doc_id", "blob").where(F.col("doc_id").isNotNull()).mapInPandas(
         featurize, schema="doc_id bigint, embedding array<float>"
     )
+
+
+def extract_features(blobs: DataFrame, *, dim: int = 64) -> DataFrame:
+    """DEPRECATED name for `byte_histogram_features` (VERDICT r7 item
+    3): "extract_features" read like the default featurizer while its
+    byte-histogram output is signal-free plumbing. The embedding role
+    belongs to the real pixel-domain path — `decode_image_pixels` ->
+    `pixel_block_features` — which every oracled multimodal gate uses.
+    This alias warns and delegates so no consumer silently gets the
+    stand-in under the generic name."""
+    import warnings
+
+    warnings.warn(
+        "extract_features is a signal-free byte-histogram stand-in; "
+        "use decode_image_pixels + pixel_block_features for real "
+        "embeddings, or call byte_histogram_features explicitly for "
+        "the raw-bytes plumbing fixture",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    return byte_histogram_features(blobs, dim=dim)
 
 
 def sample_frames(

@@ -178,13 +178,15 @@ class TestMultimodalResizeFeatures:
         assert rows[1]["pixels"] == again[1]["pixels"]
 
     def test_extract_features_normalized_and_deterministic(self, spark):
-        from postgresql_topn_spark.operators.multimodal import extract_features
+        from postgresql_topn_spark.operators.multimodal import (
+            byte_histogram_features,
+        )
 
         df = spark.createDataFrame(
             [(1, b"hello world"), (2, b"hello world"), (3, b"different")],
             "doc_id bigint, blob binary",
         )
-        rows = {r["doc_id"]: r["embedding"] for r in extract_features(df, dim=16).collect()}
+        rows = {r["doc_id"]: r["embedding"] for r in byte_histogram_features(df, dim=16).collect()}
         assert len(rows[1]) == 16
         assert rows[1] == rows[2]  # same bytes, same embedding
         norm = sum(x * x for x in rows[1]) ** 0.5
@@ -192,7 +194,7 @@ class TestMultimodalResizeFeatures:
 
     def test_feature_ann_composition(self, spark):
         from postgresql_topn_spark.operators.multimodal import (
-            extract_features,
+            byte_histogram_features,
             make_blob_table,
         )
         from postgresql_topn_spark.operators.similarity import cosine_topk
@@ -203,7 +205,7 @@ class TestMultimodalResizeFeatures:
             spark, os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001"),
             "documents",
         )
-        emb = extract_features(make_blob_table(docs))
+        emb = byte_histogram_features(make_blob_table(docs))
         q = emb.limit(2)
         out = cosine_topk(emb, q, id_col="doc_id", vec_col="embedding", k=3)
         per_q = {}
@@ -790,9 +792,9 @@ def test_decode_image_pixels_out_col_and_null_blobs(spark):
     blob row killed the scan (bytes(None)) instead of yielding a NULL
     row, violating the module's own corrupt-payload contract."""
     from postgresql_topn_spark.operators.multimodal import (
+        byte_histogram_features,
         decode_image_meta,
         decode_image_pixels,
-        extract_features,
         resize_images,
     )
 
@@ -811,7 +813,7 @@ def test_decode_image_pixels_out_col_and_null_blobs(spark):
     assert meta[2]["n_bytes"] is None and meta[2]["format"] is None
     rz = {r["doc_id"]: r for r in resize_images(blobs).collect()}
     assert rz[1]["pixels"] is not None and rz[2]["pixels"] is None
-    ft = {r["doc_id"]: r for r in extract_features(blobs).collect()}
+    ft = {r["doc_id"]: r for r in byte_histogram_features(blobs).collect()}
     assert ft[1]["embedding"] is not None and ft[2]["embedding"] is None
 
 
@@ -1011,3 +1013,32 @@ def test_pixel_block_features_numpy_differential(spark):
                     else:
                         exp.append(0.0)
             assert got[did_] == exp, (did_, w, h, c, g)
+
+
+def test_extract_features_deprecated_alias_warns_and_delegates(spark):
+    """VERDICT r7 item 3: the generic name must not silently hand out
+    the signal-free byte-histogram stand-in — it warns, and delegates
+    to byte_histogram_features value-for-value."""
+    import warnings
+
+    from postgresql_topn_spark.operators.multimodal import (
+        byte_histogram_features,
+        extract_features,
+    )
+
+    blobs = spark.createDataFrame(
+        [(1, b"payload bytes"), (2, b"other")], "doc_id bigint, blob binary"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        aliased = extract_features(blobs, dim=8)
+    assert any(
+        issubclass(w.category, DeprecationWarning)
+        and "pixel_block_features" in str(w.message)
+        for w in caught
+    )
+    direct = {
+        r["doc_id"]: r["embedding"]
+        for r in byte_histogram_features(blobs, dim=8).collect()
+    }
+    assert {r["doc_id"]: r["embedding"] for r in aliased.collect()} == direct
