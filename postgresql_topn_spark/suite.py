@@ -3697,48 +3697,6 @@ def pipeline_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH d AS (
       SELECT doc_id,
-             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '')) AS BIGINT) AS n_tokens
-      FROM documents
-    ),
-    c AS (
-      SELECT doc_id, n_tokens,
-             CAST(sum(n_tokens) OVER (ORDER BY doc_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                  - n_tokens AS BIGINT) AS start_offset
-      FROM d
-    )
-    SELECT doc_id, n_tokens, start_offset,
-           CAST(floor(start_offset / 2048.0) AS BIGINT) AS first_bin,
-           CAST(floor((start_offset + greatest(n_tokens - 1, 0)) / 2048.0) AS BIGINT) AS last_bin
-    FROM c
-    """,
-)
-def pipeline_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Concat-and-chunk context packing: every document's offset in the
-    concatenated token stream and the 2048-token training contexts it
-    straddles. The oracle is the naive single-window cumsum; the Spark
-    side runs the scale-safe two-level prefix sum (bucket-local cumsums
-    in parallel + a #buckets-row bucket prefix broadcast back) — same
-    numbers by associativity, no corpus-wide single-reducer window
-    (plan-asserted in tests/test_plans.py)."""
-    from postgresql_topn_spark.operators.packing import pack_token_stream
-    from postgresql_topn_spark.operators.text import ws_token_count
-
-    docs = load_table(spark, sf_dir, "documents")
-    return pack_token_stream(
-        docs,
-        "doc_id",
-        ws_token_count("text"),
-        context_len=2048,
-        bucket_width=512,
-    )
-
-
-@_register(
-    "pipeline_chunk_docs",
-    """
-    WITH d AS (
-      SELECT doc_id,
              list_filter(string_split_regex(trim(text), '\\s+'),
                          t -> t <> '') AS toks
       FROM documents
@@ -3746,32 +3704,91 @@ def pipeline_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 AS (
       SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
     ),
-    c AS (
-      SELECT doc_id, toks, n,
-             unnest(range(0, greatest(n - 32, 1), 224)) AS start_tok
-      FROM d2
+    ch AS (
+      SELECT doc_id,
+             CAST(start_tok / 224 AS INT) AS chunk_idx,
+             start_tok,
+             CAST(least(256, n - start_tok) AS BIGINT) AS n_tok,
+             array_to_string(list_slice(toks, start_tok + 1, start_tok + 256), ' ')
+               AS chunk,
+             doc_id * 1048576 + CAST(start_tok / 224 AS BIGINT) AS cid
+      FROM (
+        SELECT doc_id, toks, n,
+               unnest(range(0, greatest(n - 32, 1), 224)) AS start_tok
+        FROM d2
+      )
+    ),
+    p AS (
+      SELECT cid,
+             CAST(sum(n_tok) OVER (ORDER BY cid
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tok AS BIGINT) AS start_offset
+      FROM ch
     )
-    SELECT doc_id,
-           CAST(start_tok / 224 AS INT) AS chunk_idx,
-           start_tok,
-           CAST(least(256, n - start_tok) AS BIGINT) AS n_tok,
-           array_to_string(list_slice(toks, start_tok + 1, start_tok + 256), ' ')
-             AS chunk
-    FROM c
+    SELECT ch.doc_id, ch.chunk_idx, ch.start_tok, ch.n_tok, ch.chunk,
+           p.start_offset,
+           CAST(floor(p.start_offset / 2048.0) AS BIGINT) AS first_bin,
+           CAST(floor((p.start_offset + greatest(ch.n_tok - 1, 0)) / 2048.0) AS BIGINT) AS last_bin
+    FROM ch JOIN p USING (cid)
     """,
 )
-def pipeline_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sliding-window chunking: every document split into 256-token
-    chunks with 32-token overlap (stride 224) — the RAG/long-doc
-    pretraining splitter. Pure scan-stage expressions, zero shuffles
-    (plan room for a downstream embed/groupBy stage); the oracle
-    replays the same tokenizer, stride arithmetic and slice bounds."""
-    from postgresql_topn_spark.operators.packing import chunk_documents
+def pipeline_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-then-pack: every document split into 256-token chunks with
+    32-token overlap (stride 224, the RAG/long-doc splitter, chunk text
+    re-joined on single spaces), then every CHUNK assigned its byte-
+    exact position in the concatenated token stream and the 2048-token
+    training contexts it straddles. Chunk identity is the order-
+    preserving composite chunk_id = doc_id * 2^20 + chunk_idx (chunk
+    counts are bounded far below 2^20), so the pack order is exactly
+    (doc_id, chunk_idx) — the layout a packed training shard uses.
+
+    Chunking is pure scan-stage Catalyst (sequence -> explode ->
+    slice, zero shuffles of its own); the pack oracle is the naive
+    single-window cumsum while the Spark side runs the scale-safe
+    two-level prefix sum (bucket-local cumsums in parallel + a
+    #buckets-row bucket prefix broadcast back) — same numbers by
+    associativity, no corpus-wide single-reducer window
+    (plan-asserted in tests/test_plans.py). Round-8 lane-preserving
+    merge of the former pipeline_chunk_docs gate (funding the round's
+    two additions under the registry's 98-gate budget)."""
+    from postgresql_topn_spark.operators.packing import (
+        chunk_documents,
+        pack_token_stream,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
-    return chunk_documents(
+    chunks = chunk_documents(
         docs, "doc_id", "text", chunk_len=256, overlap=32
+    ).withColumn(
+        "cid",
+        F.col("doc_id") * F.lit(1048576).cast("long")
+        + F.col("chunk_idx").cast("long"),
     )
+    packed = pack_token_stream(
+        chunks.select("cid", "n_tok"),
+        "cid",
+        "n_tok",
+        context_len=2048,
+        bucket_width=1048576 * 64,
+    ).select(
+        F.col("doc_id").alias("cid"), "start_offset", "first_bin", "last_bin"
+    )
+    return chunks.join(packed, "cid").select(
+        "doc_id",
+        "chunk_idx",
+        "start_tok",
+        "n_tok",
+        "chunk",
+        "start_offset",
+        "first_bin",
+        "last_bin",
+    )
+
+
+# (pipeline_chunk_docs folded into pipeline_pack_contexts in round 8 —
+# the chunker now feeds the packer inside one gate, chunk text and
+# slice bounds still value-pinned, so both lanes keep one fresh driver
+# row under the 98-gate budget.)
 
 
 @_register(
@@ -3983,79 +4000,57 @@ def topn_exact_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "topn_composite_key",
     """
-    SELECT item, frequency FROM (
-      SELECT concat(o.o_orderpriority, '|', l.l_returnflag) AS item,
-             COUNT(*) AS frequency,
-             ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC,
-                                concat(o.o_orderpriority, '|', l.l_returnflag) ASC) AS rn
+    WITH e AS (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+             concat(o.o_orderpriority, '|', l.l_returnflag) AS item
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-      GROUP BY concat(o.o_orderpriority, '|', l.l_returnflag)
-    ) t WHERE rn <= 10
+    ),
+    c AS (
+      SELECT CAST(GROUPING(yr) AS BIGINT) AS gid, yr, item,
+             COUNT(item) AS frequency
+      FROM e GROUP BY GROUPING SETS ((yr, item), (item))
+    )
+    SELECT gid, yr, item, frequency FROM (
+      SELECT gid, yr, item, frequency,
+             row_number() OVER (PARTITION BY gid, yr
+                                ORDER BY frequency DESC, item ASC) AS rn
+      FROM c
+    ) t WHERE rn <= 5
     """,
 )
 def topn_composite_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Composite-item sketch over a fact-fact join: top
-    (orderpriority, returnflag) pairs — the multi-column-item composition
-    reference users build with concatenated casts (the extension's
-    items are text, so composite keys are always encode-into-one-string
-    on the host engine too). Exercises join -> expression item ->
-    global sketch -> extraction in one plan."""
-    li = load_table(spark, sf_dir, "lineitem")
-    orders = load_table(spark, sf_dir, "orders")
-    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-    item = F.concat(F.col("o_orderpriority"), F.lit("|"), F.col("l_returnflag"))
-    sk = topn_add_agg(
-        j.select(item.alias("it"), F.lit(1).alias("g")),
-        ["g"],
-        "it",
-        counters=C,
-    )
-    return explode_topn(sk, "topn", 10, counters=C)
-
-
-@_register(
-    "topn_grouping_sets",
-    """
-    WITH e AS (
-      SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mon,
-             event_type AS item
-      FROM events WHERE event_type IS NOT NULL
-    ),
-    c AS (
-      SELECT CAST(GROUPING(yr) * 2 + GROUPING(mon) AS BIGINT) AS gid,
-             yr, mon, item, COUNT(item) AS frequency
-      FROM e GROUP BY GROUPING SETS ((yr, mon, item), (yr, item), (item))
-    )
-    SELECT gid, yr, mon, item, frequency FROM (
-      SELECT gid, yr, mon, item, frequency,
-             row_number() OVER (PARTITION BY gid, yr, mon
-                                ORDER BY frequency DESC, item ASC) AS rn
-      FROM c
-    ) t WHERE rn <= 3
-    """,
-)
-def topn_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-grain sketch build in ONE scan: top-3 event types per
-    (year, month), per year, and all-time via topn_add_agg under
-    GROUPING SETS — the rollup-table builder's one-pass grain
-    expansion (a composition the reference's host engine offers but
-    its tests never exercise; SURVEY.md §2.2)."""
+    """Composite-item sketch over a fact-fact join, built at TWO GRAINS
+    in one scan: top-5 (orderpriority, returnflag) pairs per order year
+    AND all-time, via topn_add_agg under GROUPING SETS. Composite keys
+    are the encode-into-one-string idiom reference users need (the
+    extension's items are text); GROUPING SETS is the rollup-table
+    builder's one-pass grain expansion (a composition the reference's
+    host engine offers but its tests never exercise; SURVEY.md §2.2).
+    Exercises join -> expression item -> multi-grain sketch ->
+    extraction in one plan. Round-8 lane-preserving merge of the
+    former topn_grouping_sets gate (funding the deliver-dataset +
+    model-roundtrip additions under the registry's 98-gate budget)."""
     from postgresql_topn_spark.functions.aggregates import (
         topn_add_agg_grouping_sets,
     )
 
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type").isNotNull()
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    j = li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+    e = j.select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.concat(
+            F.col("o_orderpriority"), F.lit("|"), F.col("l_returnflag")
+        ).alias("item"),
     )
-    e = ev.select(
-        F.year("ts").cast("int").alias("yr"),
-        F.month("ts").cast("int").alias("mon"),
-        F.col("event_type").alias("item"),
-    )
-    sk = topn_add_agg_grouping_sets(
-        e, [["yr", "mon"], ["yr"], []], "item", counters=C
-    )
-    return explode_topn(sk, "topn", 3, keep=["gid", "yr", "mon"], counters=C)
+    sk = topn_add_agg_grouping_sets(e, [["yr"], []], "item", counters=C)
+    return explode_topn(sk, "topn", 5, keep=["gid", "yr"], counters=C)
+
+
+# (topn_grouping_sets folded into topn_composite_key in round 8 — the
+# lane-preserving merge VERDICT r7 item 8 prescribed: the composite-key
+# gate now builds its sketch at two grains under GROUPING SETS, so both
+# lanes keep one fresh driver row under the 98-gate budget.)
 
 
 @_register(

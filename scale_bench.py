@@ -91,7 +91,8 @@ SUBSET = [
     "distinct_kmv_sets",
     "cms_rollup_events",
     "ann_ivfpq_topk",
-    "pipeline_chunk_docs",
+    # round 8: pipeline_chunk_docs folded into pipeline_pack_contexts
+    "pipeline_pack_contexts",
     "pipeline_weighted_sample",
     "dedup_bloom_incremental",
     "search_bm25",

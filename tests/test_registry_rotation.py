@@ -83,3 +83,30 @@ def test_registry_stays_under_the_2round_saturation_cap():
         "registering (2-round freshness needs <= 2x the driver's "
         "50-row cap, with slack)"
     )
+
+
+def test_additions_never_push_a_gate_two_rounds_stale():
+    """VERDICT r7 item 1: the per-round new-gate budget, enforced.
+
+    Every gate whose latest green row is older than the newest round
+    — including never-rowed NEW gates, which front the rotation — is
+    OWED a row in the next driver window. If the owed set exceeds the
+    driver's 50-row cap, some gate is guaranteed to go two rounds
+    without a fresh row (that is exactly how r5's three gates went
+    stale through r6+r7: 13 net-new gates fronted the window).
+    Registering a gate is only legal while the owed set still fits —
+    fund additions with lane-preserving merges (see the round-8
+    topn_composite_key / pipeline_pack_contexts merges)."""
+    latest = _latest_green_round()
+    if not latest:
+        return
+    newest = max(latest.values())
+    names = list(QUERIES)
+    owed = [n for n in names if latest.get(n, -1) < newest]
+    assert len(owed) <= 50, (
+        f"{len(owed)} gates owe a fresh driver row but the window is "
+        "50 — this round's additions exceeded the freshness budget; "
+        "merge or retire gates until the owed set fits"
+    )
+    # and the self-rotation actually fronts all of them
+    assert set(owed) <= set(names[:50])
