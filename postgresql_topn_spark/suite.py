@@ -47,6 +47,7 @@ _SCRATCH_PREFIXES = (
     "topn_csv_reviews_",
     "topn_stream_kmv_",
     "topn_stream_sess_",
+    "topn_models_",
 )
 
 
@@ -2646,6 +2647,129 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         lr=1.0,
     )
     return lr_score(docs, model, n_buckets=512)
+
+
+_ROUNDTRIP_ORACLE = (
+    "\n    WITH "
+    + _LR_CTES
+    + """,
+    qtoks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\\s+'), t -> t <> '') AS t
+      FROM documents
+    ),
+    qfb AS MATERIALIZED (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(f), 1, 15)) AS BIGINT) % 4096 AS bucket
+      FROM (
+        SELECT doc_id,
+               unnest(list_concat(t,
+                 list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                                i -> t[i] || ' ' || t[i+1]))) AS f
+        FROM qtoks)
+    ),
+    qdocfeat AS (
+      SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+      FROM qfb GROUP BY doc_id, bucket
+    ),
+    qrawc AS (SELECT bucket, CAST(count(*) AS BIGINT) AS cr FROM qfb GROUP BY bucket),
+    qtgtc AS (
+      SELECT qfb.bucket, CAST(count(*) AS BIGINT) AS ct
+      FROM qfb JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY qfb.bucket
+    ),
+    qtot AS (
+      SELECT CAST((SELECT sum(cr) FROM qrawc) AS DOUBLE) AS tr,
+             CAST(COALESCE((SELECT sum(ct) FROM qtgtc), 0) AS DOUBLE) AS tt
+    ),
+    qmodel AS (
+      SELECT r.bucket,
+             CAST(round(((ln(CAST(COALESCE(t2.ct, 0) AS DOUBLE) + 1.0) - ln(tt + 4096.0))
+                         - (ln(CAST(r.cr AS DOUBLE) + 1.0) - ln(tr + 4096.0)))
+                        * 1000000.0, 0) AS BIGINT) AS lr_micro
+      FROM qrawc r LEFT JOIN qtgtc t2 USING (bucket) CROSS JOIN qtot
+    ),
+    qw AS (
+      SELECT df.doc_id, CAST(sum(df.cnt) AS BIGINT) AS n_feats,
+             CAST(sum(df.cnt * m.lr_micro) AS BIGINT) AS logw_micro
+      FROM qdocfeat df JOIN qmodel m USING (bucket)
+      GROUP BY df.doc_id
+    ),
+    qallw AS (
+      SELECT d.doc_id, COALESCE(qw.n_feats, 0) AS n_feats,
+             COALESCE(qw.logw_micro, 0) AS logw_micro
+      FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN qw USING (doc_id)
+    )
+    SELECT sc.doc_id, sc.z_micro,
+           round("""
+    + _LR_SIGMOID.format(z="z_micro")
+    + """, 6) AS prob,
+           a.n_feats, a.logw_micro
+    FROM sc JOIN qallw a USING (doc_id)
+    """
+)
+
+
+@_register("pipeline_model_roundtrip", _ROUNDTRIP_ORACLE)
+def pipeline_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION model lifecycle — train once, PERSIST, reload,
+    score many ingests — for both in-engine model families, through a
+    real parquet store boundary (VERDICT r7 item 5):
+
+      1. classifier: `lr_train` (en vs rest, 512 buckets, 3
+         iterations) -> `DataFrame.write.parquet` -> `spark.read`
+         -> `lr_score`. The reloaded frame has NO Python-side tag;
+         the scorer validates the feature space from the reserved
+         negative-bucket parameter rows embedded in the model itself
+         (classifier.py:310) — the store-boundary path this gate
+         exists to drive.
+      2. DSIR: `dsir_model` (raw=documents, target=en slice, 4096
+         buckets) -> `save_dsir_model` (model rows + 1-row params
+         sidecar) -> `load_dsir_model` (re-tags the frame) ->
+         `dsir_importance`. The sidecar re-couples (n_buckets, alpha)
+         across the boundary so the unseen-bucket floor stays
+         validated.
+
+    Output joins both scorers per document: (doc_id, z_micro, prob,
+    n_feats, logw_micro). The oracle replays training AND scoring
+    value-for-value, so a green row proves the persisted-and-reloaded
+    models score byte-identically to the in-session ones — the
+    hash-match the stream-scoring deployment (train nightly, score
+    every micro-batch) depends on. Store I/O is two bounded model
+    tables (513 and <=4096 rows), never corpus data."""
+    import os as _os
+
+    from postgresql_topn_spark.operators.classifier import lr_score, lr_train
+    from postgresql_topn_spark.operators.dsir import (
+        dsir_importance,
+        dsir_model,
+        load_dsir_model,
+        save_dsir_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = _scratch_dir("topn_models_")
+
+    lr_model = lr_train(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        n_buckets=512,
+        iters=3,
+        lr=1.0,
+    )
+    lr_path = _os.path.join(base, "lr")
+    lr_model.write.mode("overwrite").parquet(lr_path)
+    scored = lr_score(docs, spark.read.parquet(lr_path), n_buckets=512)
+
+    dm = dsir_model(docs, docs.where(F.col("lang") == "en"), n_buckets=4096)
+    dsir_path = _os.path.join(base, "dsir")
+    save_dsir_model(dm, dsir_path)
+    w = dsir_importance(
+        docs, load_dsir_model(spark, dsir_path), n_buckets=4096
+    )
+
+    return scored.join(w, "doc_id").select(
+        "doc_id", "z_micro", "prob", "n_feats", "logw_micro"
+    )
 
 
 _RECIPE_ORACLE = (

@@ -88,3 +88,37 @@ def test_flagship_pipeline_checkpointed_identical(
     ck = _rows(fn(spark, sf_dir, checkpoint_dir=str(tmp_path / gate)), *order)
     assert base == ck
     assert base, f"{gate} returned no rows at {sf_dir}"
+
+
+def test_model_roundtrip_gate_matches_in_session_models(spark, sf_dir):
+    """pipeline_model_roundtrip persists both model families to parquet
+    and scores through the reloaded frames; the result must be
+    row-identical to scoring with the in-session models (the gate's
+    whole claim)."""
+    from postgresql_topn_spark import suite
+    from postgresql_topn_spark.operators.classifier import lr_score, lr_train
+    from postgresql_topn_spark.operators.dsir import dsir_importance, dsir_model
+    from pyspark.sql import functions as F2
+
+    docs = suite.load_table(spark, sf_dir, "documents")
+    lr_model = lr_train(
+        docs.where(F2.col("lang") == "en"),
+        docs.where(F2.col("lang") != "en"),
+        n_buckets=512,
+        iters=3,
+        lr=1.0,
+    )
+    scored = lr_score(docs, lr_model, n_buckets=512)
+    dm = dsir_model(docs, docs.where(F2.col("lang") == "en"), n_buckets=4096)
+    w = dsir_importance(docs, dm, n_buckets=4096)
+    expected = _rows(
+        scored.join(w, "doc_id").select(
+            "doc_id", "z_micro", "prob", "n_feats", "logw_micro"
+        ),
+        "doc_id",
+    )
+    got = _rows(
+        suite.QUERIES["pipeline_model_roundtrip"](spark, sf_dir), "doc_id"
+    )
+    assert got == expected
+    assert got
