@@ -22,6 +22,63 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _current_round(here: str) -> int:
+    import re
+
+    rounds = [
+        int(m.group(1))
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
+    ]
+    return (max(rounds) + 1) if rounds else 0
+
+
+def _common_subset_diff(
+    timings: "dict[str, float]", this_round: int
+) -> "dict | None":
+    """Round-over-round comparability, as a standing artifact (VERDICT
+    r7 item 7): the suite TOTAL moves whenever gates are added/merged,
+    so every round also reports the subtotal over the queries shared
+    with the previous round's full artifact, plus the median-ratio box
+    factor that calibrates out this VM's 1.5-10x timing noise
+    (bench_diff.py's method, baked into the per-round artifact). A
+    regression hides in the total only if it also hides in
+    ``subtotal / box_factor`` vs ``prev_subtotal``."""
+    import re
+    import statistics
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [
+        r
+        for f in os.listdir(here)
+        if (m := re.fullmatch(r"BENCH_full_r(\d+)\.json", f))
+        and (r := int(m.group(1))) < this_round
+    ]
+    if not rounds:
+        return None
+    prev_name = f"BENCH_full_r{max(rounds):02d}.json"
+    try:
+        with open(os.path.join(here, prev_name)) as fh:
+            prev_q = json.load(fh).get("queries", {})
+    except (OSError, ValueError):
+        return None
+    common = sorted(set(prev_q) & set(timings))
+    if not common:
+        return None
+    box = statistics.median(
+        timings[n] / max(float(prev_q[n]), 1e-9) for n in common
+    )
+    subtotal = sum(timings[n] for n in common)
+    return {
+        "prev": prev_name,
+        "common": len(common),
+        "box_factor": round(box, 3),
+        "prev_subtotal": round(sum(float(prev_q[n]) for n in common), 2),
+        "subtotal": round(subtotal, 2),
+        "calibrated_subtotal": round(subtotal / max(box, 1e-9), 2),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -94,6 +151,9 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
     }
+    here = os.path.dirname(os.path.abspath(__file__))
+    this_round = _current_round(here)
+    result["common_subset"] = _common_subset_diff(timings, this_round)
 
     # The grading driver keeps only the LAST 2000 chars of stdout and
     # json-parses the tail; with 80+ queries the full map no longer fits
@@ -102,15 +162,7 @@ def main() -> None:
     # stdout line a complete JSON that fits the capture window —
     # slowest queries first, map truncated to fit, with a pointer to
     # the full artifact.
-    here = os.path.dirname(os.path.abspath(__file__))
-    import re
-
-    rounds = [
-        int(m.group(1))
-        for f in os.listdir(here)
-        if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f))
-    ]
-    full_name = f"BENCH_full_r{(max(rounds) + 1) if rounds else 0:02d}.json"
+    full_name = f"BENCH_full_r{this_round:02d}.json"
     with open(os.path.join(here, full_name), "w") as fh:
         json.dump(result, fh, indent=1, sort_keys=True)
 

@@ -91,8 +91,11 @@ SUBSET = [
     "distinct_kmv_sets",
     "cms_rollup_events",
     "ann_ivfpq_topk",
-    # round 8: pipeline_chunk_docs folded into pipeline_pack_contexts
+    # round 8: pipeline_chunk_docs folded into pipeline_pack_contexts;
+    # deliver-dataset + model-roundtrip compositions (documents-backed)
     "pipeline_pack_contexts",
+    "pipeline_deliver_dataset",
+    "pipeline_model_roundtrip",
     "pipeline_weighted_sample",
     "dedup_bloom_incremental",
     "search_bm25",

@@ -65,3 +65,33 @@ def test_small_absolute_deltas_not_flagged(tmp_path):
     old = {"queries": {"a": 0.1, "b": 1.0, "c": 1.0, "d": 1.0}}
     new = {"queries": {"a": 0.2, "b": 1.0, "c": 1.0, "d": 1.0}}
     assert _run(tmp_path, old, new)["flagged"] == []
+
+
+def test_bench_common_subset_is_a_standing_artifact(monkeypatch, tmp_path):
+    """VERDICT r7 item 7: bench.py itself reports the common-subset
+    subtotal + box factor against the PREVIOUS round's full artifact
+    (not any same-round re-run), so the calibrated round-over-round
+    number is produced every round, not as a one-off analysis."""
+    import bench
+
+    prev = {
+        "queries": {"a": 1.0, "b": 2.0, "c": 4.0, "gone": 9.0},
+    }
+    with open(tmp_path / "BENCH_full_r07.json", "w") as fh:
+        json.dump(prev, fh)
+    # a same-round artifact must be ignored (it would be self-compare)
+    with open(tmp_path / "BENCH_full_r08.json", "w") as fh:
+        json.dump({"queries": {"a": 99.0}}, fh)
+    monkeypatch.setattr(
+        bench.os.path, "dirname", lambda _p: str(tmp_path)
+    )
+    # box slows uniformly 2x; one new gate appears, one old gate gone
+    timings = {"a": 2.0, "b": 4.0, "c": 8.0, "new": 5.0}
+    d = bench._common_subset_diff(timings, this_round=8)
+    assert d["prev"] == "BENCH_full_r07.json"
+    assert d["common"] == 3
+    assert abs(d["box_factor"] - 2.0) < 1e-9
+    assert d["prev_subtotal"] == 7.0 and d["subtotal"] == 14.0
+    assert abs(d["calibrated_subtotal"] - 7.0) < 1e-9
+    # no prior round -> no section, not a crash
+    assert bench._common_subset_diff(timings, this_round=7) is None

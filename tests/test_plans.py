@@ -513,3 +513,46 @@ def test_lr_classifier_bounded_aggs_no_python(spark, docs):
     import re
 
     assert len(re.findall(r"\(\d+\) Window", plan_str(out))) == 0
+
+
+def test_chunk_pack_gate_single_partition_only_bucket_prefix(spark):
+    """pipeline_pack_contexts (round-8 merged chunk->pack gate): the
+    only SinglePartition exchange is the #buckets-row bucket prefix;
+    the corpus-sized window stays partitioned by the order-preserving
+    bucket key, chunking adds zero Python stages."""
+    from postgresql_topn_spark.suite import QUERIES
+
+    out = QUERIES["pipeline_pack_contexts"](spark, SF)
+    p = plan_str(out, "simple")
+    assert p.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(__bkt" in p
+    assert python_stages(out) == 0
+
+
+def test_deliver_dataset_gate_plan_shape(spark):
+    """pipeline_deliver_dataset: downstream of the recipe's stage cut,
+    chunk->pack->split must keep the two-level-prefix shape (one
+    bounded SinglePartition exchange, bucketed window) and stay
+    entirely JVM-side — the split assignment is a scan-stage
+    projection, never a shuffle of its own."""
+    from postgresql_topn_spark.suite import QUERIES
+
+    out = QUERIES["pipeline_deliver_dataset"](spark, SF)
+    p = plan_str(out, "simple")
+    assert p.count("Exchange SinglePartition") == 1
+    assert "hashpartitioning(__bkt" in p
+    assert python_stages(out) == 0
+
+
+def test_model_roundtrip_gate_broadcast_models(spark):
+    """pipeline_model_roundtrip: both reloaded model tables are bounded
+    (<= n_buckets rows) and must ride broadcasts into the scorers —
+    corpus rows never shuffle toward a model, and no Python stage
+    exists anywhere in the scoring path."""
+    from postgresql_topn_spark.suite import QUERIES
+
+    out = QUERIES["pipeline_model_roundtrip"](spark, SF)
+    p = plan_str(out, "simple")
+    assert broadcast_exchanges(out) >= 3
+    assert python_stages(out) == 0
+    assert p.count("Exchange SinglePartition") <= 1
