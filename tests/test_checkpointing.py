@@ -122,3 +122,55 @@ def test_model_roundtrip_gate_matches_in_session_models(spark, sf_dir):
     )
     assert got == expected
     assert got
+
+
+def test_deliver_dataset_ships_as_verifiable_jsonl(spark, sf_dir, tmp_path):
+    """The step after the manifest: the deliver-dataset output ships
+    through write_jsonl_corpus (sharded, manifest-checksummed) and a
+    training run reads it back with verify_manifest=True — the full
+    select -> chunk -> pack -> split -> SHIP lane, row-identical
+    through the store boundary."""
+    from postgresql_topn_spark import suite
+    from postgresql_topn_spark.sources.jsonl import (
+        read_jsonl_corpus,
+        write_jsonl_corpus,
+    )
+
+    out = suite.QUERIES["pipeline_deliver_dataset"](spark, sf_dir)
+    base = _rows(out, "doc_id", "chunk_idx")
+    dest = str(tmp_path / "shards")
+    manifest = write_jsonl_corpus(
+        out.withColumn(
+            "chunk_id",
+            out["doc_id"] * 1048576 + out["chunk_idx"],
+        ),
+        dest,
+        shard_key="chunk_id",
+        n_shards=4,
+    )
+    assert manifest["total_rows"] == len(base)
+    back = read_jsonl_corpus(
+        spark,
+        dest,
+        schema=(
+            "doc_id bigint, chunk_idx int, n_tok bigint, "
+            "start_offset bigint, first_bin bigint, last_bin bigint, "
+            "split string, chunk_id bigint"
+        ),
+        verify_manifest=True,
+    )
+    got = [
+        tuple(r)
+        for r in back.select(
+            "doc_id",
+            "chunk_idx",
+            "n_tok",
+            "start_offset",
+            "first_bin",
+            "last_bin",
+            "split",
+        )
+        .orderBy("doc_id", "chunk_idx")
+        .collect()
+    ]
+    assert got == base
