@@ -36,6 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from postgresql_topn_spark.functions.sketch import _col
+from postgresql_topn_spark.operators.checkpointing import stage_cut
 from postgresql_topn_spark.operators.text import tokens
 
 EOW = "</w>"  # end-of-word sentinel: multi-char, so it can never collide
@@ -170,6 +171,7 @@ def train_bpe(
     min_pair_count: int = 2,
     persist_every: int = 8,
     batch_m: int = 1,
+    checkpoint_dir: "str | None" = None,
 ) -> list[tuple[str, str]]:
     """Learn `n_merges` BPE merge rules from the corpus. Returns the
     ordered merge list (apply order = learn order). Stops early when no
@@ -179,7 +181,13 @@ def train_bpe(
     the provably-order-equivalent prefix rule (see _select_batch): the
     result is IDENTICAL to batch_m=1 (pytest-pinned), but a 10k-merge
     vocabulary runs ~batch-size× fewer scheduler round-trips. Each
-    round stays one job: one TakeOrdered collect of batch_m+1 rows."""
+    round stays one job: one TakeOrdered collect of batch_m+1 rows.
+
+    The word table's periodic lineage cut defaults to executor-local
+    blocks; pass ``checkpoint_dir`` (HDFS/S3) for RELIABLE cuts that
+    survive executor loss — the same contract as `lr_train` and
+    `connected_components` (operators/checkpointing.py). Same merges
+    either way (pytest-pinned)."""
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1, got {n_merges}")
     if batch_m < 1:
@@ -229,10 +237,13 @@ def train_bpe(
             words = words.select(syms.alias("syms"), "cnt")
             rounds_since_persist += 1
             if rounds_since_persist >= persist_every:
-                # cut plan growth: localCheckpoint truncates lineage
-                # (swap for reliable checkpoints on a cluster, like
-                # connected_components' checkpoint_dir mode)
-                words = words.localCheckpoint(eager=True)
+                # cut plan growth: the cut truncates lineage (reliable
+                # when checkpoint_dir is set — iteration state then
+                # survives executor loss)
+                if checkpoint_dir is not None:
+                    words = stage_cut(words, checkpoint_dir)
+                else:
+                    words = words.localCheckpoint(eager=True)
                 rounds_since_persist = 0
     finally:
         base.unpersist()

@@ -198,3 +198,22 @@ def test_encode_matches_sequential_merge_application(spark):
     for i, (t,) in enumerate(rows):
         exp = [tok for w in t.split() for tok in apply_in_order(w)]
         assert enc[i] == exp, (i, t, merges)
+
+
+def test_train_bpe_reliable_checkpoint_same_merges(spark, tmp_path):
+    """checkpoint_dir is a materialization knob, never a semantic one:
+    reliable per-round cuts must learn the identical merge list (cuts
+    forced every round via persist_every=1)."""
+    from postgresql_topn_spark.operators.bpe import train_bpe
+
+    df = spark.createDataFrame(
+        [(i, "low lower lowest newer newest wide widest " * 3)
+         for i in range(8)],
+        "doc_id bigint, text string",
+    )
+    kw = dict(n_merges=6, persist_every=1)
+    local = train_bpe(df, "text", **kw)
+    reliable = train_bpe(
+        df, "text", checkpoint_dir=str(tmp_path / "bpe_ck"), **kw
+    )
+    assert local == reliable and len(local) == 6
