@@ -4981,7 +4981,9 @@ def multimodal_png_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked r LEFT JOIN kills k ON k.idb = r.doc_id
     """,
 )
-def multimodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_semantic_dedup(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: "str | None" = None
+) -> DataFrame:
     """The multimodal SEMANTIC-dedup story end-to-end with zero
     stand-ins (VERDICT r6 item 4): real PNGs (synth_png) -> real codec
     decode (decode_png_pixels: inflate + unfilter) -> REAL pixel-domain
@@ -5003,6 +5005,8 @@ def multimodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from postgresql_topn_spark.operators.semdedup import semantic_dedup
 
+    from postgresql_topn_spark.operators.checkpointing import stage_cut
+
     docs = load_table(spark, sf_dir, "documents")
     imgs = decode_image_pixels(
         make_png_blob_table(docs), decoder=decode_png_pixels
@@ -5012,8 +5016,9 @@ def multimodal_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the synth+decode mapInPandas chain. The feature frame is tiny
     # (one 16-double row per doc), so checkpoint it — the same
     # decode-once discipline a production pipeline would use (and the
-    # bpe.py precedent). Plan-audited in tests/test_plans.py.
-    feat = pixel_block_features(imgs, grid=4).localCheckpoint(eager=False)
+    # bpe.py precedent; checkpoint_dir makes the cut reliable).
+    # Plan-audited in tests/test_plans.py.
+    feat = stage_cut(pixel_block_features(imgs, grid=4), checkpoint_dir)
     return semantic_dedup(
         feat,
         id_col="doc_id",

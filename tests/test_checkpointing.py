@@ -76,6 +76,7 @@ class TestLrTrainCheckpointed:
         ("pipeline_select_mix", ["doc_id"]),
         ("pipeline_select_recipe", ["doc_id"]),
         ("pipeline_deliver_dataset", ["doc_id", "chunk_idx"]),
+        ("multimodal_semantic_dedup", ["doc_id"]),
     ],
 )
 def test_flagship_pipeline_checkpointed_identical(
