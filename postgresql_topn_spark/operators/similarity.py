@@ -1152,3 +1152,63 @@ def random_projection(
         id_col,
         F.array(*[F.col(f"__rp{j}") for j in range(out_dim)]).alias(out_name),
     )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    *,
+    query_col: str = "query_id",
+    neighbor_col: str = "neighbor_id",
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the
+    exact one — THE quality metric every ANN deployment tunes against
+    (FAISS/ScaNN publish recall@k curves; this is that measurement,
+    in-engine, over any two frames shaped like this module's output
+    (query_id, neighbor_id, ...), e.g. `lsh_topk`/`ivf_topk`/
+    `ivfpq_topk` vs the `cosine_topk` ground truth).
+
+    recall(q) = |approx(q) ∩ exact(q)| / |exact(q)|, computed from the
+    EXACT side's query spine — a query the approximate index missed
+    entirely (no candidate bucket hit) reports recall 0.0 instead of
+    silently vanishing, which is precisely the failure recall exists
+    to catch. Ties/rank disagreements don't matter: membership is the
+    metric. Returns (query_col, n_exact, n_hit, recall) with recall
+    rounded to 6 decimals; mean/percentile summaries are one
+    downstream agg.
+
+    Scale shape: both inputs are top-k results — at most |Q| * k rows
+    each, never corpus-sized — so this is one join keyed on
+    (query, neighbor) + one query-keyed agg over k-bounded groups; no
+    corpus data flows anywhere. Duplicate (query, neighbor) rows on
+    the approximate side (multi-probe unions, rerank passes) count
+    once."""
+    e = exact.select(
+        _col(query_col).alias("__q"), _col(neighbor_col).alias("__n")
+    )
+    a = (
+        approx.select(
+            _col(query_col).alias("__q"), _col(neighbor_col).alias("__n")
+        )
+        .where(F.col("__q").isNotNull())
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    return (
+        e.join(a, ["__q", "__n"], "left")
+        .groupBy("__q")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hit"),
+        )
+        .select(
+            F.col("__q").alias(query_col),
+            "n_exact",
+            "n_hit",
+            F.round(
+                F.col("n_hit").cast("double") / F.col("n_exact"), 6
+            ).alias("recall"),
+        )
+    )

@@ -417,3 +417,68 @@ class TestRandomProjection:
         )
         with pytest.raises(ValueError, match="out_dim"):
             random_projection(emb, 0)
+
+
+class TestAnnRecall:
+    def test_exact_vs_itself_is_one(self, spark, sf_dir):
+        from postgresql_topn_spark.operators.similarity import ann_recall
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        exact = cosine_topk(emb, q, k=5)
+        rows = ann_recall(exact, exact).collect()
+        assert rows and all(r["recall"] == 1.0 for r in rows)
+        assert all(r["n_exact"] == r["n_hit"] for r in rows)
+
+    def test_missing_query_reports_zero_not_vanishes(self, spark):
+        from postgresql_topn_spark.operators.similarity import ann_recall
+
+        exact = spark.createDataFrame(
+            [(1, 10), (1, 11), (2, 20), (2, 21)],
+            "query_id bigint, neighbor_id bigint",
+        )
+        # query 2 absent from the approx result entirely; query 1 half
+        # right, with a duplicate row that must count once
+        approx = spark.createDataFrame(
+            [(1, 10), (1, 10), (1, 99)],
+            "query_id bigint, neighbor_id bigint",
+        )
+        r = {x["query_id"]: x for x in ann_recall(approx, exact).collect()}
+        assert r[1]["n_exact"] == 2 and r[1]["n_hit"] == 1
+        assert r[1]["recall"] == 0.5
+        assert r[2]["n_hit"] == 0 and r[2]["recall"] == 0.0
+
+    def test_ivf_and_lsh_recall_measured_against_ground_truth(
+        self, spark, sf_dir
+    ):
+        from postgresql_topn_spark.operators.similarity import (
+            ann_recall,
+            ivf_topk,
+        )
+        from pyspark.sql import functions as FF
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        q = emb.where(F.col("vec_id") % 50 == 0)
+        exact = cosine_topk(emb, q, k=3)
+        ivf = ivf_topk(emb, q, k=3, n_lists=8, n_probe=4)
+        rec = ann_recall(ivf, exact)
+        stats = rec.agg(
+            FF.count(FF.lit(1)), FF.min("recall"), FF.avg("recall")
+        ).collect()[0]
+        assert stats[0] == q.count()  # every query judged
+        assert 0.0 <= stats[1] <= 1.0
+        assert stats[2] > 0.3  # probing half the lists finds most
+        # multi-probe LSH can only add candidates -> mean recall is
+        # monotonically non-decreasing in probe radius (deterministic
+        # planes)
+        from postgresql_topn_spark.operators.similarity import lsh_topk
+
+        mean = {}
+        for probe in (0, 1):
+            a = lsh_topk(
+                emb, q, k=3, n_tables=4, n_planes=8, probe_hamming=probe
+            )
+            mean[probe] = ann_recall(a, exact).agg(
+                FF.avg("recall")
+            ).collect()[0][0]
+        assert mean[1] >= mean[0]
