@@ -32,6 +32,8 @@ because the results are identical by associativity of +.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from postgresql_topn_spark.functions.sketch import _col
@@ -44,30 +46,45 @@ def pack_token_stream(
     *,
     context_len: int = 2048,
     bucket_width: int = 100_000,
+    keep: "Sequence[str]" = (),
 ) -> DataFrame:
-    """(doc_id, n_tokens, start_offset, first_bin, last_bin): position
-    of each document in the concatenated token stream cut into
-    `context_len`-token training contexts.
+    """(`id_col`, n_tokens, *keep, start_offset, first_bin, last_bin):
+    position of each document in the concatenated token stream cut into
+    `context_len`-token training contexts. The id keeps its own name
+    (historically it was re-aliased to ``doc_id``; every caller used
+    ``doc_id`` ids, so nothing observed the alias).
 
     `n_tokens` is a Column (or column name) giving the document's token
     count — pass `ws_token_count("text")` or a pre-computed column.
     Zero-token documents get first_bin = last_bin = the bin of their
     offset (they occupy no tokens but keep a well-defined position).
+
+    `keep` lists extra input columns to carry through — they ride the
+    bucket-local window untouched, so a caller that needs the packed
+    row NEXT TO its payload (chunk text, source tags) pays ZERO extra
+    shuffles instead of a post-pack join back on the id (the
+    chunk->pack gates' shape).
     """
     if context_len <= 0:
         raise ValueError(f"context_len must be positive, got {context_len}")
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
+    keep = list(keep)
+    reserved = {id_col, "n_tokens", "start_offset", "first_bin", "last_bin"}
+    clash = [c for c in keep if c in reserved]
+    if clash:
+        raise ValueError(f"keep columns collide with outputs: {clash}")
 
     base = docs.select(
-        F.col(id_col).alias("doc_id"),
+        F.col(id_col).alias(id_col),
         _col(n_tokens).cast("long").alias("n_tokens"),
-    ).withColumn("__bkt", F.floor(F.col("doc_id") / bucket_width))
+        *[F.col(c) for c in keep],
+    ).withColumn("__bkt", F.floor(F.col(id_col) / bucket_width))
 
     # 1. bucket-local cumsum (parallel across buckets)
     w_local = (
         Window.partitionBy("__bkt")
-        .orderBy("doc_id")
+        .orderBy(id_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = base.withColumn("__cum", F.sum("n_tokens").over(w_local))
@@ -86,8 +103,9 @@ def pack_token_stream(
 
     # 3. broadcast the bucket prefixes back
     out = local.join(F.broadcast(bkt_prefix), "__bkt").select(
-        "doc_id",
+        id_col,
         "n_tokens",
+        *keep,
         (F.col("__prefix") + F.col("__cum") - F.col("n_tokens")).alias(
             "start_offset"
         ),
@@ -96,8 +114,9 @@ def pack_token_stream(
         F.col("n_tokens") - 1, F.lit(0)
     )
     return out.select(
-        "doc_id",
+        id_col,
         "n_tokens",
+        *keep,
         "start_offset",
         F.floor(F.col("start_offset") / context_len)
         .cast("long")

@@ -3081,16 +3081,15 @@ def pipeline_deliver_dataset(
         checkpoint_dir,
     )
     packed = pack_token_stream(
-        chunks.select("cid", "n_tok"),
+        chunks,
         "cid",
         "n_tok",
         context_len=512,
         bucket_width=1048576 * 64,
-    ).select(
-        F.col("doc_id").alias("cid"), "start_offset", "first_bin", "last_bin"
+        keep=["doc_id", "chunk_idx"],
     )
     out = train_split(
-        chunks.join(packed, "cid"),
+        packed,
         "cid",
         {"train": 0.75, "val": 0.125, "test": 0.125},
         seed=8,
@@ -3098,7 +3097,7 @@ def pipeline_deliver_dataset(
     return out.select(
         "doc_id",
         "chunk_idx",
-        "n_tok",
+        F.col("n_tokens").alias("n_tok"),
         "start_offset",
         "first_bin",
         "last_bin",
@@ -4028,20 +4027,20 @@ def pipeline_pack_contexts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id") * F.lit(1048576).cast("long")
         + F.col("chunk_idx").cast("long"),
     )
-    packed = pack_token_stream(
-        chunks.select("cid", "n_tok"),
+    # the chunk payload rides the pack's bucket-local window via
+    # `keep` — zero extra shuffles vs a post-pack join back on cid
+    return pack_token_stream(
+        chunks,
         "cid",
         "n_tok",
         context_len=2048,
         bucket_width=1048576 * 64,
+        keep=["doc_id", "chunk_idx", "start_tok", "chunk"],
     ).select(
-        F.col("doc_id").alias("cid"), "start_offset", "first_bin", "last_bin"
-    )
-    return chunks.join(packed, "cid").select(
         "doc_id",
         "chunk_idx",
         "start_tok",
-        "n_tok",
+        F.col("n_tokens").alias("n_tok"),
         "chunk",
         "start_offset",
         "first_bin",

@@ -311,3 +311,33 @@ def test_temperature_mix_cap_and_determinism(spark):
 
     with _pt.raises(ValueError):
         temperature_mix(df, "src", "k", temperature=0.0)
+
+
+def test_pack_token_stream_keep_columns_no_extra_shuffle(spark):
+    """`keep` payload columns ride the bucket-local window: identical
+    pack numbers, payload intact, and ZERO additional exchanges vs the
+    bare pack (the alternative — a post-pack join back on the id —
+    costs a full shuffle join)."""
+    from postgresql_topn_spark.operators.packing import pack_token_stream
+    from postgresql_topn_spark.plans.audit import hash_shuffles
+
+    df = spark.createDataFrame(
+        [(i, (i * 7) % 5 + 1, f"payload-{i}") for i in range(40)],
+        "doc_id bigint, nt int, tag string",
+    )
+    bare = pack_token_stream(df, "doc_id", "nt", context_len=8,
+                             bucket_width=10)
+    kept = pack_token_stream(df, "doc_id", "nt", context_len=8,
+                             bucket_width=10, keep=["tag"])
+    b = {r["doc_id"]: r for r in bare.collect()}
+    k = {r["doc_id"]: r for r in kept.collect()}
+    assert set(b) == set(k)
+    for i, row in k.items():
+        assert row["tag"] == f"payload-{i}"
+        for c in ("n_tokens", "start_offset", "first_bin", "last_bin"):
+            assert row[c] == b[i][c]
+    assert hash_shuffles(kept) == hash_shuffles(bare)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        pack_token_stream(df, "doc_id", "nt", keep=["n_tokens"])
