@@ -47,6 +47,16 @@ def stage_cut(df: DataFrame, checkpoint_dir: "str | None" = None) -> DataFrame:
 
     NOTE: `setCheckpointDir` mutates SparkContext-global state; any
     other reliable-checkpoint user on the session sees this dir.
+
+    LIFETIME: reliable checkpoint files are the recovery state — Spark
+    leaves them on disk for the application's lifetime unless the
+    session was built with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (GC-
+    driven removal once the DataFrame is unreachable). Iterative
+    callers (`lr_train`, `train_bpe`) write one file set per cut;
+    budget the checkpoint dir for iterations x state size, or enable
+    the cleaner / clean the dir after the job — superseded iteration
+    state is dead weight the moment the next cut lands.
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=False)

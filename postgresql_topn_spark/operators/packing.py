@@ -70,10 +70,27 @@ def pack_token_stream(
     if bucket_width <= 0:
         raise ValueError(f"bucket_width must be positive, got {bucket_width}")
     keep = list(keep)
-    reserved = {id_col, "n_tokens", "start_offset", "first_bin", "last_bin"}
+    # outputs AND the internal working names: a keep column named like
+    # __bkt/__cum would be silently overwritten by the withColumns
+    # below (and __prefix hits an ambiguous-column crash at the join)
+    reserved = {
+        id_col,
+        "n_tokens",
+        "start_offset",
+        "first_bin",
+        "last_bin",
+        "__bkt",
+        "__cum",
+        "__prefix",
+        "__tot",
+    }
     clash = [c for c in keep if c in reserved]
     if clash:
-        raise ValueError(f"keep columns collide with outputs: {clash}")
+        raise ValueError(
+            f"keep columns collide with outputs/internals: {clash}"
+        )
+    if len(set(keep)) != len(keep):
+        raise ValueError(f"duplicate keep columns: {keep}")
 
     base = docs.select(
         F.col(id_col).alias(id_col),

@@ -1181,11 +1181,11 @@ def ann_recall(
     each, never corpus-sized — so this is one join keyed on
     (query, neighbor) + one query-keyed agg over k-bounded groups; no
     corpus data flows anywhere. Duplicate (query, neighbor) rows on
-    the approximate side (multi-probe unions, rerank passes) count
-    once."""
+    EITHER side (multi-probe unions, rerank passes) count once — both
+    sides are set-deduplicated, matching the formula exactly."""
     e = exact.select(
         _col(query_col).alias("__q"), _col(neighbor_col).alias("__n")
-    )
+    ).distinct()
     a = (
         approx.select(
             _col(query_col).alias("__q"), _col(neighbor_col).alias("__n")

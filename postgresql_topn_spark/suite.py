@@ -3967,7 +3967,7 @@ def pipeline_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 AS (
       SELECT doc_id, toks, len(toks) AS n FROM d WHERE len(toks) > 0
     ),
-    ch AS (
+    ch AS MATERIALIZED (
       SELECT doc_id,
              CAST(start_tok / 224 AS INT) AS chunk_idx,
              start_tok,

@@ -341,3 +341,9 @@ def test_pack_token_stream_keep_columns_no_extra_shuffle(spark):
 
     with _pytest.raises(ValueError, match="collide"):
         pack_token_stream(df, "doc_id", "nt", keep=["n_tokens"])
+    # internal working names and duplicates are rejected too, not
+    # silently overwritten (review pin)
+    with _pytest.raises(ValueError, match="collide"):
+        pack_token_stream(df, "doc_id", "nt", keep=["__bkt"])
+    with _pytest.raises(ValueError, match="duplicate"):
+        pack_token_stream(df, "doc_id", "nt", keep=["tag", "tag"])

@@ -447,6 +447,15 @@ class TestAnnRecall:
         assert r[1]["n_exact"] == 2 and r[1]["n_hit"] == 1
         assert r[1]["recall"] == 0.5
         assert r[2]["n_hit"] == 0 and r[2]["recall"] == 0.0
+        # duplicates on the EXACT side also count once (set formula,
+        # review pin): duplicating exact rows must not change anything
+        dup = {
+            x["query_id"]: x
+            for x in ann_recall(approx, exact.unionAll(exact)).collect()
+        }
+        assert {q: (v["n_exact"], v["n_hit"], v["recall"]) for q, v in r.items()} == {
+            q: (v["n_exact"], v["n_hit"], v["recall"]) for q, v in dup.items()
+        }
 
     def test_ivf_and_lsh_recall_measured_against_ground_truth(
         self, spark, sf_dir
