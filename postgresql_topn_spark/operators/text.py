@@ -239,6 +239,122 @@ def repetition_signals(text: Column | str) -> Column:
     )
 
 
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_quality_signals(text: Column | str) -> Column:
+    """The PUBLISHED Gopher quality-rule signals (Rae et al. 2021,
+    Table A1 — the filter set MassiveText/RefinedWeb/Dolma descend
+    from) as one struct, plus a `passes` verdict at the paper's
+    thresholds. Complements `quality_score` (this repo's cheap scalar)
+    and `repetition_signals` (the paper's repetition table):
+
+    - n_words          — whitespace word count        [50, 100000]
+    - mean_word_len    — chars per word               [3, 10]
+    - symbol_word_ratio— '#' + '...' per word         < 0.1
+    - bullet_line_frac — lines starting '-' '*' '•'   < 0.9
+    - ellipsis_line_frac — lines ending '...' / '…'   < 0.3
+    - alpha_word_frac  — words with an [a-zA-Z] char  > 0.8
+    - n_stop_hits      — distinct hits from Gopher's 8-word stopword
+                         list (the/be/to/of/and/that/have/with) >= 2
+    - passes           — AND of all seven rules
+
+    All pure Catalyst expressions — one projection riding the scan,
+    no shuffle, no Python — with division order fixed so an ANSI-SQL
+    twin replays the doubles bit-identically (pytest-pinned vs
+    DuckDB). NULL/empty/whitespace-only text yields a NULL struct
+    (nothing to judge — the quality_score convention); `passes` is
+    then NULL, so `WHERE passes` drops such rows, never keeps them."""
+    t = _col(text)
+    toks = tokens(t)
+    n_words = F.size(toks).cast("long")
+    nd = n_words.cast("double")
+    char_sum = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc + F.char_length(w).cast("long"),
+    )
+    mean_word_len = F.try_divide(char_sum.cast("double"), nd)
+    n_hash = F.char_length(t) - F.char_length(F.replace(t, F.lit("#"), F.lit("")))
+    n_ellipsis = (
+        F.char_length(t)
+        - F.char_length(F.replace(t, F.lit("..."), F.lit("")))
+    ) / F.lit(3)
+    symbol_word_ratio = F.try_divide(
+        (n_hash + n_ellipsis).cast("double"), nd
+    )
+    lines = F.filter(
+        F.split(t, "\n"), lambda l: F.char_length(F.trim(l)) > 0
+    )
+    n_lines = F.size(lines).cast("double")
+    bullet_frac = F.try_divide(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.ltrim(l).rlike("^[-*\u2022]"),
+            )
+        ).cast("double"),
+        n_lines,
+    )
+    ellipsis_frac = F.try_divide(
+        F.size(
+            F.filter(
+                lines,
+                lambda l: F.rtrim(l).rlike("(\.\.\.|\u2026)$"),
+            )
+        ).cast("double"),
+        n_lines,
+    )
+    alpha_frac = F.try_divide(
+        F.size(F.filter(toks, lambda w: w.rlike("[a-zA-Z]"))).cast(
+            "double"
+        ),
+        nd,
+    )
+    n_stop_hits = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform(toks, F.lower)),
+            F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    passes = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_word_len >= 3.0)
+        & (mean_word_len <= 10.0)
+        & (symbol_word_ratio < 0.1)
+        & (F.coalesce(bullet_frac, F.lit(0.0)) < 0.9)
+        & (F.coalesce(ellipsis_frac, F.lit(0.0)) < 0.3)
+        & (alpha_frac > 0.8)
+        & (n_stop_hits >= 2)
+    )
+    sig = F.struct(
+        n_words.alias("n_words"),
+        F.round(mean_word_len, 6).alias("mean_word_len"),
+        F.round(symbol_word_ratio, 6).alias("symbol_word_ratio"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        n_stop_hits.alias("n_stop_hits"),
+        passes.alias("passes"),
+    )
+    return F.when(
+        t.isNull() | (F.char_length(t) == 0) | (n_words == 0),
+        F.lit(None).cast(sig_schema_ddl()),
+    ).otherwise(sig)
+
+
+def sig_schema_ddl() -> str:
+    """Schema of `gopher_quality_signals` (for the NULL arm's cast and
+    external consumers)."""
+    return (
+        "struct<n_words:bigint,mean_word_len:double,"
+        "symbol_word_ratio:double,bullet_line_frac:double,"
+        "ellipsis_line_frac:double,alpha_word_frac:double,"
+        "n_stop_hits:bigint,passes:boolean>"
+    )
+
+
 def _bind(value: Column, body) -> Column:
     """Evaluate `value` ONCE and pass it to `body` as a lambda variable.
 

@@ -1,0 +1,186 @@
+"""gopher_quality_signals: the published Gopher quality-rule set
+(Rae et al. 2021, Table A1) — value pins at the paper's thresholds,
+NULL discipline, a no-Python/no-shuffle plan pin, and a full DuckDB
+replay over the fixture corpus + hostile edge rows (the repo's
+fixed-point parity discipline, applied in pytest since the driver
+registry is at its freshness cap)."""
+
+import os
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from postgresql_topn_spark.operators.text import (
+    GOPHER_STOPWORDS,
+    gopher_quality_signals,
+)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+GOOD = (
+    "the quick brown fox jumps over the lazy dog and runs far away "
+    "with great speed to be sure that all of us have seen it happen "
+    "again and again every single day of the long year with more "
+    "words added here to cross fifty words total easily now done"
+)
+
+EDGE_ROWS = [
+    (1, GOOD),                               # passes every rule
+    (2, "# # # short"),                      # symbols + too short
+    (3, None),                               # NULL text -> NULL struct
+    (4, "   "),                              # whitespace-only -> NULL
+    (5, "- a\n- b\n- c\n" * 30),             # bullet wall
+    (6, "so it goes...\nand on...\n" * 40),  # ellipsis-ended lines
+    (7, "\t- tab-led line\nplain the be line of text\n"),
+    (8, ("ab " * 60).strip()),               # mean word len 2 -> fail
+]
+
+
+class TestGopherRules:
+    def test_threshold_pins(self, spark):
+        df = spark.createDataFrame(EDGE_ROWS, "doc_id long, text string")
+        g = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", gopher_quality_signals("text").alias("g")
+            ).collect()
+        }
+        assert g[1]["passes"] is True and g[1]["n_stop_hits"] == 8
+        assert g[2]["passes"] is False and g[2]["symbol_word_ratio"] > 0.1
+        assert g[3] is None and g[4] is None
+        assert g[5]["passes"] is False and g[5]["bullet_line_frac"] == 1.0
+        assert g[6]["ellipsis_line_frac"] == 1.0 and g[6]["passes"] is False
+        # space-only ltrim: the tab-led bullet line does NOT count
+        assert g[7]["bullet_line_frac"] == 0.0
+        assert g[8]["passes"] is False and g[8]["mean_word_len"] == 2.0
+
+    def test_where_passes_drops_null_rows(self, spark):
+        df = spark.createDataFrame(EDGE_ROWS, "doc_id long, text string")
+        kept = [
+            r["doc_id"]
+            for r in df.where(
+                gopher_quality_signals("text")["passes"]
+            ).collect()
+        ]
+        assert kept == [1]
+
+    def test_scan_stage_no_python(self, spark):
+        from postgresql_topn_spark.plans.audit import (
+            hash_shuffles,
+            python_stages,
+        )
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        out = docs.select(
+            "doc_id", gopher_quality_signals("text").alias("g")
+        )
+        assert hash_shuffles(out) == 0
+        assert python_stages(out) == 0
+
+    def test_duckdb_parity_over_corpus(self, spark):
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        )
+        edges = spark.createDataFrame(EDGE_ROWS, "doc_id long, text string")
+        edges = edges.withColumn("doc_id", F.col("doc_id") + 9000)
+        both = docs.unionByName(edges)
+        got = {
+            r["doc_id"]: (None if r["g"] is None else tuple(r["g"]))
+            for r in both.select(
+                "doc_id", gopher_quality_signals("text").alias("g")
+            ).collect()
+        }
+
+        con = duckdb.connect()
+        pq = os.path.join(SF_DIR, "documents.parquet")
+        con.execute(
+            f"CREATE VIEW docs AS SELECT * FROM read_parquet('{pq}')"
+        )
+        con.execute(
+            "CREATE TABLE edges(doc_id BIGINT, text VARCHAR)"
+        )
+        con.executemany(
+            "INSERT INTO edges VALUES (?, ?)",
+            [(i + 9000, t) for i, t in EDGE_ROWS],
+        )
+        stop_list = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
+        rows = con.execute(
+            f"""
+            WITH base AS (
+              SELECT doc_id, text FROM docs
+              UNION ALL SELECT doc_id, text FROM edges
+            ),
+            t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split_regex(trim(text), '\\s+'),
+                                 w -> w <> '') AS toks,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> len(trim(l)) > 0) AS lines
+              FROM base
+            ),
+            m AS (
+              SELECT doc_id, text, toks, lines,
+                     CAST(len(toks) AS BIGINT) AS n_words,
+                     CAST(len(lines) AS DOUBLE) AS n_lines
+              FROM t
+            )
+            SELECT doc_id, n_words,
+              round(CAST(list_sum(list_transform(toks, w -> len(w)))
+                         AS DOUBLE) / n_words, 6) AS mwl,
+              round((CAST(len(text) - len(replace(text, '#', ''))
+                          AS DOUBLE)
+                     + CAST(len(text) - len(replace(text, '...', ''))
+                            AS DOUBLE) / 3)
+                    / n_words, 6) AS swr,
+              round(CAST(len(list_filter(lines,
+                        l -> regexp_matches(ltrim(l), '^[-*•]')))
+                    AS DOUBLE) / n_lines, 6) AS bullet,
+              round(CAST(len(list_filter(lines,
+                        l -> regexp_matches(rtrim(l),
+                                            '(\\.\\.\\.|…)$')))
+                    AS DOUBLE) / n_lines, 6) AS ellip,
+              round(CAST(len(list_filter(toks,
+                        w -> regexp_matches(w, '[a-zA-Z]')))
+                    AS DOUBLE) / n_words, 6) AS alpha,
+              CAST(len(list_intersect(
+                     list_distinct(list_transform(toks, w -> lower(w))),
+                     [{stop_list}])) AS BIGINT) AS stop_hits
+            FROM m
+            WHERE text IS NOT NULL AND len(text) > 0 AND n_words > 0
+            """
+        ).fetchall()
+        oracle = {
+            r[0]: (
+                r[1],
+                r[2],
+                r[3],
+                r[4],
+                r[5],
+                r[6],
+                r[7],
+                (
+                    50 <= r[1] <= 100_000
+                    and 3.0 <= r[2] <= 10.0
+                    and r[3] < 0.1
+                    and (r[4] or 0.0) < 0.9
+                    and (r[5] or 0.0) < 0.3
+                    and r[6] > 0.8
+                    and r[7] >= 2
+                ),
+            )
+            for r in rows
+        }
+        judged = {k: v for k, v in got.items() if v is not None}
+        assert set(judged) == set(oracle)
+        mism = {
+            k: (judged[k], oracle[k])
+            for k in judged
+            if judged[k] != oracle[k]
+        }
+        assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
+        # the NULL rows are exactly the unjudgeable ones
+        assert {k for k, v in got.items() if v is None} == {9003, 9004}
