@@ -355,6 +355,185 @@ def sig_schema_ddl() -> str:
     )
 
 
+def _run_char_stats(arr: Column) -> Column:
+    """struct(top_chars, dup_chars) over a STRING ARRAY, as one sorted
+    fold (the `top_token_count` pattern, char-weighted): `top_chars` is
+    the char mass (occurrences x element length) of the most frequent
+    element IF it occurs >= 2 times (a singleton is not a repetition —
+    the DataTrove guard); `dup_chars` is the total char mass of every
+    occurrence of every element that appears >= 2 times. O(L log L)
+    per row, expression-only — no per-doc explode/groupBy shuffle."""
+    acc0 = F.expr(
+        "named_struct('prev', cast(null as string), "
+        "'run', cast(0 as bigint), 'best', cast(0 as bigint), "
+        "'dup', cast(0 as bigint))"
+    )
+
+    def _mass(acc):
+        return acc["run"] * F.char_length(acc["prev"]).cast("bigint")
+
+    def step(acc, x):
+        same = acc["prev"].isNotNull() & (x == acc["prev"])
+        boundary = acc["prev"].isNotNull() & ~same
+        # a singleton is not a repetition: both stats consider only
+        # elements occurring >= 2 (the DataTrove/Gopher-impl guard —
+        # otherwise any short document's longest gram trips the rule)
+        best = F.when(
+            boundary & (acc["run"] >= 2), F.greatest(acc["best"], _mass(acc))
+        ).otherwise(acc["best"])
+        dup = F.when(
+            boundary & (acc["run"] >= 2), acc["dup"] + _mass(acc)
+        ).otherwise(acc["dup"])
+        run = F.when(same, acc["run"] + 1).otherwise(
+            F.lit(1).cast("bigint")
+        )
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            best.alias("best"),
+            dup.alias("dup"),
+        )
+
+    def finish(acc):
+        best = F.when(
+            acc["prev"].isNotNull() & (acc["run"] >= 2),
+            F.greatest(acc["best"], _mass(acc)),
+        ).otherwise(acc["best"])
+        dup = F.when(
+            acc["prev"].isNotNull() & (acc["run"] >= 2),
+            acc["dup"] + _mass(acc),
+        ).otherwise(acc["dup"])
+        return F.struct(best.alias("top_chars"), dup.alias("dup_chars"))
+
+    return F.aggregate(F.array_sort(arr), acc0, step, finish)
+
+
+GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
+
+
+def gopher_repetition_signals(text: Column | str) -> Column:
+    """The PUBLISHED Gopher repetition-rule signals (Rae et al. 2021,
+    Table A1 second half) as one struct + a `passes` verdict at the
+    paper's thresholds — the within-document companion to
+    `gopher_quality_signals` (this module's `repetition_signals` keeps
+    the lighter legacy set):
+
+    - dup_line_frac / dup_para_frac            — <= 0.30 / 0.30
+    - dup_line_char_frac / dup_para_char_frac  — <= 0.20 / 0.20
+    - top_{2,3,4}gram_char_frac                — <= 0.20 / 0.18 / 0.16
+    - dup_{5..10}gram_char_frac                — <= 0.15 ... 0.10
+
+    Semantics (documented where implementations vary): duplicate-
+    fractions are 1 - distinct/total (the house `repetition_signals`
+    convention); char fractions weight EVERY occurrence of a
+    duplicated element (first included) over the family's char mass —
+    line/paragraph fractions over their own char totals, n-gram
+    fractions over `char_length(text)`, saturated at 1.0 (overlapping
+    occurrences can exceed the doc's char mass under occurrence-count
+    semantics); a gram/line/paragraph must occur >= 2 times to count
+    toward EITHER stat (a singleton is not a repetition — the
+    DataTrove guard, without which any short document's longest gram
+    trips the top-n rule); grams are ' '-joined token windows, so a
+    document with fewer than n tokens trivially passes rule n. Positional-coverage (union) semantics belong to
+    `substring_run_pairs`, not here.
+
+    Everything is expression-only and rides the scan — the token array
+    is evaluated ONCE (`_bind`) and each n-gram family is a sorted
+    fold over it (no per-doc explode/groupBy, no Python, no shuffle;
+    plan-pinned). NULL/empty/whitespace-only text yields a NULL struct
+    so `WHERE passes` drops unjudgeable rows."""
+    t = _col(text)
+    n_chars = F.char_length(t).cast("double")
+
+    def _family(arr):
+        stats = _run_char_stats(arr)
+        total = F.aggregate(
+            arr,
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + F.char_length(x).cast("bigint"),
+        )
+        dup_frac = F.lit(1.0) - F.try_divide(
+            F.size(F.array_distinct(arr)).cast("double"),
+            F.size(arr).cast("double"),
+        )
+        dup_char_frac = F.try_divide(
+            stats["dup_chars"].cast("double"), total.cast("double")
+        )
+        return dup_frac, dup_char_frac
+
+    lines = F.filter(F.split(t, "\n"), lambda l: F.char_length(F.trim(l)) > 0)
+    paras = F.filter(
+        F.split(t, "\n\n"), lambda x: F.char_length(F.trim(x)) > 0
+    )
+    dup_line_frac, dup_line_char_frac = _family(lines)
+    dup_para_frac, dup_para_char_frac = _family(paras)
+
+    def build(toks):
+        fields = [
+            F.round(dup_line_frac, 6).alias("dup_line_frac"),
+            F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
+            F.round(dup_para_frac, 6).alias("dup_para_frac"),
+            F.round(dup_para_char_frac, 6).alias("dup_para_char_frac"),
+        ]
+        conds = [
+            F.coalesce(dup_line_frac, F.lit(0.0)) <= 0.30,
+            F.coalesce(dup_line_char_frac, F.lit(0.0)) <= 0.20,
+            F.coalesce(dup_para_frac, F.lit(0.0)) <= 0.30,
+            F.coalesce(dup_para_char_frac, F.lit(0.0)) <= 0.20,
+        ]
+        for n, cap in GOPHER_TOP_NGRAM_MAX.items():
+            stats = _run_char_stats(shingles_from_tokens(toks, n))
+            frac = F.least(
+                F.lit(1.0),
+                F.coalesce(
+                    F.try_divide(
+                        stats["top_chars"].cast("double"), n_chars
+                    ),
+                    F.lit(0.0),
+                ),
+            )
+            fields.append(F.round(frac, 6).alias(f"top_{n}gram_char_frac"))
+            conds.append(frac <= cap)
+        for n, cap in GOPHER_DUP_NGRAM_MAX.items():
+            stats = _run_char_stats(shingles_from_tokens(toks, n))
+            frac = F.least(
+                F.lit(1.0),
+                F.coalesce(
+                    F.try_divide(
+                        stats["dup_chars"].cast("double"), n_chars
+                    ),
+                    F.lit(0.0),
+                ),
+            )
+            fields.append(F.round(frac, 6).alias(f"dup_{n}gram_char_frac"))
+            conds.append(frac <= cap)
+        passes = conds[0]
+        for c in conds[1:]:
+            passes = passes & c
+        fields.append(passes.alias("passes"))
+        return F.struct(*fields)
+
+    sig = _bind(tokens(t), build)
+    names = (
+        ["dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+         "dup_para_char_frac"]
+        + [f"top_{n}gram_char_frac" for n in GOPHER_TOP_NGRAM_MAX]
+        + [f"dup_{n}gram_char_frac" for n in GOPHER_DUP_NGRAM_MAX]
+    )
+    ddl = (
+        "struct<"
+        + ",".join(f"{c}:double" for c in names)
+        + ",passes:boolean>"
+    )
+    return F.when(
+        t.isNull()
+        | (F.char_length(t) == 0)
+        | (F.size(tokens(t)) == 0),
+        F.lit(None).cast(ddl),
+    ).otherwise(sig)
+
+
 def _bind(value: Column, body) -> Column:
     """Evaluate `value` ONCE and pass it to `body` as a lambda variable.
 

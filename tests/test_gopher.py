@@ -184,3 +184,201 @@ class TestGopherRules:
         assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
         # the NULL rows are exactly the unjudgeable ones
         assert {k for k, v in got.items() if v is None} == {9003, 9004}
+
+
+REP_ROWS = [
+    (1, "a clean sentence with plenty of ordinary variation in it and "
+        "then another quite different line\nsecond line here is unique"),
+    (2, "copy paste copy paste copy paste copy paste copy paste copy "
+        "paste copy paste copy paste"),
+    (3, "same line\nsame line\nsame line\nother"),
+    (4, None),
+    (5, "  "),
+    (6, "p1 body text\n\np1 body text\n\nunique paragraph"),
+]
+
+
+class TestGopherRepetition:
+    def test_threshold_pins(self, spark):
+        from postgresql_topn_spark.operators.text import (
+            gopher_repetition_signals,
+        )
+
+        df = spark.createDataFrame(REP_ROWS, "doc_id long, text string")
+        g = {
+            r["doc_id"]: r["g"]
+            for r in df.select(
+                "doc_id", gopher_repetition_signals("text").alias("g")
+            ).collect()
+        }
+        # clean doc: every singleton gram is NOT a repetition
+        assert g[1]["passes"] is True
+        assert g[1]["top_4gram_char_frac"] == 0.0
+        # wall of copy-paste: n-gram rules fire, fractions saturate
+        assert g[2]["passes"] is False
+        assert g[2]["dup_5gram_char_frac"] == 1.0
+        assert g[2]["top_2gram_char_frac"] > 0.2
+        # duplicate lines: line rules fire, paragraph rules don't
+        assert g[3]["passes"] is False
+        assert g[3]["dup_line_frac"] == 0.5
+        assert g[3]["dup_line_char_frac"] > 0.2
+        assert g[3]["dup_para_char_frac"] == 0.0
+        # duplicate paragraphs fire the para rules
+        assert g[6]["dup_para_char_frac"] > 0.2 and g[6]["passes"] is False
+        assert g[4] is None and g[5] is None
+
+    def test_scan_stage_no_python(self, spark):
+        from postgresql_topn_spark.operators.text import (
+            gopher_repetition_signals,
+        )
+        from postgresql_topn_spark.plans.audit import (
+            hash_shuffles,
+            python_stages,
+        )
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        out = docs.select(
+            "doc_id", gopher_repetition_signals("text").alias("g")
+        )
+        assert hash_shuffles(out) == 0
+        assert python_stages(out) == 0
+
+    def test_duckdb_parity_ngram_and_line_fracs(self, spark):
+        """Replay the n-gram/line char fractions in DuckDB via the
+        explode+group form (exact counts, independent algorithm) over
+        the fixture corpus + the crafted rows — the sorted-fold and
+        the relational form must agree value-for-value."""
+        from postgresql_topn_spark.operators.text import (
+            gopher_repetition_signals,
+        )
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        )
+        edges = spark.createDataFrame(
+            REP_ROWS, "doc_id long, text string"
+        ).withColumn("doc_id", F.col("doc_id") + 9000)
+        both = docs.unionByName(edges)
+        got = {
+            r["doc_id"]: r["g"]
+            for r in both.select(
+                "doc_id", gopher_repetition_signals("text").alias("g")
+            ).collect()
+            if r["g"] is not None
+        }
+
+        con = duckdb.connect()
+        pq = os.path.join(SF_DIR, "documents.parquet")
+        con.execute(
+            f"CREATE VIEW docs AS SELECT * FROM read_parquet('{pq}')"
+        )
+        con.execute("CREATE TABLE edges(doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO edges VALUES (?, ?)",
+            [(i + 9000, t) for i, t in REP_ROWS],
+        )
+        rows = con.execute(
+            r"""
+            WITH base AS (
+              SELECT doc_id, text FROM docs
+              UNION ALL SELECT doc_id, text FROM edges
+            ),
+            t AS (
+              SELECT doc_id, text, len(text) AS n_chars,
+                     list_filter(string_split_regex(trim(text), '\s+'),
+                                 w -> w <> '') AS toks
+              FROM base
+              WHERE text IS NOT NULL AND len(text) > 0
+            ),
+            t2 AS (SELECT * FROM t WHERE len(toks) > 0),
+            g AS (
+              SELECT doc_id, n_chars,
+                     unnest(list_transform(
+                       range(1, len(toks) - 1),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                     )) AS gram
+              FROM t2 WHERE len(toks) >= 3
+            ),
+            gc AS (
+              SELECT doc_id, n_chars, gram, count(*) AS cnt
+              FROM g GROUP BY doc_id, n_chars, gram
+            ),
+            top3 AS (
+              SELECT doc_id,
+                     round(least(1.0,
+                       CAST(COALESCE(max(CASE WHEN cnt >= 2
+                                    THEN cnt * len(gram) END), 0)
+                            AS DOUBLE) / n_chars), 6) AS v
+              FROM gc GROUP BY doc_id, n_chars
+            ),
+            g5 AS (
+              SELECT doc_id, n_chars,
+                     unnest(list_transform(
+                       range(1, len(toks) - 3),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' ||
+                            toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4]
+                     )) AS gram
+              FROM t2 WHERE len(toks) >= 5
+            ),
+            g5c AS (
+              SELECT doc_id, n_chars, gram, count(*) AS cnt
+              FROM g5 GROUP BY doc_id, n_chars, gram
+            ),
+            dup5 AS (
+              SELECT doc_id,
+                     round(least(1.0,
+                       CAST(COALESCE(sum(CASE WHEN cnt >= 2
+                                    THEN cnt * len(gram) END), 0)
+                            AS DOUBLE) / n_chars), 6) AS v
+              FROM g5c GROUP BY doc_id, n_chars
+            ),
+            ln AS (
+              SELECT doc_id,
+                     unnest(list_filter(string_split(text, chr(10)),
+                                        l -> len(trim(l)) > 0)) AS line
+              FROM t2
+            ),
+            lc AS (
+              SELECT doc_id, line, count(*) AS cnt, len(line) AS ll
+              FROM ln GROUP BY doc_id, line
+            ),
+            dupline AS (
+              SELECT doc_id,
+                     round(least(1.0,
+                       CAST(COALESCE(sum(CASE WHEN cnt >= 2
+                                    THEN cnt * ll END), 0) AS DOUBLE)
+                       / sum(cnt * ll)), 6) AS v
+              FROM lc GROUP BY doc_id
+            )
+            SELECT t2.doc_id,
+                   COALESCE(top3.v, 0.0) AS top3,
+                   COALESCE(dup5.v, 0.0) AS dup5,
+                   dupline.v AS dupline
+            FROM t2
+            LEFT JOIN top3 USING (doc_id)
+            LEFT JOIN dup5 USING (doc_id)
+            LEFT JOIN dupline USING (doc_id)
+            """
+        ).fetchall()
+        oracle = {r[0]: (r[1], r[2], r[3]) for r in rows}
+        assert set(got) == set(oracle)
+        mism = {
+            k: (
+                (
+                    got[k]["top_3gram_char_frac"],
+                    got[k]["dup_5gram_char_frac"],
+                    got[k]["dup_line_char_frac"],
+                ),
+                oracle[k],
+            )
+            for k in got
+            if (
+                got[k]["top_3gram_char_frac"],
+                got[k]["dup_5gram_char_frac"],
+                got[k]["dup_line_char_frac"],
+            )
+            != oracle[k]
+        }
+        assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
