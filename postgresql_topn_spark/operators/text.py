@@ -534,6 +534,81 @@ def gopher_repetition_signals(text: Column | str) -> Column:
     ).otherwise(sig)
 
 
+def c4_clean(text: Column | str) -> Column:
+    """The PUBLISHED C4 cleaning rules (Raffel et al. 2020 §2.2 — the
+    line-level REWRITER that produced C4 from Common Crawl), as one
+    scan-stage struct. Line rules (a line survives iff ALL hold):
+
+    - ends in terminal punctuation ``. ! ? "`` (the paper's rule);
+    - contains at least 5 words;
+    - does not contain the word "javascript" (case-insensitive).
+
+    Page rules (the `passes` verdict; the paper DROPS such pages):
+
+    - at least 3 sentences survive (sentence proxy: terminal-punct
+      count over the KEPT lines, the paper's own proxy);
+    - no "lorem ipsum" anywhere (case-insensitive);
+    - no curly brace '{' anywhere (code page signal).
+
+    (The paper's bad-words list is a policy input, not reproduced
+    here — compose a blocklist filter upstream if required.)
+
+    Returns struct(clean_text, n_lines, n_lines_kept, n_sentences,
+    passes): `clean_text` is the kept lines re-joined with
+    newlines — the REWRITTEN page the paper trains on. Pure Catalyst
+    (one projection, no shuffle, no Python; plan-pinned), DuckDB
+    value parity pinned. NULL/empty text yields a NULL struct;
+    `passes` is then NULL so ``WHERE passes`` drops the row."""
+    t = _col(text)
+    lines = F.filter(
+        F.split(t, "\n"), lambda l: F.char_length(F.trim(l)) > 0
+    )
+
+    def _line_kept(l):
+        trimmed = F.trim(l)
+        return (
+            trimmed.rlike('[.!?"]$')
+            & (
+                F.size(
+                    F.filter(
+                        F.split(trimmed, "\\s+"),
+                        lambda w: F.char_length(w) > 0,
+                    )
+                )
+                >= 5
+            )
+            & ~F.lower(l).contains("javascript")
+        )
+
+    kept = F.filter(lines, _line_kept)
+    clean_text = F.array_join(kept, "\n")
+    # sentence proxy over the kept text: terminal punctuation count
+    # (translate-diff — one pass, no per-char array materialization)
+    n_sentences = (
+        F.char_length(clean_text)
+        - F.char_length(F.translate(clean_text, ".!?", ""))
+    ).cast("long")
+    passes = (
+        (n_sentences >= 3)
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    sig = F.struct(
+        clean_text.alias("clean_text"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        n_sentences.alias("n_sentences"),
+        passes.alias("passes"),
+    )
+    return F.when(
+        t.isNull() | (F.char_length(t) == 0),
+        F.lit(None).cast(
+            "struct<clean_text:string,n_lines:bigint,"
+            "n_lines_kept:bigint,n_sentences:bigint,passes:boolean>"
+        ),
+    ).otherwise(sig)
+
+
 def _bind(value: Column, body) -> Column:
     """Evaluate `value` ONCE and pass it to `body` as a lambda variable.
 

@@ -382,3 +382,144 @@ class TestGopherRepetition:
             != oracle[k]
         }
         assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
+
+
+C4_ROWS = [
+    (1, "This is a proper sentence with enough words here.\n"
+        "Another full sentence that also ends properly!\n"
+        "And a third one to cross the sentence floor, yes?\n"
+        "menu home about"),
+    (2, "Enable Javascript to view this page properly please.\n"
+        "Short line.\nok"),
+    (3, "function f() { return 1; } This has sentences. "
+        "It even has three of them. Truly it does."),
+    (4, "lorem ipsum dolor sit amet and some more words here.\n"
+        "Another good sentence is right here with words.\n"
+        "A third sentence lands right here with many words."),
+    (5, None),
+    (6, ""),
+    (7, 'A quoted line also counts as terminated, he said, "sure."\n'
+        "Sentence two is right here and it has enough words.\n"
+        "Sentence three follows with plenty of words too."),
+]
+
+
+class TestC4Clean:
+    def test_rule_pins(self, spark):
+        from postgresql_topn_spark.operators.text import c4_clean
+
+        df = spark.createDataFrame(C4_ROWS, "doc_id long, text string")
+        c = {
+            r["doc_id"]: r["c"]
+            for r in df.select(
+                "doc_id", c4_clean("text").alias("c")
+            ).collect()
+        }
+        # nav line dropped, page passes
+        assert c[1]["n_lines_kept"] == 3 and c[1]["passes"] is True
+        assert "menu home about" not in c[1]["clean_text"]
+        # javascript line dropped -> sentence floor fails the page
+        assert c[2]["n_lines_kept"] == 0 and c[2]["passes"] is False
+        # curly brace fails the page even with enough sentences
+        assert c[3]["n_sentences"] >= 3 and c[3]["passes"] is False
+        # lorem ipsum fails the page
+        assert c[4]["passes"] is False
+        assert c[5] is None and c[6] is None
+        # quote-terminated lines count
+        assert c[7]["n_lines_kept"] == 3 and c[7]["passes"] is True
+
+    def test_scan_stage_no_python(self, spark):
+        from postgresql_topn_spark.operators.text import c4_clean
+        from postgresql_topn_spark.plans.audit import (
+            hash_shuffles,
+            python_stages,
+        )
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents")
+        out = docs.select("doc_id", c4_clean("text").alias("c"))
+        assert hash_shuffles(out) == 0
+        assert python_stages(out) == 0
+
+    def test_duckdb_parity_over_corpus(self, spark):
+        from postgresql_topn_spark.operators.text import c4_clean
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        )
+        edges = spark.createDataFrame(
+            C4_ROWS, "doc_id long, text string"
+        ).withColumn("doc_id", F.col("doc_id") + 9000)
+        both = docs.unionByName(edges)
+        got = {
+            r["doc_id"]: (None if r["c"] is None else tuple(r["c"]))
+            for r in both.select(
+                "doc_id", c4_clean("text").alias("c")
+            ).collect()
+        }
+
+        con = duckdb.connect()
+        pq = os.path.join(SF_DIR, "documents.parquet")
+        con.execute(
+            f"CREATE VIEW docs AS SELECT * FROM read_parquet('{pq}')"
+        )
+        con.execute("CREATE TABLE edges(doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO edges VALUES (?, ?)",
+            [(i + 9000, t) for i, t in C4_ROWS],
+        )
+        rows = con.execute(
+            r"""
+            WITH base AS (
+              SELECT doc_id, text FROM docs
+              UNION ALL SELECT doc_id, text FROM edges
+            ),
+            t AS (
+              SELECT doc_id, text,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> len(trim(l)) > 0) AS lines
+              FROM base
+              WHERE text IS NOT NULL AND len(text) > 0
+            ),
+            k AS (
+              SELECT doc_id, text, lines,
+                     list_filter(lines, l ->
+                       regexp_matches(trim(l), '[.!?"]$')
+                       AND len(list_filter(
+                             string_split_regex(trim(l), '\s+'),
+                             w -> w <> '')) >= 5
+                       AND NOT contains(lower(l), 'javascript')
+                     ) AS kept
+              FROM t
+            ),
+            c AS (
+              SELECT doc_id, text, lines, kept,
+                     COALESCE(array_to_string(kept, chr(10)), '') AS clean_text
+              FROM k
+            )
+            SELECT doc_id, clean_text,
+                   CAST(len(lines) AS BIGINT) AS n_lines,
+                   CAST(len(kept) AS BIGINT) AS n_lines_kept,
+                   CAST(len(clean_text)
+                        - len(replace(replace(replace(clean_text,
+                              '.', ''), '!', ''), '?', ''))
+                        AS BIGINT) AS n_sentences,
+                   (len(clean_text)
+                    - len(replace(replace(replace(clean_text,
+                          '.', ''), '!', ''), '?', ''))) >= 3
+                   AND NOT contains(lower(text), 'lorem ipsum')
+                   AND NOT contains(text, '{') AS passes
+            FROM c
+            """
+        ).fetchall()
+        oracle = {r[0]: tuple(r[1:]) for r in rows}
+        judged = {k: v for k, v in got.items() if v is not None}
+        assert set(judged) == set(oracle)
+        mism = {
+            k: (judged[k], oracle[k])
+            for k in judged
+            if judged[k] != oracle[k]
+        }
+        assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:2]}"
+        assert {k for k, v in got.items() if v is None} == {9005, 9006}
