@@ -2,7 +2,12 @@
 claims results are independent of partition count/order. Re-run the
 most partitioning-sensitive gates on a deliberately odd config
 (local[3], 7 shuffle partitions, AQE off) and compare against the
-DuckDB oracle."""
+DuckDB oracle.
+
+Usage: python invariance_probe.py [--all]
+  default: the 22 most partitioning-sensitive gates (fast)
+  --all:   the ENTIRE registry under the hostile config
+"""
 import importlib.util, sys
 spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
 mod = importlib.util.module_from_spec(spec); spec.loader.exec_module(mod)
@@ -30,6 +35,8 @@ NAMES = [
     "pipeline_pack_contexts", "topn_composite_key", "topn_window_7d",
     "quantile_rollup_kll", "distinct_kmv_sets",
 ]
+if "--all" in sys.argv:
+    NAMES = sorted(qs)
 bad = 0
 for name in NAMES:
     try:
