@@ -340,6 +340,25 @@ class TestGopherRepetition:
                                         l -> len(trim(l)) > 0)) AS line
               FROM t2
             ),
+            pr AS (
+              SELECT doc_id,
+                     unnest(list_filter(
+                       string_split(text, chr(10) || chr(10)),
+                       x -> len(trim(x)) > 0)) AS para
+              FROM t2
+            ),
+            prc AS (
+              SELECT doc_id, para, count(*) AS cnt, len(para) AS pl
+              FROM pr GROUP BY doc_id, para
+            ),
+            duppara AS (
+              SELECT doc_id,
+                     round(least(1.0,
+                       CAST(COALESCE(sum(CASE WHEN cnt >= 2
+                                    THEN cnt * pl END), 0) AS DOUBLE)
+                       / sum(cnt * pl)), 6) AS v
+              FROM prc GROUP BY doc_id
+            ),
             lc AS (
               SELECT doc_id, line, count(*) AS cnt, len(line) AS ll
               FROM ln GROUP BY doc_id, line
@@ -355,31 +374,28 @@ class TestGopherRepetition:
             SELECT t2.doc_id,
                    COALESCE(top3.v, 0.0) AS top3,
                    COALESCE(dup5.v, 0.0) AS dup5,
-                   dupline.v AS dupline
+                   dupline.v AS dupline,
+                   duppara.v AS duppara
             FROM t2
             LEFT JOIN top3 USING (doc_id)
             LEFT JOIN dup5 USING (doc_id)
             LEFT JOIN dupline USING (doc_id)
+            LEFT JOIN duppara USING (doc_id)
             """
         ).fetchall()
-        oracle = {r[0]: (r[1], r[2], r[3]) for r in rows}
+        oracle = {r[0]: (r[1], r[2], r[3], r[4]) for r in rows}
         assert set(got) == set(oracle)
-        mism = {
-            k: (
-                (
-                    got[k]["top_3gram_char_frac"],
-                    got[k]["dup_5gram_char_frac"],
-                    got[k]["dup_line_char_frac"],
-                ),
-                oracle[k],
-            )
-            for k in got
-            if (
+
+        def _sig(k):
+            return (
                 got[k]["top_3gram_char_frac"],
                 got[k]["dup_5gram_char_frac"],
                 got[k]["dup_line_char_frac"],
+                got[k]["dup_para_char_frac"],
             )
-            != oracle[k]
+
+        mism = {
+            k: (_sig(k), oracle[k]) for k in got if _sig(k) != oracle[k]
         }
         assert not mism, f"{len(mism)} mismatches, e.g. {list(mism.items())[:3]}"
 
