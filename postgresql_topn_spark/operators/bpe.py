@@ -241,7 +241,13 @@ def train_bpe(
                 # when checkpoint_dir is set — iteration state then
                 # survives executor loss)
                 if checkpoint_dir is not None:
-                    words = stage_cut(words, checkpoint_dir)
+                    # supersedes= releases the PREVIOUS round's cut
+                    # once this one is on disk — O(1) dir footprint
+                    # across rounds (no-op when `words` is not yet a
+                    # reliable cut, i.e. the first cut of the loop)
+                    words = stage_cut(
+                        words, checkpoint_dir, supersedes=words
+                    )
                 else:
                     words = words.localCheckpoint(eager=True)
                 rounds_since_persist = 0

@@ -241,7 +241,10 @@ def lr_train(
             _col(text_col).alias("__text"),
         )
 
-    from postgresql_topn_spark.operators.checkpointing import stage_cut
+    from postgresql_topn_spark.operators.checkpointing import (
+        release_cut,
+        stage_cut,
+    )
 
     def _cut(df: DataFrame) -> DataFrame:
         return stage_cut(df, checkpoint_dir)
@@ -318,13 +321,13 @@ def lr_train(
                 0,
             ).cast("long"),
         ).otherwise(F.lit(0).cast("long"))
-        w = _cut(grad.select("bucket", (w_prev - step).alias("w_micro")))
+        new_w = _cut(grad.select("bucket", (w_prev - step).alias("w_micro")))
         bgrad = resid.agg(F.sum("__r").alias("__bg"))
         b_prev = F.col("b_micro") if b is not None else F.lit(0).cast("long")
         bnew = bgrad.crossJoin(F.broadcast(n_row))
         if b is not None:
             bnew = bnew.crossJoin(F.broadcast(b))
-        b = _cut(
+        new_b = _cut(
             bnew.select(
                 (
                     b_prev
@@ -337,6 +340,21 @@ def lr_train(
                 ).alias("b_micro")
             )
         )
+        if checkpoint_dir is not None:
+            # both new cuts are fully on disk (parquet cuts are eager)
+            # and the bias lineage that read the OLD w/b has executed —
+            # release the superseded iteration state so the checkpoint
+            # dir stays O(1) in iterations, not O(iters)
+            release_cut(pos.sparkSession, w)
+            release_cut(pos.sparkSession, b)
+        w, b = new_w, new_b
+
+    if checkpoint_dir is not None:
+        # the training working set (labeled examples + feature table)
+        # is dead once the final w/b cuts exist — the returned model
+        # reads only those; release the other two file sets now
+        release_cut(pos.sparkSession, examples)
+        release_cut(pos.sparkSession, feats)
 
     # bias + feature-space parameters live IN the frame at reserved
     # negative buckets (md5 buckets are non-negative), so a model

@@ -251,13 +251,18 @@ def gopher_quality_signals(text: Column | str) -> Column:
 
     - n_words          — whitespace word count        [50, 100000]
     - mean_word_len    — chars per word               [3, 10]
-    - symbol_word_ratio— '#' + '...' per word         < 0.1
-    - bullet_line_frac — lines starting '-' '*' '•'   < 0.9
-    - ellipsis_line_frac — lines ending '...' / '…'   < 0.3
-    - alpha_word_frac  — words with an [a-zA-Z] char  > 0.8
+    - symbol_word_ratio— '#' + '...'/'…' per word     <= 0.1
+    - bullet_line_frac — lines starting '-' '*' '•'   <= 0.9
+    - ellipsis_line_frac — lines ending '...' / '…'   <= 0.3
+    - alpha_word_frac  — words with an [a-zA-Z] char  >= 0.8
     - n_stop_hits      — distinct hits from Gopher's 8-word stopword
                          list (the/be/to/of/and/that/have/with) >= 2
     - passes           — AND of all seven rules
+
+    Boundary semantics follow the paper: a document is REMOVED when a
+    ratio exceeds its threshold, so a doc landing exactly on a
+    boundary is kept (<= / >= above). The symbol rule counts both the
+    ASCII '...' and U+2026 ellipsis forms, like the line-ending rule.
 
     All pure Catalyst expressions — one projection riding the scan,
     no shuffle, no Python — with division order fixed so an ANSI-SQL
@@ -279,7 +284,10 @@ def gopher_quality_signals(text: Column | str) -> Column:
     n_ellipsis = (
         F.char_length(t)
         - F.char_length(F.replace(t, F.lit("..."), F.lit("")))
-    ) / F.lit(3)
+    ) / F.lit(3) + (
+        F.char_length(t)
+        - F.char_length(F.replace(t, F.lit("…"), F.lit("")))
+    )
     symbol_word_ratio = F.try_divide(
         (n_hash + n_ellipsis).cast("double"), nd
     )
@@ -300,7 +308,7 @@ def gopher_quality_signals(text: Column | str) -> Column:
         F.size(
             F.filter(
                 lines,
-                lambda l: F.rtrim(l).rlike("(\.\.\.|\u2026)$"),
+                lambda l: F.rtrim(l).rlike(r"(\.\.\.|\u2026)$"),
             )
         ).cast("double"),
         n_lines,
@@ -322,10 +330,10 @@ def gopher_quality_signals(text: Column | str) -> Column:
         & (n_words <= 100_000)
         & (mean_word_len >= 3.0)
         & (mean_word_len <= 10.0)
-        & (symbol_word_ratio < 0.1)
-        & (F.coalesce(bullet_frac, F.lit(0.0)) < 0.9)
-        & (F.coalesce(ellipsis_frac, F.lit(0.0)) < 0.3)
-        & (alpha_frac > 0.8)
+        & (symbol_word_ratio <= 0.1)
+        & (F.coalesce(bullet_frac, F.lit(0.0)) <= 0.9)
+        & (F.coalesce(ellipsis_frac, F.lit(0.0)) <= 0.3)
+        & (alpha_frac >= 0.8)
         & (n_stop_hits >= 2)
     )
     sig = F.struct(
@@ -357,52 +365,62 @@ def sig_schema_ddl() -> str:
 
 def _run_char_stats(arr: Column) -> Column:
     """struct(top_chars, dup_chars) over a STRING ARRAY, as one sorted
-    fold (the `top_token_count` pattern, char-weighted): `top_chars` is
-    the char mass (occurrences x element length) of the most frequent
-    element IF it occurs >= 2 times (a singleton is not a repetition —
-    the DataTrove guard); `dup_chars` is the total char mass of every
-    occurrence of every element that appears >= 2 times. O(L log L)
-    per row, expression-only — no per-doc explode/groupBy shuffle."""
+    fold (the `top_token_count` pattern, char-weighted), matching the
+    published Gopher rules as implemented by DataTrove:
+
+    - `top_chars` — char mass (occurrences x element length) of the
+      MOST FREQUENT element (`find_top_duplicate`: argmax by count;
+      ties break toward the larger mass, a deterministic refinement
+      the paper leaves open), counted only IF it occurs >= 2 times
+      (a singleton is not a repetition — without the guard any short
+      document's longest gram trips the top-n rule);
+    - `dup_chars` — char mass of every occurrence BEYOND THE FIRST of
+      every element appearing >= 2 times (`find_duplicates` counts
+      only repeats: a doc whose every line appears exactly twice is
+      0.5 duplicated, not 1.0).
+
+    O(L log L) per row, expression-only — no per-doc explode/groupBy
+    shuffle."""
     acc0 = F.expr(
         "named_struct('prev', cast(null as string), "
-        "'run', cast(0 as bigint), 'best', cast(0 as bigint), "
-        "'dup', cast(0 as bigint))"
+        "'run', cast(0 as bigint), 'best_run', cast(0 as bigint), "
+        "'best', cast(0 as bigint), 'dup', cast(0 as bigint))"
     )
 
     def _mass(acc):
         return acc["run"] * F.char_length(acc["prev"]).cast("bigint")
 
+    def _close(acc):
+        """(best_run, best, dup) updated as if the current run ended."""
+        counted = acc["prev"].isNotNull() & (acc["run"] >= 2)
+        better = counted & (
+            (acc["run"] > acc["best_run"])
+            | ((acc["run"] == acc["best_run"]) & (_mass(acc) > acc["best"]))
+        )
+        best_run = F.when(better, acc["run"]).otherwise(acc["best_run"])
+        best = F.when(better, _mass(acc)).otherwise(acc["best"])
+        dup = F.when(
+            counted,
+            acc["dup"]
+            + (acc["run"] - 1) * F.char_length(acc["prev"]).cast("bigint"),
+        ).otherwise(acc["dup"])
+        return best_run, best, dup
+
     def step(acc, x):
         same = acc["prev"].isNotNull() & (x == acc["prev"])
-        boundary = acc["prev"].isNotNull() & ~same
-        # a singleton is not a repetition: both stats consider only
-        # elements occurring >= 2 (the DataTrove/Gopher-impl guard —
-        # otherwise any short document's longest gram trips the rule)
-        best = F.when(
-            boundary & (acc["run"] >= 2), F.greatest(acc["best"], _mass(acc))
-        ).otherwise(acc["best"])
-        dup = F.when(
-            boundary & (acc["run"] >= 2), acc["dup"] + _mass(acc)
-        ).otherwise(acc["dup"])
-        run = F.when(same, acc["run"] + 1).otherwise(
-            F.lit(1).cast("bigint")
-        )
+        br, b, d = _close(acc)
         return F.struct(
             x.alias("prev"),
-            run.alias("run"),
-            best.alias("best"),
-            dup.alias("dup"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(same, acc["best_run"]).otherwise(br).alias("best_run"),
+            F.when(same, acc["best"]).otherwise(b).alias("best"),
+            F.when(same, acc["dup"]).otherwise(d).alias("dup"),
         )
 
     def finish(acc):
-        best = F.when(
-            acc["prev"].isNotNull() & (acc["run"] >= 2),
-            F.greatest(acc["best"], _mass(acc)),
-        ).otherwise(acc["best"])
-        dup = F.when(
-            acc["prev"].isNotNull() & (acc["run"] >= 2),
-            acc["dup"] + _mass(acc),
-        ).otherwise(acc["dup"])
+        _, best, dup = _close(acc)
         return F.struct(best.alias("top_chars"), dup.alias("dup_chars"))
 
     return F.aggregate(F.array_sort(arr), acc0, step, finish)
@@ -426,17 +444,24 @@ def gopher_repetition_signals(text: Column | str) -> Column:
 
     Semantics (documented where implementations vary): duplicate-
     fractions are 1 - distinct/total (the house `repetition_signals`
-    convention); char fractions weight EVERY occurrence of a
-    duplicated element (first included) over the family's char mass —
+    convention); `top_{n}gram_char_frac` weighs EVERY occurrence of
+    the MOST FREQUENT n-gram (argmax by count, ties toward the larger
+    mass — DataTrove's `find_top_duplicate`); `dup_*_char_frac`
+    weighs only occurrences BEYOND THE FIRST of each duplicated
+    element (DataTrove's `find_duplicates`: a doc whose every line
+    appears exactly twice is 0.5 duplicated, not 1.0) —
     line/paragraph fractions over their own char totals, n-gram
     fractions over `char_length(text)`, saturated at 1.0 (overlapping
     occurrences can exceed the doc's char mass under occurrence-count
     semantics); a gram/line/paragraph must occur >= 2 times to count
-    toward EITHER stat (a singleton is not a repetition — the
-    DataTrove guard, without which any short document's longest gram
-    trips the top-n rule); grams are ' '-joined token windows, so a
-    document with fewer than n tokens trivially passes rule n. Positional-coverage (union) semantics belong to
-    `substring_run_pairs`, not here.
+    toward EITHER stat (a singleton is not a repetition, matching
+    find_duplicates; applied to the top-gram stat too, a documented
+    house guard without which any short document's longest gram trips
+    the top-n rule); grams are ' '-joined token windows (occurrence-
+    count form — DataTrove's dup-gram pass uses positional-skip
+    coverage, which is sequential; positional-coverage semantics
+    belong to `substring_run_pairs`, not here), so a document with
+    fewer than n tokens trivially passes rule n.
 
     Everything is expression-only and rides the scan — the token array
     is evaluated ONCE (`_bind`) and each n-gram family is a sorted

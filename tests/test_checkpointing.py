@@ -44,9 +44,102 @@ class TestStageCut:
         df = spark.range(50)
         out = stage_cut(df, str(tmp_path / "ck2"))
         out.count()
-        # the one-shot cut unpersists its staging cache (no leak into
-        # the session's storage memory)
+        # the reliable cut never touches the input's cache state
         assert not df.storageLevel.useMemory
+
+    def test_caller_cache_survives(self, spark, tmp_path):
+        """ADVICE r8: the old persist/unpersist staging dropped a cache
+        the CALLER had placed on df (and raised on non-default levels).
+        The parquet cut must leave the caller's storage level alone."""
+        from pyspark import StorageLevel
+
+        from postgresql_topn_spark.operators.checkpointing import stage_cut
+
+        df = spark.range(40).select(F.col("id"), (F.col("id") % 5).alias("v"))
+        df.persist(StorageLevel.DISK_ONLY)
+        try:
+            df.count()
+            out = stage_cut(df, str(tmp_path / "ck3"))
+            assert _rows(out, "id") == _rows(df, "id")
+            assert df.storageLevel.useDisk  # still cached, same level
+        finally:
+            df.unpersist()
+
+    def test_no_global_checkpoint_dir_and_no_interleave(
+        self, spark, tmp_path
+    ):
+        """VERDICT r8 item 3: the reliable cut must not mutate the
+        SparkContext-global checkpoint dir, and two pipelines cutting
+        into different dirs must each land in their own dir."""
+        import os
+
+        from postgresql_topn_spark.operators.checkpointing import (
+            cut_path,
+            stage_cut,
+        )
+
+        before = spark.sparkContext._jsc.sc().getCheckpointDir()
+        d1, d2 = str(tmp_path / "pipe_a"), str(tmp_path / "pipe_b")
+        a = stage_cut(spark.range(10), d1)
+        b = stage_cut(spark.range(20), d2)
+        assert a.count() == 10 and b.count() == 20
+        after = spark.sparkContext._jsc.sc().getCheckpointDir()
+        assert str(before) == str(after)  # global state untouched
+        assert cut_path(a).startswith(d1) and cut_path(b).startswith(d2)
+        assert os.listdir(d1) and os.listdir(d2)
+
+    def test_release_and_supersedes(self, spark, tmp_path):
+        import os
+
+        from postgresql_topn_spark.operators.checkpointing import (
+            cut_path,
+            release_cut,
+            stage_cut,
+        )
+
+        d = str(tmp_path / "chain")
+        c1 = stage_cut(spark.range(5), d)
+        p1 = cut_path(c1)
+        # superseding cut: new files written first, old dir deleted
+        c2 = stage_cut(c1.select((F.col("id") + 1).alias("id")), d,
+                       supersedes=c1)
+        assert not os.path.exists(p1)
+        assert sorted(r["id"] for r in c2.collect()) == [1, 2, 3, 4, 5]
+        # release is idempotent-safe and no-ops on non-cut frames
+        assert release_cut(spark, c2) is True
+        assert release_cut(spark, c2) is False
+        assert release_cut(spark, spark.range(3)) is False
+        assert release_cut(spark, None) is False
+        # localCheckpoint mode: supersedes is ignored, no cut_path
+        lc = stage_cut(spark.range(4), None, supersedes=c2)
+        assert cut_path(lc) is None and lc.count() == 4
+
+
+def test_lr_train_dir_footprint_is_o1(spark, sf_dir, tmp_path):
+    """Iterative reliable checkpointing keeps ONE live file set per
+    loop variable: after lr_train(iters=3) only the final w and b cuts
+    remain (the returned model reads them) — superseded iteration
+    state and the training working set are released as the loop runs
+    (VERDICT r8 item 3)."""
+    import os
+
+    from postgresql_topn_spark.operators.classifier import lr_train
+    from postgresql_topn_spark.suite import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    ckdir = str(tmp_path / "lr_o1")
+    model = lr_train(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        n_buckets=64,
+        iters=3,
+        lr=1.0,
+        checkpoint_dir=ckdir,
+    )
+    live = [d for d in os.listdir(ckdir) if d.startswith("cut-")]
+    assert len(live) == 2, f"expected final w+b cuts only, got {live}"
+    # and the model still reads cleanly from the surviving cuts
+    assert model.count() > 0
 
 
 class TestLrTrainCheckpointed:

@@ -134,7 +134,9 @@ class TestGopherRules:
               round((CAST(len(text) - len(replace(text, '#', ''))
                           AS DOUBLE)
                      + CAST(len(text) - len(replace(text, '...', ''))
-                            AS DOUBLE) / 3)
+                            AS DOUBLE) / 3
+                     + CAST(len(text) - len(replace(text, '…', ''))
+                            AS DOUBLE))
                     / n_words, 6) AS swr,
               round(CAST(len(list_filter(lines,
                         l -> regexp_matches(ltrim(l), '^[-*•]')))
@@ -165,10 +167,10 @@ class TestGopherRules:
                 (
                     50 <= r[1] <= 100_000
                     and 3.0 <= r[2] <= 10.0
-                    and r[3] < 0.1
-                    and (r[4] or 0.0) < 0.9
-                    and (r[5] or 0.0) < 0.3
-                    and r[6] > 0.8
+                    and r[3] <= 0.1
+                    and (r[4] or 0.0) <= 0.9
+                    and (r[5] or 0.0) <= 0.3
+                    and r[6] >= 0.8
                     and r[7] >= 2
                 ),
             )
@@ -306,10 +308,13 @@ class TestGopherRepetition:
               FROM g GROUP BY doc_id, n_chars, gram
             ),
             top3 AS (
+              -- argmax by count, ties toward the larger mass: pack
+              -- (cnt, mass) into one BIGINT key (mass < 2^40 here)
               SELECT doc_id,
                      round(least(1.0,
-                       CAST(COALESCE(max(CASE WHEN cnt >= 2
-                                    THEN cnt * len(gram) END), 0)
+                       CAST(COALESCE(arg_max(cnt * len(gram),
+                              cnt * 1099511627776 + cnt * len(gram))
+                            FILTER (WHERE cnt >= 2), 0)
                             AS DOUBLE) / n_chars), 6) AS v
               FROM gc GROUP BY doc_id, n_chars
             ),
@@ -330,7 +335,7 @@ class TestGopherRepetition:
               SELECT doc_id,
                      round(least(1.0,
                        CAST(COALESCE(sum(CASE WHEN cnt >= 2
-                                    THEN cnt * len(gram) END), 0)
+                                    THEN (cnt - 1) * len(gram) END), 0)
                             AS DOUBLE) / n_chars), 6) AS v
               FROM g5c GROUP BY doc_id, n_chars
             ),
@@ -355,7 +360,7 @@ class TestGopherRepetition:
               SELECT doc_id,
                      round(least(1.0,
                        CAST(COALESCE(sum(CASE WHEN cnt >= 2
-                                    THEN cnt * pl END), 0) AS DOUBLE)
+                                    THEN (cnt - 1) * pl END), 0) AS DOUBLE)
                        / sum(cnt * pl)), 6) AS v
               FROM prc GROUP BY doc_id
             ),
@@ -367,7 +372,7 @@ class TestGopherRepetition:
               SELECT doc_id,
                      round(least(1.0,
                        CAST(COALESCE(sum(CASE WHEN cnt >= 2
-                                    THEN cnt * ll END), 0) AS DOUBLE)
+                                    THEN (cnt - 1) * ll END), 0) AS DOUBLE)
                        / sum(cnt * ll)), 6) AS v
               FROM lc GROUP BY doc_id
             )
