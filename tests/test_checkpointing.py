@@ -166,6 +166,7 @@ class TestLrTrainCheckpointed:
 @pytest.mark.parametrize(
     "gate,order",
     [
+        ("pipeline_curation", ["doc_id"]),
         ("pipeline_select_mix", ["doc_id"]),
         ("pipeline_select_recipe", ["doc_id"]),
         ("pipeline_deliver_dataset", ["doc_id", "chunk_idx"]),
