@@ -4,7 +4,11 @@ columns with typed metadata, processed by Arrow-batched pandas UDFs.
 Metadata decode is REAL: `decode_image_meta` parses PNG/GIF/BMP/JPEG
 headers with pure stdlib `struct` (`parse_image_header`). Pixel decode
 is REAL for NetPBM (`parse_netpbm`: binary/ASCII PPM+PGM, 8/16-bit —
-the uncompressed interchange format needs no codec), and
+the uncompressed interchange format needs no codec), as is per-frame
+VIDEO extraction for fixed-frame-size NetPBM containers
+(`extract_frames`: offset arithmetic + byte slicing + raster decode
+at every sampled frame; `sample_frames` remains the offsets-only
+stage for codecs decoded elsewhere), and
 `decode_image_pixels` takes a `decoder=` callable to plug PIL/libvips
 for codec formats (JPEG/PNG) that this container cannot decode;
 undecodable rows yield NULL pixels instead of failing the scan.
@@ -438,11 +442,13 @@ def extract_features(blobs: DataFrame, *, dim: int = 64) -> DataFrame:
 def sample_frames(
     blobs: DataFrame, *, every_n_bytes: int = 1024, max_frames: int = 8
 ) -> DataFrame:
-    """Frame-sampling plumbing for video payloads: emits (doc_id,
-    frame_idx, byte_offset) rows — one per sampled frame — via posexplode
-    of a computed offset array. The actual frame extraction at each
-    offset is the stubbed decode step; offset arithmetic, fan-out shape
-    and schema are real."""
+    """Frame-sampling OFFSET plumbing for opaque video payloads: emits
+    (doc_id, frame_idx, byte_offset) rows — one per sampled frame —
+    via posexplode of a computed offset array, without touching the
+    payload bytes (the right stage when the codec lives elsewhere —
+    the offsets feed a downstream decoder worker pool). For container
+    formats this repo CAN decode, :func:`extract_frames` is the full
+    path: the same fan-out plus a REAL per-offset NetPBM frame decode."""
     n_frames = F.least(
         F.floor(F.col("n_bytes") / every_n_bytes).cast("int") + 1, F.lit(max_frames)
     )
@@ -451,6 +457,159 @@ def sample_frames(
     )
     return blobs.select(
         "doc_id", F.posexplode(offsets).alias("frame_idx", "byte_offset")
+    )
+
+
+def synth_video_pgm(doc_id: int) -> bytes:
+    """A REAL multi-frame 'video' payload: 2..6 concatenated binary
+    PGM (P5) frames, constant frame geometry per document so frame f
+    starts at byte offset f * frame_nbytes — the fixed-size-frame
+    container layout (YUV4MPEG-style) that makes offset arithmetic a
+    pure function of metadata. Pixels are a pure integer function of
+    (doc_id, frame_idx, flat index), so a SQL oracle replays every
+    decoded pixel while the Spark side exercises genuine header parse
+    + byte slicing + raster decode:
+
+    width = 8 + doc_id % 9, height = 8 + (doc_id*5) % 7,
+    n_frames = 2 + doc_id % 5, m = 6 + doc_id % 7,
+    frame f, pixel i = ((i % m) * 41 + f * 17 + doc_id * 29) % 256."""
+    w = 8 + doc_id % 9
+    h = 8 + (doc_id * 5) % 7
+    n_frames = 2 + doc_id % 5
+    m = 6 + doc_id % 7
+    header = f"P5\n{w} {h}\n255\n".encode()
+    frames = []
+    for f in range(n_frames):
+        px = bytes(
+            ((i % m) * 41 + f * 17 + doc_id * 29) % 256
+            for i in range(w * h)
+        )
+        frames.append(header + px)
+    return b"".join(frames)
+
+
+VIDEO_BLOB_SCHEMA = (
+    "doc_id bigint, blob binary, media_type string, n_bytes int, "
+    "n_frames int, frame_nbytes int"
+)
+
+
+def make_video_blob_table(documents: DataFrame) -> DataFrame:
+    """(doc_id, blob, media_type, n_bytes, n_frames, frame_nbytes) of
+    synthesized multi-frame NetPBM payloads (`synth_video_pgm`) — the
+    container metadata (frame count + fixed frame size) rides next to
+    the bytes, exactly what `extract_frames` needs for offset
+    arithmetic."""
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            blobs = [synth_video_pgm(int(d)) for d in pdf["doc_id"]]
+            nf = [2 + int(d) % 5 for d in pdf["doc_id"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "blob": blobs,
+                    "media_type": "video/x-netpbm-frames",
+                    "n_bytes": [len(b) for b in blobs],
+                    "n_frames": nf,
+                    "frame_nbytes": [
+                        len(b) // n for b, n in zip(blobs, nf)
+                    ],
+                }
+            )
+
+    return (
+        documents.select("doc_id")
+        .where(F.col("doc_id").isNotNull())
+        .mapInPandas(synth, VIDEO_BLOB_SCHEMA)
+    )
+
+
+FRAME_PIXELS_SCHEMA = (
+    "doc_id bigint, frame_idx int, byte_offset int, n_bytes int, "
+    "width int, height int, channels int, pixels array<int>"
+)
+
+
+def extract_frames(
+    blobs: DataFrame, *, every_n_frames: int = 1, max_frames: int = 8
+) -> DataFrame:
+    """REAL frame extraction (the round-9 replacement of the last
+    decode stand-in): for fixed-frame-size payloads carrying
+    (blob, n_frames, frame_nbytes), sample every `every_n_frames`-th
+    frame up to `max_frames`, slice the payload at each computed byte
+    offset and DECODE the frame there with the real NetPBM raster
+    parser (`parse_netpbm` — the same codec the image path uses).
+    Emits one (doc_id, frame_idx, byte_offset, n_bytes, width,
+    height, channels, pixels) row per sampled frame (`n_bytes` = the
+    CONTAINER's total payload size, carried so downstream stages need
+    no doc-keyed join to see it); a slice that does not
+    parse (corrupt tail, lying metadata) yields NULL dims/pixels, not
+    a dead scan.
+
+    Fan-out happens INSIDE the Arrow batch (one mapInPandas pass per
+    payload, emitting k rows) rather than via posexplode-then-decode,
+    so the blob bytes are never duplicated per frame row upstream of
+    the decoder. NULL doc_id rows are dropped at the scan (the
+    nullable-int64 Arrow coercion guard, see module docstring)."""
+    if every_n_frames < 1 or max_frames < 1:
+        raise ValueError(
+            f"every_n_frames/max_frames must be >= 1, got "
+            f"{every_n_frames}/{max_frames}"
+        )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_idx", "byte_offset", "n_bytes",
+                "width", "height", "channels", "pixels",
+            )}
+            for did, buf, nf, fb in zip(
+                pdf["doc_id"], pdf["blob"], pdf["n_frames"],
+                pdf["frame_nbytes"],
+            ):
+                if buf is None or pd.isna(nf) or pd.isna(fb):
+                    continue  # nothing addressable to sample
+                b = bytes(buf)
+                idxs = list(range(0, int(nf), every_n_frames))[:max_frames]
+                for f in idxs:
+                    off = f * int(fb)
+                    parsed = parse_netpbm(b[off : off + int(fb)])
+                    out["doc_id"].append(did)
+                    out["frame_idx"].append(f)
+                    out["byte_offset"].append(off)
+                    out["n_bytes"].append(len(b))
+                    if parsed is None:
+                        for k in ("width", "height", "channels", "pixels"):
+                            out[k].append(None)
+                    else:
+                        w, h, c, px = parsed
+                        out["width"].append(w)
+                        out["height"].append(h)
+                        out["channels"].append(c)
+                        out["pixels"].append(px)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "frame_idx": pd.array(out["frame_idx"], dtype="Int32"),
+                    "byte_offset": pd.array(
+                        out["byte_offset"], dtype="Int32"
+                    ),
+                    "n_bytes": pd.array(out["n_bytes"], dtype="Int32"),
+                    "width": pd.array(out["width"], dtype="Int32"),
+                    "height": pd.array(out["height"], dtype="Int32"),
+                    "channels": pd.array(out["channels"], dtype="Int32"),
+                    # object dtype even when the batch is empty/all-NULL:
+                    # a numpy float64 column cannot convert to the Arrow
+                    # list<int32> schema
+                    "pixels": pd.Series(out["pixels"], dtype="object"),
+                }
+            )
+
+    return (
+        blobs.select("doc_id", "blob", "n_frames", "frame_nbytes")
+        .where(F.col("doc_id").isNotNull())
+        .mapInPandas(decode, schema=FRAME_PIXELS_SCHEMA)
     )
 
 

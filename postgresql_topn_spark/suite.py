@@ -3462,27 +3462,63 @@ def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
              'fake' AS format
       FROM b
     ),
-    f AS (SELECT doc_id, unnest(range(0, least(n_bytes // 1024 + 1, 8))) AS frame_idx FROM b)
-    SELECT m.doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
-           CAST(f.frame_idx * 1024 AS INT) AS byte_offset,
-           m.n_bytes, m.width, m.height, m.channels, m.format
-    FROM m JOIN f USING (doc_id)
+    f AS (SELECT doc_id, unnest(range(0, least(n_bytes // 1024 + 1, 8))) AS frame_idx FROM b),
+    offsets_lane AS (
+      SELECT 'offsets' AS lane, m.doc_id, CAST(f.frame_idx AS INT) AS frame_idx,
+             CAST(f.frame_idx * 1024 AS INT) AS byte_offset,
+             m.n_bytes, m.width, m.height, m.channels, m.format,
+             CAST(NULL AS BIGINT) AS px_sum
+      FROM m JOIN f USING (doc_id)
+    ),
+    vg AS (SELECT doc_id,
+                  8 + doc_id % 9 AS w,
+                  8 + (doc_id * 5) % 7 AS h,
+                  2 + doc_id % 5 AS nf,
+                  6 + doc_id % 7 AS mm
+           FROM documents WHERE doc_id IS NOT NULL),
+    vf AS (SELECT doc_id, w, h, mm, nf,
+                  9 + len(CAST(w AS VARCHAR))
+                    + len(CAST(h AS VARCHAR)) + w * h AS fb,
+                  unnest(range(0, nf)) AS fi
+           FROM vg),
+    real_lane AS (
+      SELECT 'real' AS lane, doc_id, CAST(fi AS INT) AS frame_idx,
+             CAST(fi * fb AS INT) AS byte_offset,
+             CAST(nf * fb AS INT) AS n_bytes,
+             CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+             CAST(1 AS INT) AS channels, 'pgm' AS format,
+             CAST(list_sum(list_transform(range(0, w * h),
+               i -> ((i % mm) * 41 + fi * 17 + doc_id * 29) % 256))
+               AS BIGINT) AS px_sum
+      FROM vf
+    )
+    SELECT * FROM offsets_lane UNION ALL SELECT * FROM real_lane
     """,
 )
 def multimodal_meta_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing AND frame-sampling fan-out in one
     gate (round-7 registry consolidation — absorbed the retired
-    `multimodal_image_meta` + `multimodal_frame_sample` gates; both
-    lanes stay value-pinned): blob table -> mapInPandas metadata
-    extraction (decode stubbed deterministically; the REAL header
-    decoder is pytest-pinned on PNG/GIF/BMP/JPEG byte literals, and
-    the real-codec pixel path has its own gates), frames fanned out by
-    offset arithmetic and tagged with their stream's metadata — the
-    shape a video pipeline uses ("sample every frame, carry the
-    container metadata")."""
+    `multimodal_image_meta` + `multimodal_frame_sample` gates), plus
+    the round-9 'real' lane:
+
+    - lane 'offsets': blob table -> mapInPandas metadata extraction
+      (decode stubbed deterministically; the REAL header decoder is
+      pytest-pinned on PNG/GIF/BMP/JPEG byte literals), frames fanned
+      out by offset arithmetic only (`sample_frames` — the stage shape
+      when the codec runs elsewhere).
+    - lane 'real': multi-frame NetPBM video payloads
+      (`make_video_blob_table`) -> `extract_frames` — REAL per-offset
+      frame decode (byte slice + raster parse at every sampled frame;
+      VERDICT r8 item 4). Each row's `px_sum` is the sum of the
+      frame's DECODED pixel values, which the oracle replays from the
+      synth formula — the driver value-checks the extraction itself,
+      and the full per-pixel parity is pinned in
+      test_text_multimodal.py."""
     from postgresql_topn_spark.operators.multimodal import (
         decode_image_meta,
+        extract_frames,
         make_blob_table,
+        make_video_blob_table,
         sample_frames,
     )
 
@@ -3490,7 +3526,8 @@ def multimodal_meta_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     blobs = make_blob_table(docs)
     meta = decode_image_meta(blobs, decoder="fake")
     frames = sample_frames(blobs)
-    return frames.join(meta, "doc_id").select(
+    offsets_lane = frames.join(meta, "doc_id").select(
+        F.lit("offsets").alias("lane"),
         "doc_id",
         "frame_idx",
         "byte_offset",
@@ -3499,7 +3536,25 @@ def multimodal_meta_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "channels",
         "format",
+        F.lit(None).cast("long").alias("px_sum"),
     )
+    real_lane = extract_frames(make_video_blob_table(docs)).select(
+        F.lit("real").alias("lane"),
+        "doc_id",
+        "frame_idx",
+        "byte_offset",
+        "n_bytes",
+        "width",
+        "height",
+        "channels",
+        F.lit("pgm").alias("format"),
+        F.aggregate(
+            "pixels",
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x.cast("long"),
+        ).alias("px_sum"),
+    )
+    return offsets_lane.unionByName(real_lane)
 
 
 def entry_flagship(spark: SparkSession) -> DataFrame:
