@@ -135,6 +135,8 @@ SUBSET = [
     # (orders stays unscaled: the prune's selectivity GROWS with the
     # fact table — the designed regime)
     "topn_bloom_pruned_join",
+    # round-9: real frame-extraction lane (documents-backed)
+    "multimodal_meta_frames",
 ]
 
 def _near_auto(spark, sf_dir):
@@ -166,9 +168,44 @@ def _substring_runs_capped(spark, sf_dir):
     )
 
 
+def _struct_probe(builder):
+    """Force FULL evaluation of a scan-stage struct under .count():
+    count() alone prunes the projection away, and a single-field
+    filter lets nested-field pruning skip the other folds; hashing the
+    whole struct defeats both."""
+
+    def run(spark, sf_dir):
+        from pyspark.sql import functions as F
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.select("doc_id", builder("text").alias("g")).where(
+            F.xxhash64(F.col("g")) != 0
+        )
+
+    return run
+
+
+def _extra_text_structs():
+    from postgresql_topn_spark.operators.text import (
+        c4_clean,
+        gopher_quality_signals,
+        gopher_repetition_signals,
+    )
+
+    return {
+        "gopher_quality_signals": _struct_probe(gopher_quality_signals),
+        "gopher_repetition_signals": _struct_probe(
+            gopher_repetition_signals
+        ),
+        "c4_clean": _struct_probe(c4_clean),
+    }
+
+
 EXTRA = {
     "dedup_embedding_near_auto": _near_auto,
     "dedup_substring_runs_capped": _substring_runs_capped,
+    **_extra_text_structs(),
 }
 
 ALL_TABLES = [
