@@ -104,6 +104,20 @@ def cut_path(df: DataFrame) -> "str | None":
     return getattr(df, _CUT_PATH_ATTR, None)
 
 
+def adopt_cut(df: DataFrame, source: DataFrame) -> DataFrame:
+    """Tag `df` — a pure transformation of the reliable cut `source`
+    (renames/selects on top of it) — with the cut's storage path, so
+    `release_cut` works on the frame an operator actually RETURNS.
+    The DataFrame attribute does not propagate through
+    transformations on its own. No-op when `source` is not a reliable
+    cut. Only adopt when `df` reads nothing BUT the cut — releasing
+    an adopted frame kills every scan of those files."""
+    path = cut_path(source)
+    if path is not None:
+        setattr(df, _CUT_PATH_ATTR, path)
+    return df
+
+
 def release_cut(
     spark: SparkSession, cut: "DataFrame | str | None"
 ) -> bool:

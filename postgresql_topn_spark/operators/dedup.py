@@ -211,47 +211,40 @@ def connected_components(
     pathological chains. Labels only ever decrease, so the fixpoint is
     the unique exact component labeling regardless of round count.
 
-    Each round materializes via checkpoint: iterative DataFrame loops
+    Each round materializes via a stage cut: iterative DataFrame loops
     otherwise double the lineage (and thus planning time) per round,
     and re-execution of round k would recompute rounds 1..k-1. The
     default is executor-memory localCheckpoint (fastest, lost on
     executor/driver failure); pass `checkpoint_dir` (an HDFS/S3 path at
-    cluster scale) for RELIABLE checkpoints — rounds then persist to
-    storage and a failed executor recomputes nothing upstream. Same
-    loop, same labels, one extra write per round. Driver-side is only
-    the O(1)-row convergence check per round — node and edge data never
-    leave the executors."""
-    if checkpoint_dir is not None:
-        # NOTE: setCheckpointDir mutates SparkContext-global state — any
-        # other reliable-checkpoint user on the session sees this dir.
-        edges.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    cluster scale) for RELIABLE cuts — each round then lands in its
+    own parquet subdirectory via `checkpointing.stage_cut` (no
+    SparkContext-global `setCheckpointDir`, so concurrent pipelines
+    never interleave), a failed executor recomputes nothing upstream,
+    and each round's cut supersedes the previous one so the dir
+    footprint stays O(1) in rounds: at return only the edge cut
+    (released) and the FINAL label cut (backing the returned frame —
+    `checkpointing.release_cut(spark, result)` reclaims it when the
+    caller is done) exist. Same loop, same labels, one write per
+    round. Driver-side is only the O(1)-row convergence check per
+    round — node and edge data never leave the executors."""
+    from postgresql_topn_spark.operators.checkpointing import (
+        adopt_cut,
+        release_cut,
+        stage_cut,
+    )
 
-    pinned: list[DataFrame] = []
-
-    def _persist_round(df: DataFrame) -> DataFrame:
+    def _persist_round(
+        df: DataFrame, supersedes: "DataFrame | None" = None
+    ) -> DataFrame:
         # localCheckpoint mode is LAZY: the per-round convergence-sum
         # action below is what materializes it, so each round runs ONE
-        # job (materialize + sum) instead of two.
-        #
-        # Reliable mode additionally persists first: Spark writes
-        # reliable checkpoint files in a SEPARATE job after the
-        # materializing action, and without a persisted copy that writer
-        # job would recompute the whole round. persist + lazy checkpoint
-        # = one compute (cached by the sum action) + one cache-read
-        # write job; the cache is dropped once the next round lands.
+        # job (materialize + sum) instead of two. Reliable mode writes
+        # the round eagerly (the write IS the materializing job; the
+        # sum then scans the cut files) and deletes the superseded
+        # round's files only after the new cut is fully on disk.
         if checkpoint_dir is not None:
-            df = df.persist()
-            pinned.append(df)
-            return df.checkpoint(eager=False)
+            return stage_cut(df, checkpoint_dir, supersedes=supersedes)
         return df.localCheckpoint(eager=False)
-
-    def _drop_stale_pins() -> None:
-        # called after a round's sum action: the checkpoint files now
-        # back everything older than the in-flight round, so earlier
-        # cached copies (kept while the writer job might read them) can
-        # be released without risking recompute.
-        while len(pinned) > 2:
-            pinned.pop(0).unpersist()
 
     und = edges.select(_col(src).alias("__s"), _col(dst).alias("__d"))
     # checkpoint the edge list FIRST: the loop scans it every round, and
@@ -314,10 +307,10 @@ def connected_components(
             labels.select("__s", "__c")
             .unionByName(nbr)
             .groupBy("__s")
-            .agg(F.min("__c").alias("__c"))
+            .agg(F.min("__c").alias("__c")),
+            supersedes=labels,
         )
         cur_sum = _label_sum(labels)
-        _drop_stale_pins()
         if round_stats is not None:
             # instrumentation for scale probes (cc_scale_probe.py):
             # per-round wall and whether this round changed any label
@@ -332,13 +325,13 @@ def connected_components(
             converged = True
             break
         prev_sum = cur_sum
-    # every checkpoint's writer job has run by now (doCheckpoint fires
-    # after the materializing sum job), so all caches are file-backed
-    # and can be released.
-    for df in pinned:
-        df.unpersist()
-    pinned.clear()
+    # the edge cut served its last read in the final round's write job;
+    # only the final label cut must outlive the function (it backs the
+    # returned frame). Release it too on the failure path — partial
+    # labels are never returned, so nothing reads them.
+    release_cut(edges.sparkSession, und)
     if not converged:
+        release_cut(edges.sparkSession, labels)
         # returning partially-propagated labels would silently split
         # components (and downstream keep-one dedup would keep several
         # 'canonical' copies); the docstring promises the exact
@@ -350,8 +343,11 @@ def connected_components(
             "measured to stay at ~1 on near-dup graphs) or pass "
             "checkpoint_dir for long chains"
         )
-    return labels.select(
-        F.col("__s").alias("node"), F.col("__c").alias("component")
+    return adopt_cut(
+        labels.select(
+            F.col("__s").alias("node"), F.col("__c").alias("component")
+        ),
+        labels,
     )
 
 

@@ -313,26 +313,36 @@ class TestConnectedComponents:
         assert (12, 2) not in capped and (12, 3) not in capped
 
     def test_reliable_checkpoint_mode(self, spark, tmp_path):
-        """checkpoint_dir switches rounds to reliable checkpoints:
-        identical labels, and the checkpoint dir actually receives
-        RDD checkpoint data."""
+        """checkpoint_dir switches rounds to reliable per-round parquet
+        cuts: identical labels, no SparkContext-global checkpoint dir
+        mutated, and the dir footprint is O(1) in rounds — after the
+        call exactly ONE cut survives (the final labels, backing the
+        returned frame); superseded rounds and the edge cut are
+        released as the loop runs."""
         import os
 
+        from postgresql_topn_spark.operators.checkpointing import (
+            release_cut,
+        )
         from postgresql_topn_spark.operators.dedup import connected_components
 
+        # a 5-hop chain forces several propagation rounds
         edges = spark.createDataFrame(
-            [(1, 2), (2, 3), (10, 11)], "doc_a bigint, doc_b bigint"
+            [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+            "doc_a bigint, doc_b bigint",
         )
         ckpt = str(tmp_path / "cc_ckpt")
-        out = {
-            r["node"]: r["component"]
-            for r in connected_components(edges, checkpoint_dir=ckpt).collect()
-        }
-        assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
-        written = [
-            os.path.join(dp, f) for dp, _, fs in os.walk(ckpt) for f in fs
-        ]
-        assert written, "no reliable checkpoint data written"
+        before = spark.sparkContext._jsc.sc().getCheckpointDir()
+        result = connected_components(edges, checkpoint_dir=ckpt)
+        out = {r["node"]: r["component"] for r in result.collect()}
+        assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+        after = spark.sparkContext._jsc.sc().getCheckpointDir()
+        assert str(before) == str(after)
+        live = [d for d in os.listdir(ckpt) if d.startswith("cut-")]
+        assert len(live) == 1, f"expected only the final labels cut: {live}"
+        # the caller reclaims the last cut when done with the labels
+        assert release_cut(spark, result) is True
+        assert [d for d in os.listdir(ckpt) if d.startswith("cut-")] == []
 
     def test_cluster_labels_on_documents(self, spark):
         """End-to-end: jaccard edges over the toy corpus -> 1,2,3 share a
