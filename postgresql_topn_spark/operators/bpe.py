@@ -197,6 +197,7 @@ def train_bpe(
     words = base
     merges: list[tuple[str, str]] = []
     rounds_since_persist = 0
+    prev_cut = None  # the live reliable cut (checkpoint_dir mode only)
     try:
         while len(merges) < n_merges:
             m = min(batch_m, n_merges - len(merges))
@@ -241,18 +242,29 @@ def train_bpe(
                 # when checkpoint_dir is set — iteration state then
                 # survives executor loss)
                 if checkpoint_dir is not None:
-                    # supersedes= releases the PREVIOUS round's cut
-                    # once this one is on disk — O(1) dir footprint
-                    # across rounds (no-op when `words` is not yet a
-                    # reliable cut, i.e. the first cut of the loop)
+                    # supersedes= releases the PREVIOUS cut once this
+                    # one is on disk — O(1) dir footprint across
+                    # rounds. The handle must be the CUT frame itself:
+                    # `words` has been re-selected since the last cut,
+                    # and cut paths don't propagate through
+                    # transformations (review pin).
                     words = stage_cut(
-                        words, checkpoint_dir, supersedes=words
+                        words, checkpoint_dir, supersedes=prev_cut
                     )
+                    prev_cut = words
                 else:
                     words = words.localCheckpoint(eager=True)
                 rounds_since_persist = 0
     finally:
         base.unpersist()
+        if prev_cut is not None:
+            # only the merges list leaves this function — the last
+            # word-table cut is dead weight the moment training ends
+            from postgresql_topn_spark.operators.checkpointing import (
+                release_cut,
+            )
+
+            release_cut(docs.sparkSession, prev_cut)
     return merges
 
 

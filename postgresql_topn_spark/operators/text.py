@@ -325,24 +325,33 @@ def gopher_quality_signals(text: Column | str) -> Column:
             F.array(*[F.lit(w) for w in GOPHER_STOPWORDS]),
         )
     ).cast("long")
+    # the verdict judges the REPORTED (round-6) signals, so `passes`
+    # and the emitted fields can never disagree at the 6th decimal —
+    # and any replay that thresholds the reported values (test oracle,
+    # pipeline oracles) agrees bit-for-bit on boundary documents
+    mwl_r = F.round(mean_word_len, 6)
+    swr_r = F.round(symbol_word_ratio, 6)
+    bullet_r = F.round(bullet_frac, 6)
+    ellipsis_r = F.round(ellipsis_frac, 6)
+    alpha_r = F.round(alpha_frac, 6)
     passes = (
         (n_words >= 50)
         & (n_words <= 100_000)
-        & (mean_word_len >= 3.0)
-        & (mean_word_len <= 10.0)
-        & (symbol_word_ratio <= 0.1)
-        & (F.coalesce(bullet_frac, F.lit(0.0)) <= 0.9)
-        & (F.coalesce(ellipsis_frac, F.lit(0.0)) <= 0.3)
-        & (alpha_frac >= 0.8)
+        & (mwl_r >= 3.0)
+        & (mwl_r <= 10.0)
+        & (swr_r <= 0.1)
+        & (F.coalesce(bullet_r, F.lit(0.0)) <= 0.9)
+        & (F.coalesce(ellipsis_r, F.lit(0.0)) <= 0.3)
+        & (alpha_r >= 0.8)
         & (n_stop_hits >= 2)
     )
     sig = F.struct(
         n_words.alias("n_words"),
-        F.round(mean_word_len, 6).alias("mean_word_len"),
-        F.round(symbol_word_ratio, 6).alias("symbol_word_ratio"),
-        F.round(bullet_frac, 6).alias("bullet_line_frac"),
-        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
-        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        mwl_r.alias("mean_word_len"),
+        swr_r.alias("symbol_word_ratio"),
+        bullet_r.alias("bullet_line_frac"),
+        ellipsis_r.alias("ellipsis_line_frac"),
+        alpha_r.alias("alpha_word_frac"),
         n_stop_hits.alias("n_stop_hits"),
         passes.alias("passes"),
     )
@@ -495,44 +504,47 @@ def gopher_repetition_signals(text: Column | str) -> Column:
     dup_para_frac, dup_para_char_frac = _family(paras)
 
     def build(toks):
+        # like gopher_quality_signals, the verdict thresholds the
+        # REPORTED round-6 values — struct fields and `passes` can
+        # never disagree at the 6th decimal, and oracles that replay
+        # the thresholds on the reported values agree on boundary docs
+        dlf = F.round(dup_line_frac, 6)
+        dlcf = F.round(dup_line_char_frac, 6)
+        dpf = F.round(dup_para_frac, 6)
+        dpcf = F.round(dup_para_char_frac, 6)
         fields = [
-            F.round(dup_line_frac, 6).alias("dup_line_frac"),
-            F.round(dup_line_char_frac, 6).alias("dup_line_char_frac"),
-            F.round(dup_para_frac, 6).alias("dup_para_frac"),
-            F.round(dup_para_char_frac, 6).alias("dup_para_char_frac"),
+            dlf.alias("dup_line_frac"),
+            dlcf.alias("dup_line_char_frac"),
+            dpf.alias("dup_para_frac"),
+            dpcf.alias("dup_para_char_frac"),
         ]
         conds = [
-            F.coalesce(dup_line_frac, F.lit(0.0)) <= 0.30,
-            F.coalesce(dup_line_char_frac, F.lit(0.0)) <= 0.20,
-            F.coalesce(dup_para_frac, F.lit(0.0)) <= 0.30,
-            F.coalesce(dup_para_char_frac, F.lit(0.0)) <= 0.20,
+            F.coalesce(dlf, F.lit(0.0)) <= 0.30,
+            F.coalesce(dlcf, F.lit(0.0)) <= 0.20,
+            F.coalesce(dpf, F.lit(0.0)) <= 0.30,
+            F.coalesce(dpcf, F.lit(0.0)) <= 0.20,
         ]
-        for n, cap in GOPHER_TOP_NGRAM_MAX.items():
-            stats = _run_char_stats(shingles_from_tokens(toks, n))
-            frac = F.least(
-                F.lit(1.0),
-                F.coalesce(
-                    F.try_divide(
-                        stats["top_chars"].cast("double"), n_chars
+        for kind, table in (
+            ("top", GOPHER_TOP_NGRAM_MAX),
+            ("dup", GOPHER_DUP_NGRAM_MAX),
+        ):
+            for n, cap in table.items():
+                stats = _run_char_stats(shingles_from_tokens(toks, n))
+                frac = F.round(
+                    F.least(
+                        F.lit(1.0),
+                        F.coalesce(
+                            F.try_divide(
+                                stats[f"{kind}_chars"].cast("double"),
+                                n_chars,
+                            ),
+                            F.lit(0.0),
+                        ),
                     ),
-                    F.lit(0.0),
-                ),
-            )
-            fields.append(F.round(frac, 6).alias(f"top_{n}gram_char_frac"))
-            conds.append(frac <= cap)
-        for n, cap in GOPHER_DUP_NGRAM_MAX.items():
-            stats = _run_char_stats(shingles_from_tokens(toks, n))
-            frac = F.least(
-                F.lit(1.0),
-                F.coalesce(
-                    F.try_divide(
-                        stats["dup_chars"].cast("double"), n_chars
-                    ),
-                    F.lit(0.0),
-                ),
-            )
-            fields.append(F.round(frac, 6).alias(f"dup_{n}gram_char_frac"))
-            conds.append(frac <= cap)
+                    6,
+                )
+                fields.append(frac.alias(f"{kind}_{n}gram_char_frac"))
+                conds.append(frac <= cap)
         passes = conds[0]
         for c in conds[1:]:
             passes = passes & c

@@ -1080,7 +1080,8 @@ def _gopher_rep_oracle_ctes(src: str = "t2") -> str:
         )
         sel.append(f"COALESCE(f{n}.v, 0.0) AS {kind}{n}")
         joins.append(f"LEFT JOIN f{n} USING (doc_id)")
-        conds.append(f"{kind}{n} <= {cap}")
+        # the Spark struct thresholds the REPORTED round-6 values
+        conds.append(f"round({kind}{n}, 6) <= {cap}")
     dupfam = """
       1.0 - CAST(len(list_distinct({a})) AS DOUBLE) / len({a}) AS dup_{nm}_frac,
       COALESCE(CAST(list_sum(list_transform(list_distinct({a}),
@@ -1097,10 +1098,10 @@ def _gopher_rep_oracle_ctes(src: str = "t2") -> str:
     )"""
     )
     conds = [
-        "COALESCE(dup_line_frac, 0.0) <= 0.30",
-        "COALESCE(dup_line_char_frac, 0.0) <= 0.20",
-        "COALESCE(dup_para_frac, 0.0) <= 0.30",
-        "COALESCE(dup_para_char_frac, 0.0) <= 0.20",
+        "COALESCE(round(dup_line_frac, 6), 0.0) <= 0.30",
+        "COALESCE(round(dup_line_char_frac, 6), 0.0) <= 0.20",
+        "COALESCE(round(dup_para_frac, 6), 0.0) <= 0.30",
+        "COALESCE(round(dup_para_char_frac, 6), 0.0) <= 0.20",
     ] + conds
     return (
         ",".join(fams)

@@ -213,7 +213,15 @@ def test_train_bpe_reliable_checkpoint_same_merges(spark, tmp_path):
     )
     kw = dict(n_merges=6, persist_every=1)
     local = train_bpe(df, "text", **kw)
-    reliable = train_bpe(
-        df, "text", checkpoint_dir=str(tmp_path / "bpe_ck"), **kw
-    )
+    ckdir = tmp_path / "bpe_ck"
+    reliable = train_bpe(df, "text", checkpoint_dir=str(ckdir), **kw)
     assert local == reliable and len(local) == 6
+    # O(1) footprint: each round's cut supersedes the previous, and the
+    # last one is released at return (only the merge LIST leaves) —
+    # with persist_every=1 a leak would show ~6 dirs here (review pin:
+    # the first supersedes= wiring passed a re-selected frame whose cut
+    # path had not propagated, silently releasing nothing)
+    import os
+
+    leftover = [d for d in os.listdir(ckdir) if d.startswith("cut-")]
+    assert leftover == [], f"leaked word-table cuts: {leftover}"
