@@ -2299,13 +2299,36 @@ def pipeline_curation(
         connected_components,
         jaccard_pairs,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = curation_signal_cascade(docs)
+    filt = stage_cut(
+        sig.where("__keep_rep").drop("__keep_rep"), checkpoint_dir
+    )
+    edges = jaccard_pairs(filt, "doc_id", "text", threshold=0.5, k=3)
+    comp = connected_components(
+        edges, "doc_a", "doc_b", checkpoint_dir=checkpoint_dir
+    )
+    return (
+        filt.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .where(F.coalesce("component", "doc_id") == F.col("doc_id"))
+        .drop("text", "component")
+    )
+
+
+def curation_signal_cascade(docs: DataFrame) -> DataFrame:
+    """The published-rule signal pass of `pipeline_curation`, exposed
+    for plan audits: cheap quality/C4 rules filter first, the 9-family
+    repetition verdict evaluates only on their survivors. Pure
+    scan-stage Catalyst — zero shuffles, zero Python (plan-pinned in
+    tests/test_plans.py). Returns the survivor candidates with their
+    signal columns + the final `__keep_rep` verdict column."""
     from postgresql_topn_spark.operators.text import (
         c4_clean,
         gopher_quality_signals,
         gopher_repetition_signals,
     )
 
-    docs = load_table(spark, sf_dir, "documents")
     cheap = (
         docs.select(
             "doc_id",
@@ -2333,7 +2356,7 @@ def pipeline_curation(
         .where("__keep_q")
         .drop("__keep_q")
     )
-    sig = cheap.select(
+    return cheap.select(
         "doc_id",
         "text",
         "n_words",
@@ -2353,18 +2376,6 @@ def pipeline_curation(
         "n_lines_kept",
         "n_sentences",
         F.col("__rep.passes").alias("__keep_rep"),
-    )
-    filt = stage_cut(
-        sig.where("__keep_rep").drop("__keep_rep"), checkpoint_dir
-    )
-    edges = jaccard_pairs(filt, "doc_id", "text", threshold=0.5, k=3)
-    comp = connected_components(
-        edges, "doc_a", "doc_b", checkpoint_dir=checkpoint_dir
-    )
-    return (
-        filt.join(comp.withColumnRenamed("node", "doc_id"), "doc_id", "left")
-        .where(F.coalesce("component", "doc_id") == F.col("doc_id"))
-        .drop("text", "component")
     )
 
 

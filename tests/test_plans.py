@@ -556,3 +556,51 @@ def test_model_roundtrip_gate_broadcast_models(spark):
     assert broadcast_exchanges(out) >= 3
     assert python_stages(out) == 0
     assert p.count("Exchange SinglePartition") <= 1
+
+
+def test_curation_signal_cascade_scan_stage(spark):
+    """pipeline_curation's published-rule signal pass (round 9): the
+    whole c4 -> quality -> repetition cascade — 20+ rules, 9 n-gram
+    fold families — is ONE scan-stage dataflow: zero shuffles, zero
+    Python. At 100 TB this is the property that matters: the filter
+    cost scales with executors, never with coordination."""
+    from postgresql_topn_spark.suite import curation_signal_cascade, load_table
+
+    sig = curation_signal_cascade(load_table(spark, SF, "documents"))
+    assert hash_shuffles(sig) == 0
+    assert python_stages(sig) == 0
+
+
+def test_ann_ivf_recall_lane_broadcast_no_smj(spark):
+    """ann_ivf_topk + the round-9 recall lane: the per-query recall
+    aggregate (<= |Q| rows) must ride a broadcast back onto the result
+    rows — no sort-merge join materializes, and the Python budget
+    stays at the three mapInPandas kernels (IVF assign/score + exact
+    cosine spine)."""
+    from postgresql_topn_spark.suite import QUERIES
+
+    out = QUERIES["ann_ivf_topk"](spark, SF)
+    p = plan_str(out, "simple")
+    assert "SortMergeJoin" not in p
+    assert broadcast_exchanges(out) >= 2
+    assert python_stages(out) == 3
+
+
+def test_extract_frames_single_decode_pass_no_shuffle(spark):
+    """extract_frames: synth + per-offset frame decode are exactly two
+    Arrow-batched Python stages with NO shuffle anywhere — frame
+    fan-out happens inside the batch, so blob bytes never ride an
+    exchange, and the merged meta_frames gate keeps zero shuffles
+    total across both lanes."""
+    from postgresql_topn_spark.operators.multimodal import (
+        extract_frames,
+        make_video_blob_table,
+    )
+    from postgresql_topn_spark.suite import QUERIES, load_table
+
+    fr = extract_frames(make_video_blob_table(load_table(spark, SF, "documents")))
+    assert hash_shuffles(fr) == 0
+    assert python_stages(fr) == 2
+    gate = QUERIES["multimodal_meta_frames"](spark, SF)
+    assert hash_shuffles(gate) == 0
+    assert python_stages(gate) == 3
