@@ -48,6 +48,11 @@ def _pairs(df):
         ("lang_id(text)", "lang_id"),
         ("quality_score(text)", "quality_score"),
         ("fingerprint_md5(text)", "fingerprint_md5"),
+        # round 9: the published C4+Gopher structs for SQL consumers —
+        # full struct equality incl. every signal and the verdict
+        ("gopher_quality_signals(text)", "gopher_quality_signals"),
+        ("gopher_repetition_signals(text)", "gopher_repetition_signals"),
+        ("c4_clean(text)", "c4_clean"),
     ],
 )
 def test_sql_matches_column(spark, corpus, sql_call, col_fn):
@@ -86,6 +91,15 @@ def test_sql_functions_plan_no_python(spark, corpus):
         " ws_token_count(text) n FROM sql_text_corpus"
     )
     assert python_stages(df) == 0
+    # the struct twins inline the same way — a SQL-only consumer can
+    # run the whole published filter chain at scan speed
+    chain = spark.sql(
+        "SELECT doc_id FROM sql_text_corpus WHERE"
+        " gopher_quality_signals(text).passes"
+        " AND gopher_repetition_signals(text).passes"
+        " AND c4_clean(text).passes"
+    )
+    assert python_stages(chain) == 0
 
 
 def test_sql_sampling_filter_composes(spark, corpus):
