@@ -398,6 +398,151 @@ def exact_dedup(
     )
 
 
+def line_df(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    granularity: str = "line",
+) -> DataFrame:
+    """Corpus-wide frequency table of exact lines (or paragraphs):
+    (line_key, n_total, n_docs, first_id, first_idx) — the audit view
+    behind :func:`corpus_line_dedup` (which boilerplate survived, how
+    hot it is, where its canonical occurrence lives). `line_key` is
+    md5 of the trimmed-nonempty element, so the table is narrow on
+    the wire and an ANSI-SQL oracle replays it exactly. One explode +
+    one key-partitioned aggregate."""
+    occ = _line_occurrences(docs, id_col, text_col, granularity)
+    return occ.groupBy("line_key").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count_distinct("__id").alias("n_docs"),
+        F.min(F.struct("__id", "__idx"))["__id"].alias("first_id"),
+        F.min(F.struct("__id", "__idx"))["__idx"].alias("first_idx"),
+    )
+
+
+def _line_occurrences(
+    docs: DataFrame, id_col: str, text_col: str, granularity: str
+) -> DataFrame:
+    if granularity not in ("line", "paragraph"):
+        raise ValueError(
+            f"granularity must be 'line' or 'paragraph', got {granularity!r}"
+        )
+    sep = "\n" if granularity == "line" else "\n\n"
+    elems = F.filter(
+        F.split(_col(text_col), sep),
+        lambda x: F.char_length(F.trim(x)) > 0,
+    )
+    return docs.select(
+        _col(id_col).alias("__id"), elems.alias("__elems")
+    ).select(
+        "__id", F.posexplode("__elems").alias("__idx", "__line")
+    ).select(
+        "__id", "__idx", "__line", F.md5(F.col("__line")).alias("line_key")
+    )
+
+
+def corpus_line_dedup(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    *,
+    granularity: str = "line",
+    policy: str = "keep_first",
+    max_df: int = 2,
+) -> DataFrame:
+    """CROSS-DOCUMENT exact line/paragraph dedup — the CCNet/
+    RefinedWeb boilerplate-removal REWRITER the document-level dedup
+    family can't express: instead of dropping whole documents, drop
+    the repeated LINES inside them (nav menus, cookie banners, shard
+    headers — the "duplicated paragraphs across shards" pass of CCNet
+    §3.1 and RefinedWeb's line-wise corrections).
+
+    Policies (element identity = exact text, keyed by md5 so the
+    shuffle rides 32-byte keys and a SQL oracle replays it):
+
+    - ``keep_first`` (default): every distinct line keeps exactly ONE
+      occurrence — the corpus-canonical first, i.e. the smallest
+      (id, position) — and loses all others. This is CCNet's
+      paragraph dedup: content survives once, boilerplate collapses.
+    - ``drop_frequent``: lines occurring >= `max_df` times
+      corpus-wide are removed EVERYWHERE (within-doc repeats count —
+      a page repeating its own banner is boilerplate too); rare lines
+      are untouched. The conservative mode when canonical-occurrence
+      choice is unwanted.
+
+    Returns one row per input document: (id_col, clean_text, n_lines,
+    n_lines_kept). `clean_text` re-joins the surviving lines in their
+    original order with single newlines (blank-line spacing is
+    normalized away — same contract as `c4_clean.clean_text`); a doc
+    whose every line was removed keeps an empty-string clean_text;
+    NULL/empty input text stays NULL-ish (0 lines, '' clean_text)
+    so downstream `WHERE n_lines_kept > 0` drops husks explicitly.
+
+    Scale shape: explode -> one key-partitioned aggregate -> one
+    key-partitioned join back -> one doc-partitioned regroup -> one
+    doc-keyed spine join. Every exchange is keyed (line_key or id);
+    no all-pairs path, no Python, no broadcast of corpus-sized data.
+    The hottest line's postings concentrate on one reducer only in
+    the aggregate (a count — cheap); the join fans its survivors
+    back out, so skew does not collect raw text on one task beyond
+    that line's own occurrences."""
+    if policy not in ("keep_first", "drop_frequent"):
+        raise ValueError(
+            f"policy must be 'keep_first' or 'drop_frequent', got {policy!r}"
+        )
+    if policy == "drop_frequent" and max_df < 1:
+        raise ValueError(f"max_df must be >= 1, got {max_df}")
+    occ = _line_occurrences(docs, id_col, text_col, granularity)
+    stats = occ.groupBy("line_key").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct("__id", "__idx")).alias("__first"),
+    )
+    joined = occ.join(stats, "line_key")
+    if policy == "keep_first":
+        kept = joined.where(
+            (F.col("__first.__id") == F.col("__id"))
+            & (F.col("__first.__idx") == F.col("__idx"))
+        )
+    else:
+        kept = joined.where(F.col("__n") < max_df)
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("__idx", "__line"))
+                ),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+    )
+    spine = docs.select(
+        _col(id_col).alias("__id"),
+        F.size(
+            F.filter(
+                F.split(
+                    _col(text_col),
+                    "\n" if granularity == "line" else "\n\n",
+                ),
+                lambda x: F.char_length(F.trim(x)) > 0,
+            )
+        ).cast("long").alias("__nl"),
+    )
+    return (
+        spine.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.greatest(F.coalesce("__nl", F.lit(0).cast("long")), F.lit(0).cast("long")).alias("n_lines"),
+            F.coalesce("n_lines_kept", F.lit(0).cast("long")).alias(
+                "n_lines_kept"
+            ),
+        )
+    )
+
+
 # Default posting-list Zipf guard: max(1000, ceil(0.5% * N)). The
 # floor keeps small corpora exact (a cap below any real posting list
 # never binds); the fraction keeps the hottest posting list — and with

@@ -186,6 +186,17 @@ def _struct_probe(builder):
     return run
 
 
+def _corpus_line_dedup(spark, sf_dir):
+    """round-9 CCNet-style cross-document line dedup (keep_first) —
+    the corpus-shuffling rewriter; ratio should track the keyed
+    aggregate/join growth, never all-pairs."""
+    from postgresql_topn_spark.operators.dedup import corpus_line_dedup
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    return corpus_line_dedup(docs, "doc_id", "text")
+
+
 def _extra_text_structs():
     from postgresql_topn_spark.operators.text import (
         c4_clean,
@@ -205,6 +216,7 @@ def _extra_text_structs():
 EXTRA = {
     "dedup_embedding_near_auto": _near_auto,
     "dedup_substring_runs_capped": _substring_runs_capped,
+    "dedup_corpus_lines": _corpus_line_dedup,
     **_extra_text_structs(),
 }
 

@@ -1,5 +1,6 @@
 """Dedup operator invariants (exact, Jaccard, MinHash-LSH, SimHash)."""
 
+import pytest
 from pyspark.sql import functions as F
 
 from postgresql_topn_spark.operators.dedup import (
@@ -1249,3 +1250,194 @@ def test_minhash_estimator_tracks_true_jaccard(spark):
         1 for x, y in zip(sigs[pairs[0][0]], sigs[pairs[0][1]]) if x == y
     ) / 32.0
     assert abs(got - exp) < 1e-9
+
+
+class TestCorpusLineDedup:
+    """CCNet/RefinedWeb-style cross-document line dedup: exact
+    boilerplate lines collapse to one canonical occurrence (or vanish
+    everywhere), documents are REWRITTEN, never dropped."""
+
+    ROWS = [
+        (1, "unique alpha\nshared banner\nunique beta"),
+        (2, "shared banner\nunique gamma"),
+        (3, "shared banner\nshared banner\nunique delta"),
+        (4, None),
+        (5, "   "),
+        (6, "shared banner"),  # nothing but boilerplate
+        (7, "para one\n\nshared para\n\npara two"),
+    ]
+
+    def _df(self, spark):
+        return spark.createDataFrame(
+            self.ROWS, "doc_id bigint, text string"
+        )
+
+    def test_keep_first_canonical(self, spark):
+        from postgresql_topn_spark.operators.dedup import corpus_line_dedup
+
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_lines_kept"])
+            for r in corpus_line_dedup(self._df(spark)).collect()
+        }
+        # doc 1 holds the canonical 'shared banner' (smallest id/idx)
+        assert out[1] == ("unique alpha\nshared banner\nunique beta", 3, 3)
+        assert out[2] == ("unique gamma", 2, 1)
+        # doc 3's OWN repeat is also deduped away
+        assert out[3] == ("unique delta", 3, 1)
+        assert out[4] == ("", 0, 0)
+        assert out[5] == ("", 0, 0)
+        assert out[6] == ("", 1, 0)
+
+    def test_drop_frequent_removes_everywhere(self, spark):
+        from postgresql_topn_spark.operators.dedup import corpus_line_dedup
+
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in corpus_line_dedup(
+                self._df(spark), policy="drop_frequent", max_df=2
+            ).collect()
+        }
+        # 'shared banner' occurs 5x >= 2 -> gone from doc 1 too
+        assert out[1] == "unique alpha\nunique beta"
+        assert out[2] == "unique gamma"
+        assert out[3] == "unique delta"
+        assert out[6] == ""
+
+    def test_paragraph_granularity(self, spark):
+        from postgresql_topn_spark.operators.dedup import corpus_line_dedup
+
+        df = spark.createDataFrame(
+            [(1, "keep me\n\nshared para"), (2, "shared para\n\nme too")],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: r["clean_text"]
+            for r in corpus_line_dedup(
+                df, granularity="paragraph"
+            ).collect()
+        }
+        assert out[1] == "keep me\nshared para"
+        assert out[2] == "me too"
+
+    def test_invalid_args(self, spark):
+        from postgresql_topn_spark.operators.dedup import corpus_line_dedup
+
+        with pytest.raises(ValueError):
+            corpus_line_dedup(self._df(spark), policy="nope")
+        with pytest.raises(ValueError):
+            corpus_line_dedup(
+                self._df(spark), policy="drop_frequent", max_df=0
+            )
+        with pytest.raises(ValueError):
+            corpus_line_dedup(self._df(spark), granularity="word")
+
+    def test_duckdb_parity_over_corpus(self, spark, sf_dir):
+        """Independent relational replay over the fixture corpus +
+        crafted rows, both policies — clean_text, n_lines and
+        n_lines_kept value-for-value. (The fixture has no newlines,
+        so every fixture doc is one 'line'; cross-DOC duplicate lines
+        then exercise the whole-doc-as-line path, and the crafted
+        rows exercise multi-line rewriting.)"""
+        import os
+
+        import duckdb
+
+        from postgresql_topn_spark.operators.dedup import corpus_line_dedup
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        edges = self._df(spark).withColumn(
+            "doc_id", F.col("doc_id") + 9000
+        )
+        both = docs.unionByName(edges)
+
+        con = duckdb.connect()
+        pq = os.path.join(sf_dir, "documents.parquet")
+        con.execute(
+            f"CREATE VIEW docs AS SELECT * FROM read_parquet('{pq}')"
+        )
+        con.execute("CREATE TABLE edges(doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO edges VALUES (?, ?)",
+            [(i + 9000, t) for i, t in self.ROWS],
+        )
+        base_sql = r"""
+            WITH base AS (
+              SELECT doc_id, text FROM docs
+              UNION ALL SELECT doc_id, text FROM edges
+            ),
+            t AS (
+              SELECT doc_id,
+                     list_filter(string_split(text, chr(10)),
+                                 l -> len(trim(l)) > 0) AS lines
+              FROM base
+            ),
+            occ AS (
+              SELECT doc_id, generate_subscripts(lines, 1) - 1 AS idx,
+                     unnest(lines) AS line
+              FROM t
+            ),
+            occ2 AS (
+              SELECT *, count(*) OVER (PARTITION BY line) AS n,
+                     ROW_NUMBER() OVER (PARTITION BY line
+                                        ORDER BY doc_id, idx) AS rn
+              FROM occ
+            ),
+            kept AS (SELECT * FROM occ2 WHERE {pred}),
+            rebuilt AS (
+              SELECT doc_id,
+                     string_agg(line, chr(10) ORDER BY idx) AS ct,
+                     CAST(count(*) AS BIGINT) AS nk
+              FROM kept GROUP BY doc_id
+            )
+            SELECT b.doc_id,
+                   COALESCE(r.ct, '') AS clean_text,
+                   CAST(COALESCE(len(t.lines), 0) AS BIGINT) AS n_lines,
+                   COALESCE(r.nk, 0) AS n_lines_kept
+            FROM base b
+            LEFT JOIN t USING (doc_id)
+            LEFT JOIN rebuilt r ON r.doc_id = b.doc_id
+        """
+        for policy, pred in (
+            ("keep_first", "rn = 1"),
+            ("drop_frequent", "n < 2"),
+        ):
+            got = {
+                r["doc_id"]: (
+                    r["clean_text"],
+                    r["n_lines"],
+                    r["n_lines_kept"],
+                )
+                for r in corpus_line_dedup(
+                    both, policy=policy, max_df=2
+                ).collect()
+            }
+            rows = con.execute(base_sql.format(pred=pred)).fetchall()
+            oracle = {r[0]: (r[1], r[2], r[3]) for r in rows}
+            assert set(got) == set(oracle)
+            mism = {
+                k: (got[k], oracle[k])
+                for k in got
+                if got[k] != oracle[k]
+            }
+            assert not mism, (
+                policy,
+                len(mism),
+                list(mism.items())[:2],
+            )
+
+    def test_plan_shape_keyed_exchanges_no_python(self, spark, sf_dir):
+        from postgresql_topn_spark.operators.dedup import corpus_line_dedup
+        from postgresql_topn_spark.plans.audit import python_stages
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        out = corpus_line_dedup(docs)
+        # the whole rewriter is JVM-side; join STRATEGY is size-driven
+        # (the planner may broadcast the stats/spine sides at toy SF —
+        # at corpus scale their estimates exceed the threshold and the
+        # keyed shuffle join takes over), so the pin is the Python
+        # budget, not the exchange kind
+        assert python_stages(out) == 0
