@@ -197,6 +197,20 @@ def _corpus_line_dedup(spark, sf_dir):
     return corpus_line_dedup(docs, "doc_id", "text")
 
 
+def _semdedup_auto(spark, sf_dir):
+    """semantic_dedup with n_clusters='auto' (expected cluster size
+    held constant) — the production scale path; contrast with the
+    oracled gates' FIXED cluster counts, whose in-cluster pair work
+    grows ~n^2 (the pipeline_select_mix sf1 ratio). Auto mode should
+    restore ~linear growth."""
+    from postgresql_topn_spark.operators.semdedup import semantic_dedup
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return semantic_dedup(
+        emb, n_clusters="auto", threshold=0.8, target_cluster_size=200
+    )
+
+
 def _extra_text_structs():
     from postgresql_topn_spark.operators.text import (
         c4_clean,
@@ -217,6 +231,7 @@ EXTRA = {
     "dedup_embedding_near_auto": _near_auto,
     "dedup_substring_runs_capped": _substring_runs_capped,
     "dedup_corpus_lines": _corpus_line_dedup,
+    "semdedup_auto_clusters": _semdedup_auto,
     **_extra_text_structs(),
 }
 
