@@ -407,17 +407,27 @@ def line_df(
 ) -> DataFrame:
     """Corpus-wide frequency table of exact lines (or paragraphs):
     (line_key, n_total, n_docs, first_id, first_idx) — the audit view
-    behind :func:`corpus_line_dedup` (which boilerplate survived, how
+    next to :func:`corpus_line_dedup` (which boilerplate survived, how
     hot it is, where its canonical occurrence lives). `line_key` is
     md5 of the trimmed-nonempty element, so the table is narrow on
     the wire and an ANSI-SQL oracle replays it exactly. One explode +
-    one key-partitioned aggregate."""
+    one key-partitioned aggregate (the canonical-occurrence min is
+    computed ONCE and its fields projected after the agg)."""
     occ = _line_occurrences(docs, id_col, text_col, granularity)
-    return occ.groupBy("line_key").agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.count_distinct("__id").alias("n_docs"),
-        F.min(F.struct("__id", "__idx"))["__id"].alias("first_id"),
-        F.min(F.struct("__id", "__idx"))["__idx"].alias("first_idx"),
+    return (
+        occ.groupBy("line_key")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_distinct("__id").alias("n_docs"),
+            F.min(F.struct("__id", "__idx")).alias("__first"),
+        )
+        .select(
+            "line_key",
+            "n_total",
+            "n_docs",
+            F.col("__first.__id").alias("first_id"),
+            F.col("__first.__idx").alias("first_idx"),
+        )
     )
 
 
@@ -479,67 +489,64 @@ def corpus_line_dedup(
     NULL/empty input text stays NULL-ish (0 lines, '' clean_text)
     so downstream `WHERE n_lines_kept > 0` drops husks explicitly.
 
-    Scale shape: explode -> one key-partitioned aggregate -> one
-    key-partitioned join back -> one doc-partitioned regroup -> one
-    doc-keyed spine join. Every exchange is keyed (line_key or id);
-    no all-pairs path, no Python, no broadcast of corpus-sized data.
-    The hottest line's postings concentrate on one reducer only in
-    the aggregate (a count — cheap); the join fans its survivors
-    back out, so skew does not collect raw text on one task beyond
-    that line's own occurrences."""
+    Scale shape: ONE explode pass over the text, one line_key
+    exchange serving BOTH per-line stats (two window functions over
+    the same partitioning: occurrence count + canonical row_number),
+    one doc-partitioned regroup, and an id-only spine join (column
+    pruning keeps the text out of that scan — husk/NULL docs get
+    their empty row without a second text pass). No self-join of the
+    occurrence table, no all-pairs path, no Python, no broadcast of
+    corpus-sized data; the hottest line's occurrences meet on one
+    reducer only for a count + rank, then fan back out."""
     if policy not in ("keep_first", "drop_frequent"):
         raise ValueError(
             f"policy must be 'keep_first' or 'drop_frequent', got {policy!r}"
         )
     if policy == "drop_frequent" and max_df < 1:
         raise ValueError(f"max_df must be >= 1, got {max_df}")
+    from pyspark.sql import Window
+
     occ = _line_occurrences(docs, id_col, text_col, granularity)
-    stats = occ.groupBy("line_key").agg(
-        F.count(F.lit(1)).alias("__n"),
-        F.min(F.struct("__id", "__idx")).alias("__first"),
+    by_key = Window.partitionBy("line_key")
+    occ = occ.select(
+        "__id",
+        "__idx",
+        "__line",
+        F.count(F.lit(1)).over(by_key).alias("__n"),
+        F.row_number()
+        .over(by_key.orderBy("__id", "__idx"))
+        .alias("__rn"),
     )
-    joined = occ.join(stats, "line_key")
-    if policy == "keep_first":
-        kept = joined.where(
-            (F.col("__first.__id") == F.col("__id"))
-            & (F.col("__first.__idx") == F.col("__idx"))
-        )
-    else:
-        kept = joined.where(F.col("__n") < max_df)
-    rebuilt = kept.groupBy("__id").agg(
+    keep = (
+        F.col("__rn") == 1
+        if policy == "keep_first"
+        else F.col("__n") < max_df
+    )
+    # collect_list skips NULLs, so the single doc-regroup carries
+    # total AND kept counts and the surviving lines in one aggregate
+    rebuilt = occ.groupBy("__id").agg(
         F.array_join(
             F.transform(
                 F.array_sort(
-                    F.collect_list(F.struct("__idx", "__line"))
+                    F.collect_list(
+                        F.when(keep, F.struct("__idx", "__line"))
+                    )
                 ),
                 lambda s: s["__line"],
             ),
             "\n",
         ).alias("clean_text"),
-        F.count(F.lit(1)).cast("long").alias("n_lines_kept"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+        F.sum(keep.cast("long")).cast("long").alias("n_lines_kept"),
     )
-    spine = docs.select(
-        _col(id_col).alias("__id"),
-        F.size(
-            F.filter(
-                F.split(
-                    _col(text_col),
-                    "\n" if granularity == "line" else "\n\n",
-                ),
-                lambda x: F.char_length(F.trim(x)) > 0,
-            )
-        ).cast("long").alias("__nl"),
-    )
-    return (
-        spine.join(rebuilt, "__id", "left")
-        .select(
-            F.col("__id").alias(id_col),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-            F.greatest(F.coalesce("__nl", F.lit(0).cast("long")), F.lit(0).cast("long")).alias("n_lines"),
-            F.coalesce("n_lines_kept", F.lit(0).cast("long")).alias(
-                "n_lines_kept"
-            ),
-        )
+    spine = docs.select(_col(id_col).alias("__id"))
+    return spine.join(rebuilt, "__id", "left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+        F.coalesce("n_lines_kept", F.lit(0).cast("long")).alias(
+            "n_lines_kept"
+        ),
     )
 
 

@@ -1441,3 +1441,23 @@ class TestCorpusLineDedup:
         # keyed shuffle join takes over), so the pin is the Python
         # budget, not the exchange kind
         assert python_stages(out) == 0
+
+    def test_line_df_audit_view(self, spark):
+        from postgresql_topn_spark.operators.dedup import line_df
+
+        stats = {
+            r["line_key"]: (
+                r["n_total"],
+                r["n_docs"],
+                r["first_id"],
+                r["first_idx"],
+            )
+            for r in line_df(self._df(spark)).collect()
+        }
+        import hashlib
+
+        key = hashlib.md5(b"shared banner").hexdigest()
+        # 5 occurrences across docs 1/2/3(x2)/6; canonical = (1, 1)
+        assert stats[key] == (5, 4, 1, 1)
+        ua = hashlib.md5(b"unique alpha").hexdigest()
+        assert stats[ua] == (1, 1, 1, 0)

@@ -21,6 +21,21 @@ EDGE_ROWS = [
     (9005, "the the the and of is to !!! ??? 123 abc123"),
     (9006, "der die und nicht das"),
     (9007, "le les el la the"),
+    # multi-line hostiles: the fixture corpus has no newlines, so these
+    # rows are what exercises the line/paragraph code paths of the
+    # round-9 struct twins (bullets, '...'/'…' line endings, duplicate
+    # lines AND paragraphs, quote/punct-terminated C4 keepers, the
+    # javascript line rule, '{' and 'lorem ipsum' page rules)
+    (9008, "- bullet one\n- bullet two\nplain the be line\nender..."),
+    (9009, "same line\nsame line\nsame line\nother {brace}"),
+    (9010, "p1 body text\n\np1 body text\n\nlorem ipsum dolor sit"),
+    (9011, 'He said it counts when quoted, "sure."\n'
+           "Enable javascript to continue browsing here please.\n"
+           "Another proper sentence with enough words, truly!\n"
+           "short one\n"
+           "A third full sentence sits right here with words…"),
+    (9012, "copy paste copy paste copy paste copy paste copy paste "
+           "copy paste copy paste copy paste"),
 ]
 
 
