@@ -412,7 +412,8 @@ def line_df(
     md5 of the trimmed-nonempty element, so the table is narrow on
     the wire and an ANSI-SQL oracle replays it exactly. One explode +
     one key-partitioned aggregate (the canonical-occurrence min is
-    computed ONCE and its fields projected after the agg)."""
+    computed ONCE and its fields projected after the agg). NULL-id
+    documents are excluded, same as corpus_line_dedup."""
     occ = _line_occurrences(docs, id_col, text_col, granularity)
     return (
         occ.groupBy("line_key")
@@ -434,6 +435,14 @@ def line_df(
 def _line_occurrences(
     docs: DataFrame, id_col: str, text_col: str, granularity: str
 ) -> DataFrame:
+    """(__id, __idx, __line, line_key) occurrence rows. NULL-id
+    documents are excluded up front (same contract as
+    multimodal.extract_frames): a NULL id can neither anchor a
+    canonical occurrence nor rejoin an id-keyed spine, so admitting it
+    would let a NULL-id doc claim `keep_first`'s canonical slot and
+    then silently delete that line corpus-wide (its rebuilt row drops
+    at the join). NULL-id docs still appear in corpus_line_dedup's
+    output via the spine, as empty husks."""
     if granularity not in ("line", "paragraph"):
         raise ValueError(
             f"granularity must be 'line' or 'paragraph', got {granularity!r}"
@@ -443,7 +452,7 @@ def _line_occurrences(
         F.split(_col(text_col), sep),
         lambda x: F.char_length(F.trim(x)) > 0,
     )
-    return docs.select(
+    return docs.where(_col(id_col).isNotNull()).select(
         _col(id_col).alias("__id"), elems.alias("__elems")
     ).select(
         "__id", F.posexplode("__elems").alias("__idx", "__line")
@@ -488,40 +497,65 @@ def corpus_line_dedup(
     whose every line was removed keeps an empty-string clean_text;
     NULL/empty input text stays NULL-ish (0 lines, '' clean_text)
     so downstream `WHERE n_lines_kept > 0` drops husks explicitly.
+    NULL-id documents are hollow by contract (see _line_occurrences):
+    their lines neither claim canonical slots nor count toward
+    frequencies, and their output row is ('', 0, 0).
 
-    Scale shape: ONE explode pass over the text, one line_key
-    exchange serving BOTH per-line stats (two window functions over
-    the same partitioning: occurrence count + canonical row_number),
-    one doc-partitioned regroup, and an id-only spine join (column
-    pruning keeps the text out of that scan — husk/NULL docs get
-    their empty row without a second text pass). No self-join of the
+    Scale shape: per-line stats are a HASH AGGREGATE on line_key
+    (`count` + `min(struct(__id,__idx))` — both map-side combinable,
+    so a boilerplate line present in 1% of the corpus collapses to one
+    row per map task BEFORE the exchange, and column pruning keeps the
+    line TEXT out of that branch entirely), pruned to the DUPLICATED
+    keys only, then joined back to the occurrences on line_key — a
+    join whose build side is the duplicate set (broadcast when small;
+    AQE skew-join splitting when not). Deliberately NOT a
+    `Window.partitionBy(line_key)`: a window must sort every
+    occurrence of the hottest line on ONE task, and AQE cannot split a
+    skewed window partition — at 10^10 docs a cookie-banner line would
+    be an unsplittable straggler (round-9 verdict finding;
+    hot_line_probe.py measures both forms). Then one doc-partitioned
+    regroup and an id-only spine join (column pruning keeps the text
+    out of that scan — husk/NULL docs get their empty row without a
+    second text pass). The text is scanned/exploded twice (once
+    narrow for stats, once for the rebuild) — two cheap parallel scans
+    instead of one corpus-wide wide sort. No self-join of the
     occurrence table, no all-pairs path, no Python, no broadcast of
-    corpus-sized data; the hottest line's occurrences meet on one
-    reducer only for a count + rank, then fan back out."""
+    corpus-sized data."""
     if policy not in ("keep_first", "drop_frequent"):
         raise ValueError(
             f"policy must be 'keep_first' or 'drop_frequent', got {policy!r}"
         )
     if policy == "drop_frequent" and max_df < 1:
         raise ValueError(f"max_df must be >= 1, got {max_df}")
-    from pyspark.sql import Window
 
     occ = _line_occurrences(docs, id_col, text_col, granularity)
-    by_key = Window.partitionBy("line_key")
-    occ = occ.select(
-        "__id",
-        "__idx",
-        "__line",
-        F.count(F.lit(1)).over(by_key).alias("__n"),
-        F.row_number()
-        .over(by_key.orderBy("__id", "__idx"))
-        .alias("__rn"),
+    # (__id, __idx) is unique per occurrence row (posexplode), so
+    # min(struct) IS the row_number()==1 row of the window form — the
+    # identity is pinned in tests/test_dedup.py. Column pruning keeps
+    # __line out of this branch: the exchange carries only
+    # (line_key, n, first).
+    stats = occ.groupBy("line_key").agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.min(F.struct("__id", "__idx")).alias("__first"),
     )
-    keep = (
-        F.col("__rn") == 1
-        if policy == "keep_first"
-        else F.col("__n") < max_df
-    )
+    # Prune to the DUPLICATED keys before joining back: a unique line
+    # (the overwhelming majority of a real corpus) is trivially kept
+    # and is its own canonical, so it needs no join match — a NULL
+    # right side encodes it. This collapses the join's build side from
+    # |distinct lines| to |duplicated lines| (usually broadcastable;
+    # AQE picks BHJ at runtime), and when it isn't, the shuffled join
+    # is exactly where AQE skew-splitting applies.
+    if policy == "keep_first":
+        dup = stats.where(F.col("__n") >= 2).select("line_key", "__first")
+        occ = occ.join(dup, "line_key", "left")
+        keep = F.col("__first").isNull() | (
+            (F.col("__id") == F.col("__first.__id"))
+            & (F.col("__idx") == F.col("__first.__idx"))
+        )
+    else:
+        dup = stats.where(F.col("__n") >= max_df).select("line_key", "__n")
+        occ = occ.join(dup, "line_key", "left")
+        keep = F.col("__n").isNull()
     # collect_list skips NULLs, so the single doc-regroup carries
     # total AND kept counts and the surviving lines in one aggregate
     rebuilt = occ.groupBy("__id").agg(

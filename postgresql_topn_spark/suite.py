@@ -155,46 +155,50 @@ def topn_overall_products(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "topn_add_scalar",
+    "topn_scalar_ops",
     """
     WITH base AS (
       SELECT l_returnflag, l_linestatus AS item, COUNT(l_linestatus) AS frequency
       FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 1, 2
-    )
-    SELECT l_returnflag, item, frequency FROM base
-    UNION ALL
-    SELECT DISTINCT l_returnflag, 'NEWITEM' AS item, CAST(1 AS BIGINT) AS frequency
-    FROM lineitem
-    """,
-)
-def topn_add_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar topn_add (topn.c:290-356): point-insert a new item into
-    aggregate-built sketches, then extract all entries."""
-    li = load_table(spark, sf_dir, "lineitem")
-    sk = topn_add_agg(li, ["l_returnflag"], "l_linestatus", counters=C)
-    added = sk.select(
-        "l_returnflag", topn_add("topn", F.lit("NEWITEM"), counters=C).alias("topn")
-    )
-    return explode_topn(added, "topn", 100, keep=["l_returnflag"], counters=C)
-
-
-@_register(
-    "topn_union_scalar",
-    """
-    WITH u AS (
+    ),
+    u AS (
       SELECT l_returnflag, l_linestatus AS item FROM lineitem
       WHERE l_linestatus IS NOT NULL
       UNION ALL
       SELECT l_returnflag, CAST(year(l_shipdate) AS VARCHAR) AS item FROM lineitem
       WHERE l_shipdate IS NOT NULL
     )
-    SELECT l_returnflag, item, COUNT(*) AS frequency FROM u GROUP BY 1, 2
+    SELECT 'add' AS lane, l_returnflag, item, frequency FROM base
+    UNION ALL
+    SELECT 'add' AS lane, l_returnflag, 'NEWITEM' AS item,
+           CAST(1 AS BIGINT) AS frequency
+    FROM (SELECT DISTINCT l_returnflag FROM lineitem)
+    UNION ALL
+    SELECT 'union' AS lane, l_returnflag, item, COUNT(*) AS frequency
+    FROM u GROUP BY 2, 3
     """,
 )
-def topn_union_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Scalar topn_union / the `+` operator (topn.c:363-385): merge two
-    sketches with disjoint key domains, saturating sums."""
+def topn_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH scalar sketch operators in one gate (round-10 lane merge —
+    absorbed the retired `topn_add_scalar` / `topn_union_scalar` gates
+    verbatim; each lane keeps its own oracle branch):
+
+    - lane 'add': scalar topn_add (topn.c:290-356) — point-insert a
+      new item into aggregate-built sketches, then extract all entries.
+    - lane 'union': scalar topn_union / the `+` operator
+      (topn.c:363-385) — merge two sketches with disjoint key domains,
+      saturating sums.
+
+    The driver value-checks both lanes every time this gate runs."""
     li = load_table(spark, sf_dir, "lineitem")
+    sk = topn_add_agg(li, ["l_returnflag"], "l_linestatus", counters=C)
+    added = sk.select(
+        "l_returnflag", topn_add("topn", F.lit("NEWITEM"), counters=C).alias("topn")
+    )
+    add_lane = explode_topn(
+        added, "topn", 100, keep=["l_returnflag"], counters=C
+    ).select(F.lit("add").alias("lane"), "l_returnflag", "item", "frequency")
+
     a = topn_add_agg(li, ["l_returnflag"], "l_linestatus", counters=C, out_col="ta")
     b = topn_add_agg(
         li, ["l_returnflag"], F.year("l_shipdate"), counters=C, out_col="tb"
@@ -202,7 +206,10 @@ def topn_union_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = a.join(b, "l_returnflag").select(
         "l_returnflag", topn_union("ta", "tb", counters=C).alias("t")
     )
-    return explode_topn(j, "t", 100, keep=["l_returnflag"], counters=C)
+    union_lane = explode_topn(
+        j, "t", 100, keep=["l_returnflag"], counters=C
+    ).select(F.lit("union").alias("lane"), "l_returnflag", "item", "frequency")
+    return add_lane.unionByName(union_lane)
 
 
 @_register(
@@ -6403,6 +6410,101 @@ def events_asof_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return outs[0].unionByName(outs[1])
 
+
+
+@_register(
+    "dedup_corpus_lines",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(text, '(\S+ \S+ \S+ \S+ \S+) ',
+                            '\1' || chr(10), 'g') AS text
+      FROM documents
+    ),
+    t AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         l -> len(trim(l)) > 0) AS lines
+      FROM base
+    ),
+    occ AS (
+      SELECT doc_id, generate_subscripts(lines, 1) - 1 AS idx,
+             unnest(lines) AS line
+      FROM t
+    ),
+    occ2 AS (
+      SELECT *, count(*) OVER (PARTITION BY line) AS n,
+             ROW_NUMBER() OVER (PARTITION BY line
+                                ORDER BY doc_id, idx) AS rn
+      FROM occ
+    ),
+    rebuilt_first AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS ct,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM occ2 WHERE rn = 1 GROUP BY doc_id
+    ),
+    rebuilt_freq AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS ct,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM occ2 WHERE n < 2 GROUP BY doc_id
+    )
+    SELECT 'keep_first' AS lane, b.doc_id,
+           md5(COALESCE(r.ct, '')) AS clean_md5,
+           CAST(COALESCE(len(t.lines), 0) AS BIGINT) AS n_lines,
+           COALESCE(r.nk, 0) AS n_lines_kept
+    FROM base b LEFT JOIN t USING (doc_id)
+    LEFT JOIN rebuilt_first r ON r.doc_id = b.doc_id
+    UNION ALL
+    SELECT 'drop_frequent' AS lane, b.doc_id,
+           md5(COALESCE(r.ct, '')) AS clean_md5,
+           CAST(COALESCE(len(t.lines), 0) AS BIGINT) AS n_lines,
+           COALESCE(r.nk, 0) AS n_lines_kept
+    FROM base b LEFT JOIN t USING (doc_id)
+    LEFT JOIN rebuilt_freq r ON r.doc_id = b.doc_id
+    """,
+)
+def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet §3.1 / RefinedWeb cross-document line dedup — the REWRITER
+    pass every production curation stack runs (PIPELINE.md boilerplate
+    stage): repeated lines collapse to one canonical occurrence
+    (keep_first) or vanish corpus-wide (drop_frequent); documents are
+    rewritten, never dropped. BOTH policies ride one gate as lanes;
+    the oracle replays the full split → per-line window stats →
+    regroup → spine rebuild relationally, value-pinning clean_text
+    via md5 (round-10 addition, funded by the topn_scalar_ops merge).
+
+    The fixture is single-line word soup, so the gate first derives a
+    deterministic multi-line corpus (newline after every 5th word —
+    identical regex rewrite on both engines); at sf0.01 that yields
+    ~5.6k lines of which ~1.4k occurrences are corpus-wide duplicates,
+    so both policies rewrite real text.
+
+    Scale shape (dedup.py corpus_line_dedup): per-line stats are a
+    map-side-combinable hash aggregate pruned to duplicated keys, NOT
+    a line_key window — a hot boilerplate line cannot become an
+    unsplittable straggler task (hot_line_probe.py measures the two
+    forms)."""
+    from postgresql_topn_spark.operators.dedup import corpus_line_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_replace(
+            "text", r"(\S+ \S+ \S+ \S+ \S+) ", "$1\n"
+        ).alias("text"),
+    )
+    lanes = []
+    for policy in ("keep_first", "drop_frequent"):
+        out = corpus_line_dedup(docs, policy=policy, max_df=2)
+        lanes.append(
+            out.select(
+                F.lit(policy).alias("lane"),
+                "doc_id",
+                F.md5("clean_text").alias("clean_md5"),
+                "n_lines",
+                "n_lines_kept",
+            )
+        )
+    return lanes[0].unionByName(lanes[1])
 
 
 # ---------------------------------------------------------------------------

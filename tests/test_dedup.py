@@ -1461,3 +1461,142 @@ class TestCorpusLineDedup:
         assert stats[key] == (5, 4, 1, 1)
         ua = hashlib.md5(b"unique alpha").hexdigest()
         assert stats[ua] == (1, 1, 1, 0)
+
+    def test_null_id_doc_is_hollow_and_never_canonical(self, spark):
+        """ADVICE r9: a NULL-id doc must neither claim keep_first's
+        canonical occurrence (Spark windows sort NULLs first, so the
+        old window form let it — then its rebuilt row dropped at the
+        id-keyed join, deleting the line corpus-wide) nor count toward
+        drop_frequent frequencies; it surfaces as an empty husk."""
+        from postgresql_topn_spark.operators.dedup import (
+            corpus_line_dedup,
+            line_df,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (None, "shared banner\nghost only"),
+                (1, "shared banner\nunique alpha"),
+                (2, "shared banner"),
+            ],
+            "doc_id bigint, text string",
+        )
+        out = {
+            r["doc_id"]: (r["clean_text"], r["n_lines"], r["n_lines_kept"])
+            for r in corpus_line_dedup(df).collect()
+        }
+        # doc 1 (not the NULL doc) holds the canonical occurrence, so
+        # the banner SURVIVES in the corpus
+        assert out[1] == ("shared banner\nunique alpha", 2, 2)
+        assert out[2] == ("", 1, 0)
+        assert out[None] == ("", 0, 0)
+        # drop_frequent: banner df is 2 (NULL doc not counted) — at
+        # max_df=3 it stays, at 2 it goes
+        keep3 = {
+            r["doc_id"]: r["clean_text"]
+            for r in corpus_line_dedup(
+                df, policy="drop_frequent", max_df=3
+            ).collect()
+        }
+        assert keep3[2] == "shared banner"
+        # audit view agrees: canonical is (1, 0), df counts exclude NULL
+        import hashlib
+
+        key = hashlib.md5(b"shared banner").hexdigest()
+        stats = {
+            r["line_key"]: (r["n_total"], r["n_docs"], r["first_id"])
+            for r in line_df(df).collect()
+        }
+        assert stats[key] == (2, 2, 1)
+        assert hashlib.md5(b"ghost only").hexdigest() not in stats
+
+    def test_agg_form_matches_retired_window_form(self, spark, sf_dir):
+        """Identity pin for the round-10 skew hardening: per-line stats
+        moved from Window.partitionBy(line_key) (count + row_number —
+        an unsplittable single-task sort for a hot boilerplate line;
+        AQE cannot split skewed window partitions) to a map-side-
+        combinable hash aggregate (count + min(struct(__id,__idx)))
+        joined back on line_key, where AQE skew-join splitting DOES
+        apply. (__id,__idx) is unique per occurrence, so min(struct)
+        is exactly the rn=1 row; this pins the equivalence on the
+        fixture corpus + edge rows for both policies."""
+        from pyspark.sql import Window
+
+        from postgresql_topn_spark.operators.dedup import (
+            _line_occurrences,
+            corpus_line_dedup,
+        )
+        from postgresql_topn_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        )
+        edges = self._df(spark).withColumn(
+            "doc_id", F.col("doc_id") + 9000
+        )
+        both = docs.unionByName(edges)
+
+        def window_form(policy):
+            occ = _line_occurrences(both, "doc_id", "text", "line")
+            by_key = Window.partitionBy("line_key")
+            occ = occ.select(
+                "__id",
+                "__idx",
+                "__line",
+                F.count(F.lit(1)).over(by_key).alias("__n"),
+                F.row_number()
+                .over(by_key.orderBy("__id", "__idx"))
+                .alias("__rn"),
+            )
+            keep = (
+                F.col("__rn") == 1
+                if policy == "keep_first"
+                else F.col("__n") < 2
+            )
+            rebuilt = occ.groupBy("__id").agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(keep, F.struct("__idx", "__line"))
+                            )
+                        ),
+                        lambda s: s["__line"],
+                    ),
+                    "\n",
+                ).alias("clean_text"),
+                F.count(F.lit(1)).cast("long").alias("n_lines"),
+                F.sum(keep.cast("long")).cast("long").alias("n_lines_kept"),
+            )
+            spine = both.select(F.col("doc_id").alias("__id"))
+            return spine.join(rebuilt, "__id", "left").select(
+                F.col("__id").alias("doc_id"),
+                F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                F.coalesce("n_lines", F.lit(0).cast("long")).alias(
+                    "n_lines"
+                ),
+                F.coalesce("n_lines_kept", F.lit(0).cast("long")).alias(
+                    "n_lines_kept"
+                ),
+            )
+
+        for policy in ("keep_first", "drop_frequent"):
+            got = {
+                r["doc_id"]: (
+                    r["clean_text"],
+                    r["n_lines"],
+                    r["n_lines_kept"],
+                )
+                for r in corpus_line_dedup(
+                    both, policy=policy, max_df=2
+                ).collect()
+            }
+            ref = {
+                r["doc_id"]: (
+                    r["clean_text"],
+                    r["n_lines"],
+                    r["n_lines_kept"],
+                )
+                for r in window_form(policy).collect()
+            }
+            assert got == ref, policy
