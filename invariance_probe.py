@@ -33,7 +33,7 @@ NAMES = [
     "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk", "ann_cosine_topk",
     "dedup_clusters", "dedup_minhash_lsh", "multimodal_semantic_dedup",
     "pipeline_pack_contexts", "topn_composite_key", "topn_window_7d",
-    "quantile_rollup_kll", "distinct_kmv_sets",
+    "quantile_rollup_kll", "distinct_kmv_modes",
 ]
 if "--all" in sys.argv:
     NAMES = sorted(qs)

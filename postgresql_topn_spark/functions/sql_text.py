@@ -100,7 +100,17 @@ _DEFS: dict[str, str] = {
 # into the calling plan — zero Python, scan-stage.
 # ---------------------------------------------------------------------------
 
-_GOPHER_STOPS = "'the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'"
+# Derived from the operator module's single source of truth (ADVICE
+# r9): a change to the Column-side tables propagates here at import
+# time instead of silently desynchronizing until a parity test fires.
+from postgresql_topn_spark.operators.text import (  # noqa: E402
+    GOPHER_DUP_NGRAM_MAX,
+    GOPHER_QUALITY_BOUNDS,
+    GOPHER_STOPWORDS,
+    GOPHER_TOP_NGRAM_MAX,
+)
+
+_GOPHER_STOPS = ", ".join(f"'{w}'" for w in GOPHER_STOPWORDS)
 _LINES = r"filter(split({t}, '\n'), l -> char_length(trim(l)) > 0)"
 _PARAS = r"filter(split({t}, '\n\n'), p -> char_length(trim(p)) > 0)"
 
@@ -213,13 +223,18 @@ def _gopher_quality_def() -> str:
         f" w -> lower(w))), array({_GOPHER_STOPS}))) AS BIGINT)"
     )
     nw = f"CAST({_NTOK} AS BIGINT)"
+    B = GOPHER_QUALITY_BOUNDS
     passes = (
-        f"({nw} >= 50 AND {nw} <= 100000"
-        f" AND {mwl} >= 3.0 AND {mwl} <= 10.0"
-        f" AND {swr} <= 0.1"
-        f" AND coalesce({bullet}, CAST(0.0 AS DOUBLE)) <= 0.9"
-        f" AND coalesce({ellip}, CAST(0.0 AS DOUBLE)) <= 0.3"
-        f" AND {alpha} >= 0.8 AND {stops} >= 2)"
+        f"({nw} >= {B['n_words_min']} AND {nw} <= {B['n_words_max']}"
+        f" AND {mwl} >= {B['mean_word_len_min']}"
+        f" AND {mwl} <= {B['mean_word_len_max']}"
+        f" AND {swr} <= {B['symbol_word_ratio_max']}"
+        f" AND coalesce({bullet}, CAST(0.0 AS DOUBLE))"
+        f" <= {B['bullet_line_frac_max']}"
+        f" AND coalesce({ellip}, CAST(0.0 AS DOUBLE))"
+        f" <= {B['ellipsis_line_frac_max']}"
+        f" AND {alpha} >= {B['alpha_word_frac_min']}"
+        f" AND {stops} >= {B['n_stop_hits_min']})"
     )
     ddl = (
         "STRUCT<n_words: BIGINT, mean_word_len: DOUBLE,"
@@ -254,8 +269,8 @@ def _gopher_repetition_def() -> str:
         f"coalesce({dpcf}, CAST(0.0 AS DOUBLE)) <= 0.20",
     ]
     for kind, caps in (
-        ("top", {2: 0.20, 3: 0.18, 4: 0.16}),
-        ("dup", {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}),
+        ("top", GOPHER_TOP_NGRAM_MAX),
+        ("dup", GOPHER_DUP_NGRAM_MAX),
     ):
         for k, cap in caps.items():
             frac = _gram_frac_sql("t2", k, kind)

@@ -226,7 +226,12 @@ def lr_train(
     pass an HDFS/S3 path for RELIABLE cuts — iteration state then
     persists to shared storage and a failed executor recomputes
     nothing upstream (operators/checkpointing.py; the
-    `connected_components` plumbing applied to the training loop)."""
+    `connected_components` plumbing applied to the training loop).
+    Superseded iteration state is released as the loop advances, but
+    the RETURNED model keeps reading the two FINAL w/b cut dirs —
+    their paths are exposed as ``model._lr_cut_paths`` so callers can
+    `release_cut` both once the model is persisted elsewhere
+    (`sweep_cuts` reaps them otherwise)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if lr <= 0:
@@ -374,6 +379,18 @@ def lr_train(
         b.select(F.lit(-1).cast("long").alias("bucket"), F.col("b_micro").alias("w_micro"))
     ).unionByName(meta)
     model._lr_params = (int(n_buckets), bool(bigrams))  # type: ignore[attr-defined]
+    # In reliable mode the model still READS the final w/b cut dirs —
+    # a union of two cuts can't ride the single-path adopt_cut handle,
+    # so expose both paths for reclamation (ADVICE r9): after
+    # persisting the model elsewhere, callers release them with
+    #   for p in model._lr_cut_paths: release_cut(spark, p)
+    # (or let sweep_cuts reap them). Empty tuple in localCheckpoint
+    # mode.
+    from postgresql_topn_spark.operators.checkpointing import cut_path
+
+    model._lr_cut_paths = tuple(  # type: ignore[attr-defined]
+        p for p in (cut_path(w), cut_path(b)) if p is not None
+    )
     return model
 
 

@@ -241,6 +241,23 @@ def repetition_signals(text: Column | str) -> Column:
 
 GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
+# Published Gopher quality-rule bounds (Rae et al. 2021 Table A1, first
+# half). SINGLE SOURCE OF TRUTH: `gopher_quality_signals` below AND the
+# SQL UDF twin (functions/sql_text.py) both derive their thresholds
+# from this table, so the two surfaces cannot silently desynchronize
+# (ADVICE r9).
+GOPHER_QUALITY_BOUNDS = {
+    "n_words_min": 50,
+    "n_words_max": 100_000,
+    "mean_word_len_min": 3.0,
+    "mean_word_len_max": 10.0,
+    "symbol_word_ratio_max": 0.1,
+    "bullet_line_frac_max": 0.9,
+    "ellipsis_line_frac_max": 0.3,
+    "alpha_word_frac_min": 0.8,
+    "n_stop_hits_min": 2,
+}
+
 
 def gopher_quality_signals(text: Column | str) -> Column:
     """The PUBLISHED Gopher quality-rule signals (Rae et al. 2021,
@@ -334,16 +351,20 @@ def gopher_quality_signals(text: Column | str) -> Column:
     bullet_r = F.round(bullet_frac, 6)
     ellipsis_r = F.round(ellipsis_frac, 6)
     alpha_r = F.round(alpha_frac, 6)
+    B = GOPHER_QUALITY_BOUNDS
     passes = (
-        (n_words >= 50)
-        & (n_words <= 100_000)
-        & (mwl_r >= 3.0)
-        & (mwl_r <= 10.0)
-        & (swr_r <= 0.1)
-        & (F.coalesce(bullet_r, F.lit(0.0)) <= 0.9)
-        & (F.coalesce(ellipsis_r, F.lit(0.0)) <= 0.3)
-        & (alpha_r >= 0.8)
-        & (n_stop_hits >= 2)
+        (n_words >= B["n_words_min"])
+        & (n_words <= B["n_words_max"])
+        & (mwl_r >= B["mean_word_len_min"])
+        & (mwl_r <= B["mean_word_len_max"])
+        & (swr_r <= B["symbol_word_ratio_max"])
+        & (F.coalesce(bullet_r, F.lit(0.0)) <= B["bullet_line_frac_max"])
+        & (
+            F.coalesce(ellipsis_r, F.lit(0.0))
+            <= B["ellipsis_line_frac_max"]
+        )
+        & (alpha_r >= B["alpha_word_frac_min"])
+        & (n_stop_hits >= B["n_stop_hits_min"])
     )
     sig = F.struct(
         n_words.alias("n_words"),
@@ -569,6 +590,160 @@ def gopher_repetition_signals(text: Column | str) -> Column:
         | (F.size(tokens(t)) == 0),
         F.lit(None).cast(ddl),
     ).otherwise(sig)
+
+
+GOPHER_REP_FIELDS = (
+    ["dup_line_frac", "dup_line_char_frac", "dup_para_frac",
+     "dup_para_char_frac"]
+    + [f"top_{n}gram_char_frac" for n in GOPHER_TOP_NGRAM_MAX]
+    + [f"dup_{n}gram_char_frac" for n in GOPHER_DUP_NGRAM_MAX]
+    + ["passes"]
+)
+
+
+def _rep_signals_py(text: "str | None") -> "dict | None":
+    """Single-document Python twin of `gopher_repetition_signals` —
+    the kernel of the Arrow lane. Must stay value-identical to the
+    Catalyst form (pinned in tests/test_gopher.py): ASCII whitespace
+    tokens (Java \\s ≡ re.ASCII \\s; F.trim strips SPACES only), runs
+    counted over the SORTED element array (argmax by count, ties to
+    the larger char mass, earliest sorted element on a full tie),
+    duplicate mass counts occurrences beyond the first, Spark HALF_UP
+    rounding via Decimal (banker's round() diverges on .5 ulps)."""
+    import re
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x: "float | None") -> "float | None":
+        if x is None:
+            return None
+        return float(
+            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+        )
+
+    if text is None or len(text) == 0:
+        return None
+    toks = [
+        t for t in re.split(r"\s+", text.strip(" "), flags=re.ASCII) if t
+    ]
+    if not toks:
+        return None
+    n_chars = float(len(text))
+
+    def run_stats(arr: "list[str]") -> "tuple[int, int]":
+        """(top_chars, dup_chars) — the sorted-fold semantics."""
+        counts: dict[str, int] = {}
+        for x in arr:
+            counts[x] = counts.get(x, 0) + 1
+        best_run, best, dup = 0, 0, 0
+        for elem in sorted(counts):
+            c = counts[elem]
+            if c < 2:
+                continue
+            mass = c * len(elem)
+            if c > best_run or (c == best_run and mass > best):
+                best_run, best = c, mass
+            dup += (c - 1) * len(elem)
+        return best, dup
+
+    def family(arr: "list[str]") -> "tuple[float | None, float | None]":
+        if not arr:
+            return None, None
+        _, dup_chars = run_stats(arr)
+        total = sum(len(x) for x in arr)
+        dup_frac = 1.0 - len(set(arr)) / len(arr)
+        dup_char_frac = dup_chars / total if total else None
+        return dup_frac, dup_char_frac
+
+    lines = [x for x in text.split("\n") if x.strip(" ")]
+    paras = [x for x in text.split("\n\n") if x.strip(" ")]
+    dlf, dlcf = family(lines)
+    dpf, dpcf = family(paras)
+    out = {
+        "dup_line_frac": r6(dlf),
+        "dup_line_char_frac": r6(dlcf),
+        "dup_para_frac": r6(dpf),
+        "dup_para_char_frac": r6(dpcf),
+    }
+    conds = [
+        (out["dup_line_frac"] or 0.0) <= 0.30,
+        (out["dup_line_char_frac"] or 0.0) <= 0.20,
+        (out["dup_para_frac"] or 0.0) <= 0.30,
+        (out["dup_para_char_frac"] or 0.0) <= 0.20,
+    ]
+    for kind, table in (
+        ("top", GOPHER_TOP_NGRAM_MAX),
+        ("dup", GOPHER_DUP_NGRAM_MAX),
+    ):
+        for n, cap in table.items():
+            if len(toks) >= n:
+                grams = [
+                    " ".join(toks[i : i + n])
+                    for i in range(len(toks) - n + 1)
+                ]
+                top_chars, dup_chars = run_stats(grams)
+            else:
+                top_chars, dup_chars = 0, 0
+            chars = top_chars if kind == "top" else dup_chars
+            frac = r6(min(1.0, chars / n_chars))
+            out[f"{kind}_{n}gram_char_frac"] = frac
+            conds.append(frac <= cap)
+    out["passes"] = all(conds)
+    return out
+
+
+def gopher_repetition_signals_pandas(
+    df, text_col: str = "text", prefix: str = "rep_"
+):
+    """Arrow-batched twin of `gopher_repetition_signals` (VERDICT r9
+    item 3): the 9 sorted n-gram fold families are interpreted Catalyst
+    higher-order functions (~2.4 ms/doc — the #1 CPU cost in the
+    suite); this lane computes the identical signals in one
+    mapInPandas pass, value-pinned equal to the Column form in
+    tests/test_gopher.py.
+
+    Returns `df` with 14 appended columns `{prefix}<field>` (the 13
+    fracs + `{prefix}passes`) — flat, not a struct, so consumers prune
+    columns and the Arrow batch stays narrow. A NULL/empty/token-less
+    text yields NULL in every appended column (the Column form's NULL
+    struct arm).
+
+    Scale shape: one Python stage, no shuffle, no state — the kernel
+    is embarrassingly parallel per batch; the Column form remains the
+    oracle/SQL-replayable lane. Measured (STATUS.md round 10): the
+    Arrow kernel wins ~6x per doc on the fixture corpus, so
+    `curation_signal_cascade(kernel='arrow')` uses it by default via
+    pipeline_curation."""
+    import pandas as pd  # noqa: PLC0415
+    from pyspark.sql.types import (
+        BooleanType,
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
+    fields = [prefix + f for f in GOPHER_REP_FIELDS]
+    # StructType.add MUTATES in place — never .add() onto df.schema
+    # directly or the source DataFrame grows phantom columns
+    out_schema = StructType(list(df.schema.fields))
+    for c in fields:
+        out_schema = out_schema.add(
+            StructField(
+                c, BooleanType() if c.endswith("passes") else DoubleType()
+            )
+        )
+
+    def kernel(batches):
+        for pdf in batches:
+            sigs = [_rep_signals_py(t) for t in pdf[text_col]]
+            for f, c in zip(GOPHER_REP_FIELDS, fields):
+                pdf[c] = pd.Series(
+                    [None if s is None else s[f] for s in sigs],
+                    index=pdf.index,
+                    dtype="object",
+                )
+            yield pdf
+
+    return df.mapInPandas(kernel, out_schema)
 
 
 def c4_clean(text: Column | str) -> Column:

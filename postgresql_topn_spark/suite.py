@@ -1153,10 +1153,10 @@ def _curation_oracle_sql() -> str:
                         AS DOUBLE) / len(toks), 6) AS mean_word_len,
              round((CAST(len(text) - len(replace(text, '#', ''))
                          AS DOUBLE)
-                    + CAST(len(text) - len(replace(text, '...', ''))
-                           AS DOUBLE) / 3
-                    + CAST(len(text) - len(replace(text, '…', ''))
-                           AS DOUBLE)) / len(toks), 6)
+                    + (CAST(len(text) - len(replace(text, '...', ''))
+                            AS DOUBLE) / 3
+                       + CAST(len(text) - len(replace(text, '…', ''))
+                              AS DOUBLE))) / len(toks), 6)
                AS symbol_word_ratio,
              round(CAST(len(list_filter(toks,
                        w -> regexp_matches(w, '[a-zA-Z]')))
@@ -1841,7 +1841,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
                ROW_NUMBER() OVER (PARTITION BY a.vec_id
                                   ORDER BY {_COS_AB} DESC, b.vec_id ASC) AS rn
         FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
-        WHERE a.vec_id % 100 = 0
+        WHERE a.vec_id % 1000 = 0
       ) t WHERE rn <= 5
     ),
     rec AS (
@@ -1856,7 +1856,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT k.query_id, k.neighbor_id, k."rank", k.sim, rec.n_hit,
            round(CAST(rec.n_hit AS DOUBLE) / rec.n_exact, 6) AS recall_at_5
-    FROM ivfk k JOIN rec ON rec.query_id = k.query_id
+    FROM ivfk k LEFT JOIN rec ON rec.query_id = k.query_id
     """,
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1868,16 +1868,26 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end like ann_lsh_topk. The trained-KMeans mode keeps its
     pytest recall floor.
 
-    Round-9 lane merge (VERDICT r8 item 2): each result row also
-    carries the per-query `ann_recall` measurement against the exact
-    `cosine_topk` spine (n_hit of the exact top-5 recovered +
-    recall@5), so the FAISS/ScaNN-style tuning metric itself is
-    DuckDB-verified by the driver — the oracle independently computes
-    the exact top-5 and the intersection. The recall join is a
-    broadcast of a <=|Q|-row aggregate; queries the index misses
-    entirely would report recall 0 via `ann_recall`'s exact-side spine
-    but have no result rows to carry it — the library operator keeps
-    that failure visible, the gate shows recall on returned rows."""
+    Round-9 lane merge (VERDICT r8 item 2): result rows also carry the
+    per-query `ann_recall` measurement against the exact `cosine_topk`
+    spine (n_hit of the exact top-5 recovered + recall@5), so the
+    FAISS/ScaNN-style tuning metric itself is DuckDB-verified by the
+    driver — the oracle independently computes the exact top-5 and the
+    intersection.
+
+    Round-10 change (VERDICT r9 item 7): the recall spine runs on a
+    SAMPLED query set (vec_id % 1000) while serving keeps the full
+    query set (vec_id % 100) — the production discipline for recall
+    tuning. The exact spine is the one quadratic-in-|Q|x|corpus| piece
+    of the gate (the r9 100x ratio of 50.9 was entirely this
+    measurement cost); sampling it 10x restores ~linear growth while
+    the metric stays driver-oracled on the sampled queries. Unsampled
+    queries carry NULL n_hit/recall_at_5 (left join) — absence means
+    unmeasured, never 0. The recall join is a broadcast of a
+    <=|sample|-row aggregate; queries the index misses entirely would
+    report recall 0 via `ann_recall`'s exact-side spine but have no
+    result rows to carry it — the library operator keeps that failure
+    visible, the gate shows recall on returned rows."""
     from postgresql_topn_spark.operators.similarity import (
         ann_recall,
         cosine_topk,
@@ -1886,10 +1896,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 100 == 0)
+    sampled = queries.where(F.col("vec_id") % 1000 == 0)
     ivf = ivf_topk(
         emb, queries, k=5, n_lists=16, n_probe=4, centroid_mode="seeded"
     )
-    exact = cosine_topk(emb, queries, k=5)
+    exact = cosine_topk(emb, sampled, k=5)
     rec = ann_recall(ivf, exact)
     return ivf.join(
         F.broadcast(
@@ -1898,6 +1909,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
         "query_id",
+        "left",
     ).select(
         "query_id", "neighbor_id", "rank", "sim", "n_hit", "recall_at_5"
     )
@@ -2294,13 +2306,16 @@ def pipeline_curation(
     AND the composition.
 
     Execution shape: two scan-stage projections in CASCADE — the
-    cheap quality/C4 rules filter first, and the 9-family repetition
-    folds (the expensive stage) evaluate only on their survivors (the
-    same cheap-rules-first ordering the production stacks use) — then
-    ONE stage cut, so the signal pass runs once however many branches
-    (pair join's two sides, the final keeper join) read the survivor
-    set. `checkpoint_dir=` upgrades the cut and the closure's loop
-    state to reliable storage (the flagship-pipeline contract)."""
+    cheap quality/C4 rules filter first (pure Catalyst), and the
+    9-family repetition verdict (the expensive stage) evaluates only
+    on their survivors via the Arrow kernel
+    (`gopher_repetition_signals_pandas`, round 10 — 4.1x the
+    interpreted-HOF form, value-pinned identical in test_gopher.py;
+    the oracle still replays the Catalyst semantics) — then ONE stage
+    cut, so the signal pass runs once however many branches (pair
+    join's two sides, the final keeper join) read the survivor set.
+    `checkpoint_dir=` upgrades the cut and the closure's loop state to
+    reliable storage (the flagship-pipeline contract)."""
     from postgresql_topn_spark.operators.checkpointing import stage_cut
     from postgresql_topn_spark.operators.dedup import (
         connected_components,
@@ -2323,18 +2338,38 @@ def pipeline_curation(
     )
 
 
-def curation_signal_cascade(docs: DataFrame) -> DataFrame:
+def curation_signal_cascade(
+    docs: DataFrame, kernel: str = "arrow"
+) -> DataFrame:
     """The published-rule signal pass of `pipeline_curation`, exposed
     for plan audits: cheap quality/C4 rules filter first, the 9-family
-    repetition verdict evaluates only on their survivors. Pure
-    scan-stage Catalyst — zero shuffles, zero Python (plan-pinned in
-    tests/test_plans.py). Returns the survivor candidates with their
-    signal columns + the final `__keep_rep` verdict column."""
+    repetition verdict evaluates only on their survivors. Returns the
+    survivor candidates with their signal columns + the final
+    `__keep_rep` verdict column.
+
+    `kernel` picks the repetition-stage implementation (round 10,
+    VERDICT r9 item 3 — identical values, pinned in test_gopher.py):
+
+    - 'arrow' (default): `gopher_repetition_signals_pandas`, one
+      Arrow-batched mapInPandas stage. The Catalyst HOF folds are
+      interpreted (~2.4 ms/doc; the #1 CPU cost in the suite) and the
+      numpy/Python kernel measures 4.1x faster at sf0.1 — still no
+      shuffle, embarrassingly parallel, but one Python stage in the
+      plan (the cheap-rule stage stays pure Catalyst, so column-prune
+      + pushdown still reach the scan below it).
+    - 'catalyst': the pure-expression form — zero Python, zero
+      shuffles (the plan property pinned in tests/test_plans.py); the
+      form every SQL oracle replays.
+    """
     from postgresql_topn_spark.operators.text import (
         c4_clean,
         gopher_quality_signals,
         gopher_repetition_signals,
+        gopher_repetition_signals_pandas,
     )
+
+    if kernel not in ("arrow", "catalyst"):
+        raise ValueError(f"kernel must be 'arrow' or 'catalyst': {kernel}")
 
     cheap = (
         docs.select(
@@ -2363,6 +2398,20 @@ def curation_signal_cascade(docs: DataFrame) -> DataFrame:
         .where("__keep_q")
         .drop("__keep_q")
     )
+    if kernel == "arrow":
+        rep = gopher_repetition_signals_pandas(cheap, "text")
+        return rep.select(
+            "doc_id",
+            "text",
+            "n_words",
+            "mean_word_len",
+            "alpha_word_frac",
+            F.col("rep_top_2gram_char_frac").alias("top_2gram_char_frac"),
+            F.col("rep_dup_5gram_char_frac").alias("dup_5gram_char_frac"),
+            "n_lines_kept",
+            "n_sentences",
+            F.col("rep_passes").alias("__keep_rep"),
+        )
     return cheap.select(
         "doc_id",
         "text",
@@ -2423,10 +2472,16 @@ def curation_signal_cascade(docs: DataFrame) -> DataFrame:
       SELECT nd.doc_id AS vec_id, emb.embedding
       FROM nd JOIN embeddings emb ON emb.vec_id = nd.doc_id
     ),
+    nsem AS (
+      SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 200.0) AS BIGINT)) AS k
+      FROM semsrc
+    ),
     cent AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
-             embedding AS cv
-      FROM semsrc ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 12
+      SELECT cell, cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+               embedding AS cv
+        FROM semsrc
+      ) c CROSS JOIN nsem WHERE c.cell < nsem.k
     ),
     d AS (
       SELECT e.vec_id, e.embedding, c.cell, {_IVF_D2} AS d2,
@@ -2536,8 +2591,15 @@ def pipeline_select_mix(
          pairs -> transitive closure -> keep each cluster's min-id
          canonical (the pipeline_curation stage);
       3. SEMANTIC dedup — survivors join their embeddings and
-         semantic_dedup (12 seeded clusters, cosine >= 0.4) drops
-         paraphrase-level duplicates token dedup can't see;
+         semantic_dedup (seeded-AUTO clusters: ceil(n/200) md5-seeded
+         centroids, cosine >= 0.4) drops paraphrase-level duplicates
+         token dedup can't see. Round-10 change (VERDICT r9 missing
+         #2): the stage runs the SCALE-CORRECT auto sizing — expected
+         cluster size, and with it the per-cluster quadratic pair
+         work, stays constant as the corpus grows — and the oracle
+         replays the sizing rule itself (cluster count a pure function
+         of the survivor count, centroids md5-seeded), retiring the
+         fixed-12-cell ~n^2 oracle configuration;
       4. DSIR resample — importance-weight the surviving pool toward
          its own lang='en' slice (hashed bigrams, 2048 buckets) and
          Gumbel-top-k 40 documents.
@@ -2594,7 +2656,8 @@ def pipeline_select_mix(
         ).select("doc_id", "embedding"),
         id_col="doc_id",
         vec_col="embedding",
-        n_clusters=12,
+        n_clusters="auto",
+        target_cluster_size=200,
         threshold=0.4,
     )
     pool = stage_cut(
@@ -3827,7 +3890,7 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "distinct_kmv_window_7d",
+    "distinct_kmv_modes",
     """
     WITH h AS (
       SELECT DISTINCT date_trunc('day', ts) AS day,
@@ -3853,25 +3916,97 @@ def dedup_bloom_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats AS (
       SELECT day, count(*) AS kx, max(hv) AS hk
       FROM r WHERE rn <= 64 GROUP BY day
+    ),
+    hs AS (
+      SELECT DISTINCT event_type,
+             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
+      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+    ),
+    kmv AS (
+      SELECT event_type, hv FROM (
+        SELECT event_type, hv,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+        FROM hs) t WHERE rn <= 64
+    ),
+    pr AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b
+      FROM (SELECT DISTINCT event_type FROM kmv) a,
+           (SELECT DISTINCT event_type FROM kmv) b
+      WHERE a.event_type < b.event_type
+    ),
+    ux AS (
+      SELECT DISTINCT p.type_a, p.type_b, k.hv
+      FROM pr p JOIN kmv k
+        ON k.event_type = p.type_a OR k.event_type = p.type_b
+    ),
+    x AS (
+      SELECT type_a, type_b, hv FROM (
+        SELECT type_a, type_b, hv,
+               ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
+        FROM ux) t WHERE rn <= 64
+    ),
+    marked AS (
+      SELECT x.type_a, x.type_b, x.hv,
+             (ka.hv IS NOT NULL) AS ina, (kb.hv IS NOT NULL) AS inb
+      FROM x
+      LEFT JOIN kmv ka ON ka.event_type = x.type_a AND ka.hv = x.hv
+      LEFT JOIN kmv kb ON kb.event_type = x.type_b AND kb.hv = x.hv
+    ),
+    sstats AS (
+      SELECT type_a, type_b, count(*) AS kx, max(hv) AS hk,
+             count(*) FILTER (WHERE ina AND inb) AS in_both
+      FROM marked GROUP BY type_a, type_b
     )
-    SELECT CAST(day AS DATE) AS day,
+    SELECT 'window_7d' AS lane, CAST(CAST(day AS DATE) AS VARCHAR) AS key_a,
+           CAST(NULL AS VARCHAR) AS key_b,
            round(CASE WHEN kx < 64 THEN CAST(kx AS DOUBLE)
                       ELSE (63.0 * 1152921504606846976) / CAST(hk AS DOUBLE) END,
-                 6) AS est_users
+                 6) AS est_1,
+           CAST(NULL AS DOUBLE) AS est_2
     FROM stats
+    UNION ALL
+    SELECT 'set_algebra' AS lane, type_a AS key_a, type_b AS key_b,
+           round(CASE WHEN kx < 64 THEN CAST(kx AS DOUBLE)
+                      ELSE (63.0 * 1152921504606846976) / CAST(hk AS DOUBLE) END,
+                 6) AS est_1,
+           round(CASE WHEN kx = 0 THEN 0.0
+                      ELSE (CAST(in_both AS DOUBLE) / CAST(kx AS DOUBLE)) *
+                           (CASE WHEN kx < 64 THEN CAST(kx AS DOUBLE)
+                                 ELSE (63.0 * 1152921504606846976) / CAST(hk AS DOUBLE) END)
+                 END, 6) AS est_2
+    FROM sstats
     """,
 )
-def distinct_kmv_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling distinct users per trailing week from PRE-BUILT daily
-    KMV sketches (ROWS 6 PRECEDING frame merge — the reference's
-    sliding-frame composition carried to the distinct algebra): the
-    frame fold touches <= 7 sketches of <= 64 longs per day, never raw
-    events, and the lossless bottom-k merge law means the oracle's
-    direct per-window computation matches value-for-value."""
+def distinct_kmv_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH KMV distinct-sketch compositions in one gate (round-10
+    lane merge — absorbed the retired `distinct_kmv_window_7d` /
+    `distinct_kmv_sets` gates verbatim; each lane keeps its own
+    oracle branch; this funded the dedup_corpus_lines +
+    semantics-changed re-rows under the 50-row freshness budget):
+
+    - lane 'window_7d' (key_a=day, est_1=est_users): rolling distinct
+      users per trailing week from PRE-BUILT daily KMV sketches
+      (ROWS 6 PRECEDING frame merge — the reference's sliding-frame
+      composition carried to the distinct algebra): the frame fold
+      touches <= 7 sketches of <= 64 longs per day, never raw events,
+      and the lossless bottom-k merge law means the oracle's direct
+      per-window computation matches value-for-value.
+    - lane 'set_algebra' (key_a/key_b=event types, est_1=union_est,
+      est_2=intersect_est): per-(event_type, month) KMV sketches of
+      the distinct user population, merged per event_type WITHOUT
+      rescanning raw rows, then every pair of event types gets a
+      distinct-union AND distinct-INTERSECTION estimate — the question
+      HLL union alone cannot answer. The md5-60bit hash is portable,
+      so the oracle replays the whole sketch — bottom-64 per type,
+      per-pair merge, (k-1)*M/h_(k) estimator, inclusion fraction —
+      value-for-value."""
     from postgresql_topn_spark.functions.kmv import (
         kmv_add_agg,
         kmv_estimate,
+        kmv_intersect_estimate,
+        kmv_merge,
         kmv_union_over_window,
+        kmv_union_rollup,
     )
 
     K = 64
@@ -3885,12 +4020,43 @@ def distinct_kmv_window_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=K,
     )
     w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
-    return daily.select(
-        "day",
+    win_lane = daily.select(
+        F.lit("window_7d").alias("lane"),
+        F.col("day").cast("string").alias("key_a"),
+        F.lit(None).cast("string").alias("key_b"),
         F.round(
             kmv_estimate(kmv_union_over_window("kmv", w, k=K), k=K), 6
-        ).alias("est_users"),
+        ).alias("est_1"),
+        F.lit(None).cast("double").alias("est_2"),
     )
+
+    evt = ev.where(F.col("event_type").isNotNull())
+    monthly = kmv_add_agg(
+        evt,
+        ["event_type", F.date_trunc("month", "ts").alias("mon")],
+        F.col("user_id").cast("string"),
+        k=K,
+    )
+    per_type = kmv_union_rollup(monthly, ["event_type"], "kmv", k=K)
+    a = per_type.select(
+        F.col("event_type").alias("type_a"), F.col("kmv").alias("kmv_a")
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"), F.col("kmv").alias("kmv_b")
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    set_lane = pairs.select(
+        F.lit("set_algebra").alias("lane"),
+        F.col("type_a").alias("key_a"),
+        F.col("type_b").alias("key_b"),
+        F.round(
+            kmv_estimate(kmv_merge("kmv_a", "kmv_b", k=K), k=K), 6
+        ).alias("est_1"),
+        F.round(kmv_intersect_estimate("kmv_a", "kmv_b", k=K), 6).alias(
+            "est_2"
+        ),
+    )
+    return win_lane.unionByName(set_lane)
 
 
 @_register(
@@ -4129,109 +4295,6 @@ def text_lm_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("avg_logprob").alias("bi_logprob")
     )
     return uni.join(bi, "doc_id")
-
-
-@_register(
-    "distinct_kmv_sets",
-    """
-    WITH h AS (
-      SELECT DISTINCT event_type,
-             CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS hv
-      FROM events WHERE event_type IS NOT NULL AND user_id IS NOT NULL
-    ),
-    kmv AS (
-      SELECT event_type, hv FROM (
-        SELECT event_type, hv,
-               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY hv) AS rn
-        FROM h) t WHERE rn <= 64
-    ),
-    pr AS (
-      SELECT a.event_type AS type_a, b.event_type AS type_b
-      FROM (SELECT DISTINCT event_type FROM kmv) a,
-           (SELECT DISTINCT event_type FROM kmv) b
-      WHERE a.event_type < b.event_type
-    ),
-    ux AS (
-      SELECT DISTINCT p.type_a, p.type_b, k.hv
-      FROM pr p JOIN kmv k
-        ON k.event_type = p.type_a OR k.event_type = p.type_b
-    ),
-    x AS (
-      SELECT type_a, type_b, hv FROM (
-        SELECT type_a, type_b, hv,
-               ROW_NUMBER() OVER (PARTITION BY type_a, type_b ORDER BY hv) AS rn
-        FROM ux) t WHERE rn <= 64
-    ),
-    marked AS (
-      SELECT x.type_a, x.type_b, x.hv,
-             (ka.hv IS NOT NULL) AS ina, (kb.hv IS NOT NULL) AS inb
-      FROM x
-      LEFT JOIN kmv ka ON ka.event_type = x.type_a AND ka.hv = x.hv
-      LEFT JOIN kmv kb ON kb.event_type = x.type_b AND kb.hv = x.hv
-    ),
-    stats AS (
-      SELECT type_a, type_b, count(*) AS kx, max(hv) AS hk,
-             count(*) FILTER (WHERE ina AND inb) AS in_both
-      FROM marked GROUP BY type_a, type_b
-    )
-    SELECT type_a, type_b,
-           round(CASE WHEN kx < 64 THEN CAST(kx AS DOUBLE)
-                      ELSE (63.0 * 1152921504606846976) / CAST(hk AS DOUBLE) END,
-                 6) AS union_est,
-           round(CASE WHEN kx = 0 THEN 0.0
-                      ELSE (CAST(in_both AS DOUBLE) / CAST(kx AS DOUBLE)) *
-                           (CASE WHEN kx < 64 THEN CAST(kx AS DOUBLE)
-                                 ELSE (63.0 * 1152921504606846976) / CAST(hk AS DOUBLE) END)
-                 END, 6) AS intersect_est
-    FROM stats
-    """,
-)
-def distinct_kmv_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """KMV distinct sketches with SET ALGEBRA: per-(event_type, month)
-    k-minimum-values sketches of the distinct user population, merged
-    per event_type WITHOUT rescanning raw rows (the merge law makes the
-    rollup EXACTLY equal the direct sketch), then every pair of event
-    types gets a distinct-union AND distinct-INTERSECTION estimate —
-    the question HLL union alone cannot answer ("how many users did A
-    and B share?"). The md5-60bit hash is portable, so the oracle
-    replays the whole sketch — bottom-64 per type, per-pair merge,
-    (k-1)*M/h_(k) estimator, inclusion fraction — value-for-value."""
-    from postgresql_topn_spark.functions.kmv import (
-        kmv_add_agg,
-        kmv_estimate,
-        kmv_intersect_estimate,
-        kmv_merge,
-        kmv_union_rollup,
-    )
-
-    K = 64
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type").isNotNull() & F.col("user_id").isNotNull()
-    )
-    monthly = kmv_add_agg(
-        ev,
-        ["event_type", F.date_trunc("month", "ts").alias("mon")],
-        F.col("user_id").cast("string"),
-        k=K,
-    )
-    per_type = kmv_union_rollup(monthly, ["event_type"], "kmv", k=K)
-    a = per_type.select(
-        F.col("event_type").alias("type_a"), F.col("kmv").alias("kmv_a")
-    )
-    b = per_type.select(
-        F.col("event_type").alias("type_b"), F.col("kmv").alias("kmv_b")
-    )
-    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
-    return pairs.select(
-        "type_a",
-        "type_b",
-        F.round(
-            kmv_estimate(kmv_merge("kmv_a", "kmv_b", k=K), k=K), 6
-        ).alias("union_est"),
-        F.round(kmv_intersect_estimate("kmv_a", "kmv_b", k=K), 6).alias(
-            "intersect_est"
-        ),
-    )
 
 
 @_register(
@@ -6577,10 +6640,35 @@ def _latest_green_round(root: "str | None" = None) -> "dict[str, int]":
     return latest
 
 
+# Gates whose SEMANTICS changed in a given round: a green row from an
+# earlier round proves the OLD behavior, so the gate must re-front the
+# rotation exactly like a failed or never-run one (r9's three
+# semantics-changed gates happened to already be owed; this makes the
+# rule explicit).  name -> first round whose green row counts.  Entries
+# self-expire: once the driver writes a green row at/after that round,
+# the gate sorts by recency again — stale entries are harmless, but
+# prune them when touching a gate anyway.
+_SEMANTICS_CHANGED: dict[str, int] = {
+    # r10: semdedup stage moved from fixed 12 cells to seeded-auto
+    "pipeline_select_mix": 10,
+    # r10: recall lane moved to the sampled-query-set configuration
+    "ann_ivf_topk": 10,
+}
+
+
+def _effective_round(name: str, latest: "dict[str, int]") -> int:
+    rnd = latest.get(name, -1)
+    if rnd < _SEMANTICS_CHANGED.get(name, -1):
+        return -1
+    return rnd
+
+
 def _reorder_registry(root: "str | None" = None) -> None:
     latest = _latest_green_round(root)
     reg_pos = {n: i for i, n in enumerate(QUERIES)}
-    order = sorted(QUERIES, key=lambda n: (latest.get(n, -1), reg_pos[n]))
+    order = sorted(
+        QUERIES, key=lambda n: (_effective_round(n, latest), reg_pos[n])
+    )
     for reg in (QUERIES, ORACLES):
         snapshot = dict(reg)
         reg.clear()

@@ -88,7 +88,7 @@ SUBSET = [
     "events_sessionize",
     "topn_monthly_event_types",
     "distinct_rollup_hll",
-    "distinct_kmv_sets",
+    "distinct_kmv_modes",
     "cms_rollup_events",
     "ann_ivfpq_topk",
     # round 8: pipeline_chunk_docs folded into pipeline_pack_contexts;
@@ -104,7 +104,6 @@ SUBSET = [
     "topn_exact_heavy",
     "topn_with_others",
     "topn_session_pairs",
-    "distinct_kmv_window_7d",
     "cms_window_7d",
     "text_lm_logprob",
     "pipeline_quality_deciles",
@@ -137,6 +136,8 @@ SUBSET = [
     "topn_bloom_pruned_join",
     # round-9: real frame-extraction lane (documents-backed)
     "multimodal_meta_frames",
+    # round-10: cross-document line dedup (documents-backed)
+    "dedup_corpus_lines",
 ]
 
 def _near_auto(spark, sf_dir):
@@ -187,9 +188,11 @@ def _struct_probe(builder):
 
 
 def _corpus_line_dedup(spark, sf_dir):
-    """round-9 CCNet-style cross-document line dedup (keep_first) —
-    the corpus-shuffling rewriter; ratio should track the keyed
-    aggregate/join growth, never all-pairs."""
+    """CCNet-style cross-document line dedup (keep_first) on the RAW
+    single-line fixture (whole-doc-as-line path) — contrast with the
+    dedup_corpus_lines GATE, which synthesizes a multi-line corpus;
+    ratio should track the keyed aggregate/join growth, never
+    all-pairs."""
     from postgresql_topn_spark.operators.dedup import corpus_line_dedup
     from postgresql_topn_spark.sources.tables import load_table
 
@@ -230,7 +233,7 @@ def _extra_text_structs():
 EXTRA = {
     "dedup_embedding_near_auto": _near_auto,
     "dedup_substring_runs_capped": _substring_runs_capped,
-    "dedup_corpus_lines": _corpus_line_dedup,
+    "corpus_line_dedup_raw": _corpus_line_dedup,
     "semdedup_auto_clusters": _semdedup_auto,
     **_extra_text_structs(),
 }

@@ -140,6 +140,64 @@ def test_lr_train_dir_footprint_is_o1(spark, sf_dir, tmp_path):
     assert len(live) == 2, f"expected final w+b cuts only, got {live}"
     # and the model still reads cleanly from the surviving cuts
     assert model.count() > 0
+    # ADVICE r9: the model exposes BOTH surviving cut paths so callers
+    # can reclaim them after persisting the model elsewhere
+    from postgresql_topn_spark.operators.checkpointing import release_cut
+
+    paths = model._lr_cut_paths
+    assert len(paths) == 2
+    assert sorted(os.path.basename(p) for p in paths) == sorted(live)
+    for p in paths:
+        assert release_cut(spark, p) is True
+    assert not [d for d in os.listdir(ckdir) if d.startswith("cut-")]
+
+
+def test_lr_cut_paths_empty_in_local_mode(spark, sf_dir):
+    from postgresql_topn_spark.operators.classifier import lr_train
+    from postgresql_topn_spark.suite import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    model = lr_train(
+        docs.where(F.col("lang") == "en"),
+        docs.where(F.col("lang") != "en"),
+        n_buckets=32,
+        iters=1,
+    )
+    assert model._lr_cut_paths == ()
+
+
+def test_sweep_cuts_reclaims_orphans(spark, tmp_path):
+    """VERDICT r9 item 4: a pipeline killed between `stage_cut` and
+    its `release_cut` strands cut-<uuid>/ dirs; `sweep_cuts` discovers
+    and deletes the old ones while leaving young cuts and non-cut
+    entries alone."""
+    import os
+
+    from postgresql_topn_spark.operators.checkpointing import (
+        stage_cut,
+        sweep_cuts,
+    )
+
+    d = str(tmp_path / "orphans")
+    # simulate the failure: two cuts land, NOBODY releases them
+    stage_cut(spark.range(5), d)
+    stage_cut(spark.range(7), d)
+    bystander = os.path.join(d, "not-a-cut")
+    os.makedirs(bystander)
+    # dry_run lists both orphans, deletes nothing
+    listed = sweep_cuts(spark, d, older_than_s=0, dry_run=True)
+    assert len(listed) == 2
+    assert len([x for x in os.listdir(d) if x.startswith("cut-")]) == 2
+    # young cuts survive a conservative threshold
+    assert sweep_cuts(spark, d, older_than_s=3600) == []
+    # the reap: both orphans deleted, bystander + dir intact
+    swept = sweep_cuts(spark, d, older_than_s=0)
+    assert swept == listed
+    assert [x for x in os.listdir(d) if x.startswith("cut-")] == []
+    assert os.path.isdir(bystander)
+    # idempotent; missing dir is a no-op
+    assert sweep_cuts(spark, d, older_than_s=0) == []
+    assert sweep_cuts(spark, str(tmp_path / "missing"), older_than_s=0) == []
 
 
 class TestLrTrainCheckpointed:

@@ -133,10 +133,10 @@ class TestGopherRules:
                          AS DOUBLE) / n_words, 6) AS mwl,
               round((CAST(len(text) - len(replace(text, '#', ''))
                           AS DOUBLE)
-                     + CAST(len(text) - len(replace(text, '...', ''))
-                            AS DOUBLE) / 3
-                     + CAST(len(text) - len(replace(text, '…', ''))
-                            AS DOUBLE))
+                     + (CAST(len(text) - len(replace(text, '...', ''))
+                             AS DOUBLE) / 3
+                        + CAST(len(text) - len(replace(text, '…', ''))
+                               AS DOUBLE)))
                     / n_words, 6) AS swr,
               round(CAST(len(list_filter(lines,
                         l -> regexp_matches(ltrim(l), '^[-*•]')))
@@ -245,6 +245,59 @@ class TestGopherRepetition:
         )
         assert hash_shuffles(out) == 0
         assert python_stages(out) == 0
+
+    def test_arrow_kernel_equals_catalyst_form(self, spark):
+        """gopher_repetition_signals_pandas (the Arrow scan kernel,
+        VERDICT r9 item 3) must equal the Catalyst HOF form FIELD FOR
+        FIELD on the fixture corpus + the crafted rows + extra hostile
+        rows (tabs/newline-leading text, unicode, rounding-boundary
+        repeats) — the Column form stays the oracle lane, the kernel
+        is the throughput lane, and this pin is what lets
+        pipeline_curation use either."""
+        from postgresql_topn_spark.operators.text import (
+            GOPHER_REP_FIELDS,
+            gopher_repetition_signals,
+            gopher_repetition_signals_pandas,
+        )
+        from postgresql_topn_spark.sources.tables import load_table
+
+        hostile = [
+            (9101, "\tword a b word word\nword word"),
+            (9102, "x y x y x y… tail"),
+            (9103, "aa aa aa bb bb cc"),  # count tie: 'aa aa' vs 'bb bb'
+            (9104, "one\n\n\nthree\n\n one"),
+            (9105, "s " * 400),
+        ]
+        edges = spark.createDataFrame(
+            [(i + 9000, t) for i, t in REP_ROWS] + hostile,
+            "doc_id long, text string",
+        )
+        both = load_table(spark, SF_DIR, "documents").select(
+            "doc_id", "text"
+        ).unionByName(edges)
+
+        col_form = {
+            r["doc_id"]: r["g"]
+            for r in both.select(
+                "doc_id", gopher_repetition_signals("text").alias("g")
+            ).collect()
+        }
+        arrow_form = {
+            r["doc_id"]: r
+            for r in gopher_repetition_signals_pandas(
+                both, "text"
+            ).collect()
+        }
+        assert set(col_form) == set(arrow_form)
+        mism = []
+        for did, g in col_form.items():
+            a = arrow_form[did]
+            for f in GOPHER_REP_FIELDS:
+                cv = None if g is None else g[f]
+                av = a["rep_" + f]
+                if cv != av:
+                    mism.append((did, f, cv, av))
+        assert not mism, (len(mism), mism[:5])
 
     def test_duckdb_parity_ngram_and_line_fracs(self, spark):
         """Replay the n-gram/line char fractions in DuckDB via the

@@ -559,16 +559,26 @@ def test_model_roundtrip_gate_broadcast_models(spark):
 
 
 def test_curation_signal_cascade_scan_stage(spark):
-    """pipeline_curation's published-rule signal pass (round 9): the
-    whole c4 -> quality -> repetition cascade — 20+ rules, 9 n-gram
-    fold families — is ONE scan-stage dataflow: zero shuffles, zero
-    Python. At 100 TB this is the property that matters: the filter
-    cost scales with executors, never with coordination."""
+    """pipeline_curation's published-rule signal pass: the whole
+    c4 -> quality -> repetition cascade — 20+ rules, 9 n-gram fold
+    families — is ONE scan-stage dataflow with zero shuffles in BOTH
+    kernels. At 100 TB this is the property that matters: the filter
+    cost scales with executors, never with coordination.
+
+    Round 10 (VERDICT r9 item 3): the default repetition kernel is the
+    Arrow lane (4.1x faster; exactly ONE Python stage — the cheap-rule
+    stage below it stays pure Catalyst so pushdown/pruning still reach
+    the scan); kernel='catalyst' keeps the zero-Python pure-expression
+    form the oracles replay."""
     from postgresql_topn_spark.suite import curation_signal_cascade, load_table
 
-    sig = curation_signal_cascade(load_table(spark, SF, "documents"))
-    assert hash_shuffles(sig) == 0
-    assert python_stages(sig) == 0
+    docs = load_table(spark, SF, "documents")
+    arrow = curation_signal_cascade(docs)
+    assert hash_shuffles(arrow) == 0
+    assert python_stages(arrow) == 1
+    cat = curation_signal_cascade(docs, kernel="catalyst")
+    assert hash_shuffles(cat) == 0
+    assert python_stages(cat) == 0
 
 
 def test_ann_ivf_recall_lane_broadcast_no_smj(spark):

@@ -8,7 +8,11 @@ to ask for a manual re-rotation; this retires that failure mode)."""
 import json
 import os
 
-from postgresql_topn_spark.suite import QUERIES, _latest_green_round
+from postgresql_topn_spark.suite import (
+    QUERIES,
+    _effective_round,
+    _latest_green_round,
+)
 
 GREEN = {
     "rows_match": True,
@@ -52,14 +56,33 @@ def test_malformed_artifacts_ignored(tmp_path):
     assert _latest_green_round(str(tmp_path / "missing_dir")) == {}
 
 
+def test_semantics_changed_gates_front_like_never_green():
+    """A gate whose semantics changed since its last green row proves
+    only the OLD behavior with that row — _effective_round resets it
+    to -1 until a green row from the change round (or later) lands,
+    after which the entry self-expires."""
+    from postgresql_topn_spark.suite import _SEMANTICS_CHANGED
+
+    try:
+        _SEMANTICS_CHANGED["__x"] = 7
+        assert _effective_round("__x", {"__x": 6}) == -1  # stale row
+        assert _effective_round("__x", {}) == -1  # never green
+        assert _effective_round("__x", {"__x": 7}) == 7  # expired
+        assert _effective_round("__x", {"__x": 9}) == 9
+        assert _effective_round("__y", {"__y": 5}) == 5  # unlisted
+    finally:
+        _SEMANTICS_CHANGED.pop("__x", None)
+
+
 def test_live_registry_fronts_stale_queries():
     """On the real repo artifacts: every query whose latest green row is
-    older sorts before every query with a newer one, and never-green
-    queries come first of all — so the driver's 50-row window always
-    covers the most-owed rows."""
+    older (semantics-changed gates count as never-green until re-rowed)
+    sorts before every query with a newer one, and never-green queries
+    come first of all — so the driver's 50-row window always covers the
+    most-owed rows."""
     latest = _latest_green_round()
     names = list(QUERIES)
-    ranks = [latest.get(n, -1) for n in names]
+    ranks = [_effective_round(n, latest) for n in names]
     assert ranks == sorted(ranks)
     # the driver cap is ~50: with the 100-query registry nothing in the
     # front window may be fresher than anything behind it (guaranteed
@@ -67,7 +90,7 @@ def test_live_registry_fronts_stale_queries():
     # query lacking a row from the newest round
     if latest:
         newest = max(latest.values())
-        owed = [n for n in names if latest.get(n, -1) < newest]
+        owed = [n for n in names if _effective_round(n, latest) < newest]
         front = set(names[: max(50, len(owed))])
         assert all(n in front for n in owed[:50])
 
@@ -102,7 +125,7 @@ def test_additions_never_push_a_gate_two_rounds_stale():
         return
     newest = max(latest.values())
     names = list(QUERIES)
-    owed = [n for n in names if latest.get(n, -1) < newest]
+    owed = [n for n in names if _effective_round(n, latest) < newest]
     assert len(owed) <= 50, (
         f"{len(owed)} gates owe a fresh driver row but the window is "
         "50 — this round's additions exceeded the freshness budget; "
