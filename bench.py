@@ -144,12 +144,29 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # Run provenance (VERDICT r9 item 8): builder-tree runs and the
+    # driver's own runs land in the same BENCH_full_r{N}.json name; the
+    # stamp makes round-over-round diffs attribute box-factor jumps to
+    # the host/run that produced each artifact instead of silently
+    # mixing them. bench_diff.py ignores unknown fields by design.
+    import getpass
+    import socket
+
+    provenance = {
+        "hostname": socket.gethostname(),
+        "user": getpass.getuser(),
+        "utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "cpus": cpus,
+        "os_cpus": os.cpu_count(),
+        "sf_dir": sf_dir,
+    }
     result = {
         "metric": "suite_total_wall",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+        "provenance": provenance,
     }
     here = os.path.dirname(os.path.abspath(__file__))
     this_round = _current_round(here)

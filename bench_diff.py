@@ -62,6 +62,19 @@ def main() -> None:
     if len(args) != 2:
         sys.exit(__doc__)
     old, new = load_queries(args[0]), load_queries(args[1])
+    # attribute each artifact to the host/run that produced it (round-10
+    # provenance stamp; absent in pre-r10 artifacts — tolerated)
+    for label, path in (("old", args[0]), ("new", args[1])):
+        try:
+            with open(path) as fh:
+                prov = json.load(fh).get("provenance")
+        except (OSError, ValueError):
+            prov = None
+        if prov:
+            print(
+                f"{label}: {prov.get('hostname')} by {prov.get('user')}"
+                f" at {prov.get('utc')} (cpus={prov.get('cpus')})"
+            )
     common = sorted(set(old) & set(new))
     if not common:
         sys.exit("no common queries between the two files")

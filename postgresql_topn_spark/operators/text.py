@@ -709,8 +709,8 @@ def gopher_repetition_signals_pandas(
 
     Scale shape: one Python stage, no shuffle, no state — the kernel
     is embarrassingly parallel per batch; the Column form remains the
-    oracle/SQL-replayable lane. Measured (STATUS.md round 10): the
-    Arrow kernel wins ~6x per doc on the fixture corpus, so
+    oracle/SQL-replayable lane. Measured (STATUS.md round 10): 4.1x
+    faster than the interpreted folds on the sf0.1 fixture corpus, so
     `curation_signal_cascade(kernel='arrow')` uses it by default via
     pipeline_curation."""
     import pandas as pd  # noqa: PLC0415

@@ -214,6 +214,40 @@ def _semdedup_auto(spark, sf_dir):
     )
 
 
+def _sql_struct_filter(spark, sf_dir):
+    """The pure-SQL lane of the published filter stack (round-10,
+    VERDICT r9 item 6): the three struct UDF twins chained as a
+    cheap-rules-then-repetition filter in one spark.sql() query.
+    Catalyst inlines the RETURN expressions at analysis time, so this
+    should scale exactly like the Column cascade (boring-linear) —
+    struct-field references re-derive their expressions after project
+    collapse, which is the SQL-lane cost being measured."""
+    from postgresql_topn_spark.functions.sql_text import (
+        register_text_sql_functions,
+    )
+
+    register_text_sql_functions(spark)
+    spark.read.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    ).createOrReplaceTempView("docs_sql_probe")
+    return spark.sql(
+        """
+        SELECT doc_id, q.n_words, q.mean_word_len,
+               r.top_2gram_char_frac, r.dup_5gram_char_frac, c.n_sentences
+        FROM (SELECT doc_id,
+                     gopher_quality_signals(text) AS q,
+                     gopher_repetition_signals(text) AS r,
+                     c4_clean(text) AS c
+              FROM docs_sql_probe) t
+        WHERE q.n_words BETWEEN 50 AND 100000
+          AND q.mean_word_len BETWEEN 3.0 AND 10.0
+          AND q.symbol_word_ratio <= 0.1
+          AND q.alpha_word_frac >= 0.8
+          AND r.passes
+        """
+    )
+
+
 def _extra_text_structs():
     from postgresql_topn_spark.operators.text import (
         c4_clean,
@@ -235,6 +269,7 @@ EXTRA = {
     "dedup_substring_runs_capped": _substring_runs_capped,
     "corpus_line_dedup_raw": _corpus_line_dedup,
     "semdedup_auto_clusters": _semdedup_auto,
+    "sql_struct_filter": _sql_struct_filter,
     **_extra_text_structs(),
 }
 
