@@ -609,7 +609,15 @@ def _rep_signals_py(text: "str | None") -> "dict | None":
     counted over the SORTED element array (argmax by count, ties to
     the larger char mass, earliest sorted element on a full tie),
     duplicate mass counts occurrences beyond the first, Spark HALF_UP
-    rounding via Decimal (banker's round() diverges on .5 ulps)."""
+    rounding via Decimal(repr(x)) — NOT Decimal(x): Spark's
+    round(double, 6) goes through Scala BigDecimal(double) =
+    Double.toString, the SHORTEST round-trip decimal, while
+    Decimal(float) is the exact binary expansion; the two disagree
+    HALF_UP at representable boundaries (0.3078125 = 197/640 rounds
+    to .307813 shortest-repr but .307812 exact-binary — probed
+    empirically, 3/1511 boundary fractions diverged; Python repr is
+    also shortest round-trip, so it matches). Banker's round() is
+    wrong more often still."""
     import re
     from decimal import ROUND_HALF_UP, Decimal
 
@@ -617,7 +625,9 @@ def _rep_signals_py(text: "str | None") -> "dict | None":
         if x is None:
             return None
         return float(
-            Decimal(x).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP)
+            Decimal(repr(x)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP
+            )
         )
 
     if text is None or len(text) == 0:

@@ -267,6 +267,12 @@ class TestGopherRepetition:
             (9103, "aa aa aa bb bb cc"),  # count tie: 'aa aa' vs 'bb bb'
             (9104, "one\n\n\nthree\n\n one"),
             (9105, "s " * 400),
+            # rounding-boundary doc: dup_line_char_frac = 197/640 =
+            # 0.3078125 exactly — Spark's shortest-repr HALF_UP gives
+            # .307813, the exact-binary expansion gives .307812; pins
+            # the Decimal(repr(x)) discipline in _rep_signals_py
+            (9106, "\n".join(["x" * 197, "x" * 197, "y" * 123,
+                              "z" * 123])),
         ]
         edges = spark.createDataFrame(
             [(i + 9000, t) for i, t in REP_ROWS] + hostile,
