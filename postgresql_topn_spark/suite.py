@@ -1681,11 +1681,16 @@ def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "dedup_semantic_clusters",
     f"""
-    WITH cent AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
-             embedding AS cv
-      FROM embeddings
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
+    WITH nsem AS (
+      SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 200.0) AS BIGINT)) AS k
+      FROM embeddings WHERE vec_id IS NOT NULL
+    ),
+    cent AS (
+      SELECT cell, cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+               embedding AS cv
+        FROM embeddings
+      ) c CROSS JOIN nsem WHERE c.cell < nsem.k
     ),
     d AS (
       SELECT e.vec_id, e.embedding, c.cell, {_IVF_D2} AS d2,
@@ -1730,11 +1735,20 @@ def dedup_semantic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline applies. Every stage (centroid pick, assignment, rank,
     pairwise cosine, greedy sweep) is replayed value-for-value by the
     DuckDB oracle; cluster assignment itself is a scan-stage Catalyst
-    fold (zero exchanges — plan-pinned in tests/test_semdedup.py)."""
+    fold (zero exchanges — plan-pinned in tests/test_semdedup.py).
+
+    Round-10 change (the select_mix recipe applied here too): the gate
+    runs the SCALE-CORRECT seeded-auto sizing — `n_clusters='auto'`
+    (ceil(n/200) md5-seeded centroids), with the oracle replaying the
+    sizing rule itself — instead of a fixed 16-cell quantizer whose
+    in-cluster pair work grows ~n^2 with the corpus. The gate now pins
+    the configuration a production corpus would actually run."""
     from postgresql_topn_spark.operators.semdedup import semantic_dedup
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return semantic_dedup(emb, n_clusters=16, threshold=0.35)
+    return semantic_dedup(
+        emb, n_clusters="auto", target_cluster_size=200, threshold=0.35
+    )
 
 
 @_register(
@@ -6653,6 +6667,9 @@ _SEMANTICS_CHANGED: dict[str, int] = {
     "pipeline_select_mix": 10,
     # r10: recall lane moved to the sampled-query-set configuration
     "ann_ivf_topk": 10,
+    # r10: fixed 16-cell quantizer -> seeded-auto (already r8-stale, so
+    # this entry documents intent without changing the owed set)
+    "dedup_semantic_clusters": 10,
 }
 
 
