@@ -136,8 +136,10 @@ SUBSET = [
     "topn_bloom_pruned_join",
     # round-9: real frame-extraction lane (documents-backed)
     "multimodal_meta_frames",
-    # round-10: cross-document line dedup (documents-backed)
+    # round-10: cross-document line dedup (documents-backed) + the
+    # merged scalar-operator gate (lineitem-backed)
     "dedup_corpus_lines",
+    "topn_scalar_ops",
 ]
 
 def _near_auto(spark, sf_dir):

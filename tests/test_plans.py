@@ -581,6 +581,35 @@ def test_curation_signal_cascade_scan_stage(spark):
     assert python_stages(cat) == 0
 
 
+def test_cascade_cheap_rules_gate_the_arrow_stage(spark):
+    """The cascade's ORDERING is the scale defense: the cheap-rule
+    Filter must sit BELOW the Arrow repetition stage (plans print
+    parent-first, so MapInPandas appears before Filter), which means a
+    pathological document — e.g. 150k words, past Gopher's n_words
+    ceiling — is dropped by the scan-stage rules and never reaches the
+    expensive kernel. Value-checked too: the giant doc is absent from
+    the cascade output while a normal doc survives to the repetition
+    verdict."""
+    from pyspark.sql import functions as F
+
+    from postgresql_topn_spark.suite import curation_signal_cascade
+
+    docs = spark.createDataFrame(
+        [
+            (1, "words " * 150_000),  # n_words > 100000 -> cheap drop
+            (2, "plain ordinary variation " * 30),  # survives cheap
+        ],
+        "doc_id long, text string",
+    )
+    sig = curation_signal_cascade(docs)
+    p = sig._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in p and "Filter" in p
+    assert p.index("MapInPandas") < p.index("Filter")
+    rows = {r["doc_id"]: r for r in sig.collect()}
+    assert 1 not in rows
+    assert 2 in rows and rows[2]["__keep_rep"] is not None
+
+
 def test_ann_ivf_recall_lane_broadcast_no_smj(spark):
     """ann_ivf_topk + the round-9 recall lane: the per-query recall
     aggregate (<= |Q| rows) must ride a broadcast back onto the result
