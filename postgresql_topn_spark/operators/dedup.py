@@ -865,17 +865,27 @@ def _prefix_candidates(posts: DataFrame, threshold: float) -> DataFrame:
     set-similarity-join shape for corpora where gram frequencies are
     Zipfian.
 
-    Cost: one shuffle on the gram hash (document frequency via window
-    count — no separate aggregation + join, which would evaluate the
-    postings subtree twice), one per-doc sort — all shuffle-parallel on
-    slim (id, hash) rows. The ceil is computed on t*n - 1e-9: float
+    Cost: the postings (slim (id, n, hash) rows) are CUT once
+    (lazy localCheckpoint — the stage_cut default mode), then document
+    frequency is a HASH AGGREGATE on the gram hash (map-side partial
+    combine collapses a ubiquitous gram to one row per map task BEFORE
+    the exchange) joined back onto the postings — where AQE skew-join
+    splitting applies. Deliberately NOT a `count() over (partition by
+    __sh)` window (the round-9-era form): a ubiquitous gram — ' the '
+    occurs in EVERY document — would put the whole corpus's posting
+    rows through ONE unsplittable window task, the exact straggler
+    class the corpus_line_dedup round-10 hardening removed. The cut is
+    what keeps the Python gram kernel at ONE evaluation: without it
+    the aggregate and join branches each re-run the kernel (exchange
+    reuse does NOT apply — the two exchanges have different children),
+    measured 114.9 s vs 79.3 s at sf0.1; the cut form also beats the
+    retired window form (81.3 s) outright. Then one per-doc sort — all
+    shuffle-parallel. The ceil is computed on t*n - 1e-9: float
     rounding may only LENGTHEN a prefix (extra candidates), never
     shorten it (missed pairs)."""
-    from pyspark.sql.window import Window
-
-    ranked = posts.withColumn(
-        "__df", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
-    )
+    posts = posts.localCheckpoint(eager=False)
+    dfreq = posts.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = posts.join(dfreq, "__sh")
     plen = (
         F.col("__n")
         - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))

@@ -1600,3 +1600,84 @@ class TestCorpusLineDedup:
                 for r in window_form(policy).collect()
             }
             assert got == ref, policy
+
+
+def test_prefix_candidates_agg_form_matches_retired_window_form(
+    spark, sf_dir
+):
+    """Identity pin for the round-10 PPJoin skew hardening: gram df via
+    cut + hash-aggregate + join-back must produce exactly the window
+    form's pair set (df values are identical, so the global (df, gram)
+    prefix order — and with it every candidate and verified pair — is
+    unchanged)."""
+    from pyspark.sql.window import Window
+
+    from postgresql_topn_spark.operators.dedup import (
+        _bucket_pairs,
+        _char_gram_arrays,
+        char_ngram_jaccard_pairs,
+    )
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    threshold, n = 0.7, 5
+
+    # the retired window implementation of _prefix_candidates, inlined
+    garr = _char_gram_arrays(docs, "doc_id", "text", n)
+    posts = garr.select("__id", F.explode("__g").alias("__sh"), "__n")
+    ranked = posts.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("__sh"))
+    )
+    plen = (
+        F.col("__n")
+        - F.ceil(F.lit(threshold) * F.col("__n") - F.lit(1e-9))
+        + 1
+    ).cast("int")
+    prefix = (
+        ranked.groupBy("__id", "__n")
+        .agg(
+            F.array_sort(F.collect_list(F.struct("__df", "__sh"))).alias(
+                "__g"
+            )
+        )
+        .select(
+            F.struct(
+                F.col("__id").alias("id"), F.col("__n").alias("n")
+            ).alias("__p"),
+            F.explode(F.slice("__g", F.lit(1), plen)).alias("__e"),
+        )
+        .where(F.col("__e.__df") >= 2)
+        .select("__p", F.col("__e.__sh").alias("__sh"))
+    )
+    cand = _bucket_pairs(prefix, ["__sh"], "__p")
+    lo = F.least(F.col("__a.n"), F.col("__b.n"))
+    hi = F.greatest(F.col("__a.n"), F.col("__b.n"))
+    window_cand = (
+        cand.where(lo >= F.ceil(F.lit(threshold) * hi - F.lit(1e-9)))
+        .select(
+            F.least("__a.id", "__b.id").alias("doc_a"),
+            F.greatest("__a.id", "__b.id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    # full operator output is candidates + exact verification; compare
+    # the final verified pair sets (the strongest end-to-end identity)
+    got = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in char_ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=threshold, n=n
+        ).collect()
+    }
+    ref_cand = {
+        (r["doc_a"], r["doc_b"]) for r in window_cand.collect()
+    }
+    # every verified pair must come from the window-form candidate set,
+    # and candidate counts match (the df identity)
+    assert {(a, b) for a, b, _ in got} <= ref_cand
+    from postgresql_topn_spark.operators.dedup import _prefix_candidates
+
+    agg_cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in _prefix_candidates(posts, threshold).collect()
+    }
+    assert agg_cand == ref_cand

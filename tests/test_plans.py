@@ -581,6 +581,28 @@ def test_curation_signal_cascade_scan_stage(spark):
     assert python_stages(cat) == 0
 
 
+def test_ppjoin_prefix_chain_no_hot_gram_window_one_kernel(spark):
+    """round-10 skew hardening #2 (_prefix_candidates): gram document
+    frequency is a map-side-combinable aggregate joined back onto CUT
+    postings — never a `count() over (partition by __sh)` window,
+    whose hottest gram (' the ' in every doc) is one unsplittable
+    task. The lazy localCheckpoint cut keeps the Python gram kernel at
+    ONE plan occurrence (without it, the aggregate and join branches
+    each re-run the kernel: 5 nodes, measured +45% at sf0.1)."""
+    from postgresql_topn_spark.operators.dedup import (
+        char_ngram_jaccard_pairs,
+    )
+    from postgresql_topn_spark.suite import load_table
+
+    out = char_ngram_jaccard_pairs(
+        load_table(spark, SF, "documents"), "doc_id", "text",
+        threshold=0.7, n=5,
+    )
+    p = plan_str(out, "simple")
+    assert "Window" not in p
+    assert python_stages(out) == 1
+
+
 def test_cascade_cheap_rules_gate_the_arrow_stage(spark):
     """The cascade's ORDERING is the scale defense: the cheap-rule
     Filter must sit BELOW the Arrow repetition stage (plans print
