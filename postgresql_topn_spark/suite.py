@@ -5356,10 +5356,16 @@ def multimodal_png_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM px GROUP BY 1, 2)
       GROUP BY doc_id
     ),
+    nsem AS (
+      SELECT greatest(1, CAST(ceil(CAST(count(*) AS DOUBLE) / 200.0) AS BIGINT)) AS k
+      FROM feat
+    ),
     cent AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS cell,
-             embedding AS cv
-      FROM feat ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 8
+      SELECT cell, cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1 AS cell,
+               embedding AS cv
+        FROM feat
+      ) c CROSS JOIN nsem WHERE c.cell < nsem.k
     ),
     d AS (
       SELECT e.doc_id, e.embedding, c.cell,
@@ -5440,11 +5446,16 @@ def multimodal_semantic_dedup(
     # bpe.py precedent; checkpoint_dir makes the cut reliable).
     # Plan-audited in tests/test_plans.py.
     feat = stage_cut(pixel_block_features(imgs, grid=4), checkpoint_dir)
+    # round 10: seeded-auto sizing here too (the feature corpus is one
+    # row per DOCUMENT, so it grows with the corpus — a fixed 8-cell
+    # quantizer is the same ~n^2 in-cluster trap the text gates
+    # retired); the oracle replays ceil(n/200)
     return semantic_dedup(
         feat,
         id_col="doc_id",
         vec_col="embedding",
-        n_clusters=8,
+        n_clusters="auto",
+        target_cluster_size=200,
         threshold=0.9999,
     )
 
@@ -6670,6 +6681,10 @@ _SEMANTICS_CHANGED: dict[str, int] = {
     # r10: fixed 16-cell quantizer -> seeded-auto (already r8-stale, so
     # this entry documents intent without changing the owed set)
     "dedup_semantic_clusters": 10,
+    # r10: fixed 8-cell quantizer -> seeded-auto (the last fixed-cell
+    # semdedup gate; r9-green, so this re-row takes the owed set to
+    # exactly 50 — the cap, covered in full by the r9 driver run too)
+    "multimodal_semantic_dedup": 10,
 }
 
 
