@@ -100,10 +100,13 @@ _DEFS: dict[str, str] = {
 # into the calling plan — zero Python, scan-stage.
 # ---------------------------------------------------------------------------
 
-# Derived from the operator module's single source of truth (ADVICE
-# r9): a change to the Column-side tables propagates here at import
-# time instead of silently desynchronizing until a parity test fires.
-from postgresql_topn_spark.operators.text import (  # noqa: E402
+# Derived from the package's single source of truth (ADVICE r9): a
+# change to the shared tables propagates here at import time instead of
+# silently desynchronizing until a parity test fires. The tables live
+# in the leaf module `published_constants` — NOT operators/text — so
+# this lightweight SQL surface never imports the operator stack
+# (ADVICE r10 layering / circular-import risk).
+from postgresql_topn_spark.published_constants import (  # noqa: E402
     GOPHER_DUP_NGRAM_MAX,
     GOPHER_QUALITY_BOUNDS,
     GOPHER_STOPWORDS,

@@ -133,15 +133,30 @@ def sweep_cuts(
     pipeline run, so any cut older than the longest plausible run is
     garbage by construction.
 
-    Deletes every ``cut-*`` subdirectory whose modification time is at
-    least `older_than_s` seconds old and returns the affected paths;
+    Deletes every ``cut-*`` subdirectory whose RESOLVED age is at
+    least `older_than_s` seconds and returns the affected paths;
     `dry_run=True` lists without deleting. Non-cut entries under the
     dir are never touched; a missing/empty dir returns []. Run it from
     a janitor/cron context with `older_than_s` comfortably above the
     longest pipeline wall-clock (default 24 h) — never concurrently
     with a shorter threshold than running pipelines, or a LIVE cut
     could be swept (same contract as any temp-dir reaper). Works on
-    any Hadoop filesystem scheme (local/HDFS/S3)."""
+    any Hadoop filesystem scheme (local/HDFS/S3).
+
+    Age resolution (ADVICE r10): a cut's age is the NEWEST
+    modification time among the files directly under its directory —
+    never the directory entry's own mtime. Object stores (S3A and
+    friends) have no real directories: list results synthesize
+    directory markers whose mtime is frequently 0 or unrelated to the
+    cut's write time, so the naive dir-mtime test read every cut as
+    infinitely old and a 24 h janitor sweep could delete a cut written
+    minutes ago out from under a RUNNING pipeline. The parquet part
+    files inside the cut carry real per-object mtimes on every
+    supported scheme (one extra `listStatus` per cut — cuts hold a
+    handful of files). A dir with no files falls back to its own mtime
+    (an interrupted first write on local/HDFS still gets reaped); any
+    dir whose resolved mtime is <= 0 is age-UNKNOWN and is skipped,
+    never deleted."""
     import time
 
     jvm = spark._jvm
@@ -155,7 +170,17 @@ def sweep_cuts(
         p = st.getPath()
         if not st.isDirectory() or not p.getName().startswith("cut-"):
             continue
-        if st.getModificationTime() <= cutoff_ms:
+        mtime = 0
+        for child in fs.listStatus(p):
+            if child.isFile():
+                mtime = max(mtime, child.getModificationTime())
+        if mtime == 0:
+            # no files under the cut: fall back to the dir entry's own
+            # mtime (meaningful on local/HDFS; 0/synthetic on S3A).
+            mtime = st.getModificationTime()
+        if mtime <= 0:
+            continue  # age unknown (object-store marker) — never delete
+        if mtime <= cutoff_ms:
             swept.append(p.toString())
             if not dry_run:
                 fs.delete(p, True)

@@ -850,7 +850,11 @@ def _char_gram_arrays(
     return base.mapInPandas(_gram_batches, out_schema)
 
 
-def _prefix_candidates(posts: DataFrame, threshold: float) -> DataFrame:
+def _prefix_candidates(
+    posts: DataFrame,
+    threshold: float,
+    checkpoint_dir: "str | None" = None,
+) -> DataFrame:
     """EXACT prefix-filter candidate pairs (doc_a < doc_b) for Jaccard
     >= threshold over a postings index — the AllPairs/PPJoin principle:
     with every document's gram set sorted by one global (document
@@ -882,8 +886,28 @@ def _prefix_candidates(posts: DataFrame, threshold: float) -> DataFrame:
     retired window form (81.3 s) outright. Then one per-doc sort — all
     shuffle-parallel. The ceil is computed on t*n - 1e-9: float
     rounding may only LENGTHEN a prefix (extra candidates), never
-    shorten it (missed pairs)."""
-    posts = posts.localCheckpoint(eager=False)
+    shorten it (missed pairs).
+
+    `checkpoint_dir` (ADVICE r10): the cut defaults to a lazy
+    localCheckpoint — executor-local blocks, lost on executor death,
+    in which case a fleet run recomputes the whole gram chain mid-join
+    instead of rescanning a file. Pipelines on the reliable-cut
+    discipline pass a dir and the postings materialize through
+    `stage_cut` to shared storage instead (same values, pytest-pinned).
+    The reliable cut's files are the caller's to reclaim: the
+    candidate frame returned here (and by `char_ngram_jaccard_pairs`)
+    is `adopt_cut`-tagged, so `release_cut(spark, result)` after the
+    pairs are consumed deletes the staging directory. localCheckpoint
+    blocks have no handle — in a long-lived session they live until
+    the RDD is GC'd (`spark.cleaner.referenceTracking`), one more
+    reason long-running fleets should prefer the dir form."""
+    from postgresql_topn_spark.operators.checkpointing import (
+        adopt_cut,
+        stage_cut,
+    )
+
+    posts = stage_cut(posts, checkpoint_dir)
+    _cut = posts
     dfreq = posts.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
     ranked = posts.join(dfreq, "__sh")
     plen = (
@@ -920,13 +944,14 @@ def _prefix_candidates(posts: DataFrame, threshold: float) -> DataFrame:
     # to exact verification), never drops a qualifying pair.
     lo = F.least(F.col("__a.n"), F.col("__b.n"))
     hi = F.greatest(F.col("__a.n"), F.col("__b.n"))
-    return (
+    return adopt_cut(
         cand.where(lo >= F.ceil(F.lit(threshold) * hi - F.lit(1e-9)))
         .select(
             F.least("__a.id", "__b.id").alias("doc_a"),
             F.greatest("__a.id", "__b.id").alias("doc_b"),
         )
-        .distinct()
+        .distinct(),
+        _cut,
     )
 
 
@@ -937,6 +962,7 @@ def char_ngram_jaccard_pairs(
     *,
     threshold: float = 0.7,
     n: int = 5,
+    checkpoint_dir: "str | None" = None,
 ) -> DataFrame:
     """All document pairs with character-n-gram Jaccard >= threshold —
     exact, via prefix-filter candidate generation (_prefix_candidates)
@@ -958,7 +984,13 @@ def char_ngram_jaccard_pairs(
     evaluate the gram kernel twice; the union's two branches share the
     candidate distinct-exchange (reused, since they differ only in
     projections above it), keeping the whole query at two kernel
-    evaluations: the prefix-index chain and this one."""
+    evaluations: the prefix-index chain and this one.
+
+    `checkpoint_dir` (ADVICE r10): reliable cut for the postings
+    index instead of the default localCheckpoint — identical pairs,
+    executor-loss-safe (see `_prefix_candidates`). The returned frame
+    carries the cut handle: `release_cut(spark, result)` reclaims the
+    staging dir once the pairs are consumed."""
     if not 0.0 < threshold <= 1.0:
         # an out-of-range threshold makes the prefix length negative
         # and surfaces as a cryptic runtime slice error deep in the
@@ -966,7 +998,7 @@ def char_ngram_jaccard_pairs(
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     garr = _char_gram_arrays(df, id_col, text_col, n)
     posts = garr.select("__id", F.explode("__g").alias("__sh"), "__n")
-    cand = _prefix_candidates(posts, threshold)
+    cand = _prefix_candidates(posts, threshold, checkpoint_dir)
     tagged = cand.select(
         "doc_a", "doc_b", F.col("doc_a").alias("__d"), F.lit(0).alias("__r")
     ).unionByName(
@@ -974,8 +1006,10 @@ def char_ngram_jaccard_pairs(
             "doc_a", "doc_b", F.col("doc_b").alias("__d"), F.lit(1).alias("__r")
         )
     )
+    from postgresql_topn_spark.operators.checkpointing import adopt_cut
+
     sides = tagged.join(garr, tagged["__d"] == garr["__id"])
-    return (
+    out = (
         sides.groupBy("doc_a", "doc_b")
         .agg(
             F.first(
@@ -1011,6 +1045,8 @@ def char_ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "intersection", "union_size", "jaccard")
     )
+    # hand the caller the release handle for the reliable postings cut
+    return adopt_cut(out, cand)
 
 
 def _exact_jaccard(posts: DataFrame, pairs: DataFrame | None = None) -> DataFrame:

@@ -239,24 +239,17 @@ def repetition_signals(text: Column | str) -> Column:
     )
 
 
-GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
-
-# Published Gopher quality-rule bounds (Rae et al. 2021 Table A1, first
-# half). SINGLE SOURCE OF TRUTH: `gopher_quality_signals` below AND the
-# SQL UDF twin (functions/sql_text.py) both derive their thresholds
-# from this table, so the two surfaces cannot silently desynchronize
-# (ADVICE r9).
-GOPHER_QUALITY_BOUNDS = {
-    "n_words_min": 50,
-    "n_words_max": 100_000,
-    "mean_word_len_min": 3.0,
-    "mean_word_len_max": 10.0,
-    "symbol_word_ratio_max": 0.1,
-    "bullet_line_frac_max": 0.9,
-    "ellipsis_line_frac_max": 0.3,
-    "alpha_word_frac_min": 0.8,
-    "n_stop_hits_min": 2,
-}
+# Published Gopher rule tables (Rae et al. 2021 Table A1) live in the
+# leaf module `published_constants` so the SQL-text twin
+# (functions/sql_text.py) shares them without importing this module
+# (ADVICE r9 single-source-of-truth + ADVICE r10 layering). Re-exported
+# here unchanged for existing imports.
+from postgresql_topn_spark.published_constants import (  # noqa: E402,F401
+    GOPHER_DUP_NGRAM_MAX,
+    GOPHER_QUALITY_BOUNDS,
+    GOPHER_STOPWORDS,
+    GOPHER_TOP_NGRAM_MAX,
+)
 
 
 def gopher_quality_signals(text: Column | str) -> Column:
@@ -454,10 +447,6 @@ def _run_char_stats(arr: Column) -> Column:
         return F.struct(best.alias("top_chars"), dup.alias("dup_chars"))
 
     return F.aggregate(F.array_sort(arr), acc0, step, finish)
-
-
-GOPHER_TOP_NGRAM_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
-GOPHER_DUP_NGRAM_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 
 
 def gopher_repetition_signals(text: Column | str) -> Column:
@@ -732,6 +721,23 @@ def gopher_repetition_signals_pandas(
     )
 
     fields = [prefix + f for f in GOPHER_REP_FIELDS]
+    # ADVICE r10: appending a column name the frame already carries
+    # would silently shadow it (or die deep in Arrow schema binding) —
+    # e.g. re-applying the kernel, or user columns named rep_*. Fail
+    # loud at the API boundary instead.
+    clash = sorted(set(fields) & set(df.columns))
+    if clash:
+        raise ValueError(
+            f"output columns already exist on the input frame: {clash} "
+            f"— pass a different prefix= or drop/rename them first"
+        )
+    # the kernel handles str/None batches only; a non-string column
+    # would reach it as numpy scalars and mis-signal silently
+    ftype = df.schema[text_col].dataType.simpleString()
+    if ftype != "string":
+        raise TypeError(
+            f"text_col {text_col!r} must be string, got {ftype}"
+        )
     # StructType.add MUTATES in place — never .add() onto df.schema
     # directly or the source DataFrame grows phantom columns
     out_schema = StructType(list(df.schema.fields))

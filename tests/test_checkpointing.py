@@ -200,6 +200,57 @@ def test_sweep_cuts_reclaims_orphans(spark, tmp_path):
     assert sweep_cuts(spark, str(tmp_path / "missing"), older_than_s=0) == []
 
 
+def test_sweep_cuts_ages_by_files_not_dir_mtime(spark, tmp_path):
+    """ADVICE r10 / VERDICT r10 item 2: object stores synthesize
+    directory markers with mtime 0 (or unrelated to the write time),
+    so the age test must key on the newest FILE inside each cut, treat
+    resolved-mtime-0 as age-unknown-skip, and only fall back to the
+    dir mtime when the cut holds no files."""
+    import os
+
+    from postgresql_topn_spark.operators.checkpointing import (
+        cut_path,
+        stage_cut,
+        sweep_cuts,
+    )
+
+    d = str(tmp_path / "s3ish")
+    live = stage_cut(spark.range(5), d)
+    live_dir = cut_path(live)
+    # S3A-style: the directory entry claims epoch-0, files are fresh.
+    # The old dir-mtime rule read this LIVE cut as infinitely old.
+    os.utime(live_dir, (0, 0))
+    assert sweep_cuts(spark, d, older_than_s=3600) == []
+    assert os.path.isdir(live_dir)
+
+    # converse: fresh dir entry, genuinely old files -> reaped
+    stale = stage_cut(spark.range(3), d)
+    stale_dir = cut_path(stale)
+    for f in os.listdir(stale_dir):
+        os.utime(os.path.join(stale_dir, f), (1000, 1000))
+    os.utime(stale_dir, None)  # dir mtime = now
+    swept = sweep_cuts(spark, d, older_than_s=3600)
+    assert [p.removeprefix("file:") for p in swept] == [stale_dir]
+    assert not os.path.exists(stale_dir) and os.path.isdir(live_dir)
+
+    # empty cut dirs: mtime-0 is age-unknown (never deleted, even at
+    # threshold 0); a real old mtime still falls back and reaps
+    unknown = os.path.join(d, "cut-unknownage")
+    os.makedirs(unknown)
+    os.utime(unknown, (0, 0))
+    oldempty = os.path.join(d, "cut-oldempty")
+    os.makedirs(oldempty)
+    os.utime(oldempty, (1000, 1000))
+    swept = sweep_cuts(spark, d, older_than_s=3600)
+    assert [p.removeprefix("file:") for p in swept] == [oldempty]
+    assert os.path.isdir(unknown)
+    assert [
+        p.removeprefix("file:")
+        for p in sweep_cuts(spark, d, older_than_s=0, dry_run=True)
+    ] == [cut_path(live)]
+    # live cut's files are young only relative to real thresholds
+
+
 class TestLrTrainCheckpointed:
     def test_model_identical(self, spark, sf_dir, tmp_path):
         from postgresql_topn_spark.operators.classifier import lr_train

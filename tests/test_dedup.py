@@ -1080,6 +1080,44 @@ def test_char_ngram_prefix_filter_randomized(spark):
         assert expected  # the sweep actually exercises each threshold
 
 
+def test_char_ngram_reliable_cut_identical_and_releasable(
+    spark, sf_dir, tmp_path
+):
+    """ADVICE r10: `checkpoint_dir=` switches the PPJoin postings cut
+    from localCheckpoint to a reliable `stage_cut` — identical pairs,
+    and the returned frame carries the cut handle so the staging dir
+    is reclaimable after consumption."""
+    import os
+
+    from postgresql_topn_spark.operators.checkpointing import (
+        cut_path,
+        release_cut,
+    )
+    from postgresql_topn_spark.operators.dedup import (
+        char_ngram_jaccard_pairs,
+    )
+    from postgresql_topn_spark.suite import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    kw = dict(threshold=0.5, n=8)
+    base = sorted(
+        tuple(r)
+        for r in char_ngram_jaccard_pairs(
+            docs, "doc_id", "text", **kw
+        ).collect()
+    )
+    d = str(tmp_path / "ppjoin")
+    out = char_ngram_jaccard_pairs(
+        docs, "doc_id", "text", checkpoint_dir=d, **kw
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    assert got == base and base
+    p = cut_path(out)
+    assert p is not None and p.startswith(d) and os.path.isdir(p)
+    assert release_cut(spark, out) is True
+    assert not os.path.exists(p)
+
+
 def test_connected_components_randomized_vs_union_find(spark):
     """Random graph + a deliberately long path (high diameter — forces
     the min-label fixpoint through many rounds, the classic place an

@@ -305,6 +305,39 @@ class TestGopherRepetition:
                     mism.append((did, f, cv, av))
         assert not mism, (len(mism), mism[:5])
 
+    def test_arrow_kernel_rejects_colliding_and_nonstring_input(
+        self, spark
+    ):
+        """ADVICE r10: re-applying the kernel (or any rep_* user
+        column) must raise a clear error instead of shadowing at
+        schema build, and a non-string text_col fails at the API
+        boundary rather than mis-signaling in the kernel."""
+        import pytest
+
+        from postgresql_topn_spark.operators.text import (
+            gopher_repetition_signals_pandas,
+        )
+
+        df = spark.createDataFrame(
+            [(1, "a b a b", 0.5)],
+            "doc_id long, text string, rep_dup_line_frac double",
+        )
+        with pytest.raises(ValueError, match="rep_dup_line_frac"):
+            gopher_repetition_signals_pandas(df, "text")
+        # a different prefix sidesteps the clash
+        ok = gopher_repetition_signals_pandas(df, "text", prefix="r2_")
+        assert ok.count() == 1
+        # double application of the default prefix = the clash case
+        once = gopher_repetition_signals_pandas(
+            df.drop("rep_dup_line_frac"), "text"
+        )
+        with pytest.raises(ValueError, match="already exist"):
+            gopher_repetition_signals_pandas(once, "text")
+        with pytest.raises(TypeError, match="must be string"):
+            gopher_repetition_signals_pandas(
+                df.drop("rep_dup_line_frac"), "doc_id"
+            )
+
     def test_duckdb_parity_ngram_and_line_fracs(self, spark):
         """Replay the n-gram/line char fractions in DuckDB via the
         explode+group form (exact counts, independent algorithm) over

@@ -138,3 +138,34 @@ def test_sql_sampling_filter_composes(spark, corpus):
         .collect()
     }
     assert got == want and got
+
+
+def test_sql_surface_does_not_import_operator_stack():
+    """ADVICE r10 layering: the lightweight SQL-text surface shares the
+    published Gopher tables through the leaf `published_constants`
+    module — importing it must not pull operators/text (or any
+    operators module) into the process."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys\n"
+        "import postgresql_topn_spark.functions.sql_text\n"
+        "bad = [m for m in sys.modules"
+        " if m.startswith('postgresql_topn_spark.operators')]\n"
+        "assert not bad, bad\n"
+        "from postgresql_topn_spark.published_constants import ("
+        " GOPHER_STOPWORDS)\n"
+        "from postgresql_topn_spark.operators.text import ("
+        " GOPHER_STOPWORDS as RE)\n"
+        "assert RE is GOPHER_STOPWORDS\n"
+        "print('ok')\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True,
+        text=True,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert out.stdout.strip().endswith("ok")
