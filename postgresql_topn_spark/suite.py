@@ -515,9 +515,9 @@ def topn_cross_join_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_register(
-    "topn_sketch_tier2",
+    "topn_tier2_modes",
     """
-    SELECT yr, item, frequency FROM (
+    SELECT 'counted' AS lane, yr, item, frequency FROM (
       SELECT CAST(year(ts) AS INT) AS yr, event_type AS item,
              COUNT(event_type) AS frequency,
              ROW_NUMBER() OVER (PARTITION BY year(ts)
@@ -525,27 +525,8 @@ def topn_cross_join_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type IS NOT NULL
       GROUP BY year(ts), event_type
     ) t WHERE rn <= 5
-    """,
-)
-def topn_sketch_tier2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tier-2 bounded-memory sketch aggregation (operators/sketch_state:
-    mapInPandas partials + applyInPandas merge, the reference's parallel
-    aggregation shape topn.c:509-625). Exact here because the counter
-    budget exceeds the distinct-item count — the same regime where the
-    reference is exact — so it shares the plain COUNT/ROW_NUMBER oracle."""
-    from postgresql_topn_spark.operators.sketch_state import topn_add_agg_sketch
-
-    ev = load_table(spark, sf_dir, "events")
-    sk = topn_add_agg_sketch(
-        ev, [F.year("ts").alias("yr")], "event_type", counters=100_000
-    )
-    return explode_topn(sk, "topn", 5, keep=["yr"], counters=100_000)
-
-
-@_register(
-    "topn_weighted_tier2",
-    """
-    SELECT yr, item, frequency FROM (
+    UNION ALL
+    SELECT 'weighted' AS lane, yr, item, frequency FROM (
       SELECT CAST(year(l_shipdate) AS INT) AS yr, CAST(l_partkey AS VARCHAR) AS item,
              CAST(SUM(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)) AS BIGINT) AS frequency,
              ROW_NUMBER() OVER (PARTITION BY year(l_shipdate)
@@ -555,30 +536,147 @@ def topn_sketch_tier2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) t WHERE rn <= 5
     """,
 )
-def topn_weighted_tier2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tier-2 bounded-memory WEIGHTED aggregation (sketch_state.py
-    topn_weighted_agg_sketch — round-5): the revenue-products rollup
-    through the mapInPandas-partial + applyInPandas-merge sketch path
-    with the three-surface weight rule (weight_to_long). Exact here
-    because the counter budget exceeds the distinct-part count, so it
-    shares topn_revenue_products' exact-sum oracle — pinning that the
-    weighted Tier-2 lane agrees with Tier-1 and with SQL bit-for-bit."""
+def topn_tier2_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOTH Tier-2 bounded-memory aggregate modes in one gate (round-11
+    lane merge — absorbed the retired `topn_sketch_tier2` /
+    `topn_weighted_tier2` gates verbatim; each lane keeps its own
+    oracle branch, funding `topn_tier2_eviction`):
+
+    - lane 'counted': topn_add_agg_sketch (operators/sketch_state:
+      mapInPandas partials + applyInPandas merge, the reference's
+      parallel aggregation shape topn.c:509-625).
+    - lane 'weighted': topn_weighted_agg_sketch (round-5) with the
+      three-surface weight rule (weight_to_long).
+
+    Both lanes run with a counter budget above the distinct-item count
+    — the regime where the reference is exact — so they share the
+    plain COUNT / exact-sum oracles, pinning Tier-2 == Tier-1 == SQL
+    bit-for-bit. The EVICTION regime (small counters) is the sibling
+    gate `topn_tier2_eviction`."""
     from postgresql_topn_spark.operators.sketch_state import (
+        topn_add_agg_sketch,
         topn_weighted_agg_sketch,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    sk = topn_add_agg_sketch(
+        ev, [F.year("ts").alias("yr")], "event_type", counters=100_000
+    )
+    counted = explode_topn(sk, "topn", 5, keep=["yr"], counters=100_000).select(
+        F.lit("counted").alias("lane"), "yr", "item", "frequency"
     )
 
     li = load_table(spark, sf_dir, "lineitem")
     w = F.round(
         F.col("l_extendedprice") * (F.lit(1) - F.col("l_discount")) * 100, 0
     )
-    sk = topn_weighted_agg_sketch(
+    wsk = topn_weighted_agg_sketch(
         li,
         [F.year("l_shipdate").alias("yr")],
         "l_partkey",
         w,
         counters=100_000,
     )
-    return explode_topn(sk, "topn", 5, keep=["yr"], counters=100_000)
+    weighted = explode_topn(
+        wsk, "topn", 5, keep=["yr"], counters=100_000
+    ).select(F.lit("weighted").alias("lane"), "yr", "item", "frequency")
+    return counted.unionByName(weighted)
+
+
+@_register(
+    "topn_tier2_eviction",
+    """
+    WITH exacts AS (
+      SELECT l_returnflag AS grp, CAST(l_partkey AS VARCHAR) AS item,
+             COUNT(*) AS c
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT 'n_entries' AS lane, grp, CAST(NULL AS VARCHAR) AS item,
+           CAST(LEAST(8, COUNT(*)) AS BIGINT) AS frequency
+    FROM exacts GROUP BY grp
+    UNION ALL
+    SELECT 'violations' AS lane, grp, CAST(NULL AS VARCHAR) AS item,
+           CAST(0 AS BIGINT) AS frequency
+    FROM (SELECT DISTINCT grp FROM exacts)
+    UNION ALL
+    SELECT 'exact_subset' AS lane, l_returnflag AS grp,
+           l_linestatus AS item, COUNT(l_linestatus) AS frequency
+    FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 2, 3
+    """,
+)
+def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Tier-2 EVICTION/approximation regime behind the driver for
+    the first time (VERDICT r10 item 1) — the reference's prune-policy
+    contract (topn.c:440-446 limit 3c/keep size/2 on the aggregate
+    path; topn.c:869-908 the sort-and-truncate prune; topn.c:984-988)
+    run with SMALL counters (8) over a HIGH-cardinality item column
+    (l_partkey — thousands of distinct parts per group at every SF),
+    so eviction fires constantly, and verified through
+    oracle-replayable INVARIANT verdicts instead of value equality
+    (a small-counters sketch is approximation-defined, but its
+    CONTRACT is exact):
+
+    - lane 'n_entries': the packed sketch holds exactly
+      least(counters, distinct) entries per group. (>= holds because
+      every prune keeps at least size/2 > counters entries and the
+      final pack trims to counters; <= is the pack contract.)
+      The oracle computes least(8, COUNT(DISTINCT item)) — a VALUE
+      match, not a boolean.
+    - lane 'violations': count of reported entries whose frequency
+      exceeds the exact count (computed by an independent exact
+      aggregate), plus any entry naming an item that never occurred.
+      Evicted items lose their whole count and re-inserted items
+      restart (topn.c:869-908), so Tier-2 reported frequencies are
+      LOWER bounds — unlike textbook Space-Saving, which overcounts.
+      The oracle expects literal 0: ANY overcount anywhere breaks the
+      hash.
+    - lane 'exact_subset': the SAME small-counters path over a
+      low-cardinality item (l_linestatus, <= 2 distinct per group):
+      3c = 24 is never exceeded, no prune ever fires, and the sketch
+      must equal plain COUNT exactly — the reference's "exact while no
+      eviction fires" clause (SURVEY §1.2 "what's hard #1") with real
+      values, not verdicts."""
+    from postgresql_topn_spark.operators.sketch_state import topn_add_agg_sketch
+
+    cnt = 8
+    li = load_table(spark, sf_dir, "lineitem")
+    grp = F.col("l_returnflag").alias("grp")
+
+    sk = topn_add_agg_sketch(li, [grp], "l_partkey", counters=cnt)
+    ent = explode_topn(sk, "topn", cnt, keep=["grp"], counters=cnt)
+    exact = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_partkey").cast("string").alias("item"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # broadcast the <= groups*counters reported entries into the exact
+    # aggregate's side — the big side never reshuffles for the audit
+    j = F.broadcast(ent).join(exact, ["grp", "item"], "left")
+    per = j.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_entries"),
+        F.sum(
+            F.when(
+                F.col("c").isNull() | (F.col("frequency") > F.col("c")), 1
+            ).otherwise(0)
+        ).alias("viol"),
+    )
+    n_lane = per.select(
+        F.lit("n_entries").alias("lane"),
+        "grp",
+        F.lit(None).cast("string").alias("item"),
+        F.col("n_entries").cast("long").alias("frequency"),
+    )
+    v_lane = per.select(
+        F.lit("violations").alias("lane"),
+        "grp",
+        F.lit(None).cast("string").alias("item"),
+        F.col("viol").cast("long").alias("frequency"),
+    )
+
+    sk2 = topn_add_agg_sketch(li, [grp], "l_linestatus", counters=cnt)
+    e_lane = explode_topn(sk2, "topn", cnt, keep=["grp"], counters=cnt).select(
+        F.lit("exact_subset").alias("lane"), "grp", "item", "frequency"
+    )
+    return n_lane.unionByName(v_lane).unionByName(e_lane)
 
 
 @_register(
@@ -1647,15 +1745,42 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @_register(
     "dedup_embedding_near",
-    f"""
-    WITH {_lsh_planes_bk_sql(16, 4, 7)},
+    """
+    WITH params AS (
+      SELECT r, least(64, greatest(1, CASE WHEN p >= 1.0 THEN 1
+               ELSE CAST(ceil(ln(1.0 - 0.95) / ln(1.0 - p)) AS BIGINT)
+             END)) AS L
+      FROM (
+        SELECT r, power(1.0 - acos(0.45) / pi(), r) AS p FROM (
+          SELECT greatest(1, least(24, CAST(ceil(log2(greatest(
+                   CAST(n AS DOUBLE) / 32.0, 2.0))) AS BIGINT))) AS r
+          FROM (SELECT count(*) AS n FROM embeddings)
+        )
+      )
+    ),
+    planes AS (
+      SELECT t, p, list_transform(range(0, 64),
+        d -> (CAST(concat('0x', substr(md5('7:' || CAST(t AS VARCHAR) || ':' ||
+                   CAST(p AS VARCHAR) || ':' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT)
+              / 1152921504606846976.0) - 0.5) AS pl
+      FROM range(0, 64) r1(t), range(0, 24) r2(p), params
+      WHERE t < params.L AND p < params.r
+    ),
+    bk AS (
+      SELECT e.vec_id, p.t,
+             SUM(CASE WHEN list_reduce(list_transform(range(1, 65),
+                   i -> CAST(e.embedding[i] AS DOUBLE) * p.pl[i]), (a, b) -> a + b) > 0
+                 THEN (1 << p.p) ELSE 0 END) AS bucket
+      FROM embeddings e, planes p
+      GROUP BY 1, 2
+    ),
     cand AS (
       SELECT DISTINCT x.vec_id AS id_a, y.vec_id AS id_b
       FROM bk x JOIN bk y ON x.t = y.t AND x.bucket = y.bucket
       WHERE x.vec_id < y.vec_id
     ),
     scored AS (
-      SELECT cand.id_a, cand.id_b, {_COS_AB} AS sim
+      SELECT cand.id_a, cand.id_b, """ + _COS_AB + """ AS sim
       FROM cand JOIN embeddings a ON a.vec_id = cand.id_a
                 JOIN embeddings b ON b.vec_id = cand.id_b
     )
@@ -1664,18 +1789,31 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_embedding_near(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded-LSH candidates +
-    exact rerank. The synthetic embeddings have no planted near-dups
-    (max pairwise cosine ~0.51), so the threshold is set at 0.45 with a
-    wide band config (16 tables x 4 planes) to exercise the full
-    pipeline. Recall vs the exact baseline is < 1 by construction, but
-    the output itself is deterministic (md5-derived planes, sequential
-    folds), so the DuckDB oracle replays the same bucket -> candidate ->
-    rerank algorithm and value-hash-checks the result; pytest adds the
-    subset-of-exact invariant."""
+    exact rerank, on the SEEDED-AUTO band config (VERDICT r10 item 7 —
+    the same treatment the semdedup family got in r10): n_tables and
+    n_planes are a pure function of the corpus count via
+    auto_lsh_params (r = log2(n/32) keeps expected bucket occupancy
+    constant as the corpus grows — the fixed 16x4 config's in-bucket
+    work grew ~quadratically, measured 27.7x wall on a 10x corpus; L
+    restores recall from the hyperplane collision model, capped at 64),
+    and the oracle replays the sizing rule in SQL before replaying the
+    identical bucket -> candidate -> rerank pipeline (md5-derived
+    planes, dimension-sequential folds), so the result stays
+    value-hash-checked end to end.
+
+    The synthetic embeddings have no planted near-dups (max pairwise
+    cosine ~0.51), so the threshold sits at 0.45 to exercise the full
+    pipeline; at that low threshold the collision model caps L at
+    max_tables=64 for large corpora — the documented bounded-cost
+    regime (auto_lsh_params docstring: below ~0.8 use IVF/exact).
+    Recall vs the exact baseline is < 1 by construction; pytest adds
+    the subset-of-exact invariant."""
     from postgresql_topn_spark.operators.similarity import embedding_near_dup_pairs
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.45, n_tables=16, n_planes=4)
+    return embedding_near_dup_pairs(
+        emb, threshold=0.45, n_tables="auto", n_planes="auto"
+    )
 
 
 @_register(
@@ -6535,6 +6673,39 @@ def events_asof_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS ct,
              CAST(count(*) AS BIGINT) AS nk
       FROM occ2 WHERE n < 2 GROUP BY doc_id
+    ),
+    rebuilt_freq3 AS (
+      SELECT doc_id, string_agg(line, chr(10) ORDER BY idx) AS ct,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM occ2 WHERE n < 3 GROUP BY doc_id
+    ),
+    pbase AS (
+      SELECT doc_id,
+             regexp_replace(text, '(([^' || chr(10) || ']+' || chr(10)
+                            || '){2}[^' || chr(10) || ']+)' || chr(10),
+                            '\1' || chr(10) || chr(10), 'g') AS text
+      FROM base
+    ),
+    pt AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10) || chr(10)),
+                         p -> len(trim(p)) > 0) AS paras
+      FROM pbase
+    ),
+    pocc AS (
+      SELECT doc_id, generate_subscripts(paras, 1) - 1 AS idx,
+             unnest(paras) AS para
+      FROM pt
+    ),
+    pocc2 AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY para
+                                   ORDER BY doc_id, idx) AS rn
+      FROM pocc
+    ),
+    rebuilt_pfirst AS (
+      SELECT doc_id, string_agg(para, chr(10) ORDER BY idx) AS ct,
+             CAST(count(*) AS BIGINT) AS nk
+      FROM pocc2 WHERE rn = 1 GROUP BY doc_id
     )
     SELECT 'keep_first' AS lane, b.doc_id,
            md5(COALESCE(r.ct, '')) AS clean_md5,
@@ -6549,6 +6720,20 @@ def events_asof_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
            COALESCE(r.nk, 0) AS n_lines_kept
     FROM base b LEFT JOIN t USING (doc_id)
     LEFT JOIN rebuilt_freq r ON r.doc_id = b.doc_id
+    UNION ALL
+    SELECT 'drop_df3' AS lane, b.doc_id,
+           md5(COALESCE(r.ct, '')) AS clean_md5,
+           CAST(COALESCE(len(t.lines), 0) AS BIGINT) AS n_lines,
+           COALESCE(r.nk, 0) AS n_lines_kept
+    FROM base b LEFT JOIN t USING (doc_id)
+    LEFT JOIN rebuilt_freq3 r ON r.doc_id = b.doc_id
+    UNION ALL
+    SELECT 'para_first' AS lane, b.doc_id,
+           md5(COALESCE(r.ct, '')) AS clean_md5,
+           CAST(COALESCE(len(pt.paras), 0) AS BIGINT) AS n_lines,
+           COALESCE(r.nk, 0) AS n_lines_kept
+    FROM pbase b LEFT JOIN pt USING (doc_id)
+    LEFT JOIN rebuilt_pfirst r ON r.doc_id = b.doc_id
     """,
 )
 def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6556,16 +6741,28 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass every production curation stack runs (PIPELINE.md boilerplate
     stage): repeated lines collapse to one canonical occurrence
     (keep_first) or vanish corpus-wide (drop_frequent); documents are
-    rewritten, never dropped. BOTH policies ride one gate as lanes;
-    the oracle replays the full split → per-line window stats →
-    regroup → spine rebuild relationally, value-pinning clean_text
-    via md5 (round-10 addition, funded by the topn_scalar_ops merge).
+    rewritten, never dropped. FOUR lanes ride one gate (round-11 adds
+    'para_first' and 'drop_df3' — VERDICT r10 item 4); the oracle
+    replays the full split → per-element window stats → regroup →
+    spine rebuild relationally, value-pinning clean_text via md5
+    (round-10 addition, funded by the topn_scalar_ops merge):
+
+    - keep_first / drop_frequent: line granularity, max_df=2 (the
+      round-10 lanes, unchanged).
+    - drop_df3: line granularity, max_df=3 — the max_df knob off its
+      default (only lines occurring >= 3x corpus-wide vanish).
+    - para_first: granularity='paragraph', keep_first — CCNet's
+      actual unit (§3.1 deduplicates PARAGRAPHS across shards);
+      paragraphs keep their inner newlines through the rewrite.
 
     The fixture is single-line word soup, so the gate first derives a
     deterministic multi-line corpus (newline after every 5th word —
     identical regex rewrite on both engines); at sf0.01 that yields
-    ~5.6k lines of which ~1.4k occurrences are corpus-wide duplicates,
-    so both policies rewrite real text.
+    ~5.6k lines of which ~600 occurrences are corpus-wide duplicates
+    (~130 at df>=3). The paragraph corpus groups every 3 lines with a
+    blank line (second regex, also engine-identical); ~80 of ~2k
+    paragraph occurrences are corpus-wide duplicates at sf0.01 (~100
+    at sf0.001, ~1k at sf0.1), so every lane rewrites real text.
 
     Scale shape (dedup.py corpus_line_dedup): per-line stats are a
     map-side-combinable hash aggregate pruned to duplicated keys, NOT
@@ -6580,19 +6777,34 @@ def dedup_corpus_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
             "text", r"(\S+ \S+ \S+ \S+ \S+) ", "$1\n"
         ).alias("text"),
     )
-    lanes = []
-    for policy in ("keep_first", "drop_frequent"):
-        out = corpus_line_dedup(docs, policy=policy, max_df=2)
-        lanes.append(
-            out.select(
-                F.lit(policy).alias("lane"),
-                "doc_id",
-                F.md5("clean_text").alias("clean_md5"),
-                "n_lines",
-                "n_lines_kept",
-            )
+    pdocs = docs.select(
+        "doc_id",
+        F.regexp_replace(
+            "text", "(([^\n]+\n){2}[^\n]+)\n", "$1\n\n"
+        ).alias("text"),
+    )
+
+    def _lane(name, src, **kw):
+        out = corpus_line_dedup(src, **kw)
+        return out.select(
+            F.lit(name).alias("lane"),
+            "doc_id",
+            F.md5("clean_text").alias("clean_md5"),
+            "n_lines",
+            "n_lines_kept",
         )
-    return lanes[0].unionByName(lanes[1])
+
+    lanes = [
+        _lane("keep_first", docs, policy="keep_first", max_df=2),
+        _lane("drop_frequent", docs, policy="drop_frequent", max_df=2),
+        _lane("drop_df3", docs, policy="drop_frequent", max_df=3),
+        _lane("para_first", pdocs, policy="keep_first",
+              granularity="paragraph"),
+    ]
+    out = lanes[0]
+    for ln in lanes[1:]:
+        out = out.unionByName(ln)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -6685,6 +6897,15 @@ _SEMANTICS_CHANGED: dict[str, int] = {
     # semdedup gate; r9-green, so this re-row takes the owed set to
     # exactly 50 — the cap, covered in full by the r9 driver run too)
     "multimodal_semantic_dedup": 10,
+    # r11: two new lanes (para_first, drop_df3) — VERDICT r10 item 4;
+    # r10's green row proves only the two-lane form. Takes the r11
+    # owed set to exactly 50 (47 r9-complement + the two new tier2
+    # gates + this).
+    "dedup_corpus_lines": 11,
+    # r11: gate moved from the fixed 16x4 band config to seeded-auto
+    # banding (VERDICT r10 item 7). Already owed (r9-green), so this
+    # entry documents intent without changing the owed set.
+    "dedup_embedding_near": 11,
 }
 
 

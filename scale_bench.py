@@ -140,6 +140,10 @@ SUBSET = [
     # merged scalar-operator gate (lineitem-backed)
     "dedup_corpus_lines",
     "topn_scalar_ops",
+    # round-11: the merged Tier-2 modes gate + the small-counters
+    # eviction-regime gate (events/lineitem-backed)
+    "topn_tier2_modes",
+    "topn_tier2_eviction",
 ]
 
 def _near_auto(spark, sf_dir):

@@ -388,3 +388,61 @@ class TestArrowNullCoercion:
             topn_add_agg_sketch(df, ["g"], "item", counters=10).dtypes
         )
         assert got_types["g"] == "bigint"  # restore-cast keeps the type
+
+
+def test_eviction_gate_lanes(spark, sf_dir):
+    """The driver gate `topn_tier2_eviction` (VERDICT r10 item 1):
+    its three lanes hold by construction, and the regime is
+    NON-VACUOUS — at least one reported entry undercounts its exact
+    frequency (i.e. eviction actually fired), which the oracle's
+    literal-0 'violations' lane alone cannot show."""
+    from pyspark.sql import functions as F
+
+    from postgresql_topn_spark.suite import QUERIES, load_table
+
+    rows = QUERIES["topn_tier2_eviction"](spark, sf_dir).collect()
+    lanes = {}
+    for r in rows:
+        lanes.setdefault(r["lane"], []).append(r)
+    li = load_table(spark, sf_dir, "lineitem")
+    nd = {
+        r["grp"]: r["n"]
+        for r in li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+            F.count_distinct("l_partkey").alias("n")
+        ).collect()
+    }
+    for r in lanes["n_entries"]:
+        assert r["frequency"] == min(8, nd[r["grp"]])
+    assert all(r["frequency"] == 0 for r in lanes["violations"])
+    # exact_subset: small-counters path over <= 2 distinct items ==
+    # plain COUNT (no eviction regime)
+    exact = {
+        (r["grp"], r["item"]): r["c"]
+        for r in li.groupBy(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_linestatus").alias("item"),
+        ).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {
+        (r["grp"], r["item"]): r["frequency"] for r in lanes["exact_subset"]
+    } == exact
+    # non-vacuity: the high-cardinality sketch genuinely undercounts
+    from postgresql_topn_spark.functions.sketch import explode_topn
+    from postgresql_topn_spark.operators.sketch_state import (
+        topn_add_agg_sketch,
+    )
+
+    sk = topn_add_agg_sketch(
+        li, [F.col("l_returnflag").alias("grp")], "l_partkey", counters=8
+    )
+    ent = explode_topn(sk, "topn", 8, keep=["grp"], counters=8)
+    pk = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_partkey").cast("string").alias("item"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    under = (
+        ent.join(pk, ["grp", "item"])
+        .where(F.col("frequency") < F.col("c"))
+        .count()
+    )
+    assert under > 0, "eviction never fired — the gate is vacuous"
