@@ -171,7 +171,11 @@ def sweep_cuts(
         if not st.isDirectory() or not p.getName().startswith("cut-"):
             continue
         mtime = 0
-        for child in fs.listStatus(p):
+        try:
+            children = fs.listStatus(p)
+        except Exception:  # noqa: BLE001 — dir raced away (concurrent
+            continue  # janitor/release_cut); nothing left to age or sweep
+        for child in children:
             if child.isFile():
                 mtime = max(mtime, child.getModificationTime())
         if mtime == 0:

@@ -648,15 +648,28 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_returnflag").alias("grp"),
         F.col("l_partkey").cast("string").alias("item"),
     ).agg(F.count(F.lit(1)).alias("c"))
-    # broadcast the <= groups*counters reported entries into the exact
-    # aggregate's side — the big side never reshuffles for the audit
-    j = F.broadcast(ent).join(exact, ["grp", "item"], "left")
-    per = j.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_entries"),
-        F.sum(
-            F.when(
-                F.col("c").isNull() | (F.col("frequency") > F.col("c")), 1
-            ).otherwise(0)
+    # violations = n_entries - (entries that match an exact row AND
+    # stay <= it): phantom items and overcounts both fail the inner
+    # join + filter. The INNER join legally broadcasts the <=
+    # groups*counters reported entries as the build side (a left-outer
+    # from the tiny side can't — Spark only builds the non-preserved
+    # side), so the exact aggregate streams and never reshuffles for
+    # the audit.
+    ent_stats = ent.groupBy("grp").agg(
+        F.count(F.lit(1)).alias("n_entries")
+    )
+    ok = (
+        F.broadcast(ent)
+        .join(exact, ["grp", "item"])
+        .where(F.col("frequency") <= F.col("c"))
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n_ok"))
+    )
+    per = ent_stats.join(ok, "grp", "left").select(
+        "grp",
+        "n_entries",
+        (
+            F.col("n_entries") - F.coalesce("n_ok", F.lit(0))
         ).alias("viol"),
     )
     n_lane = per.select(
