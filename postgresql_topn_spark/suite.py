@@ -638,12 +638,18 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
       values, not verdicts."""
     from postgresql_topn_spark.operators.sketch_state import topn_add_agg_sketch
 
+    from postgresql_topn_spark.operators.checkpointing import stage_cut
+
     cnt = 8
     li = load_table(spark, sf_dir, "lineitem")
     grp = F.col("l_returnflag").alias("grp")
 
     sk = topn_add_agg_sketch(li, [grp], "l_partkey", counters=cnt)
-    ent = explode_topn(sk, "topn", cnt, keep=["grp"], counters=cnt)
+    # the reported entries fan into the audit's join AND the size agg,
+    # and the verdicts fan into two lanes — cut the (<= groups*counters
+    # rows) frame once so the Tier-2 partial+merge chain plans/executes
+    # exactly once (the decode-once discipline of every flagship gate)
+    ent = stage_cut(explode_topn(sk, "topn", cnt, keep=["grp"], counters=cnt))
     exact = li.groupBy(
         F.col("l_returnflag").alias("grp"),
         F.col("l_partkey").cast("string").alias("item"),
@@ -665,12 +671,15 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("grp")
         .agg(F.count(F.lit(1)).alias("n_ok"))
     )
-    per = ent_stats.join(ok, "grp", "left").select(
-        "grp",
-        "n_entries",
-        (
-            F.col("n_entries") - F.coalesce("n_ok", F.lit(0))
-        ).alias("viol"),
+    # two verdict lanes read `per`; cut the <= |groups| rows once
+    per = stage_cut(
+        ent_stats.join(ok, "grp", "left").select(
+            "grp",
+            "n_entries",
+            (
+                F.col("n_entries") - F.coalesce("n_ok", F.lit(0))
+            ).alias("viol"),
+        )
     )
     n_lane = per.select(
         F.lit("n_entries").alias("lane"),

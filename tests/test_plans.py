@@ -155,7 +155,12 @@ def test_no_suite_query_uses_row_at_a_time_python(spark):
             p.count(n)
             for n in ("ArrowEvalPython", "MapInPandas", "FlatMapGroupsInPandas")
         )
-        assert n_arrow <= 3, f"{name} plans {n_arrow} Python stages"
+        # topn_tier2_modes is the round-11 two-LANE merge: each Tier-2
+        # lane is by design one mapInPandas partial + one applyInPandas
+        # merge (the reference's worker-partial/leader-combine shape),
+        # so the merged gate budgets 2 x 2.
+        cap = 4 if name == "topn_tier2_modes" else 3
+        assert n_arrow <= cap, f"{name} plans {n_arrow} Python stages"
 
 
 def test_minhash_merge_partial_combines(spark):
