@@ -9,6 +9,9 @@ code:
     python -m postgresql_topn_spark.maintenance compact \
         --dir s3a://bucket/rollups/daily --target-mb 256 \
         [--partition-by day,source]
+    python -m postgresql_topn_spark.maintenance compact-rollup \
+        --dir s3a://bucket/rollups/daily [--bucket-name day] \
+        [--extra-groups region,lang] [--counters 1000]
 
 Both subcommands wrap the library operators (`operators.checkpointing.
 sweep_cuts`, `sources.maintenance.compact_parquet`) on a fresh local
@@ -74,6 +77,30 @@ def _build_parser() -> argparse.ArgumentParser:
         default="",
         help="comma-separated partition columns (hive layout)",
     )
+
+    cr = sub.add_parser(
+        "compact-rollup",
+        help="fold a topn rollup's appended sketch deltas to one row "
+        "per (bucket, *extra groups) — readers see identical merged "
+        "sketches (union associativity)",
+    )
+    cr.add_argument("--dir", required=True, help="rollup directory")
+    cr.add_argument(
+        "--bucket-name",
+        default="bucket",
+        help="rollup partition column (default 'bucket')",
+    )
+    cr.add_argument(
+        "--extra-groups",
+        default="",
+        help="comma-separated extra group columns inside each bucket",
+    )
+    cr.add_argument(
+        "--counters",
+        type=int,
+        default=None,
+        help="counter budget for the merged sketches (default: conf)",
+    )
     return p
 
 
@@ -124,7 +151,7 @@ def main(argv: "list[str] | None" = None, spark=None) -> int:
                     }
                 )
             )
-        else:
+        elif args.cmd == "compact":
             from postgresql_topn_spark.sources.maintenance import (
                 compact_parquet,
             )
@@ -146,6 +173,32 @@ def main(argv: "list[str] | None" = None, spark=None) -> int:
                         "target_file_mb": args.target_mb,
                         "partition_by": list(part),
                         "n_files": n,
+                    }
+                )
+            )
+        else:
+            from postgresql_topn_spark.sources.maintenance import (
+                compact_topn_rollup,
+            )
+
+            extra = tuple(
+                c.strip() for c in args.extra_groups.split(",") if c.strip()
+            )
+            n = compact_topn_rollup(
+                spark,
+                args.dir,
+                bucket_name=args.bucket_name,
+                extra_group_names=extra,
+                counters=args.counters,
+            )
+            print(
+                json.dumps(
+                    {
+                        "cmd": "compact-rollup",
+                        "dir": args.dir,
+                        "bucket_name": args.bucket_name,
+                        "extra_groups": list(extra),
+                        "n_rows": n,
                     }
                 )
             )

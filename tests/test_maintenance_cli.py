@@ -56,3 +56,42 @@ def test_session_ownership(spark, tmp_path, capsys):
     """An injected session is NOT stopped by the CLI."""
     _run(capsys, spark, ["sweep", "--dir", str(tmp_path / "none")])
     assert spark.range(1).count() == 1
+
+
+def test_compact_rollup_subcommand(spark, sf_dir, tmp_path, capsys):
+    from pyspark.sql import functions as F2
+
+    from postgresql_topn_spark.functions.aggregates import topn_union_agg
+    from postgresql_topn_spark.sources.rollup import (
+        read_topn_rollup,
+        write_topn_rollup,
+    )
+    from postgresql_topn_spark.sources.tables import load_table
+
+    path = str(tmp_path / "rollup")
+    ev = load_table(spark, sf_dir, "events")
+    for i in range(2):
+        write_topn_rollup(
+            ev,
+            path,
+            F2.to_date("ts"),
+            "event_type",
+            counters=1_000_000,
+            mode="append" if i else "overwrite",
+        )
+
+    def merged():
+        r = read_topn_rollup(spark, path)
+        m = topn_union_agg(r, ["bucket"], "topn", counters=1_000_000)
+        return {str(x["bucket"]): dict(x["topn"]) for x in m.collect()}
+
+    before = merged()
+    raw_before = spark.read.parquet(path).count()
+    rep = _run(
+        capsys,
+        spark,
+        ["compact-rollup", "--dir", path, "--counters", "1000000"],
+    )
+    assert rep["cmd"] == "compact-rollup"
+    assert rep["n_rows"] == raw_before // 2
+    assert merged() == before  # readers see identical merged sketches
