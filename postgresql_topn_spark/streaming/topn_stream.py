@@ -145,6 +145,59 @@ def topn_streaming_state(
     return out.drop("__gall") if gnames == ["__gall"] else out
 
 
+def _run_id(checkpoint: "str | None") -> str:
+    """Sink namespace for replay-safe writes — the contract
+    stream_bloom_dedup pinned in review: a durable checkpoint yields a
+    STABLE id (its batch ids are durable too, so a retried batch must
+    land on the same partition across driver restarts); without a
+    checkpoint every process start replays from batch 0, so the id is
+    unique per process and a fresh run cannot clobber an old run's
+    partitions."""
+    import hashlib
+    import uuid
+
+    if checkpoint:
+        return hashlib.md5(checkpoint.encode()).hexdigest()[:12]
+    return uuid.uuid4().hex[:12]
+
+
+def _replay_safe_append(
+    sk: DataFrame,
+    path: str,
+    run_id: str,
+    batch_id: int,
+    partition_by: Sequence[str] = (),
+) -> None:
+    """Idempotent per-batch sink write. ``foreachBatch`` is
+    AT-LEAST-ONCE (a crash between the sink write and the checkpoint
+    commit re-runs the batch): a plain ``append`` would land a SECOND
+    copy of the replayed batch's sketch rows, and while idempotent
+    families (HLL/KMV/Bloom) absorb that at read-time union, ADDITIVE
+    families (topn, CMS) double-count — silently wrong merged results
+    on exactly the crash path streaming exists to survive. Writes are
+    therefore keyed by (run_id, batch_id) with dynamic partition
+    overwrite: a retry rewrites its own partition and nothing else.
+    Readers are unaffected (the rollup merges group over the sketch
+    rows; run_id/batch_id ride along as partition columns, and time
+    partitions in `partition_by` still prune).
+
+    NOTE a checkpoint RESET (deleting the checkpoint dir) reprocesses
+    history under possibly-different batch boundaries — wipe the
+    rollup with it, same as any foreachBatch sink."""
+    spark = sk.sparkSession
+    out = sk.withColumn("run_id", F.lit(run_id)).withColumn(
+        "batch_id", F.lit(batch_id)
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        out.write.mode("overwrite").partitionBy(
+            "run_id", "batch_id", *partition_by
+        ).parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+
+
 def stream_topn_rollup(
     stream_df: DataFrame,
     group_cols: Sequence[Column | str],
@@ -158,21 +211,29 @@ def stream_topn_rollup(
 ):
     """The incremental-rollup pattern (README.md:73-116) on a stream:
     every micro-batch computes exact batch-local sketches (Tier-1
-    ``topn_add_agg``) and APPENDS them to the parquet rollup at
-    *rollup_path*. Merging happens at read time; appended sketch deltas
-    are associative, so restarts/late batches are safe.
+    ``topn_add_agg``) and lands them in the parquet rollup at
+    *rollup_path*, keyed by (run_id, batch_id) with dynamic partition
+    overwrite so a REPLAYED batch rewrites its own partition instead
+    of double-counting (see ``_replay_safe_append`` — topn deltas are
+    additive, so at-least-once appends are not safe for this family).
+    Merging happens at read time; sketch-delta merge is associative,
+    so restarts/late batches are safe.
 
     Returns the started StreamingQuery.
     """
     from postgresql_topn_spark.functions.aggregates import topn_add_agg
 
     counters = resolve_counters(counters, stream_df.sparkSession)
+    rid = _run_id(checkpoint_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         sk = topn_add_agg(batch_df, group_cols, item, counters=counters, out_col=out_col)
         # sketches at rest as JSON text: parquet-friendly, engine-portable
-        sk.withColumn(out_col, F.to_json(F.col(out_col))).write.mode("append").parquet(
-            rollup_path
+        _replay_safe_append(
+            sk.withColumn(out_col, F.to_json(F.col(out_col))),
+            rollup_path,
+            rid,
+            batch_id,
         )
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(
@@ -287,9 +348,14 @@ def stream_distinct_rollup(
     stream_topn_rollup). Readers merge day sketches with
     functions/distinct.hll_union_rollup for any interval's distinct
     users without touching raw events; batch-level sketches union
-    LOSSLESSLY, so appending per-batch sketches is semantically the
-    same rollup a batch job would write."""
+    LOSSLESSLY, so landing per-batch sketches is semantically the
+    same rollup a batch job would write. Writes are replay-safe
+    ((run_id, batch_id) dynamic overwrite — HLL union would absorb a
+    duplicate batch anyway, but the sink contract is uniform across
+    families; day stays a partition column for pruned reads)."""
     from postgresql_topn_spark.functions.distinct import hll_add_agg
+
+    rid = _run_id(checkpoint)
 
     def write_batch(batch_df, batch_id: int) -> None:
         day = F.to_date(F.col(ts_col)).alias("day")
@@ -299,12 +365,7 @@ def stream_distinct_rollup(
             user_col,
             lg_k=lg_k,
         )
-        (
-            sk.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .partitionBy("day")
-            .parquet(path)
-        )
+        _replay_safe_append(sk, path, rid, batch_id, partition_by=("day",))
 
     writer = events.writeStream.foreachBatch(write_batch).outputMode("update")
     if checkpoint:
@@ -323,27 +384,30 @@ def stream_sketch_rollup(
     """Streaming incremental maintenance for ANY mergeable-sketch
     family: each micro-batch runs `build_fn(batch_df)` (a bound
     kmv_add_agg / cms_add_agg / bloom_add_agg / hll_add_agg — anything
-    returning per-group sketch rows) and APPENDS the result to the
-    parquet rollup at `path`. Correctness rests on each family's merge
-    law, already pytest-pinned per family: distinct/membership sketches
-    (HLL, KMV, Bloom) merge by idempotent union, so the same user seen
-    in two batches collapses at read-time merge; counting sketches
-    (CMS, topn) merge additively, and every event is in exactly one
-    batch. Either way, appending per-batch sketches and merging at read
-    time equals the sketch a batch job would build over the whole
-    history — the reference's rollup-table pattern (README.md:73-116)
-    running continuously.
+    returning per-group sketch rows) and lands the result in the
+    parquet rollup at `path`, keyed by (run_id, batch_id) with dynamic
+    partition overwrite (``_replay_safe_append``). Correctness rests
+    on each family's merge law, already pytest-pinned per family:
+    distinct/membership sketches (HLL, KMV, Bloom) merge by idempotent
+    union, so the same user seen in two batches collapses at read-time
+    merge; counting sketches (CMS, topn) merge additively, and the
+    replay-keyed write guarantees every event's batch lands EXACTLY
+    once even though foreachBatch only promises at-least-once — a
+    plain append double-counted a replayed batch for these families.
+    Either way, the landed per-batch sketches merged at read time
+    equal the sketch a batch job would build over the whole history —
+    the reference's rollup-table pattern (README.md:73-116) running
+    continuously.
 
     Readers use the family's `*_union_rollup` over the parquet rows
     (partition-pruned when `partition_by` carries the time grain).
     Returns the DataStreamWriter (caller picks trigger/start)."""
+    rid = _run_id(checkpoint)
 
     def write_batch(batch_df, batch_id: int) -> None:
-        sk = build_fn(batch_df).withColumn("batch_id", F.lit(batch_id))
-        w = sk.write.mode("append")
-        if partition_by:
-            w = w.partitionBy(*partition_by)
-        w.parquet(path)
+        _replay_safe_append(
+            build_fn(batch_df), path, rid, batch_id, partition_by=partition_by
+        )
 
     writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("update")
     if checkpoint:
@@ -643,10 +707,10 @@ def stream_score_documents(
     state), so the union of per-batch outputs equals scoring the whole
     corpus in one batch — the same batch-split invariance contract the
     sketch rollups here carry, pinned in test_streaming.py. Replay
-    safety follows the rollup sinks' story: foreachBatch is
-    at-least-once, and re-scoring a replayed batch appends IDENTICAL
-    verdict rows (deterministic scorer), so readers dedup on the id —
-    or run the sink with exactly-once table formats where available.
+    safety follows the rollup sinks' story: verdicts land keyed by
+    (run_id, batch_id) with dynamic partition overwrite
+    (``_replay_safe_append``), so a replayed batch rewrites its own
+    partition and readers never see duplicate verdict rows.
 
     100 TB/day shape: per batch, the model broadcast-joins the
     exploded feature stream and one doc-keyed agg closes it — the
@@ -656,6 +720,8 @@ def stream_score_documents(
 
     Returns the started StreamingQuery."""
     from postgresql_topn_spark.operators.classifier import lr_score
+
+    rid = _run_id(checkpoint_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         scored = lr_score(
@@ -668,7 +734,7 @@ def stream_score_documents(
         )
         if min_prob is not None:
             scored = scored.where(F.col("prob") >= float(min_prob))
-        scored.write.mode("append").parquet(out_path)
+        _replay_safe_append(scored, out_path, rid, batch_id)
 
     writer = stream_docs.writeStream.foreachBatch(write_batch).option(
         "checkpointLocation", checkpoint_path

@@ -669,3 +669,78 @@ def test_stream_score_documents_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_replay_safe_append_idempotent(spark, events_stream_dir, tmp_path):
+    """Round-11 review finding: foreachBatch is at-least-once, and a
+    plain append double-counted a replayed batch's sketch rows for the
+    ADDITIVE families (topn, CMS). The (run_id, batch_id)
+    dynamic-overwrite write must make a replay a no-op and keep
+    distinct batches separate."""
+    from postgresql_topn_spark.functions.cms import cms_add_agg, cms_union_rollup
+    from postgresql_topn_spark.streaming.topn_stream import (
+        _replay_safe_append,
+    )
+
+    ev = spark.read.parquet(events_stream_dir)
+    uid = F.col("user_id").cast("string")
+    half_a = ev.where(F.col("user_id") % 2 == 0)
+    half_b = ev.where(F.col("user_id") % 2 == 1)
+    path = str(tmp_path / "cms_rollup")
+
+    _replay_safe_append(cms_add_agg(half_a, ["event_type"], uid), path, "r1", 0)
+    # the REPLAY: same run, same batch id, same rows — must overwrite,
+    # not append (the old code doubled every CMS cell here)
+    _replay_safe_append(cms_add_agg(half_a, ["event_type"], uid), path, "r1", 0)
+    _replay_safe_append(cms_add_agg(half_b, ["event_type"], uid), path, "r1", 1)
+
+    rolled = spark.read.parquet(path)
+    assert rolled.select("batch_id").distinct().count() == 2
+    got = {
+        r["event_type"]: list(r["cms"])
+        for r in cms_union_rollup(rolled, ["event_type"], "cms").collect()
+    }
+    want = {
+        r["event_type"]: list(r["cms"])
+        for r in cms_add_agg(ev, ["event_type"], uid).collect()
+    }
+    assert got == want
+
+
+def test_stream_rollup_survives_checkpoint_reset_replay(
+    spark, events_stream_dir, tmp_path
+):
+    """Full-history replay against the same rollup (checkpoint wiped,
+    identical input/options => identical batch boundaries): every batch
+    re-lands on its own (run_id, batch_id) partition, so the merged
+    rollup still equals the batch-built sketch. Under the old
+    append-mode sink this doubled every frequency."""
+    ev = spark.read.parquet(events_stream_dir)
+    rollup = str(tmp_path / "rollup_replay")
+    ckpt = str(tmp_path / "ckpt_replay")
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_stream_dir)
+        )
+        q = stream_topn_rollup(
+            stream,
+            ["event_type"],
+            "user_id",
+            rollup_path=rollup,
+            checkpoint_path=ckpt,
+            counters=1_000_000,
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    import shutil
+
+    shutil.rmtree(ckpt)  # simulate the lost-checkpoint replay
+    run()
+    merged = read_topn_rollup(spark, rollup, ["event_type"], counters=1_000_000)
+    got = {r["event_type"]: dict(r["topn"]) for r in merged.collect()}
+    assert got == _batch_expected(spark, events_stream_dir)
