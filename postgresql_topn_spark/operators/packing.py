@@ -91,11 +91,28 @@ def pack_token_stream(
         )
     if len(set(keep)) != len(keep):
         raise ValueError(f"duplicate keep columns: {keep}")
+    # round-11 review pin: the bucket key is floor(id / width), so the
+    # id MUST be numeric — a string id implicit-casts to NULL buckets
+    # and the bucket-prefix equi-join (NULL never equals NULL) then
+    # silently returns an EMPTY packing. Fail loudly at the boundary.
+    from pyspark.sql.types import NumericType
+
+    id_type = docs.schema[id_col].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"id_col {id_col!r} must be numeric (the stream order and "
+            f"bucketing are arithmetic), got {id_type.simpleString()}"
+        )
 
     base = docs.select(
         F.col(id_col).alias(id_col),
         _col(n_tokens).cast("long").alias("n_tokens"),
         *[F.col(c) for c in keep],
+    ).where(
+        # a NULL id has no position in the total order; it previously
+        # vanished at the prefix join anyway — make the exclusion
+        # explicit and scan-stage
+        F.col(id_col).isNotNull()
     ).withColumn("__bkt", F.floor(F.col(id_col) / bucket_width))
 
     # 1. bucket-local cumsum (parallel across buckets)

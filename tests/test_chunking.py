@@ -98,3 +98,29 @@ def test_no_subset_final_chunk(spark):
         .collect()
     }
     assert ends == {20: 20, 224: 224, 225: 225, 300: 300, 449: 449}
+
+
+def test_pack_rejects_string_id_and_excludes_null_ids(spark):
+    """Round-11 review: floor(id/width) on a string id yields NULL
+    buckets and the prefix equi-join then silently returned an EMPTY
+    packing; NULL ids vanished the same way. Non-numeric ids now fail
+    loudly; NULL ids are excluded explicitly at the scan."""
+    import pytest
+
+    from postgresql_topn_spark.operators.packing import pack_token_stream
+
+    sdf = spark.createDataFrame(
+        [("a", 5), ("b", 3)], "doc_id string, n int"
+    )
+    with pytest.raises(TypeError, match="must be numeric"):
+        pack_token_stream(sdf, "doc_id", "n")
+
+    ndf = spark.createDataFrame(
+        [(1, 5), (None, 99), (2, 3)], "doc_id long, n int"
+    )
+    rows = {
+        r["doc_id"]: (r["start_offset"], r["n_tokens"])
+        for r in pack_token_stream(ndf, "doc_id", "n").collect()
+    }
+    # the NULL-id row is excluded and does NOT shift anyone's offset
+    assert rows == {1: (0, 5), 2: (5, 3)}
