@@ -446,3 +446,32 @@ def test_eviction_gate_lanes(spark, sf_dir):
         .count()
     )
     assert under > 0, "eviction never fired — the gate is vacuous"
+
+
+def test_union_invariants_under_eviction(spark):
+    """Union-path analogue of test_invariants_under_eviction (the gate
+    topn_tier2_eviction covers the ADD path; MergeTopn's prune —
+    topn.c:955-990 — must carry the same contract): with many more
+    distinct items than counters, the merged sketch holds <= counters
+    entries, every reported total is a LOWER bound on the exact sum of
+    that item's input-map values, the heavy hitter is exact, and a
+    no-eviction group on the same small budget is exact everywhere."""
+    from postgresql_topn_spark.operators.sketch_state import (
+        topn_union_agg_sketch,
+    )
+
+    rows = (
+        [(1, {"hot": 7, f"t{i}": 1}) for i in range(150)]
+        + [(1, {"hot": 50})]
+        + [(2, {"a": 3, "b": 1})] * 4  # <= 3c distinct: never prunes
+    )
+    df = spark.createDataFrame(rows, "g int, sk map<string,bigint>")
+    out = {
+        r["g"]: dict(r["topn"])
+        for r in topn_union_agg_sketch(df, ["g"], "sk", counters=8).collect()
+    }
+    truth = {"hot": 7 * 150 + 50, **{f"t{i}": 1 for i in range(150)}}
+    assert len(out[1]) <= 8
+    assert all(v <= truth[k] for k, v in out[1].items())
+    assert out[1]["hot"] == truth["hot"]
+    assert out[2] == {"a": 12, "b": 4}
