@@ -34,6 +34,10 @@ NAMES = [
     "dedup_clusters", "dedup_minhash_lsh", "multimodal_semantic_dedup",
     "pipeline_pack_contexts", "topn_composite_key", "topn_window_7d",
     "quantile_rollup_kll", "distinct_kmv_modes",
+    # r11: the Tier-2 partial+merge lanes and the small-counters
+    # eviction regime — partition boundaries decide WHICH partial
+    # states exist, so these are exactly the class this probe hunts
+    "topn_tier2_modes", "topn_tier2_eviction",
 ]
 if "--all" in sys.argv:
     NAMES = sorted(qs)
