@@ -143,17 +143,23 @@ def sweep_cuts(
     could be swept (same contract as any temp-dir reaper). Works on
     any Hadoop filesystem scheme (local/HDFS/S3).
 
-    Age resolution (ADVICE r10): a cut's age is the NEWEST
-    modification time among the files directly under its directory —
-    never the directory entry's own mtime. Object stores (S3A and
-    friends) have no real directories: list results synthesize
-    directory markers whose mtime is frequently 0 or unrelated to the
-    cut's write time, so the naive dir-mtime test read every cut as
-    infinitely old and a 24 h janitor sweep could delete a cut written
-    minutes ago out from under a RUNNING pipeline. The parquet part
-    files inside the cut carry real per-object mtimes on every
-    supported scheme (one extra `listStatus` per cut — cuts hold a
-    handful of files). A dir with no files falls back to its own mtime
+    Age resolution (ADVICE r10, recursive since ADVICE r11): a cut's
+    age is the NEWEST modification time among the files ANYWHERE under
+    its directory (``fs.listFiles(p, recursive=True)``) — never the
+    directory entry's own mtime. Object stores (S3A and friends) have
+    no real directories: list results synthesize directory markers
+    whose mtime is frequently 0 or unrelated to the cut's write time,
+    so the naive dir-mtime test read every cut as infinitely old and a
+    24 h janitor sweep could delete a cut written minutes ago out from
+    under a RUNNING pipeline. The parquet part files inside the cut
+    carry real per-object mtimes on every supported scheme (one extra
+    recursive listing per cut — cuts hold a handful of files). The
+    recursion matters for cuts whose only contents are SUBDIRECTORIES
+    (a partitioned write, or a stranded ``_temporary/`` tree from a
+    write that died mid-flight): under the old direct-children scan
+    those resolved to the dir marker mtime, which on S3A is
+    0/synthetic, so they were skipped forever — a permanent storage
+    leak. A dir with no files at any depth falls back to its own mtime
     (an interrupted first write on local/HDFS still gets reaped); any
     dir whose resolved mtime is <= 0 is age-UNKNOWN and is skipped,
     never deleted."""
@@ -172,15 +178,15 @@ def sweep_cuts(
             continue
         mtime = 0
         try:
-            children = fs.listStatus(p)
+            files = fs.listFiles(p, True)  # recursive: files at ANY depth
+            while files.hasNext():
+                mtime = max(mtime, files.next().getModificationTime())
         except Exception:  # noqa: BLE001 — dir raced away (concurrent
             continue  # janitor/release_cut); nothing left to age or sweep
-        for child in children:
-            if child.isFile():
-                mtime = max(mtime, child.getModificationTime())
         if mtime == 0:
-            # no files under the cut: fall back to the dir entry's own
-            # mtime (meaningful on local/HDFS; 0/synthetic on S3A).
+            # no files anywhere under the cut: fall back to the dir
+            # entry's own mtime (meaningful on local/HDFS; 0/synthetic
+            # on S3A, where the <=0 guard below keeps it un-swept).
             mtime = st.getModificationTime()
         if mtime <= 0:
             continue  # age unknown (object-store marker) — never delete

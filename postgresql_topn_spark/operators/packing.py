@@ -64,6 +64,13 @@ def pack_token_stream(
     row NEXT TO its payload (chunk text, source tags) pays ZERO extra
     shuffles instead of a post-pack join back on the id (the
     chunk->pack gates' shape).
+
+    BREAKING (r11): `id_col` must be a NUMERIC column. Digit-string
+    ids, which previously implicit-cast to double and packed under
+    numeric order, now raise TypeError — cast them to long at the call
+    site (`F.col("doc_id").cast("long")`) to keep the old behavior
+    explicitly. Non-numeric string ids previously returned a silently
+    EMPTY packing; they raise too.
     """
     if context_len <= 0:
         raise ValueError(f"context_len must be positive, got {context_len}")
@@ -91,10 +98,16 @@ def pack_token_stream(
         )
     if len(set(keep)) != len(keep):
         raise ValueError(f"duplicate keep columns: {keep}")
-    # round-11 review pin: the bucket key is floor(id / width), so the
-    # id MUST be numeric — a string id implicit-casts to NULL buckets
-    # and the bucket-prefix equi-join (NULL never equals NULL) then
-    # silently returns an EMPTY packing. Fail loudly at the boundary.
+    # round-11 review pin (rationale corrected r12): the bucket key is
+    # floor(id / width), so the id must be numeric. A NON-numeric
+    # string id implicit-casts to NULL buckets and the bucket-prefix
+    # equi-join (NULL never equals NULL) silently returns an EMPTY
+    # packing; a DIGIT-string id implicit-cast to double and packed
+    # correctly, but under NUMERIC order, which silently diverges from
+    # the lexical order a string column implies ("10" < "9"). Both
+    # ambiguities fail loudly here — callers with digit-string ids
+    # cast to long at the call site (a breaking change vs <= r10,
+    # noted in the docstring).
     from pyspark.sql.types import NumericType
 
     id_type = docs.schema[id_col].dataType

@@ -161,6 +161,36 @@ def _run_id(checkpoint: "str | None") -> str:
     return uuid.uuid4().hex[:12]
 
 
+def _guard_old_layout(spark: SparkSession, path: str) -> None:
+    """Refuse to write the replay-safe (run_id=/batch_id=) layout into
+    a rollup path that already holds OLD-layout files. Sinks written
+    before the replay-safe rewrite appended plain part files at the
+    path root (batch_id as a data column); mixing those with hive
+    partition dirs breaks Spark's partition discovery ('Conflicting
+    directory structures') for every reader of the rollup — an
+    upgrade foot-gun better caught at the first write with migration
+    guidance than at some later read. One listStatus per micro-batch;
+    rollup roots hold partition dirs plus at most marker files."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(p):
+        return
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if st.isFile() and name.startswith("part-"):
+            raise ValueError(
+                f"rollup path {path} holds pre-replay-safe flat-append "
+                f"part files at its root (e.g. {name}); the replay-safe "
+                "sink writes run_id=/batch_id= partition directories, "
+                "and mixing the two layouts breaks Spark partition "
+                "discovery for readers. Migrate first: compact the old "
+                "rollup (maintenance.py compact-rollup / "
+                "compact_topn_rollup) or point the stream at a fresh "
+                "rollup path."
+            )
+
+
 def _replay_safe_append(
     sk: DataFrame,
     path: str,
@@ -183,19 +213,21 @@ def _replay_safe_append(
 
     NOTE a checkpoint RESET (deleting the checkpoint dir) reprocesses
     history under possibly-different batch boundaries — wipe the
-    rollup with it, same as any foreachBatch sink."""
-    spark = sk.sparkSession
+    rollup with it, same as any foreachBatch sink.
+
+    Dynamic overwrite is requested via the PER-WRITE DataFrameWriter
+    option (takes precedence over the session conf) rather than a
+    set/restore of the session-global conf: two concurrent streaming
+    queries sharing one SparkSession would otherwise race — one
+    query's finally-restore to 'static' landing mid-flight in the
+    other's overwrite TRUNCATES that rollup path entirely."""
+    _guard_old_layout(sk.sparkSession, path)
     out = sk.withColumn("run_id", F.lit(run_id)).withColumn(
         "batch_id", F.lit(batch_id)
     )
-    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        out.write.mode("overwrite").partitionBy(
-            "run_id", "batch_id", *partition_by
-        ).parquet(path)
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    out.write.mode("overwrite").option(
+        "partitionOverwriteMode", "dynamic"
+    ).partitionBy("run_id", "batch_id", *partition_by).parquet(path)
 
 
 def stream_topn_rollup(
@@ -632,17 +664,18 @@ def stream_bloom_dedup(
             .withColumn("batch_id", F.lit(batch_id))
         )
         fresh.persist()
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
             if fresh.isEmpty():
                 # an all-duplicates batch leaves the filter untouched
                 return
             # replay-idempotent: a re-run of batch N overwrites ONLY
-            # its own (run_id, batch_id) partition
-            fresh.write.mode("overwrite").partitionBy(
-                "run_id", "batch_id"
-            ).parquet(out_path)
+            # its own (run_id, batch_id) partition. Per-write option,
+            # not the session conf — see _replay_safe_append (two
+            # concurrent streams sharing a session must not race on
+            # the global overwrite mode).
+            fresh.write.mode("overwrite").option(
+                "partitionOverwriteMode", "dynamic"
+            ).partitionBy("run_id", "batch_id").parquet(out_path)
             delta = bloom_add_agg(
                 fresh.select(key_col), [], key_col, m_bits=m_bits, depth=depth
             ).select("bloom")
@@ -673,7 +706,6 @@ def stream_bloom_dedup(
             for v in versions[: max(0, len(versions) - (keep_versions - 1))]:
                 fs.delete(jvm_path(f"{bloom_path}/v={v}"), True)
         finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
             fresh.unpersist()
 
     writer = stream_df.writeStream.foreachBatch(write_batch).outputMode("update")

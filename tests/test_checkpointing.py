@@ -251,6 +251,40 @@ def test_sweep_cuts_ages_by_files_not_dir_mtime(spark, tmp_path):
     # live cut's files are young only relative to real thresholds
 
 
+def test_sweep_cuts_recurses_into_subdirectories(spark, tmp_path):
+    """ADVICE r11: a cut whose only direct children are SUBDIRECTORIES
+    (partitioned write, stranded _temporary/ tree) must resolve its
+    age from files at ANY depth. Under the old direct-children scan
+    such cuts fell back to the dir marker mtime — 0/synthetic on S3A —
+    and were skipped forever: a permanent storage leak."""
+    import os
+
+    from postgresql_topn_spark.operators.checkpointing import sweep_cuts
+
+    d = str(tmp_path / "s3ish")
+    # fresh nested file + epoch-0 markers everywhere: LIVE, never swept
+    live = os.path.join(d, "cut-nested-live")
+    os.makedirs(os.path.join(live, "_temporary", "0"))
+    inner = os.path.join(live, "_temporary", "0", "part-00000")
+    with open(inner, "w") as fh:
+        fh.write("x")
+    os.utime(live, (0, 0))
+    os.utime(os.path.join(live, "_temporary"), (0, 0))
+    assert sweep_cuts(spark, d, older_than_s=3600) == []
+    assert os.path.isdir(live)
+
+    # genuinely old nested file, fresh dir markers: reaped by file age
+    stale = os.path.join(d, "cut-nested-stale")
+    os.makedirs(os.path.join(stale, "k=1"))
+    inner = os.path.join(stale, "k=1", "part-00000")
+    with open(inner, "w") as fh:
+        fh.write("x")
+    os.utime(inner, (1000, 1000))
+    swept = sweep_cuts(spark, d, older_than_s=3600)
+    assert [p.removeprefix("file:") for p in swept] == [stale]
+    assert not os.path.exists(stale) and os.path.isdir(live)
+
+
 class TestLrTrainCheckpointed:
     def test_model_identical(self, spark, sf_dir, tmp_path):
         from postgresql_topn_spark.operators.classifier import lr_train

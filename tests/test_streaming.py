@@ -707,6 +707,40 @@ def test_replay_safe_append_idempotent(spark, events_stream_dir, tmp_path):
     assert got == want
 
 
+def test_replay_safe_append_rejects_old_flat_layout(
+    spark, events_stream_dir, tmp_path
+):
+    """ADVICE r11: pointing an upgraded stream at a rollup path that
+    already holds pre-replay-safe flat-append part files would mix
+    root-level files with run_id=/batch_id= partition dirs and break
+    Spark partition discovery for every READER — fail at the first
+    write with migration guidance instead."""
+    import pytest
+
+    from postgresql_topn_spark.functions.cms import cms_add_agg
+    from postgresql_topn_spark.streaming.topn_stream import (
+        _replay_safe_append,
+    )
+
+    ev = spark.read.parquet(events_stream_dir)
+    uid = F.col("user_id").cast("string")
+    sk = cms_add_agg(ev, ["event_type"], uid)
+    path = str(tmp_path / "old_rollup")
+    # old layout: plain append, part files at the path root
+    sk.write.mode("append").parquet(path)
+    with pytest.raises(ValueError, match="flat-append|Migrate"):
+        _replay_safe_append(sk, path, "r1", 0)
+    # a path already in the NEW layout (partition dirs + _SUCCESS
+    # marker at root) keeps writing fine
+    new_path = str(tmp_path / "new_rollup")
+    _replay_safe_append(sk, new_path, "r1", 0)
+    _replay_safe_append(sk, new_path, "r1", 1)
+    assert (
+        spark.read.parquet(new_path).select("batch_id").distinct().count()
+        == 2
+    )
+
+
 def test_stream_rollup_survives_checkpoint_reset_replay(
     spark, events_stream_dir, tmp_path
 ):
