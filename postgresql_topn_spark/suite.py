@@ -602,6 +602,19 @@ def topn_tier2_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'exact_subset' AS lane, l_returnflag AS grp,
            l_linestatus AS item, COUNT(l_linestatus) AS frequency
     FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 2, 3
+    UNION ALL
+    SELECT 'u_entries' AS lane, grp, CAST(NULL AS VARCHAR) AS item,
+           CAST(LEAST(8, COUNT(*)) AS BIGINT) AS frequency
+    FROM exacts GROUP BY grp
+    UNION ALL
+    SELECT 'u_violations' AS lane, grp, CAST(NULL AS VARCHAR) AS item,
+           CAST(0 AS BIGINT) AS frequency
+    FROM (SELECT DISTINCT grp FROM exacts)
+    UNION ALL
+    SELECT 'u_exact' AS lane, l_returnflag AS grp,
+           CAST(l_linenumber AS VARCHAR) AS item,
+           COUNT(l_linenumber) AS frequency
+    FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY 2, 3
     """,
 )
 def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -635,8 +648,36 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
       3c = 24 is never exceeded, no prune ever fires, and the sketch
       must equal plain COUNT exactly — the reference's "exact while no
       eviction fires" clause (SURVEY §1.2 "what's hard #1") with real
-      values, not verdicts."""
-    from postgresql_topn_spark.operators.sketch_state import topn_add_agg_sketch
+      values, not verdicts.
+
+    UNION-path lanes (VERDICT r11 item 1): `MergeTopn`'s
+    per-merged-key prune (topn.c:984-988 inside topn.c:955-990) is
+    what `topn_union_agg` users hit when re-merging rollup sketches
+    under a small budget — the last prune-policy row of SURVEY §1.2's
+    table that only pytest saw. The input sketches are built as EXACT
+    per-(group, l_linenumber) maps from plain counts (plain built-ins,
+    no sketch code), so the union path is tested in ISOLATION and the
+    oracle can replay its bounds from the base table:
+
+    - lane 'u_entries': `topn_union_agg_sketch` with counters=8 over
+      the 7 exact sub-sketches per group (l_partkey items — thousands
+      of distinct keys force MergeTopn's prune constantly) packs
+      exactly least(8, distinct-across-inputs) entries — the same
+      VALUE the oracle computes from the base table, because the
+      inputs are exact.
+    - lane 'u_violations': reported totals are LOWER bounds on the
+      exact sum of that item's input-map values (evicted mass is
+      unrecoverable; re-merged items restart) and no merged entry may
+      name an item absent from every input — the same broadcast
+      inner-join audit, literal 0 expected.
+    - lane 'u_exact': the union path on the same counters=8 budget
+      over low-cardinality inputs (l_linenumber items, 7 distinct per
+      group <= 3c = 24): no merge prune ever fires and the merged
+      sketch must equal plain COUNT exactly."""
+    from postgresql_topn_spark.operators.sketch_state import (
+        topn_add_agg_sketch,
+        topn_union_agg_sketch,
+    )
 
     from postgresql_topn_spark.operators.checkpointing import stage_cut
 
@@ -644,61 +685,104 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     grp = F.col("l_returnflag").alias("grp")
 
+    exact = li.groupBy(
+        F.col("l_returnflag").alias("grp"),
+        F.col("l_partkey").cast("string").alias("item"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+    def verdict_lanes(ent: DataFrame, ent_lane: str, viol_lane: str):
+        """The invariant-verdict recipe, shared by the add and union
+        paths: violations = n_entries - (entries that match an exact
+        row AND stay <= it) — phantom items and overcounts both fail
+        the inner join + filter. The INNER join legally broadcasts the
+        <= groups*counters reported entries as the build side (a
+        left-outer from the tiny side can't — Spark only builds the
+        non-preserved side), so the exact aggregate streams and never
+        reshuffles for the audit."""
+        ent_stats = ent.groupBy("grp").agg(
+            F.count(F.lit(1)).alias("n_entries")
+        )
+        ok = (
+            F.broadcast(ent)
+            .join(exact, ["grp", "item"])
+            .where(F.col("frequency") <= F.col("c"))
+            .groupBy("grp")
+            .agg(F.count(F.lit(1)).alias("n_ok"))
+        )
+        # two verdict lanes read `per`; cut the <= |groups| rows once
+        per = stage_cut(
+            ent_stats.join(ok, "grp", "left").select(
+                "grp",
+                "n_entries",
+                (
+                    F.col("n_entries") - F.coalesce("n_ok", F.lit(0))
+                ).alias("viol"),
+            )
+        )
+        n_lane = per.select(
+            F.lit(ent_lane).alias("lane"),
+            "grp",
+            F.lit(None).cast("string").alias("item"),
+            F.col("n_entries").cast("long").alias("frequency"),
+        )
+        v_lane = per.select(
+            F.lit(viol_lane).alias("lane"),
+            "grp",
+            F.lit(None).cast("string").alias("item"),
+            F.col("viol").cast("long").alias("frequency"),
+        )
+        return n_lane, v_lane
+
     sk = topn_add_agg_sketch(li, [grp], "l_partkey", counters=cnt)
     # the reported entries fan into the audit's join AND the size agg,
     # and the verdicts fan into two lanes — cut the (<= groups*counters
     # rows) frame once so the Tier-2 partial+merge chain plans/executes
     # exactly once (the decode-once discipline of every flagship gate)
     ent = stage_cut(explode_topn(sk, "topn", cnt, keep=["grp"], counters=cnt))
-    exact = li.groupBy(
-        F.col("l_returnflag").alias("grp"),
-        F.col("l_partkey").cast("string").alias("item"),
-    ).agg(F.count(F.lit(1)).alias("c"))
-    # violations = n_entries - (entries that match an exact row AND
-    # stay <= it): phantom items and overcounts both fail the inner
-    # join + filter. The INNER join legally broadcasts the <=
-    # groups*counters reported entries as the build side (a left-outer
-    # from the tiny side can't — Spark only builds the non-preserved
-    # side), so the exact aggregate streams and never reshuffles for
-    # the audit.
-    ent_stats = ent.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_entries")
-    )
-    ok = (
-        F.broadcast(ent)
-        .join(exact, ["grp", "item"])
-        .where(F.col("frequency") <= F.col("c"))
-        .groupBy("grp")
-        .agg(F.count(F.lit(1)).alias("n_ok"))
-    )
-    # two verdict lanes read `per`; cut the <= |groups| rows once
-    per = stage_cut(
-        ent_stats.join(ok, "grp", "left").select(
-            "grp",
-            "n_entries",
-            (
-                F.col("n_entries") - F.coalesce("n_ok", F.lit(0))
-            ).alias("viol"),
-        )
-    )
-    n_lane = per.select(
-        F.lit("n_entries").alias("lane"),
-        "grp",
-        F.lit(None).cast("string").alias("item"),
-        F.col("n_entries").cast("long").alias("frequency"),
-    )
-    v_lane = per.select(
-        F.lit("violations").alias("lane"),
-        "grp",
-        F.lit(None).cast("string").alias("item"),
-        F.col("viol").cast("long").alias("frequency"),
-    )
+    n_lane, v_lane = verdict_lanes(ent, "n_entries", "violations")
 
     sk2 = topn_add_agg_sketch(li, [grp], "l_linestatus", counters=cnt)
     e_lane = explode_topn(sk2, "topn", cnt, keep=["grp"], counters=cnt).select(
         F.lit("exact_subset").alias("lane"), "grp", "item", "frequency"
     )
-    return n_lane.unionByName(v_lane).unionByName(e_lane)
+
+    # ---- union path: exact input sub-sketches from plain counts ----
+    def exact_inputs(item: Column) -> DataFrame:
+        sub_counts = li.groupBy(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_linenumber").alias("sub"),
+            item.cast("string").alias("item"),
+        ).agg(F.count(F.lit(1)).alias("c"))
+        return sub_counts.where(F.col("item").isNotNull()).groupBy(
+            "grp", "sub"
+        ).agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("item", "c"))
+            ).alias("sk")
+        )
+
+    usk = topn_union_agg_sketch(
+        exact_inputs(F.col("l_partkey")), ["grp"], "sk", counters=cnt
+    )
+    u_ent = stage_cut(
+        explode_topn(usk, "topn", cnt, keep=["grp"], counters=cnt)
+    )
+    u_n_lane, u_v_lane = verdict_lanes(u_ent, "u_entries", "u_violations")
+
+    usk2 = topn_union_agg_sketch(
+        exact_inputs(F.col("l_linenumber")), ["grp"], "sk", counters=cnt
+    )
+    u_e_lane = explode_topn(
+        usk2, "topn", cnt, keep=["grp"], counters=cnt
+    ).select(F.lit("u_exact").alias("lane"), "grp", "item", "frequency")
+
+    return (
+        n_lane.unionByName(v_lane)
+        .unionByName(e_lane)
+        .unionByName(u_n_lane)
+        .unionByName(u_v_lane)
+        .unionByName(u_e_lane)
+    )
 
 
 @_register(
@@ -6928,6 +7012,11 @@ _SEMANTICS_CHANGED: dict[str, int] = {
     # banding (VERDICT r10 item 7). Already owed (r9-green), so this
     # entry documents intent without changing the owed set.
     "dedup_embedding_near": 11,
+    # r12: three UNION-path lanes (u_entries/u_violations/u_exact) put
+    # MergeTopn's per-merged-key prune (topn.c:984-988) behind the
+    # driver — VERDICT r11 item 1. r11's green row proves only the
+    # add-path lane set.
+    "topn_tier2_eviction": 12,
 }
 
 

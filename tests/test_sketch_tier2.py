@@ -447,6 +447,53 @@ def test_eviction_gate_lanes(spark, sf_dir):
     )
     assert under > 0, "eviction never fired — the gate is vacuous"
 
+    # ---- union-path lanes (VERDICT r11 item 1) ----
+    for r in lanes["u_entries"]:
+        assert r["frequency"] == min(8, nd[r["grp"]])
+    assert all(r["frequency"] == 0 for r in lanes["u_violations"])
+    # u_exact: union of exact sub-sketches over 7 distinct items on
+    # the same counters=8 budget never prunes == plain COUNT
+    exact_ln = {
+        (r["grp"], r["item"]): r["c"]
+        for r in li.groupBy(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_linenumber").cast("string").alias("item"),
+        ).agg(F.count(F.lit(1)).alias("c")).collect()
+    }
+    assert {
+        (r["grp"], r["item"]): r["frequency"] for r in lanes["u_exact"]
+    } == exact_ln
+    # non-vacuity: MergeTopn's prune genuinely fired — rebuild the
+    # gate's exact per-(grp, linenumber) inputs, union-merge under
+    # counters=8, and find a reported total strictly under its exact
+    # input sum
+    from postgresql_topn_spark.operators.sketch_state import (
+        topn_union_agg_sketch,
+    )
+
+    inputs = (
+        li.groupBy(
+            F.col("l_returnflag").alias("grp"),
+            F.col("l_linenumber").alias("sub"),
+            F.col("l_partkey").cast("string").alias("item"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("grp", "sub")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("item", "c"))
+            ).alias("sk")
+        )
+    )
+    usk = topn_union_agg_sketch(inputs, ["grp"], "sk", counters=8)
+    u_under = (
+        explode_topn(usk, "topn", 8, keep=["grp"], counters=8)
+        .join(pk, ["grp", "item"])
+        .where(F.col("frequency") < F.col("c"))
+        .count()
+    )
+    assert u_under > 0, "merge prune never fired — the u-lanes are vacuous"
+
 
 def test_union_invariants_under_eviction(spark):
     """Union-path analogue of test_invariants_under_eviction (the gate
