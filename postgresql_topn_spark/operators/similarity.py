@@ -952,6 +952,49 @@ def auto_lsh_params(
     return max(1, min(max_tables, L)), r
 
 
+def auto_ivf_params(
+    n_rows: int,
+    *,
+    probe_scale: float = 1.5,
+    max_lists: int = 4096,
+) -> "tuple[int, int]":
+    """(n_lists, n_probe) sized for the corpus — the IVF analogue of
+    `auto_lsh_params`, retiring the last fixed-capacity ANN config.
+
+    With FIXED n_lists, per-cell occupancy grows linearly with the
+    corpus and every probe scans ~n_probe/n_lists of it — the same
+    scale trap the LSH/semdedup auto-sizing already closed. The
+    classic IVF rule keeps cells at ~sqrt(n) rows each:
+
+        n_lists = min(max_lists, ceil(sqrt(n)))
+        n_probe = min(n_lists, ceil(probe_scale * sqrt(n_lists)))
+
+    so candidate work per query is ~probe_scale * n / sqrt(n_lists)
+    ~= n^(3/4) — sublinear — while the probed FRACTION shrinks as the
+    corpus grows. probe_scale=1.5 is grounded by the committed probe
+    table (STATUS.md r12): with seeded sample centroids, scale 1.0
+    (n_probe = ceil(sqrt(n_lists))) loses recall vs the retired fixed
+    (16, 4) config (0.40 vs 0.56 @ 500 rows; 0.35 vs 0.48 @ 2000),
+    while 1.5 matches or beats it at equal-or-lower candidate cost
+    (0.60 @ 167 cands vs 0.56 @ 125; 0.49 @ 483 vs 0.48 @ 499).
+    `max_lists` bounds the centroid collect/closure (4096 x dim
+    doubles — a few MB at any realistic dim), the same role
+    `max_tables` plays for LSH.
+
+    Both expressions are pure functions of the corpus count through
+    IEEE-correctly-rounded sqrt, so a SQL oracle replays them verbatim
+    as a params CTE (ceil(sqrt(n)), ceil(1.5 * sqrt(n_lists)))."""
+    import math
+
+    if n_rows < 2:
+        return 1, 1
+    if probe_scale <= 0:
+        raise ValueError(f"probe_scale must be positive, got {probe_scale}")
+    n_lists = max(1, min(max_lists, math.ceil(math.sqrt(n_rows))))
+    n_probe = max(1, min(n_lists, math.ceil(probe_scale * math.sqrt(n_lists))))
+    return n_lists, n_probe
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     *,

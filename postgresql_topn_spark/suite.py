@@ -1796,6 +1796,28 @@ _IVF_D2 = """
               i -> CAST(c.cv[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)), (x, y) -> x + y)
 """
 
+# similarity.auto_ivf_params replayed as SQL (VERDICT r11 item 2):
+# n_lists = min(4096, ceil(sqrt(n))); n_probe = min(n_lists,
+# ceil(1.5 * sqrt(n_lists))). IEEE-correctly-rounded sqrt on both
+# engines, so the values match bit-for-bit. The seeded centroid pick
+# becomes `cell < n_lists` over the md5-shuffled row number instead of
+# a literal LIMIT.
+_IVF_PARAMS_SQL = """
+    params AS (
+      SELECT CAST(LEAST(4096, CEIL(SQRT(COUNT(*)))) AS BIGINT) AS n_lists,
+             CAST(LEAST(LEAST(4096, CEIL(SQRT(COUNT(*)))),
+                  CEIL(1.5 * SQRT(LEAST(4096, CEIL(SQRT(COUNT(*)))))))
+                  AS BIGINT) AS n_probe
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT cell, cv FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
+               embedding AS cv
+        FROM embeddings) t
+      WHERE cell < (SELECT n_lists FROM params)
+    )"""
+
 
 @_register(
     "ann_lsh_topk",
@@ -2053,12 +2075,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ann_ivf_topk",
     f"""
-    WITH cent AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
-             embedding AS cv
-      FROM embeddings
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
-    ),
+    WITH {_IVF_PARAMS_SQL},
     d AS (
       SELECT e.vec_id, c.cell, {_IVF_D2} AS d2
       FROM embeddings e, cent c
@@ -2073,7 +2090,7 @@ def text_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS query_id, cell FROM (
         SELECT vec_id, cell,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        FROM d WHERE vec_id % 100 = 0) t WHERE rn <= 4
+        FROM d WHERE vec_id % 100 = 0) t WHERE rn <= (SELECT n_probe FROM params)
     ),
     cand AS (
       SELECT p.query_id, a.vec_id AS neighbor_id
@@ -2145,18 +2162,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     <=|sample|-row aggregate; queries the index misses entirely would
     report recall 0 via `ann_recall`'s exact-side spine but have no
     result rows to carry it — the library operator keeps that failure
-    visible, the gate shows recall on returned rows."""
+    visible, the gate shows recall on returned rows.
+
+    Round-12 change (VERDICT r11 item 2): the fixed (n_lists=16,
+    n_probe=4) config — the last fixed-capacity ANN configuration in a
+    gate — is retired for `auto_ivf_params` (n_lists = ceil(sqrt(n))
+    capped at 4096; n_probe = ceil(1.5 * sqrt(n_lists))), a pure
+    function of the corpus count the oracle replays as a params CTE.
+    Constant cells meant each probe scanned ~n_probe/n_lists of the
+    corpus with occupancy growing linearly; sqrt-sizing makes probe
+    candidate work ~n^(3/4) while the committed STATUS probe table
+    shows recall at-or-above the fixed config's at equal-or-lower
+    candidate cost."""
     from postgresql_topn_spark.operators.similarity import (
         ann_recall,
+        auto_ivf_params,
         cosine_topk,
         ivf_topk,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_lists, n_probe = auto_ivf_params(emb.count())
     queries = emb.where(F.col("vec_id") % 100 == 0)
     sampled = queries.where(F.col("vec_id") % 1000 == 0)
     ivf = ivf_topk(
-        emb, queries, k=5, n_lists=16, n_probe=4, centroid_mode="seeded"
+        emb,
+        queries,
+        k=5,
+        n_lists=n_lists,
+        n_probe=n_probe,
+        centroid_mode="seeded",
     )
     exact = cosine_topk(emb, sampled, k=5)
     rec = ann_recall(ivf, exact)
@@ -2176,12 +2211,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "ann_ivfpq_topk",
     f"""
-    WITH cent AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cell,
-             embedding AS cv
-      FROM embeddings
-      ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16
-    ),
+    WITH {_IVF_PARAMS_SQL},
     seeds AS (
       SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS code_id,
              embedding AS sv
@@ -2202,7 +2232,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT vec_id AS query_id, cell FROM (
         SELECT vec_id, cell,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn
-        FROM d WHERE vec_id % 100 = 0) t WHERE rn <= 4
+        FROM d WHERE vec_id % 100 = 0) t WHERE rn <= (SELECT n_probe FROM params)
     ),
     sq AS (
       SELECT js.j, s.code_id,
@@ -2277,17 +2307,28 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays encoding, LUT, ADC scores and ranking
     value-for-value — the PQ approximation itself is hash-checked, not
     just its recall. Trained mode (Lloyd's per subspace) keeps a pytest
-    recall floor."""
-    from postgresql_topn_spark.operators.similarity import ivfpq_topk
+    recall floor.
+
+    Round-12 change (VERDICT r11 item 2): the coarse quantizer sizes
+    itself via `auto_ivf_params` (oracle-replayed params CTE), same as
+    ann_ivf_topk. The PQ geometry (m=8 subspaces, n_codes=16 per
+    codebook) stays FIXED by design — codebook size sets quantization
+    precision per vector, not per-corpus capacity, so it has no
+    linear-occupancy trap to retire."""
+    from postgresql_topn_spark.operators.similarity import (
+        auto_ivf_params,
+        ivfpq_topk,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_lists, n_probe = auto_ivf_params(emb.count())
     queries = emb.where(F.col("vec_id") % 100 == 0)
     return ivfpq_topk(
         emb,
         queries,
         k=5,
-        n_lists=16,
-        n_probe=4,
+        n_lists=n_lists,
+        n_probe=n_probe,
         m=8,
         n_codes=16,
         centroid_mode="seeded",
@@ -6994,8 +7035,10 @@ def _latest_green_round(root: "str | None" = None) -> "dict[str, int]":
 _SEMANTICS_CHANGED: dict[str, int] = {
     # r10: semdedup stage moved from fixed 12 cells to seeded-auto
     "pipeline_select_mix": 10,
-    # r10: recall lane moved to the sampled-query-set configuration
-    "ann_ivf_topk": 10,
+    # r12: fixed (16, 4) -> seeded-auto n_lists/n_probe via
+    # auto_ivf_params, oracle-replayed params CTE (VERDICT r11 item 2)
+    "ann_ivf_topk": 12,
+    "ann_ivfpq_topk": 12,
     # r10: fixed 16-cell quantizer -> seeded-auto (already r8-stale, so
     # this entry documents intent without changing the owed set)
     "dedup_semantic_clusters": 10,

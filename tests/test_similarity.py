@@ -268,6 +268,57 @@ def test_auto_lsh_params_validates_recall():
     assert L >= 1 and r >= 1
 
 
+def test_auto_ivf_params_rule():
+    """VERDICT r11 item 2: n_lists = min(4096, ceil(sqrt(n))),
+    n_probe = min(n_lists, ceil(1.5 * sqrt(n_lists))) — pure function
+    of the corpus count, replayed by the oracle as a params CTE."""
+    import math
+
+    import pytest
+
+    from postgresql_topn_spark.operators.similarity import auto_ivf_params
+
+    assert auto_ivf_params(0) == (1, 1)
+    assert auto_ivf_params(1) == (1, 1)
+    assert auto_ivf_params(2) == (2, 2)  # n_probe capped at n_lists
+    assert auto_ivf_params(500) == (23, 8)
+    assert auto_ivf_params(2000) == (45, 11)
+    # the cap bounds the centroid collect/closure
+    nl, npb = auto_ivf_params(10**12)
+    assert nl == 4096 and npb == math.ceil(1.5 * math.sqrt(4096))
+    assert auto_ivf_params(10**6, max_lists=64) == (64, 12)
+    with pytest.raises(ValueError, match="probe_scale"):
+        auto_ivf_params(1000, probe_scale=0)
+
+
+def test_ivf_auto_recall_not_below_fixed(spark, sf_dir):
+    """The auto sizing must not cost recall vs the retired fixed
+    (16, 4) config on the fixture (the STATUS r12 probe table's claim,
+    pinned): seeded mode, same query set, mean recall@5 under auto
+    params >= fixed params minus a small tolerance."""
+    from postgresql_topn_spark.operators.similarity import (
+        ann_recall,
+        auto_ivf_params,
+        cosine_topk,
+        ivf_topk,
+    )
+    from postgresql_topn_spark.suite import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_lists, n_probe = auto_ivf_params(emb.count())
+    q = emb.where(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, q, k=5)
+
+    def mean_recall(nl, npb):
+        ivf = ivf_topk(
+            emb, q, k=5, n_lists=nl, n_probe=npb, centroid_mode="seeded"
+        )
+        rows = ann_recall(ivf, exact).collect()
+        return sum(r["recall"] for r in rows) / len(rows)
+
+    assert mean_recall(n_lists, n_probe) >= mean_recall(16, 4) - 0.02
+
+
 def test_near_dup_pairs_string_ids(spark):
     """Review pin: non-numeric id columns must round-trip (the old long
     cast silently NULLed every string id). Planted near-dups with
