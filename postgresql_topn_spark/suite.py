@@ -25,6 +25,8 @@ from postgresql_topn_spark.functions.aggregates import (
 )
 from postgresql_topn_spark.functions.sketch import (
     explode_topn,
+    sketch_from_json,
+    sketch_to_json,
     topn_add,
     topn_union,
 )
@@ -154,9 +156,62 @@ def topn_overall_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     return explode_topn(overall, "topn", 10, counters=C)
 
 
+# VALUES-literal corpus for the unicode/JSON-fidelity lanes (VERDICT
+# r11 item 3; the reference dedicates sql/char_tests.sql:18-199 to
+# this): Cyrillic, CJK, quotes, backslashes, \b\f\t control chars —
+# seeded IDENTICALLY in Spark (createDataFrame) and DuckDB (generated
+# VALUES), because the parquet fixtures are ASCII word soup. Keys are
+# chosen so BYTE-length order differs from CHAR-length order ('東' is
+# 1 char / 3 bytes vs 'ab' 2/2) — the discriminator that pins
+# sketch_to_json's PG-jsonb key order (octet_length, then bytewise)
+# against a char-length impostor. Frequencies are distinct per group
+# so every value is individually load-bearing in the hash.
+_UNI_ROWS: "list[tuple[str, str, int]]" = [
+    ("г1", "ж", 7),
+    ("г1", "é", 6),
+    ("г1", "東京", 5),
+    ("г1", "ab", 4),
+    ("г1", 'say "hi"', 3),
+    ("г1", "back\\slash", 9),
+    ("г1", "tab\there", 2),
+    ("г1", "bell\bboop", 8),
+    ("г1", "feed\fform", 1),
+    ("日本", "привет", 4),
+    ("日本", "日本語テキスト", 11),
+    ("日本", "naïve", 2),
+    ("日本", "a", 1),
+]
+
+
+def _sql_str(s: str) -> str:
+    """Render a Python string as a DuckDB expression, control chars via
+    chr() so the oracle SQL text stays printable."""
+    parts: "list[str]" = []
+    buf: "list[str]" = []
+
+    def flush():
+        if buf:
+            parts.append("'" + "".join(buf).replace("'", "''") + "'")
+            buf.clear()
+
+    for ch in s:
+        if ord(ch) < 32:
+            flush()
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf.append(ch)
+    flush()
+    return " || ".join(parts) if parts else "''"
+
+
+_UNI_VALUES = ",\n      ".join(
+    f"({_sql_str(g)}, {_sql_str(it)}, {n})" for g, it, n in _UNI_ROWS
+)
+
+
 @_register(
     "topn_scalar_ops",
-    """
+    f"""
     WITH base AS (
       SELECT l_returnflag, l_linestatus AS item, COUNT(l_linestatus) AS frequency
       FROM lineitem WHERE l_linestatus IS NOT NULL GROUP BY 1, 2
@@ -176,6 +231,39 @@ def topn_overall_products(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'union' AS lane, l_returnflag, item, COUNT(*) AS frequency
     FROM u GROUP BY 2, 3
+    UNION ALL
+    SELECT 'prune_insert' AS lane, l_returnflag, item, frequency FROM (
+      SELECT l_returnflag, item, c AS frequency,
+             ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                ORDER BY c DESC, item ASC) AS rn
+      FROM (
+        SELECT l_returnflag, CAST(l_linenumber AS VARCHAR) AS item,
+               COUNT(l_linenumber) AS c
+        FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY 1, 2
+        UNION ALL
+        SELECT DISTINCT l_returnflag, '0NEW', CAST(1 AS BIGINT)
+        FROM lineitem
+      ) pu
+    ) pt WHERE rn <= 4
+    UNION ALL
+    SELECT 'prune_update' AS lane, l_returnflag, item,
+           CAST(c + (CASE WHEN item = '1' THEN 1 ELSE 0 END) AS BIGINT)
+           AS frequency
+    FROM (
+      SELECT l_returnflag, CAST(l_linenumber AS VARCHAR) AS item,
+             COUNT(l_linenumber) AS c
+      FROM lineitem WHERE l_linenumber IS NOT NULL GROUP BY 1, 2
+    ) ln2
+    UNION ALL
+    SELECT 'unicode' AS lane, grp AS l_returnflag, item,
+           CAST(n AS BIGINT) AS frequency
+    FROM (VALUES {_UNI_VALUES}) AS uni(grp, item, n)
+    UNION ALL
+    SELECT 'unicode_order' AS lane, grp AS l_returnflag, item,
+           CAST(ROW_NUMBER() OVER (PARTITION BY grp
+                                   ORDER BY strlen(item), item)
+                AS BIGINT) AS frequency
+    FROM (VALUES {_UNI_VALUES}) AS uni(grp, item, n)
     """,
 )
 def topn_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,7 +277,33 @@ def topn_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       (topn.c:363-385) — merge two sketches with disjoint key domains,
       saturating sums.
 
-    The driver value-checks both lanes every time this gate runs."""
+    Round-12 lanes (VERDICT r11 items 3 + 4):
+
+    - lane 'prune_insert': the SCALAR-path prune regime (topn.c:350 —
+      limit = keep = counters, the asymmetric row of SURVEY §1.2's
+      policy table). A 7-entry exact sketch (l_linenumber counts per
+      group) takes a scalar topn_add of a NEW item under counters=4:
+      the insert fires the prune and exactly the top-4 by (frequency
+      DESC, item ASC) survive — fully deterministic, so the oracle
+      VALUE-replays the whole post-prune sketch, not a verdict.
+    - lane 'prune_update': the same 7-entry sketch and the same
+      counters=4 budget, but the added item already EXISTS ('1'):
+      the prune must NOT fire (insert-only, topn.c:350 runs in the
+      new-item branch alone) — all 7 entries survive with '1'
+      incremented. An eager impostor that prunes on every add fails
+      this lane with 3 missing rows per group.
+    - lanes 'unicode' / 'unicode_order' (sql/char_tests.sql:18-199):
+      the VALUES-literal corpus (_UNI_ROWS — Cyrillic/CJK/quotes/
+      backslashes/control chars, identical rows seeded in both
+      engines) runs topn_add_agg -> sketch_to_json ->
+      sketch_from_json -> posexplode: 'unicode' value-pins key AND
+      frequency fidelity through the full JSON round trip;
+      'unicode_order' pins the exporter's PG-jsonb key order
+      (octet_length first, then bytewise — functions/sketch.py) as
+      1-based positions the oracle recomputes with
+      ROW_NUMBER(ORDER BY strlen(item), item).
+
+    The driver value-checks every lane every time this gate runs."""
     li = load_table(spark, sf_dir, "lineitem")
     sk = topn_add_agg(li, ["l_returnflag"], "l_linestatus", counters=C)
     added = sk.select(
@@ -209,7 +323,60 @@ def topn_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     union_lane = explode_topn(
         j, "t", 100, keep=["l_returnflag"], counters=C
     ).select(F.lit("union").alias("lane"), "l_returnflag", "item", "frequency")
-    return add_lane.unionByName(union_lane)
+
+    # ---- scalar-path prune regime (topn.c:350) ----
+    ln_sk = topn_add_agg(li, ["l_returnflag"], "l_linenumber", counters=C)
+    ins = ln_sk.select(
+        "l_returnflag", topn_add("topn", F.lit("0NEW"), counters=4).alias("t")
+    )
+    pi_lane = explode_topn(
+        ins, "t", 4, keep=["l_returnflag"], counters=4
+    ).select(
+        F.lit("prune_insert").alias("lane"), "l_returnflag", "item", "frequency"
+    )
+    upd = ln_sk.select(
+        "l_returnflag", topn_add("topn", F.lit("1"), counters=4).alias("t")
+    )
+    # the no-prune result keeps all 7 entries (> the counters=4
+    # budget), so extract with the wide-counters config
+    pu_lane = explode_topn(
+        upd, "t", 100, keep=["l_returnflag"], counters=C
+    ).select(
+        F.lit("prune_update").alias("lane"), "l_returnflag", "item", "frequency"
+    )
+
+    # ---- unicode/JSON-fidelity lanes (sql/char_tests.sql) ----
+    uni = spark.createDataFrame(
+        [(g, it) for g, it, n in _UNI_ROWS for _ in range(n)],
+        "grp string, item string",
+    )
+    usk = topn_add_agg(uni, ["grp"], "item", counters=C)
+    uni_exp = usk.select(
+        "grp",
+        F.posexplode(
+            sketch_from_json(sketch_to_json("topn"))
+        ).alias("pos", "item", "frequency"),
+    )
+    u_lane = uni_exp.select(
+        F.lit("unicode").alias("lane"),
+        F.col("grp").alias("l_returnflag"),
+        "item",
+        F.col("frequency").cast("long").alias("frequency"),
+    )
+    o_lane = uni_exp.select(
+        F.lit("unicode_order").alias("lane"),
+        F.col("grp").alias("l_returnflag"),
+        "item",
+        (F.col("pos") + 1).cast("long").alias("frequency"),
+    )
+
+    return (
+        add_lane.unionByName(union_lane)
+        .unionByName(pi_lane)
+        .unionByName(pu_lane)
+        .unionByName(u_lane)
+        .unionByName(o_lane)
+    )
 
 
 @_register(
@@ -7060,6 +7227,12 @@ _SEMANTICS_CHANGED: dict[str, int] = {
     # driver — VERDICT r11 item 1. r11's green row proves only the
     # add-path lane set.
     "topn_tier2_eviction": 12,
+    # r12: four new lanes — scalar-path insert-only prune regime
+    # (prune_insert/prune_update, VERDICT r11 item 4) and the
+    # unicode/JSON-fidelity VALUES corpus (unicode/unicode_order,
+    # VERDICT r11 item 3). Already owed (r10-green), so these entries
+    # document intent without changing the owed set.
+    "topn_scalar_ops": 12,
 }
 
 

@@ -91,3 +91,83 @@ def test_int64_overflow_saturates(spark):
     assert got["huge"] == 9223372036854775807
     assert got["dec"] == 12
     assert got["exp"] == 2000
+
+
+def test_scalar_ops_gate_lanes(spark, sf_dir):
+    """The r12 lanes of `topn_scalar_ops` (VERDICT r11 items 3 + 4)
+    hold by construction AND are non-vacuous:
+
+    - prune_insert: exactly 4 rows per group (the counters=4 budget),
+      '0NEW' evicted — the scalar insert genuinely fired the prune on
+      a 7-entry sketch.
+    - prune_update: all 7 entries survive an update to an existing key
+      under the same budget (insert-only prune, topn.c:350) with '1'
+      incremented by exactly one.
+    - unicode_order: pins PG-jsonb BYTE-length-first ordering, and the
+      corpus genuinely discriminates it from a CHAR-length-first
+      impostor (otherwise the lane is vacuous)."""
+    from postgresql_topn_spark.suite import _UNI_ROWS, QUERIES, load_table
+
+    rows = QUERIES["topn_scalar_ops"](spark, sf_dir).collect()
+    lanes = {}
+    for r in rows:
+        lanes.setdefault(r["lane"], []).append(r)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    counts = {
+        (r["l_returnflag"], str(r["ln"])): r["c"]
+        for r in li.groupBy(
+            F.col("l_returnflag"), F.col("l_linenumber").alias("ln")
+        ).agg(F.count("l_linenumber").alias("c")).collect()
+    }
+    groups = sorted({g for g, _ in counts})
+    # prune_insert: top-4 by (c DESC, item ASC), NEW:1 evicted
+    for g in groups:
+        got = sorted(
+            (r["item"], r["frequency"])
+            for r in lanes["prune_insert"]
+            if r["l_returnflag"] == g
+        )
+        pool = [(it, c) for (gg, it), c in counts.items() if gg == g]
+        pool.append(("0NEW", 1))
+        want = sorted(sorted(pool, key=lambda p: (-p[1], p[0]))[:4])
+        assert got == want and len(got) == 4
+        assert all(it != "0NEW" for it, _ in got)
+        # non-vacuity: the sketch HAD more entries than the budget
+        assert len(pool) == 8
+    # prune_update: all 7 entries survive, '1' incremented
+    for g in groups:
+        got = {
+            r["item"]: r["frequency"]
+            for r in lanes["prune_update"]
+            if r["l_returnflag"] == g
+        }
+        want = {
+            it: c + (1 if it == "1" else 0)
+            for (gg, it), c in counts.items()
+            if gg == g
+        }
+        assert got == want and len(got) == 7
+    # unicode: full round-trip fidelity
+    want_uni = {(g, it): n for g, it, n in _UNI_ROWS}
+    got_uni = {
+        (r["l_returnflag"], r["item"]): r["frequency"]
+        for r in lanes["unicode"]
+    }
+    assert got_uni == want_uni
+    # unicode_order: byte-length-first != char-length-first on this
+    # corpus (the impostor discriminator is real)
+    for g in {g for g, _, _ in _UNI_ROWS}:
+        items = [it for gg, it, _ in _UNI_ROWS if gg == g]
+        byte_order = sorted(items, key=lambda s: (len(s.encode()), s.encode()))
+        char_order = sorted(items, key=lambda s: (len(s), s.encode()))
+        got_order = [
+            r["item"]
+            for r in sorted(
+                (r for r in lanes["unicode_order"] if r["l_returnflag"] == g),
+                key=lambda r: r["frequency"],
+            )
+        ]
+        assert got_order == byte_order
+        if g == "г1":
+            assert byte_order != char_order
