@@ -778,3 +778,74 @@ def test_stream_rollup_survives_checkpoint_reset_replay(
     merged = read_topn_rollup(spark, rollup, ["event_type"], counters=1_000_000)
     got = {r["event_type"]: dict(r["topn"]) for r in merged.collect()}
     assert got == _batch_expected(spark, events_stream_dir)
+
+
+def test_compact_rollup_after_replay_is_reader_identical(
+    spark, events_stream_dir, tmp_path, capsys
+):
+    """VERDICT r11 item 5: the two r11/r12 disciplines COMPOSE — a
+    rollup produced by the replay-safe sink (run_id=/batch_id=
+    partitions, INCLUDING a checkpoint-reset full replay) goes through
+    the janitor CLI's compact-rollup, and the merged read is IDENTICAL
+    before and after compaction while the raw fragment count drops to
+    one row per bucket."""
+    import json
+    import shutil
+
+    from postgresql_topn_spark.maintenance import main
+
+    ev = spark.read.parquet(events_stream_dir)
+    rollup = str(tmp_path / "rollup_compact")
+    ckpt = str(tmp_path / "ckpt_compact")
+
+    def run():
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(events_stream_dir)
+        )
+        q = stream_topn_rollup(
+            stream,
+            ["event_type"],
+            "user_id",
+            rollup_path=rollup,
+            checkpoint_path=ckpt,
+            counters=1_000_000,
+            trigger_available_now=True,
+        )
+        q.awaitTermination(120)
+
+    run()
+    shutil.rmtree(ckpt)  # the replay: same input, checkpoint wiped
+    run()
+
+    def merged():
+        m = read_topn_rollup(
+            spark, rollup, ["event_type"], counters=1_000_000
+        )
+        return {r["event_type"]: dict(r["topn"]) for r in m.collect()}
+
+    before = merged()
+    assert before == _batch_expected(spark, events_stream_dir)
+    raw_before = spark.read.parquet(rollup).count()
+
+    assert (
+        main(
+            [
+                "compact-rollup",
+                "--dir",
+                rollup,
+                "--bucket-name",
+                "event_type",
+                "--counters",
+                "1000000",
+            ],
+            spark=spark,
+        )
+        == 0
+    )
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["cmd"] == "compact-rollup"
+    raw_after = spark.read.parquet(rollup).count()
+    assert raw_after == rep["n_rows"] == len(before) < raw_before
+    assert merged() == before  # readers see identical merged sketches
