@@ -264,6 +264,21 @@ _UNI_VALUES = ",\n      ".join(
                                    ORDER BY strlen(item), item)
                 AS BIGINT) AS frequency
     FROM (VALUES {_UNI_VALUES}) AS uni(grp, item, n)
+    UNION ALL
+    SELECT 'truncate255' AS lane, 'т' AS l_returnflag,
+           repeat('я', 127) || 'A' AS item, CAST(11 AS BIGINT) AS frequency
+    UNION ALL
+    SELECT 'truncate255' AS lane, 'т' AS l_returnflag,
+           repeat('я', 127) AS item, CAST(4 AS BIGINT) AS frequency
+    UNION ALL
+    SELECT 'saturate' AS lane, grp AS l_returnflag, item,
+           CAST(LEAST(SUM(CAST(w AS HUGEINT)),
+                      CAST(9223372036854775807 AS HUGEINT)) AS BIGINT)
+           AS frequency
+    FROM (VALUES ('с', 'big', 9223372036854775807),
+                 ('с', 'big', 9223372036854775807),
+                 ('с', 'small', 7)) AS sat(grp, item, w)
+    GROUP BY 2, 3
     """,
 )
 def topn_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -302,6 +317,20 @@ def topn_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       (octet_length first, then bytewise — functions/sketch.py) as
       1-based positions the oracle recomputes with
       ROW_NUMBER(ORDER BY strlen(item), item).
+    - lane 'truncate255': the reference's 255-BYTE key cap at intake
+      (topn.c:338): two 256-byte keys that differ only in their last
+      byte MERGE into one truncated item with the summed count, and a
+      key whose 255-byte boundary falls MID-CHARACTER ('я' x 128) cuts
+      back to the last whole character (254 bytes) — the oracle
+      rebuilds both truncated keys with repeat(). Previously
+      pytest-only (test_sketch_functions 255-byte probes).
+    - lane 'saturate': int64 saturation at egress — two INT64_MAX
+      weights on one item through topn_weighted_agg must report
+      exactly INT64_MAX (sum exact in wide decimal, clamp ONCE), the
+      oracle summing in HUGEINT and applying the same LEAST. A
+      per-add clamping impostor also lands INT64_MAX here, but the
+      weighted NULL/rounding matrix in pytest kills that one; this
+      lane pins the egress value itself behind the driver.
 
     The driver value-checks every lane every time this gate runs."""
     li = load_table(spark, sf_dir, "lineitem")
@@ -370,12 +399,45 @@ def topn_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("pos") + 1).cast("long").alias("frequency"),
     )
 
+    # ---- 255-byte truncation at intake (topn.c:338) ----
+    trunc_rows = (
+        [("т", "я" * 127 + "AB")] * 5  # 256 bytes; cut to ...я'A'
+        + [("т", "я" * 127 + "AC")] * 6  # merges with the row above
+        + [("т", "я" * 128)] * 4  # boundary mid-'я': cut to 127 chars
+    )
+    tr = spark.createDataFrame(trunc_rows, "grp string, item string")
+    tsk = topn_add_agg(tr, ["grp"], "item", counters=C)
+    t_lane = explode_topn(tsk, "topn", 100, keep=["grp"], counters=C).select(
+        F.lit("truncate255").alias("lane"),
+        F.col("grp").alias("l_returnflag"),
+        "item",
+        "frequency",
+    )
+
+    # ---- int64 saturation at egress (topn.c:997-1009) ----
+    from postgresql_topn_spark.functions.aggregates import topn_weighted_agg
+
+    imax = (1 << 63) - 1
+    sat = spark.createDataFrame(
+        [("с", "big", imax), ("с", "big", imax), ("с", "small", 7)],
+        "grp string, item string, w long",
+    )
+    ssk = topn_weighted_agg(sat, ["grp"], "item", "w", counters=C)
+    s_lane = explode_topn(ssk, "topn", 100, keep=["grp"], counters=C).select(
+        F.lit("saturate").alias("lane"),
+        F.col("grp").alias("l_returnflag"),
+        "item",
+        "frequency",
+    )
+
     return (
         add_lane.unionByName(union_lane)
         .unionByName(pi_lane)
         .unionByName(pu_lane)
         .unionByName(u_lane)
         .unionByName(o_lane)
+        .unionByName(t_lane)
+        .unionByName(s_lane)
     )
 
 

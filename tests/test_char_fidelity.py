@@ -171,3 +171,11 @@ def test_scalar_ops_gate_lanes(spark, sf_dir):
         assert got_order == byte_order
         if g == "г1":
             assert byte_order != char_order
+    # truncate255: two 256-byte keys differing after the cap MERGE;
+    # the mid-character boundary cuts back to a whole character
+    got_tr = {(r["item"], r["frequency"]) for r in lanes["truncate255"]}
+    assert got_tr == {("я" * 127 + "A", 11), ("я" * 127, 4)}
+    assert all(len(it.encode()) <= 255 for it, _ in got_tr)
+    # saturate: two INT64_MAX weights clamp ONCE at egress
+    got_sat = {(r["item"], r["frequency"]) for r in lanes["saturate"]}
+    assert got_sat == {("big", (1 << 63) - 1), ("small", 7)}
