@@ -89,15 +89,14 @@ def write_jsonl_corpus(
     # partitionOverwriteMode=dynamic, re-exporting with fewer shards
     # would leave the old export's extra shard dirs in place — and the
     # read-back manifest would then ATTEST the stale/duplicated corpus
-    # (review pin). Static mode clears the whole target first.
-    spark = df.sparkSession
-    _MODE_KEY = "spark.sql.sources.partitionOverwriteMode"
-    prev_mode = spark.conf.get(_MODE_KEY)
-    spark.conf.set(_MODE_KEY, "static")
-    try:
-        w.partitionBy("__shard").json(path)
-    finally:
-        spark.conf.set(_MODE_KEY, prev_mode)
+    # (review pin). Static mode clears the whole target first. Pinned
+    # PER-WRITE (the writer option takes precedence over the session
+    # conf) instead of a set/restore of the session global, which
+    # races concurrent writers sharing the session — same ADVICE-r11
+    # fix as the streaming sinks' dynamic pin.
+    w.option("partitionOverwriteMode", "static").partitionBy(
+        "__shard"
+    ).json(path)
     # Manifest stats come from READING BACK the written files (not from
     # a second pass over the source): the checksums then attest the
     # bytes that actually landed on disk, and the computation is the

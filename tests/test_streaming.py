@@ -682,6 +682,16 @@ def test_replay_safe_append_idempotent(spark, events_stream_dir, tmp_path):
         _replay_safe_append,
     )
 
+    # the sink pins dynamic overwrite PER-WRITE; the session conf must
+    # stay at Spark's default (static) for this test to actually prove
+    # the writer-option precedence (ADVICE r11: a session-conf toggle
+    # races concurrent streams)
+    assert (
+        spark.conf.get(
+            "spark.sql.sources.partitionOverwriteMode"
+        ).lower()
+        == "static"
+    )
     ev = spark.read.parquet(events_stream_dir)
     uid = F.col("user_id").cast("string")
     half_a = ev.where(F.col("user_id") % 2 == 0)
