@@ -333,8 +333,16 @@ def topn_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
       lane pins the egress value itself behind the driver.
 
     The driver value-checks every lane every time this gate runs."""
+    from postgresql_topn_spark.operators.checkpointing import stage_cut
+
     li = load_table(spark, sf_dir, "lineitem")
-    sk = topn_add_agg(li, ["l_returnflag"], "l_linestatus", counters=C)
+    # the linestatus sketch feeds the add lane AND the union lane's
+    # 'ta' side, and the linenumber sketch feeds both prune lanes —
+    # Spark does not dedupe identical subtrees across union branches,
+    # so without cuts each of these <= |groups|-row aggregates would
+    # re-run its full lineitem scan per consuming lane (the r12 bench
+    # flagged exactly that: 10 lanes re-deriving shared aggs)
+    sk = stage_cut(topn_add_agg(li, ["l_returnflag"], "l_linestatus", counters=C))
     added = sk.select(
         "l_returnflag", topn_add("topn", F.lit("NEWITEM"), counters=C).alias("topn")
     )
@@ -342,7 +350,7 @@ def topn_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         added, "topn", 100, keep=["l_returnflag"], counters=C
     ).select(F.lit("add").alias("lane"), "l_returnflag", "item", "frequency")
 
-    a = topn_add_agg(li, ["l_returnflag"], "l_linestatus", counters=C, out_col="ta")
+    a = sk.withColumnRenamed("topn", "ta")
     b = topn_add_agg(
         li, ["l_returnflag"], F.year("l_shipdate"), counters=C, out_col="tb"
     )
@@ -354,7 +362,9 @@ def topn_scalar_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("union").alias("lane"), "l_returnflag", "item", "frequency")
 
     # ---- scalar-path prune regime (topn.c:350) ----
-    ln_sk = topn_add_agg(li, ["l_returnflag"], "l_linenumber", counters=C)
+    ln_sk = stage_cut(
+        topn_add_agg(li, ["l_returnflag"], "l_linenumber", counters=C)
+    )
     ins = ln_sk.select(
         "l_returnflag", topn_add("topn", F.lit("0NEW"), counters=4).alias("t")
     )
