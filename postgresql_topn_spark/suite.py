@@ -924,6 +924,13 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     grp = F.col("l_returnflag").alias("grp")
 
+    # the exact audit aggregate feeds BOTH verdict-lane pairs (add and
+    # union paths) but is deliberately NOT cut: it streams as the probe
+    # side of each broadcast audit join, so its duplicate execution is
+    # pipeline-parallel and cheaper than materializing the ~groups x
+    # distinct-partkey rows up front (measured: cutting it REGRESSED
+    # the gate 5.6 -> 6.1 s warm at sf0.1 — cuts pay off for tiny
+    # fan-out frames, not for mid-size streamed probe sides)
     exact = li.groupBy(
         F.col("l_returnflag").alias("grp"),
         F.col("l_partkey").cast("string").alias("item"),
