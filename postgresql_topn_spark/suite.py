@@ -180,6 +180,10 @@ _UNI_ROWS: "list[tuple[str, str, int]]" = [
     ("日本", "日本語テキスト", 11),
     ("日本", "naïve", 2),
     ("日本", "a", 1),
+    # astral plane: 4-byte UTF-8 (surrogate-pair territory in UTF-16
+    # engines) — 2 chars / 5 bytes, so char-length order would slot it
+    # before the 2-byte-per-char Cyrillic strings; byte order must not
+    ("日本", "🎉x", 3),
 ]
 
 

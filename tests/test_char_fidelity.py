@@ -179,3 +179,51 @@ def test_scalar_ops_gate_lanes(spark, sf_dir):
     # saturate: two INT64_MAX weights clamp ONCE at egress
     got_sat = {(r["item"], r["frequency"]) for r in lanes["saturate"]}
     assert got_sat == {("big", (1 << 63) - 1), ("small", 7)}
+
+
+# ---------------------------------------------------------------------------
+# Property-based JSON round-trip fidelity (hypothesis): the r12 unicode
+# driver lane pins one curated corpus; this fuzzes the same pipeline
+# over arbitrary unicode keys and int64 values.
+# ---------------------------------------------------------------------------
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_KEY = st.text(max_size=40).filter(lambda s: len(s.encode()) <= 255)
+_VAL = st.integers(min_value=-(2**63), max_value=2**63 - 1)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(m=st.dictionaries(_KEY, _VAL, max_size=12))
+def test_json_round_trip_fuzz(spark, m):
+    """sketch_to_json -> sketch_from_json is the identity on ANY map
+    with <=255-byte unicode keys (incl. control chars, quotes,
+    non-BMP) and full-range int64 values, and the parsed entry order
+    is the exporter's PG-jsonb order (byte length, then bytewise)."""
+    from postgresql_topn_spark.functions.sketch import (
+        sketch_from_json,
+        sketch_to_json,
+    )
+
+    df = spark.createDataFrame(
+        [(list(m.items()),)], "kv array<struct<key:string,value:long>>"
+    )
+    rows = df.select(
+        F.posexplode_outer(
+            sketch_from_json(sketch_to_json(F.map_from_entries("kv")))
+        )
+    ).collect()
+    got = {r["key"]: r["value"] for r in rows if r["key"] is not None}
+    assert got == m
+    order = [
+        r["key"]
+        for r in sorted(
+            (r for r in rows if r["key"] is not None),
+            key=lambda r: r["pos"],
+        )
+    ]
+    assert order == sorted(m, key=lambda k: (len(k.encode()), k.encode()))
