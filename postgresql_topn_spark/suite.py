@@ -997,10 +997,10 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # ---- union path: exact input sub-sketches from plain counts ----
-    def exact_inputs(item: Column) -> DataFrame:
+    def exact_inputs(sub: Column, item: Column) -> DataFrame:
         sub_counts = li.groupBy(
             F.col("l_returnflag").alias("grp"),
-            F.col("l_linenumber").alias("sub"),
+            sub.alias("sub"),
             item.cast("string").alias("item"),
         ).agg(F.count(F.lit(1)).alias("c"))
         return sub_counts.where(F.col("item").isNotNull()).groupBy(
@@ -1012,15 +1012,25 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     usk = topn_union_agg_sketch(
-        exact_inputs(F.col("l_partkey")), ["grp"], "sk", counters=cnt
+        exact_inputs(F.col("l_linenumber"), F.col("l_partkey")),
+        ["grp"],
+        "sk",
+        counters=cnt,
     )
     u_ent = stage_cut(
         explode_topn(usk, "topn", cnt, keep=["grp"], counters=cnt)
     )
     u_n_lane, u_v_lane = verdict_lanes(u_ent, "u_entries", "u_violations")
 
+    # sub key = l_linestatus here, NOT l_linenumber: each group's two
+    # input maps then hold all 7 linenumber items, so the merge SUMS
+    # overlapping keys across maps (MergeTopn's arithmetic) instead of
+    # concatenating disjoint single-entry maps
     usk2 = topn_union_agg_sketch(
-        exact_inputs(F.col("l_linenumber")), ["grp"], "sk", counters=cnt
+        exact_inputs(F.col("l_linestatus"), F.col("l_linenumber")),
+        ["grp"],
+        "sk",
+        counters=cnt,
     )
     u_e_lane = explode_topn(
         usk2, "topn", cnt, keep=["grp"], counters=cnt
