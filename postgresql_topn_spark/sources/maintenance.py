@@ -37,7 +37,7 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
-def _staged_rewrite(write_fn, path: str) -> None:
+def _staged_rewrite(write_fn, path: str, spark: "SparkSession | None" = None) -> None:
     """Write into a sibling staging dir, then swap via two renames.
 
     Failure behavior (review pins): a failed write cleans up its
@@ -47,14 +47,48 @@ def _staged_rewrite(write_fn, path: str) -> None:
     makes the next rewrite refuse loudly instead of stacking uuid
     orphans. Readers can observe a brief missing-path window between
     the renames (posix rename is atomic per call, not across two) —
-    retry-on-missing, or use a table format for strict isolation."""
+    retry-on-missing, or use a table format for strict isolation.
+
+    With a ``spark`` session the swap runs through the Hadoop FS API,
+    so any scheme Spark can write (file/hdfs/s3a) can be compacted —
+    the os/shutil form only ever worked on local paths while the
+    janitor CLI advertised object-store dirs (r12 review). Object-store
+    caveat: Hadoop "rename" on S3A is copy+delete, so the missing-path
+    window is proportional to table size there — the table-format
+    escape hatch in the module docstring applies doubly."""
     staging = f"{path.rstrip('/')}__staging_{uuid.uuid4().hex[:8]}"
+    backup = f"{path.rstrip('/')}__old"
+    if spark is not None:
+        jvm = spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path
+        fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
+        try:
+            write_fn(staging)
+        except BaseException:
+            fs.delete(jpath(staging), True)
+            raise
+        if fs.exists(jpath(backup)):
+            fs.delete(jpath(staging), True)
+            raise RuntimeError(
+                f"stale backup {backup} exists — a previous swap crashed "
+                "between its renames; inspect/restore it (it holds the "
+                "last complete table) and delete it before rewriting"
+            )
+        # Hadoop rename signals failure by RETURNING false, not raising
+        if not fs.rename(jpath(path), jpath(backup)):
+            raise IOError(f"rename {path} -> {backup} failed")
+        if not fs.rename(jpath(staging), jpath(path)):
+            raise IOError(
+                f"rename {staging} -> {path} failed; previous table "
+                f"preserved at {backup}"
+            )
+        fs.delete(jpath(backup), True)
+        return
     try:
         write_fn(staging)
     except BaseException:
         shutil.rmtree(staging, ignore_errors=True)
         raise
-    backup = f"{path.rstrip('/')}__old"
     if os.path.exists(backup):
         shutil.rmtree(staging, ignore_errors=True)
         raise RuntimeError(
@@ -105,7 +139,7 @@ def compact_topn_rollup(
                 staging
             )
 
-        _staged_rewrite(write, path)
+        _staged_rewrite(write, path, spark)
     finally:
         merged.unpersist()
     return n
@@ -125,13 +159,21 @@ def compact_parquet(
     raises the output fan-out."""
     if target_file_mb < 1:
         raise ValueError(f"target_file_mb must be >= 1, got {target_file_mb}")
+    # size + layout discovery via the Hadoop FS API: os.walk only ever
+    # saw local paths, silently measuring 0 bytes (=> one output file)
+    # for the hdfs/s3a dirs the janitor CLI advertises (r12 review)
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
     total = 0
     leaf_dirs: set[str] = set()
-    for root, _dirs, files in os.walk(path):
-        pq = [f for f in files if f.endswith(".parquet")]
-        if pq:
-            total += sum(os.path.getsize(os.path.join(root, f)) for f in pq)
-            leaf_dirs.add(root)
+    files_iter = fs.listFiles(jpath(path), True)
+    while files_iter.hasNext():
+        st = files_iter.next()
+        p = st.getPath()
+        if p.getName().endswith(".parquet"):
+            total += st.getLen()
+            leaf_dirs.add(p.getParent().toString())
     n_files = max(1, round(total / (target_file_mb * 1024 * 1024)))
     df = spark.read.parquet(path)
 
@@ -166,5 +208,5 @@ def compact_parquet(
             w = w.partitionBy(*partition_by)
         w.parquet(staging)
 
-    _staged_rewrite(write, path)
+    _staged_rewrite(write, path, spark)
     return n_files
