@@ -6695,58 +6695,6 @@ def _sparse_cfg(ev: DataFrame) -> DataFrame:
 
 
 @_register(
-    "events_asof_latest",
-    """
-    WITH cfg AS (
-      SELECT event_type, cts, cfg_value, cfg_event_id FROM (
-        SELECT event_type, ts AS cts, value AS cfg_value,
-               event_id AS cfg_event_id,
-               ROW_NUMBER() OVER (PARTITION BY event_type, ts
-                                  ORDER BY event_id DESC) AS rn
-        FROM events WHERE event_type IS NOT NULL AND event_id % 97 = 0
-      ) WHERE rn = 1
-    )
-    SELECT e.event_id, e.event_type,
-           round(cfg.cfg_value, 6) AS cfg_value, cfg.cfg_event_id
-    FROM (SELECT event_id, event_type, ts FROM events
-          WHERE event_type IS NOT NULL) e
-    ASOF LEFT JOIN cfg
-      ON e.event_type = cfg.event_type AND e.ts >= cfg.cts
-    """,
-)
-def events_asof_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Backward AS-OF join behind the gate (operators/joins.py
-    asof_join; VERDICT r4 item 1): every event picks up the payload of
-    the LATEST preceding sparse "config" row of its type (a 1-in-97
-    deterministic subset of events — sparse enough that early events
-    find nothing and get NULLs, and config rows themselves exercise the
-    inclusive equal-time tie). The oracle is DuckDB's NATIVE ASOF LEFT
-    JOIN, so the struct-based forward fill (matched row's values come
-    back intact, NULL fields included) is value-checked against the
-    engine that defines the semantics."""
-    from postgresql_topn_spark.operators.joins import asof_join
-
-    ev = load_table(spark, sf_dir, "events").where(
-        F.col("event_type").isNotNull()
-    )
-    cfg = _sparse_cfg(ev)
-    out = asof_join(
-        ev.select("event_id", "event_type", "ts"),
-        cfg,
-        "event_type",
-        left_time="ts",
-        right_time="cts",
-        payload=["cfg_value", "cfg_event_id"],
-    )
-    return out.select(
-        "event_id",
-        "event_type",
-        F.round("cfg_value", 6).alias("cfg_value"),
-        "cfg_event_id",
-    )
-
-
-@_register(
     "dedup_tfidf_cosine",
     r"""
     WITH toks AS (
@@ -6959,6 +6907,14 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_type IS NOT NULL AND event_id % 97 = 0
       ) WHERE rn = 1
     ),
+    bwd AS (
+      SELECT e.event_id, e.event_type,
+             round(cfg.cfg_value, 6) AS cfg_value, cfg.cfg_event_id
+      FROM (SELECT event_id, event_type, ts FROM events
+            WHERE event_type IS NOT NULL) e
+      ASOF LEFT JOIN cfg
+        ON e.event_type = cfg.event_type AND e.ts >= cfg.cts
+    ),
     fwd AS (
       SELECT e.event_id, e.event_type,
              round(cfg.cfg_value, 6) AS cfg_value, cfg.cfg_event_id
@@ -6989,18 +6945,28 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE event_type IS NOT NULL) e
       LEFT JOIN ranked r ON e.event_id = r.event_id AND r.rn = 1
     )
+    SELECT 'backward' AS mode, * FROM bwd
+    UNION ALL
     SELECT 'forward' AS mode, * FROM fwd
     UNION ALL
     SELECT 'nearest' AS mode, * FROM near
     """,
 )
 def events_asof_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FORWARD and NEAREST as-of joins in one gate (round-7 registry
-    consolidation — absorbed the retired `events_asof_next` +
-    `events_asof_nearest` gates; `events_asof_latest` keeps its own
-    gate as the reference direction checked against DuckDB's native
-    ASOF JOIN semantics):
+    """ALL THREE as-of directions in one gate (round-7 consolidation
+    absorbed the retired `events_asof_next` + `events_asof_nearest`;
+    round-12 absorbed `events_asof_latest` verbatim as the 'backward'
+    lane — the documented lane-merge that funds the r13 rotation):
 
+    - mode 'backward' (VERDICT r4 item 1): every event picks up the
+      LATEST config row of its type at-or-before its time ("the config
+      in effect when this event happened"); oracle is DuckDB's NATIVE
+      ASOF LEFT JOIN with >=, so the struct-based forward fill
+      (matched row's values come back intact, NULL fields included) is
+      value-checked against the engine that defines the semantics.
+      Early events (before the first config of their type) exercise
+      the all-NULL path; config rows themselves exercise the inclusive
+      equal-time tie.
     - mode 'forward': every event picks up the EARLIEST config row of
       its type at-or-after its time ("the next deploy after this
       alert"); oracle is DuckDB's native ASOF LEFT JOIN with <=. Late
@@ -7012,9 +6978,9 @@ def events_asof_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
       (|distance|, backward-first) — microsecond-exact integers, so
       the hash pins both the distance math and the tie rule.
 
-    Both modes share ONE deduplicated sparse config subset and, on the
-    Spark side, the same union+window plan shape (one key exchange +
-    one sort per mode)."""
+    All modes share ONE deduplicated sparse config subset (a 1-in-97
+    deterministic event subset) and, on the Spark side, the same
+    union+window plan shape (one key exchange + one sort per mode)."""
     from postgresql_topn_spark.operators.joins import asof_join
 
     ev = load_table(spark, sf_dir, "events").where(
@@ -7022,7 +6988,7 @@ def events_asof_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cfg = _sparse_cfg(ev)
     outs = []
-    for mode in ("forward", "nearest"):
+    for mode in ("backward", "forward", "nearest"):
         out = asof_join(
             ev.select("event_id", "event_type", "ts"),
             cfg,
@@ -7041,8 +7007,10 @@ def events_asof_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "cfg_event_id",
             )
         )
-    return outs[0].unionByName(outs[1])
-
+    merged = outs[0]
+    for o in outs[1:]:
+        merged = merged.unionByName(o)
+    return merged
 
 
 @_register(
@@ -7326,6 +7294,11 @@ _SEMANTICS_CHANGED: dict[str, int] = {
     # VERDICT r11 item 3). Already owed (r10-green), so these entries
     # document intent without changing the owed set.
     "topn_scalar_ops": 12,
+    # r12: absorbed the retired events_asof_latest verbatim as the
+    # 'backward' lane (the documented lane-merge funding the r13
+    # rotation: registry 97 -> 96). r11's green row proves only the
+    # two-lane form; this re-front fills r12's one slack slot exactly.
+    "events_asof_modes": 12,
 }
 
 

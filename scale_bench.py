@@ -118,7 +118,8 @@ SUBSET = [
     "pipeline_substring_dedup",
     "multimodal_png_pixels",
     "multimodal_audio_energy",
-    "events_asof_latest",
+    # (events_asof_latest retired r12 — its lane rides
+    # events_asof_modes, already listed below)
     "topn_sql_having",
     "topn_csv_reviews",
     "dedup_tfidf_cosine",
