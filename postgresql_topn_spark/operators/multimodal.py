@@ -742,9 +742,23 @@ def decode_png_pixels(buf: bytes):
             pos += 12 + ln  # length + tag + data + crc
         if w is None or not idat or w < 1 or h < 1:
             return None
-        raw = zlib.decompress(b"".join(idat))
         stride = w * channels
-        if len(raw) < h * (stride + 1):
+        # Cap the inflate at the h*(stride+1) bytes the unfilter loop
+        # will read: IHDR is parsed before any decompression, so the
+        # expected size is known, and an uncapped zlib.decompress would
+        # let a decompression-bomb payload (a few KB inflating to GBs)
+        # allocate executor-killing buffers that the except clause
+        # can't undo — the exact "one corrupt payload must not kill a
+        # 100 TB scan" hazard this decoder promises against. Valid
+        # files inflate to exactly this size, so output is unchanged.
+        need = h * (stride + 1)
+        # and bound `need` itself: a crafted IHDR claiming billions of
+        # pixels would otherwise re-open the bomb budget through the
+        # cap. 256 MiB of raw scanlines covers 8K RGBA with room.
+        if need > (1 << 28):
+            return None
+        raw = zlib.decompressobj().decompress(b"".join(idat), need)
+        if len(raw) < need:
             return None
         px: list[int] = []
         prev = bytes(stride)

@@ -779,6 +779,52 @@ class TestPngCodec:
         bad = self._png(2, 1, 1, [(9, [1, 2])], ctype=0)
         assert decode_png_pixels(bad) is None
 
+    def test_decompression_bomb_bounded(self):
+        """A hostile IDAT that inflates far beyond the IHDR-declared
+        size must not allocate past h*(stride+1): the decoder caps the
+        inflate (r12 review — an uncapped zlib.decompress let a few-KB
+        payload allocate GBs, the executor-killer its docstring
+        promises against). The declared prefix still decodes, so a
+        merely-overlong valid stream keeps its pre-cap behavior."""
+        import struct
+        import zlib
+
+        from postgresql_topn_spark.operators.multimodal import (
+            decode_png_pixels,
+        )
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        # 2x2 gray (need = 2*(2+1) = 6 bytes) but the IDAT inflates to
+        # 64 MiB of zeros from a ~64 KB payload. The first 6 inflated
+        # bytes are two filter-0 scanlines of zeros -> decodes to a
+        # legal all-zero image instead of inflating the bomb.
+        ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+        bomb = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(64 * 1024 * 1024), 9))
+            + chunk(b"IEND", b"")
+        )
+        assert len(bomb) < 200_000  # the payload itself is small
+        assert decode_png_pixels(bomb) == (2, 2, 1, [0, 0, 0, 0])
+        # an IHDR claiming a >256 MiB pixel buffer is rejected outright
+        # (the cap would otherwise be re-opened through `need` itself)
+        huge = struct.pack(">IIBBBBB", 1 << 16, 1 << 13, 8, 2, 0, 0, 0)
+        big = (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", huge)
+            + chunk(b"IDAT", zlib.compress(b"\x00" * 32))
+            + chunk(b"IEND", b"")
+        )
+        assert decode_png_pixels(big) is None
+
     def test_spark_pipeline_decodes_via_hook(self, spark):
         from postgresql_topn_spark.operators.multimodal import (
             decode_image_pixels,
