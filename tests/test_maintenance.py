@@ -80,3 +80,20 @@ def test_compact_parquet_rejects_bad_target(spark, tmp_path):
     spark.range(10).write.parquet(path)
     with pytest.raises(ValueError):
         compact_parquet(spark, path, target_file_mb=0)
+
+
+def test_compact_refuses_stale_backup_on_fs_path(spark, tmp_path):
+    """The Hadoop-FS swap (r12: any scheme Spark can write) must keep
+    the local path's crash-safety contract: a leftover __old backup
+    dir means a previous swap died between its renames, and the next
+    rewrite must refuse loudly (the backup holds the last complete
+    table) instead of deleting it or stacking orphans."""
+    path = str(tmp_path / "t")
+    spark.range(10).write.parquet(path)
+    os.makedirs(path + "__old")
+    with pytest.raises(RuntimeError, match="stale backup"):
+        compact_parquet(spark, path, target_file_mb=64)
+    # the original table is untouched and still readable
+    assert spark.read.parquet(path).count() == 10
+    # and no staging orphan was left behind
+    assert not glob.glob(path + "__staging_*")
