@@ -209,6 +209,12 @@ def parse_netpbm(buf: bytes):
     if w < 1 or h < 1 or maxval < 1 or maxval > 65535:
         return None
     n = w * h * channels
+    # Samples are clamped to the declared maxval before scaling: the
+    # spec says a sample never exceeds maxval, so a lying payload
+    # (raw byte 255 under maxval=7, or an ASCII token "999") would
+    # otherwise scale to a value far outside 0..255 — silently
+    # corrupting every featurizer fed from the "pixels" (r12 review;
+    # the fuzz suite's well-formedness invariant pins 0..255).
     if kind in ("P5", "P6"):
         pos += 1  # exactly one whitespace byte after maxval
         if maxval > 255:
@@ -218,17 +224,26 @@ def parse_netpbm(buf: bytes):
             import struct as _struct
 
             vals16 = _struct.unpack(f">{n}H", raw)
-            px = [v * 255 // maxval for v in vals16]
+            px = [min(v, maxval) * 255 // maxval for v in vals16]
         else:
             raw = buf[pos : pos + n]
             if len(raw) < n:
                 return None
-            px = list(raw) if maxval == 255 else [v * 255 // maxval for v in raw]
+            px = (
+                list(raw)
+                if maxval == 255
+                else [min(v, maxval) * 255 // maxval for v in raw]
+            )
     else:  # ASCII
         toks = _re.sub(rb"#[^\n]*", b"", buf[pos:]).split()
         if len(toks) < n:
             return None
-        px = [int(t) for t in toks[:n]]
+        # a non-decimal sample token is a corrupt payload -> None,
+        # like any truncation ("never raise" — int() on it would throw
+        # ValueError out of the decoder and kill the scan task)
+        if not all(t.isdigit() for t in toks[:n]):
+            return None
+        px = [min(int(t), maxval) for t in toks[:n]]
         if maxval != 255:
             px = [v * 255 // maxval for v in px]
     return (w, h, channels, px)

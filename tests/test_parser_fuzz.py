@@ -142,3 +142,40 @@ def test_random_filtered_png_round_trips(w, h, ctype, filters, data):
     )
     got = decode_png_pixels(png)
     assert got == (w, h, channels, [v for row in pixels for v in row])
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    st.sampled_from([b"P2", b"P3", b"P5", b"P6"]),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=4),
+    st.integers(min_value=1, max_value=65535),
+    st.binary(max_size=120),
+)
+def test_netpbm_hostile_body_never_raises_or_escapes_range(
+    kind, w, h, maxval, body
+):
+    """VALID NetPBM header + ARBITRARY sample body: the decoder must
+    return None or in-range pixels — never raise, never emit a value
+    outside 0..255. Random-bytes fuzzing almost never forms a valid
+    header, so the r12 review found two escapes this structured
+    strategy now pins: ASCII int() raising on a non-decimal token, and
+    samples above the declared maxval scaling far past 255."""
+    buf = kind + b" %d %d %d " % (w, h, maxval) + body
+    _well_formed_pixels(parse_netpbm(buf))
+
+
+def test_netpbm_lying_samples_clamp_and_bad_tokens_reject():
+    """Deterministic pins for the two r12 parse_netpbm fixes."""
+    # ASCII token above maxval clamps to maxval before scaling
+    assert parse_netpbm(b"P2 1 1 255 999") == (1, 1, 1, [255])
+    # 8-bit binary sample above a small maxval clamps (was 9289)
+    assert parse_netpbm(b"P5 1 1 7 \xff") == (1, 1, 1, [255])
+    # 16-bit big-endian sample above maxval clamps (was 55704)
+    assert parse_netpbm(b"P5 1 1 300 \xff\xff") == (1, 1, 1, [255])
+    # scaling still exact for legal samples: 3 of maxval 7 -> 109
+    assert parse_netpbm(b"P2 1 1 7 3") == (1, 1, 1, [3 * 255 // 7])
+    # non-decimal ASCII sample tokens -> None, never ValueError
+    assert parse_netpbm(b"P2 1 1 255 abc") is None
+    assert parse_netpbm(b"P3 2 1 255 1 2 3 x 5 6") is None
+    assert parse_netpbm(b"P2 1 1 255 -3") is None
