@@ -70,6 +70,16 @@ def fake_decode_dims(n_bytes: int) -> tuple[int, int, int]:
 
 # PNG color type -> sample channels (PNG spec, 11.2.2)
 _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# Geometry sanity bounds for the pure-Python PNG decoder: the zlib
+# inflate is capped at the IHDR-declared h*(stride+1), and these bound
+# the declaration itself so a lying IHDR can't re-open the bomb budget.
+# The pixel-byte bound is 256 MiB of raw samples — 8K RGBA exactly —
+# and deliberately EXCLUDES the one filter byte per row (r12 ADVICE:
+# bounding h*(stride+1) at 2^28 rejected the decoder's own documented
+# 8192x8192 RGBA limit by exactly h bytes). Module-level so tests can
+# pin the boundary semantics at small scale by patching.
+_PNG_MAX_PIXEL_BYTES = 1 << 28
+_PNG_MAX_ROWS = 1 << 25
 # JPEG SOF markers carry frame dimensions; C4/C8/CC are DHT/JPG/DAC,
 # which share the 0xC0-0xCF range but are not frame headers.
 _JPEG_NON_SOF = {0xC4, 0xC8, 0xCC}
@@ -767,10 +777,11 @@ def decode_png_pixels(buf: bytes):
         # 100 TB scan" hazard this decoder promises against. Valid
         # files inflate to exactly this size, so output is unchanged.
         need = h * (stride + 1)
-        # and bound `need` itself: a crafted IHDR claiming billions of
-        # pixels would otherwise re-open the bomb budget through the
-        # cap. 256 MiB of raw scanlines covers 8K RGBA with room.
-        if need > (1 << 28):
+        # and bound the GEOMETRY itself (see the constants' comment):
+        # pixel bytes and row count are bounded separately so the h
+        # filter bytes the inflate needs on top never push a valid
+        # image at the documented 8K-RGBA limit over the cap.
+        if h * stride > _PNG_MAX_PIXEL_BYTES or h > _PNG_MAX_ROWS:
             return None
         raw = zlib.decompressobj().decompress(b"".join(idat), need)
         if len(raw) < need:

@@ -986,10 +986,13 @@ def auto_ivf_params(
     as a params CTE (ceil(sqrt(n)), ceil(1.5 * sqrt(n_lists)))."""
     import math
 
-    if n_rows < 2:
-        return 1, 1
+    # validate BEFORE the tiny-corpus early return: an invalid
+    # probe_scale must fail loudly at n=0 too, not start passing once
+    # the corpus shrinks (r12 ADVICE #4)
     if probe_scale <= 0:
         raise ValueError(f"probe_scale must be positive, got {probe_scale}")
+    if n_rows < 2:
+        return 1, 1
     n_lists = max(1, min(max_lists, math.ceil(math.sqrt(n_rows))))
     n_probe = max(1, min(n_lists, math.ceil(probe_scale * math.sqrt(n_lists))))
     return n_lists, n_probe

@@ -37,6 +37,38 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 
+def _hadoop_staged_rewrite(write_fn, path, staging, backup, fs, jpath) -> None:
+    """The Hadoop-FS branch of ``_staged_rewrite``, with the
+    FileSystem handle injectable so tests can drive the failure
+    branches a local ``file:`` scheme never reaches (Hadoop ``rename``
+    signals failure by RETURNING false, not raising — a fake fs is the
+    only way to pin those paths without a live remote store)."""
+    try:
+        write_fn(staging)
+    except BaseException:
+        fs.delete(jpath(staging), True)
+        raise
+    if fs.exists(jpath(backup)):
+        fs.delete(jpath(staging), True)
+        raise RuntimeError(
+            f"stale backup {backup} exists — a previous swap crashed "
+            "between its renames; inspect/restore it (it holds the "
+            "last complete table) and delete it before rewriting"
+        )
+    if not fs.rename(jpath(path), jpath(backup)):
+        # the uuid-named staging dir would otherwise orphan silently:
+        # later rewrites only detect __old leftovers, not staging
+        # dirs (r12 ADVICE #2)
+        fs.delete(jpath(staging), True)
+        raise IOError(f"rename {path} -> {backup} failed")
+    if not fs.rename(jpath(staging), jpath(path)):
+        raise IOError(
+            f"rename {staging} -> {path} failed; previous table "
+            f"preserved at {backup}"
+        )
+    fs.delete(jpath(backup), True)
+
+
 def _staged_rewrite(write_fn, path: str, spark: "SparkSession | None" = None) -> None:
     """Write into a sibling staging dir, then swap via two renames.
 
@@ -62,27 +94,7 @@ def _staged_rewrite(write_fn, path: str, spark: "SparkSession | None" = None) ->
         jvm = spark._jvm
         jpath = jvm.org.apache.hadoop.fs.Path
         fs = jpath(path).getFileSystem(spark._jsc.hadoopConfiguration())
-        try:
-            write_fn(staging)
-        except BaseException:
-            fs.delete(jpath(staging), True)
-            raise
-        if fs.exists(jpath(backup)):
-            fs.delete(jpath(staging), True)
-            raise RuntimeError(
-                f"stale backup {backup} exists — a previous swap crashed "
-                "between its renames; inspect/restore it (it holds the "
-                "last complete table) and delete it before rewriting"
-            )
-        # Hadoop rename signals failure by RETURNING false, not raising
-        if not fs.rename(jpath(path), jpath(backup)):
-            raise IOError(f"rename {path} -> {backup} failed")
-        if not fs.rename(jpath(staging), jpath(path)):
-            raise IOError(
-                f"rename {staging} -> {path} failed; previous table "
-                f"preserved at {backup}"
-            )
-        fs.delete(jpath(backup), True)
+        _hadoop_staged_rewrite(write_fn, path, staging, backup, fs, jpath)
         return
     try:
         write_fn(staging)

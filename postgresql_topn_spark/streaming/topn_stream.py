@@ -672,7 +672,10 @@ def stream_bloom_dedup(
             # its own (run_id, batch_id) partition. Per-write option,
             # not the session conf — see _replay_safe_append (two
             # concurrent streams sharing a session must not race on
-            # the global overwrite mode).
+            # the global overwrite mode). Same hive layout as
+            # _replay_safe_append ⇒ same old-layout foot-gun: refuse
+            # to mix with a pre-replay-safe flat-append sink.
+            _guard_old_layout(spark, out_path)
             fresh.write.mode("overwrite").option(
                 "partitionOverwriteMode", "dynamic"
             ).partitionBy("run_id", "batch_id").parquet(out_path)

@@ -2057,16 +2057,20 @@ _IVF_D2 = """
 """
 
 # similarity.auto_ivf_params replayed as SQL (VERDICT r11 item 2):
-# n_lists = min(4096, ceil(sqrt(n))); n_probe = min(n_lists,
-# ceil(1.5 * sqrt(n_lists))). IEEE-correctly-rounded sqrt on both
-# engines, so the values match bit-for-bit. The seeded centroid pick
-# becomes `cell < n_lists` over the md5-shuffled row number instead of
-# a literal LIMIT.
+# n_lists = max(1, min(4096, ceil(sqrt(n)))); n_probe = max(1,
+# min(n_lists, ceil(1.5 * sqrt(n_lists)))). IEEE-correctly-rounded
+# sqrt on both engines, so the values match bit-for-bit — including
+# the GREATEST(1, ...) floors that mirror the Python function's n<2
+# early return (without them an empty corpus yields n_lists=0 here
+# while Python returns (1, 1) — r12 ADVICE #4). The seeded centroid
+# pick becomes `cell < n_lists` over the md5-shuffled row number
+# instead of a literal LIMIT.
 _IVF_PARAMS_SQL = """
     params AS (
-      SELECT CAST(LEAST(4096, CEIL(SQRT(COUNT(*)))) AS BIGINT) AS n_lists,
-             CAST(LEAST(LEAST(4096, CEIL(SQRT(COUNT(*)))),
-                  CEIL(1.5 * SQRT(LEAST(4096, CEIL(SQRT(COUNT(*)))))))
+      SELECT CAST(GREATEST(1, LEAST(4096, CEIL(SQRT(COUNT(*))))) AS BIGINT) AS n_lists,
+             CAST(GREATEST(1, LEAST(
+                  GREATEST(1, LEAST(4096, CEIL(SQRT(COUNT(*))))),
+                  CEIL(1.5 * SQRT(GREATEST(1, LEAST(4096, CEIL(SQRT(COUNT(*)))))))))
                   AS BIGINT) AS n_probe
       FROM embeddings
     ),

@@ -542,3 +542,21 @@ class TestAnnRecall:
                 FF.avg("recall")
             ).collect()[0][0]
         assert mean[1] >= mean[0]
+
+
+def test_auto_ivf_params_validates_probe_scale_on_tiny_corpora():
+    """r12 ADVICE #4: an invalid probe_scale must fail loudly at every
+    corpus size — the n_rows < 2 early return used to bypass the
+    validation, so a bad config silently passed exactly when the
+    corpus was too small to exercise it."""
+    import pytest
+
+    from postgresql_topn_spark.operators.similarity import auto_ivf_params
+
+    for n in (0, 1, 2, 100):
+        with pytest.raises(ValueError, match="probe_scale"):
+            auto_ivf_params(n, probe_scale=0)
+        with pytest.raises(ValueError, match="probe_scale"):
+            auto_ivf_params(n, probe_scale=-1.5)
+    assert auto_ivf_params(0) == (1, 1)
+    assert auto_ivf_params(1) == (1, 1)

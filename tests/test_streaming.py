@@ -859,3 +859,36 @@ def test_compact_rollup_after_replay_is_reader_identical(
     raw_after = spark.read.parquet(rollup).count()
     assert raw_after == rep["n_rows"] == len(before) < raw_before
     assert merged() == before  # readers see identical merged sketches
+
+
+def test_stream_bloom_dedup_rejects_old_flat_layout(spark, tmp_path):
+    """r12 ADVICE #3: stream_bloom_dedup writes the same run_id=/
+    batch_id= hive layout as _replay_safe_append, so pointing an
+    upgraded stream at an old flat-append out_path mixes layouts and
+    breaks partition discovery for readers — the sink must refuse at
+    the first write with the same migration guidance."""
+    import pytest
+
+    from postgresql_topn_spark.streaming.topn_stream import stream_bloom_dedup
+
+    out_path = str(tmp_path / "out")
+    src = str(tmp_path / "in")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "i long, content string")
+    df.coalesce(1).write.parquet(src)
+    # old layout: plain part files at the out_path root
+    df.write.mode("append").parquet(out_path)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream_bloom_dedup(
+            stream,
+            F.col("content"),
+            out_path=out_path,
+            bloom_path=str(tmp_path / "bloom"),
+            m_bits=1 << 14,
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    with pytest.raises(Exception, match="flat-append|Migrate"):
+        q.awaitTermination(120)

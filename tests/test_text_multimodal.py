@@ -824,6 +824,45 @@ class TestPngCodec:
             + chunk(b"IEND", b"")
         )
         assert decode_png_pixels(big) is None
+        # 8K RGBA sits EXACTLY at the documented limit: its geometry
+        # must pass the cap predicate (r12 ADVICE — the old cap on
+        # h*(stride+1) rejected it by exactly h filter bytes). Checked
+        # on the predicate's own terms; actually decoding 256 MiB of
+        # pure-Python unfilter is a non-starter in a unit test, and
+        # the boundary semantics are pinned at small scale below.
+        import postgresql_topn_spark.operators.multimodal as mm
+
+        w8k, h8k = 8192, 8192
+        assert w8k * 4 * h8k <= mm._PNG_MAX_PIXEL_BYTES
+        assert h8k <= mm._PNG_MAX_ROWS
+
+    def test_geometry_cap_excludes_filter_bytes(self, monkeypatch):
+        """r12 ADVICE #1: the geometry bound is on PIXEL bytes
+        (h*stride), not the inflate size h*(stride+1) — an image whose
+        pixel bytes sit exactly at the cap must decode even though the
+        inflate needs h more bytes for the per-row filter tags. Pinned
+        at small scale by patching the module constants the predicate
+        reads (the decoder is pure Python; no Spark worker involved)."""
+        import postgresql_topn_spark.operators.multimodal as mm
+
+        def gray(w, h):
+            rows = [(0, [(x + y) % 256 for x in range(w)]) for y in range(h)]
+            return self._png(w, h, 1, rows, ctype=0)
+
+        monkeypatch.setattr(mm, "_PNG_MAX_PIXEL_BYTES", 16)
+        # 4x4 gray: pixel bytes 16 == cap, inflate need 20 > cap — the
+        # old h*(stride+1) predicate rejected exactly this shape
+        got = mm.decode_png_pixels(gray(4, 4))
+        assert got is not None and got[:3] == (4, 4, 1)
+        # one more row crosses the pixel-byte cap -> graceful None
+        assert mm.decode_png_pixels(gray(4, 5)) is None
+        # the separate row bound catches degenerate skinny images whose
+        # pixel bytes stay tiny while the filter-byte count explodes
+        monkeypatch.setattr(mm, "_PNG_MAX_PIXEL_BYTES", 1 << 28)
+        monkeypatch.setattr(mm, "_PNG_MAX_ROWS", 4)
+        got = mm.decode_png_pixels(gray(1, 4))
+        assert got is not None and got[:3] == (1, 4, 1)
+        assert mm.decode_png_pixels(gray(1, 5)) is None
 
     def test_spark_pipeline_decodes_via_hook(self, spark):
         from postgresql_topn_spark.operators.multimodal import (
