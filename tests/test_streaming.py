@@ -751,14 +751,22 @@ def test_replay_safe_append_rejects_old_flat_layout(
     )
 
 
-def test_stream_rollup_survives_checkpoint_reset_replay(
+def test_stream_rollup_checkpoint_reset_detected_then_recoverable(
     spark, events_stream_dir, tmp_path
 ):
-    """Full-history replay against the same rollup (checkpoint wiped,
-    identical input/options => identical batch boundaries): every batch
-    re-lands on its own (run_id, batch_id) partition, so the merged
-    rollup still equals the batch-built sketch. Under the old
-    append-mode sink this doubled every frequency."""
+    """VERDICT r12 item 2: deleting the checkpoint dir replays history
+    from batch 0 under possibly-DIFFERENT batch boundaries while the
+    stale higher-numbered partitions remain — the merged read would
+    double-count. (An earlier pin relied on identical input/options
+    producing identical boundaries so the replay re-landed exactly;
+    real resets get no such guarantee, so the sink now refuses the
+    batch-0-over-existing-history write outright.) Following the
+    error's guidance — wipe the rollup with the checkpoint — rebuilds
+    a merged result identical to the batch aggregate."""
+    import shutil
+
+    import pytest
+
     ev = spark.read.parquet(events_stream_dir)
     rollup = str(tmp_path / "rollup_replay")
     ckpt = str(tmp_path / "ckpt_replay")
@@ -781,13 +789,85 @@ def test_stream_rollup_survives_checkpoint_reset_replay(
         q.awaitTermination(120)
 
     run()
-    import shutil
-
     shutil.rmtree(ckpt)  # simulate the lost-checkpoint replay
+    with pytest.raises(Exception, match="checkpoint was reset"):
+        run()
+    # the guided recovery: wipe the rollup with the checkpoint, replay
+    shutil.rmtree(rollup)
+    shutil.rmtree(ckpt, ignore_errors=True)
     run()
     merged = read_topn_rollup(spark, rollup, ["event_type"], counters=1_000_000)
     got = {r["event_type"]: dict(r["topn"]) for r in merged.collect()}
     assert got == _batch_expected(spark, events_stream_dir)
+
+
+def test_replay_safe_append_reset_guard_scope(
+    spark, events_stream_dir, tmp_path
+):
+    """The reset guard fires ONLY on the can't-happen-legitimately
+    shape (batch 0 over existing batch_id>0 of the SAME run): a
+    batch-0 retry with no later batches re-overwrites fine (the first
+    micro-batch crashing before its checkpoint commit is the normal
+    at-least-once path), a later-batch retry is untouched, and another
+    run's batch 0 writes its own namespace (the reader guards the
+    cross-run merge instead)."""
+    import pytest
+
+    from postgresql_topn_spark.functions.cms import cms_add_agg
+    from postgresql_topn_spark.streaming.topn_stream import (
+        _replay_safe_append,
+    )
+
+    ev = spark.read.parquet(events_stream_dir)
+    sk = cms_add_agg(ev, ["event_type"], F.col("user_id").cast("string"))
+    path = str(tmp_path / "guarded_rollup")
+    _replay_safe_append(sk, path, "r1", 0)
+    _replay_safe_append(sk, path, "r1", 0)  # batch-0 retry: fine
+    _replay_safe_append(sk, path, "r1", 1)
+    _replay_safe_append(sk, path, "r1", 1)  # later-batch retry: fine
+    with pytest.raises(ValueError, match="checkpoint was reset"):
+        _replay_safe_append(sk, path, "r1", 0)  # reset shape: refused
+    _replay_safe_append(sk, path, "r2", 0)  # fresh run id: fine
+
+
+def test_read_topn_rollup_refuses_multi_run_merge(
+    spark, events_stream_dir, tmp_path
+):
+    """VERDICT r12 item 2 (reader side): without a durable checkpoint
+    every process start mints a fresh run_id and replays the input, so
+    a rollup accumulating several runs double-counts when merged — the
+    reader refuses by default and requires an explicit
+    allow_multiple_runs=True opt-in."""
+    import pytest
+
+    from postgresql_topn_spark.functions.aggregates import topn_add_agg
+    from postgresql_topn_spark.functions.sketch import sketch_to_json
+    from postgresql_topn_spark.streaming.topn_stream import (
+        _replay_safe_append,
+    )
+
+    ev = spark.read.parquet(events_stream_dir)
+    sk = topn_add_agg(
+        ev, ["event_type"], "user_id", counters=1_000_000
+    ).withColumn("topn", sketch_to_json("topn"))
+    path = str(tmp_path / "two_run_rollup")
+    _replay_safe_append(sk, path, "run_a", 0)
+    _replay_safe_append(sk, path, "run_b", 0)
+    with pytest.raises(ValueError, match="allow_multiple_runs"):
+        read_topn_rollup(spark, path, ["event_type"], counters=1_000_000)
+    # explicit opt-in still merges (here: two identical runs => 2x)
+    merged = read_topn_rollup(
+        spark,
+        path,
+        ["event_type"],
+        counters=1_000_000,
+        allow_multiple_runs=True,
+    )
+    got = {r["event_type"]: dict(r["topn"]) for r in merged.collect()}
+    want = _batch_expected(spark, events_stream_dir)
+    assert got == {
+        k: {i: 2 * c for i, c in v.items()} for k, v in want.items()
+    }
 
 
 def test_compact_rollup_after_replay_is_reader_identical(
@@ -795,10 +875,10 @@ def test_compact_rollup_after_replay_is_reader_identical(
 ):
     """VERDICT r11 item 5: the two r11/r12 disciplines COMPOSE — a
     rollup produced by the replay-safe sink (run_id=/batch_id=
-    partitions, INCLUDING a checkpoint-reset full replay) goes through
-    the janitor CLI's compact-rollup, and the merged read is IDENTICAL
-    before and after compaction while the raw fragment count drops to
-    one row per bucket."""
+    partitions, rebuilt through a guided checkpoint-reset recovery)
+    goes through the janitor CLI's compact-rollup, and the merged read
+    is IDENTICAL before and after compaction while the raw fragment
+    count drops to one row per bucket."""
     import json
     import shutil
 
@@ -826,7 +906,10 @@ def test_compact_rollup_after_replay_is_reader_identical(
         q.awaitTermination(120)
 
     run()
-    shutil.rmtree(ckpt)  # the replay: same input, checkpoint wiped
+    # the guided reset recovery (r13 guard): checkpoint AND rollup
+    # wiped together, then a full replay rebuilds the run's partitions
+    shutil.rmtree(ckpt)
+    shutil.rmtree(rollup)
     run()
 
     def merged():
