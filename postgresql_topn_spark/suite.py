@@ -105,9 +105,64 @@ def _register(name: str, oracle: str | None = None):
 # ---------------------------------------------------------------------------
 
 
+def _error_contract_rows() -> "list[tuple[str, int]]":
+    """The reference's ERROR surface as value rows (VERDICT r12 item
+    3): each probe invokes the operation the reference rejects, and
+    emits (tag, 1) only when the expected error — right type, right
+    message — actually fired, so the DuckDB oracle's literal (tag, 1)
+    rows hash-check the error behavior like any value. Probes:
+
+    - err_n_gt_counters: ``topn(jsonb, n)`` with n > the configured
+      counter budget errors even on a NULL sketch (topn.c:229-233,
+      expected/add_agg.out:47-53) — and as a positive control, n ==
+      counters must NOT error (ok_n_eq_counters).
+    - err_guc_zero / err_guc_negative / err_guc_over_max: the GUC's
+      range validation, 1 .. JSONB_MAX_PAIRS (topn.c:159-179; the
+      range error of expected/add_agg.out:47-53).
+
+    All probes raise at plan-construction time (driver-side Python),
+    so the lane costs no Spark job."""
+    from postgresql_topn_spark.conf import MAX_COUNTERS, resolve_counters
+    from postgresql_topn_spark.functions.sketch import topn_entries
+
+    rows: list[tuple[str, int]] = []
+    null_sketch = F.lit(None).cast("map<string,bigint>")
+    try:
+        topn_entries(null_sketch, C + 1, counters=C)
+        rows.append(("err_n_gt_counters", 0))
+    except ValueError as e:
+        ok = "greater than the configured number of counters" in str(e)
+        rows.append(("err_n_gt_counters", 1 if ok else 0))
+    try:
+        topn_entries(null_sketch, C, counters=C)
+        rows.append(("ok_n_eq_counters", 1))
+    except ValueError:
+        rows.append(("ok_n_eq_counters", 0))
+    for tag, bad in (
+        ("err_guc_zero", 0),
+        ("err_guc_negative", -5),
+        ("err_guc_over_max", MAX_COUNTERS + 1),
+    ):
+        try:
+            resolve_counters(bad)
+            rows.append((tag, 0))
+        except ValueError as e:
+            rows.append((tag, 1 if "outside the valid range" in str(e) else 0))
+    return rows
+
+
+_ERROR_CONTRACT_ORACLE = """
+    SELECT CAST(-1 AS INT) AS yr, CAST(-1 AS INT) AS mon,
+           t.item, CAST(1 AS BIGINT) AS frequency
+    FROM (VALUES ('err_n_gt_counters'), ('ok_n_eq_counters'),
+                 ('err_guc_zero'), ('err_guc_negative'),
+                 ('err_guc_over_max')) AS t(item)
+"""
+
+
 @_register(
     "topn_monthly_event_types",
-    """
+    f"""
     SELECT yr, mon, item, frequency FROM (
       SELECT CAST(year(ts) AS INT) AS yr, CAST(month(ts) AS INT) AS mon,
              event_type AS item, COUNT(event_type) AS frequency,
@@ -116,11 +171,17 @@ def _register(name: str, oracle: str | None = None):
       FROM events WHERE event_type IS NOT NULL
       GROUP BY year(ts), month(ts), event_type
     ) t WHERE rn <= 3
+    UNION ALL
+    {_ERROR_CONTRACT_ORACLE}
     """,
 )
 def topn_monthly_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     """topn_add_agg + topn() extraction per month — the README.md:84-96
-    rollup/extract pattern on the events stream table."""
+    rollup/extract pattern on the events stream table — plus the
+    error-contract verdict lane (r13): the reference's n-vs-counters
+    and GUC range errors emitted as sentinel (-1, -1, tag, flag) rows
+    the oracle replays as literals, putting the ERROR surface behind
+    the value-hash driver (VERDICT r12 item 3)."""
     ev = load_table(spark, sf_dir, "events")
     sk = topn_add_agg(
         ev,
@@ -128,7 +189,12 @@ def topn_monthly_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         counters=C,
     )
-    return explode_topn(sk, "topn", 3, keep=["yr", "mon"], counters=C)
+    main = explode_topn(sk, "topn", 3, keep=["yr", "mon"], counters=C)
+    verdicts = spark.createDataFrame(
+        [(-1, -1, tag, flag) for tag, flag in _error_contract_rows()],
+        "yr int, mon int, item string, frequency bigint",
+    )
+    return main.unionByName(verdicts)
 
 
 @_register(
@@ -7303,6 +7369,11 @@ _SEMANTICS_CHANGED: dict[str, int] = {
     # rotation: registry 97 -> 96). r11's green row proves only the
     # two-lane form; this re-front fills r12's one slack slot exactly.
     "events_asof_modes": 12,
+    # r13: error-contract verdict lane (n>counters extraction error +
+    # GUC range validation as sentinel rows — VERDICT r12 item 3).
+    # Host chosen from the OWED set (r11-green), so this entry
+    # documents intent without changing the owed set.
+    "topn_monthly_event_types": 13,
 }
 
 
