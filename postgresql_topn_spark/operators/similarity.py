@@ -585,6 +585,16 @@ def ivf_topk(
     `n_lists` cells, search only the `n_probe` cells whose centroids are
     nearest each query.
 
+    Size (n_lists, n_probe) from the corpus with
+    :func:`auto_ivf_params` — its docstring carries the measured
+    recall-vs-cost frontier and the ``probe_scale`` recall knob
+    (recall@5 at 200k vectors runs 0.45 -> 0.79 as the knob sweeps
+    1.0 -> 4.0; the default digit-growth rule tracks the retired fixed
+    config's recall at a fraction of its candidate cost). Re-measure
+    on your corpus with ``ivf_recall_probe.py``; a fixed (n_lists,
+    n_probe) silently degrades BOTH recall and cost as the corpus
+    grows.
+
     ``centroid_mode='train'`` (default) runs Lloyd's k-means on a
     bounded sample; ``'seeded'`` takes the md5-shuffled first n_lists
     corpus vectors as centroids — deterministic and SQL-replayable, so
@@ -957,6 +967,7 @@ def auto_ivf_params(
     *,
     probe_scale: float = 1.5,
     max_lists: int = 4096,
+    scale_growth: bool = True,
 ) -> "tuple[int, int]":
     """(n_lists, n_probe) sized for the corpus — the IVF analogue of
     `auto_lsh_params`, retiring the last fixed-capacity ANN config.
@@ -967,23 +978,54 @@ def auto_ivf_params(
     classic IVF rule keeps cells at ~sqrt(n) rows each:
 
         n_lists = min(max_lists, ceil(sqrt(n)))
-        n_probe = min(n_lists, ceil(probe_scale * sqrt(n_lists)))
+        n_probe = min(n_lists, ceil(scale_eff * sqrt(n_lists)))
+        scale_eff = probe_scale + 0.5 * max(0, digits(n) - 4)   # growth
 
-    so candidate work per query is ~probe_scale * n / sqrt(n_lists)
+    so candidate work per query is ~scale_eff * n / sqrt(n_lists)
     ~= n^(3/4) — sublinear — while the probed FRACTION shrinks as the
-    corpus grows. probe_scale=1.5 is grounded by the committed probe
-    table (STATUS.md r12): with seeded sample centroids, scale 1.0
-    (n_probe = ceil(sqrt(n_lists))) loses recall vs the retired fixed
-    (16, 4) config (0.40 vs 0.56 @ 500 rows; 0.35 vs 0.48 @ 2000),
-    while 1.5 matches or beats it at equal-or-lower candidate cost
-    (0.60 @ 167 cands vs 0.56 @ 125; 0.49 @ 483 vs 0.48 @ 499).
+    corpus grows.
+
+    **probe_scale is the recall knob, and the recall-vs-cost frontier
+    is the contract** (measured, seeded centroids, recall@5 vs mean
+    candidates/query; STATUS r12 + `ivf_recall_probe.py`):
+
+    ======== ==================== ========= ============
+    corpus   config               recall@5  cands/query
+    ======== ==================== ========= ============
+    200,000  fixed (16, 4)        0.659     49,993
+    200,000  scale 1.0            0.452     9,819
+    200,000  scale 1.5            0.534     14,284
+    200,000  scale 2.5 (growth)   ~0.65     ~23,800
+    200,000  scale 3.0            0.698     28,569
+    200,000  scale 4.0            0.785     37,956
+    ======== ==================== ========= ============
+
+    At fixture scale (500–2,000 rows) a flat 1.5 already matches the
+    fixed config's recall at equal-or-lower cost, but a CONSTANT scale
+    silently slides down the frontier as the corpus grows (0.534 at
+    200k). ``scale_growth`` therefore raises the effective scale by
+    0.5 per decade of corpus size above 10^4 rows — digits(n) is
+    ``len(str(n))``, an integer-exact, SQL-replayable stand-in for
+    ceil(log10): n <= 9,999 keeps the flat probe_scale (all committed
+    fixture/10x values unchanged), 200k gets 2.5, 20M gets 3.5.
+    Growth composes additively with a user probe_scale so the knob
+    keeps working; pass ``scale_growth=False`` to study a fixed point
+    of the frontier (as `ivf_recall_probe.py --assert-floor` does,
+    which also enforces the frontier's monotonicity and that the grown
+    default stays within 0.02 recall of the retired fixed config at
+    100x). For recall above ~0.8 at >=100k vectors, set probe_scale
+    2.5-3 on top of growth and re-measure with the probe.
+
     `max_lists` bounds the centroid collect/closure (4096 x dim
     doubles — a few MB at any realistic dim), the same role
     `max_tables` plays for LSH.
 
-    Both expressions are pure functions of the corpus count through
-    IEEE-correctly-rounded sqrt, so a SQL oracle replays them verbatim
-    as a params CTE (ceil(sqrt(n)), ceil(1.5 * sqrt(n_lists)))."""
+    All expressions are pure functions of the corpus count through
+    IEEE-correctly-rounded sqrt plus integer digit-count, so a SQL
+    oracle replays them verbatim as a params CTE (ceil(sqrt(n)),
+    ceil((1.5 + 0.5*greatest(0, length(cast(n as varchar)) - 4)) *
+    sqrt(n_lists))); the 0.5 steps are exact binary halves, so the
+    one product rounding matches bit-for-bit across engines."""
     import math
 
     # validate BEFORE the tiny-corpus early return: an invalid
@@ -993,8 +1035,11 @@ def auto_ivf_params(
         raise ValueError(f"probe_scale must be positive, got {probe_scale}")
     if n_rows < 2:
         return 1, 1
+    scale_eff = probe_scale
+    if scale_growth:
+        scale_eff += 0.5 * max(0, len(str(n_rows)) - 4)
     n_lists = max(1, min(max_lists, math.ceil(math.sqrt(n_rows))))
-    n_probe = max(1, min(n_lists, math.ceil(probe_scale * math.sqrt(n_lists))))
+    n_probe = max(1, min(n_lists, math.ceil(scale_eff * math.sqrt(n_lists))))
     return n_lists, n_probe
 
 

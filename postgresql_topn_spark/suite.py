@@ -2124,19 +2124,23 @@ _IVF_D2 = """
 
 # similarity.auto_ivf_params replayed as SQL (VERDICT r11 item 2):
 # n_lists = max(1, min(4096, ceil(sqrt(n)))); n_probe = max(1,
-# min(n_lists, ceil(1.5 * sqrt(n_lists)))). IEEE-correctly-rounded
-# sqrt on both engines, so the values match bit-for-bit — including
-# the GREATEST(1, ...) floors that mirror the Python function's n<2
-# early return (without them an empty corpus yields n_lists=0 here
-# while Python returns (1, 1) — r12 ADVICE #4). The seeded centroid
-# pick becomes `cell < n_lists` over the md5-shuffled row number
-# instead of a literal LIMIT.
+# min(n_lists, ceil(scale_eff * sqrt(n_lists)))) with scale_eff =
+# 1.5 + 0.5 * max(0, digits(n) - 4) — the r13 digit-growth rule
+# (VERDICT r12 item 1c; digits = LENGTH(CAST(n AS VARCHAR)) is
+# integer-exact on both engines, the 0.5 steps are exact binary
+# halves, and sqrt is IEEE-correctly-rounded, so the values match
+# bit-for-bit; at every fixture SF n <= 9,999 so growth adds 0 and
+# the committed gate values are unchanged). GREATEST(1, ...) floors
+# mirror the Python function's n<2 early return (r12 ADVICE #4).
+# The seeded centroid pick becomes `cell < n_lists` over the
+# md5-shuffled row number instead of a literal LIMIT.
 _IVF_PARAMS_SQL = """
     params AS (
       SELECT CAST(GREATEST(1, LEAST(4096, CEIL(SQRT(COUNT(*))))) AS BIGINT) AS n_lists,
              CAST(GREATEST(1, LEAST(
                   GREATEST(1, LEAST(4096, CEIL(SQRT(COUNT(*))))),
-                  CEIL(1.5 * SQRT(GREATEST(1, LEAST(4096, CEIL(SQRT(COUNT(*)))))))))
+                  CEIL((1.5 + 0.5 * GREATEST(0, LENGTH(CAST(COUNT(*) AS VARCHAR)) - 4))
+                       * SQRT(GREATEST(1, LEAST(4096, CEIL(SQRT(COUNT(*)))))))))
                   AS BIGINT) AS n_probe
       FROM embeddings
     ),

@@ -407,10 +407,8 @@ def _run(queries, spark, sf_dir: str, names) -> dict[str, float]:
     return timings
 
 
-def main() -> None:
-    mult = 10
-    if "--mult" in sys.argv:
-        mult = int(sys.argv[sys.argv.index("--mult") + 1])
+def make_spark():
+    """The scale-wave session shape, shared with ivf_recall_probe.py."""
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     from pyspark.sql import SparkSession
@@ -426,6 +424,14 @@ def main() -> None:
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def main() -> None:
+    mult = 10
+    if "--mult" in sys.argv:
+        mult = int(sys.argv[sys.argv.index("--mult") + 1])
+    spark = make_spark()
 
     scaled_dir = build_scaled(spark, mult)
 

@@ -269,9 +269,11 @@ def test_auto_lsh_params_validates_recall():
 
 
 def test_auto_ivf_params_rule():
-    """VERDICT r11 item 2: n_lists = min(4096, ceil(sqrt(n))),
-    n_probe = min(n_lists, ceil(1.5 * sqrt(n_lists))) — pure function
-    of the corpus count, replayed by the oracle as a params CTE."""
+    """VERDICT r11 item 2 + r13 growth: n_lists = min(4096,
+    ceil(sqrt(n))), n_probe = min(n_lists, ceil(scale_eff *
+    sqrt(n_lists))) with scale_eff = probe_scale + 0.5 * max(0,
+    digits(n) - 4) — pure function of the corpus count, replayed by
+    the oracle as a params CTE."""
     import math
 
     import pytest
@@ -281,12 +283,22 @@ def test_auto_ivf_params_rule():
     assert auto_ivf_params(0) == (1, 1)
     assert auto_ivf_params(1) == (1, 1)
     assert auto_ivf_params(2) == (2, 2)  # n_probe capped at n_lists
+    # growth adds 0 up to 9,999 rows — fixture-scale values unchanged
     assert auto_ivf_params(500) == (23, 8)
     assert auto_ivf_params(2000) == (45, 11)
-    # the cap bounds the centroid collect/closure
-    nl, npb = auto_ivf_params(10**12)
+    assert auto_ivf_params(9_999) == auto_ivf_params(9_999, scale_growth=False)
+    # +0.5 effective scale per decade above 10^4 (the r13 frontier fix:
+    # a FLAT 1.5 slid to recall 0.535 at 200k where grown 2.5 restores
+    # the retired fixed config's 0.654/0.666 at 47% of its candidates)
+    assert auto_ivf_params(20_000) == (142, math.ceil(2.0 * math.sqrt(142)))
+    assert auto_ivf_params(200_000) == (448, 53)  # ceil(2.5 * sqrt(448))
+    assert auto_ivf_params(200_000, scale_growth=False) == (448, 32)
+    # the cap bounds the centroid collect/closure; growth still applies
+    nl, npb = auto_ivf_params(10**12, scale_growth=False)
     assert nl == 4096 and npb == math.ceil(1.5 * math.sqrt(4096))
-    assert auto_ivf_params(10**6, max_lists=64) == (64, 12)
+    nl, npb = auto_ivf_params(10**12)  # 13 digits -> scale 1.5 + 4.5
+    assert nl == 4096 and npb == math.ceil(6.0 * math.sqrt(4096))
+    assert auto_ivf_params(10**6, max_lists=64, scale_growth=False) == (64, 12)
     with pytest.raises(ValueError, match="probe_scale"):
         auto_ivf_params(1000, probe_scale=0)
 
