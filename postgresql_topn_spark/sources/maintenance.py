@@ -22,9 +22,21 @@ Rewrites stage into a sibling temp dir then swap, so a concurrent
 reader never sees a HALF-WRITTEN table on a posix-rename filesystem —
 though it can briefly observe the path missing between the swap's two
 renames (each rename is atomic; the pair is not), so concurrent
-readers should retry path-not-found. Object stores and strict
-isolation want the table-format route — Delta/Iceberg — instead;
-these helpers are the raw-parquet tier.
+readers should retry path-not-found.
+
+Protocol decision (VERDICT r12 item 5): the rename swap STAYS the
+default for the in-place helpers because their readers address the
+plain table path — no indirection, and on local/HDFS the window is
+two metadata ops. On object stores, where "rename" is copy+delete and
+that window grows with table size, use `versioned_rewrite` +
+`current_table_path` instead: versions commit by creating one tiny
+`_COMMITTED` marker (atomic PUT), there is no rename anywhere, and a
+crash at any step leaves the previous version current — the same
+marker pattern stream_bloom_dedup ships for its filter versions. The
+price is that readers resolve the path through `current_table_path`.
+Strict snapshot isolation across many tables still wants the
+table-format route — Delta/Iceberg; these helpers are the raw-parquet
+tier.
 """
 
 from __future__ import annotations
@@ -67,6 +79,103 @@ def _hadoop_staged_rewrite(write_fn, path, staging, backup, fs, jpath) -> None:
             f"preserved at {backup}"
         )
     fs.delete(jpath(backup), True)
+
+
+def _list_versions(fs, jpath, root: str):
+    """(committed, uncommitted) sorted version lists of a versioned
+    table root: ``v=N`` dirs are committed iff their ``_COMMITTED``
+    marker exists (the stream_bloom_dedup filter-versioning pattern)."""
+    committed: list[int] = []
+    uncommitted: list[int] = []
+    if not fs.exists(jpath(root)):
+        return committed, uncommitted
+    for st in fs.listStatus(jpath(root)):
+        name = st.getPath().getName()
+        if name.startswith("v="):
+            try:
+                v = int(name[2:])
+            except ValueError:
+                continue
+            if fs.exists(jpath(f"{root.rstrip('/')}/v={v}/_COMMITTED")):
+                committed.append(v)
+            else:
+                uncommitted.append(v)
+    return sorted(committed), sorted(uncommitted)
+
+
+def _versioned_rewrite(write_fn, root, fs, jpath, keep_versions: int = 2) -> str:
+    """Marker-committed versioned rewrite — the object-store-safe
+    alternative to ``_staged_rewrite``'s rename swap (VERDICT r12 item
+    5). The table lives at ``root/v=N/``; a version exists for readers
+    only once ``root/v=N/_COMMITTED`` exists, and the current table is
+    the HIGHEST committed version (``current_table_path``). The commit
+    point is the creation of one tiny marker object — atomic on posix
+    and HDFS (create) and on S3 (single PUT) — so there is NO
+    missing-path window at any table size and NO rename anywhere in
+    the protocol: a crash at any step leaves the previous version
+    current and complete. The price is indirection: readers must
+    resolve the path through ``current_table_path`` instead of
+    addressing ``root`` directly — which is why the rename swap stays
+    the default for the in-place compaction helpers (their readers
+    address plain paths) and this protocol is the opt-in for object
+    stores, where rename is copy+delete and the swap window is
+    table-size-proportional.
+
+    Failure behavior (fake-FS pinned): a failed data write deletes its
+    version dir; a crash between data write and marker leaves an
+    uncommitted dir that the NEXT rewrite sweeps (and version numbers
+    never collide — the next version is allocated above every existing
+    dir, committed or not). Old committed versions beyond
+    ``keep_versions`` are pruned best-effort after the commit, newest
+    kept first, so a reader that resolved the previous version
+    mid-rewrite can finish its scan."""
+    root = root.rstrip("/")
+    committed, uncommitted = _list_versions(fs, jpath, root)
+    # sweep crash leftovers; allocate above EVERY existing dir so a
+    # sweep failure still cannot collide with a leftover
+    for v in uncommitted:
+        fs.delete(jpath(f"{root}/v={v}"), True)
+    new = max(committed + uncommitted, default=-1) + 1
+    vdir = f"{root}/v={new}"
+    try:
+        write_fn(vdir)
+    except BaseException:
+        fs.delete(jpath(vdir), True)
+        raise
+    fs.create(jpath(f"{vdir}/_COMMITTED"), True).close()
+    for v in committed[: -max(1, keep_versions) + 1 or None]:
+        fs.delete(jpath(f"{root}/v={v}"), True)
+    return vdir
+
+
+def versioned_rewrite(
+    write_fn,
+    root: str,
+    spark: SparkSession,
+    *,
+    keep_versions: int = 2,
+) -> str:
+    """Public wrapper of :func:`_versioned_rewrite` over the real
+    Hadoop FileSystem (any scheme Spark can write). Returns the new
+    version dir. Pair with :func:`current_table_path` on the read
+    side."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    return _versioned_rewrite(
+        write_fn, root, fs, jpath, keep_versions=keep_versions
+    )
+
+
+def current_table_path(spark: SparkSession, root: str) -> "str | None":
+    """Resolve a versioned table root to its current (highest
+    committed) version dir, or None if no version is committed. One
+    directory listing; never reads data."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path
+    fs = jpath(root).getFileSystem(spark._jsc.hadoopConfiguration())
+    committed, _ = _list_versions(fs, jpath, root)
+    return f"{root.rstrip('/')}/v={committed[-1]}" if committed else None
 
 
 def _staged_rewrite(write_fn, path: str, spark: "SparkSession | None" = None) -> None:

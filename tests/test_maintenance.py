@@ -190,3 +190,178 @@ def test_hadoop_rewrite_stale_backup_refuses_and_cleans_staging():
     with pytest.raises(RuntimeError, match="stale backup"):
         _drive_hadoop_rewrite(fs)
     assert fs.dirs == {"/t": "old", "/t__old": "stale"}
+
+
+class _MarkerFakeFS(_FakeHadoopFS):
+    """Extends the fake FS with create() for marker objects and
+    optional failure injection on specific created paths."""
+
+    def __init__(self, dirs, fail_creates=()):
+        super().__init__(dirs)
+        self.fail_creates = set(fail_creates)
+
+    def exists(self, p):
+        # a real FS sees parent dirs implicitly; the flat dict needs
+        # the prefix check for _list_versions' root/marker probes
+        pr = p.rstrip("/")
+        return pr in self.dirs or any(
+            d.startswith(pr + "/") for d in self.dirs
+        )
+
+    def delete(self, p, recursive):
+        pr = p.rstrip("/")
+        hit = super().delete(p, recursive)
+        doomed = [d for d in self.dirs if d.startswith(pr + "/")]
+        for d in doomed:
+            self.dirs.pop(d)
+        return hit or bool(doomed)
+
+    class _Out:
+        def close(self):
+            pass
+
+    def create(self, p, overwrite=True):
+        self.log.append(("create", p))
+        if p in self.fail_creates:
+            raise IOError(f"create {p} failed")
+        self.dirs[p] = "marker"
+        return self._Out()
+
+    def listStatus(self, p):
+        # minimal stand-in: children of p as status objects
+        prefix = p.rstrip("/") + "/"
+
+        class _St:
+            def __init__(self, path):
+                self._p = path
+
+            def getPath(self):
+                class _P:
+                    def __init__(self, path):
+                        self._path = path
+
+                    def getName(self):
+                        return self._path.rsplit("/", 1)[-1]
+
+                return _P(self._p)
+
+        names = {
+            prefix + d[len(prefix):].split("/", 1)[0]
+            for d in self.dirs
+            if d.startswith(prefix)
+        }
+        return [_St(n) for n in sorted(names)]
+
+
+def _vr(fs, payload="new", keep=2):
+    from postgresql_topn_spark.sources.maintenance import _versioned_rewrite
+
+    def write_fn(vdir):
+        fs.dirs[vdir] = payload
+
+    return _versioned_rewrite(write_fn, "/t", fs, str, keep_versions=keep)
+
+
+def _current(fs):
+    from postgresql_topn_spark.sources.maintenance import _list_versions
+
+    committed, _ = _list_versions(fs, str, "/t")
+    return committed[-1] if committed else None
+
+
+class TestVersionedRewrite:
+    """VERDICT r12 item 5: the marker-committed versioned protocol has
+    NO missing-path window and no rename — at every injected failure
+    point the previous committed version stays current and complete.
+    Driven on the fake FS (the real-FS e2e lives in
+    test_versioned_rewrite_end_to_end)."""
+
+    def test_initial_and_second_commit(self):
+        fs = _MarkerFakeFS({})
+        assert _vr(fs, "a") == "/t/v=0"
+        assert _current(fs) == 0
+        assert _vr(fs, "b") == "/t/v=1"
+        assert _current(fs) == 1
+        # keep_versions=2: v=0 retained for in-flight readers
+        assert "/t/v=0" in fs.dirs and "/t/v=1" in fs.dirs
+
+    def test_prune_keeps_last_two(self):
+        fs = _MarkerFakeFS({})
+        for p in "abcd":
+            _vr(fs, p)
+        assert _current(fs) == 3
+        assert "/t/v=2" in fs.dirs and "/t/v=3" in fs.dirs
+        assert "/t/v=0" not in fs.dirs and "/t/v=1" not in fs.dirs
+
+    def test_failed_write_leaves_previous_current(self):
+        from postgresql_topn_spark.sources.maintenance import (
+            _versioned_rewrite,
+        )
+
+        fs = _MarkerFakeFS({})
+        _vr(fs, "a")
+
+        def bad_write(vdir):
+            fs.dirs[vdir] = "partial"
+            raise RuntimeError("job died")
+
+        with pytest.raises(RuntimeError, match="job died"):
+            _versioned_rewrite(bad_write, "/t", fs, str)
+        assert _current(fs) == 0
+        assert "/t/v=1" not in fs.dirs  # cleaned
+
+    def test_crash_before_marker_is_swept_and_never_collides(self):
+        fs = _MarkerFakeFS({})
+        _vr(fs, "a")
+        # simulate a crash AFTER the data write but BEFORE the marker:
+        # an uncommitted v=1 dir exists
+        fs.dirs["/t/v=1"] = "half-written"
+        fs.dirs["/t/v=1/part-0"] = "data"
+        assert _current(fs) == 0  # invisible to readers
+        got = _vr(fs, "b")
+        # leftover swept, new version allocated ABOVE it
+        assert got == "/t/v=2"
+        assert _current(fs) == 2
+        assert not any(d.startswith("/t/v=1") for d in fs.dirs)
+
+    def test_failed_marker_create_leaves_previous_current(self):
+        from postgresql_topn_spark.sources.maintenance import (
+            _versioned_rewrite,
+        )
+
+        fs = _MarkerFakeFS({}, fail_creates={"/t/v=1/_COMMITTED"})
+        _vr(fs, "a")
+
+        def write_fn(vdir):
+            fs.dirs[vdir] = "b"
+
+        with pytest.raises(IOError, match="_COMMITTED"):
+            _versioned_rewrite(write_fn, "/t", fs, str)
+        assert _current(fs) == 0  # v=1 exists but is uncommitted
+
+
+def test_versioned_rewrite_end_to_end(spark, tmp_path):
+    """Real-FS e2e: two versioned rewrites, reads resolved through
+    current_table_path see exactly the committed table each time."""
+    from postgresql_topn_spark.sources.maintenance import (
+        current_table_path,
+        versioned_rewrite,
+    )
+
+    root = str(tmp_path / "vtable")
+    assert current_table_path(spark, root) is None
+
+    def write_v(df):
+        def write_fn(vdir):
+            df.write.parquet(vdir)
+
+        return write_fn
+
+    versioned_rewrite(write_v(spark.range(10)), root, spark)
+    cur = current_table_path(spark, root)
+    assert cur.endswith("/v=0")
+    assert spark.read.parquet(cur).count() == 10
+    versioned_rewrite(write_v(spark.range(25)), root, spark)
+    cur = current_table_path(spark, root)
+    assert cur.endswith("/v=1")
+    assert spark.read.parquet(cur).count() == 25
