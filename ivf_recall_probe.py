@@ -35,17 +35,95 @@ import json
 import sys
 
 
+def pq_sensitivity(spark, sf_dir: str, k: int) -> None:
+    """PQ codebook (m, n_codes) sensitivity at one corpus size
+    (VERDICT r12 item 4): recall@k of `ivfpq_topk` across the codebook
+    grid, alongside the plain-IVF recall at the SAME (n_lists,
+    n_probe) so the PQ RECALL PENALTY (pq / ivf) is isolated from the
+    cell-probing loss. Run at --mult 1 and --mult 100: the penalty
+    column holding steady across two orders of magnitude of corpus is
+    the claim "codebook size is precision-per-vector, not corpus
+    capacity" made executable — each vector is quantized against the
+    codebook independently, so distortion depends on (m, n_codes, the
+    data distribution), never on how many OTHER vectors share the
+    index. Capacity lives in n_lists (auto-sized); precision lives
+    here."""
+    from pyspark.sql import functions as F
+
+    from postgresql_topn_spark.operators.similarity import (
+        ann_recall,
+        auto_ivf_params,
+        cosine_topk,
+        ivf_topk,
+        ivfpq_topk,
+    )
+    from postgresql_topn_spark.suite import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n = emb.count()
+    mod = 1000 if n > 20_000 else 100
+    q = emb.where(F.col("vec_id") % mod == 0)
+    exact = cosine_topk(emb, q, k=k).persist()
+    nl, npb = auto_ivf_params(n)
+
+    def mean_recall(df) -> float:
+        rows = ann_recall(df, exact).collect()
+        return round(sum(r["recall"] for r in rows) / len(rows), 3)
+
+    ivf_rec = mean_recall(
+        ivf_topk(emb, q, k=k, n_lists=nl, n_probe=npb, centroid_mode="seeded")
+    )
+    print(json.dumps({"config": "ivf_baseline", "n_lists": nl, "n_probe": npb,
+                      "n": n, "recall": ivf_rec}))
+    grid = [(4, 16), (8, 16), (16, 16), (8, 64), (8, 256), (16, 256)]
+    for m, n_codes in grid:
+        rec = mean_recall(
+            ivfpq_topk(
+                emb, q, k=k, n_lists=nl, n_probe=npb, m=m, n_codes=n_codes,
+                centroid_mode="seeded",
+            )
+        )
+        print(json.dumps({
+            "config": f"pq_m{m}_c{n_codes}", "m": m, "n_codes": n_codes,
+            "bits_per_vec": m * max(1, (n_codes - 1).bit_length()),
+            "recall": rec,
+            "penalty": round(rec / ivf_rec, 3) if ivf_rec else None,
+        }))
+    # the standard two-stage recovery at the gate's shipped geometry
+    rec = mean_recall(
+        ivfpq_topk(
+            emb, q, k=k, n_lists=nl, n_probe=npb, m=8, n_codes=16,
+            centroid_mode="seeded", rerank_depth=10 * k,
+        )
+    )
+    print(json.dumps({"config": "pq_m8_c16_rerank", "rerank_depth": 10 * k,
+                      "recall": rec,
+                      "penalty": round(rec / ivf_rec, 3) if ivf_rec else None}))
+    exact.unpersist()
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=100)
     ap.add_argument("--assert-floor", action="store_true")
+    ap.add_argument("--pq", action="store_true")
     ap.add_argument("--k", type=int, default=5)
     args = ap.parse_args()
 
     from scale_bench import build_scaled, make_spark
 
     spark = make_spark()
-    sf_dir = build_scaled(spark, args.mult)
+    sf_dir = (
+        build_scaled(spark, args.mult)
+        if args.mult > 1
+        else __import__("os").environ.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+        )
+    )
+
+    if args.pq:
+        pq_sensitivity(spark, sf_dir, args.k)
+        return 0
 
     from pyspark.sql import functions as F
 
