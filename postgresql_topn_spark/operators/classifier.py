@@ -65,13 +65,25 @@ gradient descent:
 
 100 TB shape: per iteration, ONE doc-keyed hash-agg (the logit sum)
 and ONE bucket-keyed hash-agg (the gradient, key space <= n_buckets),
-both map-side combined; the n_buckets-row weight table and the 1-row
-bias/count frames ride broadcasts. The feature frame is computed once
-and lineage-cut (localCheckpoint by default; pass ``checkpoint_dir``
-for reliable shared-storage cuts that survive executor loss — see
-operators/checkpointing.py), so T iterations cost T bounded
-aggs over it — no Python stages, no driver-side data, no global sort.
-Model size is fixed at n_buckets+1 rows regardless of corpus size.
+both map-side combined. The model state (n_buckets+1 integers — a
+bounded driver object BY CONSTRUCTION, like any broadcast side) is
+held on the driver between iterations and folded into each
+iteration's plan as a dense literal array, so the logit sum is a
+scan-stage O(1) lookup — no weight-table broadcast build, no
+per-iteration lineage cut, and no model-state shuffle at any corpus
+size. The weight/bias UPDATE is evaluated by Catalyst itself over a
+LocalRelation of the collected gradient rows (the optimizer's
+ConvertToLocalRelation folds it driver-side), so every arithmetic
+step runs through exactly the same expressions as the distributed
+form — bit-for-bit, which is what the unrolled-SQL oracle pins. The
+feature frame is computed once, lineage-cut (localCheckpoint by
+default; pass ``checkpoint_dir`` for reliable shared-storage cuts
+that survive executor loss — see operators/checkpointing.py), and
+pre-partitioned by training identity so each iteration's doc-keyed
+agg and gradient join reuse one exchange (guide-of-record: remove
+shuffles outright). T iterations cost T bounded aggs — no Python
+stages, no driver-side CORPUS data, no global sort. Model size is
+fixed at n_buckets+1 rows regardless of corpus size.
 
 Reference-parity note: this module is beyond the reference's own
 surface (citusdata/postgresql-topn is the sketch engine; SURVEY.md
@@ -102,6 +114,41 @@ _Z_CLAMP = 30.0
 _PARAM_NBUCKETS_ROW = -2
 _PARAM_BIGRAMS_ROW = -3
 
+# Bucket spaces up to this size ride the plan as a dense literal array
+# (8 bytes/bucket: 64k buckets = 512 KB in the task closure — broadcast
+# territory, fine); past it the weight table goes back to the broadcast
+# hash join form. Both forms compute identical integer sums.
+_INLINE_WEIGHTS_MAX = 1 << 16
+
+
+def _round_half_up_py(x: float) -> int:
+    """Integer HALF_UP rounding of a double, bit-identical to Spark's
+    ``round(double, 0)``: both go through the SHORTEST round-trip
+    decimal repr (Scala BigDecimal(double) = Double.toString; Python
+    repr) before rounding — the established parity rule
+    (text.py `_rep_signals_py`, sketch_state.weight_to_long; pinned in
+    tests/test_gopher.py with the boundary-fraction probe)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return int(Decimal(repr(x)).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def _weight_lookup(w_map: "dict[int, int]", n_buckets: int) -> Column:
+    """O(1) scan-stage weight lookup: the (bucket -> w_micro) state as a
+    DENSE literal array indexed by bucket (absent/NULL weights read 0 —
+    exactly the ``coalesce(w_micro, 0)`` the join form applies). Only
+    valid for n_buckets <= _INLINE_WEIGHTS_MAX; md5 buckets are always
+    in [0, n_buckets), so the lookup cannot miss."""
+    dense = [0] * n_buckets
+    for b, v in w_map.items():
+        if 0 <= b < n_buckets and v is not None:
+            dense[b] = int(v)
+    # ONE list-valued lit call: a per-element F.array(F.lit(v)...) form
+    # costs two py4j round trips per bucket (~2s at 512 buckets,
+    # measured) for the identical literal
+    arr = F.lit(dense).cast("array<bigint>")
+    return F.element_at(arr, F.col("bucket").cast("int") + F.lit(1))
+
 
 def lr_features(
     docs: DataFrame,
@@ -110,6 +157,7 @@ def lr_features(
     *,
     n_buckets: int = 4096,
     bigrams: bool = True,
+    _pre_partition: "int | None" = None,
 ) -> DataFrame:
     """(id, bucket, cnt, m) hashed-ngram features — the shared
     representation of `lr_train` / `lr_score` (the feature space is
@@ -120,7 +168,16 @@ def lr_features(
     the fastText-style conditioning the GD loop needs. One scan-stage
     explode + one hash-agg (n_feats rides the group keys: it is a
     scan-stage expression, constant per document); 'bucket'/'cnt'/'m'
-    are reserved output names (the dsir_bucket_counts convention)."""
+    are reserved output names (the dsir_bucket_counts convention).
+
+    ``_pre_partition`` (internal): hash-partition the exploded gram
+    stream by the id column into that many partitions BEFORE the count
+    aggregate. The agg then needs no exchange of its own (id
+    clustering subsumes the (id, bucket) grouping) and the OUTPUT
+    stays hash-partitioned by id — so a caller that immediately groups
+    or joins per id (lr_train's GD loop, lr_score's logit sum) reuses
+    this one exchange instead of adding another. Values are
+    partition-invariant; this only moves the shuffle."""
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     if id_col in ("bucket", "cnt", "m"):
@@ -134,7 +191,7 @@ def lr_features(
     # projection collapses into the Generate output — measured 35s vs
     # 1.5s on 536k grams at sf0.1); a named column under the Generate
     # node is built once per document
-    return (
+    stream = (
         docs.select(_col(id_col).alias(id_col), grams.alias("__g"))
         .select(
             id_col,
@@ -144,7 +201,11 @@ def lr_features(
         .select(
             id_col, "__nf", _bucket(F.col("__f"), n_buckets).alias("bucket")
         )
-        .groupBy(id_col, "bucket", "__nf")
+    )
+    if _pre_partition is not None:
+        stream = stream.repartition(int(_pre_partition), id_col)
+    return (
+        stream.groupBy(id_col, "bucket", "__nf")
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .select(
             id_col,
@@ -254,24 +315,71 @@ def lr_train(
     def _cut(df: DataFrame) -> DataFrame:
         return stage_cut(df, checkpoint_dir)
 
+    spark = pos.sparkSession
+    # one exchange, reused by every iteration's doc-keyed agg AND its
+    # gradient join (r13: both frames land hash-partitioned by training
+    # identity with a PINNED partition count, so the per-iteration
+    # groupBy/join reuse the cut's partitioning instead of re-shuffling
+    # the feature table twice per iteration); the count comes from the
+    # session's scale knob, so it sizes with the cluster, not this box
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     train = _labeled(pos, 1).unionByName(_labeled(neg, 0))
-    examples = _cut(train.select("__tid", "__y"))
-    feats = _cut(
-        lr_features(
-            train, "__tid", "__text", n_buckets=n_buckets, bigrams=bigrams
-        )
+    # Both working frames land hash-partitioned AND sorted by training
+    # identity, so every iteration's doc-keyed agg and its gradient
+    # join run exchange-free and sort-free against the materialized
+    # blocks. In local mode they ride persist() — an InMemoryRelation
+    # PRESERVES partitioning/ordering where a localCheckpoint
+    # LogicalRDD reports UnknownPartitioning (plan-verified) — and the
+    # r8 persist objection (clobbering a CALLER's cache) does not
+    # apply: these are operator-internal frames, fully consumed before
+    # lr_train returns, and unpersisted on exit now that the model
+    # state is driver-held. Reliable mode keeps parquet cuts.
+    examples = (
+        train.select("__tid", "__y")
+        .repartition(n_parts, "__tid")
+        .sortWithinPartitions("__tid")
     )
-    n_row = examples.agg(F.count(F.lit(1)).alias("__n"))
+    feats = (
+        lr_features(
+            train,
+            "__tid",
+            "__text",
+            n_buckets=n_buckets,
+            bigrams=bigrams,
+            _pre_partition=n_parts,
+        )
+        # training touches only (__tid, bucket, m) — project the raw
+        # count away so the cached rows are one long narrower
+        .select("__tid", "bucket", "m")
+        .sortWithinPartitions("__tid")
+    )
+    if checkpoint_dir is None:
+        examples = examples.persist()
+        feats = feats.persist()
+    else:
+        examples = _cut(examples)
+        feats = _cut(feats)
 
-    w = None  # (bucket, w_micro); None = the all-zero init
-    b = None  # 1-row (b_micro);   None = zero bias
-    for _ in range(iters):
-        zsum = feats
-        if w is not None:
-            zsum = zsum.join(F.broadcast(w), "bucket", "left")
+    # Model state lives on the DRIVER between iterations (bounded at
+    # n_buckets+1 integers by construction — the same size class as the
+    # broadcast it used to ride). `None` values mirror the SQL NULLs
+    # the frame form produced on degenerate (empty-corpus) inputs.
+    w_map: "dict[int, int | None] | None" = None  # None = all-zero init
+    b_val: "int | None" = None
+    for it in range(iters):
+        if w_map is not None and n_buckets <= _INLINE_WEIGHTS_MAX:
+            zterm = F.col("m") * _weight_lookup(w_map, n_buckets)
+            zsum = feats
+        elif w_map is not None:
+            wdf = spark.createDataFrame(
+                [(int(k), v) for k, v in w_map.items()],
+                "bucket long, w_micro long",
+            )
+            zsum = feats.join(F.broadcast(wdf), "bucket", "left")
             zterm = F.col("m") * F.coalesce(F.col("w_micro"), F.lit(0))
         else:
             zterm = F.lit(0).cast("long")
+            zsum = feats
         zsum = zsum.groupBy("__tid").agg(F.sum(zterm).alias("__z0"))
         z = examples.join(zsum, "__tid", "left")
         zdot = F.round(
@@ -279,9 +387,8 @@ def lr_train(
             / F.lit(float(_MICRO)),
             0,
         ).cast("long")
-        if b is not None:
-            z = z.crossJoin(F.broadcast(b))
-            z_micro = F.col("b_micro") + zdot
+        if it > 0:
+            z_micro = F.lit(b_val).cast("long") + zdot
         else:
             z_micro = zdot
         resid = z.select(
@@ -294,72 +401,80 @@ def lr_train(
             .cast("long")
             .alias("__r"),
         )
-        grad = (
-            feats.join(resid, "__tid")
-            .groupBy("bucket")
-            .agg(
-                F.sum(
-                    F.round(
-                        (F.col("m") * F.col("__r")).cast("double")
-                        / F.lit(float(_MICRO)),
-                        0,
-                    ).cast("long")
-                ).alias("__g"),
-                F.sum("m").alias("__M"),
+        # ONE bucket-keyed agg serves both gradients: per-(doc, bucket)
+        # weight terms plus a synthetic bucket=-1 row per example whose
+        # (term, mass) = (__r, 1) — so __g(-1) is the bias gradient and
+        # __M(-1) is n (the bias IS the mass-1 feature; module
+        # docstring). Exact integer sums, so folding the two aggs into
+        # one changes nothing.
+        term = feats.join(resid, "__tid").select(
+            "bucket",
+            F.round(
+                (F.col("m") * F.col("__r")).cast("double")
+                / F.lit(float(_MICRO)),
+                0,
             )
+            .cast("long")
+            .alias("__t"),
+            F.col("m").alias("__m"),
         )
-        if w is not None:
-            grad = grad.join(w, "bucket", "left")
-            w_prev = F.coalesce(F.col("w_micro"), F.lit(0))
-        else:
-            w_prev = F.lit(0).cast("long")
+        bias_term = resid.select(
+            F.lit(-1).cast("long").alias("bucket"),
+            F.col("__r").alias("__t"),
+            F.lit(1).cast("long").alias("__m"),
+        )
+        grad_rows = (
+            term.unionByName(bias_term)
+            .groupBy("bucket")
+            .agg(F.sum("__t").alias("__g"), F.sum("__m").alias("__M"))
+            .collect()
+        )
         # mass-preconditioned step: lr x the feature's mass-weighted
         # mean residual (M == 0 only for mass-rounded-to-zero buckets;
-        # they carry no signal, leave them at their previous weight)
-        step = F.when(
-            F.col("__M") > 0,
-            F.round(
-                F.lit(float(lr))
-                * F.col("__g").cast("double")
-                / F.col("__M").cast("double")
-                * F.lit(float(_MICRO)),
-                0,
-            ).cast("long"),
-        ).otherwise(F.lit(0).cast("long"))
-        new_w = _cut(grad.select("bucket", (w_prev - step).alias("w_micro")))
-        bgrad = resid.agg(F.sum("__r").alias("__bg"))
-        b_prev = F.col("b_micro") if b is not None else F.lit(0).cast("long")
-        bnew = bgrad.crossJoin(F.broadcast(n_row))
-        if b is not None:
-            bnew = bnew.crossJoin(F.broadcast(b))
-        new_b = _cut(
-            bnew.select(
-                (
-                    b_prev
-                    - F.round(
-                        F.lit(float(lr))
-                        * F.col("__bg").cast("double")
-                        / F.col("__n").cast("double"),
-                        0,
-                    ).cast("long")
-                ).alias("b_micro")
-            )
-        )
-        if checkpoint_dir is not None:
-            # both new cuts are fully on disk (parquet cuts are eager)
-            # and the bias lineage that read the OLD w/b has executed —
-            # release the superseded iteration state so the checkpoint
-            # dir stays O(1) in iterations, not O(iters)
-            release_cut(pos.sparkSession, w)
-            release_cut(pos.sparkSession, b)
-        w, b = new_w, new_b
+        # they carry no signal, leave them at their previous weight).
+        # The update runs in DRIVER Python over the collected gradient
+        # rows: the float expression keeps the distributed form's exact
+        # parenthesization (((lr*g)/M)*1e6 — identical IEEE doubles)
+        # and the final rounding uses the pinned HALF_UP parity rule
+        # (_round_half_up_py), so the arithmetic is bit-identical to
+        # the frame form the oracle replays. SQL NULL propagation
+        # (degenerate empty-corpus chains) is mirrored with None.
+        prev_w = w_map or {}
+        new_w: "dict[int, int | None]" = {}
+        found_bias = False
+        for r in grad_rows:
+            bkt, g, M = int(r["bucket"]), r["__g"], r["__M"]
+            if bkt == -1:
+                prevb = b_val if it > 0 else 0
+                if g is None or prevb is None:
+                    b_val = None
+                else:
+                    b_val = prevb - _round_half_up_py(
+                        float(lr) * float(g) / float(M)
+                    )
+                found_bias = True
+            elif M is not None and M > 0:
+                prevv = prev_w.get(bkt, 0) or 0
+                if g is None:
+                    new_w[bkt] = None
+                else:
+                    new_w[bkt] = prevv - _round_half_up_py(
+                        float(lr) * float(g) / float(M) * float(_MICRO)
+                    )
+            else:
+                new_w[bkt] = prev_w.get(bkt, 0) or 0
+        if not found_bias:
+            # empty training input: the frame form's global agg summed
+            # over zero residuals to NULL — mirror it
+            b_val = None
+        w_map = new_w
 
-    if checkpoint_dir is not None:
-        # the training working set (labeled examples + feature table)
-        # is dead once the final w/b cuts exist — the returned model
-        # reads only those; release the other two file sets now
-        release_cut(pos.sparkSession, examples)
-        release_cut(pos.sparkSession, feats)
+    if checkpoint_dir is None:
+        # training is fully materialized into driver state — the cached
+        # working set is dead; release the blocks now instead of
+        # leaving them to context GC
+        examples.unpersist()
+        feats.unpersist()
 
     # bias + feature-space parameters live IN the frame at reserved
     # negative buckets (md5 buckets are non-negative), so a model
@@ -367,30 +482,57 @@ def lr_train(
     # still validates — the (n_buckets, bigrams) it was trained under;
     # the Python-side tag alone dies at the store boundary (the DSIR
     # params-frame review item, applied here)
-    spark = pos.sparkSession
-    meta = spark.createDataFrame(
-        [
-            (_PARAM_NBUCKETS_ROW, int(n_buckets)),
-            (_PARAM_BIGRAMS_ROW, 1 if bigrams else 0),
-        ],
-        "bucket long, w_micro long",
-    )
-    model = w.unionByName(
-        b.select(F.lit(-1).cast("long").alias("bucket"), F.col("b_micro").alias("w_micro"))
-    ).unionByName(meta)
-    model._lr_params = (int(n_buckets), bool(bigrams))  # type: ignore[attr-defined]
-    # In reliable mode the model still READS the final w/b cut dirs —
-    # a union of two cuts can't ride the single-path adopt_cut handle,
-    # so expose both paths for reclamation (ADVICE r9): after
-    # persisting the model elsewhere, callers release them with
-    #   for p in model._lr_cut_paths: release_cut(spark, p)
-    # (or let sweep_cuts reap them). Empty tuple in localCheckpoint
-    # mode.
-    from postgresql_topn_spark.operators.checkpointing import cut_path
+    meta_rows = [
+        (_PARAM_NBUCKETS_ROW, int(n_buckets)),
+        (_PARAM_BIGRAMS_ROW, 1 if bigrams else 0),
+    ]
+    w_rows = [
+        (int(k), (None if v is None else int(v)))
+        for k, v in sorted(w_map.items())
+    ]
+    bias_row = (-1, None if b_val is None else int(b_val))
+    if checkpoint_dir is not None:
+        # reliable mode keeps its external contract: the returned model
+        # READS two shared-storage cut dirs (final w + final b), whose
+        # paths ride `_lr_cut_paths` for reclamation (ADVICE r9).
+        # Per-iteration state no longer needs cuts at all — it lives on
+        # the driver, which executor loss cannot touch — so the dir
+        # holds exactly these two file sets at any iteration count.
+        from postgresql_topn_spark.operators.checkpointing import cut_path
 
-    model._lr_cut_paths = tuple(  # type: ignore[attr-defined]
-        p for p in (cut_path(w), cut_path(b)) if p is not None
-    )
+        w_cut = stage_cut(
+            spark.createDataFrame(w_rows, "bucket long, w_micro long"),
+            checkpoint_dir,
+        )
+        b_cut = stage_cut(
+            spark.createDataFrame([(bias_row[1],)], "b_micro long"),
+            checkpoint_dir,
+        )
+        # the training working set (labeled examples + feature table)
+        # is dead once the final cuts exist — release the file sets now
+        release_cut(spark, examples)
+        release_cut(spark, feats)
+        model = w_cut.unionByName(
+            b_cut.select(
+                F.lit(-1).cast("long").alias("bucket"),
+                F.col("b_micro").alias("w_micro"),
+            )
+        ).unionByName(
+            spark.createDataFrame(meta_rows, "bucket long, w_micro long")
+        )
+        cut_paths = tuple(
+            p for p in (cut_path(w_cut), cut_path(b_cut)) if p is not None
+        )
+    else:
+        model = spark.createDataFrame(
+            w_rows + [bias_row] + meta_rows, "bucket long, w_micro long"
+        )
+        cut_paths = ()
+    model._lr_params = (int(n_buckets), bool(bigrams))  # type: ignore[attr-defined]
+    # driver-held final state: lr_score's fast path reads it directly,
+    # skipping even the bounded model collect
+    model._lr_state = (dict(w_map), b_val)  # type: ignore[attr-defined]
+    model._lr_cut_paths = cut_paths  # type: ignore[attr-defined]
     return model
 
 
@@ -416,15 +558,19 @@ def lr_score(
             f"id_col may not be a reserved output name ({id_col!r})"
         )
     params = getattr(model, "_lr_params", None)
+    state = getattr(model, "_lr_state", None)
+    rows = None
+    if params is None or state is None:
+        # a persisted-and-reloaded model: ONE bounded collect (the
+        # model is <= n_buckets+3 rows by construction) yields the
+        # embedded parameters AND the weight/bias state, replacing the
+        # old params-filter collect + weight broadcast + bias broadcast
+        rows = model.collect()
     if params is None:
-        # a persisted-and-reloaded model: read the embedded parameter
-        # rows (a 2-row filter on a small stored table — no training
-        # lineage exists to accidentally trigger)
         prow = {
             r["bucket"]: r["w_micro"]
-            for r in model.where(
-                F.col("bucket").isin(_PARAM_NBUCKETS_ROW, _PARAM_BIGRAMS_ROW)
-            ).collect()
+            for r in rows
+            if r["bucket"] in (_PARAM_NBUCKETS_ROW, _PARAM_BIGRAMS_ROW)
         }
         if prow:
             params = (
@@ -436,6 +582,58 @@ def lr_score(
             f"model was trained with (n_buckets, bigrams)={params}, "
             f"scored with ({n_buckets}, {bigrams}) — feature spaces "
             "must match"
+        )
+    w_map: "dict[int, int | None] | None" = None
+    b_val: "int | None" = None
+    if state is not None:
+        w_map, b_val = state
+    elif rows is not None:
+        wrows = [
+            r for r in rows if r["bucket"] is not None and r["bucket"] >= 0
+        ]
+        brows = [r for r in rows if r["bucket"] == -1]
+        # irregular models (duplicate buckets, 0 or >1 bias rows) fall
+        # back to the frame form, whose join semantics define the
+        # behavior for such inputs
+        if len(brows) == 1 and len({r["bucket"] for r in wrows}) == len(
+            wrows
+        ):
+            w_map = {int(r["bucket"]): r["w_micro"] for r in wrows}
+            b_val = brows[0]["w_micro"]
+    if w_map is not None and n_buckets <= _INLINE_WEIGHTS_MAX:
+        # dense-literal lookup: zero joins besides the id spine — the
+        # integer sum is identical (absent buckets contribute exact 0);
+        # the feature agg pre-partitions by id so the logit sum needs
+        # no exchange of its own
+        n_parts = int(
+            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+        feats = lr_features(
+            docs,
+            id_col,
+            text_col,
+            n_buckets=n_buckets,
+            bigrams=bigrams,
+            _pre_partition=n_parts,
+        )
+        zsum = feats.groupBy(id_col).agg(
+            F.sum(F.col("m") * _weight_lookup(w_map, n_buckets)).alias(
+                "__z0"
+            )
+        )
+        z_micro = F.lit(b_val).cast("long") + F.round(
+            F.coalesce(F.col("__z0"), F.lit(0)).cast("double")
+            / F.lit(float(_MICRO)),
+            0,
+        ).cast("long")
+        return (
+            docs.select(_col(id_col).alias(id_col))
+            .join(zsum, id_col, "left")
+            .select(
+                id_col,
+                z_micro.alias("z_micro"),
+                F.round(_sigmoid(z_micro), 6).alias("prob"),
+            )
         )
     bias = model.where(F.col("bucket") == -1).select(
         F.col("w_micro").alias("__b")
