@@ -175,6 +175,103 @@ def assign_clusters(
     return base.mapInPandas(assign, schema)
 
 
+def _cluster_kills(pair_src: DataFrame, threshold: float) -> DataFrame:
+    """(__idb, dup_of): per-cluster greedy-sweep kill decisions —
+    every member killed by the EARLIEST-ranked near-duplicate above
+    `threshold`, the upper-triangular max-similarity test.
+
+    r13 form: one Arrow-batched applyInPandas kernel per cluster.
+    Until r12 this was an a/b self-join whose per-pair cosine ran the
+    `dot`/`norm` Catalyst folds — higher-order functions evaluate
+    INTERPRETED per element, and the measured cost was ~3 s at sf0.1
+    (64-dim vectors, ~500k in-cluster pairs). The kernel computes the
+    identical doubles: `_seq_dots`/`_seq_sqnorm` accumulate
+    dimension-sequentially (pinned bit-identical to the fold forms),
+    and sim = d / (norm_a * norm_b) keeps the expression's exact
+    multiply-then-divide order, so every `sim >= threshold` decision
+    matches the join form bit-for-bit. The grouping reuses the rank
+    window's cluster partitioning (no new exchange), pairwise work is
+    column-blocked so memory stays O(members x block) however large a
+    cluster gets, and the join form's null semantics are preserved:
+    pairs whose vectors differ in length or contain NULL elements have
+    NULL cosine there — inert, never a kill — which here means
+    same-length groups computed densely and unclean vectors excluded.
+    """
+    src = pair_src.select("cluster", "__id", "__v", "rank")
+    id_t = src.schema["__id"].dataType.simpleString()
+    out_schema = f"__idb {id_t}, dup_of {id_t}, __ra int"
+
+    def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rank")
+        ids = pdf["__id"].to_list()
+        ranks = pdf["rank"].to_list()
+        vecs = pdf["__v"].to_list()
+        # same-length groups: only equal-length pairs produce non-NULL
+        # cosines under zip_with, so cross-length pairs are inert
+        by_len: "dict[int, list[int]]" = {}
+        for pos, v in enumerate(vecs):
+            if v is not None:
+                by_len.setdefault(len(v), []).append(pos)
+        out_b, out_a, out_r = [], [], []
+        for _ln, pos_list in by_len.items():
+            sub = [vecs[p] for p in pos_list]
+            try:
+                V = np.asarray(sub, dtype=np.float64)
+            except (TypeError, ValueError):
+                # NULL elements: those vectors yield NULL cosines in
+                # the join form — drop them from the dense compute
+                kept = [
+                    (p, v)
+                    for p, v in zip(pos_list, sub)
+                    if all(e is not None for e in v)
+                ]
+                if not kept:
+                    continue
+                pos_list = [p for p, _ in kept]
+                V = np.asarray([v for _, v in kept], dtype=np.float64)
+            m_sz = len(pos_list)
+            if m_sz < 2 or V.ndim != 2 or V.shape[1] == 0:
+                continue
+            gids = [ids[p] for p in pos_list]
+            granks = [ranks[p] for p in pos_list]
+            n = np.sqrt(_seq_sqnorm(V))
+            blk = max(1, (1 << 22) // max(m_sz, 1))
+            local = np.arange(m_sz)
+            for c0 in range(0, m_sz, blk):
+                c1 = min(c0 + blk, m_sz)
+                # column block of the pair matrix: D[a, b-c0],
+                # dimension-sequential accumulation (the _seq_dots
+                # discipline, blocked over b)
+                D = np.zeros((m_sz, c1 - c0))
+                for j in range(V.shape[1]):
+                    D += np.outer(V[:, j], V[c0:c1, j])
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    S = D / np.outer(n, n[c0:c1])
+                    ge = S >= threshold
+                # a must be strictly earlier in rank order than b
+                ge &= local[:, None] < local[None, c0:c1]
+                hit = ge.any(axis=0)
+                first = np.argmax(ge, axis=0)
+                for lb in np.nonzero(hit)[0]:
+                    out_b.append(gids[c0 + lb])
+                    out_a.append(gids[first[lb]])
+                    out_r.append(granks[first[lb]])
+        return pd.DataFrame(
+            {"__idb": out_b, "dup_of": out_a, "__ra": out_r}
+        )
+
+    per_cluster = src.groupBy("cluster").applyInPandas(
+        kernel, schema=out_schema
+    )
+    # duplicate corpus ids can land the same __idb in several clusters;
+    # the join form resolved those with ONE global min-rank witness —
+    # keep that exact reduction (a no-op exchange-wise for well-formed
+    # corpora: the final keep-join re-shuffles by id anyway)
+    return per_cluster.groupBy("__idb").agg(
+        F.min_by("dup_of", "__ra").alias("dup_of")
+    )
+
+
 def semantic_dedup(
     corpus: DataFrame,
     *,
@@ -263,29 +360,7 @@ def semantic_dedup(
             .select("cluster")
         )
         pair_src = m.join(F.broadcast(hot), "cluster", "left_anti")
-    a = pair_src.select(
-        "cluster",
-        F.col("__id").alias("__ida"),
-        F.col("__v").alias("__va"),
-        F.col("rank").alias("__ra"),
-    )
-    b = pair_src.select(
-        "cluster",
-        F.col("__id").alias("__idb"),
-        F.col("__v").alias("__vb"),
-        F.col("rank").alias("__rb"),
-    )
-    sim_ab = dot(F.col("__va"), F.col("__vb")) / (
-        norm(F.col("__va")) * norm(F.col("__vb"))
-    )
-    kills = (
-        a.join(b, "cluster")
-        .where(F.col("__ra") < F.col("__rb"))
-        .where(sim_ab >= F.lit(float(threshold)))
-        # earliest-ranked witness; ranks are unique within a cluster
-        .groupBy("__idb")
-        .agg(F.min_by("__ida", "__ra").alias("dup_of"))
-    )
+    kills = _cluster_kills(pair_src, float(threshold))
     return (
         m.join(kills, m["__id"] == kills["__idb"], "left")
         .select(
