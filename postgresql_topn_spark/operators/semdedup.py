@@ -95,7 +95,11 @@ def assign_clusters(
     centroid counts up to a few hundred (plan-size bound).
     'pandas': one mapInPandas pass with the same sequential folds
     (bit-identical to 'expr' — pytest-pinned); right for the 50k-cell
-    regime where literals would bloat the plan.
+    regime where literals would bloat the plan — AND, measured r13,
+    ~5x faster even at 25 cells x 64 dims (0.3 vs 1.55 s over the
+    sf0.1 embeddings): the 'expr' transform/array_sort lambdas
+    evaluate interpreted per element, so `semantic_dedup` now defaults
+    to this lane at every centroid count.
     """
     idc, vc = _col(id_col), _col(vec_col)
     # NULL-id rows are unjoinable garbage AND would float-coerce the
@@ -280,7 +284,7 @@ def semantic_dedup(
     n_clusters: int | str = 16,
     threshold: float = 0.8,
     centroid_mode: str = "seeded",
-    assign_mode: str = "expr",
+    assign_mode: str = "pandas",
     seed: int = 7,
     max_cluster_size: int | None = None,
     target_cluster_size: int = 200,
