@@ -381,7 +381,14 @@ def lr_train(
             zterm = F.lit(0).cast("long")
             zsum = feats
         zsum = zsum.groupBy("__tid").agg(F.sum(zterm).alias("__z0"))
-        z = examples.join(zsum, "__tid", "left")
+        # MERGE hints: both sides are hash-partitioned AND sorted by
+        # __tid (the persisted cuts), so the sort-merge joins run
+        # exchange-free and sort-free in ONE stage — without the hint
+        # AQE broadcasts the per-iteration zsum/resid sides, paying a
+        # broadcast-build job each per iteration locally and, at corpus
+        # scale, estimating its way toward broadcasting a corpus-sized
+        # residual frame
+        z = examples.join(zsum.hint("merge"), "__tid", "left")
         zdot = F.round(
             F.coalesce(F.col("__z0"), F.lit(0)).cast("double")
             / F.lit(float(_MICRO)),
@@ -407,7 +414,7 @@ def lr_train(
         # __M(-1) is n (the bias IS the mass-1 feature; module
         # docstring). Exact integer sums, so folding the two aggs into
         # one changes nothing.
-        term = feats.join(resid, "__tid").select(
+        term = feats.join(resid.hint("merge"), "__tid").select(
             "bucket",
             F.round(
                 (F.col("m") * F.col("__r")).cast("double")
