@@ -3746,7 +3746,27 @@ def pipeline_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr_model.write.mode("overwrite").parquet(lr_path)
     scored = lr_score(docs, spark.read.parquet(lr_path), n_buckets=512)
 
-    dm = dsir_model(docs, docs.where(F.col("lang") == "en"), n_buckets=4096)
+    # r13: both model sides from ONE gram scan — the raw corpus is all
+    # docs and the target its lang='en' slice, so per-(lang, bucket)
+    # rollup counts (dsir_bucket_counts) sum to BOTH count tables, and
+    # dsir_model_from_counts(rollups) == dsir_model(raw, target)
+    # EXACTLY (the pytest-pinned additivity law). The tiny rollup frame
+    # (<= |langs| x n_buckets rows) is lineage-cut so the explode+hash
+    # chain runs once instead of twice.
+    from postgresql_topn_spark.operators.checkpointing import (
+        stage_cut as _cut,
+    )
+    from postgresql_topn_spark.operators.dsir import (
+        dsir_bucket_counts,
+        dsir_model_from_counts,
+    )
+
+    rolls = _cut(dsir_bucket_counts(docs, ["lang"], n_buckets=4096))
+    dm = dsir_model_from_counts(
+        rolls.select("bucket", "cnt"),
+        rolls.where(F.col("lang") == "en").select("bucket", "cnt"),
+        n_buckets=4096,
+    )
     dsir_path = _os.path.join(base, "dsir")
     save_dsir_model(dm, dsir_path)
     w = dsir_importance(
