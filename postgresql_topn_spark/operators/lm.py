@@ -343,26 +343,40 @@ def ppl_buckets(
         sample = scored.where(
             hash_uniform(F.col(id_col), seed) < F.lit(float(sample_fraction))
         )
-    w = Window.orderBy(F.asc("ppl_micro"), F.asc(id_col))
-    ranked = sample.select(
-        "ppl_micro", F.row_number().over(w).alias("__rn")
+    # Order statistics in ONE aggregate over the bounded sample (r13):
+    # collect the (ppl, id)-sorted sample array and index the
+    # ceil-ranks into it. Identical values to the former
+    # global-window + count + crossJoin form — element k of the sorted
+    # array IS the row the rank-k window row carried — while dropping
+    # the single-partition window exchange, the separate count agg and
+    # the broadcast join (measured: each extra exchange is its own AQE
+    # job at bench scale). Memory is the same contract as before: the
+    # SAMPLE (not the corpus) materializes on one reducer either way —
+    # size sample_fraction accordingly (docstring).
+    arr = F.sort_array(
+        F.collect_list(F.struct(F.col("ppl_micro"), _col(id_col)))
     )
-    n_s = sample.agg(F.count(F.lit(1)).alias("__n"))
-    cut_aggs = []
+    cut_exprs = []
     for i, (num, den) in enumerate(cuts):
         # ceil(n*num/den) in exact integer arithmetic: the double
         # division is exact below 2^53, and floor of it == the integer
         # ceil-div identity (n*num + den-1) // den
         rank_i = F.floor(
-            (F.col("__n") * F.lit(int(num)) + F.lit(int(den) - 1))
+            (
+                F.size("__a").cast("long") * F.lit(int(num))
+                + F.lit(int(den) - 1)
+            )
             / F.lit(int(den))
-        ).cast("long")
-        cut_aggs.append(
-            F.max(
-                F.when(F.col("__rn") == rank_i, F.col("ppl_micro"))
+        ).cast("int")
+        cut_exprs.append(
+            # empty sample -> NULL cutoff (the documented degenerate
+            # case; the old when(rn == 0) max also yielded NULL) — and
+            # the guard keeps ANSI element_at away from index 0
+            F.when(
+                F.size("__a") > 0, F.element_at("__a", rank_i)["ppl_micro"]
             ).alias(f"__c{i}")
         )
-    cut_row = ranked.crossJoin(F.broadcast(n_s)).agg(*cut_aggs)
+    cut_row = sample.agg(arr.alias("__a")).select(*cut_exprs)
     chain = None
     for i, lbl in enumerate(labels[:-1]):
         cond = F.col("ppl_micro") <= F.col(f"__c{i}")
