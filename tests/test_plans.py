@@ -473,10 +473,12 @@ def test_token_budget_mix_scan_stage_filter_broadcast_rates(spark, docs):
 
 def test_ppl_buckets_single_partition_only_on_sample(spark, docs):
     """ppl_buckets: the scorer is the unigram plan (hash-aggs with
-    partial combine, zero Python); the single-partition rank window
-    runs over the bounded SAMPLE subtree only, and the 2-value cutoff
-    row reaches the corpus as a BROADCAST feeding a scan-stage CASE —
-    the full corpus is never globally sorted."""
+    partial combine, zero Python); the cutoffs come from ONE
+    order-statistics aggregate over the bounded SAMPLE subtree (r13:
+    sort_array(collect_list) replaced the sample rank window — zero
+    windows anywhere now), and the cutoff row reaches the corpus as a
+    BROADCAST feeding a scan-stage CASE — the full corpus is never
+    globally sorted."""
     from postgresql_topn_spark.operators.lm import ppl_buckets
 
     out = ppl_buckets(docs, sample_fraction=0.25, seed=3)
@@ -484,13 +486,13 @@ def test_ppl_buckets_single_partition_only_on_sample(spark, docs):
     assert has_partial_aggregate(out)
     assert broadcast_exchanges(out) >= 2  # model total + cutoff row
     p = plan_str(out)
-    # exactly ONE window in the whole plan — the sample rank; the
-    # corpus subtrees stay hash-partitioned (the remaining
-    # SinglePartition exchanges are the 1-row aggregates: model
-    # total, OOV floor, sample count, cutoff row)
+    # NO window anywhere — the sample's order statistics ride a
+    # collect_list aggregate; the corpus subtrees stay hash-partitioned
+    # (the remaining SinglePartition exchanges are the 1-row/sample
+    # aggregates: model total, OOV floor, cutoff row)
     import re
 
-    assert len(re.findall(r"\(\d+\) Window", p)) == 1
+    assert len(re.findall(r"\(\d+\) Window", p)) == 0
 
 
 def test_lr_classifier_bounded_aggs_no_python(spark, docs):
