@@ -242,6 +242,7 @@ def lr_train(
     lr: float = 1.0,
     bigrams: bool = True,
     checkpoint_dir: "str | None" = None,
+    share_features: bool = False,
 ) -> DataFrame:
     """Train the classifier: `pos` is the reference ("high-quality")
     corpus, `neg` the raw pool sample. Full-batch gradient descent
@@ -292,7 +293,19 @@ def lr_train(
     the RETURNED model keeps reading the two FINAL w/b cut dirs —
     their paths are exposed as ``model._lr_cut_paths`` so callers can
     `release_cut` both once the model is persisted elsewhere
-    (`sweep_cuts` reaps them otherwise)."""
+    (`sweep_cuts` reaps them otherwise).
+
+    ``share_features=True`` additionally hands the TRAINING feature
+    table — (__tid, bucket, m), keyed by the "y:<id>" training
+    identity — back on the model as ``model._lr_feats``, materialized
+    as its own lineage cut (an eager localCheckpoint copied from the
+    still-cached working set; in reliable mode the existing parquet
+    feats cut, whose path then also rides ``_lr_cut_paths`` for
+    reclamation instead of being released here). Training itself is
+    unchanged. This exists so a caller that scores EXACTLY pos ∪ neg
+    afterwards can skip re-featurizing the corpus — see
+    `lr_shared_features` / `lr_score(features=...)` (guide-of-record:
+    compute each corpus pass once)."""
     if iters < 1:
         raise ValueError(f"iters must be >= 1, got {iters}")
     if lr <= 0:
@@ -476,7 +489,16 @@ def lr_train(
             b_val = None
         w_map = new_w
 
+    shared: "DataFrame | None" = None
     if checkpoint_dir is None:
+        if share_features:
+            # copy the still-cached feature blocks into checkpoint
+            # storage EAGERLY (reads the persisted blocks, no
+            # recompute), so the handoff survives the unpersist below.
+            # A per-call localCheckpoint — never persist-without-
+            # unpersist, which would let a later identical plan hit
+            # this run's cache (cross-run caching, banned)
+            shared = feats.localCheckpoint(eager=True)
         # training is fully materialized into driver state — the cached
         # working set is dead; release the blocks now instead of
         # leaving them to context GC
@@ -517,8 +539,13 @@ def lr_train(
         )
         # the training working set (labeled examples + feature table)
         # is dead once the final cuts exist — release the file sets now
+        # (the feats cut survives as the share_features handoff, its
+        # path joining _lr_cut_paths for the caller to reclaim)
         release_cut(spark, examples)
-        release_cut(spark, feats)
+        if share_features:
+            shared = feats
+        else:
+            release_cut(spark, feats)
         model = w_cut.unionByName(
             b_cut.select(
                 F.lit(-1).cast("long").alias("bucket"),
@@ -528,7 +555,13 @@ def lr_train(
             spark.createDataFrame(meta_rows, "bucket long, w_micro long")
         )
         cut_paths = tuple(
-            p for p in (cut_path(w_cut), cut_path(b_cut)) if p is not None
+            p
+            for p in (
+                cut_path(w_cut),
+                cut_path(b_cut),
+                cut_path(feats) if share_features else None,
+            )
+            if p is not None
         )
     else:
         model = spark.createDataFrame(
@@ -540,7 +573,38 @@ def lr_train(
     # skipping even the bounded model collect
     model._lr_state = (dict(w_map), b_val)  # type: ignore[attr-defined]
     model._lr_cut_paths = cut_paths  # type: ignore[attr-defined]
+    if share_features:
+        model._lr_feats = shared  # type: ignore[attr-defined]
     return model
+
+
+def lr_shared_features(
+    model: DataFrame, *, id_col: str = "doc_id", id_type: str = "bigint"
+) -> "DataFrame | None":
+    """The training feature table a ``lr_train(share_features=True)``
+    model carries, re-keyed for ``lr_score(features=...)``: the
+    "y:<id>" training identity is stripped back to the original id
+    (cast to ``id_type`` — the id column's own type, so the downstream
+    join key matches without implicit casts). Returns None for models
+    trained without sharing (including any model reloaded from
+    storage — the handoff is a session-local frame by design).
+
+    ONLY pass the result to `lr_score` when the scored docs are
+    EXACTLY pos ∪ neg and the two training frames are id-disjoint: a
+    document trained under both labels has two feature rows here and
+    would count twice in the logit sum; a scored doc absent from
+    training would silently score bias-only. Both conditions hold for
+    the label-partitioned corpora the suite gates train on; callers
+    with other shapes must featurize the scored frame themselves
+    (lr_score's default path)."""
+    feats = getattr(model, "_lr_feats", None)
+    if feats is None:
+        return None
+    return feats.select(
+        F.expr("substring(__tid, 3)").cast(id_type).alias(id_col),
+        "bucket",
+        "m",
+    )
 
 
 def lr_score(
@@ -551,6 +615,7 @@ def lr_score(
     text_col: Column | str = "text",
     n_buckets: int = 4096,
     bigrams: bool = True,
+    features: "DataFrame | None" = None,
 ) -> DataFrame:
     """Score documents under a trained model: (id, z_micro, prob) with
     ``z_micro`` the exact-integer logit and ``prob`` the sigmoid
@@ -559,11 +624,31 @@ def lr_score(
     every row). One broadcast join + one doc-keyed agg; the quality
     FILTER is then just ``.where(F.col('prob') >= t)`` — or keep the
     probability as a sampling weight (the GPT-3 Pareto trick is a
-    downstream choice this operator doesn't hard-code)."""
+    downstream choice this operator doesn't hard-code).
+
+    ``features``: a PRECOMPUTED `lr_features` table for exactly
+    `docs` — (id_col, bucket, m) in the model's feature space — used
+    verbatim instead of re-featurizing (the m values are an exact
+    integer function of the text, so the logit sums are identical;
+    exact-integer addition makes them partitioning-order independent).
+    The canonical source is `lr_shared_features` on a
+    ``share_features=True`` model: train + score then pay ONE
+    tokenize/explode/hash pass over the corpus instead of two. The
+    caller owns the docs <-> features correspondence; rows for ids
+    outside `docs` or duplicate (id, bucket) rows change the scores
+    exactly as they would change the feature table."""
     if id_col in ("z_micro", "prob", "bucket", "cnt", "m"):
         raise ValueError(
             f"id_col may not be a reserved output name ({id_col!r})"
         )
+    if features is not None:
+        missing = {id_col, "bucket", "m"} - set(features.columns)
+        if missing:
+            raise ValueError(
+                "features frame is missing required column(s) "
+                f"{sorted(missing)} — expected the lr_features output "
+                f"({id_col!r}, 'bucket', 'm')"
+            )
     params = getattr(model, "_lr_params", None)
     state = getattr(model, "_lr_state", None)
     rows = None
@@ -612,17 +697,22 @@ def lr_score(
         # integer sum is identical (absent buckets contribute exact 0);
         # the feature agg pre-partitions by id so the logit sum needs
         # no exchange of its own
-        n_parts = int(
-            docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
-        feats = lr_features(
-            docs,
-            id_col,
-            text_col,
-            n_buckets=n_buckets,
-            bigrams=bigrams,
-            _pre_partition=n_parts,
-        )
+        if features is not None:
+            feats = features
+        else:
+            n_parts = int(
+                docs.sparkSession.conf.get(
+                    "spark.sql.shuffle.partitions", "200"
+                )
+            )
+            feats = lr_features(
+                docs,
+                id_col,
+                text_col,
+                n_buckets=n_buckets,
+                bigrams=bigrams,
+                _pre_partition=n_parts,
+            )
         zsum = feats.groupBy(id_col).agg(
             F.sum(F.col("m") * _weight_lookup(w_map, n_buckets)).alias(
                 "__z0"
@@ -646,8 +736,12 @@ def lr_score(
         F.col("w_micro").alias("__b")
     )
     weights = model.where(F.col("bucket") >= 0)
-    feats = lr_features(
-        docs, id_col, text_col, n_buckets=n_buckets, bigrams=bigrams
+    feats = (
+        features
+        if features is not None
+        else lr_features(
+            docs, id_col, text_col, n_buckets=n_buckets, bigrams=bigrams
+        )
     )
     zsum = (
         feats.join(F.broadcast(weights), "bucket")

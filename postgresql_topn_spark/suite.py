@@ -3625,6 +3625,13 @@ def pipeline_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgresql_topn_spark.operators.classifier import lr_score, lr_train
 
     docs = load_table(spark, sf_dir, "documents")
+    # no share_features here: this gate RETURNS the scored frame, whose
+    # consumer decides what executes; under a bare count the optimizer
+    # prunes the scorer's left-join subtree entirely (the aggregate
+    # right side is provably unique), so an eager feature handoff would
+    # be one extra materialization for nothing. The recipe/deliver
+    # gates, which consume the scores through an inner join, DO share
+    # (see _select_recipe_frame).
     model = lr_train(
         docs.where(F.col("lang") == "en"),
         docs.where(F.col("lang") != "en"),
@@ -3735,6 +3742,11 @@ def pipeline_model_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     base = _scratch_dir("topn_models_")
 
+    # no share_features: both scorer subtrees below end in left joins
+    # whose aggregate right sides are provably unique, so a count-style
+    # consumer prunes them — an eager feature handoff would be one
+    # extra materialization with nothing downstream to reuse it
+    # (measured +0.2-0.8 s; see OPTIMIZATION_r13.md)
     lr_model = lr_train(
         docs.where(F.col("lang") == "en"),
         docs.where(F.col("lang") != "en"),
@@ -3895,11 +3907,18 @@ def _select_recipe_frame(
     docstring for semantics; `checkpoint_dir` selects reliable
     stage-boundary cuts (operators/checkpointing.py)."""
     from postgresql_topn_spark.operators.checkpointing import stage_cut
-    from postgresql_topn_spark.operators.classifier import lr_score, lr_train
+    from postgresql_topn_spark.operators.classifier import (
+        lr_score,
+        lr_shared_features,
+        lr_train,
+    )
     from postgresql_topn_spark.operators.lm import ppl_buckets
     from postgresql_topn_spark.operators.sampling import token_budget_mix
 
     docs = load_table(spark, sf_dir, "documents")
+    # pos/neg partition `docs` by lang (disjoint, exhaustive), so the
+    # scorer reuses the training feature table — one
+    # tokenize/explode/hash pass over the corpus instead of two
     model = lr_train(
         docs.where(F.col("lang") == "en"),
         docs.where(F.col("lang") != "en"),
@@ -3907,8 +3926,11 @@ def _select_recipe_frame(
         iters=3,
         lr=1.0,
         checkpoint_dir=checkpoint_dir,
+        share_features=True,
     )
-    scored = lr_score(docs, model, n_buckets=512)
+    scored = lr_score(
+        docs, model, n_buckets=512, features=lr_shared_features(model)
+    )
     # stage boundaries are lineage cuts (the select_mix discipline):
     # ppl_buckets fans its input into model/score/cutoff branches and
     # the budget stage reads its pool three times; with

@@ -281,3 +281,121 @@ def test_model_params_survive_persistence(spark, tmp_path):
     assert got == want
     with pytest.raises(ValueError, match="feature spaces"):
         lr_score(pos, reloaded, n_buckets=128)
+
+
+class TestSharedFeatures:
+    """share_features handoff (r13 optimization): the scorer fed the
+    training feature table must produce byte-identical scores to the
+    self-featurizing form, in both cut flavors."""
+
+    @pytest.fixture(scope="class")
+    def disjoint(self, spark):
+        # id-DISJOINT pos/neg (the lr_shared_features contract); docs
+        # is exactly pos ∪ neg, including a zero-token doc that scores
+        # via the bare bias
+        pos = spark.createDataFrame(
+            [(1, "alpha beta gamma alpha"), (2, "alpha beta"), (3, "")],
+            "doc_id long, text string",
+        )
+        neg = spark.createDataFrame(
+            [(101, "junk noise junk"), (102, "noise junk beta")],
+            "doc_id long, text string",
+        )
+        return pos, neg, pos.unionByName(neg)
+
+    def test_scores_identical_local_mode(self, disjoint):
+        from postgresql_topn_spark.operators.classifier import (
+            lr_shared_features,
+        )
+
+        pos, neg, docs = disjoint
+        base_model = lr_train(pos, neg, n_buckets=64, iters=2, lr=1.0)
+        assert lr_shared_features(base_model) is None  # not shared
+        want = sorted(
+            (r["doc_id"], r["z_micro"], r["prob"])
+            for r in lr_score(docs, base_model, n_buckets=64).collect()
+        )
+        model = lr_train(
+            pos, neg, n_buckets=64, iters=2, lr=1.0, share_features=True
+        )
+        sh = lr_shared_features(model)
+        assert set(sh.columns) == {"doc_id", "bucket", "m"}
+        got = sorted(
+            (r["doc_id"], r["z_micro"], r["prob"])
+            for r in lr_score(
+                docs, model, n_buckets=64, features=sh
+            ).collect()
+        )
+        assert got == want
+
+    def test_scores_identical_reliable_mode(self, disjoint, tmp_path):
+        from postgresql_topn_spark.operators.classifier import (
+            lr_shared_features,
+        )
+
+        pos, neg, docs = disjoint
+        want = sorted(
+            (r["doc_id"], r["z_micro"], r["prob"])
+            for r in lr_score(
+                docs, lr_train(pos, neg, n_buckets=64, iters=2, lr=1.0),
+                n_buckets=64,
+            ).collect()
+        )
+        model = lr_train(
+            pos,
+            neg,
+            n_buckets=64,
+            iters=2,
+            lr=1.0,
+            checkpoint_dir=str(tmp_path),
+            share_features=True,
+        )
+        # the feats cut joins the two model cuts in _lr_cut_paths for
+        # caller-side reclamation (it is NOT released by lr_train)
+        assert len(model._lr_cut_paths) == 3
+        got = sorted(
+            (r["doc_id"], r["z_micro"], r["prob"])
+            for r in lr_score(
+                docs,
+                model,
+                n_buckets=64,
+                features=lr_shared_features(model),
+            ).collect()
+        )
+        assert got == want
+
+    def test_shared_with_reloaded_model(self, disjoint, tmp_path):
+        # the recipe/roundtrip shape: features are model-independent,
+        # so a model reloaded through a store boundary scores the
+        # shared table identically
+        from postgresql_topn_spark.operators.classifier import (
+            lr_shared_features,
+        )
+
+        pos, neg, docs = disjoint
+        model = lr_train(
+            pos, neg, n_buckets=64, iters=2, lr=1.0, share_features=True
+        )
+        path = str(tmp_path / "m")
+        model.write.mode("overwrite").parquet(path)
+        want = sorted(
+            (r["doc_id"], r["z_micro"], r["prob"])
+            for r in lr_score(docs, model, n_buckets=64).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["z_micro"], r["prob"])
+            for r in lr_score(
+                docs,
+                model.sparkSession.read.parquet(path),
+                n_buckets=64,
+                features=lr_shared_features(model),
+            ).collect()
+        )
+        assert got == want
+
+    def test_features_frame_validated(self, disjoint):
+        pos, neg, docs = disjoint
+        model = lr_train(pos, neg, n_buckets=64, iters=2, lr=1.0)
+        bad = docs.select("doc_id", F.lit(0).alias("bucket"))  # no "m"
+        with pytest.raises(ValueError, match="missing required column"):
+            lr_score(docs, model, n_buckets=64, features=bad)
