@@ -33,7 +33,7 @@ import time
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from postgresql_topn_spark.functions.sketch import _col
@@ -1995,36 +1995,45 @@ def tfidf_cosine_pairs(
         )
         .where(F.col("__w") > 0)  # df == N terms carry no signal
     )
-    nrm = w.groupBy("__id").agg(
-        F.sqrt(F.sum(F.col("__w") * F.col("__w"))).alias("__nn")
+    # r13: the norm rides `w` as a per-doc window (bounded: one doc's
+    # terms) and travels THROUGH the posting join, instead of a
+    # separate groupBy(__id) branch joined back twice — the norm
+    # branch's whole tf subtree (tokenize -> explode -> tf agg -> df
+    # join) re-executed at runtime (runtime exchange reuse only covered
+    # the two posting sides), and the two norm joins were two more
+    # exchanges of the pair table. Same doubles: sqrt(sum(w*w)) per
+    # doc, one value per window partition, and the pair agg's
+    # min() just picks that single repeated value.
+    wkey = Window.partitionBy("__id")
+    w = w.withColumn(
+        "__nn", F.sqrt(F.sum(F.col("__w") * F.col("__w")).over(wkey))
     )
     a = w.select(
         F.col("__term"),
         F.col("__id").alias("doc_a"),
         F.col("__w").alias("__wa"),
+        F.col("__nn").alias("__na"),
     )
     b = w.select(
         F.col("__term"),
         F.col("__id").alias("doc_b"),
         F.col("__w").alias("__wb"),
+        F.col("__nn").alias("__nb"),
     )
     dots = (
         a.join(b, "__term")
         .where(F.col("doc_a") < F.col("doc_b"))
         .groupBy("doc_a", "doc_b")
-        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
-    )
-    na = nrm.select(F.col("__id").alias("doc_a"), F.col("__nn").alias("__na"))
-    nb = nrm.select(F.col("__id").alias("doc_b"), F.col("__nn").alias("__nb"))
-    return (
-        dots.join(na, "doc_a")
-        .join(nb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.col("__dot") / (F.col("__na") * F.col("__nb")), round_to
-            ).alias("cos_sim"),
+        .agg(
+            F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"),
+            F.min("__na").alias("__na"),
+            F.min("__nb").alias("__nb"),
         )
-        .where(F.col("cos_sim") >= F.lit(float(min_sim)))
     )
+    return dots.select(
+        "doc_a",
+        "doc_b",
+        F.round(
+            F.col("__dot") / (F.col("__na") * F.col("__nb")), round_to
+        ).alias("cos_sim"),
+    ).where(F.col("cos_sim") >= F.lit(float(min_sim)))

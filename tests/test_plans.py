@@ -288,6 +288,30 @@ def test_tfidf_zero_python_partial_group_limit(spark):
     assert "WindowGroupLimit" in p
 
 
+def test_tfidf_cosine_norm_rides_posting_subtree(spark):
+    """tfidf_cosine_pairs (r13): the per-doc norm is a Window over the
+    weighted-term frame and travels THROUGH the posting self-join —
+    there is no separate norm aggregate joined back on doc_a/doc_b (the
+    old form's two extra joins, whose norm branch re-planned the whole
+    tf subtree: static plan 32 parquet scans -> 16). Every equi-join in
+    the plan keys on __term; the only other joins are the broadcast
+    n_docs crossJoins."""
+    from postgresql_topn_spark.operators.dedup import tfidf_cosine_pairs
+    from postgresql_topn_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF, "documents")
+    out = tfidf_cosine_pairs(docs, "doc_id", "text", shingle_k=3, min_sim=0.5)
+    p = plan_str(out, "simple")
+    assert "Window" in p
+    join_lines = [
+        line
+        for line in p.splitlines()
+        if "Join" in line and "BroadcastNestedLoopJoin" not in line
+    ]
+    assert join_lines, "expected the posting self-join"
+    assert all("__term" in line for line in join_lines), join_lines
+
+
 def test_hll_rollup_partial_combines(spark):
     """hll_add_agg: one key exchange with a map-side partial
     hll_sketch_agg (raw rows collapse to fixed-size sketch state before
