@@ -2709,18 +2709,21 @@ def stream_topn_rollup_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     src = _stream_event_time(
         spark.readStream.schema(raw.schema).parquet(src_dir), raw
     )
-    q = stream_topn_rollup(
-        src,
-        [F.year("ts").alias("yr"), F.month("ts").alias("mon")],
-        "event_type",
-        rollup_path=os.path.join(base, "rollup"),
-        checkpoint_path=os.path.join(base, "ckpt"),
-        counters=C,
-        trigger_available_now=True,
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("streaming rollup did not drain in 600s")
+    # r13: foreachBatch inner aggs + sink writes run AQE-less at the
+    # raw conf — size the drain's partitions from the source bytes
+    with _stream_drain_parts(spark, src_dir):
+        q = stream_topn_rollup(
+            src,
+            [F.year("ts").alias("yr"), F.month("ts").alias("mon")],
+            "event_type",
+            rollup_path=os.path.join(base, "rollup"),
+            checkpoint_path=os.path.join(base, "ckpt"),
+            counters=C,
+            trigger_available_now=True,
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming rollup did not drain in 600s")
     merged = stream_read_rollup(
         spark, os.path.join(base, "rollup"), ["yr", "mon"], counters=C
     )
@@ -6354,6 +6357,35 @@ def _stream_event_time(src: DataFrame, raw: DataFrame) -> DataFrame:
     return src.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+def _stream_drain_parts(spark: SparkSession, src_dir: str):
+    """Scoped shuffle-partition override for a streaming drain (r13):
+    streaming queries get no AQE (state partition counts freeze at
+    start; foreachBatch inner aggs and sink writes run at the raw
+    conf), so the three stream gates size the count from the staged
+    source's bytes via `adaptive_stream_partitions` and restore the
+    session conf after the drain. Contents are partition-count
+    invariant (hostile-partitioning probe)."""
+    from contextlib import contextmanager
+
+    from postgresql_topn_spark.streaming.topn_stream import (
+        adaptive_stream_partitions,
+    )
+
+    @contextmanager
+    def _scope():
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(adaptive_stream_partitions(spark, src_dir)),
+        )
+        try:
+            yield
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    return _scope()
+
+
 def _stage_stream_source(sf_dir: str, name: str, base: str) -> str:
     """Stage a fixture parquet into a fresh directory the FILE STREAM
     source can watch. The fixture may be a single .parquet FILE (the
@@ -6516,16 +6548,18 @@ def stream_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     rollup = os.path.join(base, "rollup")
-    q = (
-        stream_sketch_rollup(
-            src, rollup, build, checkpoint=os.path.join(base, "ckpt")
+    # r13: same drain-sized partition scope as the other stream gates
+    with _stream_drain_parts(spark, src_dir):
+        q = (
+            stream_sketch_rollup(
+                src, rollup, build, checkpoint=os.path.join(base, "ckpt")
+            )
+            .trigger(availableNow=True)
+            .start()
         )
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("streaming KMV rollup did not drain in 600s")
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError("streaming KMV rollup did not drain in 600s")
     merged = kmv_union_rollup(
         spark.read.parquet(rollup), ["event_type"], "kmv", k=K
     )
@@ -6596,17 +6630,23 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         src, gap="30 minutes", watermark="0 seconds"
     )
     sink = os.path.join(base, "sessions")
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", sink)
-        .option("checkpointLocation", os.path.join(base, "ckpt"))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    if not q.awaitTermination(600):
-        q.stop()
-        raise RuntimeError("streaming sessionization did not drain in 600s")
+    # r13: the stateful gate sizes its state-partition count from the
+    # staged source's bytes (_stream_drain_parts — the count freezes
+    # into the checkpoint at start, one state store per partition).
+    with _stream_drain_parts(spark, src_dir):
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(600):
+            q.stop()
+            raise RuntimeError(
+                "streaming sessionization did not drain in 600s"
+            )
     return spark.read.parquet(sink)
 
 

@@ -975,3 +975,43 @@ def test_stream_bloom_dedup_rejects_old_flat_layout(spark, tmp_path):
     )
     with pytest.raises(Exception, match="flat-append|Migrate"):
         q.awaitTermination(120)
+
+
+def test_adaptive_stream_partitions_scales_with_source_bytes(
+    spark, tmp_path
+):
+    """adaptive_stream_partitions: ceil(source bytes / partitionBytes)
+    clamped to [1, spark.sql.shuffle.partitions] — tiny sources stop
+    paying the full configured state-store count, real backlogs hit the
+    cap and keep the session conf as the scale lever; an unreadable
+    source falls back to the cap (never under-parallelize on a stat
+    error)."""
+    from postgresql_topn_spark.streaming.topn_stream import (
+        _STATE_PARTITION_BYTES_CONF,
+        adaptive_stream_partitions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    (src / "a.bin").write_bytes(b"x" * 3000)
+    (src / "b.bin").write_bytes(b"x" * 2000)  # 5000 bytes total
+
+    cap = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set(_STATE_PARTITION_BYTES_CONF, "2000")
+        # ceil(5000/2000) = 3, under the cap
+        assert adaptive_stream_partitions(spark, str(src)) == 3
+        spark.conf.set(_STATE_PARTITION_BYTES_CONF, "1")
+        # 5000 partitions wanted -> clamped to the session conf
+        assert adaptive_stream_partitions(spark, str(src)) == int(cap)
+        spark.conf.set(_STATE_PARTITION_BYTES_CONF, "1000000")
+        # one partition floor for a sub-threshold source
+        assert adaptive_stream_partitions(spark, str(src)) == 1
+        spark.conf.set(_STATE_PARTITION_BYTES_CONF, "not-a-number")
+        assert 1 <= adaptive_stream_partitions(spark, str(src)) <= int(cap)
+        # missing path: size unknown -> keep configured parallelism
+        assert adaptive_stream_partitions(
+            spark, str(tmp_path / "missing")
+        ) == int(cap)
+    finally:
+        spark.conf.unset(_STATE_PARTITION_BYTES_CONF)
