@@ -564,9 +564,17 @@ def lr_train(
             if p is not None
         )
     else:
+        # one partition: the frame is bounded at n_buckets+3 rows by
+        # construction, and createDataFrame's default parallelism
+        # slicing otherwise fans a later model.write into 32 tiny
+        # part files (and its collect into 32 tasks) — guide §6.
+        # repartition, NOT coalesce: coalesce(1) merges the parent
+        # slices' preferred locations and the lone task then sits out
+        # spark.locality.wait (~3 s measured); the 1-partition shuffle
+        # of a few hundred rows is free
         model = spark.createDataFrame(
             w_rows + [bias_row] + meta_rows, "bucket long, w_micro long"
-        )
+        ).repartition(1)
         cut_paths = ()
     model._lr_params = (int(n_buckets), bool(bigrams))  # type: ignore[attr-defined]
     # driver-held final state: lr_score's fast path reads it directly,

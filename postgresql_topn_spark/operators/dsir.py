@@ -400,10 +400,15 @@ def save_dsir_model(model: DataFrame, path: str) -> None:
             "process, or rebuild via dsir_model_from_counts"
         )
     spark = model.sparkSession
-    model.write.mode("overwrite").parquet(f"{path}/model")
+    # single-file layout for both tables (guide §6): the model is
+    # bounded at n_buckets rows and params at 1 — letting the writer
+    # fan them across the frame's partitioning just multiplies file
+    # opens on every reload (repartition, not coalesce: coalesce(1)
+    # inherits merged locality prefs and stalls on spark.locality.wait)
+    model.repartition(1).write.mode("overwrite").parquet(f"{path}/model")
     spark.createDataFrame(
         [(int(tag[0]), float(tag[1]))], "n_buckets long, alpha double"
-    ).write.mode("overwrite").parquet(f"{path}/params")
+    ).repartition(1).write.mode("overwrite").parquet(f"{path}/params")
 
 
 def load_dsir_model(spark, path: str) -> DataFrame:
