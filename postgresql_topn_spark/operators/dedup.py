@@ -71,7 +71,7 @@ def _size_bytes(v: str) -> int:
     return int(s)
 
 
-def _spread_small_scan(src: DataFrame, slim: DataFrame) -> DataFrame:
+def spread_small_scan(src: DataFrame, slim: DataFrame) -> DataFrame:
     """Repartition `slim` up to defaultParallelism when `src`'s file
     scan cannot produce that many splits — i.e. parallelize
     single-row-group LOCAL files ahead of an expensive per-row kernel.
@@ -659,9 +659,14 @@ def _shingle_postings(
     max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Token-shingle postings: _postings over the 64-bit xxhash64
-    k-token-window hashes (see hashed_shingles_from_tokens)."""
+    k-token-window hashes (see hashed_shingles_from_tokens).
+
+    The tokenized frame is spread ahead of the shingle explode
+    (spread_small_scan): the per-row shingle/hash work otherwise runs
+    at the file scan's parallelism, which for a single-row-group local
+    file is ONE task — no-op whenever the scan already splits."""
     return _postings(
-        _tokenized(df, id_col, text_col),
+        spread_small_scan(df, _tokenized(df, id_col, text_col)),
         F.array_distinct(hashed_shingles_from_tokens("__toks", k)),
         max_shingle_df,
     )
@@ -800,7 +805,7 @@ def _char_gram_arrays(
         # column would float-coerce it (corrupting ids > 2^53)
         F.col("__id").isNotNull() & (F.char_length(text_col) >= n)
     )
-    base = _spread_small_scan(df, base)
+    base = spread_small_scan(df, base)
     out_schema = StructType(
         [
             base.schema["__id"],
@@ -1157,7 +1162,9 @@ def minhash_signatures(
         (rng.randrange(1, 1 << 31), rng.randrange(0, MINHASH_PRIME))
         for _ in range(num_hashes)
     ]
-    hashed = _tokenized(df, id_col, text_col).select(
+    # tokenized frame spread first (spread_small_scan): the
+    # shingle-hash explode is the per-row hot leg
+    hashed = spread_small_scan(df, _tokenized(df, id_col, text_col)).select(
         "__id",
         F.explode(
             F.transform(
@@ -1285,8 +1292,10 @@ def minhash_signatures_md5(
     combine. Use the xxhash form for production indexes; this form
     whenever the result must be value-oracled."""
     # explode distinct shingles -> 32-bit md5 hash, one md5 per shingle
+    # (tokenized frame spread first: the md5-per-shingle projection is
+    # the expensive leg and must not run at a starved scan's task count)
     shs = (
-        _tokenized(df, id_col, text_col)
+        spread_small_scan(df, _tokenized(df, id_col, text_col))
         .select(
             "__id",
             F.explode(
@@ -1397,7 +1406,7 @@ def simhash_table(
     hashed = hashed.select(
         "__id", F.transform("__toks", lambda t: F.xxhash64(t)).alias("__th")
     )
-    hashed = _spread_small_scan(df, hashed)
+    hashed = spread_small_scan(df, hashed)
     out_schema = StructType(
         [hashed.schema["__id"], StructField("__sh", LongType())]
     )
@@ -1559,8 +1568,8 @@ def simhash_md5_table(
     """
     toks = _tokenized(df, id_col, text_col).where(F.size("__toks") >= k)
     # parallelize single-row-group local files before the (per-row
-    # expensive) md5+vote projection (see _spread_small_scan)
-    toks = _spread_small_scan(df, toks)
+    # expensive) md5+vote projection (see spread_small_scan)
+    toks = spread_small_scan(df, toks)
     return toks.select("__id", F.expr(vote).alias("__sh"))
 
 
@@ -1630,10 +1639,13 @@ def substring_run_pairs(
         )
     from pyspark.sql.window import Window
 
-    t = _tokenized(df, id_col, text_col)
+    t = spread_small_scan(df, _tokenized(df, id_col, text_col))
     sh_expr = shingles_from_tokens(F.col("__toks"), shingle_k)
     # posexplode in the SAME select as the shingle expression (see
-    # _tokenized's Generate-boundary note)
+    # _tokenized's Generate-boundary note); the tokenized frame is
+    # spread first — the positional md5-per-gram projection below is
+    # the hot leg (measured 3.1 -> 1.1 s on the suite gate when the
+    # scan is a single-row-group file)
     sh = t.select(
         "__id", F.posexplode(sh_expr).alias("__p0", "__s")
     ).select(

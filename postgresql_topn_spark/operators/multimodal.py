@@ -543,10 +543,12 @@ def make_video_blob_table(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return (
-        documents.select("doc_id")
-        .where(F.col("doc_id").isNotNull())
-        .mapInPandas(synth, VIDEO_BLOB_SCHEMA)
+    from postgresql_topn_spark.operators.dedup import spread_small_scan
+
+    base = documents.select("doc_id").where(F.col("doc_id").isNotNull())
+    # same starved-scan spread as make_png_blob_table
+    return spread_small_scan(documents, base).mapInPandas(
+        synth, VIDEO_BLOB_SCHEMA
     )
 
 
@@ -716,7 +718,13 @@ def make_png_blob_table(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").where(F.col("doc_id").isNotNull()).mapInPandas(synth, BLOB_SCHEMA)
+    from postgresql_topn_spark.operators.dedup import spread_small_scan
+
+    base = documents.select("doc_id").where(F.col("doc_id").isNotNull())
+    # synth + the downstream decode/featurize stages fuse onto this
+    # frame's partitioning — spread a starved single-file scan first
+    # (no-op when the scan already splits; guide §2.5 input skew)
+    return spread_small_scan(documents, base).mapInPandas(synth, BLOB_SCHEMA)
 
 
 def _paeth(a: int, b: int, c: int) -> int:
@@ -1056,7 +1064,13 @@ def make_audio_blob_table(documents: DataFrame) -> DataFrame:
                 }
             )
 
-    return documents.select("doc_id").where(F.col("doc_id").isNotNull()).mapInPandas(synth, BLOB_SCHEMA)
+    from postgresql_topn_spark.operators.dedup import spread_small_scan
+
+    base = documents.select("doc_id").where(F.col("doc_id").isNotNull())
+    # synth + the downstream decode/featurize stages fuse onto this
+    # frame's partitioning — spread a starved single-file scan first
+    # (no-op when the scan already splits; guide §2.5 input skew)
+    return spread_small_scan(documents, base).mapInPandas(synth, BLOB_SCHEMA)
 
 
 def _wav_chunks(buf: bytes):

@@ -314,6 +314,7 @@ def topn_add_agg_sketch(
     *,
     counters: int | None = None,
     out_col: str = "topn",
+    spread: bool = True,
 ) -> DataFrame:
     """Bounded-memory ``topn_add_agg``: per-group sketch state never
     exceeds 3 x counters entries, whatever the item cardinality.
@@ -333,6 +334,17 @@ def topn_add_agg_sketch(
         *gexprs,
         _col(item).cast("string").alias("__item"),
     )
+    # the mapInPandas partial runs at the input's partitioning — spread
+    # a starved single-file scan so the Tier-1-style partial pass uses
+    # the whole cluster (no-op when the scan already splits).
+    # `spread=False` opts out for callers that fan MANY lanes over the
+    # same small source in one query: each lane's projection differs,
+    # so the per-lane repartition exchanges don't dedupe and cost more
+    # than the starved partial saves (measured on topn_tier2_eviction).
+    if spread:
+        from postgresql_topn_spark.operators.dedup import spread_small_scan
+
+        src = spread_small_scan(df, src)
     src, restore = _decimal_ride_keys(src, gnames)
     mid_schema = _group_ddl(src, gnames) + "__item string, __freq bigint"
     partial_df = src.mapInPandas(
@@ -353,6 +365,7 @@ def topn_weighted_agg_sketch(
     *,
     counters: int | None = None,
     out_col: str = "topn",
+    spread: bool = True,
 ) -> DataFrame:
     """Bounded-memory ``topn_weighted_agg``: the additive-measure
     aggregate under the Tier-2 sketch policy — per-group state never
@@ -379,6 +392,12 @@ def topn_weighted_agg_sketch(
         _col(item).cast("string").alias("__item"),
         _col(weight).cast("double").alias("__w"),
     )
+    # same starved-scan spread (and opt-out rationale) as
+    # topn_add_agg_sketch
+    if spread:
+        from postgresql_topn_spark.operators.dedup import spread_small_scan
+
+        src = spread_small_scan(df, src)
     src, restore = _decimal_ride_keys(src, gnames)
     # decimal(38,0), not bigint: partial totals stay EXACT across the
     # shuffle so the int64 saturation happens exactly once, at the

@@ -1049,7 +1049,14 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return n_lane, v_lane
 
-    sk = topn_add_agg_sketch(li, [grp], "l_partkey", counters=cnt)
+    # spread=False on both add-path lanes: this gate fans SIX lanes
+    # over the same small lineitem scan in one query — the per-lane
+    # spread exchanges don't dedupe (each lane projects different
+    # columns below them) and measured slower than the starved partial
+    # (paired A/B, r13); the sibling topn_tier2_modes keeps the default
+    sk = topn_add_agg_sketch(
+        li, [grp], "l_partkey", counters=cnt, spread=False
+    )
     # the reported entries fan into the audit's join AND the size agg,
     # and the verdicts fan into two lanes — cut the (<= groups*counters
     # rows) frame once so the Tier-2 partial+merge chain plans/executes
@@ -1057,7 +1064,9 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ent = stage_cut(explode_topn(sk, "topn", cnt, keep=["grp"], counters=cnt))
     n_lane, v_lane = verdict_lanes(ent, "n_entries", "violations")
 
-    sk2 = topn_add_agg_sketch(li, [grp], "l_linestatus", counters=cnt)
+    sk2 = topn_add_agg_sketch(
+        li, [grp], "l_linestatus", counters=cnt, spread=False
+    )
     e_lane = explode_topn(sk2, "topn", cnt, keep=["grp"], counters=cnt).select(
         F.lit("exact_subset").alias("lane"), "grp", "item", "frequency"
     )
@@ -2997,6 +3006,7 @@ def curation_signal_cascade(
       shuffles (the plan property pinned in tests/test_plans.py); the
       form every SQL oracle replays.
     """
+    from postgresql_topn_spark.operators.dedup import spread_small_scan
     from postgresql_topn_spark.operators.text import (
         c4_clean,
         gopher_quality_signals,
@@ -3007,6 +3017,11 @@ def curation_signal_cascade(
     if kernel not in ("arrow", "catalyst"):
         raise ValueError(f"kernel must be 'arrow' or 'catalyst': {kernel}")
 
+    # the signal pass is the per-row hot leg of the whole pipeline —
+    # spread a starved single-file scan before it (no-op at cluster
+    # scale; measured 2.75 -> 1.51 s for the cascade at sf0.1, where
+    # the documents scan is ONE task)
+    docs = spread_small_scan(docs, docs)
     cheap = (
         docs.select(
             "doc_id",
