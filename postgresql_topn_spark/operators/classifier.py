@@ -185,6 +185,14 @@ def lr_features(
             f"id_col may not be a reserved output name ({id_col!r})"
         )
     grams = hashed_ngrams(text_col, bigrams=bigrams)
+    # spread a starved single-file scan BEFORE the gram projection:
+    # tokenize + md5-per-gram is the per-row hot leg and otherwise
+    # runs at the scan's task count (ONE for the small-SF fixtures);
+    # no-op whenever the scan already splits, and for cut/persisted
+    # inputs (no file scan to inspect)
+    from postgresql_topn_spark.operators.dedup import spread_small_scan
+
+    docs = spread_small_scan(docs, docs)
     # materialize the gram array in its own projection BELOW the
     # generator: referencing the array expression alongside explode()
     # makes Spark rebuild the whole array per EXPLODED row (the

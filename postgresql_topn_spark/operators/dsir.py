@@ -76,6 +76,12 @@ def _feature_buckets(
 ) -> DataFrame:
     """(id, bucket) one row per feature OCCURRENCE (duplicates kept —
     multinomial counts, not set membership)."""
+    # spread a starved single-file scan before the gram explode (the
+    # per-row hot leg); no-op when the scan already splits or the
+    # input is a cut/persisted frame
+    from postgresql_topn_spark.operators.dedup import spread_small_scan
+
+    docs = spread_small_scan(docs, docs)
     return docs.select(
         _col(id_col).alias("__id"),
         F.explode(hashed_ngrams(text_col, bigrams=bigrams)).alias("__f"),
@@ -155,6 +161,10 @@ def dsir_bucket_counts(
             f"group_cols may not produce reserved output names {clash}; "
             "alias the column(s) before calling dsir_bucket_counts"
         )
+    # same starved-scan spread as _feature_buckets
+    from postgresql_topn_spark.operators.dedup import spread_small_scan
+
+    docs = spread_small_scan(docs, docs)
     return (
         docs.select(
             *gcols,

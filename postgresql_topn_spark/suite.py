@@ -3278,6 +3278,10 @@ def pipeline_select_mix(
 
     docs = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
+    # NOT spread at the gate (r13): a gate-level spread of the quality
+    # stage stacks a second round-robin exchange under jaccard_pairs'
+    # internal one and measured SLOWER (paired A/B +0.9 s med); the
+    # heavy shingle/md5 leg is already spread inside _shingle_postings
     scored = docs.select(
         "doc_id", "text", "lang", quality_score("text").alias("score")
     )
