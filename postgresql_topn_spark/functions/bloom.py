@@ -92,7 +92,12 @@ def bloom_add_agg(
         raise ValueError(f"depth must be >= 1, got {depth}")
     gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
     it = _col(item)
-    slots = df.where(it.isNotNull()).select(
+    # starved-scan spread before the depth-way slot explode (one hash
+    # per row per depth); no-op whenever the scan already splits
+    from postgresql_topn_spark.operators.dedup import spread_small_scan
+
+    base = spread_small_scan(df, df.where(it.isNotNull()))
+    slots = base.select(
         *gcols,
         F.explode(
             F.array(

@@ -63,10 +63,16 @@ def cms_add_agg(
         raise ValueError(f"cms needs depth >= 1, width >= 2; got {depth}x{width}")
     gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
     it = _col(item)
+    # spread a starved single-file scan before the depth-way slot
+    # explode (one md5 per row per depth — the per-row hot leg); no-op
+    # whenever the scan already splits
+    from postgresql_topn_spark.operators.dedup import spread_small_scan
+
+    base = spread_small_scan(df, df.where(it.isNotNull()))
     # __-prefixed working names: bare 'slot'/'cnt' collided with
     # same-named user group columns at analysis time (review pin;
     # kmv.py's __h/__salt convention)
-    slots = df.where(it.isNotNull()).select(
+    slots = base.select(
         *gcols,
         F.explode(
             F.array(

@@ -748,7 +748,9 @@ def winnow_fingerprint_pairs(
     )
 
     fp_fn = fingerprint_winnow_md5 if md5_form else fingerprint_winnow
-    fps = df.select(
+    # starved-scan spread before the fingerprint projection (md5 per
+    # shingle + windowed mins is the per-row hot leg)
+    fps = spread_small_scan(df, df).select(
         _col(id_col).alias("__id"),
         F.explode(F.array_distinct(fp_fn(text_col, k, window))).alias("__fp"),
     )

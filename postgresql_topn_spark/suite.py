@@ -6483,7 +6483,13 @@ def topn_csv_reviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     from postgresql_topn_spark.functions.aggregates import topn_add_agg
     from postgresql_topn_spark.sources.tables import read_customer_reviews_csv
 
+    from postgresql_topn_spark.operators.dedup import spread_small_scan
+
     li = load_table(spark, sf_dir, "lineitem")
+    # spread the starved scan so the CSV WRITE (and the read-back's
+    # ingest) runs at cluster parallelism instead of the fixture file's
+    # 3 splits; no-op at scale, where the scan already splits
+    li = spread_small_scan(li, li)
     pid = F.col("l_partkey").cast("string")
     reviews = li.select(
         F.col("l_orderkey").cast("string").alias("customer_id"),
