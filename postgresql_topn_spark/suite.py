@@ -4132,9 +4132,11 @@ def pipeline_deliver_dataset(
 
     sel = _select_recipe_frame(spark, sf_dir, checkpoint_dir)
     docs = load_table(spark, sf_dir, "documents")
-    survivors = stage_cut(
-        docs.join(sel.select("doc_id"), "doc_id").select("doc_id", "text"),
-        checkpoint_dir,
+    # NOT cut (r13): survivors has exactly ONE consumer — the chunk
+    # projection, which is itself cut on the next line — so a cut here
+    # was one extra materialization barrier with nothing to reuse it
+    survivors = docs.join(sel.select("doc_id"), "doc_id").select(
+        "doc_id", "text"
     )
     chunks = stage_cut(
         chunk_documents(
