@@ -82,6 +82,7 @@ def bloom_add_agg(
     depth: int = DEFAULT_DEPTH,
     out_col: str = "bloom",
     portable: bool = True,
+    spread: bool = True,
 ) -> DataFrame:
     """Per-group Bloom filter (array<long> of m_bits/32 words) over
     `item`. NULL items are skipped. ``portable`` picks the slot hash
@@ -93,10 +94,15 @@ def bloom_add_agg(
     gcols = [_col(c) if isinstance(c, str) else c for c in group_cols]
     it = _col(item)
     # starved-scan spread before the depth-way slot explode (one hash
-    # per row per depth); no-op whenever the scan already splits
-    from postgresql_topn_spark.operators.dedup import spread_small_scan
+    # per row per depth); no-op whenever the scan already splits.
+    # spread=False opts out for broadcast-critical-path builds over
+    # slim key projections (bloom_pruned_join), where the exchange
+    # only delays the broadcast
+    base = df.where(it.isNotNull())
+    if spread:
+        from postgresql_topn_spark.operators.dedup import spread_small_scan
 
-    base = spread_small_scan(df, df.where(it.isNotNull()))
+        base = spread_small_scan(df, base)
     slots = base.select(
         *gcols,
         F.explode(

@@ -137,6 +137,9 @@ def bloom_pruned_join(
         depth=depth,
         out_col="__bloom_prune",
         portable=portable,
+        # the build feeds a broadcast the probe scan BLOCKS on — a
+        # starved-scan spread of the slim key projection only delays it
+        spread=False,
     )
     pruned = (
         large.crossJoin(F.broadcast(filt))
