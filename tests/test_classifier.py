@@ -399,3 +399,43 @@ class TestSharedFeatures:
         bad = docs.select("doc_id", F.lit(0).alias("bucket"))  # no "m"
         with pytest.raises(ValueError, match="missing required column"):
             lr_score(docs, model, n_buckets=64, features=bad)
+
+
+def test_train_parts_scales_with_input_bytes(spark, tmp_path):
+    """_train_parts: ceil(input file bytes / spark.topn.lr.partitionBytes)
+    clamped to [1, spark.sql.shuffle.partitions] — toy corpora stop
+    fanning the GD working set into conf-many near-empty partitions,
+    real corpora hit the cap and keep the session conf as the scale
+    lever; a frame with no scan files (in-memory relation) falls back
+    to the cap (never under-parallelize blind)."""
+    import glob
+    import os
+
+    from postgresql_topn_spark.operators.classifier import _train_parts
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(i, "alpha beta " * 50) for i in range(200)], "doc_id long, text string"
+    ).repartition(2).write.parquet(path)
+    total = sum(
+        os.path.getsize(f) for f in glob.glob(os.path.join(path, "*.parquet"))
+    )
+    df = spark.read.parquet(path)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    try:
+        # per-part just under half the total -> ceil gives 3 (or the
+        # exact ceil for the measured size), under the cap
+        per = max(1, total // 3)
+        spark.conf.set("spark.topn.lr.partitionBytes", str(per))
+        assert _train_parts(df) == min(cap, -(-total // per))
+        # 1 byte per partition -> clamped to the session conf
+        spark.conf.set("spark.topn.lr.partitionBytes", "1")
+        assert _train_parts(df) == cap
+        # huge per-partition budget -> single-partition floor
+        spark.conf.set("spark.topn.lr.partitionBytes", "1g")
+        assert _train_parts(df) == 1
+        # no scan files behind the plan: keep configured parallelism
+        mem = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        assert _train_parts(mem) == cap
+    finally:
+        spark.conf.unset("spark.topn.lr.partitionBytes")
