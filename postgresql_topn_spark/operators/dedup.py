@@ -861,6 +861,8 @@ def _prefix_candidates(
     posts: DataFrame,
     threshold: float,
     checkpoint_dir: "str | None" = None,
+    *,
+    cut: bool = True,
 ) -> DataFrame:
     """EXACT prefix-filter candidate pairs (doc_a < doc_b) for Jaccard
     >= threshold over a postings index — the AllPairs/PPJoin principle:
@@ -913,8 +915,15 @@ def _prefix_candidates(
         stage_cut,
     )
 
-    posts = stage_cut(posts, checkpoint_dir)
-    _cut = posts
+    # cut=False (r13): the caller's postings already derive from its
+    # OWN materialized cut (char_ngram_jaccard_pairs cuts the per-doc
+    # gram ARRAYS so the verification join shares one kernel
+    # evaluation) — re-deriving the explode from those blocks per
+    # branch is cheap JVM work, while a second cut here would
+    # materialize the exploded rows (strictly more bytes) on top.
+    if cut:
+        posts = stage_cut(posts, checkpoint_dir)
+    _cut = posts if cut else None
     dfreq = posts.groupBy("__sh").agg(F.count(F.lit(1)).alias("__df"))
     ranked = posts.join(dfreq, "__sh")
     plen = (
@@ -988,10 +997,11 @@ def char_ngram_jaccard_pairs(
     for 29k candidates at sf0.1). The pair set is unpivoted to
     (pair, role, doc) and joined to the gram table ONCE, then re-paired
     with first(when(role)) — two separate a-side/b-side joins would
-    evaluate the gram kernel twice; the union's two branches share the
+    scan the gram table twice; the union's two branches share the
     candidate distinct-exchange (reused, since they differ only in
-    projections above it), keeping the whole query at two kernel
-    evaluations: the prefix-index chain and this one.
+    projections above it). The gram table itself is a stage cut shared
+    with the postings index (r13), so the Arrow gram kernel runs
+    EXACTLY ONCE for the whole query.
 
     `checkpoint_dir` (ADVICE r10): reliable cut for the postings
     index instead of the default localCheckpoint — identical pairs,
@@ -1003,9 +1013,19 @@ def char_ngram_jaccard_pairs(
         # and surfaces as a cryptic runtime slice error deep in the
         # job; validate at the API boundary like the sibling operators
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
-    garr = _char_gram_arrays(df, id_col, text_col, n)
+    from postgresql_topn_spark.operators.checkpointing import stage_cut
+
+    # ONE kernel evaluation (r13): cut the per-doc gram ARRAYS, then
+    # derive both the postings index (explode below) and the
+    # verification join from the same materialized blocks. The prior
+    # shape cut the EXPLODED postings inside _prefix_candidates, so
+    # the verification branch's `garr` re-ran the Arrow gram kernel —
+    # a second full corpus Python pass (~0.4 s at sf0.1; a whole scan
+    # at 100 TB). The array cut is also strictly fewer bytes than the
+    # exploded-posting cut it replaces.
+    garr = stage_cut(_char_gram_arrays(df, id_col, text_col, n), checkpoint_dir)
     posts = garr.select("__id", F.explode("__g").alias("__sh"), "__n")
-    cand = _prefix_candidates(posts, threshold, checkpoint_dir)
+    cand = _prefix_candidates(posts, threshold, checkpoint_dir, cut=False)
     tagged = cand.select(
         "doc_a", "doc_b", F.col("doc_a").alias("__d"), F.lit(0).alias("__r")
     ).unionByName(
@@ -1052,8 +1072,8 @@ def char_ngram_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "intersection", "union_size", "jaccard")
     )
-    # hand the caller the release handle for the reliable postings cut
-    return adopt_cut(out, cand)
+    # hand the caller the release handle for the reliable gram-array cut
+    return adopt_cut(out, garr)
 
 
 def _exact_jaccard(posts: DataFrame, pairs: DataFrame | None = None) -> DataFrame:

@@ -638,9 +638,12 @@ def test_ppjoin_prefix_chain_no_hot_gram_window_one_kernel(spark):
     frequency is a map-side-combinable aggregate joined back onto CUT
     postings — never a `count() over (partition by __sh)` window,
     whose hottest gram (' the ' in every doc) is one unsplittable
-    task. The lazy localCheckpoint cut keeps the Python gram kernel at
-    ONE plan occurrence (without it, the aggregate and join branches
-    each re-run the kernel: 5 nodes, measured +45% at sf0.1)."""
+    task. r13: the cut moved BELOW the explode — the per-doc gram
+    ARRAYS are the shared stage cut, and the verification join reads
+    the same cut instead of re-running the Arrow kernel, so the final
+    plan now has ZERO Python stages (the kernel's single evaluation
+    lives inside the cut's lineage; until r13 the plan carried one —
+    the verification branch's second full kernel pass)."""
     from postgresql_topn_spark.operators.dedup import (
         char_ngram_jaccard_pairs,
     )
@@ -652,7 +655,7 @@ def test_ppjoin_prefix_chain_no_hot_gram_window_one_kernel(spark):
     )
     p = plan_str(out, "simple")
     assert "Window" not in p
-    assert python_stages(out) == 1
+    assert python_stages(out) == 0
 
 
 def test_cascade_cheap_rules_gate_the_arrow_stage(spark):
