@@ -143,10 +143,21 @@ def _weight_lookup(w_map: "dict[int, int]", n_buckets: int) -> Column:
     for b, v in w_map.items():
         if 0 <= b < n_buckets and v is not None:
             dense[b] = int(v)
-    # ONE list-valued lit call: a per-element F.array(F.lit(v)...) form
-    # costs two py4j round trips per bucket (~2s at 512 buckets,
-    # measured) for the identical literal
-    arr = F.lit(dense).cast("array<bigint>")
+    # Ship the whole array as ONE string literal and let Catalyst's
+    # ConstantFolding produce the literal array (split+cast are
+    # foldable, so the OPTIMIZED plan is the identical literal — plan-
+    # verified). Neither of the obvious forms is one py4j call in this
+    # PySpark: per-element F.array(F.lit(v)...) is two round trips per
+    # bucket (~2 s at 512 buckets, measured r13 session 1) and even
+    # F.lit(list) LOOKS like one call but maps lit() over the elements
+    # internally (builtin.py `<listcomp>` — cProfile showed ~0.35 s per
+    # 512-bucket lookup, ~1 s per trained gate). The string form is a
+    # 3-node expression regardless of n_buckets (~30 ms incl.
+    # analysis); string->bigint cast is exact over the full int64
+    # range (pinned in test_classifier).
+    arr = F.split(F.lit(",".join(map(str, dense))), ",").cast(
+        "array<bigint>"
+    )
     return F.element_at(arr, F.col("bucket").cast("int") + F.lit(1))
 
 

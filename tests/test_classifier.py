@@ -439,3 +439,25 @@ def test_train_parts_scales_with_input_bytes(spark, tmp_path):
         assert _train_parts(mem) == cap
     finally:
         spark.conf.unset("spark.topn.lr.partitionBytes")
+
+
+def test_weight_lookup_string_literal_exact_int64(spark):
+    """_weight_lookup ships the dense weight array as ONE string
+    literal (r13 — F.lit(list) maps lit() per element through py4j,
+    ~0.35 s per 512-bucket lookup): the string->bigint cast must be
+    exact over the full int64 range, and Catalyst must constant-fold
+    split+cast to the literal array so execution is identical to the
+    old form."""
+    from pyspark.sql import functions as F
+
+    from postgresql_topn_spark.operators.classifier import _weight_lookup
+
+    w = {0: -(2**63), 1: 2**63 - 1, 2: None, 4: -1}
+    df = spark.range(5).select(F.col("id").cast("long").alias("bucket"))
+    out = df.select(_weight_lookup(w, 5).alias("w")).orderBy("w").collect()
+    got = sorted(r.w for r in out)
+    # None and the absent bucket 3 read as exact 0 (the coalesce rule)
+    assert got == sorted([-(2**63), 2**63 - 1, 0, 0, -1])
+    q = df.select(_weight_lookup(w, 5).alias("w"))
+    opt = q._jdf.queryExecution().optimizedPlan().toString()
+    assert "split(" not in opt  # folded to the literal array
