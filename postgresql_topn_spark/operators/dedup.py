@@ -87,6 +87,17 @@ def spread_small_scan(src: DataFrame, slim: DataFrame) -> DataFrame:
     from urllib.parse import urlparse
 
     spark = src.sparkSession
+    # global opt-out (r14): the VERDICT r13 watchlist asked for a
+    # fresh-JVM A/B lever for the spread sites; 'false' restores the
+    # pre-r13 unspread plans everywhere. Values are identical either
+    # way (a round-robin exchange is placement only).
+    if (
+        str(spark.conf.get("spark.topn.spread.enabled", "true"))
+        .strip()
+        .lower()
+        == "false"
+    ):
+        return slim
     target = spark.sparkContext.defaultParallelism
     try:
         files = src.inputFiles()
@@ -1184,9 +1195,17 @@ def minhash_signatures(
         (rng.randrange(1, 1 << 31), rng.randrange(0, MINHASH_PRIME))
         for _ in range(num_hashes)
     ]
-    # tokenized frame spread first (spread_small_scan): the
-    # shingle-hash explode is the per-row hot leg
-    hashed = spread_small_scan(df, _tokenized(df, id_col, text_col)).select(
+    # NOT spread (r14, VERDICT r13 watchlist): the r13 warm paired A/B
+    # read the spread as a win here, but the driver's cold r13 bench
+    # regressed dedup_minhash_lsh 0.75x and the fresh-JVM-per-arm
+    # re-measure (two JVMs each way, bench warmup + 3 runs) confirmed
+    # it: spread 2.38/2.54 s vs unspread 1.49/1.72 s best — the
+    # signature build is 32 tiny min-aggregates whose map-side partials
+    # are cheap at any task count, so the round-robin exchange is pure
+    # cost under a cold JVM. The shingle-verify leg's spread (the
+    # _shingle_postings site) stays: it re-measured a clear cold win
+    # (dedup_substring_runs 1.81 vs 3.56 s).
+    hashed = _tokenized(df, id_col, text_col).select(
         "__id",
         F.explode(
             F.transform(
