@@ -71,11 +71,14 @@ held on the driver between iterations and folded into each
 iteration's plan as a dense literal array, so the logit sum is a
 scan-stage O(1) lookup — no weight-table broadcast build, no
 per-iteration lineage cut, and no model-state shuffle at any corpus
-size. The weight/bias UPDATE is evaluated by Catalyst itself over a
-LocalRelation of the collected gradient rows (the optimizer's
-ConvertToLocalRelation folds it driver-side), so every arithmetic
-step runs through exactly the same expressions as the distributed
-form — bit-for-bit, which is what the unrolled-SQL oracle pins. The
+size. The weight/bias UPDATE runs in driver Python over the
+collected gradient rows, keeping the distributed form's exact float
+parenthesization and the pinned shortest-repr HALF_UP rounding rule
+(`_round_half_up_py`) — so every arithmetic step produces the same
+IEEE doubles and the same integers as the frame form, bit-for-bit,
+which is what the unrolled-SQL oracle pins (r14, ADVICE r13: this
+paragraph previously described a Catalyst-LocalRelation evaluation
+that the r13 rewrite replaced). The
 feature frame is computed once, lineage-cut (localCheckpoint by
 default; pass ``checkpoint_dir`` for reliable shared-storage cuts
 that survive executor loss — see operators/checkpointing.py), and
@@ -452,131 +455,137 @@ def lr_train(
     # the frame form produced on degenerate (empty-corpus) inputs.
     w_map: "dict[int, int | None] | None" = None  # None = all-zero init
     b_val: "int | None" = None
-    for it in range(iters):
-        if w_map is not None and n_buckets <= _INLINE_WEIGHTS_MAX:
-            zterm = F.col("m") * _weight_lookup(w_map, n_buckets)
-            zsum = feats
-        elif w_map is not None:
-            wdf = spark.createDataFrame(
-                [(int(k), v) for k, v in w_map.items()],
-                "bucket long, w_micro long",
-            )
-            zsum = feats.join(F.broadcast(wdf), "bucket", "left")
-            zterm = F.col("m") * F.coalesce(F.col("w_micro"), F.lit(0))
-        else:
-            zterm = F.lit(0).cast("long")
-            zsum = feats
-        zsum = zsum.groupBy("__tid").agg(F.sum(zterm).alias("__z0"))
-        # MERGE hints: both sides are hash-partitioned AND sorted by
-        # __tid (the persisted cuts), so the sort-merge joins run
-        # exchange-free and sort-free in ONE stage — without the hint
-        # AQE broadcasts the per-iteration zsum/resid sides, paying a
-        # broadcast-build job each per iteration locally and, at corpus
-        # scale, estimating its way toward broadcasting a corpus-sized
-        # residual frame
-        z = examples.join(zsum.hint("merge"), "__tid", "left")
-        zdot = F.round(
-            F.coalesce(F.col("__z0"), F.lit(0)).cast("double")
-            / F.lit(float(_MICRO)),
-            0,
-        ).cast("long")
-        if it > 0:
-            z_micro = F.lit(b_val).cast("long") + zdot
-        else:
-            z_micro = zdot
-        resid = z.select(
-            "__tid",
-            F.round(
-                (_sigmoid(z_micro) - F.col("__y").cast("double"))
-                * F.lit(float(_MICRO)),
-                0,
-            )
-            .cast("long")
-            .alias("__r"),
-        )
-        # ONE bucket-keyed agg serves both gradients: per-(doc, bucket)
-        # weight terms plus a synthetic bucket=-1 row per example whose
-        # (term, mass) = (__r, 1) — so __g(-1) is the bias gradient and
-        # __M(-1) is n (the bias IS the mass-1 feature; module
-        # docstring). Exact integer sums, so folding the two aggs into
-        # one changes nothing.
-        term = feats.join(resid.hint("merge"), "__tid").select(
-            "bucket",
-            F.round(
-                (F.col("m") * F.col("__r")).cast("double")
+    shared: "DataFrame | None" = None
+    try:
+        for it in range(iters):
+            if w_map is not None and n_buckets <= _INLINE_WEIGHTS_MAX:
+                zterm = F.col("m") * _weight_lookup(w_map, n_buckets)
+                zsum = feats
+            elif w_map is not None:
+                wdf = spark.createDataFrame(
+                    [(int(k), v) for k, v in w_map.items()],
+                    "bucket long, w_micro long",
+                )
+                zsum = feats.join(F.broadcast(wdf), "bucket", "left")
+                zterm = F.col("m") * F.coalesce(F.col("w_micro"), F.lit(0))
+            else:
+                zterm = F.lit(0).cast("long")
+                zsum = feats
+            zsum = zsum.groupBy("__tid").agg(F.sum(zterm).alias("__z0"))
+            # MERGE hints: both sides are hash-partitioned AND sorted by
+            # __tid (the persisted cuts), so the sort-merge joins run
+            # exchange-free and sort-free in ONE stage — without the hint
+            # AQE broadcasts the per-iteration zsum/resid sides, paying a
+            # broadcast-build job each per iteration locally and, at corpus
+            # scale, estimating its way toward broadcasting a corpus-sized
+            # residual frame
+            z = examples.join(zsum.hint("merge"), "__tid", "left")
+            zdot = F.round(
+                F.coalesce(F.col("__z0"), F.lit(0)).cast("double")
                 / F.lit(float(_MICRO)),
                 0,
-            )
-            .cast("long")
-            .alias("__t"),
-            F.col("m").alias("__m"),
-        )
-        bias_term = resid.select(
-            F.lit(-1).cast("long").alias("bucket"),
-            F.col("__r").alias("__t"),
-            F.lit(1).cast("long").alias("__m"),
-        )
-        grad_rows = (
-            term.unionByName(bias_term)
-            .groupBy("bucket")
-            .agg(F.sum("__t").alias("__g"), F.sum("__m").alias("__M"))
-            .collect()
-        )
-        # mass-preconditioned step: lr x the feature's mass-weighted
-        # mean residual (M == 0 only for mass-rounded-to-zero buckets;
-        # they carry no signal, leave them at their previous weight).
-        # The update runs in DRIVER Python over the collected gradient
-        # rows: the float expression keeps the distributed form's exact
-        # parenthesization (((lr*g)/M)*1e6 — identical IEEE doubles)
-        # and the final rounding uses the pinned HALF_UP parity rule
-        # (_round_half_up_py), so the arithmetic is bit-identical to
-        # the frame form the oracle replays. SQL NULL propagation
-        # (degenerate empty-corpus chains) is mirrored with None.
-        prev_w = w_map or {}
-        new_w: "dict[int, int | None]" = {}
-        found_bias = False
-        for r in grad_rows:
-            bkt, g, M = int(r["bucket"]), r["__g"], r["__M"]
-            if bkt == -1:
-                prevb = b_val if it > 0 else 0
-                if g is None or prevb is None:
-                    b_val = None
-                else:
-                    b_val = prevb - _round_half_up_py(
-                        float(lr) * float(g) / float(M)
-                    )
-                found_bias = True
-            elif M is not None and M > 0:
-                prevv = prev_w.get(bkt, 0) or 0
-                if g is None:
-                    new_w[bkt] = None
-                else:
-                    new_w[bkt] = prevv - _round_half_up_py(
-                        float(lr) * float(g) / float(M) * float(_MICRO)
-                    )
+            ).cast("long")
+            if it > 0:
+                z_micro = F.lit(b_val).cast("long") + zdot
             else:
-                new_w[bkt] = prev_w.get(bkt, 0) or 0
-        if not found_bias:
-            # empty training input: the frame form's global agg summed
-            # over zero residuals to NULL — mirror it
-            b_val = None
-        w_map = new_w
+                z_micro = zdot
+            resid = z.select(
+                "__tid",
+                F.round(
+                    (_sigmoid(z_micro) - F.col("__y").cast("double"))
+                    * F.lit(float(_MICRO)),
+                    0,
+                )
+                .cast("long")
+                .alias("__r"),
+            )
+            # ONE bucket-keyed agg serves both gradients: per-(doc, bucket)
+            # weight terms plus a synthetic bucket=-1 row per example whose
+            # (term, mass) = (__r, 1) — so __g(-1) is the bias gradient and
+            # __M(-1) is n (the bias IS the mass-1 feature; module
+            # docstring). Exact integer sums, so folding the two aggs into
+            # one changes nothing.
+            term = feats.join(resid.hint("merge"), "__tid").select(
+                "bucket",
+                F.round(
+                    (F.col("m") * F.col("__r")).cast("double")
+                    / F.lit(float(_MICRO)),
+                    0,
+                )
+                .cast("long")
+                .alias("__t"),
+                F.col("m").alias("__m"),
+            )
+            bias_term = resid.select(
+                F.lit(-1).cast("long").alias("bucket"),
+                F.col("__r").alias("__t"),
+                F.lit(1).cast("long").alias("__m"),
+            )
+            grad_rows = (
+                term.unionByName(bias_term)
+                .groupBy("bucket")
+                .agg(F.sum("__t").alias("__g"), F.sum("__m").alias("__M"))
+                .collect()
+            )
+            # mass-preconditioned step: lr x the feature's mass-weighted
+            # mean residual (M == 0 only for mass-rounded-to-zero buckets;
+            # they carry no signal, leave them at their previous weight).
+            # The update runs in DRIVER Python over the collected gradient
+            # rows: the float expression keeps the distributed form's exact
+            # parenthesization (((lr*g)/M)*1e6 — identical IEEE doubles)
+            # and the final rounding uses the pinned HALF_UP parity rule
+            # (_round_half_up_py), so the arithmetic is bit-identical to
+            # the frame form the oracle replays. SQL NULL propagation
+            # (degenerate empty-corpus chains) is mirrored with None.
+            prev_w = w_map or {}
+            new_w: "dict[int, int | None]" = {}
+            found_bias = False
+            for r in grad_rows:
+                bkt, g, M = int(r["bucket"]), r["__g"], r["__M"]
+                if bkt == -1:
+                    prevb = b_val if it > 0 else 0
+                    if g is None or prevb is None:
+                        b_val = None
+                    else:
+                        b_val = prevb - _round_half_up_py(
+                            float(lr) * float(g) / float(M)
+                        )
+                    found_bias = True
+                elif M is not None and M > 0:
+                    prevv = prev_w.get(bkt, 0) or 0
+                    if g is None:
+                        new_w[bkt] = None
+                    else:
+                        new_w[bkt] = prevv - _round_half_up_py(
+                            float(lr) * float(g) / float(M) * float(_MICRO)
+                        )
+                else:
+                    new_w[bkt] = prev_w.get(bkt, 0) or 0
+            if not found_bias:
+                # empty training input: the frame form's global agg summed
+                # over zero residuals to NULL — mirror it
+                b_val = None
+            w_map = new_w
 
-    shared: "DataFrame | None" = None
-    if checkpoint_dir is None:
-        if share_features:
+        if checkpoint_dir is None and share_features:
             # copy the still-cached feature blocks into checkpoint
             # storage EAGERLY (reads the persisted blocks, no
-            # recompute), so the handoff survives the unpersist below.
-            # A per-call localCheckpoint — never persist-without-
-            # unpersist, which would let a later identical plan hit
-            # this run's cache (cross-run caching, banned)
+            # recompute), so the handoff survives the unpersist in
+            # the finally below. A per-call localCheckpoint — never
+            # persist-without-unpersist, which would let a later
+            # identical plan hit this run's cache (cross-run
+            # caching, banned)
             shared = feats.localCheckpoint(eager=True)
-        # training is fully materialized into driver state — the cached
-        # working set is dead; release the blocks now instead of
-        # leaving them to context GC
-        examples.unpersist()
-        feats.unpersist()
+    finally:
+        if checkpoint_dir is None:
+            # training is fully materialized into driver state — the
+            # cached working set is dead; release the blocks now. In
+            # a finally (r14, ADVICE r13): a failure inside the
+            # T-iteration collect loop (executor OOM, task error)
+            # must not leak both cached working sets for the rest of
+            # the session
+            examples.unpersist()
+            feats.unpersist()
 
     # bias + feature-space parameters live IN the frame at reserved
     # negative buckets (md5 buckets are non-negative), so a model

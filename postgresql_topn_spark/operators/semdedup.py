@@ -192,8 +192,14 @@ def _cluster_kills(pair_src: DataFrame, threshold: float) -> DataFrame:
     identical doubles: `_seq_dots`/`_seq_sqnorm` accumulate
     dimension-sequentially (pinned bit-identical to the fold forms),
     and sim = d / (norm_a * norm_b) keeps the expression's exact
-    multiply-then-divide order, so every `sim >= threshold` decision
-    matches the join form bit-for-bit. The grouping reuses the rank
+    multiply-then-divide order, and degenerate cosines follow the
+    engine (r14, ADVICE r13): NaN-element vectors produce NaN sims
+    that KILL — Catalyst sorts NaN above every numeric, so the join
+    form's `NaN >= th` was true — and a zero-norm member in a
+    >=2-member same-length group RAISES under ANSI exactly as the
+    join form's Divide would (NaN/kill with ANSI off). So every
+    `sim >= threshold` decision matches the join form bit-for-bit,
+    degenerate vectors included. The grouping reuses the rank
     window's cluster partitioning (no new exchange), pairwise work is
     column-blocked so memory stays O(members x block) however large a
     cluster gets, and the join form's null semantics are preserved:
@@ -204,6 +210,22 @@ def _cluster_kills(pair_src: DataFrame, threshold: float) -> DataFrame:
     src = pair_src.select("cluster", "__id", "__v", "rank")
     id_t = src.schema["__id"].dataType.simpleString()
     out_schema = f"__idb {id_t}, dup_of {id_t}, __ra int"
+    # Engine-faithful degenerate-cosine semantics (r14, ADVICE r13):
+    # the join form's `dot / (na * nb) >= threshold` is a Catalyst
+    # Divide + comparison, so under ANSI (the Spark 4 default) a
+    # ZERO-NORM member in a >=2-member same-length group RAISES
+    # DIVIDE_BY_ZERO, and with ANSI off the 0/0 cosine is NaN — which
+    # Catalyst comparisons sort ABOVE every numeric, so `NaN >= th`
+    # KILLS. The ANSI flag is captured at plan-build time (driver
+    # side), exactly when Catalyst would bind it into the expression.
+    _ansi = (
+        str(
+            pair_src.sparkSession.conf.get("spark.sql.ansi.enabled", "true")
+        )
+        .strip()
+        .lower()
+        == "true"
+    )
 
     def kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("rank")
@@ -239,6 +261,18 @@ def _cluster_kills(pair_src: DataFrame, threshold: float) -> DataFrame:
             gids = [ids[p] for p in pos_list]
             granks = [ranks[p] for p in pos_list]
             n = np.sqrt(_seq_sqnorm(V))
+            if _ansi and bool((n == 0.0).any()):
+                # the Catalyst join form evaluates every same-length
+                # pair's division, so one zero-norm member fails the
+                # query loudly under ANSI — replicate, never silently
+                # diverge (the ANSI element_at precedent)
+                raise ArithmeticError(
+                    "[DIVIDE_BY_ZERO] zero-norm embedding in a "
+                    ">=2-member cluster group: the pairwise cosine "
+                    "divides by zero. Drop zero vectors upstream or "
+                    "set spark.sql.ansi.enabled=false for the NaN "
+                    "(kill) semantics."
+                )
             blk = max(1, (1 << 22) // max(m_sz, 1))
             local = np.arange(m_sz)
             for c0 in range(0, m_sz, blk):
@@ -251,7 +285,16 @@ def _cluster_kills(pair_src: DataFrame, threshold: float) -> DataFrame:
                     D += np.outer(V[:, j], V[c0:c1, j])
                 with np.errstate(divide="ignore", invalid="ignore"):
                     S = D / np.outer(n, n[c0:c1])
-                    ge = S >= threshold
+                    # Spark NaN ordering (ADVICE r13): in the join
+                    # form the filter was Catalyst's `sim >= th`,
+                    # and Spark comparisons place NaN ABOVE every
+                    # numeric value — so a NaN cosine (a NaN vector
+                    # element surviving the non-NULL screen; also
+                    # 0/0 when ANSI is off — the ANSI case raised
+                    # above) KILLED. numpy's `>=` is False for NaN,
+                    # which silently diverged; replicate the engine
+                    # semantics explicitly.
+                    ge = (S >= threshold) | np.isnan(S)
                 # a must be strictly earlier in rank order than b
                 ge &= local[:, None] < local[None, c0:c1]
                 hit = ge.any(axis=0)

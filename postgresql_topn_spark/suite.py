@@ -6406,7 +6406,16 @@ def _stream_drain_parts(spark: SparkSession, src_dir: str):
     conf), so the three stream gates size the count from the staged
     source's bytes via `adaptive_stream_partitions` and restore the
     session conf after the drain. Contents are partition-count
-    invariant (hostile-partitioning probe)."""
+    invariant (hostile-partitioning probe).
+
+    CONCURRENCY CONTRACT (r14, ADVICE r13): the override is
+    session-GLOBAL for the drain window, so stream gates must never
+    run inside the driver-thread overlap pattern
+    (pipeline_model_roundtrip's two-chain submit) — a concurrently
+    PLANNING query would bind the shrunken toy count into its own
+    shuffles. All three stream gates are single-threaded straight-line
+    dataflows today; keep it that way, or scope the width per-query
+    (writeStream option / repartition) before overlapping one."""
     from contextlib import contextmanager
 
     from postgresql_topn_spark.streaming.topn_stream import (

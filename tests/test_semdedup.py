@@ -270,3 +270,60 @@ def test_trained_mode_planted_dupes_die_any_seed(spark):
         ).collect()
         drops = {r["vec_id"] for r in out if not r["keep"]}
         assert drops == {37, 38, 39}
+
+
+def test_degenerate_cosines_follow_catalyst(spark):
+    """r14 (ADVICE r13): the kernel replicates the engine's degenerate
+    cosine semantics — NaN-element vectors yield NaN sims that KILL
+    (Catalyst sorts NaN above every numeric, so the join form's
+    `NaN >= th` was true), and a zero-norm member raises
+    DIVIDE_BY_ZERO under ANSI exactly as the join form's Divide
+    would, killing via NaN with ANSI off. Ground truth checked
+    against Catalyst, not just asserted."""
+    from postgresql_topn_spark.operators.semdedup import _cluster_kills
+
+    # Catalyst ground truth: NaN comparison (a non-zero-divisor NaN)
+    row = spark.sql(
+        "SELECT CAST('NaN' AS DOUBLE)/1.0 >= 0.5 AS nan_cmp"
+    ).collect()[0]
+    assert row["nan_cmp"] is True
+
+    def kills_of(rows, threshold=0.5):
+        src = spark.createDataFrame(
+            rows, "cluster int, __id long, __v array<double>, rank int"
+        )
+        return {
+            r["__idb"]: r["dup_of"]
+            for r in _cluster_kills(src, threshold).collect()
+        }
+
+    # NaN-element member: NaN sim against the earlier clean keeper ->
+    # killed by it (the clean orthogonal pair stays below threshold)
+    nan_rows = [
+        (0, 1, [1.0, 0.0], 1),
+        (0, 2, [float("nan"), 1.0], 2),
+        (0, 3, [0.0, 1.0], 3),
+    ]
+    assert kills_of(nan_rows) == {2: 1, 3: 2}
+    # (3 is killed by 2: sim(1,3)=0 < th but sim(2,3)=NaN -> kill,
+    # earliest NaN witness wins — exactly the join form's min-rank)
+
+    # zero-norm member in a >=2-member group: ANSI (session default
+    # in Spark 4) -> the query fails loudly, like the join form's
+    # Divide; ANSI off -> 0/0 = NaN -> kill
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors.exceptions.captured import PythonException
+
+    zero_rows = [
+        (0, 1, [0.0, 0.0], 1),
+        (0, 2, [1.0, 0.0], 2),
+    ]
+    assert spark.conf.get("spark.sql.ansi.enabled") == "true"
+    with pytest.raises((PythonException, Py4JJavaError), match="DIVIDE_BY_ZERO"):
+        kills_of(zero_rows)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        assert kills_of(zero_rows) == {2: 1}
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
