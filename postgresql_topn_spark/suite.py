@@ -6027,11 +6027,20 @@ def multimodal_png_feature_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from postgresql_topn_spark.operators.similarity import cosine_topk
 
+    from postgresql_topn_spark.operators.checkpointing import stage_cut
+
     docs = load_table(spark, sf_dir, "documents")
     imgs = decode_image_pixels(
         make_png_blob_table(docs), decoder=decode_png_pixels
     )
-    feats = pixel_histogram_features(imgs, bins=16)
+    # decode-once discipline (r14, the multimodal_semantic_dedup
+    # precedent): cosine_topk COLLECTS the query side (the explicit
+    # broadcast-smallness contract), and the %100 filter cannot push
+    # below the opaque decode mapInPandas — so without a cut the full
+    # synth+decode+featurize chain ran TWICE (stage dissection: two
+    # 32-task Python stages of ~20 s runTime each, one per consumer).
+    # The feature frame is one 16-double row per doc — checkpoint it.
+    feats = stage_cut(pixel_histogram_features(imgs, bins=16))
     queries = feats.where(F.col("doc_id") % 100 == 0)
     return cosine_topk(
         feats, queries, id_col="doc_id", vec_col="embedding", k=3
