@@ -196,6 +196,39 @@ def _bucket_pairs(
     )
 
 
+def _local_min_label_fixpoint(und_rows, max_iter: int):
+    """Driver-side mirror of `connected_components`' distributed loop:
+    the SAME synchronous min-label recurrence over the doubled edge
+    list, round for round — init label(s) = min(s, min neighbor), each
+    round label'(s) = min(label(s), min over neighbors d of label(d))
+    from the PREVIOUS round's snapshot, stop on the first round that
+    changes nothing. Returns {node: component}, or None when max_iter
+    rounds all changed something (the caller raises exactly as the
+    distributed loop does). Kept recurrence-identical rather than
+    union-find so the max_iter contract (rounds = diameter budget) is
+    preserved observably."""
+    adj: dict = {}
+    for s, d in und_rows:
+        adj.setdefault(s, []).append(d)
+    labels = {s: min(s, min(nbrs)) for s, nbrs in adj.items()}
+    for _rnd in range(max_iter):
+        new = {}
+        changed = False
+        for s, nbrs in adj.items():
+            m = labels[s]
+            for d in nbrs:
+                ld = labels[d]
+                if ld < m:
+                    m = ld
+            new[s] = m
+            if m != labels[s]:
+                changed = True
+        labels = new
+        if not changed:
+            return labels
+    return None
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "doc_a",
@@ -267,6 +300,74 @@ def connected_components(
             und.select(F.col("__d").alias("__s"), F.col("__s").alias("__d"))
         )
     )
+
+    # Driver-local fast path (r14, guide §1.2/§5): near-dup edge sets
+    # are a vanishing fraction of the corpus (pairs above a high
+    # similarity threshold), so after the one unavoidable
+    # materialization of the pair generator the LOOP below is pure
+    # overhead when the edges fit on the driver — each round is a
+    # Catalyst compile + an AQE-staged join/agg + a convergence
+    # collect over a few hundred rows (measured ~1 s/round at sf0.1
+    # against ~1 ms of actual label work). Below the size bound the
+    # same synchronous min-label propagation runs in Python: identical
+    # labels (it is the same fixpoint recurrence, round for round,
+    # including the max_iter exhaustion raise — pytest-pinned against
+    # union-find), one job (limit+collect) instead of 2 + 2/round, and
+    # the returned labels become a LocalRelation the downstream keeper
+    # join can broadcast without scanning anything. Above the bound —
+    # the only regime possible at 100 TB — nothing changes: the
+    # limit() probe collects bound+1 slim rows and the distributed
+    # loop proceeds. Reliable mode (checkpoint_dir) keeps the loop on
+    # executors so loop state stays restart-safe; round_stats probes
+    # measure the distributed rounds by definition.
+    local_bound = 0
+    if checkpoint_dir is None and round_stats is None:
+        local_bound = int(
+            edges.sparkSession.conf.get(
+                "spark.topn.cc.localEdgeThreshold", "200000"
+            )
+        )
+    if local_bound > 0:
+        from pyspark.sql import types as _T
+
+        _node_t = und.schema["__s"].dataType
+        # only orderings proven identical between Python and Spark:
+        # integral min is arithmetic; Spark's UTF8String ordering is
+        # binary UTF-8, which preserves code-point order == Python str
+        _safe_type = isinstance(
+            _node_t,
+            (_T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType,
+             _T.StringType),
+        )
+        if _safe_type:
+            probe = und.limit(local_bound + 1).collect()
+            if len(probe) <= local_bound and all(
+                r["__s"] is not None and r["__d"] is not None for r in probe
+            ):
+                labels = _local_min_label_fixpoint(
+                    [(r["__s"], r["__d"]) for r in probe], max_iter
+                )
+                if labels is None:
+                    raise RuntimeError(
+                        f"connected_components did not converge within "
+                        f"max_iter={max_iter} rounds — the component "
+                        "diameter exceeds the round budget; raise "
+                        "max_iter (rounds are cheap and measured to "
+                        "stay at ~1 on near-dup graphs) or pass "
+                        "checkpoint_dir for long chains"
+                    )
+                schema = _T.StructType(
+                    [
+                        _T.StructField("node", _node_t),
+                        _T.StructField("component", _node_t),
+                    ]
+                )
+                return edges.sparkSession.createDataFrame(
+                    sorted(labels.items()), schema
+                )
+            # too big / null ids: fall through to the distributed loop
+            # (the probe rows are dropped; und stays materialized)
+
     labels = _persist_round(
         und.groupBy("__s")
         .agg(F.min("__d").alias("__m"))

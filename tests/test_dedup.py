@@ -880,6 +880,38 @@ def test_levenshtein_pairs_empty_doc_survives(spark):
     assert got == [(1, 2, 1)]
 
 
+def test_connected_components_local_vs_distributed(spark):
+    """r14: below `spark.topn.cc.localEdgeThreshold` the loop runs as a
+    driver-local mirror of the same min-label recurrence; labels must be
+    IDENTICAL to the distributed fixpoint (threshold=0 forces the
+    distributed loop), on long-diameter and star graphs alike."""
+    from postgresql_topn_spark.operators.dedup import connected_components
+
+    edges = [(i, i + 1) for i in range(10, 40)]  # 30-node path
+    edges += [(100, k) for k in range(101, 110)]  # star
+    edges += [(5, 5), (39, 10)]  # self-loop + cycle back
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+
+    local = {
+        (r["node"], r["component"])
+        for r in connected_components(df).collect()
+    }
+    spark.conf.set("spark.topn.cc.localEdgeThreshold", "0")
+    try:
+        dist = {
+            (r["node"], r["component"])
+            for r in connected_components(df, max_iter=80).collect()
+        }
+    finally:
+        spark.conf.unset("spark.topn.cc.localEdgeThreshold")
+    assert local == dist
+    # schema parity: same column names and node type either way
+    assert [f.name for f in connected_components(df).schema.fields] == [
+        "node",
+        "component",
+    ]
+
+
 def test_connected_components_string_ids(spark):
     """Review pin: the convergence check cast labels to decimal(38,0),
     crashing on string doc ids (ANSI) — every pair generator supports
