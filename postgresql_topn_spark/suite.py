@@ -1054,15 +1054,18 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # spread exchanges don't dedupe (each lane projects different
     # columns below them) and measured slower than the starved partial
     # (paired A/B, r13); the sibling topn_tier2_modes keeps the default
-    sk = topn_add_agg_sketch(
-        li, [grp], "l_partkey", counters=cnt, spread=False
-    )
     # the reported entries fan into the audit's join AND the size agg,
     # and the verdicts fan into two lanes — cut the (<= groups*counters
     # rows) frame once so the Tier-2 partial+merge chain plans/executes
     # exactly once (the decode-once discipline of every flagship gate)
-    ent = stage_cut(explode_topn(sk, "topn", cnt, keep=["grp"], counters=cnt))
-    n_lane, v_lane = verdict_lanes(ent, "n_entries", "violations")
+    def _add_chain():
+        sk = topn_add_agg_sketch(
+            li, [grp], "l_partkey", counters=cnt, spread=False
+        )
+        ent = stage_cut(
+            explode_topn(sk, "topn", cnt, keep=["grp"], counters=cnt)
+        )
+        return verdict_lanes(ent, "n_entries", "violations")
 
     sk2 = topn_add_agg_sketch(
         li, [grp], "l_linestatus", counters=cnt, spread=False
@@ -1086,16 +1089,33 @@ def topn_tier2_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sk")
         )
 
-    usk = topn_union_agg_sketch(
-        exact_inputs(F.col("l_linenumber"), F.col("l_partkey")),
-        ["grp"],
-        "sk",
-        counters=cnt,
-    )
-    u_ent = stage_cut(
-        explode_topn(usk, "topn", cnt, keep=["grp"], counters=cnt)
-    )
-    u_n_lane, u_v_lane = verdict_lanes(u_ent, "u_entries", "u_violations")
+    def _union_chain():
+        usk = topn_union_agg_sketch(
+            exact_inputs(F.col("l_linenumber"), F.col("l_partkey")),
+            ["grp"],
+            "sk",
+            counters=cnt,
+        )
+        u_ent = stage_cut(
+            explode_topn(usk, "topn", cnt, keep=["grp"], counters=cnt)
+        )
+        return verdict_lanes(u_ent, "u_entries", "u_violations")
+
+    # r14 (guide §2.6): the add-path and union-path verdict chains are
+    # independent until the final union, but each is a string of eager
+    # stage cuts (every localCheckpoint compiles + materializes its
+    # subtree's AQE stages at construction), so run serially the driver
+    # sits through ~4 s of barriers with the cluster near-idle. Overlap
+    # the two chains from two driver threads — the model_roundtrip
+    # pattern: no session-conf mutation in either chain, the second
+    # chain runs on the calling thread so failures surface normally,
+    # and values are scheduling-independent (oracle-verified).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        _add_f = _pool.submit(_add_chain)
+        u_n_lane, u_v_lane = _union_chain()
+        n_lane, v_lane = _add_f.result()
 
     # sub key = l_linestatus here, NOT l_linenumber: each group's two
     # input maps then hold all 7 linenumber items, so the merge SUMS
