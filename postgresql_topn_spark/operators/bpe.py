@@ -59,26 +59,43 @@ def _word_table(docs: DataFrame, text_col: Column | str) -> DataFrame:
     return words.select(symbols.alias("syms"), "cnt")
 
 
-def _merge_pair_expr(syms: Column, a: str, b: str) -> Column:
+def _sql_lit(s: str) -> str:
+    """Spark SQL string literal for an arbitrary symbol (the default
+    parser mode uses backslash escapes — escapedStringLiterals=false)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _merge_pair_sql(syms_sql: str, a: str, b: str) -> str:
     """Rewrite a symbol array with every adjacent (a, b) merged to a+b
     — a single left fold, JVM-side. Overlapping runs merge
     left-to-right (aaa + merge(a,a) -> [aa, a]), matching the
-    reference BPE implementations."""
-    merged = F.lit(a + b)
-    step = lambda acc, s: (  # noqa: E731
-        F.when(
-            (F.element_at(acc, -1) == F.lit(a)) & (s == F.lit(b)),
-            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
-        ).otherwise(F.concat(acc, F.array(s)))
+    reference BPE implementations.
+
+    Built as ONE SQL string rather than the Column/HOF builder (r14,
+    guide §1.2 driver-side cost): each Column-form merge expression
+    cost ~100 ms of py4j round trips constructing the nested lambdas
+    (cProfiled 0.83 s per gate over 8 merges), while the parser takes
+    the whole composed expression in one call. The tree is the same —
+    nested when/otherwise IS a flattened CASE, struct(x.alias('a'))
+    IS named_struct — pinned value-identical on quote/backslash
+    symbols in test_bpe."""
+    la, lb, lab = _sql_lit(a), _sql_lit(b), _sql_lit(a + b)
+    return (
+        f"aggregate({syms_sql}, cast(array() as array<string>), "
+        f"(acc, s) -> CASE WHEN size(acc) = 0 THEN array(s) "
+        f"WHEN element_at(acc, -1) = {la} AND s = {lb} "
+        f"THEN concat(slice(acc, 1, size(acc) - 1), array({lab})) "
+        f"ELSE concat(acc, array(s)) END)"
     )
-    empty = F.array().cast("array<string>")
-    return F.aggregate(
-        syms,
-        empty,
-        lambda acc, s: F.when(F.size(acc) == 0, F.array(s)).otherwise(
-            step(acc, s)
-        ),
-    )
+
+
+# adjacent symbol pairs of one word as (a, b) structs — static SQL for
+# the same reason as _merge_pair_sql (one parse vs ~30 py4j calls)
+_PAIR_EXPLODE_SQL = (
+    "explode(zip_with(slice(`syms`, 1, size(`syms`) - 1), "
+    "slice(`syms`, 2, size(`syms`) - 1), "
+    "(x, y) -> named_struct('a', x, 'b', y)))"
+)
 
 
 def _select_batch(
@@ -202,14 +219,7 @@ def train_bpe(
         while len(merges) < n_merges:
             m = min(batch_m, n_merges - len(merges))
             pairs = words.select(
-                F.explode(
-                    F.zip_with(
-                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
-                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
-                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
-                    )
-                ).alias("p"),
-                "cnt",
+                F.expr(_PAIR_EXPLODE_SQL).alias("p"), "cnt"
             )
             top = (
                 pairs.groupBy("p")
@@ -232,10 +242,10 @@ def train_bpe(
                 prior_concats={a + b for a, b in merges},
             )
             merges.extend(batch)
-            syms = F.col("syms")
+            syms_sql = "`syms`"
             for a, b in batch:
-                syms = _merge_pair_expr(syms, a, b)
-            words = words.select(syms.alias("syms"), "cnt")
+                syms_sql = _merge_pair_sql(syms_sql, a, b)
+            words = words.select(F.expr(syms_sql).alias("syms"), "cnt")
             rounds_since_persist += 1
             if rounds_since_persist >= persist_every:
                 # cut plan growth: the cut truncates lineage (reliable

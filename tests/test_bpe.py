@@ -225,3 +225,31 @@ def test_train_bpe_reliable_checkpoint_same_merges(spark, tmp_path):
 
     leftover = [d for d in os.listdir(ckdir) if d.startswith("cut-")]
     assert leftover == [], f"leaked word-table cuts: {leftover}"
+
+
+def test_merge_sql_escapes_quote_and_backslash_symbols(spark):
+    """r14: the merge fold is composed as one SQL string
+    (_merge_pair_sql); symbols containing the SQL-literal
+    metacharacters (single quote, backslash) must survive escaping —
+    merges and the rewritten word tables both pinned against the
+    hand-computed fixpoint."""
+    from postgresql_topn_spark.operators.bpe import train_bpe
+
+    # words: a'b x3 and \c x2 (backslash-c)
+    df = spark.createDataFrame(
+        [(1, "a'b a'b \\c"), (2, "a'b \\c")],
+        "doc_id bigint, text string",
+    )
+    merges = train_bpe(df, "text", n_merges=4, min_pair_count=1)
+    # round-by-round argmax with (count desc, a asc, b asc):
+    # pairs of a'b: (a,')x3 (',b)x3 (b,</w>)x3 ; of \c: (\,c)x2 (c,</w>)x2
+    # -> ("'", "b") then ("'b","</w>")? counts after m1: (a,'b)=3,
+    #    ('b,</w>)=3 -> "'b" < "a" lexicographically -> ("'b","</w>")
+    # -> then (a,"'b</w>")=3 -> ("a","'b</w>") ; then count-2 pairs:
+    #    (\,c) vs (c,</w>) -> "\" < "c" -> ("\","c")
+    assert merges == [
+        ("'", "b"),
+        ("'b", "</w>"),
+        ("a", "'b</w>"),
+        ("\\", "c"),
+    ]
