@@ -145,7 +145,7 @@ def token_budget_mix(
     key: Column | str,
     size: Column | str,
     *,
-    budget: float,
+    budget: "float | DataFrame",
     weights: Mapping[str, float],
     seed: int = 0,
     rate_round: int = 9,
@@ -186,11 +186,37 @@ def token_budget_mix(
     ``rate_col`` (optional) appends each kept row's rate — the audit
     column the published mixing tables carry.
 
+    ``budget`` may also be a LAZY scalar: a one-column DataFrame whose
+    single row is the budget (typically ``df.agg(0.6 * sum(size))``) —
+    r14, guide §2.4: the driver-side ``collect()`` every caller
+    otherwise needs to turn "60% of the corpus" into a float is a job
+    barrier at plan-construction time; the lazy form cross-joins the
+    1-row aggregate into the rate table instead, so the whole mix runs
+    as ONE job. Values are bit-identical: ``float(long)`` in Python
+    and ``cast(long as double)`` round the same way, and the rate
+    arithmetic is unchanged. The frame must produce exactly one row
+    (a global aggregate does, by construction) and a non-negative
+    value — the caller's sum of non-negative sizes; the eager-float
+    validation cannot see a lazy value.
+
     100 TB shape: one |strata|-row hash-agg with map-side combine, the
     rates broadcast back, and the sample itself is a scan-stage filter
     ahead of every downstream shuffle."""
-    if budget < 0:
-        raise ValueError(f"budget must be >= 0, got {budget}")
+    if isinstance(budget, DataFrame):
+        if len(budget.columns) != 1:
+            raise ValueError(
+                "a lazy budget frame must have exactly one column, got "
+                f"{budget.columns}"
+            )
+        budget_src = budget.select(
+            _col(budget.columns[0]).cast("double").alias("__budget")
+        )
+        budget_expr: Column = F.col("__budget")
+    else:
+        if budget < 0:
+            raise ValueError(f"budget must be >= 0, got {budget}")
+        budget_src = None
+        budget_expr = F.lit(float(budget))
     if any(w < 0 for w in weights.values()):
         raise ValueError(f"weights must be >= 0, got {dict(weights)}")
     if rate_col is not None and rate_col in df.columns:
@@ -204,6 +230,8 @@ def token_budget_mix(
     totals = df.groupBy(sc.alias("__s")).agg(
         F.sum(F.coalesce(szc, F.lit(0)).cast("long")).alias("__t")
     )
+    if budget_src is not None:
+        totals = totals.crossJoin(F.broadcast(budget_src))
     w_expr: Column = F.lit(0.0)
     for value, wt in weights.items():
         w_expr = F.when(F.col("__s") == value, F.lit(float(wt))).otherwise(
@@ -216,7 +244,7 @@ def token_budget_mix(
             F.round(
                 F.least(
                     F.lit(1.0),
-                    F.lit(float(budget)) * w_expr / F.col("__t").cast("double"),
+                    budget_expr * w_expr / F.col("__t").cast("double"),
                 ),
                 rate_round,
             )

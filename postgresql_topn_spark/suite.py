@@ -3405,13 +3405,17 @@ def pipeline_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id", "lang", F.size(tokens("text")).cast("long").alias("n_tok")
     )
-    total = d.agg(F.sum("n_tok")).collect()[0][0]
+    # lazy budget (r14, §2.4): the old collect() of the token total was
+    # a construction-time job barrier; the 1-row aggregate now rides
+    # the mix's own job (bit-identical rates — see token_budget_mix)
     return token_budget_mix(
         d,
         "lang",
         "doc_id",
         "n_tok",
-        budget=0.6 * float(total),
+        budget=d.agg(
+            (F.lit(0.6) * F.sum("n_tok").cast("double")).alias("__b")
+        ),
         weights={"en": 0.2, "de": 0.35, "es": 0.2, "zh": 0.25},
         seed=11,
         rate_col="rate",
@@ -4013,13 +4017,16 @@ def _select_recipe_frame(
         .select("doc_id", "lang", "n_tokens", "ppl_micro", "bucket"),
         checkpoint_dir,
     )
-    total = pool.agg(F.sum("n_tokens")).collect()[0][0]
+    # lazy budget (r14, §2.4): same rates, one less construction-time
+    # job barrier — see token_budget_mix's lazy-scalar contract
     out = token_budget_mix(
         pool,
         "lang",
         "doc_id",
         "n_tokens",
-        budget=0.5 * float(total),
+        budget=pool.agg(
+            (F.lit(0.5) * F.sum("n_tokens").cast("double")).alias("__b")
+        ),
         weights={"en": 0.4, "de": 0.15, "es": 0.15, "fr": 0.15, "zh": 0.15},
         seed=13,
         rate_col="rate",

@@ -529,3 +529,44 @@ class TestTokenBudgetEpochs:
         with pytest.raises(ValueError, match="epoch_col"):
             token_budget_epochs(df, "source", "doc_id", "n_tok",
                                 budget=1, weights={"a": 1.0})
+
+
+def test_token_budget_lazy_budget_equals_eager(spark):
+    """r14: a one-column aggregate frame as `budget` must produce the
+    SAME rows and rates as the eager float form (the lazy scalar rides
+    the mix's own job instead of a construction-time collect)."""
+    import pyspark.sql.functions as F
+
+    from postgresql_topn_spark.operators.sampling import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(i, ["en", "de", "es", None][i % 4], 7 + 13 * (i % 9))
+         for i in range(300)],
+        "doc_id long, lang string, n_tok long",
+    )
+    kw = dict(
+        weights={"en": 0.5, "de": 0.3, "es": 0.2},
+        seed=11,
+        rate_col="rate",
+    )
+    total = df.agg(F.sum("n_tok")).collect()[0][0]
+    eager = token_budget_mix(
+        df, "lang", "doc_id", "n_tok", budget=0.6 * float(total), **kw
+    )
+    lazy = token_budget_mix(
+        df, "lang", "doc_id", "n_tok",
+        budget=df.agg((F.lit(0.6) * F.sum("n_tok").cast("double")).alias("b")),
+        **kw,
+    )
+    assert sorted(map(tuple, eager.collect())) == sorted(
+        map(tuple, lazy.collect())
+    )
+
+    # a multi-column frame is rejected loudly
+    import pytest
+
+    with pytest.raises(ValueError, match="exactly one column"):
+        token_budget_mix(
+            df, "lang", "doc_id", "n_tok",
+            budget=df.agg(F.sum("n_tok"), F.count("*")), **kw,
+        )
