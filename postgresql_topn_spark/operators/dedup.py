@@ -362,8 +362,16 @@ def connected_components(
                         _T.StructField("component", _node_t),
                     ]
                 )
-                return edges.sparkSession.createDataFrame(
-                    sorted(labels.items()), schema
+                # broadcast hint: createDataFrame yields a stats-less
+                # LogicalRDD, so the downstream keeper join would
+                # otherwise sort-merge — exchanging the full corpus
+                # side against <= local_bound label rows. The hint is
+                # scale-safe by construction (the bound caps the rows
+                # far below the broadcast limits).
+                return F.broadcast(
+                    edges.sparkSession.createDataFrame(
+                        sorted(labels.items()), schema
+                    )
                 )
             # too big / null ids: fall through to the distributed loop
             # (the probe rows are dropped; und stays materialized)
